@@ -1,0 +1,245 @@
+package graft.analytics
+
+import graft.{QueryDef, core}
+import graft.core._
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** The reference's five analytics queries (reference
+  * `warehouse/analytics_queries.sql:15–246`), re-instantiated over the
+  * driver's TPC-H-ish star schema: `orders`+`lineitem` as facts,
+  * `customer` / `part` as dimensions (FIXTURES.md §D).
+  *
+  * Every money aggregate goes through exact DecimalType and every ratio
+  * through IEEE double-on-exact-inputs so results hash-match DuckDB at any
+  * parallelism — see [[graft.core]]. Scale posture: the grouped CTEs are
+  * partial-aggregated map-side by Spark automatically; the unpartitioned
+  * ORDER BY windows (W1/W2) act on *already aggregated* month-grain rows
+  * (dozens–hundreds of rows at any data scale), so the single-partition
+  * window is not a bottleneck even at 100 TB of fact data.
+  */
+object Analytics {
+
+  /** Q1 — monthly revenue + MoM % + running total
+    * (reference `analytics_queries.sql:15–45`: A3 + W1 LAG + W2 running SUM). */
+  val q1MonthlyRevenue: QueryDef = QueryDef(
+    "q1_monthly_revenue",
+    Some("""
+      WITH monthly AS (
+        SELECT year(o_orderdate) AS o_year, month(o_orderdate) AS o_month,
+               CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS revenue,
+               count(*) AS n_orders
+        FROM orders
+        GROUP BY 1, 2)
+      SELECT o_year, o_month, revenue, n_orders,
+             lag(revenue) OVER (ORDER BY o_year, o_month) AS prev_revenue,
+             CAST(sum(revenue) OVER (ORDER BY o_year, o_month
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DECIMAL(38,2)) AS running_revenue,
+             (CAST(revenue AS DOUBLE) - CAST(lag(revenue) OVER (ORDER BY o_year, o_month) AS DOUBLE))
+               / CAST(lag(revenue) OVER (ORDER BY o_year, o_month) AS DOUBLE) * 100.0 AS mom_pct
+      FROM monthly
+      ORDER BY o_year, o_month
+    """)) { (spark, dir) =>
+    val orders = tbl(spark, dir, "orders")
+    val monthly = orders
+      .groupBy(year(col("o_orderdate")).as("o_year"), month(col("o_orderdate")).as("o_month"))
+      .agg(moneySum(col("o_totalprice")).as("revenue"), count(lit(1)).as("n_orders"))
+    val w = Window.orderBy("o_year", "o_month")
+    val prev = lag(col("revenue"), 1).over(w)
+    monthly
+      .withColumn("prev_revenue", prev)
+      .withColumn("running_revenue",
+        sum(col("revenue")).over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+          .cast(DecimalType(38, 2)))
+      .withColumn("mom_pct",
+        (col("revenue").cast(DoubleType) - prev.cast(DoubleType)) / prev.cast(DoubleType) * lit(100.0))
+      .orderBy("o_year", "o_month")
+  }
+
+  /** Q2 — customer segmentation: NTILE quartiles within market segment +
+    * deviation from segment average
+    * (reference `analytics_queries.sql:54–85`: A4 + W3 NTILE + W4 partition AVG). */
+  val q2CustomerSegmentation: QueryDef = QueryDef(
+    "q2_customer_segmentation",
+    Some("""
+      WITH spend AS (
+        SELECT c_custkey, c_name, c_mktsegment,
+               CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS total_spend,
+               count(*) AS n_orders
+        FROM customer JOIN orders ON c_custkey = o_custkey
+        GROUP BY 1, 2, 3)
+      SELECT c_custkey, c_name, c_mktsegment, total_spend, n_orders,
+             ntile(4) OVER (PARTITION BY c_mktsegment ORDER BY total_spend DESC, c_custkey) AS spend_quartile,
+             CAST(sum(total_spend) OVER (PARTITION BY c_mktsegment) AS DOUBLE)
+               / CAST(count(*) OVER (PARTITION BY c_mktsegment) AS DOUBLE) AS avg_segment_spend,
+             CAST(total_spend AS DOUBLE)
+               - CAST(sum(total_spend) OVER (PARTITION BY c_mktsegment) AS DOUBLE)
+                 / CAST(count(*) OVER (PARTITION BY c_mktsegment) AS DOUBLE) AS spend_vs_avg
+      FROM spend
+      ORDER BY c_mktsegment, total_spend DESC, c_custkey
+    """)) { (spark, dir) =>
+    val customer = tbl(spark, dir, "customer")
+    val orders = tbl(spark, dir, "orders")
+    val spend = customer
+      .join(orders, customer("c_custkey") === orders("o_custkey"))
+      .groupBy("c_custkey", "c_name", "c_mktsegment")
+      .agg(moneySum(col("o_totalprice")).as("total_spend"), count(lit(1)).as("n_orders"))
+    val seg = Window.partitionBy("c_mktsegment")
+    val avgSeg = sum(col("total_spend")).over(seg).cast(DoubleType) /
+      count(lit(1)).over(seg).cast(DoubleType)
+    spend
+      .withColumn("spend_quartile",
+        ntile(4).over(seg.orderBy(col("total_spend").desc, col("c_custkey"))))
+      .withColumn("avg_segment_spend", avgSeg)
+      .withColumn("spend_vs_avg", col("total_spend").cast(DoubleType) - avgSeg)
+      .orderBy(col("c_mktsegment"), col("total_spend").desc, col("c_custkey"))
+  }
+
+  /** Q3 — product revenue rank within type + % of type revenue
+    * (reference `analytics_queries.sql:94–126`: A5 + W5 RANK + W6 pct-of-total). */
+  val q3ProductRank: QueryDef = QueryDef(
+    "q3_product_rank",
+    Some("""
+      WITH perf AS (
+        SELECT p_type, p_brand,
+               CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS product_revenue,
+               count(*) AS n_items
+        FROM part JOIN lineitem ON p_partkey = l_partkey
+        GROUP BY 1, 2)
+      SELECT p_type, p_brand, product_revenue, n_items,
+             rank() OVER (PARTITION BY p_type ORDER BY product_revenue DESC) AS revenue_rank,
+             CAST(sum(product_revenue) OVER (PARTITION BY p_type) AS DECIMAL(38,2)) AS type_revenue,
+             CAST(product_revenue AS DOUBLE)
+               / CAST(sum(product_revenue) OVER (PARTITION BY p_type) AS DOUBLE) * 100.0 AS pct_of_type
+      FROM perf
+      ORDER BY p_type, revenue_rank, p_brand
+    """)) { (spark, dir) =>
+    val part = tbl(spark, dir, "part")
+    val lineitem = tbl(spark, dir, "lineitem")
+    // dims ≪ facts: broadcast the dimension side so the fact table never shuffles
+    val perf = lineitem
+      .join(broadcast(part), part("p_partkey") === lineitem("l_partkey"))
+      .groupBy("p_type", "p_brand")
+      .agg(moneySum(col("l_extendedprice")).as("product_revenue"), count(lit(1)).as("n_items"))
+    val typeW = Window.partitionBy("p_type")
+    val typeRev = sum(col("product_revenue")).over(typeW)
+    perf
+      .withColumn("revenue_rank", rank().over(typeW.orderBy(col("product_revenue").desc)))
+      .withColumn("type_revenue", typeRev.cast(DecimalType(38, 2)))
+      .withColumn("pct_of_type",
+        col("product_revenue").cast(DoubleType) / typeRev.cast(DoubleType) * lit(100.0))
+      .orderBy(col("p_type"), col("revenue_rank"), col("p_brand"))
+  }
+
+  /** Q4 — cohort retention: first-order month cohorts × activity month
+    * (reference `analytics_queries.sql:135–184`: A6–A8 + J8/J9 + F13/F14).
+    * The reference's correlated scalar subquery is decorrelated into plain
+    * aggregate-joins (SURVEY.md §2.5 J8); Catalyst would do the same. */
+  val q4CohortRetention: QueryDef = QueryDef(
+    "q4_cohort_retention",
+    Some("""
+      WITH cohort AS (
+        SELECT o_custkey, min(date_trunc('month', o_orderdate)) AS cohort_month
+        FROM orders GROUP BY 1),
+      activity AS (
+        SELECT c.cohort_month, date_trunc('month', o.o_orderdate) AS activity_month,
+               count(DISTINCT o.o_custkey) AS active_customers
+        FROM orders o JOIN cohort c ON o.o_custkey = c.o_custkey
+        GROUP BY 1, 2),
+      sizes AS (
+        SELECT cohort_month, count(*) AS cohort_size FROM cohort GROUP BY 1)
+      SELECT a.cohort_month, a.activity_month,
+             CAST(date_diff('month', a.cohort_month, a.activity_month) AS INTEGER) AS months_since_first,
+             a.active_customers, s.cohort_size,
+             CAST(a.active_customers AS DOUBLE) / CAST(s.cohort_size AS DOUBLE) * 100.0 AS retention_pct
+      FROM activity a JOIN sizes s ON a.cohort_month = s.cohort_month
+      WHERE CAST(date_diff('month', a.cohort_month, a.activity_month) AS INTEGER) BETWEEN 0 AND 12
+      ORDER BY a.cohort_month, a.activity_month
+    """)) { (spark, dir) =>
+    val orders = tbl(spark, dir, "orders")
+    val cohort = orders
+      .groupBy(col("o_custkey"))
+      .agg(min(date_trunc("month", col("o_orderdate"))).as("cohort_month"))
+    val activity = orders
+      .join(cohort, "o_custkey")
+      .groupBy(col("cohort_month"), date_trunc("month", col("o_orderdate")).as("activity_month"))
+      .agg(countDistinct(col("o_custkey")).as("active_customers"))
+    val sizes = cohort.groupBy("cohort_month").agg(count(lit(1)).as("cohort_size"))
+    val monthsSince =
+      months_between(col("activity_month").cast(DateType), col("cohort_month").cast(DateType))
+        .cast(IntegerType)
+    activity
+      .join(sizes, "cohort_month")
+      .withColumn("months_since_first", monthsSince)
+      .filter(col("months_since_first").between(0, 12))
+      .withColumn("retention_pct",
+        col("active_customers").cast(DoubleType) / col("cohort_size").cast(DoubleType) * lit(100.0))
+      .select("cohort_month", "activity_month", "months_since_first",
+        "active_customers", "cohort_size", "retention_pct")
+      .orderBy("cohort_month", "activity_month")
+  }
+
+  /** Q5 — daily revenue anomaly detection over a trailing 7-row frame that
+    * excludes the current row (reference `analytics_queries.sql:194–246`:
+    * A9 + W7 + P6 + P9). stddev is computed from *exact decimal* frame sums
+    * (Σx, Σx²) so Spark and DuckDB do the identical IEEE arithmetic —
+    * their native windowed STDDEV implementations would not be bit-equal. */
+  val q5DailyAnomaly: QueryDef = QueryDef(
+    "q5_daily_anomaly",
+    Some("""
+      WITH daily AS (
+        SELECT CAST(l_shipdate AS DATE) AS ship_date,
+               CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS daily_revenue,
+               count(*) AS n_items
+        FROM lineitem
+        GROUP BY 1),
+      framed AS (
+        SELECT ship_date, daily_revenue, n_items,
+               CAST(sum(daily_revenue) OVER w AS DOUBLE) AS s7,
+               CAST(sum(daily_revenue * daily_revenue) OVER w AS DOUBLE) AS q7,
+               CAST(count(*) OVER w AS DOUBLE) AS n7
+        FROM daily
+        WINDOW w AS (ORDER BY ship_date ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING))
+      SELECT ship_date, daily_revenue, n_items,
+             s7 / n7 AS moving_avg_7d,
+             sqrt(CASE WHEN (q7 - s7 * s7 / n7) / (n7 - 1.0) < 0.0 THEN 0.0
+                       ELSE (q7 - s7 * s7 / n7) / (n7 - 1.0) END) AS moving_std_7d,
+             CASE WHEN abs(CAST(daily_revenue AS DOUBLE) - s7 / n7)
+                       > 2.0 * sqrt(CASE WHEN (q7 - s7 * s7 / n7) / (n7 - 1.0) < 0.0 THEN 0.0
+                                         ELSE (q7 - s7 * s7 / n7) / (n7 - 1.0) END)
+                  THEN 'ANOMALY' ELSE 'NORMAL' END AS day_flag
+      FROM framed
+      WHERE n7 >= 2.0
+      ORDER BY ship_date
+    """)) { (spark, dir) =>
+    val lineitem = tbl(spark, dir, "lineitem")
+    val daily = lineitem
+      .groupBy(col("l_shipdate").cast(DateType).as("ship_date"))
+      .agg(
+        sum(dec2(col("l_extendedprice"))).cast(DecimalType(18, 2)).as("daily_revenue"),
+        count(lit(1)).as("n_items"))
+    val w = Window.orderBy("ship_date").rowsBetween(-7, -1)
+    val framed = daily
+      .withColumn("s7", sum(col("daily_revenue")).over(w).cast(DoubleType))
+      .withColumn("q7", sum(col("daily_revenue") * col("daily_revenue")).over(w).cast(DoubleType))
+      .withColumn("n7", count(lit(1)).over(w).cast(DoubleType))
+    val variance = (col("q7") - col("s7") * col("s7") / col("n7")) / (col("n7") - lit(1.0))
+    val std = sqrt(when(variance < lit(0.0), lit(0.0)).otherwise(variance))
+    val ma = col("s7") / col("n7")
+    framed
+      .withColumn("moving_avg_7d", ma)
+      .withColumn("moving_std_7d", std)
+      .withColumn("day_flag",
+        when(abs(col("daily_revenue").cast(DoubleType) - ma) > lit(2.0) * std, "ANOMALY")
+          .otherwise("NORMAL"))
+      .filter(col("n7") >= lit(2.0))
+      .select("ship_date", "daily_revenue", "n_items", "moving_avg_7d", "moving_std_7d", "day_flag")
+      .orderBy("ship_date")
+  }
+
+  val all: Seq[QueryDef] = Seq(
+    q1MonthlyRevenue, q2CustomerSegmentation, q3ProductRank,
+    q4CohortRetention, q5DailyAnomaly)
+}

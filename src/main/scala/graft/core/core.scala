@@ -1,0 +1,70 @@
+package graft
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** One engine capability exposed to the driver's correctness gate.
+  *
+  * `run` evaluates the operator over the driver-generated parquet tables in
+  * `sfDir`; `oracle` is the equivalent ANSI SQL the driver replays in DuckDB
+  * over the same tables. Column names/aliases must match exactly (the driver
+  * sorts columns by name before hashing values).
+  */
+final case class QueryDef(
+    name: String,
+    oracle: Option[String])(
+    val run: (SparkSession, String) => DataFrame)
+
+object core {
+
+  /** Table names shipped in every /root/testdata/sf* directory. */
+  val tableNames: Seq[String] = Seq(
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings")
+
+  /** Read one driver-generated parquet table. Plain parquet scan: Catalyst
+    * pushes filters + prunes columns into the scan, so callers should never
+    * pre-materialize. */
+  def tbl(spark: SparkSession, dir: String, name: String): DataFrame =
+    spark.read.parquet(s"$dir/$name.parquet")
+
+  // ---------------------------------------------------------------------
+  // Determinism helpers for oracle (DuckDB) hash-parity.
+  //
+  // Floating-point SUM/AVG is evaluation-order-dependent, and Spark and
+  // DuckDB will not add doubles in the same order. Money math therefore
+  // goes through exact DecimalType: cast each input to DECIMAL(18,2),
+  // sum exactly (associative), and only then convert to double for
+  // ratios — both engines then perform identical IEEE ops on identical
+  // inputs, giving bit-equal results at any parallelism/scale.
+  // ---------------------------------------------------------------------
+
+  /** Exact 2-dp decimal view of a (possibly double) money column. */
+  def dec2(c: Column): Column = c.cast(DecimalType(18, 2))
+
+  /** Exact money sum normalized to DECIMAL(38,2) (matches the oracle's
+    * `CAST(sum(CAST(x AS DECIMAL(18,2))) AS DECIMAL(38,2))`). */
+  def moneySum(c: Column): Column = sum(dec2(c)).cast(DecimalType(38, 2))
+
+  /** Order-insensitive average: exact decimal sum divided as double.
+    * Equivalent oracle: `CAST(sum(CAST(x AS DECIMAL(18,2))) AS DOUBLE) /
+    * CAST(count(*) AS DOUBLE)`. */
+  def moneyAvg(c: Column): Column =
+    sum(dec2(c)).cast(DoubleType) / count(lit(1)).cast(DoubleType)
+
+  /** Conditional 1/0 counter that sums to BIGINT on both engines. */
+  def countIf(cond: Column): Column =
+    sum(when(cond, 1L).otherwise(0L))
+
+  /** Spark day-of-week with the 0=Monday convention the reference's
+    * Python/loader path uses (SURVEY.md §2.3 F9; reference
+    * `loaders/warehouse_loader.py:194–204`). Oracle: `isodow(d) - 1`. */
+  def dowMon0(c: Column): Column =
+    ((dayofweek(c) + lit(5)) % lit(7)).cast(IntegerType)
+
+  /** `yyyyMMdd` integer date key (reference `warehouse_loader.py:196`).
+    * Oracle: `CAST(strftime(d, '%Y%m%d') AS INTEGER)`. */
+  def dateKey(c: Column): Column =
+    date_format(c, "yyyyMMdd").cast(IntegerType)
+}

@@ -1,0 +1,186 @@
+package graft.model
+
+import graft.{QueryDef, core}
+import graft.core._
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Star-schema model layer (SURVEY.md §2.1 S8–S10, §2.7 W8): generated date
+  * dimension, surrogate-key assignment, merge-upsert and append-if-absent
+  * sinks — the reference's `loaders/warehouse_loader.py` + dbt marts
+  * re-expressed as join-based DataFrame programs. */
+object Warehouse {
+
+  /** S10 — date-dimension generator (reference
+    * `loaders/warehouse_loader.py:157–212`): enumerate [min, max] of the fact
+    * dates and derive 8 calendar attributes. The bounds row is a 1-row
+    * aggregate; `sequence` + `explode` generates the calendar distributed —
+    * a calendar is only ~36.5K rows per century, so this is never a scale
+    * concern. Day-of-week uses the 0=Monday convention (SURVEY.md §2.3 F9). */
+  def dateDim(facts: DataFrame, dateCol: String): DataFrame = {
+    val bounds = facts.agg(
+      min(col(dateCol).cast(DateType)).as("lo"),
+      max(col(dateCol).cast(DateType)).as("hi"))
+    bounds
+      .select(explode(sequence(col("lo"), col("hi"))).as("full_date"))
+      .select(
+        dateKey(col("full_date")).as("date_key"),
+        col("full_date"),
+        dowMon0(col("full_date")).as("day_of_week"),
+        date_format(col("full_date"), "EEEE").as("day_name"),
+        month(col("full_date")).as("month"),
+        date_format(col("full_date"), "MMMM").as("month_name"),
+        quarter(col("full_date")).as("quarter"),
+        year(col("full_date")).as("year"),
+        (dowMon0(col("full_date")) >= 5).as("is_weekend"))
+  }
+
+  private val dateDimSql = """
+      WITH bounds AS (
+        SELECT CAST(min(o_orderdate) AS DATE) AS lo, CAST(max(o_orderdate) AS DATE) AS hi
+        FROM orders),
+      days AS (
+        SELECT CAST(unnest(generate_series(CAST(lo AS TIMESTAMP), CAST(hi AS TIMESTAMP),
+                                           INTERVAL 1 DAY)) AS DATE) AS full_date
+        FROM bounds)
+      SELECT CAST(strftime(full_date, '%Y%m%d') AS INTEGER) AS date_key,
+             full_date,
+             CAST(isodow(full_date) - 1 AS INTEGER) AS day_of_week,
+             strftime(full_date, '%A') AS day_name,
+             CAST(month(full_date) AS INTEGER) AS month,
+             strftime(full_date, '%B') AS month_name,
+             CAST(quarter(full_date) AS INTEGER) AS quarter,
+             CAST(year(full_date) AS INTEGER) AS year,
+             isodow(full_date) - 1 >= 5 AS is_weekend
+      FROM days"""
+
+  val s10DateDim: QueryDef = QueryDef(
+    "s10_date_dim",
+    Some(s"$dateDimSql ORDER BY full_date")) { (spark, dir) =>
+    dateDim(tbl(spark, dir, "orders"), "o_orderdate").orderBy("full_date")
+  }
+
+  /** W8 — surrogate-key assignment. The oracle semantic is
+    * `ROW_NUMBER() OVER (ORDER BY businessKey)` (reference
+    * `dim_customers.sql:5`), but a global-window row_number funnels all rows
+    * through ONE partition — fine for dims, fatal at 100 TB. This
+    * implementation is the scalable two-pass equivalent: range-partition by
+    * the key, count rows per partition (tiny driver-side array), then number
+    * within partitions offset by the prefix sum. Output is identical to the
+    * global ROW_NUMBER whenever the key is unique, and every pass is
+    * partition-parallel. */
+  def withSurrogateKey(df: DataFrame, keyCol: String, outCol: String,
+      numPartitions: Int = 32): DataFrame = {
+    val spark = df.sparkSession
+    val sorted = df
+      .repartitionByRange(numPartitions, col(keyCol))
+      .sortWithinPartitions(keyCol)
+    val schema = sorted.schema
+    // Materialize ONE RDD for both passes: each `.rdd` call would re-plan the
+    // range shuffle with fresh boundary sampling, desynchronizing the counts
+    // from the numbering pass.
+    val rdd = sorted.rdd
+    val counts = rdd
+      .mapPartitionsWithIndex { case (i, it) => Iterator((i, it.size.toLong)) }
+      .collect().sortBy(_._1).map(_._2)
+    val offsets = counts.scanLeft(0L)(_ + _)
+    val numbered = rdd.mapPartitionsWithIndex { case (i, it) =>
+      var k = offsets(i)
+      it.map { r => k += 1; Row.fromSeq(k +: r.toSeq) }
+    }
+    spark.createDataFrame(numbered,
+      StructType(StructField(outCol, LongType, nullable = false) +: schema.fields))
+  }
+
+  /** W8 gate: scalable surrogate keys hash-match the ROW_NUMBER oracle. */
+  val w8SurrogateKeys: QueryDef = QueryDef(
+    "w8_surrogate_keys",
+    Some("""
+      SELECT row_number() OVER (ORDER BY c_custkey) AS customer_key,
+             c_custkey, c_name, c_mktsegment
+      FROM customer
+      ORDER BY c_custkey
+    """)) { (spark, dir) =>
+    val cust = tbl(spark, dir, "customer").select("c_custkey", "c_name", "c_mktsegment")
+    withSurrogateKey(cust, "c_custkey", "customer_key")
+      .select("customer_key", "c_custkey", "c_name", "c_mktsegment")
+      .orderBy("c_custkey")
+  }
+
+  /** S8 — merge-upsert: incoming rows replace existing rows on the key;
+    * survivors = incoming ∪ (existing ⟕anti incoming) (reference
+    * `loaders/warehouse_loader.py:49–83` ON CONFLICT DO UPDATE). One
+    * broadcast/anti join — no read-modify-write row loop. */
+  def upsert(existing: DataFrame, incoming: DataFrame, keys: Seq[String]): DataFrame =
+    incoming.unionByName(existing.join(incoming, keys, "left_anti"))
+
+  val s8UpsertMerge: QueryDef = QueryDef(
+    "s8_upsert_merge",
+    Some("""
+      WITH existing AS (
+        SELECT c_custkey, c_name, c_acctbal FROM customer WHERE c_custkey % 3 <> 0),
+      incoming AS (
+        SELECT c_custkey, c_name, c_acctbal + 10.0 AS c_acctbal
+        FROM customer WHERE c_custkey % 2 = 0)
+      SELECT * FROM incoming
+      UNION ALL
+      SELECT e.* FROM existing e
+      WHERE c_custkey NOT IN (SELECT c_custkey FROM incoming)
+      ORDER BY c_custkey
+    """)) { (spark, dir) =>
+    val cust = tbl(spark, dir, "customer")
+    val existing = cust.filter(col("c_custkey") % 3 =!= 0).select("c_custkey", "c_name", "c_acctbal")
+    val incoming = cust.filter(col("c_custkey") % 2 === 0)
+      .select(col("c_custkey"), col("c_name"), (col("c_acctbal") + 10.0).as("c_acctbal"))
+    upsert(existing, incoming, Seq("c_custkey")).orderBy("c_custkey")
+  }
+
+  /** S9 — append-if-absent: only incoming keys not already present are
+    * appended (reference `loaders/warehouse_loader.py:112–143` ON CONFLICT
+    * DO NOTHING). */
+  def appendIfAbsent(existing: DataFrame, incoming: DataFrame, keys: Seq[String]): DataFrame =
+    existing.unionByName(incoming.join(existing, keys, "left_anti"))
+
+  val s9AppendIfAbsent: QueryDef = QueryDef(
+    "s9_append_if_absent",
+    Some("""
+      WITH existing AS (
+        SELECT o_orderkey, o_totalprice FROM orders WHERE o_orderkey % 3 = 0),
+      incoming AS (
+        SELECT o_orderkey, o_totalprice FROM orders WHERE o_orderkey % 2 = 0)
+      SELECT * FROM existing
+      UNION ALL
+      SELECT i.* FROM incoming i
+      WHERE o_orderkey NOT IN (SELECT o_orderkey FROM existing)
+      ORDER BY o_orderkey
+    """)) { (spark, dir) =>
+    val o = tbl(spark, dir, "orders").select("o_orderkey", "o_totalprice")
+    val existing = o.filter(col("o_orderkey") % 3 === 0)
+    val incoming = o.filter(col("o_orderkey") % 2 === 0)
+    appendIfAbsent(existing, incoming, Seq("o_orderkey")).orderBy("o_orderkey")
+  }
+
+  /** J5 — join on a date *expression*: fact timestamp truncated to date
+    * against the generated calendar (reference `fact_orders.sql:19–20`). The
+    * calendar is tiny → broadcast; the fact side never shuffles. */
+  val j5DateExprJoin: QueryDef = QueryDef(
+    "j5_date_expr_join",
+    Some(s"""
+      WITH date_dim AS ($dateDimSql)
+      SELECT o_orderkey, date_key, day_name, is_weekend
+      FROM orders LEFT JOIN date_dim ON CAST(o_orderdate AS DATE) = full_date
+      ORDER BY o_orderkey
+    """)) { (spark, dir) =>
+    val orders = tbl(spark, dir, "orders")
+    val dd = dateDim(orders, "o_orderdate")
+    orders
+      .join(broadcast(dd), orders("o_orderdate").cast(DateType) === dd("full_date"), "left")
+      .select(col("o_orderkey"), col("date_key"), col("day_name"), col("is_weekend"))
+      .orderBy("o_orderkey")
+  }
+
+  val all: Seq[QueryDef] = Seq(
+    s10DateDim, w8SurrogateKeys, s8UpsertMerge, s9AppendIfAbsent, j5DateExprJoin)
+}

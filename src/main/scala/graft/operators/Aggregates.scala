@@ -1,0 +1,184 @@
+package graft.operators
+
+import graft.{QueryDef, core}
+import graft.core._
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Aggregation operators (SURVEY.md §2.6). All exact: decimal money sums,
+  * BIGINT counts, ratios as IEEE doubles over exact inputs. Spark runs every
+  * one as partial (map-side) + final HashAggregate — at 100 TB the shuffle
+  * carries only group-level partials, never raw rows. */
+object Aggregates {
+
+  /** A1 — dimension rollup with average (reference
+    * `etl_daily_pipeline.py:170–177`, `stg_products.sql:4–13`): per part
+    * type, average quantity + line count over the joined fact. */
+  val a1ProductRollup: QueryDef = QueryDef(
+    "a1_product_rollup",
+    Some("""
+      SELECT p_type,
+             CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)
+               / CAST(count(*) AS DOUBLE) AS avg_quantity,
+             count(*) AS n_lines,
+             CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS revenue
+      FROM part JOIN lineitem ON p_partkey = l_partkey
+      GROUP BY p_type
+      ORDER BY p_type
+    """)) { (spark, dir) =>
+    tbl(spark, dir, "lineitem")
+      .join(broadcast(tbl(spark, dir, "part")), col("p_partkey") === col("l_partkey"))
+      .groupBy("p_type")
+      .agg(
+        moneyAvg(col("l_quantity")).as("avg_quantity"),
+        count(lit(1)).as("n_lines"),
+        moneySum(col("l_extendedprice")).as("revenue"))
+      .orderBy("p_type")
+  }
+
+  /** A2 — the pre-aggregated daily-sales fact with conditional aggregates
+    * (reference `etl_daily_pipeline.py:220–233`, `fact_daily_sales.sql:4–21`):
+    * GROUP BY (date_key, status-partitioned measures). 'F' plays CANCELLED,
+    * 'P' plays REFUNDED. */
+  val a2DailySalesRollup: QueryDef = QueryDef(
+    "a2_daily_sales_rollup",
+    Some("""
+      SELECT CAST(strftime(o_orderdate, '%Y%m%d') AS INTEGER) AS date_key,
+             CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS total_revenue,
+             count(*) AS total_orders,
+             CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+               / CAST(count(*) AS DOUBLE) AS avg_order_value,
+             CAST(sum(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS BIGINT) AS cancelled_orders,
+             CAST(sum(CASE WHEN o_orderstatus = 'P'
+                           THEN CAST(o_totalprice AS DECIMAL(18,2))
+                           ELSE CAST(0 AS DECIMAL(18,2)) END) AS DECIMAL(38,2)) AS refunded_amount
+      FROM orders
+      GROUP BY 1
+      ORDER BY date_key
+    """)) { (spark, dir) =>
+    tbl(spark, dir, "orders")
+      .groupBy(dateKey(col("o_orderdate")).as("date_key"))
+      .agg(
+        moneySum(col("o_totalprice")).as("total_revenue"),
+        count(lit(1)).as("total_orders"),
+        moneyAvg(col("o_totalprice")).as("avg_order_value"),
+        countIf(col("o_orderstatus") === "F").as("cancelled_orders"),
+        sum(when(col("o_orderstatus") === "P", dec2(col("o_totalprice")))
+          .otherwise(lit(0).cast(DecimalType(18, 2))))
+          .cast(DecimalType(38, 2)).as("refunded_amount"))
+      .orderBy("date_key")
+  }
+
+  /** A7/A8 — COUNT(DISTINCT) per group (reference
+    * `analytics_queries.sql:146–171`): distinct buyers per month. Spark plans
+    * this as a two-stage expand+aggregate; exact, not a sketch. */
+  val a7CountDistinct: QueryDef = QueryDef(
+    "a7_count_distinct",
+    Some("""
+      SELECT year(o_orderdate) AS o_year, month(o_orderdate) AS o_month,
+             count(DISTINCT o_custkey) AS active_customers,
+             count(*) AS n_orders
+      FROM orders
+      GROUP BY 1, 2
+      ORDER BY o_year, o_month
+    """)) { (spark, dir) =>
+    tbl(spark, dir, "orders")
+      .groupBy(year(col("o_orderdate")).as("o_year"), month(col("o_orderdate")).as("o_month"))
+      .agg(countDistinct(col("o_custkey")).as("active_customers"),
+        count(lit(1)).as("n_orders"))
+      .orderBy("o_year", "o_month")
+  }
+
+  /** A10 — duplicate audit: GROUP BY key HAVING count(*) > 1, outer count
+    * (reference `data_quality_check.py:91–98`), over the dup-injected fact. */
+  val a10DupAudit: QueryDef = QueryDef(
+    "a10_dup_audit",
+    Some("""
+      SELECT count(*) AS duplicate_keys
+      FROM (
+        SELECT l_orderkey, l_linenumber
+        FROM (SELECT * FROM lineitem
+              UNION ALL
+              SELECT * FROM lineitem WHERE l_orderkey % 7 = 0)
+        GROUP BY l_orderkey, l_linenumber
+        HAVING count(*) > 1)
+    """)) { (spark, dir) =>
+    val li = tbl(spark, dir, "lineitem")
+    li.unionAll(li.filter(col("l_orderkey") % 7 === 0))
+      .groupBy("l_orderkey", "l_linenumber")
+      .agg(count(lit(1)).as("cnt"))
+      .filter(col("cnt") > 1)
+      .agg(count(lit(1)).as("duplicate_keys"))
+  }
+
+  /** A11/Q1 — single-pass null-rate audit with threshold flag (reference
+    * `data_quality_check.py:42–73`): nulls injected on key % 37. */
+  val a11NullRate: QueryDef = QueryDef(
+    "a11_null_rate",
+    Some("""
+      WITH src AS (
+        SELECT CASE WHEN o_orderkey % 37 = 0 THEN NULL ELSE o_totalprice END AS v
+        FROM orders)
+      SELECT count(*) AS total_rows,
+             CAST(sum(CASE WHEN v IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS null_rows,
+             CAST(sum(CASE WHEN v IS NULL THEN 1 ELSE 0 END) AS DOUBLE)
+               / CAST(count(*) AS DOUBLE) * 100.0 AS null_pct,
+             CAST(sum(CASE WHEN v IS NULL THEN 1 ELSE 0 END) AS DOUBLE)
+               / CAST(count(*) AS DOUBLE) * 100.0 > 5.0 AS exceeds_threshold
+      FROM src
+    """)) { (spark, dir) =>
+    val nullPct = sum(when(col("v").isNull, 1L).otherwise(0L)).cast(DoubleType) /
+      count(lit(1)).cast(DoubleType) * lit(100.0)
+    tbl(spark, dir, "orders")
+      .select(when(col("o_orderkey") % 37 === 0, lit(null)).otherwise(col("o_totalprice")).as("v"))
+      .agg(
+        count(lit(1)).as("total_rows"),
+        sum(when(col("v").isNull, 1L).otherwise(0L)).as("null_rows"),
+        nullPct.as("null_pct"),
+        (nullPct > lit(5.0)).as("exceeds_threshold"))
+  }
+
+  /** Grouping-set rollup (beyond parity, SURVEY.md §2.6 note): revenue by
+    * (returnflag, linestatus) with subtotals and grand total. */
+  val aRollupSets: QueryDef = QueryDef(
+    "a_rollup_sets",
+    Some("""
+      SELECT l_returnflag, l_linestatus,
+             CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS revenue,
+             count(*) AS n_lines
+      FROM lineitem
+      GROUP BY ROLLUP (l_returnflag, l_linestatus)
+      ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST
+    """)) { (spark, dir) =>
+    tbl(spark, dir, "lineitem")
+      .rollup("l_returnflag", "l_linestatus")
+      .agg(moneySum(col("l_extendedprice")).as("revenue"), count(lit(1)).as("n_lines"))
+      .orderBy(col("l_returnflag").asc_nulls_first, col("l_linestatus").asc_nulls_first)
+  }
+
+  /** Sketch aggregate (beyond parity, SURVEY.md §7.5): HLL++ distinct-count
+    * estimate next to the exact count. Both engines implement HLL but with
+    * different internals, so the sketch value itself can't oracle-match —
+    * instead the oracle checks the *contract*: the estimate lands within
+    * ±5 % of exact (relative error at precision 0.05 is ~1.6 %). */
+  val aApproxDistinct: QueryDef = QueryDef(
+    "a_approx_distinct",
+    Some("""
+      SELECT count(DISTINCT l_partkey) AS exact_distinct,
+             true AS sketch_within_5pct
+      FROM lineitem
+    """)) { (spark, dir) =>
+    tbl(spark, dir, "lineitem")
+      .agg(
+        countDistinct(col("l_partkey")).as("exact_distinct"),
+        approx_count_distinct(col("l_partkey"), 0.05).as("approx"))
+      .select(
+        col("exact_distinct"),
+        (abs(col("approx").cast(DoubleType) / col("exact_distinct").cast(DoubleType) - 1.0) <= 0.05)
+          .as("sketch_within_5pct"))
+  }
+
+  val all: Seq[QueryDef] = Seq(
+    a1ProductRollup, a2DailySalesRollup, a7CountDistinct, a10DupAudit,
+    a11NullRate, aRollupSets, aApproxDistinct)
+}

@@ -1,0 +1,293 @@
+package graft.operators
+
+import graft.{QueryDef, core}
+import graft.core._
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Scan / projection / predicate / dedup / join / set-op operators
+  * (SURVEY.md §2.1, §2.2, §2.4, §2.5, §2.8).
+  *
+  * Several operators exist to *repair* defects (duplicates, orphans) that the
+  * driver's clean synthetic tables don't contain, so those queries first
+  * inject defects deterministically (`key % k` predicates, mirrored verbatim
+  * in the oracle SQL) and then demonstrate the repair. That keeps the
+  * operator's interesting path exercised end-to-end on both engines.
+  */
+object Relational {
+
+  /** S1/P1/O1 — projected full scan with extraction ordering (reference
+    * `extractors/postgres_extractor.py:52–60`). Catalyst prunes the parquet
+    * scan to exactly these five columns (visible as ReadSchema in explain). */
+  val s1ScanProject: QueryDef = QueryDef(
+    "s1_scan_project",
+    Some("""
+      SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice, o_orderdate
+      FROM orders
+      ORDER BY o_orderdate, o_orderkey
+    """)) { (spark, dir) =>
+    tbl(spark, dir, "orders")
+      .select("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice", "o_orderdate")
+      .orderBy("o_orderdate", "o_orderkey")
+  }
+
+  /** S2/S4 — high-watermark incremental scan (reference
+    * `extractors/postgres_extractor.py:41–50`). The predicate is pushed into
+    * the parquet scan (PushedFilters), which at 100 TB means only row groups
+    * past the watermark are read. */
+  val s2IncrementalScan: QueryDef = QueryDef(
+    "s2_incremental_scan",
+    Some("""
+      SELECT o_orderkey, o_custkey, o_totalprice, o_orderdate
+      FROM orders
+      WHERE o_orderdate > TIMESTAMP '1997-06-01 00:00:00'
+      ORDER BY o_orderdate, o_orderkey
+    """)) { (spark, dir) =>
+    tbl(spark, dir, "orders")
+      .filter(col("o_orderdate") > lit("1997-06-01 00:00:00").cast(TimestampNTZType))
+      .select("o_orderkey", "o_custkey", "o_totalprice", "o_orderdate")
+      .orderBy("o_orderdate", "o_orderkey")
+  }
+
+  /** S6 — incremental scan by *lexicographic string* watermark, the Mongo
+    * ISO-date-string pattern (reference `extractors/mongo_extractor.py:50–54`). */
+  val s6StringWatermark: QueryDef = QueryDef(
+    "s6_string_watermark",
+    Some("""
+      SELECT doc_id, source, lang, n_chars
+      FROM documents
+      WHERE source > 'src4'
+      ORDER BY doc_id
+    """)) { (spark, dir) =>
+    tbl(spark, dir, "documents")
+      .filter(col("source") > lit("src4"))
+      .select("doc_id", "source", "lang", "n_chars")
+      .orderBy("doc_id")
+  }
+
+  /** P2–P5 — predicate bundle: IS NOT NULL, IN-list, BETWEEN (reference
+    * `stg_orders.sql:19`, `analytics_queries.sql:64, 183`). */
+  val pPredicates: QueryDef = QueryDef(
+    "p_predicates",
+    Some("""
+      SELECT l_orderkey, l_linenumber, l_returnflag, l_linestatus, l_quantity, l_extendedprice
+      FROM lineitem
+      WHERE l_returnflag IS NOT NULL
+        AND l_linestatus IN ('O', 'F')
+        AND l_quantity BETWEEN 10 AND 40
+      ORDER BY l_orderkey, l_linenumber
+    """)) { (spark, dir) =>
+    tbl(spark, dir, "lineitem")
+      .filter(col("l_returnflag").isNotNull &&
+        col("l_linestatus").isin("O", "F") &&
+        col("l_quantity").between(10, 40))
+      .select("l_orderkey", "l_linenumber", "l_returnflag", "l_linestatus",
+        "l_quantity", "l_extendedprice")
+      .orderBy("l_orderkey", "l_linenumber")
+  }
+
+  /** Injected-duplicate lineitem: the base table plus a copy of every row
+    * whose orderkey % 7 = 0 (deterministic, mirrored in oracles). */
+  private def lineitemWithDups(spark: SparkSession, dir: String): DataFrame = {
+    val li = tbl(spark, dir, "lineitem")
+    li.unionAll(li.filter(col("l_orderkey") % 7 === 0))
+  }
+  private val lineitemWithDupsSql =
+    "SELECT * FROM lineitem UNION ALL SELECT * FROM lineitem WHERE l_orderkey % 7 = 0"
+
+  /** D1–D3 — deterministic keep-first dedup via ROW_NUMBER with an explicit
+    * tie-breaker (reference `transformers/data_transformer.py:38–42`; pandas
+    * `keep="first"` made order-stable per SURVEY.md §7.4). Scales as one
+    * hash-shuffle on the key — no global sort. */
+  val d1DedupKeepFirst: QueryDef = QueryDef(
+    "d1_dedup_keep_first",
+    Some(s"""
+      WITH with_dups AS ($lineitemWithDupsSql),
+      ranked AS (
+        SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice, l_shipdate,
+               row_number() OVER (PARTITION BY l_orderkey, l_linenumber
+                                  ORDER BY l_shipdate, l_suppkey) AS rn
+        FROM with_dups)
+      SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice, l_shipdate
+      FROM ranked WHERE rn = 1
+      ORDER BY l_orderkey, l_linenumber
+    """)) { (spark, dir) =>
+    val w = Window.partitionBy("l_orderkey", "l_linenumber").orderBy("l_shipdate", "l_suppkey")
+    lineitemWithDups(spark, dir)
+      .select("l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice", "l_shipdate", "l_suppkey")
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select("l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice", "l_shipdate")
+      .orderBy("l_orderkey", "l_linenumber")
+  }
+
+  /** Orders with injected orphans (customer keys that don't exist). */
+  private def ordersWithOrphans(spark: SparkSession, dir: String): DataFrame = {
+    val o = tbl(spark, dir, "orders")
+    o.select("o_orderkey", "o_custkey", "o_totalprice")
+      .unionAll(
+        o.filter(col("o_orderkey") % 11 === 0)
+          .select(
+            (col("o_orderkey") + 10000000L).as("o_orderkey"),
+            (col("o_custkey") + 10000000L).as("o_custkey"),
+            col("o_totalprice")))
+  }
+  private val ordersWithOrphansSql = """
+      SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+      UNION ALL
+      SELECT o_orderkey + 10000000, o_custkey + 10000000, o_totalprice
+      FROM orders WHERE o_orderkey % 11 = 0"""
+
+  /** D4/J6 — referential-integrity filter as a left-semi join (reference
+    * `transformers/data_transformer.py:179–219`). The dimension side is
+    * broadcast, so the fact side never shuffles. */
+  val d4IntegritySemiJoin: QueryDef = QueryDef(
+    "d4_integrity_semi_join",
+    Some(s"""
+      WITH src AS ($ordersWithOrphansSql)
+      SELECT o_orderkey, o_custkey, o_totalprice
+      FROM src
+      WHERE o_custkey IN (SELECT c_custkey FROM customer)
+      ORDER BY o_orderkey
+    """)) { (spark, dir) =>
+    val cust = tbl(spark, dir, "customer").select(col("c_custkey").as("o_custkey"))
+    ordersWithOrphans(spark, dir)
+      .join(broadcast(cust), Seq("o_custkey"), "left_semi")
+      .select("o_orderkey", "o_custkey", "o_totalprice")
+      .orderBy("o_orderkey")
+  }
+
+  /** D5 — rejected-record accounting from the anti side (reference
+    * `etl_daily_pipeline.py:133–135`). */
+  val d5RejectAccounting: QueryDef = QueryDef(
+    "d5_reject_accounting",
+    Some(s"""
+      WITH src AS ($ordersWithOrphansSql)
+      SELECT count(*) AS records_rejected
+      FROM src
+      WHERE o_custkey NOT IN (SELECT c_custkey FROM customer)
+    """)) { (spark, dir) =>
+    val cust = tbl(spark, dir, "customer").select(col("c_custkey").as("o_custkey"))
+    ordersWithOrphans(spark, dir)
+      .join(broadcast(cust), Seq("o_custkey"), "left_anti")
+      .agg(count(lit(1)).as("records_rejected"))
+  }
+
+  /** J1–J3 — star join: facts against three broadcast dimensions
+    * (reference `analytics_queries.sql:23–24, 62–63, 102–103`). */
+  val j1StarJoin: QueryDef = QueryDef(
+    "j1_star_join",
+    Some("""
+      SELECT r_name, n_name,
+             CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS revenue,
+             count(*) AS n_orders
+      FROM orders
+      JOIN customer ON o_custkey = c_custkey
+      JOIN nation ON c_nationkey = n_nationkey
+      JOIN region ON n_regionkey = r_regionkey
+      GROUP BY 1, 2
+      ORDER BY 1, 2
+    """)) { (spark, dir) =>
+    tbl(spark, dir, "orders")
+      .join(broadcast(tbl(spark, dir, "customer")), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(tbl(spark, dir, "nation")), col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(tbl(spark, dir, "region")), col("n_regionkey") === col("r_regionkey"))
+      .groupBy("r_name", "n_name")
+      .agg(moneySum(col("o_totalprice")).as("revenue"), count(lit(1)).as("n_orders"))
+      .orderBy("r_name", "n_name")
+  }
+
+  /** J4 — surrogate-key resolution: facts LEFT JOIN dimension on the business
+    * key; unmatched keys surface as NULLs (reference
+    * `etl_daily_pipeline.py:199–208`, `fact_orders.sql:14–20`). */
+  val j4LeftSkResolution: QueryDef = QueryDef(
+    "j4_left_sk_resolution",
+    Some(s"""
+      WITH src AS ($ordersWithOrphansSql)
+      SELECT o_orderkey, o_totalprice, c_custkey AS customer_key, c_mktsegment
+      FROM src LEFT JOIN customer ON o_custkey = c_custkey
+      ORDER BY o_orderkey
+    """)) { (spark, dir) =>
+    val cust = tbl(spark, dir, "customer")
+    ordersWithOrphans(spark, dir)
+      .join(broadcast(cust), col("o_custkey") === col("c_custkey"), "left")
+      .select(col("o_orderkey"), col("o_totalprice"),
+        col("c_custkey").as("customer_key"), col("c_mktsegment"))
+      .orderBy("o_orderkey")
+  }
+
+  /** J7/Q3 — FK orphan detection as a left-anti join (reference
+    * `airflow/dags/data_quality_check.py:115–135`). */
+  val j7AntiOrphans: QueryDef = QueryDef(
+    "j7_anti_orphans",
+    Some(s"""
+      WITH src AS ($ordersWithOrphansSql)
+      SELECT o_orderkey, o_custkey
+      FROM src
+      WHERE o_custkey IS NOT NULL
+        AND o_custkey NOT IN (SELECT c_custkey FROM customer)
+      ORDER BY o_orderkey
+    """)) { (spark, dir) =>
+    val cust = tbl(spark, dir, "customer").select(col("c_custkey").as("o_custkey"))
+    ordersWithOrphans(spark, dir)
+      .filter(col("o_custkey").isNotNull)
+      .join(broadcast(cust), Seq("o_custkey"), "left_anti")
+      .select("o_orderkey", "o_custkey")
+      .orderBy("o_orderkey")
+  }
+
+  /** J8 — correlated scalar subquery in a predicate, run through Spark SQL so
+    * Catalyst's RewriteCorrelatedScalarSubquery decorrelates it (reference
+    * `analytics_queries.sql:158–161`; SURVEY.md §2.5 J8). Formulated as
+    * price × count > sum (all exact decimal/integer math) instead of
+    * price > avg so both engines compare identical exact values. */
+  val j8CorrelatedSubquery: QueryDef = QueryDef(
+    "j8_correlated_subquery",
+    Some("""
+      SELECT o_orderkey, o_custkey, o_totalprice
+      FROM orders o
+      WHERE CAST(o_totalprice AS DECIMAL(18,2))
+              * (SELECT count(*) FROM orders o2 WHERE o2.o_custkey = o.o_custkey)
+            > (SELECT sum(CAST(o_totalprice AS DECIMAL(18,2))) FROM orders o2
+               WHERE o2.o_custkey = o.o_custkey)
+      ORDER BY o_orderkey
+    """)) { (spark, dir) =>
+    tbl(spark, dir, "orders").createOrReplaceTempView("graft_orders_j8")
+    spark.sql("""
+      SELECT o_orderkey, o_custkey, o_totalprice
+      FROM graft_orders_j8 o
+      WHERE CAST(o_totalprice AS DECIMAL(18,2))
+              * (SELECT count(*) FROM graft_orders_j8 o2 WHERE o2.o_custkey = o.o_custkey)
+            > (SELECT sum(CAST(o_totalprice AS DECIMAL(18,2))) FROM graft_orders_j8 o2
+               WHERE o2.o_custkey = o.o_custkey)
+      ORDER BY o_orderkey
+    """)
+  }
+
+  /** O4 — set operations (available beyond parity, SURVEY.md §2.8):
+    * INTERSECT of high-value buyers and building-segment customers. */
+  val o4SetOps: QueryDef = QueryDef(
+    "o4_set_ops",
+    Some("""
+      SELECT o_custkey AS custkey FROM orders WHERE o_totalprice > 150000
+      INTERSECT
+      SELECT c_custkey AS custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+      ORDER BY custkey
+    """)) { (spark, dir) =>
+    val buyers = tbl(spark, dir, "orders")
+      .filter(col("o_totalprice") > 150000)
+      .select(col("o_custkey").as("custkey"))
+    val building = tbl(spark, dir, "customer")
+      .filter(col("c_mktsegment") === "BUILDING")
+      .select(col("c_custkey").as("custkey"))
+    buyers.intersect(building).orderBy("custkey")
+  }
+
+  val all: Seq[QueryDef] = Seq(
+    s1ScanProject, s2IncrementalScan, s6StringWatermark, pPredicates,
+    d1DedupKeepFirst, d4IntegritySemiJoin, d5RejectAccounting,
+    j1StarJoin, j4LeftSkResolution, j7AntiOrphans, j8CorrelatedSubquery,
+    o4SetOps)
+}
