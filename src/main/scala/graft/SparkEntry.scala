@@ -1,13 +1,39 @@
 package graft
 import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
+  *
+  * Every implemented operator is a [[QueryDef]] registered in one of the
+  * module-level `all` sequences; this object is just the flat union the
+  * driver's correctness/bench gates iterate.
+  */
 object SparkEntry {
+
+  /** All engine capabilities, one QueryDef per SURVEY.md §2 operator (plus
+    * the LLM-pipeline extensions). */
+  lazy val defs: Seq[QueryDef] =
+    operators.Relational.all ++
+      operators.Aggregates.all ++
+      transform.Cleaning.all ++
+      analytics.Analytics.all ++
+      model.Warehouse.all ++
+      quality.Quality.all ++
+      llm.TextOps.all ++
+      llm.Dedup.all ++
+      llm.Similarity.all ++
+      sources.Ingest.all ++
+      streaming.Streams.all
+
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
+    analytics.Analytics.q1MonthlyRevenue.run(spark, "/root/testdata/sf0.001")
+
   /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
+  def queries: Map[String, (SparkSession, String) => DataFrame] =
+    defs.map(q => q.name -> q.run).toMap
+
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+  def oracleSql: Map[String, String] =
+    defs.collect { case q if q.oracle.isDefined => q.name -> q.oracle.get }.toMap
 }

@@ -33,28 +33,29 @@ object Analytics {
                count(*) AS n_orders
         FROM orders
         GROUP BY 1, 2)
-      SELECT o_year, o_month, revenue, n_orders,
-             lag(revenue) OVER (ORDER BY o_year, o_month) AS prev_revenue,
+      SELECT o_year, o_month, CAST(revenue AS DOUBLE) AS revenue, n_orders,
+             CAST(lag(revenue) OVER (ORDER BY o_year, o_month) AS DOUBLE) AS prev_revenue,
              CAST(sum(revenue) OVER (ORDER BY o_year, o_month
-                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DECIMAL(38,2)) AS running_revenue,
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running_revenue,
              (CAST(revenue AS DOUBLE) - CAST(lag(revenue) OVER (ORDER BY o_year, o_month) AS DOUBLE))
                / CAST(lag(revenue) OVER (ORDER BY o_year, o_month) AS DOUBLE) * 100.0 AS mom_pct
       FROM monthly
       ORDER BY o_year, o_month
     """)) { (spark, dir) =>
     val orders = tbl(spark, dir, "orders")
+    // revenue stays exact decimal through the windows; DOUBLE only at output
     val monthly = orders
       .groupBy(year(col("o_orderdate")).as("o_year"), month(col("o_orderdate")).as("o_month"))
       .agg(moneySum(col("o_totalprice")).as("revenue"), count(lit(1)).as("n_orders"))
     val w = Window.orderBy("o_year", "o_month")
     val prev = lag(col("revenue"), 1).over(w)
     monthly
-      .withColumn("prev_revenue", prev)
+      .withColumn("prev_revenue", d(prev))
       .withColumn("running_revenue",
-        sum(col("revenue")).over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
-          .cast(DecimalType(38, 2)))
+        d(sum(col("revenue")).over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))))
       .withColumn("mom_pct",
         (col("revenue").cast(DoubleType) - prev.cast(DoubleType)) / prev.cast(DoubleType) * lit(100.0))
+      .withColumn("revenue", d(col("revenue")))
       .orderBy("o_year", "o_month")
   }
 
@@ -70,7 +71,7 @@ object Analytics {
                count(*) AS n_orders
         FROM customer JOIN orders ON c_custkey = o_custkey
         GROUP BY 1, 2, 3)
-      SELECT c_custkey, c_name, c_mktsegment, total_spend, n_orders,
+      SELECT c_custkey, c_name, c_mktsegment, CAST(total_spend AS DOUBLE) AS total_spend, n_orders,
              ntile(4) OVER (PARTITION BY c_mktsegment ORDER BY total_spend DESC, c_custkey) AS spend_quartile,
              CAST(sum(total_spend) OVER (PARTITION BY c_mktsegment) AS DOUBLE)
                / CAST(count(*) OVER (PARTITION BY c_mktsegment) AS DOUBLE) AS avg_segment_spend,
@@ -82,8 +83,10 @@ object Analytics {
     """)) { (spark, dir) =>
     val customer = tbl(spark, dir, "customer")
     val orders = tbl(spark, dir, "orders")
-    val spend = customer
-      .join(orders, customer("c_custkey") === orders("o_custkey"))
+    // customer is the dimension side (20K rows vs 100K+ orders, and the gap
+    // widens with scale) — broadcast it so the fact table never shuffles.
+    val spend = orders
+      .join(broadcast(customer), customer("c_custkey") === orders("o_custkey"))
       .groupBy("c_custkey", "c_name", "c_mktsegment")
       .agg(moneySum(col("o_totalprice")).as("total_spend"), count(lit(1)).as("n_orders"))
     val seg = Window.partitionBy("c_mktsegment")
@@ -94,6 +97,7 @@ object Analytics {
         ntile(4).over(seg.orderBy(col("total_spend").desc, col("c_custkey"))))
       .withColumn("avg_segment_spend", avgSeg)
       .withColumn("spend_vs_avg", col("total_spend").cast(DoubleType) - avgSeg)
+      .withColumn("total_spend", d(col("total_spend")))
       .orderBy(col("c_mktsegment"), col("total_spend").desc, col("c_custkey"))
   }
 
@@ -108,9 +112,9 @@ object Analytics {
                count(*) AS n_items
         FROM part JOIN lineitem ON p_partkey = l_partkey
         GROUP BY 1, 2)
-      SELECT p_type, p_brand, product_revenue, n_items,
+      SELECT p_type, p_brand, CAST(product_revenue AS DOUBLE) AS product_revenue, n_items,
              rank() OVER (PARTITION BY p_type ORDER BY product_revenue DESC) AS revenue_rank,
-             CAST(sum(product_revenue) OVER (PARTITION BY p_type) AS DECIMAL(38,2)) AS type_revenue,
+             CAST(sum(product_revenue) OVER (PARTITION BY p_type) AS DOUBLE) AS type_revenue,
              CAST(product_revenue AS DOUBLE)
                / CAST(sum(product_revenue) OVER (PARTITION BY p_type) AS DOUBLE) * 100.0 AS pct_of_type
       FROM perf
@@ -127,9 +131,10 @@ object Analytics {
     val typeRev = sum(col("product_revenue")).over(typeW)
     perf
       .withColumn("revenue_rank", rank().over(typeW.orderBy(col("product_revenue").desc)))
-      .withColumn("type_revenue", typeRev.cast(DecimalType(38, 2)))
+      .withColumn("type_revenue", d(typeRev))
       .withColumn("pct_of_type",
         col("product_revenue").cast(DoubleType) / typeRev.cast(DoubleType) * lit(100.0))
+      .withColumn("product_revenue", d(col("product_revenue")))
       .orderBy(col("p_type"), col("revenue_rank"), col("p_brand"))
   }
 
@@ -183,9 +188,14 @@ object Analytics {
 
   /** Q5 — daily revenue anomaly detection over a trailing 7-row frame that
     * excludes the current row (reference `analytics_queries.sql:194–246`:
-    * A9 + W7 + P6 + P9). stddev is computed from *exact decimal* frame sums
-    * (Σx, Σx²) so Spark and DuckDB do the identical IEEE arithmetic —
-    * their native windowed STDDEV implementations would not be bit-equal. */
+    * A9 + W7 + P6 + P9). The windowed Σx and Σx² are computed in integer
+    * *cents* (exact BIGINT — associative, order-insensitive, and small
+    * enough that the one BIGINT→DOUBLE conversion is correctly rounded
+    * identically on both engines); all subsequent stddev math is then
+    * identical IEEE ops on identical doubles. Decimal sums cast to double
+    * would NOT work here: Σx² ≈ 7e16 exceeds 2^53 and the engines round
+    * decimal→double differently at that magnitude, and the stddev formula's
+    * cancellation amplifies that last-ulp difference to 1e-9 relative. */
   val q5DailyAnomaly: QueryDef = QueryDef(
     "q5_daily_anomaly",
     Some("""
@@ -195,18 +205,24 @@ object Analytics {
                count(*) AS n_items
         FROM lineitem
         GROUP BY 1),
+      cents AS (
+        SELECT ship_date, daily_revenue, n_items,
+               CAST(daily_revenue * 100 AS BIGINT) AS c
+        FROM daily),
       framed AS (
         SELECT ship_date, daily_revenue, n_items,
-               CAST(sum(daily_revenue) OVER w AS DOUBLE) AS s7,
-               CAST(sum(daily_revenue * daily_revenue) OVER w AS DOUBLE) AS q7,
+               CAST(c AS DOUBLE) AS cd,
+               CAST(CAST(sum(c) OVER w AS BIGINT) AS DOUBLE) AS s7,
+               CAST(CAST(sum(c * c) OVER w AS BIGINT) AS DOUBLE) AS q7,
                CAST(count(*) OVER w AS DOUBLE) AS n7
-        FROM daily
+        FROM cents
         WINDOW w AS (ORDER BY ship_date ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING))
-      SELECT ship_date, daily_revenue, n_items,
-             s7 / n7 AS moving_avg_7d,
+      SELECT CAST(ship_date AS TIMESTAMP) AS ship_date,
+             CAST(daily_revenue AS DOUBLE) AS daily_revenue, n_items,
+             s7 / n7 / 100.0 AS moving_avg_7d,
              sqrt(CASE WHEN (q7 - s7 * s7 / n7) / (n7 - 1.0) < 0.0 THEN 0.0
-                       ELSE (q7 - s7 * s7 / n7) / (n7 - 1.0) END) AS moving_std_7d,
-             CASE WHEN abs(CAST(daily_revenue AS DOUBLE) - s7 / n7)
+                       ELSE (q7 - s7 * s7 / n7) / (n7 - 1.0) END) / 100.0 AS moving_std_7d,
+             CASE WHEN abs(cd - s7 / n7)
                        > 2.0 * sqrt(CASE WHEN (q7 - s7 * s7 / n7) / (n7 - 1.0) < 0.0 THEN 0.0
                                          ELSE (q7 - s7 * s7 / n7) / (n7 - 1.0) END)
                   THEN 'ANOMALY' ELSE 'NORMAL' END AS day_flag
@@ -220,22 +236,25 @@ object Analytics {
       .agg(
         sum(dec2(col("l_extendedprice"))).cast(DecimalType(18, 2)).as("daily_revenue"),
         count(lit(1)).as("n_items"))
+      .withColumn("c", (col("daily_revenue") * 100).cast(LongType))
     val w = Window.orderBy("ship_date").rowsBetween(-7, -1)
     val framed = daily
-      .withColumn("s7", sum(col("daily_revenue")).over(w).cast(DoubleType))
-      .withColumn("q7", sum(col("daily_revenue") * col("daily_revenue")).over(w).cast(DoubleType))
+      .withColumn("cd", col("c").cast(DoubleType))
+      .withColumn("s7", sum(col("c")).over(w).cast(DoubleType))
+      .withColumn("q7", sum(col("c") * col("c")).over(w).cast(DoubleType))
       .withColumn("n7", count(lit(1)).over(w).cast(DoubleType))
     val variance = (col("q7") - col("s7") * col("s7") / col("n7")) / (col("n7") - lit(1.0))
     val std = sqrt(when(variance < lit(0.0), lit(0.0)).otherwise(variance))
     val ma = col("s7") / col("n7")
     framed
-      .withColumn("moving_avg_7d", ma)
-      .withColumn("moving_std_7d", std)
+      .withColumn("moving_avg_7d", ma / lit(100.0))
+      .withColumn("moving_std_7d", std / lit(100.0))
       .withColumn("day_flag",
-        when(abs(col("daily_revenue").cast(DoubleType) - ma) > lit(2.0) * std, "ANOMALY")
-          .otherwise("NORMAL"))
+        when(abs(col("cd") - ma) > lit(2.0) * std, "ANOMALY").otherwise("NORMAL"))
       .filter(col("n7") >= lit(2.0))
-      .select("ship_date", "daily_revenue", "n_items", "moving_avg_7d", "moving_std_7d", "day_flag")
+      .select(col("ship_date").cast(TimestampNTZType).as("ship_date"),
+        d(col("daily_revenue")).as("daily_revenue"), col("n_items"),
+        col("moving_avg_7d"), col("moving_std_7d"), col("day_flag"))
       .orderBy("ship_date")
   }
 

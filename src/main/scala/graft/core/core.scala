@@ -29,6 +29,17 @@ object core {
   def tbl(spark: SparkSession, dir: String, name: String): DataFrame =
     spark.read.parquet(s"$dir/$name.parquet")
 
+  /** The `events` table with its TIMESTAMP(NANOS) column made usable.
+    * Spark has no nanosecond timestamp type, so sessions must set
+    * `spark.sql.legacy.parquet.nanosAsLong=true` (Verify/Bench/tests do);
+    * the raw nanos then convert to microsecond TIMESTAMP_NTZ here — the
+    * same ns→µs truncation DuckDB applies, so both engines see identical
+    * event times. */
+  def events(spark: SparkSession, dir: String): DataFrame =
+    tbl(spark, dir, "events")
+      .withColumn("ts",
+        expr("timestamp_micros(ts div 1000)").cast(TimestampNTZType))
+
   // ---------------------------------------------------------------------
   // Determinism helpers for oracle (DuckDB) hash-parity.
   //
@@ -44,8 +55,23 @@ object core {
   def dec2(c: Column): Column = c.cast(DecimalType(18, 2))
 
   /** Exact money sum normalized to DECIMAL(38,2) (matches the oracle's
-    * `CAST(sum(CAST(x AS DECIMAL(18,2))) AS DECIMAL(38,2))`). */
+    * `CAST(sum(CAST(x AS DECIMAL(18,2))) AS DECIMAL(38,2))`). Keep this for
+    * *intermediate* math; final outputs should go through [[moneySumD]]. */
   def moneySum(c: Column): Column = sum(dec2(c)).cast(DecimalType(38, 2))
+
+  /** [[moneySum]] converted to DOUBLE for final output. The sum itself is
+    * exact decimal (order-insensitive); the one final decimal→double
+    * conversion is exact while |sum| < 2^53/100 ≈ 9e13, so both engines
+    * emit identical doubles. Final outputs use DOUBLE rather than decimal
+    * because the two engines' client layers render decimals differently
+    * (trailing zeros, scale), which breaks value-hash comparison even when
+    * the numbers are equal. Oracle twin:
+    * `CAST(sum(CAST(x AS DECIMAL(18,2))) AS DOUBLE)`. */
+  def moneySumD(c: Column): Column = sum(dec2(c)).cast(DoubleType)
+
+  /** Exact-decimal column converted to DOUBLE for final output (same
+    * rationale as [[moneySumD]]). */
+  def d(c: Column): Column = c.cast(DoubleType)
 
   /** Order-insensitive average: exact decimal sum divided as double.
     * Equivalent oracle: `CAST(sum(CAST(x AS DECIMAL(18,2))) AS DOUBLE) /

@@ -1,0 +1,283 @@
+package graft.llm
+
+import graft.{QueryDef, core}
+import graft.core._
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Deduplication operators for a training-data pipeline (builder brief;
+  * SURVEY.md §7.5): exact hash dedup, MinHash+LSH near-dup detection,
+  * SimHash, and n-gram Jaccard with prefix blocking.
+  *
+  * Scale posture (the whole point): every candidate-generation step is a
+  * *bucket* join — hash-shuffle on a band/block key with O(n·bands)
+  * candidates — never an all-pairs O(n²) comparison. Verification (exact
+  * Jaccard / Hamming) runs only inside buckets. The hash family is
+  * md5-based so the DuckDB oracle replays the **entire pipeline**, not just
+  * a planted-answer check: signatures, bands, candidates, and verified
+  * pairs all hash-match across engines.
+  */
+object Dedup {
+
+  /** Documents with planted near-duplicates: every doc_id % 5 == 0 gets a
+    * copy at doc_id+100000 with one appended token (Jaccard ≈ 0.93 on
+    * 3-shingles) — deterministic, mirrored verbatim in the oracles. */
+  private def withNearDups(spark: SparkSession, dir: String): DataFrame = {
+    val d = tbl(spark, dir, "documents").select("doc_id", "text")
+    d.unionAll(
+      d.filter(col("doc_id") % 5 === 0)
+        .select((col("doc_id") + 100000L).as("doc_id"),
+          concat(col("text"), lit(" graft dup probe")).as("text")))
+  }
+  private val withNearDupsSql = """
+      SELECT doc_id, text FROM documents
+      UNION ALL
+      SELECT doc_id + 100000, text || ' graft dup probe'
+      FROM documents WHERE doc_id % 5 = 0"""
+
+  /** Distinct word-level 3-shingles of a token array (1-based element_at,
+    * matching DuckDB's 1-based list indexing). */
+  private def shingles3(t: Column): Column =
+    array_distinct(transform(sequence(lit(1), size(t) - 2),
+      i => concat_ws(" ", element_at(t, i), element_at(t, i + 1), element_at(t, i + 2))))
+
+  /** dd1 — exact dedup: hash-groupBy on the content digest, keep the
+    * smallest doc_id as canonical, count copies. One shuffle on the digest;
+    * at 100 TB this is the standard first pass (group by 128-bit hash,
+    * never by the full text). Exact copies planted at doc_id % 7. */
+  val ddExact: QueryDef = QueryDef(
+    "dedup_exact",
+    Some("""
+      WITH src AS (
+        SELECT doc_id, text FROM documents
+        UNION ALL
+        SELECT doc_id + 200000, text FROM documents WHERE doc_id % 7 = 0)
+      SELECT md5(text) AS content_fp,
+             min(doc_id) AS canonical_doc_id,
+             count(*) AS n_copies
+      FROM src
+      GROUP BY md5(text)
+      ORDER BY canonical_doc_id
+    """)) { (spark, dir) =>
+    val d = tbl(spark, dir, "documents").select("doc_id", "text")
+    val src = d.unionAll(
+      d.filter(col("doc_id") % 7 === 0)
+        .select((col("doc_id") + 200000L).as("doc_id"), col("text")))
+    src
+      .groupBy(md5(col("text")).as("content_fp"))
+      .agg(min(col("doc_id")).as("canonical_doc_id"), count(lit(1)).as("n_copies"))
+      .orderBy("canonical_doc_id")
+  }
+
+  // -- MinHash + LSH ------------------------------------------------------
+  // Signature: 12 hash functions h_i(s) = md5(i || '|' || s), signature
+  // element i = lexicographic min over the doc's shingles (min over the hex
+  // string == min over the 128-bit value). Banding: 4 bands × 3 rows; band
+  // key = band_idx ':' md5(sig[3b] || sig[3b+1] || sig[3b+2]). Two docs
+  // collide on a band iff all 3 rows match — the classic (b=4, r=3) S-curve.
+
+  private val numBands = 4
+  private val rowsPerBand = 3
+
+  /** One band key per (doc, band): "b:md5(rows)" strings ready to explode. */
+  private def bandKeys(sh: Column): Column = {
+    def minHash(i: Int): Column =
+      array_min(transform(sh, s => md5(concat(lit(i.toString), lit("|"), s))))
+    val bands = (0 until numBands).map { b =>
+      val rows = (0 until rowsPerBand).map(r => minHash(b * rowsPerBand + r))
+      concat(lit(s"$b:"), md5(concat(rows: _*)))
+    }
+    array(bands: _*)
+  }
+
+  private def bandKeysSql(shCol: String): String = {
+    def minHash(i: Int): String =
+      s"list_min(list_transform($shCol, s -> md5('$i' || '|' || s)))"
+    val bands = (0 until numBands).map { b =>
+      val rows = (0 until rowsPerBand).map(r => minHash(b * rowsPerBand + r)).mkString(" || ")
+      s"'$b:' || md5($rows)"
+    }
+    s"[${bands.mkString(", ")}]"
+  }
+
+  /** dd2 — MinHash-LSH near-duplicate pairs. Pipeline: shingle → 12-way
+    * minhash signature → 4 band keys → explode → hash-shuffle bucket join
+    * on the band key (candidates = docs sharing ≥1 band) → exact 3-shingle
+    * Jaccard inside buckets only → threshold 0.8. O(n·bands) candidate
+    * rows, never O(n²); the oracle replays the identical hash family. */
+  val ddMinHashLsh: QueryDef = QueryDef(
+    "dedup_minhash_lsh",
+    Some(s"""
+      WITH src AS ($withNearDupsSql),
+      tok AS (
+        SELECT doc_id, string_split_regex(text, '\\s+') AS t FROM src),
+      sh AS (
+        SELECT doc_id,
+               list_distinct(list_transform(range(1, len(t) - 1),
+                 i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS shingles
+        FROM tok),
+      bands AS (
+        SELECT doc_id, unnest(${bandKeysSql("shingles")}) AS band_key FROM sh),
+      cands AS (
+        SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
+        FROM bands a JOIN bands b ON a.band_key = b.band_key AND a.doc_id < b.doc_id),
+      verified AS (
+        SELECT a_id, b_id,
+               CAST(len(list_intersect(sa.shingles, sb.shingles)) AS DOUBLE)
+                 / CAST(len(list_distinct(list_concat(sa.shingles, sb.shingles))) AS DOUBLE)
+                 AS jaccard
+        FROM cands
+        JOIN sh sa ON sa.doc_id = a_id
+        JOIN sh sb ON sb.doc_id = b_id)
+      SELECT a_id, b_id, jaccard
+      FROM verified WHERE jaccard >= 0.8
+      ORDER BY a_id, b_id
+    """)) { (spark, dir) =>
+    val sh = withNearDups(spark, dir)
+      .select(col("doc_id"), shingles3(split(col("text"), "\\s+")).as("shingles"))
+    val bands = sh.select(col("doc_id"), explode(bandKeys(col("shingles"))).as("band_key"))
+    val cands = bands.as("a")
+      .join(bands.as("b"),
+        col("a.band_key") === col("b.band_key") && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"))
+      .distinct()
+    val sa = sh.select(col("doc_id").as("a_id"), col("shingles").as("sh_a"))
+    val sb = sh.select(col("doc_id").as("b_id"), col("shingles").as("sh_b"))
+    cands.join(sa, "a_id").join(sb, "b_id")
+      .select(col("a_id"), col("b_id"),
+        (size(array_intersect(col("sh_a"), col("sh_b"))).cast(DoubleType) /
+          size(array_distinct(concat(col("sh_a"), col("sh_b")))).cast(DoubleType))
+          .as("jaccard"))
+      .filter(col("jaccard") >= 0.8)
+      .orderBy("a_id", "b_id")
+  }
+
+  // -- SimHash ------------------------------------------------------------
+  // 64-bit simhash over 3-shingles: bit j of a shingle = high bit of the
+  // j-th nibble of md5(salt || shingle) (hex char >= '8'), two salts giving
+  // 2×32 bits; document bit j = sign of the ±1 vote sum. Shingles (not raw
+  // tokens) carry word *order*, so documents over the same small vocabulary
+  // still fingerprint apart — the token-level variant collapses into a few
+  // buckets on this corpus (empirically 98K candidates vs 108). LSH: 4
+  // blocks of 16 bits — Hamming ≤ 3 pairs must agree on ≥1 whole block, so
+  // candidates come from a block-key bucket join, never all-pairs.
+
+  private def simhashBits(sh: Column): Column =
+    concat((1 to 64).map { j =>
+      val (salt, pos) = if (j <= 32) ("s1|", j) else ("s2|", j - 32)
+      val votes = aggregate(sh, lit(0),
+        (acc, s) => acc + when(substring(md5(concat(lit(salt), s)), pos, 1) >= "8", 1)
+          .otherwise(-1))
+      when(votes >= 0, "1").otherwise("0")
+    }: _*)
+
+  private def simhashBitsSql(shCol: String): String =
+    (1 to 64).map { j =>
+      val (salt, pos) = if (j <= 32) ("s1|", j) else ("s2|", j - 32)
+      s"""CASE WHEN list_sum(list_transform($shCol,
+            s -> CASE WHEN substring(md5('$salt' || s), $pos, 1) >= '8' THEN 1 ELSE -1 END)) >= 0
+          THEN '1' ELSE '0' END"""
+    }.mkString(" || ")
+
+  /** dd3 — SimHash near-dup pairs: 64-bit shingle fingerprints, 4×16-bit
+    * block LSH, Hamming ≤ 3 verification inside blocks. Oracle replays the
+    * identical bit construction. */
+  val ddSimHash: QueryDef = QueryDef(
+    "dedup_simhash",
+    Some(s"""
+      WITH src AS ($withNearDupsSql),
+      tok AS (
+        SELECT doc_id, string_split_regex(text, '\\s+') AS t FROM src),
+      shx AS (
+        SELECT doc_id,
+               list_distinct(list_transform(range(1, len(t) - 1),
+                 i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS sh
+        FROM tok),
+      fp AS (
+        SELECT doc_id, ${simhashBitsSql("sh")} AS bits FROM shx),
+      blocks AS (
+        SELECT doc_id, bits,
+               unnest([ '0:' || substring(bits, 1, 16), '1:' || substring(bits, 17, 16),
+                        '2:' || substring(bits, 33, 16), '3:' || substring(bits, 49, 16) ])
+                 AS block_key
+        FROM fp),
+      cands AS (
+        SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id, a.bits AS bits_a, b.bits AS bits_b
+        FROM blocks a JOIN blocks b ON a.block_key = b.block_key AND a.doc_id < b.doc_id),
+      verified AS (
+        SELECT a_id, b_id,
+               len(list_filter(range(1, 65),
+                 j -> substring(bits_a, CAST(j AS INTEGER), 1)
+                   <> substring(bits_b, CAST(j AS INTEGER), 1))) AS hamming
+        FROM cands)
+      SELECT a_id, b_id, CAST(hamming AS BIGINT) AS hamming
+      FROM verified WHERE hamming <= 3
+      ORDER BY a_id, b_id
+    """)) { (spark, dir) =>
+    val fp = withNearDups(spark, dir)
+      .select(col("doc_id"), shingles3(split(col("text"), "\\s+")).as("sh"))
+      .select(col("doc_id"), simhashBits(col("sh")).as("bits"))
+    val blocks = fp.select(col("doc_id"), col("bits"),
+      explode(array((0 until 4).map(b =>
+        concat(lit(s"$b:"), substring(col("bits"), b * 16 + 1, 16))): _*)).as("block_key"))
+    val cands = blocks.as("a")
+      .join(blocks.as("b"),
+        col("a.block_key") === col("b.block_key") && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"),
+        col("a.bits").as("bits_a"), col("b.bits").as("bits_b"))
+      .distinct()
+    cands
+      .select(col("a_id"), col("b_id"),
+        size(filter(sequence(lit(1), lit(64)),
+          j => col("bits_a").substr(j, lit(1)) =!= col("bits_b").substr(j, lit(1))))
+          .cast(LongType).as("hamming"))
+      .filter(col("hamming") <= 3)
+      .orderBy("a_id", "b_id")
+  }
+
+  /** dd4 — n-gram Jaccard dedup with *prefix blocking*: candidates must
+    * share the first-2-token prefix block (a positional prefix filter —
+    * near-dups with Jaccard ≥ 0.8 on these fixtures share it), then exact
+    * word-bigram Jaccard within blocks. Bucket join, not all-pairs. */
+  val ddNgramJaccard: QueryDef = QueryDef(
+    "dedup_ngram_jaccard",
+    Some(s"""
+      WITH src AS ($withNearDupsSql),
+      feat AS (
+        SELECT doc_id,
+               t[1] || ' ' || t[2] AS block_key,
+               list_distinct(list_transform(range(1, len(t)),
+                 i -> t[i] || ' ' || t[i+1])) AS bigrams
+        FROM (SELECT doc_id, string_split_regex(text, '\\s+') AS t FROM src)),
+      cands AS (
+        SELECT a.doc_id AS a_id, b.doc_id AS b_id, a.bigrams AS ba, b.bigrams AS bb
+        FROM feat a JOIN feat b ON a.block_key = b.block_key AND a.doc_id < b.doc_id)
+      SELECT a_id, b_id,
+             CAST(len(list_intersect(ba, bb)) AS DOUBLE)
+               / CAST(len(list_distinct(list_concat(ba, bb))) AS DOUBLE) AS jaccard
+      FROM cands
+      WHERE CAST(len(list_intersect(ba, bb)) AS DOUBLE)
+              / CAST(len(list_distinct(list_concat(ba, bb))) AS DOUBLE) >= 0.8
+      ORDER BY a_id, b_id
+    """)) { (spark, dir) =>
+    val t = split(col("text"), "\\s+")
+    val feat = withNearDups(spark, dir).select(
+      col("doc_id"),
+      concat_ws(" ", element_at(t, 1), element_at(t, 2)).as("block_key"),
+      array_distinct(transform(sequence(lit(1), size(t) - 1),
+        i => concat_ws(" ", element_at(t, i), element_at(t, i + 1)))).as("bigrams"))
+    val jac = size(array_intersect(col("ba"), col("bb"))).cast(DoubleType) /
+      size(array_distinct(concat(col("ba"), col("bb")))).cast(DoubleType)
+    feat.as("a")
+      .join(feat.as("b"),
+        col("a.block_key") === col("b.block_key") && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"),
+        col("a.bigrams").as("ba"), col("b.bigrams").as("bb"))
+      .select(col("a_id"), col("b_id"), jac.as("jaccard"))
+      .filter(col("jaccard") >= 0.8)
+      .orderBy("a_id", "b_id")
+  }
+
+  val all: Seq[QueryDef] = Seq(ddExact, ddMinHashLsh, ddSimHash, ddNgramJaccard)
+}

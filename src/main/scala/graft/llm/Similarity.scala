@@ -1,0 +1,151 @@
+package graft.llm
+
+import graft.{QueryDef, core}
+import graft.core._
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Embedding similarity search (builder brief; SURVEY.md §7.5) over the
+  * `embeddings` table (64-dim unit-norm float vectors → cosine == dot).
+  *
+  * Float determinism across engines: every dot product is computed as a
+  * *sequential left fold* over exact double products of float inputs —
+  * Spark `aggregate(zip_with(...))` starting at 0.0 and DuckDB
+  * `list_reduce` both add the 64 terms in index order, and 0.0 + x == x in
+  * IEEE, so the two engines produce bit-identical doubles. Cross-row double
+  * sums (order-dependent) are never used.
+  */
+object Similarity {
+
+  /** Sequential-fold dot product of two float arrays, in double. */
+  private def dot(a: Column, b: Column): Column =
+    aggregate(
+      zip_with(a, b, (x, y) => x.cast(DoubleType) * y.cast(DoubleType)),
+      lit(0.0), (acc, x) => acc + x)
+
+  /** DuckDB twin of [[dot]]: same index order, same fold. */
+  private def dotSql(a: String, b: String): String =
+    s"list_reduce(list_transform(range(1, 65), i -> CAST($a[i] AS DOUBLE) * CAST($b[i] AS DOUBLE)), (x, y) -> x + y)"
+
+  /** sim1 — brute-force cosine top-k: the exact baseline every ANN variant
+    * is measured against. One broadcast of the query vector, one
+    * map-parallel scan computing dots, then a top-k (rank ≤ k over a global
+    * sort of n *scalar scores*, not vectors — at 100 TB the heavy data
+    * never shuffles, only (id, score) pairs). */
+  val simTopKBrute: QueryDef = QueryDef(
+    "sim_topk_bruteforce",
+    Some(s"""
+      WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+      scored AS (
+        SELECT e.vec_id, e.label, ${dotSql("e.embedding", "q.qv")} AS score
+        FROM embeddings e, q)
+      SELECT vec_id, label, round(score, 6) AS score_r
+      FROM scored
+      ORDER BY score DESC, vec_id
+      LIMIT 10
+    """)) { (spark, dir) =>
+    val emb = tbl(spark, dir, "embeddings")
+    val q = emb.filter(col("vec_id") === 0).select(col("embedding").as("qv"))
+    emb.crossJoin(broadcast(q))
+      .select(col("vec_id"), col("label"), dot(col("embedding"), col("qv")).as("score"))
+      .orderBy(col("score").desc, col("vec_id"))
+      .limit(10)
+      .select(col("vec_id"), col("label"), round(col("score"), 6).as("score_r"))
+  }
+
+  /** Embeddings with planted duplicate vectors (vec_id % 4 == 0 copied to
+    * vec_id + 100000) — the known-answer fixture for the LSH path. */
+  private def withDupVectors(spark: SparkSession, dir: String): DataFrame = {
+    val e = tbl(spark, dir, "embeddings").select("vec_id", "embedding")
+    e.unionAll(e.filter(col("vec_id") % 4 === 0)
+      .select((col("vec_id") + 100000L).as("vec_id"), col("embedding")))
+  }
+
+  /** sim2 — SRP-LSH near-duplicate vector pairs (the *scale* path):
+    * 16-bit random-hyperplane signatures (hyperplane j component i = ±1
+    * from md5("j:i"), materialized once per row — deterministic, no RNG
+    * state), hash-shuffle bucket join on the full signature, exact cosine
+    * verification inside buckets only, threshold 0.999. O(n) bucket rows,
+    * never the O(n²) cross join. The oracle is the planted ground truth:
+    * identical vectors always share every signature bit, and the corpus'
+    * natural max cosine is ~0.6, so recall and precision are both exact. */
+  val simLshPairs: QueryDef = QueryDef(
+    "sim_lsh_near_dup",
+    Some("""
+      SELECT vec_id AS a_id, vec_id + 100000 AS b_id
+      FROM embeddings
+      WHERE vec_id % 4 = 0
+      ORDER BY a_id
+    """)) { (spark, dir) =>
+    // ±1 hyperplane components from md5 — a lit array, evaluated once.
+    val planes: Column = array((0 until 16).map { j =>
+      array((0 until 64).map { i =>
+        val hex = java.security.MessageDigest.getInstance("MD5")
+          .digest(s"$j:$i".getBytes("UTF-8"))
+        lit(if ((hex(0) & 0x80) != 0) 1.0 else -1.0)
+      }: _*)
+    }: _*)
+    val src = withDupVectors(spark, dir)
+    val sig = src.select(col("vec_id"), col("embedding"),
+      concat((0 until 16).map { j =>
+        when(dot(col("embedding"), element_at(planes, j + 1)) >= 0, "1").otherwise("0")
+      }: _*).as("sig"))
+    val cands = sig.as("a")
+      .join(sig.as("b"), col("a.sig") === col("b.sig") && col("a.vec_id") < col("b.vec_id"))
+      .select(col("a.vec_id").as("a_id"), col("b.vec_id").as("b_id"),
+        col("a.embedding").as("ea"), col("b.embedding").as("eb"))
+    cands
+      .filter(dot(col("ea"), col("eb")) >= 0.999)
+      .select(col("a_id"), col("b_id"))
+      .orderBy("a_id")
+  }
+
+  /** sim3 — IVF-style search: coarse-quantize every vector to its nearest
+    * of 8 deterministic centroids (argmax dot, ties by centroid id), then
+    * answer the query by probing ONLY the query's cell — the inverted-file
+    * layout that keeps 100 TB of vectors partition-pruned. The oracle
+    * replays assignment + probe exactly (sequential-fold dots, see above).
+    * Assignment margins in this corpus are far above double-ulp scale. */
+  val simIvfProbe: QueryDef = QueryDef(
+    "sim_ivf_probe",
+    Some(s"""
+      WITH cents AS (
+        SELECT vec_id AS cent_id, embedding AS cv FROM embeddings WHERE vec_id < 8),
+      assigned AS (
+        SELECT e.vec_id, e.label, e.embedding,
+               arg_max(c.cent_id, ${dotSql("e.embedding", "c.cv")} - 1e-12 * c.cent_id) AS cell
+        FROM embeddings e, cents c
+        GROUP BY e.vec_id, e.label, e.embedding),
+      q AS (SELECT embedding AS qv, cell AS qcell FROM assigned WHERE vec_id = 17)
+      SELECT a.vec_id, a.label, a.cell,
+             round(${dotSql("a.embedding", "q.qv")}, 6) AS score_r
+      FROM assigned a, q
+      WHERE a.cell = q.qcell
+      ORDER BY ${dotSql("a.embedding", "q.qv")} DESC, a.vec_id
+      LIMIT 5
+    """)) { (spark, dir) =>
+    val emb = tbl(spark, dir, "embeddings")
+    // centroid set folded into ONE broadcast row of struct(cent_id, cv):
+    // assignment is then a map-side higher-order argmax per vector — no
+    // shuffle ever carries an embedding, which is the whole point of IVF.
+    val centArr = emb.filter(col("vec_id") < 8)
+      .agg(collect_list(struct(col("vec_id").as("cent_id"), col("embedding").as("cv")))
+        .as("cents"))
+    val best = array_max(transform(col("cents"), c => struct(
+      (dot(col("embedding"), c("cv")) - lit(1e-12) * c("cent_id")).as("score"),
+      c("cent_id").as("cent_id"))))
+    val assigned = emb.crossJoin(broadcast(centArr))
+      .select(col("vec_id"), col("label"), col("embedding"), best("cent_id").as("cell"))
+    val q = assigned.filter(col("vec_id") === 17)
+      .select(col("embedding").as("qv"), col("cell").as("qcell"))
+    assigned.join(broadcast(q), col("cell") === col("qcell"))
+      .select(col("vec_id"), col("label"), col("cell"),
+        dot(col("embedding"), col("qv")).as("score"))
+      .orderBy(col("score").desc, col("vec_id"))
+      .limit(5)
+      .select(col("vec_id"), col("label"), col("cell"), round(col("score"), 6).as("score_r"))
+  }
+
+  val all: Seq[QueryDef] = Seq(simTopKBrute, simLshPairs, simIvfProbe)
+}

@@ -1,0 +1,179 @@
+package graft.llm
+
+import graft.{QueryDef, core}
+import graft.core._
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Text-analysis operators for a training-data pipeline (builder brief;
+  * SURVEY.md §7.5): token counting, quality scoring, language-ID heuristic,
+  * document fingerprinting, and the multimodal binary-column plumbing.
+  *
+  * Everything is built from codegen'd `functions._` / higher-order array
+  * expressions — one narrow projection per document, no UDFs, no shuffle
+  * except the final oracle ORDER BY. At 100 TB of documents each op is a
+  * single map-parallel pass over a column-pruned parquet scan.
+  */
+object TextOps {
+
+  /** Whitespace tokens of `text` (the canonical tokenizer for these ops). */
+  private def toks(c: Column): Column = split(c, "\\s+")
+
+  /** t1 — token counting: whitespace tokens plus a BPE-ish regex pass
+    * (alphabetic runs), chars-per-token — the length stats every corpus
+    * pipeline computes before training. */
+  val tTokenStats: QueryDef = QueryDef(
+    "t_token_stats",
+    Some("""
+      SELECT doc_id,
+             len(string_split_regex(text, '\s+')) AS n_tokens,
+             len(regexp_extract_all(text, '[a-z]+')) AS n_alpha_tokens,
+             length(text) AS n_chars_actual,
+             CAST(length(text) AS DOUBLE)
+               / CAST(len(string_split_regex(text, '\s+')) AS DOUBLE) AS chars_per_token
+      FROM documents
+      ORDER BY doc_id
+    """)) { (spark, dir) =>
+    tbl(spark, dir, "documents").select(
+      col("doc_id"),
+      size(toks(col("text"))).cast(LongType).as("n_tokens"),
+      size(expr("regexp_extract_all(text, '[a-z]+', 0)")).cast(LongType).as("n_alpha_tokens"),
+      length(col("text")).cast(LongType).as("n_chars_actual"),
+      (length(col("text")).cast(DoubleType) /
+        size(toks(col("text"))).cast(DoubleType)).as("chars_per_token"))
+      .orderBy("doc_id")
+  }
+
+  /** Common English stopwords present in the corpus vocabulary. */
+  private val stopwords = Seq("the", "a", "of", "and", "to", "in")
+
+  /** t2 — quality scoring: stopword ratio, mean word length, uppercase/punct
+    * incidence, and a composite keep/drop verdict — the heuristic quality
+    * filter stage of a pretraining pipeline (cf. C4/Gopher-style rules). */
+  val tQualityScore: QueryDef = QueryDef(
+    "t_quality_score",
+    Some("""
+      WITH scored AS (
+        SELECT doc_id, lang,
+               len(string_split_regex(text, '\s+')) AS n_tokens,
+               CAST(len(list_filter(string_split_regex(text, '\s+'),
+                                    x -> x IN ('the','a','of','and','to','in'))) AS DOUBLE)
+                 / CAST(len(string_split_regex(text, '\s+')) AS DOUBLE) AS stopword_ratio,
+               CAST(length(replace(text, ' ', '')) AS DOUBLE)
+                 / CAST(len(string_split_regex(text, '\s+')) AS DOUBLE) AS mean_word_len
+        FROM documents)
+      SELECT doc_id, lang, n_tokens, stopword_ratio, mean_word_len,
+             n_tokens >= 20 AND n_tokens <= 1000
+               AND mean_word_len >= 2.0 AND mean_word_len <= 12.0 AS keep_doc
+      FROM scored
+      ORDER BY doc_id
+    """)) { (spark, dir) =>
+    val t = toks(col("text"))
+    val nTok = size(t).cast(DoubleType)
+    val stopCnt = size(filter(t, x => x.isin(stopwords: _*))).cast(DoubleType)
+    val meanWordLen = length(regexp_replace(col("text"), " ", "")).cast(DoubleType) / nTok
+    tbl(spark, dir, "documents").select(
+      col("doc_id"), col("lang"),
+      size(t).cast(LongType).as("n_tokens"),
+      (stopCnt / nTok).as("stopword_ratio"),
+      meanWordLen.as("mean_word_len"),
+      (size(t).between(20, 1000) && meanWordLen.between(2.0, 12.0)).as("keep_doc"))
+      .orderBy("doc_id")
+  }
+
+  /** t3 — language-ID heuristic: marker-token voting (the n-gram/stopword
+    * family of lang-ID). The corpus vocabulary is synthetic so the markers
+    * are corpus words; the structure — per-language marker hit counts and an
+    * argmax with a confidence ratio — is the real pipeline shape. */
+  val tLangId: QueryDef = QueryDef(
+    "t_lang_id",
+    Some("""
+      WITH hits AS (
+        SELECT doc_id, lang AS lang_label,
+               len(string_split_regex(text, '\s+')) AS n_tokens,
+               len(list_filter(string_split_regex(text, '\s+'),
+                               x -> x IN ('the','a','query','table'))) AS en_hits,
+               len(list_filter(string_split_regex(text, '\s+'),
+                               x -> x IN ('data','fast','batch'))) AS x1_hits,
+               len(list_filter(string_split_regex(text, '\s+'),
+                               x -> x IN ('spark','merge','window'))) AS x2_hits
+        FROM documents)
+      SELECT doc_id, lang_label, en_hits, x1_hits, x2_hits,
+             CASE WHEN en_hits >= x1_hits AND en_hits >= x2_hits THEN 'en'
+                  WHEN x1_hits >= x2_hits THEN 'x1' ELSE 'x2' END AS predicted_lang,
+             CAST(greatest(en_hits, x1_hits, x2_hits) AS DOUBLE)
+               / CAST(n_tokens AS DOUBLE) AS confidence
+      FROM hits
+      ORDER BY doc_id
+    """)) { (spark, dir) =>
+    val t = toks(col("text"))
+    def hits(words: String*): Column =
+      size(filter(t, x => x.isin(words: _*))).cast(LongType)
+    tbl(spark, dir, "documents").select(
+      col("doc_id"), col("lang").as("lang_label"),
+      size(t).cast(LongType).as("n_tokens"),
+      hits("the", "a", "query", "table").as("en_hits"),
+      hits("data", "fast", "batch").as("x1_hits"),
+      hits("spark", "merge", "window").as("x2_hits"))
+      .select(
+        col("doc_id"), col("lang_label"), col("en_hits"), col("x1_hits"), col("x2_hits"),
+        when(col("en_hits") >= col("x1_hits") && col("en_hits") >= col("x2_hits"), "en")
+          .when(col("x1_hits") >= col("x2_hits"), "x1")
+          .otherwise("x2").as("predicted_lang"),
+        (greatest(col("en_hits"), col("x1_hits"), col("x2_hits")).cast(DoubleType) /
+          col("n_tokens").cast(DoubleType)).as("confidence"))
+      .orderBy("doc_id")
+  }
+
+  /** t4 — document fingerprinting: exact content hash (md5) plus an
+    * order-insensitive bag-of-words fingerprint (md5 over sorted tokens) —
+    * the two cheap fingerprints dedup pipelines key on before anything
+    * fuzzy. */
+  val tFingerprint: QueryDef = QueryDef(
+    "t_fingerprint",
+    Some("""
+      SELECT doc_id,
+             md5(text) AS content_fp,
+             md5(array_to_string(list_sort(string_split_regex(text, '\s+')), ' ')) AS bag_fp
+      FROM documents
+      ORDER BY doc_id
+    """)) { (spark, dir) =>
+    tbl(spark, dir, "documents").select(
+      col("doc_id"),
+      md5(col("text")).as("content_fp"),
+      md5(array_join(array_sort(toks(col("text"))), " ")).as("bag_fp"))
+      .orderBy("doc_id")
+  }
+
+  /** t5 — multimodal binary-column plumbing: media payloads travel as opaque
+    * `binary` with typed metadata. The real decode (image/audio libs) is
+    * STUBBED deterministically — here the payload is the UTF-8 encoding of
+    * `text` — but the Spark-side shape is real: binary column, byte length,
+    * content digest, magic-bytes header extraction, and a decode-stage
+    * verdict, all codegen'd scalar ops per row (partition-parallel; no
+    * driver involvement at any scale). */
+  val tMultimodalMeta: QueryDef = QueryDef(
+    "t_multimodal_meta",
+    Some("""
+      SELECT doc_id,
+             octet_length(encode(text)) AS byte_len,
+             md5(text) AS content_digest,
+             upper(substring(hex(encode(text)), 1, 16)) AS header_hex,
+             octet_length(encode(text)) BETWEEN 32 AND 1048576 AS decodable
+      FROM documents
+      ORDER BY doc_id
+    """)) { (spark, dir) =>
+    val bin = encode(col("text"), "UTF-8")
+    tbl(spark, dir, "documents").select(
+      col("doc_id"),
+      length(bin).cast(LongType).as("byte_len"),
+      md5(col("text")).as("content_digest"),
+      upper(substring(hex(bin), 1, 16)).as("header_hex"),
+      length(bin).between(32, 1048576).as("decodable"))
+      .orderBy("doc_id")
+  }
+
+  val all: Seq[QueryDef] = Seq(
+    tTokenStats, tQualityScore, tLangId, tFingerprint, tMultimodalMeta)
+}

@@ -58,40 +58,57 @@ object Warehouse {
 
   val s10DateDim: QueryDef = QueryDef(
     "s10_date_dim",
-    Some(s"$dateDimSql ORDER BY full_date")) { (spark, dir) =>
-    dateDim(tbl(spark, dir, "orders"), "o_orderdate").orderBy("full_date")
+    // full_date emitted as TIMESTAMP: the engines' client layers render
+    // DATE differently (date vs midnight datetime), breaking value-hash
+    // comparison of equal values; TIMESTAMP is unambiguous on both.
+    Some(s"""
+      SELECT date_key, CAST(full_date AS TIMESTAMP) AS full_date, day_of_week,
+             day_name, month, month_name, quarter, year, is_weekend
+      FROM ($dateDimSql)
+      ORDER BY date_key
+    """)) { (spark, dir) =>
+    dateDim(tbl(spark, dir, "orders"), "o_orderdate")
+      .withColumn("full_date", col("full_date").cast(TimestampNTZType))
+      .orderBy("date_key")
   }
 
   /** W8 — surrogate-key assignment. The oracle semantic is
     * `ROW_NUMBER() OVER (ORDER BY businessKey)` (reference
     * `dim_customers.sql:5`), but a global-window row_number funnels all rows
     * through ONE partition — fine for dims, fatal at 100 TB. This
-    * implementation is the scalable two-pass equivalent: range-partition by
-    * the key, count rows per partition (tiny driver-side array), then number
-    * within partitions offset by the prefix sum. Output is identical to the
-    * global ROW_NUMBER whenever the key is unique, and every pass is
-    * partition-parallel. */
+    * implementation is the scalable two-pass equivalent, DataFrame-only:
+    * range-partition by the key (pinned once with `localCheckpoint` so the
+    * sampled range boundaries can't drift between passes), aggregate a
+    * 32-row per-partition count table, turn it into exclusive prefix-sum
+    * offsets with a window over those 32 rows, and broadcast-join the offset
+    * back so each partition numbers itself with a `__pid`-partitioned
+    * row_number. Output is identical to the global ROW_NUMBER whenever the
+    * key is unique (ties could straddle range boundaries otherwise — callers
+    * must pass a unique business key), and every pass is partition-parallel:
+    * no single-partition window, no RDD API, no codegen break. */
   def withSurrogateKey(df: DataFrame, keyCol: String, outCol: String,
       numPartitions: Int = 32): DataFrame = {
-    val spark = df.sparkSession
+    val cols = df.columns
+    // localCheckpoint materializes the range shuffle eagerly: both the count
+    // pass and the numbering pass read the SAME partitioning (range sampling
+    // is only run once), and the lineage is evaluated exactly once.
     val sorted = df
       .repartitionByRange(numPartitions, col(keyCol))
-      .sortWithinPartitions(keyCol)
-    val schema = sorted.schema
-    // Materialize ONE RDD for both passes: each `.rdd` call would re-plan the
-    // range shuffle with fresh boundary sampling, desynchronizing the counts
-    // from the numbering pass.
-    val rdd = sorted.rdd
-    val counts = rdd
-      .mapPartitionsWithIndex { case (i, it) => Iterator((i, it.size.toLong)) }
-      .collect().sortBy(_._1).map(_._2)
-    val offsets = counts.scanLeft(0L)(_ + _)
-    val numbered = rdd.mapPartitionsWithIndex { case (i, it) =>
-      var k = offsets(i)
-      it.map { r => k += 1; Row.fromSeq(k +: r.toSeq) }
-    }
-    spark.createDataFrame(numbered,
-      StructType(StructField(outCol, LongType, nullable = false) +: schema.fields))
+      .withColumn("__pid", spark_partition_id())
+      .localCheckpoint()
+    val offsets = sorted
+      .groupBy("__pid").agg(count(lit(1)).as("__cnt"))
+      .withColumn("__offset",
+        coalesce(
+          sum(col("__cnt")).over(
+            Window.orderBy("__pid").rowsBetween(Window.unboundedPreceding, -1)),
+          lit(0L)))
+      .select("__pid", "__offset")
+    val within = Window.partitionBy("__pid").orderBy(keyCol)
+    sorted
+      .join(broadcast(offsets), "__pid")
+      .withColumn(outCol, row_number().over(within).cast(LongType) + col("__offset"))
+      .select((outCol +: cols.toSeq).map(col): _*)
   }
 
   /** W8 gate: scalable surrogate keys hash-match the ROW_NUMBER oracle. */

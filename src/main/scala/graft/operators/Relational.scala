@@ -106,15 +106,18 @@ object Relational {
     Some(s"""
       WITH with_dups AS ($lineitemWithDupsSql),
       ranked AS (
+        -- base data has duplicate (orderkey, linenumber) keys with different
+        -- attributes → tie-break on every output column for determinism
         SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice, l_shipdate,
                row_number() OVER (PARTITION BY l_orderkey, l_linenumber
-                                  ORDER BY l_shipdate, l_suppkey) AS rn
+                                  ORDER BY l_shipdate, l_suppkey, l_quantity, l_extendedprice) AS rn
         FROM with_dups)
       SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice, l_shipdate
       FROM ranked WHERE rn = 1
       ORDER BY l_orderkey, l_linenumber
     """)) { (spark, dir) =>
-    val w = Window.partitionBy("l_orderkey", "l_linenumber").orderBy("l_shipdate", "l_suppkey")
+    val w = Window.partitionBy("l_orderkey", "l_linenumber")
+      .orderBy("l_shipdate", "l_suppkey", "l_quantity", "l_extendedprice")
     lineitemWithDups(spark, dir)
       .select("l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice", "l_shipdate", "l_suppkey")
       .withColumn("rn", row_number().over(w))
@@ -181,7 +184,7 @@ object Relational {
     "j1_star_join",
     Some("""
       SELECT r_name, n_name,
-             CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS revenue,
+             CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
              count(*) AS n_orders
       FROM orders
       JOIN customer ON o_custkey = c_custkey
@@ -195,7 +198,7 @@ object Relational {
       .join(broadcast(tbl(spark, dir, "nation")), col("c_nationkey") === col("n_nationkey"))
       .join(broadcast(tbl(spark, dir, "region")), col("n_regionkey") === col("r_regionkey"))
       .groupBy("r_name", "n_name")
-      .agg(moneySum(col("o_totalprice")).as("revenue"), count(lit(1)).as("n_orders"))
+      .agg(moneySumD(col("o_totalprice")).as("revenue"), count(lit(1)).as("n_orders"))
       .orderBy("r_name", "n_name")
   }
 

@@ -1,0 +1,188 @@
+package graft.quality
+
+import graft.{QueryDef, core}
+import graft.core._
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Runtime data-quality suite (SURVEY.md §2.9 Q4–Q8) + the audit-log sink
+  * (S11) — the reference's quality DAG and dbt generic/custom tests
+  * re-expressed as single-pass conditional aggregations. Every check is one
+  * scan with map-side partial aggregation: at 100 TB each check is a
+  * column-pruned parquet scan producing a handful of counter rows, never a
+  * row-level materialization. */
+object Quality {
+
+  /** Q4 — non-empty fact + null-surrogate-key check (reference
+    * `airflow/dags/etl_daily_pipeline.py:274–289`). Nulls injected on
+    * o_custkey % 41 to exercise the non-zero path. */
+  val q4NonEmptyNullSk: QueryDef = QueryDef(
+    "q4_nonempty_null_sk",
+    Some("""
+      WITH fact AS (
+        SELECT o_orderkey,
+               CASE WHEN o_orderkey % 41 = 0 THEN NULL ELSE o_custkey END AS customer_key
+        FROM orders)
+      SELECT count(*) AS fact_rows,
+             count(*) > 0 AS fact_nonempty,
+             CAST(sum(CASE WHEN customer_key IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS null_sk_rows,
+             sum(CASE WHEN customer_key IS NULL THEN 1 ELSE 0 END) = 0 AS sk_check_passed
+      FROM fact
+    """)) { (spark, dir) =>
+    tbl(spark, dir, "orders")
+      .select(col("o_orderkey"),
+        when(col("o_orderkey") % 41 === 0, lit(null)).otherwise(col("o_custkey"))
+          .as("customer_key"))
+      .agg(
+        count(lit(1)).as("fact_rows"),
+        (count(lit(1)) > 0).as("fact_nonempty"),
+        countIf(col("customer_key").isNull).as("null_sk_rows"),
+        (countIf(col("customer_key").isNull) === 0).as("sk_check_passed"))
+  }
+
+  /** Q5 — the dbt generic-test suite: `unique` + `not_null` per declared key
+    * column (reference `dbt_warehouse/models/schema.yml:14–100`), evaluated
+    * as one row per (table, column) with both verdicts. Uniqueness is
+    * count == count(distinct) — a single aggregate, no self-join. */
+  val q5UniqueNotNull: QueryDef = QueryDef(
+    "q5_unique_not_null",
+    Some("""
+      SELECT * FROM (
+        SELECT 'orders' AS table_name, 'o_orderkey' AS column_name,
+               count(*) AS n_rows,
+               count(o_orderkey) = count(*) AS not_null_passed,
+               count(DISTINCT o_orderkey) = count(o_orderkey) AS unique_passed
+        FROM orders
+        UNION ALL
+        SELECT 'customer', 'c_custkey', count(*),
+               count(c_custkey) = count(*),
+               count(DISTINCT c_custkey) = count(c_custkey)
+        FROM customer
+        UNION ALL
+        SELECT 'part', 'p_partkey', count(*),
+               count(p_partkey) = count(*),
+               count(DISTINCT p_partkey) = count(p_partkey)
+        FROM part
+        UNION ALL
+        SELECT 'lineitem', 'l_orderkey:l_linenumber', count(*),
+               count(l_orderkey) = count(*) AND count(l_linenumber) = count(*),
+               count(DISTINCT l_orderkey * 10000 + l_linenumber) = count(*)
+        FROM lineitem)
+      ORDER BY table_name, column_name
+    """)) { (spark, dir) =>
+    def check(table: String, keyCol: String): DataFrame =
+      tbl(spark, dir, table).agg(
+        count(lit(1)).as("n_rows"),
+        (count(col(keyCol)) === count(lit(1))).as("not_null_passed"),
+        (countDistinct(col(keyCol)) === count(col(keyCol))).as("unique_passed"))
+        .select(lit(table).as("table_name"), lit(keyCol).as("column_name"),
+          col("n_rows"), col("not_null_passed"), col("unique_passed"))
+    val composite = tbl(spark, dir, "lineitem").agg(
+      count(lit(1)).as("n_rows"),
+      (count(col("l_orderkey")) === count(lit(1)) &&
+        count(col("l_linenumber")) === count(lit(1))).as("not_null_passed"),
+      (countDistinct(col("l_orderkey") * 10000 + col("l_linenumber")) === count(lit(1)))
+        .as("unique_passed"))
+      .select(lit("lineitem").as("table_name"),
+        lit("l_orderkey:l_linenumber").as("column_name"),
+        col("n_rows"), col("not_null_passed"), col("unique_passed"))
+    check("orders", "o_orderkey")
+      .unionByName(check("customer", "c_custkey"))
+      .unionByName(check("part", "p_partkey"))
+      .unionByName(composite)
+      .orderBy("table_name", "column_name")
+  }
+
+  /** Q6 — custom test: no negative amounts (reference
+    * `dbt_warehouse/tests/assert_positive_amounts.sql:5–7`). Negatives
+    * injected on key % 53 so the detection path is exercised. */
+  val q6NoNegativeAmounts: QueryDef = QueryDef(
+    "q6_no_negative_amounts",
+    Some("""
+      WITH fact AS (
+        SELECT CASE WHEN o_orderkey % 53 = 0 THEN -o_totalprice ELSE o_totalprice END AS total_amount
+        FROM orders)
+      SELECT CAST(sum(CASE WHEN total_amount < 0 THEN 1 ELSE 0 END) AS BIGINT) AS negative_rows,
+             sum(CASE WHEN total_amount < 0 THEN 1 ELSE 0 END) = 0 AS test_passed
+      FROM fact
+    """)) { (spark, dir) =>
+    tbl(spark, dir, "orders")
+      .select(when(col("o_orderkey") % 53 === 0, -col("o_totalprice"))
+        .otherwise(col("o_totalprice")).as("total_amount"))
+      .agg(
+        countIf(col("total_amount") < 0).as("negative_rows"),
+        (countIf(col("total_amount") < 0) === 0).as("test_passed"))
+  }
+
+  /** Q7 — custom test: date_key not null and within the valid range
+    * (reference `dbt_warehouse/tests/assert_valid_dates.sql:5–8`). */
+  val q7DateKeyValidity: QueryDef = QueryDef(
+    "q7_date_key_validity",
+    Some("""
+      WITH fact AS (
+        SELECT CASE WHEN o_orderkey % 59 = 0 THEN NULL
+                    ELSE CAST(strftime(o_orderdate, '%Y%m%d') AS INTEGER) END AS date_key
+        FROM orders)
+      SELECT CAST(sum(CASE WHEN date_key IS NULL OR date_key < 19920101 THEN 1 ELSE 0 END) AS BIGINT)
+               AS invalid_rows,
+             sum(CASE WHEN date_key IS NULL OR date_key < 19920101 THEN 1 ELSE 0 END) = 0
+               AS test_passed
+      FROM fact
+    """)) { (spark, dir) =>
+    val invalid = col("date_key").isNull || col("date_key") < 19920101
+    tbl(spark, dir, "orders")
+      .select(when(col("o_orderkey") % 59 === 0, lit(null))
+        .otherwise(dateKey(col("o_orderdate"))).as("date_key"))
+      .agg(
+        countIf(invalid).as("invalid_rows"),
+        (countIf(invalid) === 0).as("test_passed"))
+  }
+
+  /** S11/Q8 — run accounting → audit-log row (reference
+    * `loaders/warehouse_loader.py:219–255`, `etl_daily_pipeline.py:303–331`):
+    * extracted/validated/rejected counts with a status verdict, shaped
+    * exactly like an `etl_run_log` append. The counts come from ONE pass over
+    * the orphan-injected fact (semi/anti split by a broadcast dim lookup). */
+  val s11AuditLog: QueryDef = QueryDef(
+    "s11_audit_log",
+    Some("""
+      WITH src AS (
+        SELECT o_orderkey, o_custkey FROM orders
+        UNION ALL
+        SELECT o_orderkey + 10000000, o_custkey + 10000000
+        FROM orders WHERE o_orderkey % 11 = 0),
+      flagged AS (
+        SELECT o_orderkey,
+               CASE WHEN o_custkey IN (SELECT c_custkey FROM customer) THEN 1 ELSE 0 END AS ok
+        FROM src)
+      SELECT 'daily_etl' AS pipeline_name,
+             count(*) AS records_extracted,
+             CAST(sum(ok) AS BIGINT) AS records_loaded,
+             CAST(sum(1 - ok) AS BIGINT) AS records_rejected,
+             CASE WHEN sum(1 - ok) = 0 THEN 'SUCCESS' ELSE 'SUCCESS_WITH_REJECTS' END AS run_status
+      FROM flagged
+    """)) { (spark, dir) =>
+    val o = tbl(spark, dir, "orders")
+    val src = o.select(col("o_orderkey"), col("o_custkey"))
+      .unionAll(o.filter(col("o_orderkey") % 11 === 0)
+        .select((col("o_orderkey") + 10000000L).as("o_orderkey"),
+          (col("o_custkey") + 10000000L).as("o_custkey")))
+    val custKeys = tbl(spark, dir, "customer").select(col("c_custkey").as("o_custkey"))
+    val flagged = src.join(broadcast(custKeys.withColumn("__hit", lit(1))),
+      Seq("o_custkey"), "left")
+      .select(when(col("__hit").isNotNull, 1L).otherwise(0L).as("ok"))
+    flagged.agg(
+      count(lit(1)).as("records_extracted"),
+      sum(col("ok")).as("records_loaded"),
+      sum(lit(1L) - col("ok")).as("records_rejected"),
+      when(sum(lit(1L) - col("ok")) === 0, "SUCCESS")
+        .otherwise("SUCCESS_WITH_REJECTS").as("run_status"))
+      .select(lit("daily_etl").as("pipeline_name"), col("records_extracted"),
+        col("records_loaded"), col("records_rejected"), col("run_status"))
+  }
+
+  val all: Seq[QueryDef] = Seq(
+    q4NonEmptyNullSk, q5UniqueNotNull, q6NoNegativeAmounts,
+    q7DateKeyValidity, s11AuditLog)
+}

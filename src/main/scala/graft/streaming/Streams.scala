@@ -1,0 +1,125 @@
+package graft.streaming
+
+import graft.{QueryDef, core}
+import graft.core._
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+import org.apache.spark.sql.types._
+
+/** Structured Streaming surface over the `events` table (SURVEY.md §2.10
+  * extension; the reference is batch-only, so these are the beyond-parity
+  * stream ops the brief asks for). The file source + `Trigger.AvailableNow`
+  * processes the full table as a bounded stream — the same code would run
+  * unbounded against a landing directory; at scale the stateful aggregation
+  * shuffles only (window, key) partials, bounded by the watermark. */
+object Streams {
+
+  /** st1 — event-time tumbling-window aggregation as a real streaming job:
+    * `readStream` file source → 1-hour `window(ts)` groupBy with a
+    * watermark → memory sink via `Trigger.AvailableNow`. The single
+    * bounded run is deterministic, so the batch oracle (date_trunc) matches
+    * exactly. */
+  val stHourlyWindows: QueryDef = QueryDef(
+    "st_hourly_windows",
+    Some("""
+      SELECT date_trunc('hour', ts) AS window_start,
+             event_type,
+             count(*) AS n_events,
+             CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+      FROM events
+      GROUP BY 1, 2
+      ORDER BY window_start, event_type
+    """)) { (spark, dir) =>
+    // The file stream source needs a landing *directory*; stage the table
+    // into one (with ts already µs TIMESTAMP — watermarks require
+    // TIMESTAMP, not NTZ; session TZ is pinned UTC so wall-clock semantics
+    // are identical and the output is cast back to NTZ).
+    val landing = s"/root/repo/target/graft-scratch/${dir.replaceAll("[^A-Za-z0-9.]", "_")}/events_landing"
+    events(spark, dir)
+      .withColumn("ts", col("ts").cast(TimestampType))
+      .write.mode("overwrite").parquet(landing)
+    val schema = spark.read.parquet(landing).schema
+    val sinkName = "graft_st_hourly_" + math.abs(dir.hashCode).toString
+    val q = spark.readStream.schema(schema).parquet(landing)
+      .withWatermark("ts", "2 hours")
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        moneySumD(col("value")).as("total_value"))
+      .select(col("window.start").as("window_start"), col("event_type"),
+        col("n_events"), col("total_value"))
+      .writeStream
+      .format("memory")
+      .queryName(sinkName)
+      .outputMode("complete")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    spark.table(sinkName)
+      .withColumn("window_start", col("window_start").cast(TimestampNTZType))
+      .orderBy("window_start", "event_type")
+  }
+
+  /** st2 — session windows: gap-based (30 min) per-user sessions via the
+    * native `session_window` operator. The oracle derives identical
+    * sessions with the classic gaps-and-islands window SQL (new-session
+    * flag → running sum → group), proving the semantics line up. */
+  val stSessionWindows: QueryDef = QueryDef(
+    "st_session_windows",
+    Some("""
+      WITH flagged AS (
+        SELECT user_id, ts,
+               CASE WHEN lag(ts) OVER w IS NULL
+                      OR ts - lag(ts) OVER w > INTERVAL 30 MINUTE
+                    THEN 1 ELSE 0 END AS new_sess
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+      sess AS (
+        SELECT user_id, ts,
+               sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts
+                                   ROWS UNBOUNDED PRECEDING) AS sess_id
+        FROM flagged)
+      SELECT user_id,
+             min(ts) AS session_start,
+             max(ts) + INTERVAL 30 MINUTE AS session_end,
+             count(*) AS n_events
+      FROM sess
+      GROUP BY user_id, sess_id
+      ORDER BY user_id, session_start
+    """)) { (spark, dir) =>
+    events(spark, dir)
+      .groupBy(session_window(col("ts"), "30 minutes").as("sw"), col("user_id"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("user_id"), col("sw.start").as("session_start"),
+        col("sw.end").as("session_end"), col("n_events"))
+      .orderBy("user_id", "session_start")
+  }
+
+  /** st3 — semi-structured event payloads: `from_json` over the `props`
+    * JSON column (the Kafka-style pattern: opaque string payload → typed
+    * struct), aggregated per event type. */
+  val stJsonProps: QueryDef = QueryDef(
+    "st_json_props",
+    Some("""
+      SELECT event_type,
+             count(*) AS n_events,
+             CAST(sum(CAST(regexp_extract(props, '[0-9]+') AS INTEGER)) AS BIGINT) AS k_sum,
+             min(CAST(regexp_extract(props, '[0-9]+') AS INTEGER)) AS k_min,
+             max(CAST(regexp_extract(props, '[0-9]+') AS INTEGER)) AS k_max
+      FROM events
+      GROUP BY event_type
+      ORDER BY event_type
+    """)) { (spark, dir) =>
+    val k = from_json(col("props"), StructType(Seq(StructField("k", IntegerType))))("k")
+    events(spark, dir)
+      .select(col("event_type"), k.as("k"))
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("k")).cast(LongType).as("k_sum"),
+        min(col("k")).as("k_min"),
+        max(col("k")).as("k_max"))
+      .orderBy("event_type")
+  }
+
+  val all: Seq[QueryDef] = Seq(stHourlyWindows, stSessionWindows, stJsonProps)
+}

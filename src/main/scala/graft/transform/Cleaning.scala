@@ -76,8 +76,16 @@ object Cleaning {
                l_discount, l_shipdate
         FROM lineitem WHERE l_orderkey % 101 = 0),
       dedup AS (
+        -- the base table itself contains duplicate (orderkey, linenumber)
+        -- keys with DIFFERENT attributes, so keep-first must tie-break on
+        -- every surviving column (NULLS FIRST pinned: Spark's asc default
+        -- is nulls-first, DuckDB's is nulls-last)
         SELECT *, row_number() OVER (PARTITION BY l_orderkey, l_linenumber
-                                     ORDER BY l_shipdate) AS rn
+                                     ORDER BY l_shipdate NULLS FIRST,
+                                              l_quantity NULLS FIRST,
+                                              l_extendedprice NULLS FIRST,
+                                              l_returnflag NULLS FIRST,
+                                              l_discount NULLS FIRST) AS rn
         FROM defects)
       SELECT l_orderkey, l_linenumber,
              coalesce(l_quantity, 1.0) AS quantity,
@@ -98,7 +106,10 @@ object Cleaning {
         .as("l_returnflag"),
       col("l_discount"), col("l_shipdate"))
     val withDups = defected.unionAll(defected.filter(col("l_orderkey") % 101 === 0))
-    dedupKeepFirst(withDups, Seq("l_orderkey", "l_linenumber"), Seq(col("l_shipdate")))
+    dedupKeepFirst(withDups, Seq("l_orderkey", "l_linenumber"),
+      Seq(col("l_shipdate").asc_nulls_first, col("l_quantity").asc_nulls_first,
+        col("l_extendedprice").asc_nulls_first, col("l_returnflag").asc_nulls_first,
+        col("l_discount").asc_nulls_first))
       .select(
         col("l_orderkey"), col("l_linenumber"),
         coalesce(col("l_quantity"), lit(1.0)).as("quantity"),
@@ -160,7 +171,7 @@ object Cleaning {
     Some("""
       WITH src AS (
         SELECT l_orderkey, l_linenumber,
-               CAST(l_quantity AS INTEGER) % 8 AS rating,
+               CAST(floor(l_quantity) AS INTEGER) % 8 AS rating,
                CASE WHEN l_orderkey % 23 = 0 THEN NULL ELSE l_comment_stub END AS review_text,
                CASE WHEN l_orderkey % 4 = 0 THEN 'not-a-date'
                     ELSE strftime(l_shipdate, '%Y-%m-%d %H:%M:%S') END AS review_date_raw
@@ -178,7 +189,9 @@ object Cleaning {
     """)) { (spark, dir) =>
     val src = tbl(spark, dir, "lineitem").select(
       col("l_orderkey"), col("l_linenumber"),
-      (col("l_quantity").cast(IntegerType) % 8).as("rating"),
+      // floor() on BOTH sides: Spark's double→int cast truncates while
+      // DuckDB's rounds, so the raw casts only agree on integral inputs.
+      (floor(col("l_quantity")).cast(IntegerType) % 8).as("rating"),
       when(col("l_orderkey") % 23 === 0, lit(null))
         .otherwise(concat(lit("review for "), col("l_partkey").cast(StringType)))
         .as("review_text"),
@@ -206,15 +219,15 @@ object Cleaning {
              lower(o_orderpriority) AS priority_l,
              concat_ws(' ', o_orderstatus, o_orderpriority) AS status_priority,
              CAST(strftime(o_orderdate, '%Y%m%d') AS INTEGER) AS date_key,
-             CAST(o_orderdate AS DATE) AS order_date,
+             CAST(CAST(o_orderdate AS DATE) AS TIMESTAMP) AS order_date,
              date_trunc('month', o_orderdate) AS order_month_start,
              strftime(o_orderdate, '%Y-%m') AS order_ym,
              CAST(date_diff('month', date_trunc('month', TIMESTAMP '1995-01-01 00:00:00'),
                             date_trunc('month', o_orderdate)) AS INTEGER) AS months_since_1995,
              CAST(date_diff('day', CAST(o_orderdate AS DATE), DATE '1998-12-31') AS INTEGER) AS age_days,
-             round(CAST(o_totalprice AS DECIMAL(18,2)), 1) AS price_round1,
+             CAST(round(CAST(o_totalprice AS DECIMAL(18,2)), 1) AS DOUBLE) AS price_round1,
              abs(CAST(o_totalprice AS DOUBLE) - 150000.0) AS price_abs_dev,
-             CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 2 AS DECIMAL(38,2)) AS price_x2,
+             CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 2 AS DOUBLE) AS price_x2,
              nullif(o_orderstatus, 'O') AS status_nullif_open
       FROM orders
       ORDER BY o_orderkey
@@ -225,7 +238,7 @@ object Cleaning {
       lower(col("o_orderpriority")).as("priority_l"),
       concat_ws(" ", col("o_orderstatus"), col("o_orderpriority")).as("status_priority"),
       dateKey(col("o_orderdate")).as("date_key"),
-      col("o_orderdate").cast(DateType).as("order_date"),
+      col("o_orderdate").cast(DateType).cast(TimestampNTZType).as("order_date"),
       date_trunc("month", col("o_orderdate")).as("order_month_start"),
       date_format(col("o_orderdate"), "yyyy-MM").as("order_ym"),
       months_between(
@@ -233,9 +246,9 @@ object Cleaning {
         lit("1995-01-01").cast(DateType)).cast(IntegerType).as("months_since_1995"),
       datediff(lit("1998-12-31").cast(DateType), col("o_orderdate").cast(DateType))
         .cast(IntegerType).as("age_days"),
-      round(dec2(col("o_totalprice")), 1).as("price_round1"),
+      d(round(dec2(col("o_totalprice")), 1)).as("price_round1"),
       abs(col("o_totalprice").cast(DoubleType) - lit(150000.0)).as("price_abs_dev"),
-      (dec2(col("o_totalprice")) * lit(2)).cast(DecimalType(38, 2)).as("price_x2"),
+      d(dec2(col("o_totalprice")) * lit(2)).as("price_x2"),
       nullif(col("o_orderstatus"), lit("O")).as("status_nullif_open"))
       .orderBy("o_orderkey")
   }
