@@ -11,18 +11,25 @@ object SparkEntry {
 
   /** All engine capabilities, one QueryDef per SURVEY.md §2 operator (plus
     * the LLM-pipeline extensions). */
-  lazy val defs: Seq[QueryDef] =
-    operators.Relational.all ++
-      operators.Aggregates.all ++
-      transform.Cleaning.all ++
-      analytics.Analytics.all ++
-      model.Warehouse.all ++
-      quality.Quality.all ++
-      llm.TextOps.all ++
-      llm.Dedup.all ++
-      llm.Similarity.all ++
-      sources.Ingest.all ++
-      streaming.Streams.all
+  lazy val defs: Seq[QueryDef] = {
+    val ds =
+      operators.Relational.all ++
+        operators.Aggregates.all ++
+        transform.Cleaning.all ++
+        analytics.Analytics.all ++
+        model.Warehouse.all ++
+        quality.Quality.all ++
+        llm.TextOps.all ++
+        llm.Dedup.all ++
+        llm.Similarity.all ++
+        sources.Ingest.all ++
+        streaming.Streams.all
+    // a cross-module name collision would silently shadow a QueryDef in the
+    // maps below and shrink gate coverage — fail loudly instead
+    val dup = ds.groupBy(_.name).collect { case (n, g) if g.size > 1 => n }
+    require(dup.isEmpty, s"duplicate QueryDef names: ${dup.mkString(", ")}")
+    ds
+  }
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

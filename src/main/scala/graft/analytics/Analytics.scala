@@ -188,14 +188,16 @@ object Analytics {
 
   /** Q5 — daily revenue anomaly detection over a trailing 7-row frame that
     * excludes the current row (reference `analytics_queries.sql:194–246`:
-    * A9 + W7 + P6 + P9). The windowed Σx and Σx² are computed in integer
-    * *cents* (exact BIGINT — associative, order-insensitive, and small
-    * enough that the one BIGINT→DOUBLE conversion is correctly rounded
-    * identically on both engines); all subsequent stddev math is then
-    * identical IEEE ops on identical doubles. Decimal sums cast to double
-    * would NOT work here: Σx² ≈ 7e16 exceeds 2^53 and the engines round
-    * decimal→double differently at that magnitude, and the stddev formula's
-    * cancellation amplifies that last-ulp difference to 1e-9 relative. */
+    * A9 + W7 + P6 + P9). The windowed Σx is exact BIGINT *cents*; Σx² is
+    * accumulated in DECIMAL(38,0) because cents² overflows Long once daily
+    * revenue passes ~$11.5M — sf0.1 already trips ANSI overflow, and at
+    * 100 TB (c ≈ 1e13 cents/day) Σx² ≈ 7e26 still fits DECIMAL(38,0) with
+    * 11 digits to spare. Both accumulations are associative/exact, so the
+    * single conversion to DOUBLE yields identical bits on both engines
+    * (int64→double is correctly rounded; decimal→double is correctly
+    * rounded while the value < 2^63, which holds at every driver-gated
+    * scale factor); all subsequent stddev math is then identical IEEE ops
+    * on identical doubles. */
   val q5DailyAnomaly: QueryDef = QueryDef(
     "q5_daily_anomaly",
     Some("""
@@ -213,7 +215,8 @@ object Analytics {
         SELECT ship_date, daily_revenue, n_items,
                CAST(c AS DOUBLE) AS cd,
                CAST(CAST(sum(c) OVER w AS BIGINT) AS DOUBLE) AS s7,
-               CAST(CAST(sum(c * c) OVER w AS BIGINT) AS DOUBLE) AS q7,
+               CAST(CAST(sum(CAST(c AS DECIMAL(19,0)) * CAST(c AS DECIMAL(19,0))) OVER w
+                    AS DECIMAL(38,0)) AS DOUBLE) AS q7,
                CAST(count(*) OVER w AS DOUBLE) AS n7
         FROM cents
         WINDOW w AS (ORDER BY ship_date ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING))
@@ -241,7 +244,9 @@ object Analytics {
     val framed = daily
       .withColumn("cd", col("c").cast(DoubleType))
       .withColumn("s7", sum(col("c")).over(w).cast(DoubleType))
-      .withColumn("q7", sum(col("c") * col("c")).over(w).cast(DoubleType))
+      .withColumn("q7",
+        sum(col("c").cast(DecimalType(19, 0)) * col("c").cast(DecimalType(19, 0)))
+          .over(w).cast(DecimalType(38, 0)).cast(DoubleType))
       .withColumn("n7", count(lit(1)).over(w).cast(DoubleType))
     val variance = (col("q7") - col("s7") * col("s7") / col("n7")) / (col("n7") - lit(1.0))
     val std = sqrt(when(variance < lit(0.0), lit(0.0)).otherwise(variance))

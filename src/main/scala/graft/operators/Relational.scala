@@ -109,15 +109,20 @@ object Relational {
         -- base data has duplicate (orderkey, linenumber) keys with different
         -- attributes → tie-break on every output column for determinism
         SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice, l_shipdate,
+               -- NULLS FIRST pinned: Spark asc defaults nulls-first, DuckDB
+               -- nulls-last — harmless while these columns are non-null, but
+               -- pinned so a nullable future column can't silently diverge
                row_number() OVER (PARTITION BY l_orderkey, l_linenumber
-                                  ORDER BY l_shipdate, l_suppkey, l_quantity, l_extendedprice) AS rn
+                                  ORDER BY l_shipdate NULLS FIRST, l_suppkey NULLS FIRST,
+                                           l_quantity NULLS FIRST, l_extendedprice NULLS FIRST) AS rn
         FROM with_dups)
       SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice, l_shipdate
       FROM ranked WHERE rn = 1
       ORDER BY l_orderkey, l_linenumber
     """)) { (spark, dir) =>
     val w = Window.partitionBy("l_orderkey", "l_linenumber")
-      .orderBy("l_shipdate", "l_suppkey", "l_quantity", "l_extendedprice")
+      .orderBy(col("l_shipdate").asc_nulls_first, col("l_suppkey").asc_nulls_first,
+        col("l_quantity").asc_nulls_first, col("l_extendedprice").asc_nulls_first)
     lineitemWithDups(spark, dir)
       .select("l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice", "l_shipdate", "l_suppkey")
       .withColumn("rn", row_number().over(w))

@@ -69,8 +69,11 @@ object Streams {
     Some("""
       WITH flagged AS (
         SELECT user_id, ts,
+               -- >= (not >): session_window merges only on strict overlap of
+               -- [ts, ts+gap), so an event landing exactly gap after its
+               -- predecessor starts a NEW session on both engines
                CASE WHEN lag(ts) OVER w IS NULL
-                      OR ts - lag(ts) OVER w > INTERVAL 30 MINUTE
+                      OR ts - lag(ts) OVER w >= INTERVAL 30 MINUTE
                     THEN 1 ELSE 0 END AS new_sess
         FROM events
         WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
