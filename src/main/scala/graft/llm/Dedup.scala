@@ -221,7 +221,9 @@ object Dedup {
                  i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS sh
         FROM tok),
       fp AS (
-        SELECT doc_id, ${simhashBitsSql("sh")} AS bits FROM shx),
+        -- empty-shingle docs (shorter than the 3-gram) all fingerprint to the
+        -- same degenerate bit pattern and would pair with each other: exclude
+        SELECT doc_id, ${simhashBitsSql("sh")} AS bits FROM shx WHERE len(sh) > 0),
       blocks AS (
         SELECT doc_id, bits,
                unnest([ '0:' || substring(bits, 1, 16), '1:' || substring(bits, 17, 16),
@@ -246,6 +248,8 @@ object Dedup {
     // digests are computed once, not once per self-join side.
     val fp = withNearDups(spark, dir)
       .select(col("doc_id"), shingles3(split(col("text"), "\\s+")).as("sh"))
+      // mirror of the oracle's len(sh) > 0: degenerate docs don't fingerprint
+      .filter(size(col("sh")) > 0)
       .select(col("doc_id"),
         transform(col("sh"), s => md5(concat(lit("s1|"), s))).as("h1"),
         transform(col("sh"), s => md5(concat(lit("s2|"), s))).as("h2"))
@@ -308,8 +312,14 @@ object Dedup {
         .otherwise(array().cast(ArrayType(StringType))).as("bigrams"))
       // compute the bigram arrays once, not once per self-join side
       .persist()
-    val jac = size(array_intersect(col("ba"), col("bb"))).cast(DoubleType) /
-      size(array_distinct(concat(col("ba"), col("bb")))).cast(DoubleType)
+    // guard 0/0: Catalyst pushes the jaccard filter into the self-join
+    // condition, where it can run before the doc_id< conjunct — a key-matched
+    // self-pair of an empty-bigram doc would then divide by zero under ANSI.
+    // Emitted rows are unaffected (they all have union > 0 on both engines).
+    val union = size(array_distinct(concat(col("ba"), col("bb"))))
+    val jac = when(union > 0,
+      size(array_intersect(col("ba"), col("bb"))).cast(DoubleType) / union.cast(DoubleType))
+      .otherwise(lit(0.0))
     feat.as("a")
       .join(feat.as("b"),
         col("a.block_key") === col("b.block_key") && col("a.doc_id") < col("b.doc_id"))

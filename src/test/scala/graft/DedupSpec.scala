@@ -1,0 +1,83 @@
+package graft
+
+import java.nio.file.Files
+import graft.llm.Dedup
+import org.apache.spark.sql.functions._
+
+/** End-to-end tests of the near-duplicate pipelines over a tiny corpus
+  * written as a `documents.parquet` table (the same access path the driver
+  * gates use). Verifies planted-duplicate recall, non-duplicate rejection,
+  * and the short-document guard (sequence(1, n<1) would descend and throw
+  * under ANSI without it). */
+class DedupSpec extends SparkSpec {
+  import SparkSpec.spark.implicits._
+
+  /** Write a corpus with: doc 5 ≡ near-dup of doc 105 (planted by the
+    * pipeline itself via doc_id % 5), two unrelated docs, and degenerate
+    * 1- and 2-token docs that exercise the ANSI guards. */
+  private lazy val corpusDir: String = {
+    val dir = Files.createTempDirectory("graft_dedup_test").toString
+    // long docs (~200 tokens) keep the pipeline's 3-token dup-probe append a
+    // small relative perturbation; docs 3 and 13 are EXACT duplicates of each
+    // other (disjoint vocabulary from the rest) — the deterministic guarantee
+    // every sketch must honor
+    val words = (0 until 440).map(i => s"tok${i * i % 997}x$i")
+    val docs = Seq(
+      (1L, words.take(200).mkString(" ")),
+      (2L, words.slice(10, 210).reverse.mkString(" ")),
+      (3L, words.slice(220, 420).mkString(" ")),
+      (5L, words.slice(20, 220).mkString(" ")), // %5==0 → near-dup planted at 100005
+      (7L, "solo"), // 1 token: shingles/bigrams must be empty, not crash
+      (11L, "two tokens"), // 2 tokens: 3-shingles empty, bigrams fine
+      (13L, words.slice(220, 420).mkString(" ")) // exact copy of doc 3
+    ).toDF("doc_id", "text")
+    docs.write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    dir
+  }
+
+  test("minhash-LSH finds the planted near-dup and the exact-dup pair, nothing unrelated") {
+    val pairs = Dedup.ddMinHashLsh.run(spark, corpusDir)
+      .select("a_id", "b_id").as[(Long, Long)].collect().toSet
+    assert(pairs.contains((5L, 100005L)), s"planted pair missing from $pairs")
+    assert(pairs.contains((3L, 13L)), s"exact-dup pair missing from $pairs")
+    // unrelated docs must not pair (their 3-shingle Jaccard ≈ 0: doc 2 is reversed)
+    assert(!pairs.exists { case (a, b) => Set(a, b) == Set(1L, 2L) })
+  }
+
+  test("simhash pairs exact duplicates at Hamming 0 and skips degenerate docs") {
+    val pairs = Dedup.ddSimHash.run(spark, corpusDir)
+      .select("a_id", "b_id").as[(Long, Long)].collect().toSet
+    // identical shingle sets ⇒ identical fingerprints ⇒ always paired
+    assert(pairs.contains((3L, 13L)), s"exact-dup pair missing from $pairs")
+    // degenerate empty-shingle docs must NOT fingerprint-collide with each other
+    assert(!pairs.contains((7L, 11L)))
+  }
+
+  test("ngram-jaccard verifies the planted pair above the 0.8 threshold") {
+    val rows = Dedup.ddNgramJaccard.run(spark, corpusDir)
+      .select("a_id", "b_id", "jaccard").as[(Long, Long, Double)].collect()
+    val planted = rows.find(r => r._1 == 5L && r._2 == 100005L)
+    assert(planted.isDefined && planted.get._3 >= 0.8)
+  }
+
+  test("short documents (1–2 tokens) flow through all pipelines without ANSI crashes") {
+    // would throw INVALID_ARRAY_INDEX before the guards; now they simply
+    // produce no candidate pairs involving the degenerate docs
+    val mh = Dedup.ddMinHashLsh.run(spark, corpusDir).select("a_id", "b_id")
+      .as[(Long, Long)].collect()
+    assert(!mh.exists(p => p._1 == 7L || p._2 == 7L || p._1 == 11L || p._2 == 11L))
+    val ng = Dedup.ddNgramJaccard.run(spark, corpusDir).select("a_id", "b_id")
+      .as[(Long, Long)].collect()
+    assert(!ng.exists(p => p._1 == 7L || p._2 == 7L))
+  }
+
+  test("exact dedup groups identical content and keeps the smallest doc_id") {
+    // ddExact plants a copy of doc 7 (doc_id % 7) at 200007; docs 3 and 13
+    // are identical by construction → two multi-copy groups
+    val out = Dedup.ddExact.run(spark, corpusDir)
+    val grouped = out.filter(col("n_copies") > 1)
+      .select("canonical_doc_id").as[Long].collect().sorted
+    assert(grouped === Array(3L, 7L))
+    assert(out.count() === 6) // 6 distinct contents (3≡13)
+  }
+}

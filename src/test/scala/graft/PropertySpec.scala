@@ -1,0 +1,58 @@
+package graft
+
+import graft.transform.Cleaning
+import org.apache.spark.sql.functions._
+import org.scalacheck.{Gen, Prop, Test => SCTest}
+
+/** Property-based invariants (SURVEY.md §5 test plan): each property
+  * evaluates one generated batch through the real Column expressions, so
+  * the laws hold for the codegen'd implementations, not a Scala re-model.
+  * Driven by raw ScalaCheck (the scalatest bridge artifact isn't on the
+  * offline classpath); each property runs 5 batches — every batch is a
+  * full Spark job, so keep the counts small. */
+class PropertySpec extends SparkSpec {
+  import SparkSpec.spark.implicits._
+
+  private def check(name: String)(prop: Prop): Unit = test(name) {
+    val res = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(5), prop)
+    assert(res.passed, res.status.toString)
+  }
+
+  check("clamp output always lands in [lo, hi] and fixes points already inside")(
+    Prop.forAll(Gen.nonEmptyListOf(Gen.chooseNum(-1000, 1000))) { xs =>
+      val out = xs.toDF("x")
+        .select(col("x"), Cleaning.clamp(col("x"), lit(1), lit(5)).as("c"))
+        .as[(Int, Int)].collect()
+      out.forall { case (_, c) => c >= 1 && c <= 5 } &&
+        out.forall { case (x, c) => !(x >= 1 && x <= 5) || c == x }
+    })
+
+  check("sentiment is total over clamped ratings with the reference buckets")(
+    Prop.forAll(Gen.nonEmptyListOf(Gen.chooseNum(-10, 20))) { xs =>
+      val out = xs.toDF("r")
+        .select(Cleaning.clamp(col("r"), lit(1), lit(5)).as("c"))
+        .select(col("c"), Cleaning.sentiment(col("c")).as("s"))
+        .as[(Int, String)].collect()
+      out.forall { case (c, s) =>
+        (c <= 2 && s == "negative") || (c == 3 && s == "neutral") || (c >= 4 && s == "positive")
+      }
+    })
+
+  check("dedup keep-first keeps exactly one row per key and is idempotent")(
+    Prop.forAll(Gen.nonEmptyListOf(Gen.zip(Gen.chooseNum(0, 9), Gen.alphaStr.map(_.take(4))))) { kvs =>
+      val df = kvs.toDF("k", "v")
+      val once = Cleaning.dedupKeepFirst(df, Seq("k"), Seq(col("v").asc_nulls_first))
+      val onceRows = once.collect().toSet
+      val twice = Cleaning.dedupKeepFirst(once, Seq("k"), Seq(col("v").asc_nulls_first))
+      onceRows.size == kvs.map(_._1).distinct.size &&
+        twice.collect().toSet == onceRows
+    })
+
+  check("domain validation is closed over the valid set")(
+    Prop.forAll(Gen.nonEmptyListOf(Gen.oneOf("A", "B", "C", "D", "bad", ""))) { xs =>
+      val valid = Seq("A", "B", "C")
+      xs.toDF("t")
+        .select(Cleaning.validateDomain(col("t"), valid, "A").as("t"))
+        .as[String].collect().forall(valid.contains)
+    })
+}

@@ -1,0 +1,60 @@
+package graft
+
+import graft.model.Warehouse
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Model-layer unit tests mirroring the reference's loader suite
+  * (reference `tests/test_pipeline.py:173–208`): date-dim generation span
+  * and attributes, surrogate-key density/determinism, upsert and
+  * append-if-absent sink semantics. */
+class WarehouseSpec extends SparkSpec {
+  import SparkSpec.spark.implicits._
+
+  test("dateDim generates 31 rows for January (test_pipeline.py:173–185)") {
+    val facts = Seq("2024-01-01", "2024-01-31").toDF("d")
+      .select(col("d").cast(TimestampType).as("d"))
+    val dd = Warehouse.dateDim(facts, "d")
+    assert(dd.count() === 31)
+    val first = dd.orderBy("date_key").head()
+    assert(first.getAs[Int]("date_key") === 20240101)
+    assert(first.getAs[Int]("day_of_week") === 0) // 2024-01-01 was a Monday
+    assert(first.getAs[String]("day_name") === "Monday")
+    assert(first.getAs[Int]("quarter") === 1)
+    assert(!first.getAs[Boolean]("is_weekend"))
+    // exactly 8 weekend days in Jan 2024
+    assert(dd.filter(col("is_weekend")).count() === 8)
+  }
+
+  test("surrogate keys are dense 1..N in business-key order and deterministic (W8)") {
+    val dim = (1 to 500).map(i => (i * 7 % 501, s"name_$i")).toDF("bk", "name")
+    val keyed = Warehouse.withSurrogateKey(dim, "bk", "sk", numPartitions = 8)
+    val pairs = keyed.select("sk", "bk").as[(Long, Int)].collect().sortBy(_._1)
+    assert(pairs.map(_._1).toSeq === (1L to 500L)) // dense, no gaps
+    assert(pairs.map(_._2).toSeq === pairs.map(_._2).sorted.toSeq) // sk order == bk order
+    // run twice → identical assignment (no nondeterministic ids)
+    val again = Warehouse.withSurrogateKey(dim, "bk", "sk", numPartitions = 8)
+      .select("sk", "bk").as[(Long, Int)].collect().sortBy(_._1)
+    assert(again.toSeq === pairs.toSeq)
+  }
+
+  test("upsert: incoming replaces existing on key, others survive (S8)") {
+    val existing = Seq((1, "old1"), (2, "old2"), (3, "old3")).toDF("k", "v")
+    val incoming = Seq((2, "new2"), (4, "new4")).toDF("k", "v")
+    val out = Warehouse.upsert(existing, incoming, Seq("k"))
+      .orderBy("k").as[(Int, String)].collect()
+    assert(out === Array((1, "old1"), (2, "new2"), (3, "old3"), (4, "new4")))
+  }
+
+  test("append-if-absent: only novel keys append (S9)") {
+    val existing = Seq((1, "e1"), (2, "e2")).toDF("k", "v")
+    val incoming = Seq((2, "i2"), (3, "i3")).toDF("k", "v")
+    val out = Warehouse.appendIfAbsent(existing, incoming, Seq("k"))
+      .orderBy("k").as[(Int, String)].collect()
+    assert(out === Array((1, "e1"), (2, "e2"), (3, "i3"))) // existing 2 wins
+    // idempotent: replaying the same incoming adds nothing
+    val replay = Warehouse.appendIfAbsent(
+      Warehouse.appendIfAbsent(existing, incoming, Seq("k")), incoming, Seq("k"))
+    assert(replay.count() === 3)
+  }
+}
