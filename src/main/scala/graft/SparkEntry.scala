@@ -23,7 +23,8 @@ object SparkEntry {
         llm.Dedup.all ++
         llm.Similarity.all ++
         sources.Ingest.all ++
-        streaming.Streams.all
+        streaming.Streams.all ++
+        pipeline.Pipeline.all
     // a cross-module name collision would silently shadow a QueryDef in the
     // maps below and shrink gate coverage — fail loudly instead
     val dup = ds.groupBy(_.name).collect { case (n, g) if g.size > 1 => n }
@@ -31,9 +32,10 @@ object SparkEntry {
     ds
   }
 
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
+  /** Flagship on /root/testdata/sf0.001 (driver smoke-checks rows>0): the
+    * full extract→validate→dims→facts→audit pipeline in one lineage. */
   def entry(spark: SparkSession): DataFrame =
-    analytics.Analytics.q1MonthlyRevenue.run(spark, "/root/testdata/sf0.001")
+    pipeline.Pipeline.pipelineE2e.run(spark, "/root/testdata/sf0.001")
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =

@@ -54,6 +54,24 @@ object Similarity {
       .select(col("vec_id"), col("label"), round(col("score"), 6).as("score_r"))
   }
 
+  /** 16-bit signed-random-projection signature per vector: hyperplane j's
+    * component i is ±1 from md5("j:i") — a literal array, deterministic, no
+    * RNG state — and bit j is the sign of the hyperplane dot. Identical
+    * vectors share every bit, so exact duplicates always bucket together. */
+  private def srpSignatures(src: DataFrame): DataFrame = {
+    val planes: Column = array((0 until 16).map { j =>
+      array((0 until 64).map { i =>
+        val hex = java.security.MessageDigest.getInstance("MD5")
+          .digest(s"$j:$i".getBytes("UTF-8"))
+        lit(if ((hex(0) & 0x80) != 0) 1.0 else -1.0)
+      }: _*)
+    }: _*)
+    src.select(col("vec_id"), col("embedding"),
+      concat((0 until 16).map { j =>
+        when(dot(col("embedding"), element_at(planes, j + 1)) >= 0, "1").otherwise("0")
+      }: _*).as("sig"))
+  }
+
   /** Embeddings with planted duplicate vectors (vec_id % 4 == 0 copied to
     * vec_id + 100000) — the known-answer fixture for the LSH path. */
   private def withDupVectors(spark: SparkSession, dir: String): DataFrame = {
@@ -78,19 +96,7 @@ object Similarity {
       WHERE vec_id % 4 = 0
       ORDER BY a_id
     """)) { (spark, dir) =>
-    // ±1 hyperplane components from md5 — a lit array, evaluated once.
-    val planes: Column = array((0 until 16).map { j =>
-      array((0 until 64).map { i =>
-        val hex = java.security.MessageDigest.getInstance("MD5")
-          .digest(s"$j:$i".getBytes("UTF-8"))
-        lit(if ((hex(0) & 0x80) != 0) 1.0 else -1.0)
-      }: _*)
-    }: _*)
-    val src = withDupVectors(spark, dir)
-    val sig = src.select(col("vec_id"), col("embedding"),
-      concat((0 until 16).map { j =>
-        when(dot(col("embedding"), element_at(planes, j + 1)) >= 0, "1").otherwise("0")
-      }: _*).as("sig"))
+    val sig = srpSignatures(withDupVectors(spark, dir))
     val cands = sig.as("a")
       .join(sig.as("b"), col("a.sig") === col("b.sig") && col("a.vec_id") < col("b.vec_id"))
       .select(col("a.vec_id").as("a_id"), col("b.vec_id").as("b_id"),
@@ -147,5 +153,36 @@ object Similarity {
       .select(col("vec_id"), col("label"), col("cell"), round(col("score"), 6).as("score_r"))
   }
 
-  val all: Seq[QueryDef] = Seq(simTopKBrute, simLshPairs, simIvfProbe)
+  /** dd5 — embedding-cosine near-duplicate DEDUP (the vector-space member
+    * of the dedup family, builder brief): SRP-bucket candidates → exact
+    * cosine ≥ 0.999 verification inside buckets → canonical mapping
+    * dup_id → min(partner id). Planted copies (vec_id % 3 → +200000) are the
+    * ground truth: the corpus' natural max cosine is ~0.6, so the mapping
+    * is exactly the planted one and the oracle states it directly. Same
+    * O(n)-bucket scale posture as sim_lsh_near_dup — the embeddings
+    * themselves never shuffle anywhere except into their signature bucket. */
+  val ddEmbeddingCosine: QueryDef = QueryDef(
+    "dedup_embedding_cosine",
+    Some("""
+      SELECT vec_id + 200000 AS dup_id, vec_id AS canonical_id
+      FROM embeddings
+      WHERE vec_id % 3 = 0
+      ORDER BY dup_id
+    """)) { (spark, dir) =>
+    val e = tbl(spark, dir, "embeddings").select("vec_id", "embedding")
+    val src = e.unionAll(e.filter(col("vec_id") % 3 === 0)
+      .select((col("vec_id") + 200000L).as("vec_id"), col("embedding")))
+    val sig = srpSignatures(src)
+    sig.as("a")
+      .join(sig.as("b"), col("a.sig") === col("b.sig") && col("a.vec_id") < col("b.vec_id"))
+      .select(col("a.vec_id").as("a_id"), col("b.vec_id").as("b_id"),
+        col("a.embedding").as("ea"), col("b.embedding").as("eb"))
+      .filter(dot(col("ea"), col("eb")) >= 0.999)
+      // canonical = smallest id among verified partners (a < b already)
+      .groupBy(col("b_id").as("dup_id"))
+      .agg(min(col("a_id")).as("canonical_id"))
+      .orderBy("dup_id")
+  }
+
+  val all: Seq[QueryDef] = Seq(simTopKBrute, simLshPairs, simIvfProbe, ddEmbeddingCosine)
 }

@@ -37,7 +37,7 @@ object Warehouse {
         (dowMon0(col("full_date")) >= 5).as("is_weekend"))
   }
 
-  private val dateDimSql = """
+  private[graft] val dateDimSql = """
       WITH bounds AS (
         SELECT CAST(min(o_orderdate) AS DATE) AS lo, CAST(max(o_orderdate) AS DATE) AS hi
         FROM orders),

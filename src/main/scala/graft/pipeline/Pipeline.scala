@@ -1,0 +1,112 @@
+package graft.pipeline
+
+import graft.{QueryDef, core}
+import graft.core._
+import graft.model.Warehouse
+import graft.transform.Cleaning
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** The end-to-end pipeline runner: the reference's 9-task daily DAG
+  * (reference `airflow/dags/etl_daily_pipeline.py:403–412` — extract →
+  * transform/validate → load dims → load facts → quality → audit) collapsed
+  * into ONE Spark lineage (SURVEY.md §3.1). Airflow's process boundaries and
+  * per-task parquet handoffs become Spark stage boundaries; the XCom count
+  * bookkeeping becomes the aggregate summary row this query emits.
+  *
+  * Scale posture: the fact table flows through exactly one shuffle (the
+  * daily rollup); both dimension joins are broadcast; the surrogate-key
+  * pass is the two-pass partition-parallel assignment (no global window);
+  * and the scalar run-accounting aggregates are map-side-combined counts
+  * cross-joined into a single row — no collect() anywhere.
+  */
+object Pipeline {
+
+  /** The whole DAG, gated by one auditable summary row (the reference's
+    * `etl_run_log` shape). Orphans are injected (o_orderkey % 11 → shifted
+    * keys) so the validate → reject path is exercised end-to-end. */
+  val pipelineE2e: QueryDef = QueryDef(
+    "pipeline_e2e",
+    Some(s"""
+      WITH src AS (
+        SELECT o_orderkey, o_custkey, o_orderdate, o_totalprice FROM orders
+        UNION ALL
+        SELECT o_orderkey + 10000000, o_custkey + 10000000, o_orderdate, o_totalprice
+        FROM orders WHERE o_orderkey % 11 = 0),
+      valid AS (
+        SELECT * FROM src WHERE o_custkey IN (SELECT c_custkey FROM customer)),
+      dim_customer AS (
+        SELECT row_number() OVER (ORDER BY c_custkey) AS customer_key, c_custkey
+        FROM customer),
+      dim_date AS (${Warehouse.dateDimSql}),
+      fact_orders AS (
+        SELECT v.o_orderkey, dc.customer_key, dd.date_key,
+               CAST(v.o_totalprice AS DECIMAL(18,2)) AS total_amount
+        FROM valid v
+        JOIN dim_customer dc ON v.o_custkey = dc.c_custkey
+        LEFT JOIN dim_date dd ON CAST(v.o_orderdate AS DATE) = dd.full_date),
+      fact_daily AS (
+        SELECT date_key, sum(total_amount) AS rev FROM fact_orders GROUP BY date_key)
+      SELECT
+        (SELECT count(*) FROM src) AS records_extracted,
+        (SELECT count(*) FROM valid) AS records_loaded,
+        (SELECT count(*) FROM src) - (SELECT count(*) FROM valid) AS records_rejected,
+        (SELECT count(*) FROM dim_customer) AS dim_customer_rows,
+        (SELECT count(*) FROM dim_date) AS dim_date_rows,
+        (SELECT count(*) FROM fact_orders) AS fact_rows,
+        (SELECT count(*) FROM fact_daily) AS fact_daily_rows,
+        (SELECT CAST(sum(total_amount) AS DOUBLE) FROM fact_orders) AS total_revenue,
+        CASE WHEN (SELECT count(*) FROM src) - (SELECT count(*) FROM valid) > 0
+             THEN 'SUCCESS_WITH_REJECTS' ELSE 'SUCCESS' END AS run_status
+    """)) { (spark, dir) =>
+    // -- extract (S1/S3) + orphan injection --------------------------------
+    val orders = tbl(spark, dir, "orders")
+      .select("o_orderkey", "o_custkey", "o_orderdate", "o_totalprice")
+    val customer = tbl(spark, dir, "customer")
+    val src = orders.unionAll(
+      orders.filter(col("o_orderkey") % 11 === 0)
+        .select((col("o_orderkey") + 10000000L).as("o_orderkey"),
+          (col("o_custkey") + 10000000L).as("o_custkey"),
+          col("o_orderdate"), col("o_totalprice")))
+
+    // -- transform & validate (D4/J6: broadcast semi join, fact never shuffles)
+    val valid = Cleaning.integrityFilter(
+      src, customer.select(col("c_custkey").as("o_custkey")), "o_custkey")
+
+    // -- load dimensions (W8 two-pass surrogate keys, S10 date dim) --------
+    val dimCustomer = Warehouse.withSurrogateKey(
+      customer.select("c_custkey"), "c_custkey", "customer_key")
+    val dimDate = Warehouse.dateDim(orders, "o_orderdate")
+
+    // -- load facts (J4 SK resolution + J5 date-expression join, broadcast;
+    //    persisted once = the reference's parquet stage handoff) -----------
+    val factOrders = valid
+      .join(broadcast(dimCustomer), valid("o_custkey") === dimCustomer("c_custkey"))
+      .join(broadcast(dimDate),
+        valid("o_orderdate").cast(DateType) === dimDate("full_date"), "left")
+      .select(col("o_orderkey"), col("customer_key"), col("date_key"),
+        dec2(col("o_totalprice")).as("total_amount"))
+      .persist()
+    val factDaily = factOrders.groupBy("date_key")
+      .agg(moneySum(col("total_amount")).as("rev"))
+
+    // -- quality + audit (Q8/S11): scalar aggregates → one summary row ----
+    val eAgg = src.agg(count(lit(1)).as("records_extracted"))
+    val lAgg = valid.agg(count(lit(1)).as("records_loaded"))
+    val dcAgg = dimCustomer.agg(count(lit(1)).as("dim_customer_rows"))
+    val ddAgg = dimDate.agg(count(lit(1)).as("dim_date_rows"))
+    val foAgg = factOrders.agg(count(lit(1)).as("fact_rows"),
+      moneySumD(col("total_amount")).as("total_revenue"))
+    val fdAgg = factDaily.agg(count(lit(1)).as("fact_daily_rows"))
+    eAgg.crossJoin(lAgg).crossJoin(dcAgg).crossJoin(ddAgg).crossJoin(foAgg).crossJoin(fdAgg)
+      .select(
+        col("records_extracted"), col("records_loaded"),
+        (col("records_extracted") - col("records_loaded")).as("records_rejected"),
+        col("dim_customer_rows"), col("dim_date_rows"),
+        col("fact_rows"), col("fact_daily_rows"), col("total_revenue"),
+        when(col("records_extracted") - col("records_loaded") > 0, "SUCCESS_WITH_REJECTS")
+          .otherwise("SUCCESS").as("run_status"))
+  }
+
+  val all: Seq[QueryDef] = Seq(pipelineE2e)
+}

@@ -3,8 +3,9 @@ package graft.streaming
 import graft.{QueryDef, core}
 import graft.core._
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.Trigger
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, Trigger}
 import org.apache.spark.sql.types._
 
 /** Structured Streaming surface over the `events` table (SURVEY.md §2.10
@@ -124,5 +125,72 @@ object Streams {
       .orderBy("event_type")
   }
 
-  val all: Seq[QueryDef] = Seq(stHourlyWindows, stSessionWindows, stJsonProps)
+  // Typed records for st4 (public: Spark's codegen'd encoders must reach
+  // them). Timestamps travel as epoch micros and money as exact integer
+  // cents — primitive, associative, engine-parity-safe.
+  case class EvIn(user_id: Long, us: Long, cents: Long)
+  case class UserSt(n: Long, first_us: Long, last_us: Long, cents: Long)
+  case class UserOut(user_id: Long, n_events: Long, first_us: Long, last_us: Long, cents: Long)
+
+  /** st4 — CUSTOM-STATE streaming: per-user lifetime aggregates kept in a
+    * `GroupState` via `KeyValueGroupedDataset.mapGroupsWithState` — the
+    * stateful-API surface the built-in windowed aggregations can't express
+    * (arbitrary per-key state machines). `groupByKey` hash-shuffles events
+    * to their state partition once; the state store then holds one small
+    * record per user — at 100 TB of events the state is bounded by
+    * |users|, not |events|. The bounded `AvailableNow` run drains the
+    * table deterministically, so a plain GROUP BY is an exact oracle. */
+  val stStatefulUserAgg: QueryDef = QueryDef(
+    "st_stateful_user_agg",
+    Some("""
+      SELECT user_id,
+             count(*) AS n_events,
+             min(ts) AS first_ts,
+             max(ts) AS last_ts,
+             CAST(sum(CAST(value AS DECIMAL(18,2))) * 100 AS BIGINT) AS total_value_cents
+      FROM events
+      GROUP BY user_id
+      ORDER BY user_id
+    """)) { (spark, dir) =>
+    import spark.implicits._
+    val landing = s"/root/repo/target/graft-scratch/${dir.replaceAll("[^A-Za-z0-9.]", "_")}/events_state_landing"
+    events(spark, dir)
+      .withColumn("ts", col("ts").cast(TimestampType))
+      .write.mode("overwrite").parquet(landing)
+    val schema = spark.read.parquet(landing).schema
+    val sinkName = "graft_st_state_" + math.abs(dir.hashCode).toString
+    val q = spark.readStream.schema(schema).parquet(landing)
+      .select(col("user_id"),
+        unix_micros(col("ts")).as("us"),
+        (dec2(col("value")) * 100).cast(LongType).as("cents"))
+      .as[EvIn]
+      .groupByKey(_.user_id)
+      .mapGroupsWithState(GroupStateTimeout.NoTimeout) {
+        (uid: Long, evs: Iterator[EvIn], st: GroupState[UserSt]) =>
+          val prev = st.getOption.getOrElse(UserSt(0L, Long.MaxValue, Long.MinValue, 0L))
+          val next = evs.foldLeft(prev) { (s, e) =>
+            UserSt(s.n + 1, math.min(s.first_us, e.us), math.max(s.last_us, e.us),
+              s.cents + e.cents)
+          }
+          st.update(next)
+          UserOut(uid, next.n, next.first_us, next.last_us, next.cents)
+      }
+      .writeStream.format("memory").queryName(sinkName)
+      .outputMode("update").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    // AvailableNow may chunk the source into several micro-batches; the
+    // update-mode memory sink then holds one row per (user, batch) — keep
+    // each user's FINAL state (n_events is strictly increasing).
+    val latest = Window.partitionBy("user_id").orderBy(col("n_events").desc)
+    spark.table(sinkName)
+      .withColumn("__rn", row_number().over(latest)).filter(col("__rn") === 1)
+      .select(col("user_id"), col("n_events"),
+        timestamp_micros(col("first_us")).cast(TimestampNTZType).as("first_ts"),
+        timestamp_micros(col("last_us")).cast(TimestampNTZType).as("last_ts"),
+        col("cents").as("total_value_cents"))
+      .orderBy("user_id")
+  }
+
+  val all: Seq[QueryDef] = Seq(
+    stHourlyWindows, stSessionWindows, stJsonProps, stStatefulUserAgg)
 }
