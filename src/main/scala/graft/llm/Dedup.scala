@@ -90,18 +90,6 @@ object Dedup {
   private val numBands = 4
   private val rowsPerBand = 3
 
-  /** sig element i = lexicographic min over the doc's per-shingle digest
-    * rotations; `hs` must be the materialized md5-per-shingle array. */
-  private def minHash(hs: Column, i: Int): Column =
-    array_min(transform(hs, m => substring(concat(m, m), i * 2 + 1, 16)))
-
-  /** One band key per (doc, band): "b:md5(rows)" strings ready to explode. */
-  private def bandKeys(hs: Column): Column =
-    array((0 until numBands).map { b =>
-      val rows = (0 until rowsPerBand).map(r => minHash(hs, b * rowsPerBand + r))
-      concat(lit(s"$b:"), md5(concat(rows: _*)))
-    }: _*)
-
   private def bandKeysSql(hsCol: String): String = {
     def mh(i: Int): String =
       s"list_min(list_transform($hsCol, m -> substring(m || m, ${i * 2 + 1}, 16)))"
@@ -150,14 +138,28 @@ object Dedup {
       FROM verified WHERE jaccard >= 0.8
       ORDER BY a_id, b_id
     """)) { (spark, dir) =>
-    // persist = compute-once barrier: without it CollapseProject inlines the
-    // md5 pass into every downstream consumer (both self-join sides + both
-    // verification probes), re-running the digests 4×
+    // persist = compute-once barrier: both self-join sides and both
+    // verification probes reuse one materialization instead of re-running
+    // the shingle pass per consumer
     val base = withNearDups(spark, dir)
       .select(col("doc_id"), shingles3(split(col("text"), "\\s+")).as("shingles"))
-      .withColumn("hs", transform(col("shingles"), s => md5(s)))
       .persist()
-    val bands = base.select(col("doc_id"), explode(bandKeys(col("hs"))).as("band_key"))
+    // signature via explode + codegen'd min-aggregates: one md5 per
+    // (doc, shingle) row and 12 scalar substring mins, all inside
+    // WholeStageCodegen — equivalent to (but far faster than) interpreted
+    // array_min(transform(...)) folds. min over a string agg == list_min:
+    // both are byte-wise lexicographic. Empty-shingle docs vanish on
+    // explode, matching the oracle's null minhash (null band keys never
+    // join on either engine).
+    val dig = base.select(col("doc_id"), explode(col("shingles")).as("s"))
+      .select(col("doc_id"), md5(col("s")).as("m"))
+    val sigCols = (0 until numBands * rowsPerBand).map(i =>
+      min(substring(concat(col("m"), col("m")), i * 2 + 1, 16)).as(s"h$i"))
+    val sig = dig.groupBy("doc_id").agg(sigCols.head, sigCols.tail: _*)
+    val bands = sig.select(col("doc_id"), explode(array((0 until numBands).map { b =>
+      val rows = (0 until rowsPerBand).map(r => col(s"h${b * rowsPerBand + r}"))
+      concat(lit(s"$b:"), md5(concat(rows: _*)))
+    }: _*)).as("band_key"))
     val cands = bands.as("a")
       .join(bands.as("b"),
         col("a.band_key") === col("b.band_key") && col("a.doc_id") < col("b.doc_id"))
@@ -184,19 +186,6 @@ object Dedup {
   // blocks of 16 bits — Hamming ≤ 3 pairs must agree on ≥1 whole block, so
   // candidates come from a block-key bucket join, never all-pairs.
 
-  /** Per-salt ±1 votes for all 32 bit positions in ONE fold over the
-    * materialized digest array (vs one full aggregate pass — re-hashing
-    * every shingle — per bit): digests are computed once per (salt,
-    * shingle), then each fold step is 32 cheap substring compares. */
-  private def simhashVotes(h: Column): Column =
-    aggregate(h, array_repeat(lit(0), 32),
-      (acc, m) => zip_with(acc,
-        transform(sequence(lit(1), lit(32)),
-          p => when(m.substr(p, lit(1)) >= lit("8"), lit(1)).otherwise(lit(-1))),
-        (a, v) => a + v))
-
-  private def simhashBitString(votes: Column): Column =
-    array_join(transform(votes, v => when(v >= 0, "1").otherwise("0")), "")
 
   private def simhashBitsSql(shCol: String): String =
     (1 to 64).map { j =>
@@ -243,19 +232,26 @@ object Dedup {
       FROM verified WHERE hamming <= 3
       ORDER BY a_id, b_id
     """)) { (spark, dir) =>
-    // bit j∈[1,32] ← salt s1 position j; j∈[33,64] ← salt s2 position j-32,
-    // exactly the oracle's CASE-per-bit construction. persist = the salted
-    // digests are computed once, not once per self-join side.
-    val fp = withNearDups(spark, dir)
-      .select(col("doc_id"), shingles3(split(col("text"), "\\s+")).as("sh"))
-      // mirror of the oracle's len(sh) > 0: degenerate docs don't fingerprint
-      .filter(size(col("sh")) > 0)
+    // Fingerprint via explode + codegen'd sum-aggregates: bit j∈[1,32] ←
+    // salt s1 position j; j∈[33,64] ← salt s2 position j-32, exactly the
+    // oracle's CASE-per-bit construction — but computed as 64 scalar
+    // conditional sums over (doc, shingle) rows inside WholeStageCodegen,
+    // with the two salted digests hashed once per row. Empty-shingle docs
+    // (shorter than the 3-gram) vanish on explode, mirroring the oracle's
+    // len(sh) > 0 exclusion. persist = one materialization for both
+    // self-join sides.
+    val expl = withNearDups(spark, dir)
+      .select(col("doc_id"), explode(shingles3(split(col("text"), "\\s+"))).as("s"))
       .select(col("doc_id"),
-        transform(col("sh"), s => md5(concat(lit("s1|"), s))).as("h1"),
-        transform(col("sh"), s => md5(concat(lit("s2|"), s))).as("h2"))
+        md5(concat(lit("s1|"), col("s"))).as("m1"),
+        md5(concat(lit("s2|"), col("s"))).as("m2"))
+    val voteCols = (1 to 64).map { j =>
+      val (mc, pos) = if (j <= 32) ("m1", j) else ("m2", j - 32)
+      sum(when(substring(col(mc), pos, 1) >= "8", 1).otherwise(-1)).as(s"v$j")
+    }
+    val fp = expl.groupBy("doc_id").agg(voteCols.head, voteCols.tail: _*)
       .select(col("doc_id"),
-        concat(simhashBitString(simhashVotes(col("h1"))),
-          simhashBitString(simhashVotes(col("h2")))).as("bits"))
+        concat((1 to 64).map(j => when(col(s"v$j") >= 0, "1").otherwise("0")): _*).as("bits"))
       .persist()
     val blocks = fp.select(col("doc_id"), col("bits"),
       explode(array((0 until 4).map(b =>
