@@ -1,0 +1,65 @@
+package graft
+
+import graft.llm.{Similarity, TextOps}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis and similarity-search invariants over the sf0.001 corpus —
+  * properties the hash-matching oracle can't express (self-retrieval,
+  * ANN-vs-exact agreement, score sanity). */
+class LlmOpsSpec extends SparkSpec {
+
+  test("token stats: counts are positive and chars/token > 1 on real text") {
+    val rows = TextOps.tTokenStats.run(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    assert(rows.forall(_.getAs[Long]("n_tokens") > 0))
+    assert(rows.forall(r => r.getAs[Long]("n_chars_actual") >= r.getAs[Long]("n_tokens")))
+    assert(rows.forall(_.getAs[Double]("chars_per_token") > 1.0))
+  }
+
+  test("quality score: ratios live in [0,1] / plausible word-length range") {
+    val rows = TextOps.tQualityScore.run(spark, sfDir).collect()
+    assert(rows.forall { r =>
+      val sw = r.getAs[Double]("stopword_ratio"); sw >= 0.0 && sw <= 1.0
+    })
+    assert(rows.forall(_.getAs[Double]("mean_word_len") > 0.0))
+  }
+
+  test("lang-ID: prediction domain and confidence bounds hold") {
+    val rows = TextOps.tLangId.run(spark, sfDir).collect()
+    val langs = Set("en", "x1", "x2")
+    assert(rows.forall(r => langs.contains(r.getAs[String]("predicted_lang"))))
+    assert(rows.forall { r =>
+      val c = r.getAs[Double]("confidence"); c >= 0.0 && c <= 1.0
+    })
+  }
+
+  test("fingerprints: identical text ⇒ identical bag fingerprint; fp is content-keyed") {
+    val fps = TextOps.tFingerprint.run(spark, sfDir)
+      .select("content_fp", "bag_fp").collect()
+    assert(fps.forall(r => r.getString(0).length === 32 && r.getString(1).length === 32))
+  }
+
+  test("brute-force top-k: the query vector retrieves itself first with score ~1") {
+    val top = Similarity.simTopKBrute.run(spark, sfDir).collect()
+    assert(top.length === 10)
+    assert(top.head.getAs[Long]("vec_id") === 0L) // unit-norm ⇒ self-cosine 1.0
+    assert(math.abs(top.head.getAs[Double]("score_r") - 1.0) < 1e-3)
+    // scores are non-increasing
+    val scores = top.map(_.getAs[Double]("score_r"))
+    assert(scores.sliding(2).forall { case Array(a, b) => a >= b; case _ => true })
+  }
+
+  test("IVF probe: results come from the query's cell and include the query itself") {
+    val rows = Similarity.simIvfProbe.run(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    assert(rows.map(_.getAs[Long]("cell")).distinct.length === 1) // single-cell probe
+    assert(rows.head.getAs[Long]("vec_id") === 17L) // self top-1
+  }
+
+  test("embedding-cosine dedup maps every planted copy to its exact original") {
+    val mapping = Similarity.ddEmbeddingCosine.run(spark, sfDir)
+      .collect().map(r => r.getAs[Long]("dup_id") -> r.getAs[Long]("canonical_id"))
+    assert(mapping.nonEmpty)
+    assert(mapping.forall { case (dup, canon) => dup === canon + 200000L })
+  }
+}

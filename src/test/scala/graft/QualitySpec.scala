@@ -1,0 +1,63 @@
+package graft
+
+import graft.quality.Quality
+import org.apache.spark.sql.functions._
+
+/** Quality-suite tests over the sf0.001 tables: each check must both
+  * compute the right counters and reach the right verdict on the seeded
+  * defects its gate query injects (reference `data_quality_check.py` and
+  * the dbt custom tests). */
+class QualitySpec extends SparkSpec {
+
+  test("Q4 flags injected null surrogate keys but confirms non-empty facts") {
+    val row = Quality.q4NonEmptyNullSk.run(spark, sfDir).head()
+    assert(row.getAs[Boolean]("fact_nonempty"))
+    assert(row.getAs[Long]("null_sk_rows") > 0) // o_orderkey % 41 nulls injected
+    assert(!row.getAs[Boolean]("sk_check_passed"))
+    assert(row.getAs[Long]("fact_rows") > row.getAs[Long]("null_sk_rows"))
+  }
+
+  test("Q5 unique/not_null verdicts: clean keys pass, duplicate-keyed lineitem fails unique") {
+    val rows = Quality.q5UniqueNotNull.run(spark, sfDir).collect()
+      .map(r => r.getAs[String]("table_name") ->
+        (r.getAs[Boolean]("not_null_passed"), r.getAs[Boolean]("unique_passed"))).toMap
+    assert(rows("orders") === ((true, true)))
+    assert(rows("customer") === ((true, true)))
+    // base lineitem carries duplicate (l_orderkey, l_linenumber) keys by
+    // construction (see FIXTURES.md) — the composite unique test must catch it
+    assert(rows("lineitem")._1 === true)
+    assert(rows("lineitem")._2 === false)
+  }
+
+  test("Q6 negative-amount test fails on injected negatives with an exact count") {
+    val row = Quality.q6NoNegativeAmounts.run(spark, sfDir).head()
+    assert(row.getAs[Long]("negative_rows") > 0)
+    assert(!row.getAs[Boolean]("test_passed"))
+  }
+
+  test("Q7 date-key validity fails on injected nulls") {
+    val row = Quality.q7DateKeyValidity.run(spark, sfDir).head()
+    assert(row.getAs[Long]("invalid_rows") > 0)
+    assert(!row.getAs[Boolean]("test_passed"))
+  }
+
+  test("S11 audit row accounts extracted = loaded + rejected with the right status") {
+    val row = Quality.s11AuditLog.run(spark, sfDir).head()
+    val (e, l, r) = (row.getAs[Long]("records_extracted"),
+      row.getAs[Long]("records_loaded"), row.getAs[Long]("records_rejected"))
+    assert(e === l + r)
+    assert(r > 0) // orphans injected at o_orderkey % 11
+    assert(row.getAs[String]("run_status") === "SUCCESS_WITH_REJECTS")
+  }
+
+  test("pipeline_e2e summary is internally consistent end-to-end") {
+    val row = pipeline.Pipeline.pipelineE2e.run(spark, sfDir).head()
+    val e = row.getAs[Long]("records_extracted")
+    val l = row.getAs[Long]("records_loaded")
+    assert(e === l + row.getAs[Long]("records_rejected"))
+    assert(row.getAs[Long]("fact_rows") === l) // SK inner join keeps every valid order
+    assert(row.getAs[Long]("fact_daily_rows") <= row.getAs[Long]("dim_date_rows"))
+    assert(row.getAs[Double]("total_revenue") > 0.0)
+    assert(row.getAs[String]("run_status") === "SUCCESS_WITH_REJECTS")
+  }
+}

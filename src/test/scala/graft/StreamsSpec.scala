@@ -1,0 +1,57 @@
+package graft
+
+import graft.streaming.Streams
+import org.apache.spark.sql.functions._
+
+/** Streaming-surface tests: the bounded AvailableNow runs must agree with
+  * their batch equivalents computed in the same session — an in-process
+  * replica of what the DuckDB oracle checks, plus stateful-operator
+  * invariants the oracle can't see (state bounded by keys). */
+class StreamsSpec extends SparkSpec {
+
+  test("st1 streaming hourly windows equal the batch groupBy on the same data") {
+    val streamed = Streams.stHourlyWindows.run(spark, sfDir)
+    val batch = core.events(spark, sfDir)
+      // date_trunc implicitly casts NTZ→TIMESTAMP; cast back so the rows
+      // compare type-identically with the streamed NTZ output
+      .groupBy(date_trunc("hour", col("ts"))
+        .cast(org.apache.spark.sql.types.TimestampNTZType).as("window_start"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"))
+      .orderBy("window_start", "event_type")
+    assert(streamed.count() === batch.count())
+    val s = streamed.select("window_start", "event_type", "n_events").collect()
+    val b = batch.collect()
+    s.zip(b).zipWithIndex.foreach { case ((sr, br), i) =>
+      assert(sr === br, s"row $i differs: streamed=$sr batch=$br")
+    }
+  }
+
+  test("st4 stateful per-user aggregates equal the batch groupBy") {
+    val stateful = Streams.stStatefulUserAgg.run(spark, sfDir)
+    val batch = core.events(spark, sfDir).groupBy("user_id")
+      .agg(count(lit(1)).as("n_events"), min("ts").as("first_ts"), max("ts").as("last_ts"))
+      .orderBy("user_id")
+    assert(stateful.count() === batch.count()) // one state row per user, drained once
+    val s = stateful.select("user_id", "n_events", "first_ts", "last_ts").collect()
+    val b = batch.collect()
+    assert(s.sameElements(b))
+  }
+
+  test("st2 session windows: every session spans >= 1 event and sessions don't overlap per user") {
+    val sessions = Streams.stSessionWindows.run(spark, sfDir).collect()
+    assert(sessions.nonEmpty)
+    assert(sessions.forall(_.getAs[Long]("n_events") >= 1))
+    sessions.groupBy(_.getAs[Long]("user_id")).foreach { case (_, rows) =>
+      // session bounds are TIMESTAMP_NTZ → java.time.LocalDateTime
+      val sorted = rows.sortBy(_.getAs[java.time.LocalDateTime]("session_start"))(
+        Ordering.fromLessThan(_ isBefore _))
+      sorted.sliding(2).foreach {
+        case Array(a, b) =>
+          assert(!b.getAs[java.time.LocalDateTime]("session_start")
+            .isBefore(a.getAs[java.time.LocalDateTime]("session_end")),
+            s"overlapping sessions for user ${a.getAs[Long]("user_id")}")
+        case _ =>
+      }
+    }
+  }
+}
