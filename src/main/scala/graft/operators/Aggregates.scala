@@ -180,7 +180,38 @@ object Aggregates {
           .as("sketch_within_bound"))
   }
 
+  /** Salted two-phase aggregation for skewed keys (beyond parity; builder
+    * brief "salting for skew"). `l_returnflag` has only 3 values, so a
+    * direct groupBy funnels a third of a 100 TB fact table into 3 reducers.
+    * Phase 1 groups on (key, salt=pmod(orderkey,16)) — each hot key spreads
+    * over 16 buckets across executors — and phase 2 combines the 16 small
+    * partials. Exact-decimal sums are associative, so the result is
+    * bit-identical to the direct aggregation, which IS the oracle. (AQE's
+    * skew handling covers joins; aggregation salting like this is the
+    * manual pattern for pathological group-by keys.) */
+  val aSaltedSkewAgg: QueryDef = QueryDef(
+    "a_salted_skew_agg",
+    Some("""
+      SELECT l_returnflag,
+             CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
+             count(*) AS n_lines
+      FROM lineitem
+      GROUP BY l_returnflag
+      ORDER BY l_returnflag
+    """)) { (spark, dir) =>
+    val partials = tbl(spark, dir, "lineitem")
+      .withColumn("__salt", pmod(col("l_orderkey"), lit(16)))
+      .groupBy(col("l_returnflag"), col("__salt"))
+      .agg(sum(dec2(col("l_extendedprice"))).as("rev_part"),
+        count(lit(1)).as("cnt_part"))
+    partials
+      .groupBy("l_returnflag")
+      .agg(sum(col("rev_part")).cast(DecimalType(38, 2)).cast(DoubleType).as("revenue"),
+        sum(col("cnt_part")).as("n_lines"))
+      .orderBy("l_returnflag")
+  }
+
   val all: Seq[QueryDef] = Seq(
     a1ProductRollup, a2DailySalesRollup, a7CountDistinct, a10DupAudit,
-    a11NullRate, aRollupSets, aApproxDistinct)
+    a11NullRate, aRollupSets, aApproxDistinct, aSaltedSkewAgg)
 }
