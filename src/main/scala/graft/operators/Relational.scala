@@ -148,6 +148,39 @@ object Relational {
       SELECT o_orderkey + 10000000, o_custkey + 10000000, o_totalprice
       FROM orders WHERE o_orderkey % 11 = 0"""
 
+  /** Bucketed co-located join (beyond parity; builder brief "bucketing for
+    * co-located joins"): both sides are written `bucketBy` the join key into
+    * catalog tables, so the join reads co-located buckets and the fact side
+    * never shuffles at join time — the storage layout that makes repeated
+    * large-fact⋈large-dim joins affordable at 100 TB (pay the bucketing
+    * shuffle once at write, never per query). The oracle is the plain join,
+    * proving layout changes nothing semantically. Table names are keyed by
+    * the input dir so sf0.01/sf0.1 runs coexist in one catalog. */
+  val jBucketedColocated: QueryDef = QueryDef(
+    "j_bucketed_colocated",
+    Some("""
+      SELECT c_mktsegment,
+             count(*) AS n_orders,
+             CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+      FROM orders JOIN customer ON o_custkey = c_custkey
+      GROUP BY c_mktsegment
+      ORDER BY c_mktsegment
+    """)) { (spark, dir) =>
+    val tag = math.abs(dir.hashCode).toString
+    val (ot, ct) = (s"graft_bkt_orders_$tag", s"graft_bkt_customer_$tag")
+    spark.sql(s"DROP TABLE IF EXISTS $ot")
+    spark.sql(s"DROP TABLE IF EXISTS $ct")
+    tbl(spark, dir, "orders").select("o_custkey", "o_totalprice")
+      .write.bucketBy(8, "o_custkey").sortBy("o_custkey").format("parquet").saveAsTable(ot)
+    tbl(spark, dir, "customer").select("c_custkey", "c_mktsegment")
+      .write.bucketBy(8, "c_custkey").sortBy("c_custkey").format("parquet").saveAsTable(ct)
+    spark.table(ot)
+      .join(spark.table(ct), col("o_custkey") === col("c_custkey"))
+      .groupBy("c_mktsegment")
+      .agg(count(lit(1)).as("n_orders"), moneySumD(col("o_totalprice")).as("revenue"))
+      .orderBy("c_mktsegment")
+  }
+
   /** D4/J6 — referential-integrity filter as a left-semi join (reference
     * `transformers/data_transformer.py:179–219`). The dimension side is
     * broadcast, so the fact side never shuffles. */
@@ -297,5 +330,5 @@ object Relational {
     s1ScanProject, s2IncrementalScan, s6StringWatermark, pPredicates,
     d1DedupKeepFirst, d4IntegritySemiJoin, d5RejectAccounting,
     j1StarJoin, j4LeftSkResolution, j7AntiOrphans, j8CorrelatedSubquery,
-    o4SetOps)
+    jBucketedColocated, o4SetOps)
 }

@@ -1,0 +1,46 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+
+/** Physical-plan invariants — the at-scale design claims (README "Designed
+  * for 100 TB") asserted as tests, not prose: predicate pushdown reaches the
+  * parquet scan, dimension joins broadcast, and bucketed tables join without
+  * re-shuffling either side. */
+class PlanSpec extends SparkSpec {
+
+  /** Execute (so AQE finalizes) and render the physical plan. */
+  private def finalPlan(df: DataFrame): String = {
+    df.collect()
+    df.queryExecution.executedPlan.toString
+  }
+
+  test("incremental scan pushes its watermark predicate into the parquet scan") {
+    val df = operators.Relational.s2IncrementalScan.run(spark, sfDir)
+    val plan = finalPlan(df)
+    assert(plan.contains("PushedFilters:"), "no pushdown section in scan")
+    assert(plan.contains("GreaterThan(o_orderdate"),
+      s"watermark predicate not pushed:\n${plan.take(800)}")
+  }
+
+  test("q2's customer dimension joins as broadcast — the fact side never sort-merges") {
+    val plan = finalPlan(analytics.Analytics.q2CustomerSegmentation.run(spark, sfDir))
+    assert(plan.contains("BroadcastHashJoin"))
+    assert(!plan.contains("SortMergeJoin"),
+      "fact⋈dim degenerated to a sort-merge shuffle join")
+  }
+
+  test("bucketed co-located join runs without exchanging either join side") {
+    val threshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1") // force SMJ path
+    try {
+      val plan = finalPlan(operators.Relational.jBucketedColocated.run(spark, sfDir))
+      assert(plan.contains("SortMergeJoin"))
+      // bucket layout satisfies the join's distribution: the only exchanges
+      // allowed are the post-join groupBy/orderBy, never on the join keys
+      assert(!plan.contains("hashpartitioning(o_custkey"),
+        "orders side re-shuffled despite bucketing")
+      assert(!plan.contains("hashpartitioning(c_custkey"),
+        "customer side re-shuffled despite bucketing")
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", threshold)
+  }
+}
