@@ -170,6 +170,11 @@ object Relational {
     val (ot, ct) = (s"graft_bkt_orders_$tag", s"graft_bkt_customer_$tag")
     spark.sql(s"DROP TABLE IF EXISTS $ot")
     spark.sql(s"DROP TABLE IF EXISTS $ct")
+    // the catalog is per-session but warehouse dirs persist on disk: clear
+    // stale locations from previous runs or saveAsTable refuses to create
+    val wh = new org.apache.hadoop.fs.Path(spark.conf.get("spark.sql.warehouse.dir"))
+    val fs = wh.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    Seq(ot, ct).foreach(t => fs.delete(new org.apache.hadoop.fs.Path(wh, t), true))
     tbl(spark, dir, "orders").select("o_custkey", "o_totalprice")
       .write.bucketBy(8, "o_custkey").sortBy("o_custkey").format("parquet").saveAsTable(ot)
     tbl(spark, dir, "customer").select("c_custkey", "c_mktsegment")

@@ -67,5 +67,36 @@ object Ingest {
       .orderBy("o_orderstatus")
   }
 
-  val all: Seq[QueryDef] = Seq(s5DocIngest, s7ParquetRoundtrip)
+  /** Partition-pruned scan (beyond parity; builder brief "partition
+    * pruning"): the fact table is written date-partitioned (`partitionBy`
+    * year — at 100 TB this is the physical layout every fact table needs),
+    * then a year-filtered read touches ONLY that partition's files: the
+    * filter resolves at the driver from directory names (`PartitionFilters`
+    * in the plan, asserted by PlanSpec), so a 1-year query over a 7-year
+    * table reads ~1/7 of the bytes. The oracle replays the same predicate
+    * over the unpartitioned table, proving layout neutrality. */
+  val sPartitionPruning: QueryDef = QueryDef(
+    "s_partition_pruning",
+    Some("""
+      SELECT o_orderstatus,
+             count(*) AS n_orders,
+             CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+      FROM orders
+      WHERE year(o_orderdate) = 1995
+      GROUP BY o_orderstatus
+      ORDER BY o_orderstatus
+    """)) { (spark, dir) =>
+    val partDir = scratch(dir, "s_fact_by_year")
+    tbl(spark, dir, "orders")
+      .select(col("o_orderstatus"), col("o_totalprice"), col("o_orderdate"),
+        year(col("o_orderdate")).as("o_year"))
+      .write.mode("overwrite").partitionBy("o_year").parquet(partDir)
+    spark.read.parquet(partDir)
+      .filter(col("o_year") === 1995)
+      .groupBy("o_orderstatus")
+      .agg(count(lit(1)).as("n_orders"), moneySumD(col("o_totalprice")).as("revenue"))
+      .orderBy("o_orderstatus")
+  }
+
+  val all: Seq[QueryDef] = Seq(s5DocIngest, s7ParquetRoundtrip, sPartitionPruning)
 }

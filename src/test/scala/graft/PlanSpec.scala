@@ -29,6 +29,13 @@ class PlanSpec extends SparkSpec {
       "fact⋈dim degenerated to a sort-merge shuffle join")
   }
 
+  test("date-partitioned fact scan prunes to the filtered partition") {
+    val plan = finalPlan(sources.Ingest.sPartitionPruning.run(spark, sfDir))
+    assert(plan.contains("PartitionFilters:"), "no partition-filter section")
+    assert(plan.contains("(o_year"),
+      s"year filter did not become a partition filter:\n${plan.take(800)}")
+  }
+
   test("bucketed co-located join runs without exchanging either join side") {
     val threshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1") // force SMJ path
