@@ -17,6 +17,11 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // absorb JVM/codegen/parquet-footer warmup so the first timed query
+    // isn't charged for it: one tiny scan+agg through the whole stack
+    try spark.read.parquet(s"$sfDir/region.parquet").groupBy("r_name").count()
+      .write.format("noop").mode("overwrite").save()
+    catch { case _: Throwable => () }
     val timings = scala.collection.mutable.LinkedHashMap[String, Double]()
     val errors = scala.collection.mutable.LinkedHashMap[String, String]()
     // local-iteration aid: SPARK_GRAFT_ONLY=regex limits the run to matching
@@ -25,6 +30,9 @@ object Bench {
     SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (n, _) => only.forall(_.findFirstIn(n).isDefined) }
       .foreach { case (name, fn) =>
+      // queries persist intermediates; drop them so each measurement is
+      // independent of what earlier queries left in the cache pool
+      spark.catalog.clearCache()
       val t0 = System.nanoTime()
       try {
         fn(spark, sfDir).write.format("noop").mode("overwrite").save()
