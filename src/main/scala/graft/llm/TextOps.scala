@@ -174,6 +174,54 @@ object TextOps {
       .orderBy("doc_id")
   }
 
+  /** Decoded-media feature record (public: Spark's encoders must reach it). */
+  case class MediaFeat(doc_id: Long, width: Int, height: Int, n_frames: Int,
+      intensity_sum: Long, decoder: String)
+
+  /** t6 — multimodal DECODE stage: the media decoder pattern — opaque
+    * binary payload → per-item features — run through `mapPartitions` over
+    * a typed Dataset, the shape a real image/audio decoder needs (library
+    * handle initialized once per partition, items decoded in a batch loop,
+    * fixed output schema). The codec libraries aren't in this container, so
+    * the decode itself is a clearly-marked DETERMINISTIC STUB (dimensions
+    * from length arithmetic, intensity = exact byte sum); the Spark-side
+    * plumbing — binary column in, typed partition-parallel map, schema out —
+    * is real, and the oracle replays the stub arithmetic (corpus is ASCII,
+    * so byte values == code points). This is the one `mapPartitions` in the
+    * codebase, used exactly where the brief allows it: genuinely imperative
+    * per-partition logic. */
+  val tMultimodalDecode: QueryDef = QueryDef(
+    "t_multimodal_decode",
+    Some("""
+      SELECT doc_id,
+             CAST(n_chars % 640 AS INTEGER) AS width,
+             CAST((n_chars * 7) % 480 AS INTEGER) AS height,
+             CAST(octet_length(encode(text)) % 30 AS INTEGER) AS n_frames,
+             CAST(list_sum(list_transform(range(1, length(text) + 1),
+                  i -> unicode(substring(text, i, 1)))) AS BIGINT) AS intensity_sum,
+             'stub-v1' AS decoder
+      FROM documents
+      ORDER BY doc_id
+    """)) { (spark, dir) =>
+    import spark.implicits._
+    val payloads = tbl(spark, dir, "documents")
+      .select(col("doc_id"), col("n_chars").cast(LongType).as("n_chars"),
+        encode(col("text"), "UTF-8").as("payload"))
+      .as[(Long, Long, Array[Byte])]
+    payloads.mapPartitions { items =>
+      // a real decoder would open its codec context HERE, once per partition
+      items.map { case (id, nChars, bytes) =>
+        // STUB decode: deterministic features standing in for image decode
+        var sum = 0L
+        var i = 0
+        while (i < bytes.length) { sum += (bytes(i) & 0xff); i += 1 }
+        MediaFeat(id, (nChars % 640).toInt, ((nChars * 7) % 480).toInt,
+          bytes.length % 30, sum, "stub-v1")
+      }
+    }.toDF().orderBy("doc_id")
+  }
+
   val all: Seq[QueryDef] = Seq(
-    tTokenStats, tQualityScore, tLangId, tFingerprint, tMultimodalMeta)
+    tTokenStats, tQualityScore, tLangId, tFingerprint, tMultimodalMeta,
+    tMultimodalDecode)
 }
