@@ -140,8 +140,11 @@ object Dedup {
     """)) { (spark, dir) =>
     // persist = compute-once barrier: both self-join sides and both
     // verification probes reuse one materialization instead of re-running
-    // the shingle pass per consumer
+    // the shingle pass per consumer. repartition first: documents.parquet
+    // is one small file → one input partition, which would serialize the
+    // whole shingle pass onto a single core.
     val base = withNearDups(spark, dir)
+      .repartition(spark.sessionState.conf.numShufflePartitions)
       .select(col("doc_id"), shingles3(split(col("text"), "\\s+")).as("shingles"))
       .persist()
     // signature via explode + codegen'd min-aggregates: one md5 per
@@ -241,6 +244,8 @@ object Dedup {
     // len(sh) > 0 exclusion. persist = one materialization for both
     // self-join sides.
     val expl = withNearDups(spark, dir)
+      // single-file source → spread the shingle+digest map work across cores
+      .repartition(spark.sessionState.conf.numShufflePartitions)
       .select(col("doc_id"), explode(shingles3(split(col("text"), "\\s+"))).as("s"))
       .select(col("doc_id"),
         md5(concat(lit("s1|"), col("s"))).as("m1"),
@@ -297,7 +302,10 @@ object Dedup {
       ORDER BY a_id, b_id
     """)) { (spark, dir) =>
     val t = split(col("text"), "\\s+")
-    val feat = withNearDups(spark, dir).select(
+    // single-file source → spread the bigram construction across cores
+    val feat = withNearDups(spark, dir)
+      .repartition(spark.sessionState.conf.numShufflePartitions)
+      .select(
       col("doc_id"),
       // slice tolerates <2 tokens (vs element_at(t,2), which throws under ANSI)
       concat_ws(" ", slice(t, 1, 2)).as("block_key"),
