@@ -18,6 +18,13 @@ import org.apache.spark.sql.types._
   */
 object Similarity {
 
+  /** embeddings.parquet is one small file → one input partition, which
+    * would serialize every interpreted dot-product pass onto a single core;
+    * spread the rows across the session's parallelism first. */
+  private def emb(spark: SparkSession, dir: String): DataFrame =
+    tbl(spark, dir, "embeddings")
+      .repartition(spark.sessionState.conf.numShufflePartitions)
+
   /** Sequential-fold dot product of two float arrays, in double. */
   private def dot(a: Column, b: Column): Column =
     aggregate(
@@ -45,9 +52,9 @@ object Similarity {
       ORDER BY score DESC, vec_id
       LIMIT 10
     """)) { (spark, dir) =>
-    val emb = tbl(spark, dir, "embeddings")
-    val q = emb.filter(col("vec_id") === 0).select(col("embedding").as("qv"))
-    emb.crossJoin(broadcast(q))
+    val embAll = emb(spark, dir)
+    val q = embAll.filter(col("vec_id") === 0).select(col("embedding").as("qv"))
+    embAll.crossJoin(broadcast(q))
       .select(col("vec_id"), col("label"), dot(col("embedding"), col("qv")).as("score"))
       .orderBy(col("score").desc, col("vec_id"))
       .limit(10)
@@ -75,7 +82,7 @@ object Similarity {
   /** Embeddings with planted duplicate vectors (vec_id % 4 == 0 copied to
     * vec_id + 100000) — the known-answer fixture for the LSH path. */
   private def withDupVectors(spark: SparkSession, dir: String): DataFrame = {
-    val e = tbl(spark, dir, "embeddings").select("vec_id", "embedding")
+    val e = emb(spark, dir).select("vec_id", "embedding")
     e.unionAll(e.filter(col("vec_id") % 4 === 0)
       .select((col("vec_id") + 100000L).as("vec_id"), col("embedding")))
   }
@@ -131,17 +138,17 @@ object Similarity {
       ORDER BY ${dotSql("a.embedding", "q.qv")} DESC, a.vec_id
       LIMIT 5
     """)) { (spark, dir) =>
-    val emb = tbl(spark, dir, "embeddings")
+    val embAll = emb(spark, dir)
     // centroid set folded into ONE broadcast row of struct(cent_id, cv):
     // assignment is then a map-side higher-order argmax per vector — no
     // shuffle ever carries an embedding, which is the whole point of IVF.
-    val centArr = emb.filter(col("vec_id") < 8)
+    val centArr = embAll.filter(col("vec_id") < 8)
       .agg(collect_list(struct(col("vec_id").as("cent_id"), col("embedding").as("cv")))
         .as("cents"))
     val best = array_max(transform(col("cents"), c => struct(
       (dot(col("embedding"), c("cv")) - lit(1e-12) * c("cent_id")).as("score"),
       c("cent_id").as("cent_id"))))
-    val assigned = emb.crossJoin(broadcast(centArr))
+    val assigned = embAll.crossJoin(broadcast(centArr))
       .select(col("vec_id"), col("label"), col("embedding"), best("cent_id").as("cell"))
     val q = assigned.filter(col("vec_id") === 17)
       .select(col("embedding").as("qv"), col("cell").as("qcell"))
@@ -169,7 +176,7 @@ object Similarity {
       WHERE vec_id % 3 = 0
       ORDER BY dup_id
     """)) { (spark, dir) =>
-    val e = tbl(spark, dir, "embeddings").select("vec_id", "embedding")
+    val e = emb(spark, dir).select("vec_id", "embedding")
     val src = e.unionAll(e.filter(col("vec_id") % 3 === 0)
       .select((col("vec_id") + 200000L).as("vec_id"), col("embedding")))
     val sig = srpSignatures(src)
