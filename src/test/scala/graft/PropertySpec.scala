@@ -55,4 +55,28 @@ class PropertySpec extends SparkSpec {
         .select(Cleaning.validateDomain(col("t"), valid, "A").as("t"))
         .as[String].collect().forall(valid.contains)
     })
+
+  check("surrogate keys are dense, key-ordered, and input-permutation-invariant")(
+    Prop.forAll(Gen.nonEmptyListOf(Gen.chooseNum(0, 10000)).map(_.distinct)) { keys =>
+      val fromShuffled = graft.model.Warehouse
+        .withSurrogateKey(scala.util.Random.shuffle(keys).toDF("bk"), "bk", "sk", 4)
+        .select("sk", "bk").as[(Long, Int)].collect().sortBy(_._1)
+      fromShuffled.map(_._1).toSeq == (1L to keys.size.toLong) &&
+        fromShuffled.map(_._2).toSeq == keys.sorted.toSeq
+    })
+
+  check("upsert is idempotent and append-if-absent never changes existing rows")(
+    Prop.forAll(
+      Gen.nonEmptyListOf(Gen.zip(Gen.chooseNum(0, 20), Gen.alphaStr.map("e" + _.take(3)))),
+      Gen.nonEmptyListOf(Gen.zip(Gen.chooseNum(0, 20), Gen.alphaStr.map("i" + _.take(3))))
+    ) { (eRows, iRows) =>
+      val e = eRows.distinctBy(_._1).toDF("k", "v")
+      val i = iRows.distinctBy(_._1).toDF("k", "v")
+      val up1 = graft.model.Warehouse.upsert(e, i, Seq("k")).collect().toSet
+      val up2 = graft.model.Warehouse
+        .upsert(graft.model.Warehouse.upsert(e, i, Seq("k")), i, Seq("k")).collect().toSet
+      val app = graft.model.Warehouse.appendIfAbsent(e, i, Seq("k"))
+      up1 == up2 &&
+        app.join(e, Seq("k"), "left_semi").collect().toSet == e.collect().toSet
+    })
 }
