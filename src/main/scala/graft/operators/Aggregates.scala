@@ -211,7 +211,62 @@ object Aggregates {
       .orderBy("l_returnflag")
   }
 
+  /** Percentile sketch (beyond parity, same contract pattern as
+    * [[aApproxDistinct]]): `percentile_approx` (KLL-style) next to Spark's
+    * exact percentile. The sketch internals differ per engine, so the
+    * oracle checks the contract — the estimate lands within 1% of exact
+    * (accuracy 10000 ⇒ rank error ~1e-4; a red row means the sketch broke,
+    * not bad luck). At 100 TB the sketch is mergeable map-side state; the
+    * exact percentile (a full sort) exists here only as the in-engine
+    * yardstick. */
+  val aApproxPercentile: QueryDef = QueryDef(
+    "a_approx_percentile",
+    Some("""
+      SELECT count(*) AS n_rows,
+             true AS p50_within_bound,
+             true AS p95_within_bound
+      FROM lineitem
+    """)) { (spark, dir) =>
+    tbl(spark, dir, "lineitem")
+      .agg(
+        count(lit(1)).as("n_rows"),
+        percentile_approx(col("l_extendedprice"), lit(0.5), lit(10000)).as("ap50"),
+        percentile_approx(col("l_extendedprice"), lit(0.95), lit(10000)).as("ap95"),
+        expr("percentile(l_extendedprice, 0.5)").as("ep50"),
+        expr("percentile(l_extendedprice, 0.95)").as("ep95"))
+      .select(col("n_rows"),
+        (abs(col("ap50") - col("ep50")) / col("ep50") <= 0.01).as("p50_within_bound"),
+        (abs(col("ap95") - col("ep95")) / col("ep95") <= 0.01).as("p95_within_bound"))
+  }
+
+  /** Batch-mode `window()` time bucketing (beyond parity): 6-hour tumbling
+    * buckets over event time via the same `window` function the streaming
+    * jobs use, but on a plain batch frame — the API users reach for first
+    * when rolling up event tables. Oracle replays the bucket arithmetic
+    * from the epoch (window origin is 1970-01-01 UTC on both engines). */
+  val aTimeWindowBatch: QueryDef = QueryDef(
+    "a_time_window_batch",
+    Some("""
+      SELECT TIMESTAMP '1970-01-01 00:00:00'
+               + to_seconds(CAST(floor(epoch(ts) / 21600) * 21600 AS BIGINT)) AS bucket_start,
+             event_type,
+             count(*) AS n_events,
+             CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+      FROM events
+      GROUP BY 1, 2
+      ORDER BY bucket_start, event_type
+    """)) { (spark, dir) =>
+    core.events(spark, dir)
+      .withColumn("tsz", col("ts").cast(TimestampType))
+      .groupBy(window(col("tsz"), "6 hours").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"), moneySumD(col("value")).as("total_value"))
+      .select(col("w.start").cast(TimestampNTZType).as("bucket_start"),
+        col("event_type"), col("n_events"), col("total_value"))
+      .orderBy("bucket_start", "event_type")
+  }
+
   val all: Seq[QueryDef] = Seq(
     a1ProductRollup, a2DailySalesRollup, a7CountDistinct, a10DupAudit,
-    a11NullRate, aRollupSets, aApproxDistinct, aSaltedSkewAgg)
+    a11NullRate, aRollupSets, aApproxDistinct, aSaltedSkewAgg,
+    aApproxPercentile, aTimeWindowBatch)
 }
