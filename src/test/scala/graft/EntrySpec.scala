@@ -17,10 +17,19 @@ class EntrySpec extends SparkSpec {
     assert(q.size === SparkEntry.defs.size) // no name collisions collapsed the map
   }
 
-  test("every registered query evaluates on sf0.001 without error") {
+  test("every registered query evaluates on sf0.001 and matches its golden fingerprint") {
+    val golden = Golden.load()
     val failures = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
-      try { fn(spark, sfDir).write.format("noop").mode("overwrite").save(); None }
-      catch { case e: Throwable => Some(s"$name: ${e.getMessage}") }
+      try {
+        val (rows, fp) = Golden.fingerprint(fn(spark, sfDir))
+        golden.get(name) match {
+          case Some((gRows, gFp)) if gRows != rows || gFp != fp =>
+            Some(s"$name: drifted (rows $gRows->$rows, fp $gFp->$fp)")
+          case None if golden.nonEmpty =>
+            Some(s"$name: no golden entry — run `sbt \"Test/runMain graft.GoldenGen\"`")
+          case _ => None
+        }
+      } catch { case e: Throwable => Some(s"$name: ${e.getMessage}") }
     }
     assert(failures.isEmpty, s"${failures.size} queries failed:\n${failures.mkString("\n")}")
   }
