@@ -29,6 +29,21 @@ object core {
   def tbl(spark: SparkSession, dir: String, name: String): DataFrame =
     spark.read.parquet(s"$dir/$name.parquet")
 
+  /** Collision-free tag for an input dir, usable in SQL identifiers and
+    * paths: the sanitized dir itself (not its hashCode — 32-bit hashes can
+    * collide across dirs, and `math.abs(Int.MinValue)` is negative). */
+  def dirTag(dir: String): String = dir.replaceAll("[^A-Za-z0-9]", "_")
+
+  /** Scratch dir for landing zones / stage handoffs, keyed by the input dir
+    * so different scale factors never collide. Rooted at the process working
+    * directory (overridable via `graft.scratch.dir`) rather than a hardcoded
+    * absolute path. */
+  def scratch(dir: String, name: String): String = {
+    val base = sys.props.getOrElse("graft.scratch.dir",
+      s"${sys.props("user.dir")}/target/graft-scratch")
+    s"$base/${dirTag(dir)}/$name"
+  }
+
   /** The `events` table with its TIMESTAMP(NANOS) column made usable.
     * Spark has no nanosecond timestamp type, so sessions must set
     * `spark.sql.legacy.parquet.nanosAsLong=true` (Verify/Bench/tests do);

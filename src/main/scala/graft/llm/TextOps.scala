@@ -184,10 +184,11 @@ object TextOps {
     * handle initialized once per partition, items decoded in a batch loop,
     * fixed output schema). The codec libraries aren't in this container, so
     * the decode itself is a clearly-marked DETERMINISTIC STUB (dimensions
-    * from length arithmetic, intensity = exact byte sum); the Spark-side
+    * from length arithmetic, intensity = exact code-point sum of the decoded
+    * payload, so parity holds for non-ASCII corpora too); the Spark-side
     * plumbing — binary column in, typed partition-parallel map, schema out —
-    * is real, and the oracle replays the stub arithmetic (corpus is ASCII,
-    * so byte values == code points). This is the one `mapPartitions` in the
+    * is real, and the oracle replays the stub arithmetic in code points.
+    * This is the one `mapPartitions` in the
     * codebase, used exactly where the brief allows it: genuinely imperative
     * per-partition logic. */
   val tMultimodalDecode: QueryDef = QueryDef(
@@ -197,8 +198,8 @@ object TextOps {
              CAST(n_chars % 640 AS INTEGER) AS width,
              CAST((n_chars * 7) % 480 AS INTEGER) AS height,
              CAST(octet_length(encode(text)) % 30 AS INTEGER) AS n_frames,
-             CAST(list_sum(list_transform(range(1, length(text) + 1),
-                  i -> unicode(substring(text, i, 1)))) AS BIGINT) AS intensity_sum,
+             CAST(COALESCE(list_sum(list_transform(range(1, length(text) + 1),
+                  i -> unicode(substring(text, i, 1)))), 0) AS BIGINT) AS intensity_sum,
              'stub-v1' AS decoder
       FROM documents
       ORDER BY doc_id
@@ -211,10 +212,19 @@ object TextOps {
     payloads.mapPartitions { items =>
       // a real decoder would open its codec context HERE, once per partition
       items.map { case (id, nChars, bytes) =>
-        // STUB decode: deterministic features standing in for image decode
+        // STUB decode: deterministic features standing in for image decode.
+        // Intensity = sum of Unicode code points of the decoded payload
+        // (not raw UTF-8 bytes — byte-sum equals code-point-sum only for
+        // pure-ASCII corpora, and the oracle speaks code points); an empty
+        // payload sums to 0 on both engines.
+        val decoded = new String(bytes, java.nio.charset.StandardCharsets.UTF_8)
         var sum = 0L
         var i = 0
-        while (i < bytes.length) { sum += (bytes(i) & 0xff); i += 1 }
+        while (i < decoded.length) {
+          val cp = decoded.codePointAt(i)
+          sum += cp
+          i += Character.charCount(cp)
+        }
         MediaFeat(id, (nChars % 640).toInt, ((nChars * 7) % 480).toInt,
           bytes.length % 30, sum, "stub-v1")
       }

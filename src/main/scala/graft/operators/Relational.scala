@@ -166,7 +166,7 @@ object Relational {
       GROUP BY c_mktsegment
       ORDER BY c_mktsegment
     """)) { (spark, dir) =>
-    val tag = math.abs(dir.hashCode).toString
+    val tag = dirTag(dir)
     val (ot, ct) = (s"graft_bkt_orders_$tag", s"graft_bkt_customer_$tag")
     spark.sql(s"DROP TABLE IF EXISTS $ot")
     spark.sql(s"DROP TABLE IF EXISTS $ct")

@@ -11,10 +11,8 @@ import org.apache.spark.sql.types._
   * `airflow/dags/etl_daily_pipeline.py:85–87`). */
 object Ingest {
 
-  /** Scratch dir inside the repo (the sandbox forbids writes elsewhere);
-    * keyed by the input dir so sf0.001/sf0.01 runs don't collide. */
-  private def scratch(dir: String, name: String): String =
-    s"/root/repo/target/graft-scratch/${dir.replaceAll("[^A-Za-z0-9.]", "_")}/$name"
+  // Stage outputs land in core.scratch (keyed by input dir so
+  // sf0.001/sf0.01 runs don't collide).
 
   /** S5 — Mongo-style document ingestion: documents are serialized to JSON
     * lines (with a synthetic `_id`, as a document store would carry), read

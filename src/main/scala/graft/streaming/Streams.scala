@@ -36,12 +36,12 @@ object Streams {
     // into one (with ts already µs TIMESTAMP — watermarks require
     // TIMESTAMP, not NTZ; session TZ is pinned UTC so wall-clock semantics
     // are identical and the output is cast back to NTZ).
-    val landing = s"/root/repo/target/graft-scratch/${dir.replaceAll("[^A-Za-z0-9.]", "_")}/events_landing"
+    val landing = scratch(dir, "events_landing")
     events(spark, dir)
       .withColumn("ts", col("ts").cast(TimestampType))
       .write.mode("overwrite").parquet(landing)
     val schema = spark.read.parquet(landing).schema
-    val sinkName = "graft_st_hourly_" + math.abs(dir.hashCode).toString
+    val sinkName = "graft_st_hourly_" + dirTag(dir)
     val q = spark.readStream.schema(schema).parquet(landing)
       .withWatermark("ts", "2 hours")
       .groupBy(window(col("ts"), "1 hour"), col("event_type"))
@@ -153,12 +153,12 @@ object Streams {
       ORDER BY user_id
     """)) { (spark, dir) =>
     import spark.implicits._
-    val landing = s"/root/repo/target/graft-scratch/${dir.replaceAll("[^A-Za-z0-9.]", "_")}/events_state_landing"
+    val landing = scratch(dir, "events_state_landing")
     events(spark, dir)
       .withColumn("ts", col("ts").cast(TimestampType))
       .write.mode("overwrite").parquet(landing)
     val schema = spark.read.parquet(landing).schema
-    val sinkName = "graft_st_state_" + math.abs(dir.hashCode).toString
+    val sinkName = "graft_st_state_" + dirTag(dir)
     val q = spark.readStream.schema(schema).parquet(landing)
       .select(col("user_id"),
         unix_micros(col("ts")).as("us"),

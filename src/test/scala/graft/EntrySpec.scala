@@ -20,6 +20,9 @@ class EntrySpec extends SparkSpec {
   test("every registered query evaluates on sf0.001 and matches its golden fingerprint") {
     val golden = Golden.load()
     val failures = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
+      // same per-query cache isolation as GoldenGen/Bench/Verify: persisted
+      // intermediates must not accumulate across all 60+ queries in one JVM
+      spark.catalog.clearCache()
       try {
         val (rows, fp) = Golden.fingerprint(fn(spark, sfDir))
         golden.get(name) match {

@@ -30,9 +30,17 @@ object Golden {
     val p = Paths.get(path)
     if (!Files.exists(p)) Map.empty
     else {
-      val entry = """"([^"]+)":\{"rows":(\d+),"fp":"([0-9a-f]{32})"\}""".r
-      entry.findAllMatchIn(Files.readString(p))
-        .map(m => m.group(1) -> (m.group(2).toLong, m.group(3))).toMap
+      val content = Files.readString(p)
+      // whitespace-tolerant so a hand-reformatted file still parses
+      val entry = """"([^"]+)"\s*:\s*\{\s*"rows"\s*:\s*(\d+)\s*,\s*"fp"\s*:\s*"([0-9a-fA-F]{32})"\s*\}""".r
+      val parsed = entry.findAllMatchIn(content)
+        .map(m => m.group(1) -> (m.group(2).toLong, m.group(3).toLowerCase)).toMap
+      // a non-empty file that yields zero entries is a corrupt/reformatted
+      // golden file, not "no goldens yet" — fail loudly, never silently
+      require(parsed.nonEmpty || content.trim.isEmpty || content.trim == "{}",
+        s"golden file $path is non-empty but no entries parsed — regenerate with " +
+          "`sbt \"Test/runMain graft.GoldenGen\"`")
+      parsed
     }
   }
 }
