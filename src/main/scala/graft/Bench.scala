@@ -18,10 +18,21 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // absorb JVM/codegen/parquet-footer warmup so the first timed query
-    // isn't charged for it: one tiny scan+agg through the whole stack
-    try spark.read.parquet(s"$sfDir/region.parquet").groupBy("r_name").count()
-      .write.format("noop").mode("overwrite").save()
-    catch { case _: Throwable => () }
+    // isn't charged for it. Tiny tables only (region=5, nation=25 rows) —
+    // this JITs the scan/agg/join/window/decimal operator paths, it does
+    // not precompute anything a timed query reads.
+    try {
+      import org.apache.spark.sql.expressions.Window
+      import org.apache.spark.sql.functions._
+      val r = spark.read.parquet(s"$sfDir/region.parquet")
+      val n = spark.read.parquet(s"$sfDir/nation.parquet")
+      n.join(r, n("n_regionkey") === r("r_regionkey"))
+        .groupBy("r_name")
+        .agg(count(lit(1)).as("cnt"),
+          sum(col("n_nationkey").cast("decimal(18,2)")).cast("double").as("s"))
+        .withColumn("rk", rank().over(Window.partitionBy("r_name").orderBy("cnt")))
+        .write.format("noop").mode("overwrite").save()
+    } catch { case _: Throwable => () }
     val timings = scala.collection.mutable.LinkedHashMap[String, Double]()
     val errors = scala.collection.mutable.LinkedHashMap[String, String]()
     // local-iteration aid: SPARK_GRAFT_ONLY=regex limits the run to matching
