@@ -15,6 +15,7 @@ object SparkEntry {
     val ds =
       operators.Relational.all ++
         operators.Aggregates.all ++
+        operators.Temporal.all ++
         transform.Cleaning.all ++
         analytics.Analytics.all ++
         model.Warehouse.all ++
