@@ -11,6 +11,7 @@ object Verify {
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.extensions", "graft.functions.GraftExtensions")
       // events.parquet carries TIMESTAMP(NANOS) which Spark can't read
       // natively; read as raw long, converted in core.events
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")

@@ -25,11 +25,14 @@ object Similarity {
     tbl(spark, dir, "embeddings")
       .repartition(spark.sessionState.conf.numShufflePartitions)
 
-  /** Sequential-fold dot product of two float arrays, in double. */
+  /** Sequential-fold dot product of two float arrays, in double — the
+    * native codegen'd [[graft.functions.DotFold]] expression (registered by
+    * [[graft.functions.GraftExtensions]]). Bit-identical to the declarative
+    * `aggregate(zip_with(a, b, (x, y) => x*y), 0.0, _+_)` it replaced (same
+    * sequential IEEE fold), but runs inside whole-stage codegen instead of
+    * the interpreted higher-order-function path. */
   private def dot(a: Column, b: Column): Column =
-    aggregate(
-      zip_with(a, b, (x, y) => x.cast(DoubleType) * y.cast(DoubleType)),
-      lit(0.0), (acc, x) => acc + x)
+    call_function("graft_dot", a, b)
 
   /** DuckDB twin of [[dot]]: same index order, same fold. */
   private def dotSql(a: String, b: String): String =
