@@ -90,8 +90,9 @@ case class DotFold(left: Expression, right: Expression) extends BinaryExpression
 }
 
 /** Session extensions: registers the engine's native functions in the
-  * session's FunctionRegistry, so `graft_dot` is callable from SQL and via
-  * `call_function` — wire with
+  * session's FunctionRegistry (so `graft_dot` is callable from SQL and via
+  * `call_function`) and the [[FuseDotFold]] optimizer rule (so the
+  * declarative HOF dot-product fold runs on the fused kernel) — wire with
   * `.config("spark.sql.extensions", "graft.functions.GraftExtensions")`. */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
@@ -102,5 +103,6 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         require(children.length == 2, "graft_dot takes exactly 2 arguments")
         DotFold(children.head, children(1))
       }))
+    ext.injectOptimizerRule(_ => FuseDotFold)
   }
 }

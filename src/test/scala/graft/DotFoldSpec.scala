@@ -12,16 +12,41 @@ class DotFoldSpec extends SparkSpec {
     aggregate(zip_with(a, b, (x, y) => x.cast(DoubleType) * y.cast(DoubleType)),
       lit(0.0), (acc, x) => acc + x)
 
-  test("bit-identical to the interpreted HOF fold on real embeddings") {
+  test("bit-identical to a sequential driver-side fold on real embeddings") {
+    // driver-side reference fold — immune to the FuseDotFold rewrite (a
+    // Spark-vs-Spark comparison would silently compare the kernel to itself)
+    val s = spark
+    import s.implicits._
     val e = core.tbl(spark, sfDir, "embeddings").limit(200)
+    val qv = e.filter(col("vec_id") === 0)
+      .select("embedding").as[Array[Float]].head()
+    val rows = e.select(col("vec_id"), call_function("graft_dot", col("embedding"),
+        typedLit(qv)).as("native"), col("embedding"))
+      .as[(Long, Double, Array[Float])].collect()
+    rows.foreach { case (id, native, emb) =>
+      var acc = 0.0
+      for (i <- emb.indices) acc += emb(i).toDouble * qv(i).toDouble
+      assert(java.lang.Double.doubleToLongBits(native) ==
+        java.lang.Double.doubleToLongBits(acc), s"vec_id=$id drifted")
+    }
+  }
+
+  test("FuseDotFold rewrites the declarative HOF fold to the native kernel") {
+    val e = core.tbl(spark, sfDir, "embeddings")
     val q = e.filter(col("vec_id") === 0).select(col("embedding").as("qv"))
-    val both = e.crossJoin(broadcast(q)).select(
-      call_function("graft_dot", col("embedding"), col("qv")).as("native"),
-      hofDot(col("embedding"), col("qv")).as("hof"))
-    val mismatches = both.filter(
-      // bit-level comparison: NaN-safe <=> plus exact double equality
-      !(col("native") <=> col("hof"))).count()
-    assert(mismatches === 0)
+    val df = e.crossJoin(broadcast(q)).select(hofDot(col("embedding"), col("qv")).as("s"))
+    val optimized = df.queryExecution.optimizedPlan.toString
+    assert(optimized.contains("graft_dot"),
+      s"HOF fold not fused to DotFold:\n$optimized")
+    assert(!optimized.contains("aggregate(zip_with"),
+      "interpreted HOF survived the rewrite")
+    // and the rewrite must not fire on shapes it can't reproduce bit-exactly:
+    // float×float product (no double casts) rounds differently
+    val floatMul = e.select(
+      aggregate(zip_with(col("embedding"), col("embedding"), (x, y) => x * y),
+        lit(0.0), (acc, x) => acc + x).as("s"))
+    assert(!floatMul.queryExecution.optimizedPlan.toString.contains("graft_dot"),
+      "rule fused a float-precision product — not bit-exact")
   }
 
   test("null element, null array, and length mismatch all yield NULL") {
