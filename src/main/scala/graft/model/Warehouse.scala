@@ -198,6 +198,49 @@ object Warehouse {
       .orderBy("o_orderkey")
   }
 
+  /** SCD2 dimension build (beyond parity — the reference's dimension loads
+    * are type-1 overwrite upserts; type-2 history is the standard warehouse
+    * pattern it stops short of). Input: per-key change events (user_id, ts,
+    * event_type-as-attribute). Output: validity intervals
+    * `[eff_from, eff_to)` with `is_current` on the open row.
+    *
+    * Shape: ONE hash shuffle by key, then two per-key window passes — a
+    * `lag` to collapse runs of the unchanged attribute (true SCD2 records
+    * transitions, not observations) and a `lead` to close each interval at
+    * the next change. No global window, no join: at 100 TB this is the
+    * shuffle-minimal formulation (the naive build self-joins change rows to
+    * their successors). Determinism: (user_id, ts) is unique in `events`. */
+  val wScd2Dim: QueryDef = QueryDef(
+    "w_scd2_dim",
+    Some("""
+      WITH changes AS (
+        SELECT user_id, ts, event_type,
+               lag(event_type) OVER (PARTITION BY user_id ORDER BY ts) AS prev_attr
+        FROM events),
+      transitions AS (
+        SELECT user_id, event_type AS attr, ts AS eff_from
+        FROM changes
+        WHERE prev_attr IS NULL OR prev_attr <> event_type)
+      SELECT user_id, attr, eff_from,
+             lead(eff_from) OVER (PARTITION BY user_id ORDER BY eff_from) AS eff_to,
+             lead(eff_from) OVER (PARTITION BY user_id ORDER BY eff_from) IS NULL AS is_current
+      FROM transitions
+      ORDER BY user_id, eff_from
+    """)) { (spark, dir) =>
+    val byKey = Window.partitionBy("user_id").orderBy("ts")
+    val transitions = events(spark, dir)
+      .select(col("user_id"), col("ts"), col("event_type"))
+      .withColumn("prev_attr", lag("event_type", 1).over(byKey))
+      .filter(col("prev_attr").isNull || col("prev_attr") =!= col("event_type"))
+      .select(col("user_id"), col("event_type").as("attr"), col("ts").as("eff_from"))
+    val byFrom = Window.partitionBy("user_id").orderBy("eff_from")
+    transitions
+      .withColumn("eff_to", lead("eff_from", 1).over(byFrom))
+      .withColumn("is_current", col("eff_to").isNull)
+      .orderBy("user_id", "eff_from")
+  }
+
   val all: Seq[QueryDef] = Seq(
-    s10DateDim, w8SurrogateKeys, s8UpsertMerge, s9AppendIfAbsent, j5DateExprJoin)
+    s10DateDim, w8SurrogateKeys, s8UpsertMerge, s9AppendIfAbsent, j5DateExprJoin,
+    wScd2Dim)
 }

@@ -201,6 +201,52 @@ object Streams {
       .orderBy("user_id")
   }
 
+  /** st5 — STREAM-STREAM interval join: the purchases stream inner-joined
+    * to the clicks stream on user within a 24-hour look-back — the
+    * attribution-join shape (`purchase ⋈ clicks in [t−24h, t]`). Both sides
+    * carry watermarks and the join predicate bounds event-time distance, so
+    * the state store provably retains only a sliding day per side at any
+    * scale. The watermark DELAY here is set beyond the fixture's 30-day
+    * span: the bounded `AvailableNow` replay reads files in arbitrary
+    * order, and a tight delay would make results depend on which
+    * micro-batch a file lands in (dropped "late" rows) — in a live
+    * deployment with near-ordered arrival the same query runs with a
+    * minutes-long delay and aggressive state eviction. The oracle is the
+    * equivalent batch interval join. */
+  val stStreamStreamJoin: QueryDef = QueryDef(
+    "st_stream_stream_join",
+    Some("""
+      SELECT p.user_id, p.ts AS purchase_ts, c.ts AS click_ts
+      FROM events p JOIN events c ON p.user_id = c.user_id
+       AND p.event_type = 'purchase' AND c.event_type = 'click'
+       AND c.ts BETWEEN p.ts - INTERVAL 24 HOURS AND p.ts
+      ORDER BY 1, 2, 3
+    """)) { (spark, dir) =>
+    val landing = eventsLanding(spark, dir)
+    val schema = spark.read.parquet(landing).schema
+    val sinkName = "graft_st_ssjoin_" + dirTag(dir)
+    def src = spark.readStream.schema(schema).parquet(landing)
+    val purchases = src.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("ts").as("purchase_ts"))
+      .withWatermark("purchase_ts", "35 days")
+    val clicks = src.filter(col("event_type") === "click")
+      .select(col("user_id").as("c_user"), col("ts").as("click_ts"))
+      .withWatermark("click_ts", "35 days")
+    val q = purchases.join(clicks,
+      col("user_id") === col("c_user") &&
+        col("click_ts") >= col("purchase_ts") - expr("INTERVAL 24 HOURS") &&
+        col("click_ts") <= col("purchase_ts"))
+      .select(col("user_id"), col("purchase_ts"), col("click_ts"))
+      .writeStream.format("memory").queryName(sinkName)
+      .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    spark.table(sinkName)
+      .withColumn("purchase_ts", col("purchase_ts").cast(TimestampNTZType))
+      .withColumn("click_ts", col("click_ts").cast(TimestampNTZType))
+      .orderBy("user_id", "purchase_ts", "click_ts")
+  }
+
   val all: Seq[QueryDef] = Seq(
-    stHourlyWindows, stSessionWindows, stJsonProps, stStatefulUserAgg)
+    stHourlyWindows, stSessionWindows, stJsonProps, stStatefulUserAgg,
+    stStreamStreamJoin)
 }

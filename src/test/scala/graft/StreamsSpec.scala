@@ -54,4 +54,22 @@ class StreamsSpec extends SparkSpec {
       }
     }
   }
+
+  test("st5 stream-stream join equals the batch interval join on the same data") {
+    import org.apache.spark.sql.functions._
+    val streamed = streaming.Streams.stStreamStreamJoin.run(spark, sfDir)
+      .collect().map(_.toSeq).toSet
+    val ev = core.events(spark, sfDir)
+    val p = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("ts").as("purchase_ts"))
+    val c = ev.filter(col("event_type") === "click")
+      .select(col("user_id").as("cu"), col("ts").as("click_ts"))
+    val batch = p.join(c, col("user_id") === col("cu") &&
+        col("click_ts") >= col("purchase_ts") - expr("INTERVAL 24 HOURS") &&
+        col("click_ts") <= col("purchase_ts"))
+      .select("user_id", "purchase_ts", "click_ts")
+      .collect().map(_.toSeq).toSet
+    assert(streamed === batch)
+    assert(batch.nonEmpty, "fixture produced zero matches — test is vacuous")
+  }
 }

@@ -57,4 +57,28 @@ class WarehouseSpec extends SparkSpec {
       Warehouse.appendIfAbsent(existing, incoming, Seq("k")), incoming, Seq("k"))
     assert(replay.count() === 3)
   }
+
+  test("SCD2: intervals tile each key's timeline, one current row per key, no no-op versions") {
+    val rows = Warehouse.wScd2Dim.run(spark, sfDir)
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1),
+        r.getAs[java.time.LocalDateTime]("eff_from"),
+        Option(r.getAs[java.time.LocalDateTime]("eff_to")),
+        r.getBoolean(4)))
+    rows.groupBy(_._1).foreach { case (uid, vs) =>
+      val sorted = vs.sortBy(_._3)(Ordering.fromLessThan[java.time.LocalDateTime](_ isBefore _))
+      // exactly one open (current) interval, and it is the last one
+      assert(vs.count(_._5) === 1, s"user $uid: current-row count != 1")
+      assert(sorted.last._5 && sorted.last._4.isEmpty, s"user $uid: open row not last")
+      sorted.sliding(2).foreach {
+        case Array(a, b) =>
+          // each interval closes exactly where the next opens (gap-free tiling)
+          assert(a._4.contains(b._3), s"user $uid: interval gap/overlap at ${b._3}")
+          // consecutive versions must differ — SCD2 records transitions only
+          assert(a._2 != b._2, s"user $uid: no-op version at ${b._3}")
+        case _ =>
+      }
+    }
+    assert(rows.nonEmpty)
+  }
 }
