@@ -58,16 +58,19 @@ object Bench {
       s.flatMap { case '"' => "\\\""; case '\\' => "\\\\"; case '\n' => "\\n"
                   case '\r' => "\\r"; case '\t' => "\\t"
                   case c if c < ' ' => f"\\u${c.toInt}%04x"; case c => c.toString }
-    // the driver parses this line from a bounded tail of the process output:
-    // keep it SHORT (3-dp seconds — full-precision doubles overflow the tail
-    // window with 60+ queries, r03's parse failure) and make it the LAST
-    // thing printed (after spark.stop(), so shutdown logs can't trail it)
-    def r3(v: Double): String = BigDecimal(v).setScale(3, BigDecimal.RoundingMode.HALF_UP).toString
-    val qs = timings.map { case (k, v) => s""""${esc(k)}":${r3(v)}""" }.mkString("{", ",", "}")
-    val es = errors.map { case (k, v) => s""""${esc(k)}":"${esc(v)}"""" }.mkString("{", ",", "}")
+    // the driver parses this line from a ~2000-char tail of the process
+    // output: keep it SHORT (rounded seconds, basename sf, truncated error
+    // messages — full-precision doubles overflowed the tail with 60+
+    // queries, r03's parse failure) and make it the LAST thing printed
+    // (after spark.stop(), so shutdown logs can't trail it)
+    def rnd(v: Double, dp: Int): String =
+      BigDecimal(v).setScale(dp, BigDecimal.RoundingMode.HALF_UP).toString
+    val qs = timings.map { case (k, v) => s""""${esc(k)}":${rnd(v, 2)}""" }.mkString("{", ",", "}")
+    val es = errors.map { case (k, v) => s""""${esc(k)}":"${esc(v.take(80))}"""" }.mkString("{", ",", "}")
     val total = timings.values.sum
+    val sfName = sfDir.split('/').last
     spark.stop()
     println(
-      s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":$qs,"errors":$es,"n_ok":${timings.size},"n_err":${errors.size},"sf":"$sfDir"}""")
+      s"""{"metric":"total","value":${rnd(total, 3)},"unit":"sec","queries":$qs,"errors":$es,"n_ok":${timings.size},"n_err":${errors.size},"sf":"$sfName"}""")
   }
 }

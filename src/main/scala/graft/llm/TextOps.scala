@@ -231,7 +231,33 @@ object TextOps {
     }.toDF().orderBy("doc_id")
   }
 
+  /** t7 — deterministic stratified sampling (training-corpus curation):
+    * per-language rates rebalance a skewed corpus (downsample the dominant
+    * 'en', keep more of the tails). The keep decision hashes the DOCUMENT
+    * KEY (`md5(doc_id)` prefix against a per-stratum hex threshold), never
+    * `rand()`: the sample is reproducible across runs, engines, and
+    * partitionings, a row's fate never depends on which executor saw it,
+    * and the predicate is a map-side filter — at 100 TB sampling costs one
+    * scan with zero shuffle. The hex-prefix comparison is engine-parity-safe
+    * (both engines emit lowercase-hex md5 and compare strings
+    * lexicographically); threshold "1a"/256 ≈ 10%, "66"/256 ≈ 40%. */
+  val tStratifiedSample: QueryDef = QueryDef(
+    "t_stratified_sample",
+    Some("""
+      SELECT doc_id, lang
+      FROM documents
+      WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 2)
+              < CASE WHEN lang = 'en' THEN '1a' ELSE '66' END
+      ORDER BY doc_id
+    """)) { (spark, dir) =>
+    val threshold = when(col("lang") === "en", lit("1a")).otherwise(lit("66"))
+    tbl(spark, dir, "documents")
+      .filter(substring(md5(col("doc_id").cast(StringType)), 1, 2) < threshold)
+      .select("doc_id", "lang")
+      .orderBy("doc_id")
+  }
+
   val all: Seq[QueryDef] = Seq(
     tTokenStats, tQualityScore, tLangId, tFingerprint, tMultimodalMeta,
-    tMultimodalDecode)
+    tMultimodalDecode, tStratifiedSample)
 }
