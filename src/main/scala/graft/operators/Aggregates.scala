@@ -316,8 +316,63 @@ object Aggregates {
       .orderBy("bucket_start", "event_type")
   }
 
+  /** Pivot (beyond parity): per-user event counts spread across one column
+    * per event type. The pivot VALUES ARE DECLARED — Spark's
+    * `pivot(col)` without values runs a blocking distinct-scan job to
+    * discover them, which at 100 TB is a full extra pass and a
+    * nondeterministic column set; declaring them keeps the whole thing one
+    * partial+final aggregate. Missing (user, type) combos surface as 0 on
+    * both engines (pivot-count yields null → coalesced). */
+  val aPivot: QueryDef = QueryDef(
+    "a_pivot",
+    Some("""
+      SELECT user_id,
+             CAST(COALESCE(sum(CASE WHEN event_type = 'click'    THEN 1 END), 0) AS BIGINT) AS click,
+             CAST(COALESCE(sum(CASE WHEN event_type = 'error'    THEN 1 END), 0) AS BIGINT) AS error,
+             CAST(COALESCE(sum(CASE WHEN event_type = 'purchase' THEN 1 END), 0) AS BIGINT) AS purchase,
+             CAST(COALESCE(sum(CASE WHEN event_type = 'signup'   THEN 1 END), 0) AS BIGINT) AS signup,
+             CAST(COALESCE(sum(CASE WHEN event_type = 'view'     THEN 1 END), 0) AS BIGINT) AS view
+      FROM events
+      GROUP BY user_id
+      ORDER BY user_id
+    """)) { (spark, dir) =>
+    val types = Seq("click", "error", "purchase", "signup", "view")
+    events(spark, dir)
+      .groupBy("user_id")
+      .pivot("event_type", types)
+      .agg(count(lit(1)))
+      .select(col("user_id") +: types.map(t => coalesce(col(t), lit(0L)).as(t)): _*)
+      .orderBy("user_id")
+  }
+
+  /** Unpivot/melt (beyond parity): the four lineitem measures folded into
+    * (measure, value) rows — the long-format reshape feature stores and ML
+    * pipelines need — then rolled up per measure. `unpivot` is a zero-shuffle
+    * row-local expansion; only the 4-row aggregate shuffles. */
+  val aUnpivot: QueryDef = QueryDef(
+    "a_unpivot",
+    Some("""
+      SELECT measure, CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total
+      FROM (
+        SELECT 'l_quantity' AS measure, l_quantity AS value FROM lineitem
+        UNION ALL SELECT 'l_extendedprice', l_extendedprice FROM lineitem
+        UNION ALL SELECT 'l_discount', l_discount FROM lineitem
+        UNION ALL SELECT 'l_tax', l_tax FROM lineitem)
+      GROUP BY measure
+      ORDER BY measure
+    """)) { (spark, dir) =>
+    tbl(spark, dir, "lineitem")
+      .unpivot(
+        Array(col("l_orderkey")),
+        Array(col("l_quantity"), col("l_extendedprice"), col("l_discount"), col("l_tax")),
+        "measure", "value")
+      .groupBy("measure")
+      .agg(moneySumD(col("value")).as("total"))
+      .orderBy("measure")
+  }
+
   val all: Seq[QueryDef] = Seq(
     a1ProductRollup, a2DailySalesRollup, a7CountDistinct, a10DupAudit,
     a11NullRate, aRollupSets, aApproxDistinct, aSaltedSkewAgg,
-    aApproxPercentile, aTimeWindowBatch)
+    aApproxPercentile, aTimeWindowBatch, aPivot, aUnpivot)
 }
