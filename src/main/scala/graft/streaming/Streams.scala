@@ -232,13 +232,23 @@ object Streams {
     val clicks = src.filter(col("event_type") === "click")
       .select(col("user_id").as("c_user"), col("ts").as("click_ts"))
       .withWatermark("click_ts", "35 days")
-    val q = purchases.join(clicks,
-      col("user_id") === col("c_user") &&
-        col("click_ts") >= col("purchase_ts") - expr("INTERVAL 24 HOURS") &&
-        col("click_ts") <= col("purchase_ts"))
-      .select(col("user_id"), col("purchase_ts"), col("click_ts"))
-      .writeStream.format("memory").queryName(sinkName)
-      .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    // state-partition count sizes to STATE volume, not session parallelism:
+    // a stream-stream join keeps 4 state stores per partition, and each
+    // store pays a per-batch commit — 32 partitions over this fixture's
+    // ~100k-row state is pure commit overhead (state partitioning is a
+    // per-query choice fixed at first run by checkpoint metadata, so
+    // narrowing it here mirrors what a production job would configure)
+    val prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    val q = try {
+      purchases.join(clicks,
+        col("user_id") === col("c_user") &&
+          col("click_ts") >= col("purchase_ts") - expr("INTERVAL 24 HOURS") &&
+          col("click_ts") <= col("purchase_ts"))
+        .select(col("user_id"), col("purchase_ts"), col("click_ts"))
+        .writeStream.format("memory").queryName(sinkName)
+        .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    } finally spark.conf.set("spark.sql.shuffle.partitions", prev)
     q.awaitTermination()
     spark.table(sinkName)
       .withColumn("purchase_ts", col("purchase_ts").cast(TimestampNTZType))
