@@ -16,6 +16,19 @@ import org.apache.spark.sql.types._
   * shuffles only (window, key) partials, bounded by the watermark. */
 object Streams {
 
+  /** Run `start` with the session's shuffle-partition count narrowed to
+    * `n` for the duration of query PLANNING — streaming state partitioning
+    * is captured at first start and each state partition pays a per-batch
+    * store commit, so the count should size to state volume (a per-query,
+    * data-dependent choice), not to the session's scan parallelism. The
+    * session conf is restored immediately; the running query keeps the
+    * captured value. */
+  private def withStatePartitions[A](spark: SparkSession, n: Int)(start: => A): A = {
+    val prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", n.toString)
+    try start finally spark.conf.set("spark.sql.shuffle.partitions", prev)
+  }
+
   /** Stage the events table (ts as µs TIMESTAMP — watermarks require
     * TIMESTAMP, not NTZ) into a persistent landing directory, writing it
     * only if absent. A real streaming deployment reads a durable landing
@@ -55,19 +68,21 @@ object Streams {
     val landing = eventsLanding(spark, dir)
     val schema = spark.read.parquet(landing).schema
     val sinkName = "graft_st_hourly_" + dirTag(dir)
-    val q = spark.readStream.schema(schema).parquet(landing)
-      .withWatermark("ts", "2 hours")
-      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
-      .agg(count(lit(1)).as("n_events"),
-        moneySumD(col("value")).as("total_value"))
-      .select(col("window.start").as("window_start"), col("event_type"),
-        col("n_events"), col("total_value"))
-      .writeStream
-      .format("memory")
-      .queryName(sinkName)
-      .outputMode("complete")
-      .trigger(Trigger.AvailableNow())
-      .start()
+    val q = withStatePartitions(spark, 8) {
+      spark.readStream.schema(schema).parquet(landing)
+        .withWatermark("ts", "2 hours")
+        .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+        .agg(count(lit(1)).as("n_events"),
+          moneySumD(col("value")).as("total_value"))
+        .select(col("window.start").as("window_start"), col("event_type"),
+          col("n_events"), col("total_value"))
+        .writeStream
+        .format("memory")
+        .queryName(sinkName)
+        .outputMode("complete")
+        .trigger(Trigger.AvailableNow())
+        .start()
+    }
     q.awaitTermination()
     spark.table(sinkName)
       .withColumn("window_start", col("window_start").cast(TimestampNTZType))
@@ -169,24 +184,26 @@ object Streams {
     val landing = eventsLanding(spark, dir)
     val schema = spark.read.parquet(landing).schema
     val sinkName = "graft_st_state_" + dirTag(dir)
-    val q = spark.readStream.schema(schema).parquet(landing)
-      .select(col("user_id"),
-        unix_micros(col("ts")).as("us"),
-        (dec2(col("value")) * 100).cast(LongType).as("cents"))
-      .as[EvIn]
-      .groupByKey(_.user_id)
-      .mapGroupsWithState(GroupStateTimeout.NoTimeout) {
-        (uid: Long, evs: Iterator[EvIn], st: GroupState[UserSt]) =>
-          val prev = st.getOption.getOrElse(UserSt(0L, Long.MaxValue, Long.MinValue, 0L))
-          val next = evs.foldLeft(prev) { (s, e) =>
-            UserSt(s.n + 1, math.min(s.first_us, e.us), math.max(s.last_us, e.us),
-              s.cents + e.cents)
-          }
-          st.update(next)
-          UserOut(uid, next.n, next.first_us, next.last_us, next.cents)
-      }
-      .writeStream.format("memory").queryName(sinkName)
-      .outputMode("update").trigger(Trigger.AvailableNow()).start()
+    val q = withStatePartitions(spark, 8) {
+      spark.readStream.schema(schema).parquet(landing)
+        .select(col("user_id"),
+          unix_micros(col("ts")).as("us"),
+          (dec2(col("value")) * 100).cast(LongType).as("cents"))
+        .as[EvIn]
+        .groupByKey(_.user_id)
+        .mapGroupsWithState(GroupStateTimeout.NoTimeout) {
+          (uid: Long, evs: Iterator[EvIn], st: GroupState[UserSt]) =>
+            val prev = st.getOption.getOrElse(UserSt(0L, Long.MaxValue, Long.MinValue, 0L))
+            val next = evs.foldLeft(prev) { (s, e) =>
+              UserSt(s.n + 1, math.min(s.first_us, e.us), math.max(s.last_us, e.us),
+                s.cents + e.cents)
+            }
+            st.update(next)
+            UserOut(uid, next.n, next.first_us, next.last_us, next.cents)
+        }
+        .writeStream.format("memory").queryName(sinkName)
+        .outputMode("update").trigger(Trigger.AvailableNow()).start()
+    }
     q.awaitTermination()
     // AvailableNow may chunk the source into several micro-batches; the
     // update-mode memory sink then holds one row per (user, batch) — keep
@@ -232,15 +249,9 @@ object Streams {
     val clicks = src.filter(col("event_type") === "click")
       .select(col("user_id").as("c_user"), col("ts").as("click_ts"))
       .withWatermark("click_ts", "35 days")
-    // state-partition count sizes to STATE volume, not session parallelism:
-    // a stream-stream join keeps 4 state stores per partition, and each
-    // store pays a per-batch commit — 32 partitions over this fixture's
-    // ~100k-row state is pure commit overhead (state partitioning is a
-    // per-query choice fixed at first run by checkpoint metadata, so
-    // narrowing it here mirrors what a production job would configure)
-    val prev = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", "8")
-    val q = try {
+    // a stream-stream join keeps 4 state stores per partition, each paying
+    // a per-batch commit — size the count to this fixture's state volume
+    val q = withStatePartitions(spark, 8) {
       purchases.join(clicks,
         col("user_id") === col("c_user") &&
           col("click_ts") >= col("purchase_ts") - expr("INTERVAL 24 HOURS") &&
@@ -248,7 +259,7 @@ object Streams {
         .select(col("user_id"), col("purchase_ts"), col("click_ts"))
         .writeStream.format("memory").queryName(sinkName)
         .outputMode("append").trigger(Trigger.AvailableNow()).start()
-    } finally spark.conf.set("spark.sql.shuffle.partitions", prev)
+    }
     q.awaitTermination()
     spark.table(sinkName)
       .withColumn("purchase_ts", col("purchase_ts").cast(TimestampNTZType))
