@@ -33,13 +33,21 @@ object Streams {
     * TIMESTAMP, not NTZ) into a persistent landing directory, writing it
     * only if absent. A real streaming deployment reads a durable landing
     * zone; re-staging identical immutable input on every run was pure
-    * harness overhead. The `_v1` suffix versions the staging semantics —
-    * bump it if the staged content ever changes. */
+    * harness overhead. The landing path is keyed by a signature of the
+    * source files (names + sizes) plus a staging-semantics version, so a
+    * regenerated source or a changed staging transform can never serve a
+    * stale landing. */
   private def eventsLanding(spark: SparkSession, dir: String): String = {
-    val landing = scratch(dir, "events_ts_landing_v1")
-    val p = new org.apache.hadoop.fs.Path(landing, "_SUCCESS")
-    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (!fs.exists(p))
+    val conf = spark.sparkContext.hadoopConfiguration
+    val srcPath = new org.apache.hadoop.fs.Path(s"$dir/events.parquet")
+    val fs = srcPath.getFileSystem(conf)
+    val sigInput = fs.listStatus(srcPath).map(st => s"${st.getPath.getName}:${st.getLen}")
+      .sorted.mkString("|") + "|stage-v1"
+    val sig = java.security.MessageDigest.getInstance("MD5")
+      .digest(sigInput.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(12)
+    val landing = scratch(dir, s"events_ts_landing_$sig")
+    val marker = new org.apache.hadoop.fs.Path(landing, "_SUCCESS")
+    if (!fs.exists(marker))
       events(spark, dir)
         .withColumn("ts", col("ts").cast(TimestampType))
         .write.mode("overwrite").parquet(landing)
