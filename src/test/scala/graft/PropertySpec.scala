@@ -79,4 +79,18 @@ class PropertySpec extends SparkSpec {
       up1 == up2 &&
         app.join(e, Seq("k"), "left_semi").collect().toSet == e.collect().toSet
     })
+
+  check("graft_dot is bit-identical to a sequential driver fold on arbitrary float arrays")(
+    Prop.forAll(
+      Gen.chooseNum(1, 64).flatMap(n => Gen.zip(
+        Gen.listOfN(n, Gen.chooseNum(-1e6f, 1e6f)),
+        Gen.listOfN(n, Gen.chooseNum(-1e6f, 1e6f))))
+    ) { case (a, b) =>
+      val got = Seq((a.toArray, b.toArray)).toDF("a", "b")
+        .select(call_function("graft_dot", col("a"), col("b")))
+        .head().getDouble(0)
+      var acc = 0.0
+      for (i <- a.indices) acc += a(i).toDouble * b(i).toDouble
+      java.lang.Double.doubleToLongBits(got) == java.lang.Double.doubleToLongBits(acc)
+    })
 }
