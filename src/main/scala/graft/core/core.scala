@@ -44,6 +44,22 @@ object core {
     s"$base/${dirTag(dir)}/$name"
   }
 
+  /** Cheap content signature of one or more source parquet tables (file
+    * names + sizes, hashed): used to key derived layouts (landing zones,
+    * bucketed tables) so regenerated source data can never be served from a
+    * stale derived copy. */
+  def sourceSig(spark: SparkSession, dir: String, names: String*): String = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    val parts = names.flatMap { n =>
+      val p = new org.apache.hadoop.fs.Path(s"$dir/$n.parquet")
+      p.getFileSystem(conf).listStatus(p)
+        .map(st => s"$n/${st.getPath.getName}:${st.getLen}")
+    }
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(parts.sorted.mkString("|").getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString.take(12)
+  }
+
   /** The `events` table with its TIMESTAMP(NANOS) column made usable.
     * Spark has no nanosecond timestamp type, so sessions must set
     * `spark.sql.legacy.parquet.nanosAsLong=true` (Verify/Bench/tests do);

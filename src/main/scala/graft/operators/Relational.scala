@@ -153,9 +153,12 @@ object Relational {
     * catalog tables, so the join reads co-located buckets and the fact side
     * never shuffles at join time — the storage layout that makes repeated
     * large-fact⋈large-dim joins affordable at 100 TB (pay the bucketing
-    * shuffle once at write, never per query). The oracle is the plain join,
-    * proving layout changes nothing semantically. Table names are keyed by
-    * the input dir so sf0.01/sf0.1 runs coexist in one catalog. */
+    * shuffle once at write, never per query — and here never per JOB
+    * either: the layout persists in the warehouse dir, keyed by input dir
+    * AND a source-content signature, and a later session re-registers it as
+    * an external bucketed table instead of rewriting; a regenerated source
+    * changes the signature, so stale layouts can never serve). The oracle
+    * is the plain join, proving layout changes nothing semantically. */
   val jBucketedColocated: QueryDef = QueryDef(
     "j_bucketed_colocated",
     Some("""
@@ -166,19 +169,32 @@ object Relational {
       GROUP BY c_mktsegment
       ORDER BY c_mktsegment
     """)) { (spark, dir) =>
-    val tag = dirTag(dir)
+    val tag = s"${dirTag(dir)}_${sourceSig(spark, dir, "orders", "customer")}"
     val (ot, ct) = (s"graft_bkt_orders_$tag", s"graft_bkt_customer_$tag")
-    spark.sql(s"DROP TABLE IF EXISTS $ot")
-    spark.sql(s"DROP TABLE IF EXISTS $ct")
-    // the catalog is per-session but warehouse dirs persist on disk: clear
-    // stale locations from previous runs or saveAsTable refuses to create
     val wh = new org.apache.hadoop.fs.Path(spark.conf.get("spark.sql.warehouse.dir"))
     val fs = wh.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    Seq(ot, ct).foreach(t => fs.delete(new org.apache.hadoop.fs.Path(wh, t), true))
-    tbl(spark, dir, "orders").select("o_custkey", "o_totalprice")
-      .write.bucketBy(8, "o_custkey").sortBy("o_custkey").format("parquet").saveAsTable(ot)
-    tbl(spark, dir, "customer").select("c_custkey", "c_mktsegment")
-      .write.bucketBy(8, "c_custkey").sortBy("c_custkey").format("parquet").saveAsTable(ct)
+    def ensureBucketed(t: String, key: String, schemaDdl: String)
+        (src: => org.apache.spark.sql.DataFrame): Unit =
+      if (!spark.catalog.tableExists(t)) {
+        val loc = new org.apache.hadoop.fs.Path(wh, t)
+        val marker = new org.apache.hadoop.fs.Path(loc, "_graft_buckets_ok")
+        if (fs.exists(marker)) {
+          // complete layout from an earlier session: register, don't rewrite
+          spark.sql(s"CREATE TABLE $t ($schemaDdl) USING parquet " +
+            s"CLUSTERED BY ($key) SORTED BY ($key) INTO 8 BUCKETS LOCATION '$loc'")
+        } else {
+          fs.delete(loc, true) // clear any partial layout from a dead run
+          // external from the start (explicit path): a catalog DROP must
+          // never delete the shared layout files
+          src.write.bucketBy(8, key).sortBy(key)
+            .option("path", loc.toString).format("parquet").saveAsTable(t)
+          fs.create(marker).close()
+        }
+      }
+    ensureBucketed(ot, "o_custkey", "o_custkey BIGINT, o_totalprice DOUBLE")(
+      tbl(spark, dir, "orders").select("o_custkey", "o_totalprice"))
+    ensureBucketed(ct, "c_custkey", "c_custkey BIGINT, c_mktsegment STRING")(
+      tbl(spark, dir, "customer").select("c_custkey", "c_mktsegment"))
     spark.table(ot)
       .join(spark.table(ct), col("o_custkey") === col("c_custkey"))
       .groupBy("c_mktsegment")

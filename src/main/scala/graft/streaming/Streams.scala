@@ -38,15 +38,10 @@ object Streams {
     * regenerated source or a changed staging transform can never serve a
     * stale landing. */
   private def eventsLanding(spark: SparkSession, dir: String): String = {
-    val conf = spark.sparkContext.hadoopConfiguration
-    val srcPath = new org.apache.hadoop.fs.Path(s"$dir/events.parquet")
-    val fs = srcPath.getFileSystem(conf)
-    val sigInput = fs.listStatus(srcPath).map(st => s"${st.getPath.getName}:${st.getLen}")
-      .sorted.mkString("|") + "|stage-v1"
-    val sig = java.security.MessageDigest.getInstance("MD5")
-      .digest(sigInput.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(12)
-    val landing = scratch(dir, s"events_ts_landing_$sig")
+    val sig = sourceSig(spark, dir, "events")
+    val landing = scratch(dir, s"events_ts_landing_v1_$sig")
     val marker = new org.apache.hadoop.fs.Path(landing, "_SUCCESS")
+    val fs = marker.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!fs.exists(marker))
       events(spark, dir)
         .withColumn("ts", col("ts").cast(TimestampType))

@@ -50,4 +50,26 @@ class PlanSpec extends SparkSpec {
         "customer side re-shuffled despite bucketing")
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", threshold)
   }
+
+  test("bucketed layout re-registered in a fresh catalog keeps co-location and results") {
+    val first = operators.Relational.jBucketedColocated.run(spark, sfDir)
+      .collect().map(_.toSeq)
+    // simulate a new session: drop ONLY the catalog entries (layout files
+    // and their _graft_buckets_ok marker stay) → the next run must take the
+    // CREATE TABLE ... LOCATION re-registration path, not a rewrite
+    spark.catalog.listTables().collect()
+      .filter(_.name.startsWith("graft_bkt_"))
+      .foreach(t => spark.sql(s"DROP TABLE ${t.name}"))
+    val threshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val df = operators.Relational.jBucketedColocated.run(spark, sfDir)
+      val again = df.collect().map(_.toSeq)
+      assert(again === first, "re-registered layout changed results")
+      val plan = df.queryExecution.executedPlan.toString
+      assert(!plan.contains("hashpartitioning(o_custkey") &&
+        !plan.contains("hashpartitioning(c_custkey"),
+        "re-registered external table lost bucket co-location")
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", threshold)
+  }
 }
