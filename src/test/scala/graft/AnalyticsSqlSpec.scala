@@ -34,4 +34,17 @@ class AnalyticsSqlSpec extends SparkSpec {
   test("q3 product rank: SQL twin matches (RANK + pct-of-total)") {
     assertSqlTwinMatches(analytics.Analytics.q3ProductRank, "part", "lineitem")
   }
+
+  test("SCD2 dimension build: SQL twin matches (lag/lead change-tracking windows)") {
+    // events needs the ns→µs timestamp conversion the DataFrame path gets
+    // from core.events — register THAT as the view, not the raw parquet
+    core.events(spark, sfDir).createOrReplaceTempView("events")
+    try {
+      val qd = model.Warehouse.wScd2Dim
+      val viaSql = spark.sql(qd.oracle.get).collect()
+      val viaDf = qd.run(spark, sfDir).collect()
+      assert(viaSql.length === viaDf.length)
+      viaSql.zip(viaDf).foreach { case (s, d) => assert(s === d) }
+    } finally spark.catalog.dropTempView("events")
+  }
 }
