@@ -270,7 +270,63 @@ object Streams {
       .orderBy("user_id", "purchase_ts", "click_ts")
   }
 
+  /** st6 — `foreachBatch` warehouse sink: the standard streaming→warehouse
+    * bridge. Each micro-batch MERGES into a persistent user dimension
+    * (latest event per user), using a batch-ORDER-INSENSITIVE rule — keep
+    * the max-`ts` row per key across (existing ∪ batch) — so the final
+    * table is identical no matter how `AvailableNow` chunks the replay or
+    * which order files arrive in. (A "last batch wins" merge would NOT be:
+    * the file source makes no cross-batch time-order promise.) At scale
+    * each merge shuffles only |batch| + |dim| rows on the key; the oracle
+    * is the batch `arg_max` equivalent. */
+  val stForeachBatchUpsert: QueryDef = QueryDef(
+    "st_foreach_batch_upsert",
+    Some("""
+      SELECT user_id,
+             arg_max(event_type, ts) AS last_event_type,
+             max(ts) AS last_ts
+      FROM events
+      GROUP BY user_id
+      ORDER BY user_id
+    """)) { (spark, dir) =>
+    val landing = eventsLanding(spark, dir)
+    val schema = spark.read.parquet(landing).schema
+    val dimDir = scratch(dir, "st_dim_users_run") // rebuilt per run: the sink IS the op
+    val dimPath = new org.apache.hadoop.fs.Path(dimDir)
+    val fs = dimPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(dimPath, true)
+    val byUser = Window.partitionBy("user_id").orderBy(col("ts").desc)
+    val q = withStatePartitions(spark, 8) {
+      spark.readStream.schema(schema).parquet(landing)
+        .select(col("user_id"), col("event_type"), col("ts"))
+        .writeStream
+        .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+          val cols = Seq("user_id", "event_type", "ts")
+          val existing =
+            if (fs.exists(new org.apache.hadoop.fs.Path(dimDir, "_SUCCESS")))
+              batch.sparkSession.read.parquet(dimDir)
+            else batch.select(cols.map(col): _*).limit(0)
+          val merged = existing.unionByName(batch.select(cols.map(col): _*))
+            .withColumn("__rn", row_number().over(byUser))
+            .filter(col("__rn") === 1).drop("__rn")
+          // write to a staging dir (the plan still READS dimDir — it must
+          // stay intact until the write finishes), then atomically swap;
+          // foreachBatch runs batches strictly sequentially
+          merged.write.mode("overwrite").parquet(dimDir + "_next")
+          fs.delete(dimPath, true)
+          fs.rename(new org.apache.hadoop.fs.Path(dimDir + "_next"), dimPath)
+          ()
+        }
+        .trigger(Trigger.AvailableNow()).start()
+    }
+    q.awaitTermination()
+    spark.read.parquet(dimDir)
+      .select(col("user_id"), col("event_type").as("last_event_type"),
+        col("ts").cast(TimestampNTZType).as("last_ts"))
+      .orderBy("user_id")
+  }
+
   val all: Seq[QueryDef] = Seq(
     stHourlyWindows, stSessionWindows, stJsonProps, stStatefulUserAgg,
-    stStreamStreamJoin)
+    stStreamStreamJoin, stForeachBatchUpsert)
 }

@@ -72,4 +72,18 @@ class StreamsSpec extends SparkSpec {
     assert(streamed === batch)
     assert(batch.nonEmpty, "fixture produced zero matches — test is vacuous")
   }
+
+  test("st6 foreachBatch upsert converges to the batch latest-event-per-user state") {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.expressions.Window
+    val streamed = streaming.Streams.stForeachBatchUpsert.run(spark, sfDir)
+      .collect().map(_.toSeq).toSet
+    val latest = Window.partitionBy("user_id").orderBy(col("ts").desc)
+    val batch = core.events(spark, sfDir)
+      .withColumn("__rn", row_number().over(latest)).filter(col("__rn") === 1)
+      .select(col("user_id"), col("event_type").as("last_event_type"),
+        col("ts").as("last_ts"))
+      .collect().map(_.toSeq).toSet
+    assert(streamed === batch)
+  }
 }
