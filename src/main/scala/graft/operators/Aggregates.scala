@@ -263,16 +263,18 @@ object Aggregates {
     val wanted = positions.values
       .flatMap(p => Seq(math.floor(p).toLong + 1, math.ceil(p).toLong + 1))
       .toSeq.distinct.map(g => g -> locate(g)).toMap
-    // Pass 2: one partition-local sort (window over __pid — never a global
-    // single-partition window), keep only the handful of marked ranks.
+    // Pass 2: partition-local sort of ONLY the partitions holding target
+    // ranks (≤2 of them — the pre-filter skips sorting the other 30), keep
+    // the handful of marked rows. Never a global single-partition window.
+    val neededPids = wanted.values.map(_._1).toSeq.distinct
     val within = Window.partitionBy("__pid").orderBy("v")
     val markCond = wanted.values
       .map { case (pid, local) => col("__pid") === pid && col("__rn") === local }
       .reduce(_ || _)
-    val localAt = parts.withColumn("__rn", row_number().over(within).cast(LongType))
+    val localAt = parts.filter(col("__pid").isin(neededPids: _*))
+      .withColumn("__rn", row_number().over(within).cast(LongType))
       .filter(markCond).select("__pid", "__rn", "v").collect()
       .map(r => (r.getInt(0), r.getLong(1)) -> r.getDouble(2)).toMap
-    parts.unpersist()
     val atRank: Long => Double = g => localAt(wanted(g))
     def exact(q: Double): Double = {
       val p = positions(q)
@@ -280,12 +282,16 @@ object Aggregates {
       vlo + (vhi - vlo) * (p - math.floor(p))
     }
     val (ep50, ep95) = (exact(0.5), exact(0.95))
-    tbl(spark, dir, "lineitem")
+    // the sketch runs over the SAME cached column — no second lineitem
+    // scan; n_rows comes from the already-collected count table (identical
+    // to count(*) by construction). `parts` stays persisted for the
+    // returned lineage — the harness (Bench/Verify/tests) clears the cache
+    // pool between queries, same as the dedup pipelines.
+    parts
       .agg(
-        count(lit(1)).as("n_rows"),
-        percentile_approx(col("l_extendedprice"), lit(0.5), lit(2000)).as("ap50"),
-        percentile_approx(col("l_extendedprice"), lit(0.95), lit(2000)).as("ap95"))
-      .select(col("n_rows"),
+        percentile_approx(col("v"), lit(0.5), lit(2000)).as("ap50"),
+        percentile_approx(col("v"), lit(0.95), lit(2000)).as("ap95"))
+      .select(lit(n).as("n_rows"),
         (abs(col("ap50") - lit(ep50)) / lit(ep50) <= 0.01).as("p50_within_bound"),
         (abs(col("ap95") - lit(ep95)) / lit(ep95) <= 0.01).as("p95_within_bound"))
   }
