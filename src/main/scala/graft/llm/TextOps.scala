@@ -231,6 +231,38 @@ object TextOps {
     }.toDF().orderBy("doc_id")
   }
 
+  /** t8 — multimodal FRAME-SAMPLE stage: the 1→N expansion a video/audio
+    * pipeline runs between decode and feature extraction — treat the opaque
+    * payload as fixed-size frames (64 B), emit every 2nd frame's
+    * identifier + content digest. Spark shape: `explode(sequence(...))` —
+    * a row-local generator, zero shuffle, and the downstream per-frame
+    * work parallelizes over the exploded rows. The frame DIGEST is the
+    * stub standing in for real frame decode (codec libs absent here, same
+    * convention as t_multimodal_decode); the expansion plumbing is real.
+    * ANSI guard: `sequence(0, n-1, 2)` DESCENDS if n = 0, so frame count
+    * is floored at 1 (every document yields at least frame 0). */
+  val tMultimodalFrames: QueryDef = QueryDef(
+    "t_multimodal_frames",
+    Some("""
+      SELECT doc_id, frame_idx,
+             md5(md5(text) || ':' || CAST(frame_idx AS VARCHAR)) AS frame_digest
+      FROM (
+        SELECT doc_id, text,
+               unnest(range(0, greatest(CAST(ceil(octet_length(encode(text)) / 64.0) AS BIGINT), 1), 2))
+                 AS frame_idx
+        FROM documents)
+      ORDER BY doc_id, frame_idx
+    """)) { (spark, dir) =>
+    val nFrames = greatest(ceil(length(encode(col("text"), "UTF-8")) / lit(64.0)).cast(LongType), lit(1L))
+    tbl(spark, dir, "documents")
+      .select(col("doc_id"), md5(col("text")).as("payload_digest"),
+        explode(sequence(lit(0L), nFrames - 1, lit(2L))).as("frame_idx"))
+      .select(col("doc_id"), col("frame_idx"),
+        md5(concat(col("payload_digest"), lit(":"), col("frame_idx").cast(StringType)))
+          .as("frame_digest"))
+      .orderBy("doc_id", "frame_idx")
+  }
+
   /** t7 — deterministic stratified sampling (training-corpus curation):
     * per-language rates rebalance a skewed corpus (downsample the dominant
     * 'en', keep more of the tails). The keep decision hashes the DOCUMENT
@@ -259,5 +291,5 @@ object TextOps {
 
   val all: Seq[QueryDef] = Seq(
     tTokenStats, tQualityScore, tLangId, tFingerprint, tMultimodalMeta,
-    tMultimodalDecode, tStratifiedSample)
+    tMultimodalDecode, tMultimodalFrames, tStratifiedSample)
 }
