@@ -72,12 +72,18 @@ object Bench {
     // (after spark.stop(), so shutdown logs can't trail it)
     def rnd(v: Double, dp: Int): String =
       BigDecimal(v).setScale(dp, BigDecimal.RoundingMode.HALF_UP).toString
-    val qs = timings.map { case (k, v) => s""""${esc(k)}":${rnd(v, 2)}""" }.mkString("{", ",", "}")
     val es = errors.map { case (k, v) => s""""${esc(k)}":"${esc(v.take(80))}"""" }.mkString("{", ",", "}")
     val total = timings.values.sum
     val sfName = sfDir.split('/').last
+    def line(dp: Int): String = {
+      val qs = timings.map { case (k, v) => s""""${esc(k)}":${rnd(v, dp)}""" }.mkString("{", ",", "}")
+      s"""{"metric":"total","value":${rnd(total, 3)},"unit":"sec","queries":$qs,"errors":$es,"n_ok":${timings.size},"n_err":${errors.size},"sf":"$sfName"}"""
+    }
+    // self-adjusting precision: the line must stay well inside the tail
+    // window (~2000 chars) the driver parses from, with room for trailing
+    // build-tool output — degrade per-query decimals before overflowing
+    val out = Seq(2, 1, 0).map(line).find(_.length <= 1850).getOrElse(line(0))
     spark.stop()
-    println(
-      s"""{"metric":"total","value":${rnd(total, 3)},"unit":"sec","queries":$qs,"errors":$es,"n_ok":${timings.size},"n_err":${errors.size},"sf":"$sfName"}""")
+    println(out)
   }
 }
