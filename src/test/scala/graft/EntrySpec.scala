@@ -24,16 +24,32 @@ class EntrySpec extends SparkSpec {
       // intermediates must not accumulate across all 60+ queries in one JVM
       spark.catalog.clearCache()
       try {
-        val (rows, fp) = Golden.fingerprint(fn(spark, sfDir))
-        golden.get(name) match {
+        val df = fn(spark, sfDir)
+        val (rows, fp) = Golden.fingerprint(df)
+        // plan invariant over the WHOLE registry (plans are already built):
+        // nothing may degenerate into an unbounded cross product
+        val plan = df.queryExecution.executedPlan.toString
+        val cartesian =
+          if (plan.contains("CartesianProduct"))
+            Some(s"$name: plan contains CartesianProduct") else None
+        val drift = golden.get(name) match {
           case Some((gRows, gFp)) if gRows != rows || gFp != fp =>
             Some(s"$name: drifted (rows $gRows->$rows, fp $gFp->$fp)")
           case None if golden.nonEmpty =>
             Some(s"$name: no golden entry — run `sbt \"Test/runMain graft.GoldenGen\"`")
           case _ => None
         }
+        cartesian ++ drift
       } catch { case e: Throwable => Some(s"$name: ${e.getMessage}") }
     }
     assert(failures.isEmpty, s"${failures.size} queries failed:\n${failures.mkString("\n")}")
+  }
+
+  test("golden parser fails loudly on a corrupt non-empty file, quietly on an empty one") {
+    assert(Golden.parse("", "t").isEmpty && Golden.parse("{}", "t").isEmpty)
+    assert(Golden.parse("""{ "q" : { "rows" : 5 , "fp" : "0123456789abcdef0123456789abcdef" } }""",
+      "t") === Map("q" -> (5L, "0123456789abcdef0123456789abcdef")))
+    val err = intercept[IllegalArgumentException](Golden.parse("{ garbage", "t"))
+    assert(err.getMessage.contains("no entries parsed"))
   }
 }

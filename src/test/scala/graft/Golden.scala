@@ -28,20 +28,20 @@ object Golden {
 
   def load(): Map[String, (Long, String)] = {
     val p = Paths.get(path)
-    if (!Files.exists(p)) Map.empty
-    else {
-      val content = Files.readString(p)
-      // whitespace-tolerant so a hand-reformatted file still parses
-      val entry = """"([^"]+)"\s*:\s*\{\s*"rows"\s*:\s*(\d+)\s*,\s*"fp"\s*:\s*"([0-9a-fA-F]{32})"\s*\}""".r
-      val parsed = entry.findAllMatchIn(content)
-        .map(m => m.group(1) -> (m.group(2).toLong, m.group(3).toLowerCase)).toMap
-      // a non-empty file that yields zero entries is a corrupt/reformatted
-      // golden file, not "no goldens yet" — fail loudly, never silently
-      require(parsed.nonEmpty || content.trim.isEmpty || content.trim == "{}",
-        s"golden file $path is non-empty but no entries parsed — regenerate with " +
-          "`sbt \"Test/runMain graft.GoldenGen\"`")
-      parsed
-    }
+    if (!Files.exists(p)) Map.empty else parse(Files.readString(p), path)
+  }
+
+  /** Parse golden JSON content; loud failure on a non-empty file that
+    * yields zero entries (corrupt/reformatted, not "no goldens yet"). */
+  def parse(content: String, where: String): Map[String, (Long, String)] = {
+    // whitespace-tolerant so a hand-reformatted file still parses
+    val entry = """"([^"]+)"\s*:\s*\{\s*"rows"\s*:\s*(\d+)\s*,\s*"fp"\s*:\s*"([0-9a-fA-F]{32})"\s*\}""".r
+    val parsed = entry.findAllMatchIn(content)
+      .map(m => m.group(1) -> (m.group(2).toLong, m.group(3).toLowerCase)).toMap
+    require(parsed.nonEmpty || content.trim.isEmpty || content.trim == "{}",
+      s"golden file $where is non-empty but no entries parsed — regenerate with " +
+        "`sbt \"Test/runMain graft.GoldenGen\"`")
+    parsed
   }
 }
 
