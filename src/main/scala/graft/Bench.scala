@@ -49,17 +49,29 @@ object Bench {
     SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (n, _) => only.forall(_.findFirstIn(n).isDefined) }
       .foreach { case (name, fn) =>
-      // queries persist intermediates; drop them so each measurement is
-      // independent of what earlier queries left in the cache pool
-      spark.catalog.clearCache()
-      val t0 = System.nanoTime()
-      try {
-        fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-        timings(name) = (System.nanoTime() - t0) / 1e9
-      } catch {
-        case e: Throwable =>
-          errors(name) = Option(e.getMessage).getOrElse(e.getClass.getName).take(200)
+      // Noise defense: a single timing on a shared host swings ±25% and has
+      // produced phantom 5-10x outliers on unchanged code; time each query
+      // twice and record the min (the run least disturbed by the host).
+      // Each attempt clears the cache pool first so no measurement depends
+      // on what an earlier query (or the first attempt) left persisted.
+      val reps = sys.env.getOrElse("SPARK_GRAFT_REPS", "2").toInt
+      var best = Double.MaxValue
+      var failed = false
+      var rep = 0
+      while (rep < reps && !failed) {
+        spark.catalog.clearCache()
+        val t0 = System.nanoTime()
+        try {
+          fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+          best = math.min(best, (System.nanoTime() - t0) / 1e9)
+        } catch {
+          case e: Throwable =>
+            failed = true
+            errors(name) = Option(e.getMessage).getOrElse(e.getClass.getName).take(200)
+        }
+        rep += 1
       }
+      if (!failed) timings(name) = best
     }
     def esc(s: String): String =
       s.flatMap { case '"' => "\\\""; case '\\' => "\\\\"; case '\n' => "\\n"

@@ -45,15 +45,16 @@ object core {
   }
 
   /** Cheap content signature of one or more source parquet tables (file
-    * names + sizes, hashed): used to key derived layouts (landing zones,
-    * bucketed tables) so regenerated source data can never be served from a
-    * stale derived copy. */
+    * names + sizes + mtimes, hashed): used to key derived layouts (landing
+    * zones, bucketed tables) so regenerated source data can never be served
+    * from a stale derived copy — mtime catches a regenerated table whose
+    * files happen to keep the same names and byte sizes. */
   def sourceSig(spark: SparkSession, dir: String, names: String*): String = {
     val conf = spark.sparkContext.hadoopConfiguration
     val parts = names.flatMap { n =>
       val p = new org.apache.hadoop.fs.Path(s"$dir/$n.parquet")
       p.getFileSystem(conf).listStatus(p)
-        .map(st => s"$n/${st.getPath.getName}:${st.getLen}")
+        .map(st => s"$n/${st.getPath.getName}:${st.getLen}:${st.getModificationTime}")
     }
     java.security.MessageDigest.getInstance("MD5")
       .digest(parts.sorted.mkString("|").getBytes("UTF-8"))

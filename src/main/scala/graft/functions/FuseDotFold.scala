@@ -54,7 +54,8 @@ object FuseDotFold extends Rule[LogicalPlan] {
           zero @ Literal(_, DoubleType),
           LambdaFunction(add: Add, Seq(acc: NamedLambdaVariable, el: NamedLambdaVariable), _),
           finish)
-        if java.lang.Double.doubleToLongBits(
+        if zero.value != null &&
+          java.lang.Double.doubleToLongBits(
              zero.value.asInstanceOf[Double]) == java.lang.Double.doubleToLongBits(0.0) &&
           mul.dataType == DoubleType &&
           isVarPair(mul.left, mul.right, x, y) &&

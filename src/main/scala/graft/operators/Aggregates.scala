@@ -243,6 +243,10 @@ object Aggregates {
     // target global rank, which partition holds it at which local rank.
     val parts = tbl(spark, dir, "lineitem")
       .select(col("l_extendedprice").cast(DoubleType).as("v"))
+      // percentile semantics ignore NULLs (percentile_approx and DuckDB's
+      // quantile both do); drop them before ranking so n and the rank→value
+      // mapping match that convention even on a nullable column
+      .filter(col("v").isNotNull)
       .repartitionByRange(spark.sessionState.conf.numShufflePartitions, col("v"))
       .withColumn("__pid", spark_partition_id())
       .persist()

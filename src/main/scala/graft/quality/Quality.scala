@@ -67,7 +67,7 @@ object Quality {
         UNION ALL
         SELECT 'lineitem', 'l_orderkey:l_linenumber', count(*),
                count(l_orderkey) = count(*) AND count(l_linenumber) = count(*),
-               count(DISTINCT l_orderkey * 10000 + l_linenumber) = count(*)
+               count(DISTINCT concat_ws(':', l_orderkey, l_linenumber)) = count(*)
         FROM lineitem)
       ORDER BY table_name, column_name
     """)) { (spark, dir) =>
@@ -82,7 +82,10 @@ object Quality {
       count(lit(1)).as("n_rows"),
       (count(col("l_orderkey")) === count(lit(1)) &&
         count(col("l_linenumber")) === count(lit(1))).as("not_null_passed"),
-      (countDistinct(col("l_orderkey") * 10000 + col("l_linenumber")) === count(lit(1)))
+      // collision-free pair encoding: delimiter-joined decimal strings are
+      // injective for integer keys at any magnitude (an arithmetic packing
+      // like key*10000+line silently collides once line >= 10000)
+      (countDistinct(concat_ws(":", col("l_orderkey"), col("l_linenumber"))) === count(lit(1)))
         .as("unique_passed"))
       .select(lit("lineitem").as("table_name"),
         lit("l_orderkey:l_linenumber").as("column_name"),

@@ -55,20 +55,25 @@ class StreamsSpec extends SparkSpec {
     }
   }
 
+  // multiset view: a Set comparison would hide multiplicity bugs (e.g. a
+  // match re-emitted across micro-batches in the stream-stream join)
+  private def multiset(rows: Array[org.apache.spark.sql.Row]): Map[Seq[Any], Int] =
+    rows.map(_.toSeq).groupBy(identity).view.mapValues(_.length).toMap
+
   test("st5 stream-stream join equals the batch interval join on the same data") {
     import org.apache.spark.sql.functions._
-    val streamed = streaming.Streams.stStreamStreamJoin.run(spark, sfDir)
-      .collect().map(_.toSeq).toSet
+    val streamed = multiset(streaming.Streams.stStreamStreamJoin.run(spark, sfDir)
+      .collect())
     val ev = core.events(spark, sfDir)
     val p = ev.filter(col("event_type") === "purchase")
       .select(col("user_id"), col("ts").as("purchase_ts"))
     val c = ev.filter(col("event_type") === "click")
       .select(col("user_id").as("cu"), col("ts").as("click_ts"))
-    val batch = p.join(c, col("user_id") === col("cu") &&
+    val batch = multiset(p.join(c, col("user_id") === col("cu") &&
         col("click_ts") >= col("purchase_ts") - expr("INTERVAL 24 HOURS") &&
         col("click_ts") <= col("purchase_ts"))
       .select("user_id", "purchase_ts", "click_ts")
-      .collect().map(_.toSeq).toSet
+      .collect())
     assert(streamed === batch)
     assert(batch.nonEmpty, "fixture produced zero matches — test is vacuous")
   }
@@ -76,14 +81,14 @@ class StreamsSpec extends SparkSpec {
   test("st6 foreachBatch upsert converges to the batch latest-event-per-user state") {
     import org.apache.spark.sql.functions._
     import org.apache.spark.sql.expressions.Window
-    val streamed = streaming.Streams.stForeachBatchUpsert.run(spark, sfDir)
-      .collect().map(_.toSeq).toSet
+    val streamed = multiset(streaming.Streams.stForeachBatchUpsert.run(spark, sfDir)
+      .collect())
     val latest = Window.partitionBy("user_id").orderBy(col("ts").desc)
-    val batch = core.events(spark, sfDir)
+    val batch = multiset(core.events(spark, sfDir)
       .withColumn("__rn", row_number().over(latest)).filter(col("__rn") === 1)
       .select(col("user_id"), col("event_type").as("last_event_type"),
         col("ts").as("last_ts"))
-      .collect().map(_.toSeq).toSet
+      .collect())
     assert(streamed === batch)
   }
 }
