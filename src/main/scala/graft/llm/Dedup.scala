@@ -148,17 +148,37 @@ object Dedup {
       .select(col("doc_id"), shingles3(split(col("text"), "\\s+")).as("shingles"))
       .persist()
     // signature via explode + codegen'd min-aggregates: one md5 per
-    // (doc, shingle) row and 12 scalar substring mins, all inside
-    // WholeStageCodegen — equivalent to (but far faster than) interpreted
-    // array_min(transform(...)) folds. min over a string agg == list_min:
-    // both are byte-wise lexicographic. Empty-shingle docs vanish on
-    // explode, matching the oracle's null minhash (null band keys never
-    // join on either engine).
+    // (doc, shingle) row, the digest parsed ONCE into four unsigned 32-bit
+    // ints, and each 16-hex-char rotation derived as a 64-bit window over
+    // the circular digest with shift/or arithmetic — integer ops replace
+    // the 12 substring(m||m, …) string builds per row, and min(long)
+    // replaces min(16-char string) in the aggregation buffer. The hex
+    // string is lowercase-hex ordered == unsigned-64 ordered; XOR with
+    // Long.MinValue makes SIGNED min agree with unsigned min, so the
+    // post-agg hex rendering reproduces the oracle's lexicographic
+    // list_min exactly. Empty-shingle docs vanish on explode, matching
+    // the oracle's null minhash (null band keys never join on either
+    // engine).
     val dig = base.select(col("doc_id"), explode(col("shingles")).as("s"))
       .select(col("doc_id"), md5(col("s")).as("m"))
+    val withInts = dig.select(col("doc_id") +: (0 until 4).map(k =>
+      conv(substring(col("m"), k * 8 + 1, 8), 16, 10).cast(LongType).as(s"i$k")): _*)
+    // 64-bit window at byte offset b of the 16-byte circular digest
+    // (== substring(m || m, 2b+1, 16) read as an unsigned number)
+    def window(b: Int): Column = {
+      val w = b / 4; val o = b % 4
+      val hi = shiftleft(col(s"i$w"), 32).bitwiseOR(col(s"i${(w + 1) % 4}"))
+      val win = if (o == 0) hi
+      else shiftleft(hi, 8 * o)
+        .bitwiseOR(shiftrightunsigned(col(s"i${(w + 2) % 4}"), 32 - 8 * o))
+      win.bitwiseXOR(lit(Long.MinValue)) // signed order == unsigned order
+    }
     val sigCols = (0 until numBands * rowsPerBand).map(i =>
-      min(substring(concat(col("m"), col("m")), i * 2 + 1, 16)).as(s"h$i"))
-    val sig = dig.groupBy("doc_id").agg(sigCols.head, sigCols.tail: _*)
+      min(window(i)).as(s"h$i"))
+    val sigPacked = withInts.groupBy("doc_id").agg(sigCols.head, sigCols.tail: _*)
+    // back to the oracle's 16-lowercase-hex-char rotation strings
+    val sig = sigPacked.select(col("doc_id") +: (0 until numBands * rowsPerBand).map(i =>
+      lpad(lower(hex(col(s"h$i").bitwiseXOR(lit(Long.MinValue)))), 16, "0").as(s"h$i")): _*)
     val bands = sig.select(col("doc_id"), explode(array((0 until numBands).map { b =>
       val rows = (0 until rowsPerBand).map(r => col(s"h${b * rowsPerBand + r}"))
       concat(lit(s"$b:"), md5(concat(rows: _*)))
@@ -237,10 +257,18 @@ object Dedup {
     """)) { (spark, dir) =>
     // Fingerprint via explode + codegen'd sum-aggregates: bit j∈[1,32] ←
     // salt s1 position j; j∈[33,64] ← salt s2 position j-32, exactly the
-    // oracle's CASE-per-bit construction — but computed as 64 scalar
-    // conditional sums over (doc, shingle) rows inside WholeStageCodegen,
-    // with the two salted digests hashed once per row. Empty-shingle docs
-    // (shorter than the 3-gram) vanish on explode, mirroring the oracle's
+    // oracle's CASE-per-bit construction. A hex char >= '8' iff the
+    // nibble's HIGH BIT is set, so instead of 64 string substring+compare
+    // sums the two salted digests are parsed once per row into eight
+    // unsigned 32-bit ints and the per-nibble indicator bits are summed
+    // LANE-PACKED: four 16-bit counter lanes per long, 16 lane-sum
+    // columns (+count) instead of 64 — a much smaller aggregation buffer
+    // and pure integer shift/mask work per row. Lanes never cross-carry
+    // while a doc has < 65536 distinct shingles (a 64K-token document —
+    // far past any real row; the text column is KB-scale). The ±1 vote
+    // sum >= 0 of the oracle is equivalently 2·S_j >= N with S_j the
+    // set-bit count and N the shingle count. Empty-shingle docs (shorter
+    // than the 3-gram) vanish on explode, mirroring the oracle's
     // len(sh) > 0 exclusion. persist = one materialization for both
     // self-join sides.
     val expl = withNearDups(spark, dir)
@@ -250,13 +278,30 @@ object Dedup {
       .select(col("doc_id"),
         md5(concat(lit("s1|"), col("s"))).as("m1"),
         md5(concat(lit("s2|"), col("s"))).as("m2"))
-    val voteCols = (1 to 64).map { j =>
-      val (mc, pos) = if (j <= 32) ("m1", j) else ("m2", j - 32)
-      sum(when(substring(col(mc), pos, 1) >= "8", 1).otherwise(-1)).as(s"v$j")
+    // chunk k∈[0,7]: hex chars [8k+1, 8k+8] of (m1 ++ m2) as one 32-bit int
+    val withChunks = expl.select(col("doc_id") +: (0 until 8).map { k =>
+      val m = if (k < 4) col("m1") else col("m2")
+      conv(substring(m, (k % 4) * 8 + 1, 8), 16, 10).cast(LongType).as(s"c$k")
+    }: _*)
+    // indicator of nibble p∈[0,7] (leftmost hex char first) of chunk c:
+    // the nibble's high bit, at bit position 4·(7−p)+3
+    def ind(c: Column, p: Int): Column =
+      shiftright(c, 4 * (7 - p) + 3).bitwiseAND(lit(1L))
+    // lane column (k, h): nibbles 4h..4h+3 of chunk k in 16-bit lanes
+    val laneCols = for { k <- 0 until 8; h <- 0 until 2 } yield
+      sum((0 until 4).map(i => shiftleft(ind(col(s"c$k"), h * 4 + i), 16 * i))
+        .reduce(_.bitwiseOR(_))).as(s"l${k}_$h")
+    val aggCols = count(lit(1)).as("n") +: laneCols
+    // bit j of the fingerprint: S_j = lane (chunk (j-1)/8, half, slot) of
+    // the summed lanes; set iff votes 2·S_j − N >= 0
+    val bitCols = (1 to 64).map { j =>
+      val k = (j - 1) / 8
+      val p = (j - 1) % 8
+      val s = shiftright(col(s"l${k}_${p / 4}"), 16 * (p % 4)).bitwiseAND(lit(0xFFFFL))
+      when(s * 2 >= col("n"), "1").otherwise("0")
     }
-    val fp = expl.groupBy("doc_id").agg(voteCols.head, voteCols.tail: _*)
-      .select(col("doc_id"),
-        concat((1 to 64).map(j => when(col(s"v$j") >= 0, "1").otherwise("0")): _*).as("bits"))
+    val fp = withChunks.groupBy("doc_id").agg(aggCols.head, aggCols.tail: _*)
+      .select(col("doc_id"), concat(bitCols: _*).as("bits"))
       .persist()
     val blocks = fp.select(col("doc_id"), col("bits"),
       explode(array((0 until 4).map(b =>
