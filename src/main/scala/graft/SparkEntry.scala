@@ -24,6 +24,7 @@ object SparkEntry {
         llm.Dedup.all ++
         llm.Similarity.all ++
         sources.Ingest.all ++
+        sources.Watermark.all ++
         streaming.Streams.all ++
         pipeline.Pipeline.all
     // a cross-module name collision would silently shadow a QueryDef in the

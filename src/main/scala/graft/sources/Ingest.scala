@@ -2,6 +2,7 @@ package graft.sources
 
 import graft.{QueryDef, core}
 import graft.core._
+import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
@@ -96,5 +97,79 @@ object Ingest {
       .orderBy("o_orderstatus")
   }
 
-  val all: Seq[QueryDef] = Seq(s5DocIngest, s7ParquetRoundtrip, sPartitionPruning)
+  // -- Live JDBC extraction (S1–S4 as the reference actually does them) ---
+  // The reference extracts over the wire from PostgreSQL/MySQL (reference
+  // `extractors/postgres_extractor.py:41–60`, `mysql_extractor.py:41–50`):
+  // a SELECT with an incremental WHERE, chunked for parallelism. Embedded
+  // Derby (shipped with Spark) stands in for the RDBMS — the Spark-side
+  // mechanics (JDBC scan, predicate pushdown into the database, partitioned
+  // parallel extraction) are identical to a networked source.
+
+  /** Boot-once Derby settings: keep derby.log out of the repo root. */
+  private def derbyQuiet(): Unit =
+    sys.props.getOrElseUpdate("derby.stream.error.file",
+      s"${sys.props("user.dir")}/target/derby.log")
+
+  /** Embedded-Derby JDBC URL for a mirror of the `orders` table, loaded
+    * once per source content signature (a regenerated source gets a fresh
+    * database — same staleness defense as the landing zones). The load
+    * itself is a partitioned JDBC batch insert — the write half of the
+    * same wire protocol. */
+  private def ordersJdbcUrl(spark: SparkSession, dir: String): String = {
+    derbyQuiet()
+    val dbDir = scratch(dir, s"derby_orders_${sourceSig(spark, dir, "orders")}")
+    val url = s"jdbc:derby:$dbDir;create=true"
+    val marker = new java.io.File(dbDir, "_graft_loaded")
+    if (!marker.exists()) {
+      tbl(spark, dir, "orders")
+        .select("o_orderkey", "o_custkey", "o_orderdate", "o_totalprice")
+        .coalesce(4) // embedded DB: a few writers beat 32 contending ones
+        .write.format("jdbc")
+        .option("url", url)
+        .option("dbtable", "orders_src")
+        .option("driver", "org.apache.derby.jdbc.EmbeddedDriver")
+        .option("batchsize", "10000")
+        .mode("overwrite").save()
+      marker.createNewFile()
+    }
+    url
+  }
+
+  /** S1–S4 live path — incremental JDBC extraction: read the RDBMS mirror
+    * with the watermark predicate PUSHED INTO THE DATABASE (the WHERE runs
+    * remotely; only matching rows cross the wire — asserted by PlanSpec)
+    * and the scan split into 8 key-range partitions that extract in
+    * parallel, the JDBC twin of the reference's chunked reads (reference
+    * `postgres_extractor.py:52–60`). Bounds here are fixture-wide; a real
+    * deployment derives them from table stats. Oracle = the same rows from
+    * the parquet original, proving the DB round-trip is value-exact. */
+  val sJdbcSource: QueryDef = QueryDef(
+    "s_jdbc_source",
+    Some("""
+      SELECT o_orderkey, o_custkey,
+             CAST(o_orderdate AS TIMESTAMP) AS o_orderdate,
+             CAST(o_totalprice AS DOUBLE) AS o_totalprice
+      FROM orders
+      WHERE o_orderdate >= DATE '1997-01-01'
+      ORDER BY o_orderkey
+    """)) { (spark, dir) =>
+    val url = ordersJdbcUrl(spark, dir)
+    spark.read.format("jdbc")
+      .option("url", url)
+      .option("dbtable", "orders_src")
+      .option("driver", "org.apache.derby.jdbc.EmbeddedDriver")
+      .option("partitionColumn", "o_orderkey")
+      .option("lowerBound", "1")
+      .option("upperBound", (1L << 22).toString)
+      .option("numPartitions", "8")
+      .load()
+      .filter(col("o_orderdate") >= lit("1997-01-01").cast(DateType))
+      .select(col("o_orderkey"), col("o_custkey"),
+        col("o_orderdate").cast(TimestampType).as("o_orderdate"),
+        col("o_totalprice"))
+      .orderBy("o_orderkey")
+  }
+
+  val all: Seq[QueryDef] = Seq(
+    s5DocIngest, s7ParquetRoundtrip, sPartitionPruning, sJdbcSource)
 }

@@ -22,6 +22,16 @@ class PlanSpec extends SparkSpec {
       s"watermark predicate not pushed:\n${plan.take(800)}")
   }
 
+  test("jdbc extraction pushes the incremental predicate into the database scan") {
+    val df = sources.Ingest.sJdbcSource.run(spark, sfDir)
+    val plan = finalPlan(df)
+    assert(plan.contains("JDBCRelation"), "not reading through the JDBC scan")
+    assert(plan.contains("numPartitions=8"), "extraction not split into parallel key ranges")
+    assert(plan.contains("PushedFilters:") &&
+      plan.toLowerCase.contains("greaterthanorequal(o_orderdate"),
+      s"watermark predicate not pushed into the database:\n${plan.take(800)}")
+  }
+
   test("q2's customer dimension joins as broadcast — the fact side never sort-merges") {
     val plan = finalPlan(analytics.Analytics.q2CustomerSegmentation.run(spark, sfDir))
     assert(plan.contains("BroadcastHashJoin"))

@@ -1,0 +1,57 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import java.time.LocalDate
+
+/** The persisted high-watermark checkpoint: monotonic advancement,
+  * persistence across reads, invalidation when the source is regenerated,
+  * and the extract→advance→extract-empty cycle. */
+class WatermarkSpec extends SparkSpec {
+  import sources.Watermark
+
+  private val default = LocalDate.parse("1990-01-01")
+
+  test("watermark persists, advances monotonically, and resets") {
+    Watermark.reset(spark, sfDir, "orders")
+    assert(Watermark.read(spark, sfDir, "orders", default) === default)
+    assert(Watermark.advance(spark, sfDir, "orders",
+      LocalDate.parse("1995-06-01")) === LocalDate.parse("1995-06-01"))
+    assert(Watermark.read(spark, sfDir, "orders", default)
+      === LocalDate.parse("1995-06-01"))
+    // a lagging re-run may not move the checkpoint backwards
+    assert(Watermark.advance(spark, sfDir, "orders",
+      LocalDate.parse("1994-01-01")) === LocalDate.parse("1995-06-01"))
+    assert(Watermark.read(spark, sfDir, "orders", default)
+      === LocalDate.parse("1995-06-01"))
+    assert(Watermark.advance(spark, sfDir, "orders",
+      LocalDate.parse("1996-02-02")) === LocalDate.parse("1996-02-02"))
+    Watermark.reset(spark, sfDir, "orders")
+    assert(Watermark.read(spark, sfDir, "orders", default) === default)
+  }
+
+  test("a regenerated source starts from a fresh watermark, not a stale checkpoint") {
+    val tmp = s"${sys.props("user.dir")}/target/wm-regen-test"
+    def writeSource(n: Int): Unit =
+      spark.range(n).select(col("id").as("k"))
+        .coalesce(1).write.mode("overwrite").parquet(s"$tmp/orders.parquet")
+    writeSource(10)
+    Watermark.reset(spark, tmp, "orders")
+    Watermark.advance(spark, tmp, "orders", LocalDate.parse("1998-08-01"))
+    assert(Watermark.read(spark, tmp, "orders", default)
+      === LocalDate.parse("1998-08-01"))
+    // regenerate with different content → new signature → checkpoint no
+    // longer applies (extracting "past 1998-08-01" from new data would
+    // silently drop everything)
+    writeSource(11)
+    assert(Watermark.read(spark, tmp, "orders", default) === default)
+  }
+
+  test("checkpointed cycle: first extract non-empty, post-advance extract empty") {
+    val row = Watermark.sWatermarkStore.run(spark, sfDir).head()
+    assert(row.getAs[Long]("first_extract_rows") > 0)
+    assert(row.getAs[Long]("second_extract_rows") === 0L)
+    // the store now holds the advanced watermark — a rerun starts there
+    val stored = Watermark.read(spark, sfDir, "orders", default)
+    assert(stored.isAfter(LocalDate.parse("1998-06-30")))
+  }
+}
