@@ -16,6 +16,25 @@ final case class QueryDef(
     oracle: Option[String])(
     val run: (SparkSession, String) => DataFrame)
 
+/** Injected run parameterization (SURVEY.md §7.1 step 1): the logical
+  * "today" every as-of computation derives from. The reference reads the
+  * wall clock at transform time (reference `data_transformer.py:118–119`,
+  * `airflow/dags/etl_daily_pipeline.py:180–183`), which makes runs
+  * non-reproducible; here the as-of date is an explicit input, so a rerun
+  * or backfill with the same context is bit-identical (property-tested in
+  * ContextSpec). */
+final case class RunContext(asOfDate: java.time.LocalDate) {
+  /** The as-of date as a foldable DATE column. */
+  def asOfCol: Column = lit(asOfDate.toString).cast(DateType)
+}
+
+object RunContext {
+  /** Deterministic default pinned to the corpus's final order date — the
+    * gates' stand-in for "today". A production deployment passes the
+    * scheduler's execution date instead. */
+  val default: RunContext = RunContext(java.time.LocalDate.parse("1998-12-31"))
+}
+
 object core {
 
   /** Table names shipped in every /root/testdata/sf* directory. */

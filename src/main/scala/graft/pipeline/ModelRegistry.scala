@@ -1,0 +1,89 @@
+package graft.pipeline
+
+import graft.core._
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** dbt-style model registry (SURVEY.md §3.2): named models with declared
+  * dependencies, executed in dependency order — the reference's `ref()`
+  * graph (reference `dbt_warehouse/dbt_project.yml:11–14`, the SQL models
+  * under `models/marts/`) as a first-class runtime object instead of a
+  * hand-ordered script.
+  *
+  * Materialization follows the reference's staging/mart split
+  * (`dbt_project.yml`: staging = view, marts = table):
+  *  - STAGING models stay lazy DataFrames (and are registered as temp
+  *    views for SQL callers) — Catalyst inlines them into every consumer,
+  *    so filters/pruning flow through exactly like a SQL view;
+  *  - MART models are written to parquet under `core.scratch` and read
+  *    back — a real table boundary, the same stage handoff every
+  *    downstream consumer (or the next job) reads.
+  *
+  * Execution is Kahn's algorithm with name-ordered tie-breaking, so the
+  * order is deterministic run to run; unknown dependencies and cycles fail
+  * loudly at construction rather than mid-run.
+  */
+final case class ModelDef(
+    name: String,
+    deps: Seq[String],
+    mart: Boolean)(
+    val build: (SparkSession, String, String => DataFrame) => DataFrame)
+
+final class ModelRegistry(models: Seq[ModelDef]) {
+
+  private val byName: Map[String, ModelDef] = {
+    val dup = models.groupBy(_.name).collect { case (n, g) if g.size > 1 => n }
+    require(dup.isEmpty, s"duplicate model names: ${dup.mkString(", ")}")
+    models.map(m => m.name -> m).toMap
+  }
+  locally {
+    val missing = for (m <- models; d <- m.deps if !byName.contains(d))
+      yield s"${m.name} -> $d"
+    require(missing.isEmpty, s"unknown model dependencies: ${missing.mkString(", ")}")
+  }
+
+  /** Dependency-ordered model names (every model after all of its deps);
+    * deterministic via name-sorted tie-breaking. Fails on cycles. */
+  val topoOrder: Seq[String] = {
+    val indeg = scala.collection.mutable.Map(
+      models.map(m => m.name -> m.deps.size): _*)
+    val dependents = models.flatMap(m => m.deps.map(_ -> m.name))
+      .groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+    val ready = scala.collection.mutable.SortedSet(
+      models.collect { case m if m.deps.isEmpty => m.name }: _*)
+    val out = Seq.newBuilder[String]
+    var n = 0
+    while (ready.nonEmpty) {
+      val name = ready.head; ready.remove(name)
+      out += name; n += 1
+      for (d <- dependents.getOrElse(name, Nil)) {
+        indeg(d) -= 1
+        if (indeg(d) == 0) ready.add(d)
+      }
+    }
+    require(n == models.size, {
+      val stuck = indeg.collect { case (m, d) if d > 0 => m }
+      s"dependency cycle among: ${stuck.toSeq.sorted.mkString(", ")}"
+    })
+    out.result()
+  }
+
+  /** Build every model in dependency order; returns name → materialized
+    * frame. Staging views are registered as `<prefix><name>`; mart tables
+    * land under `scratch(dir, "marts/<name>")`. */
+  def run(spark: SparkSession, dir: String, viewPrefix: String = "graft_mdl_")
+      : Map[String, DataFrame] =
+    topoOrder.foldLeft(Map.empty[String, DataFrame]) { (built, name) =>
+      val m = byName(name)
+      val df = m.build(spark, dir, built.apply)
+      val out =
+        if (m.mart) {
+          val loc = scratch(dir, s"marts/$name")
+          df.write.mode("overwrite").parquet(loc)
+          spark.read.parquet(loc)
+        } else {
+          df.createOrReplaceTempView(s"$viewPrefix$name")
+          df
+        }
+      built + (name -> out)
+    }
+}

@@ -22,6 +22,67 @@ import org.apache.spark.sql.types._
   */
 object Pipeline {
 
+  /** The daily warehouse DAG as registry models — the reference's dbt
+    * `ref()` graph re-expressed: staging extractions and validation as
+    * views, dims/facts as mart tables, dependency order derived (and
+    * cycle-checked) by [[ModelRegistry]] instead of hand-sequenced.
+    *
+    * Per-model scale posture is unchanged from the hand-built lineage:
+    * validation is a broadcast semi join (the fact side never shuffles),
+    * surrogate keys are the two-pass partition-parallel assignment, both
+    * fact joins broadcast their dimension, and the daily rollup is the
+    * fact's single shuffle. */
+  val dailyDag: ModelRegistry = new ModelRegistry(Seq(
+    // -- extract (S1/S3) --------------------------------------------------
+    ModelDef("stg_orders", Nil, mart = false) { (spark, dir, _) =>
+      tbl(spark, dir, "orders")
+        .select("o_orderkey", "o_custkey", "o_orderdate", "o_totalprice")
+    },
+    ModelDef("stg_customer", Nil, mart = false) { (spark, dir, _) =>
+      tbl(spark, dir, "customer")
+    },
+    // orphan injection (o_orderkey % 11 → shifted keys) exercises the
+    // validate → reject path end-to-end
+    ModelDef("stg_src", Seq("stg_orders"), mart = false) { (_, _, ref) =>
+      val orders = ref("stg_orders")
+      orders.unionAll(
+        orders.filter(col("o_orderkey") % 11 === 0)
+          .select((col("o_orderkey") + 10000000L).as("o_orderkey"),
+            (col("o_custkey") + 10000000L).as("o_custkey"),
+            col("o_orderdate"), col("o_totalprice")))
+    },
+    // -- transform & validate (D4/J6) -------------------------------------
+    ModelDef("stg_valid", Seq("stg_src", "stg_customer"), mart = false) { (_, _, ref) =>
+      Cleaning.integrityFilter(ref("stg_src"),
+        ref("stg_customer").select(col("c_custkey").as("o_custkey")), "o_custkey")
+    },
+    // -- dimensions (W8 two-pass surrogate keys, S10 date dim) ------------
+    ModelDef("dim_customer", Seq("stg_customer"), mart = true) { (_, _, ref) =>
+      Warehouse.withSurrogateKey(
+        ref("stg_customer").select("c_custkey"), "c_custkey", "customer_key")
+    },
+    ModelDef("dim_date", Seq("stg_orders"), mart = true) { (_, _, ref) =>
+      Warehouse.dateDim(ref("stg_orders"), "o_orderdate")
+    },
+    // -- facts (J4 SK resolution + J5 date-expression join, broadcast dims;
+    //    the mart parquet IS the reference's stage handoff) ----------------
+    ModelDef("fact_orders",
+      Seq("stg_valid", "dim_customer", "dim_date"), mart = true) { (_, _, ref) =>
+      val valid = ref("stg_valid")
+      val dimCustomer = ref("dim_customer")
+      val dimDate = ref("dim_date")
+      valid
+        .join(broadcast(dimCustomer), valid("o_custkey") === dimCustomer("c_custkey"))
+        .join(broadcast(dimDate),
+          valid("o_orderdate").cast(DateType) === dimDate("full_date"), "left")
+        .select(col("o_orderkey"), col("customer_key"), col("date_key"),
+          dec2(col("o_totalprice")).as("total_amount"))
+    },
+    ModelDef("fact_daily", Seq("fact_orders"), mart = true) { (_, _, ref) =>
+      ref("fact_orders").groupBy("date_key")
+        .agg(moneySum(col("total_amount")).as("rev"))
+    }))
+
   /** The whole DAG, gated by one auditable summary row (the reference's
     * `etl_run_log` shape). Orphans are injected (o_orderkey % 11 → shifted
     * keys) so the validate → reject path is exercised end-to-end. */
@@ -59,36 +120,17 @@ object Pipeline {
         CASE WHEN (SELECT count(*) FROM src) - (SELECT count(*) FROM valid) > 0
              THEN 'SUCCESS_WITH_REJECTS' ELSE 'SUCCESS' END AS run_status
     """)) { (spark, dir) =>
-    // -- extract (S1/S3) + orphan injection --------------------------------
-    val orders = tbl(spark, dir, "orders")
-      .select("o_orderkey", "o_custkey", "o_orderdate", "o_totalprice")
-    val customer = tbl(spark, dir, "customer")
-    val src = orders.unionAll(
-      orders.filter(col("o_orderkey") % 11 === 0)
-        .select((col("o_orderkey") + 10000000L).as("o_orderkey"),
-          (col("o_custkey") + 10000000L).as("o_custkey"),
-          col("o_orderdate"), col("o_totalprice")))
-
-    // -- transform & validate (D4/J6: broadcast semi join, fact never shuffles)
-    val valid = Cleaning.integrityFilter(
-      src, customer.select(col("c_custkey").as("o_custkey")), "o_custkey")
-
-    // -- load dimensions (W8 two-pass surrogate keys, S10 date dim) --------
-    val dimCustomer = Warehouse.withSurrogateKey(
-      customer.select("c_custkey"), "c_custkey", "customer_key")
-    val dimDate = Warehouse.dateDim(orders, "o_orderdate")
-
-    // -- load facts (J4 SK resolution + J5 date-expression join, broadcast;
-    //    persisted once = the reference's parquet stage handoff) -----------
-    val factOrders = valid
-      .join(broadcast(dimCustomer), valid("o_custkey") === dimCustomer("c_custkey"))
-      .join(broadcast(dimDate),
-        valid("o_orderdate").cast(DateType) === dimDate("full_date"), "left")
-      .select(col("o_orderkey"), col("customer_key"), col("date_key"),
-        dec2(col("o_totalprice")).as("total_amount"))
-      .persist()
-    val factDaily = factOrders.groupBy("date_key")
-      .agg(moneySum(col("total_amount")).as("rev"))
+    // The DAG runs through the model registry (SURVEY §3.2): dependency
+    // order is derived from the declared deps, staging models stay lazy
+    // views, dim/fact marts materialize as parquet tables (the reference's
+    // staging=view / marts=table split).
+    val built = dailyDag.run(spark, dir)
+    val src = built("stg_src")
+    val valid = built("stg_valid")
+    val dimCustomer = built("dim_customer")
+    val dimDate = built("dim_date")
+    val factOrders = built("fact_orders")
+    val factDaily = built("fact_daily")
 
     // -- quality + audit (Q8/S11): scalar aggregates → one summary row ----
     val eAgg = src.agg(count(lit(1)).as("records_extracted"))

@@ -210,10 +210,13 @@ object Cleaning {
 
   /** F10–F21 — scalar-function bundle over orders: date keys, truncation,
     * month arithmetic, formatting, concat, round, nullif, abs, casts
-    * (reference sites listed in SURVEY.md §2.3). */
-  val scalarFunctions: QueryDef = QueryDef(
+    * (reference sites listed in SURVEY.md §2.3). The as-of computation
+    * (`age_days`) takes its "today" from the injected [[graft.RunContext]]
+    * rather than an inline literal — the oracle SQL is generated from the
+    * same context, so gate and oracle stay in lockstep for any date. */
+  def scalarFunctions(ctx: graft.RunContext): QueryDef = QueryDef(
     "scalar_functions",
-    Some("""
+    Some(s"""
       SELECT o_orderkey,
              upper(trim(o_orderstatus)) AS status_u,
              lower(o_orderpriority) AS priority_l,
@@ -224,7 +227,7 @@ object Cleaning {
              strftime(o_orderdate, '%Y-%m') AS order_ym,
              CAST(date_diff('month', date_trunc('month', TIMESTAMP '1995-01-01 00:00:00'),
                             date_trunc('month', o_orderdate)) AS INTEGER) AS months_since_1995,
-             CAST(date_diff('day', CAST(o_orderdate AS DATE), DATE '1998-12-31') AS INTEGER) AS age_days,
+             CAST(date_diff('day', CAST(o_orderdate AS DATE), DATE '${ctx.asOfDate}') AS INTEGER) AS age_days,
              CAST(round(CAST(o_totalprice AS DECIMAL(18,2)), 1) AS DOUBLE) AS price_round1,
              abs(CAST(o_totalprice AS DOUBLE) - 150000.0) AS price_abs_dev,
              CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 2 AS DOUBLE) AS price_x2,
@@ -244,7 +247,7 @@ object Cleaning {
       months_between(
         date_trunc("month", col("o_orderdate")).cast(DateType),
         lit("1995-01-01").cast(DateType)).cast(IntegerType).as("months_since_1995"),
-      datediff(lit("1998-12-31").cast(DateType), col("o_orderdate").cast(DateType))
+      datediff(ctx.asOfCol, col("o_orderdate").cast(DateType))
         .cast(IntegerType).as("age_days"),
       d(round(dec2(col("o_totalprice")), 1)).as("price_round1"),
       abs(col("o_totalprice").cast(DoubleType) - lit(150000.0)).as("price_abs_dev"),
@@ -254,5 +257,5 @@ object Cleaning {
   }
 
   val all: Seq[QueryDef] = Seq(
-    cleanOrders, cleanCustomers, cleanReviews, scalarFunctions)
+    cleanOrders, cleanCustomers, cleanReviews, scalarFunctions(graft.RunContext.default))
 }
