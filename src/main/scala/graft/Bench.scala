@@ -82,14 +82,23 @@ object Bench {
     // messages — full-precision doubles overflowed the tail with 60+
     // queries, r03's parse failure) and make it the LAST thing printed
     // (after spark.stop(), so shutdown logs can't trail it)
+    // trailing zeros add nothing at a fixed rounding ("1.0" → "1"): with
+    // 75+ queries the saved chars are what keep 1-decimal precision inside
+    // the tail window (toPlainString: stripTrailingZeros alone would turn
+    // 100 into 1E+2)
     def rnd(v: Double, dp: Int): String =
-      BigDecimal(v).setScale(dp, BigDecimal.RoundingMode.HALF_UP).toString
+      BigDecimal(v).setScale(dp, BigDecimal.RoundingMode.HALF_UP)
+        .underlying.stripTrailingZeros.toPlainString
     val es = errors.map { case (k, v) => s""""${esc(k)}":"${esc(v.take(80))}"""" }.mkString("{", ",", "}")
     val total = timings.values.sum
     val sfName = sfDir.split('/').last
     def line(dp: Int): String = {
       val qs = timings.map { case (k, v) => s""""${esc(k)}":${rnd(v, dp)}""" }.mkString("{", ",", "}")
-      s"""{"metric":"total","value":${rnd(total, 3)},"unit":"sec","queries":$qs,"errors":$es,"n_ok":${timings.size},"n_err":${errors.size},"sf":"$sfName"}"""
+      // error bookkeeping appears only when something failed — the happy
+      // path spends its char budget on timing precision instead
+      val errPart = if (errors.isEmpty) ""
+        else s""","errors":$es,"n_ok":${timings.size},"n_err":${errors.size}"""
+      s"""{"metric":"total","value":${rnd(total, 2)},"unit":"sec","queries":$qs$errPart,"sf":"$sfName"}"""
     }
     // self-adjusting precision: the line must stay well inside the tail
     // window (~2000 chars) the driver parses from, with room for trailing
