@@ -22,6 +22,7 @@ object SparkEntry {
         quality.Quality.all ++
         llm.TextOps.all ++
         llm.Dedup.all ++
+        llm.Cluster.all ++
         llm.Similarity.all ++
         sources.Ingest.all ++
         sources.Watermark.all ++

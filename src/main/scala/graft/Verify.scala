@@ -19,7 +19,12 @@ object Verify {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
-    SparkEntry.queries.foreach { case (name, fn) =>
+    // local-iteration aid, same contract as Bench: SPARK_GRAFT_ONLY=regex
+    // restricts the dump (and the oracle manifest, so tools/check.py checks
+    // exactly what was dumped); the driver never sets it
+    val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.r)
+    def keep(name: String): Boolean = only.forall(_.findFirstIn(name).isDefined)
+    SparkEntry.queries.filter(kv => keep(kv._1)).foreach { case (name, fn) =>
       // queries persist intermediates; drop them between queries so the
       // cache pool can't grow unboundedly across the 60+ query run
       spark.catalog.clearCache()
@@ -41,7 +46,7 @@ object Verify {
       case c if c < ' ' => f"\\u${c.toInt}%04x"
       case c => c.toString
     } + "\""
-    val json = SparkEntry.oracleSql
+    val json = SparkEntry.oracleSql.filter(kv => keep(kv._1))
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
     spark.stop()

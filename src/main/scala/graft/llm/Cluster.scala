@@ -1,0 +1,181 @@
+package graft.llm
+
+import graft.{QueryDef, core}
+import graft.core._
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Duplicate-cluster resolution: the step AFTER pair detection. The pair
+  * ops (Dedup.scala) emit near-dup edges; a training-data pipeline must
+  * then pick ONE canonical document per connected component of the dup
+  * graph — near-duplication is not transitive, so groupBy on any single
+  * key cannot do it (reference keeps only per-key dedup,
+  * `transformers/data_transformer.py:38–44`; component resolution is the
+  * standard completion at corpus scale).
+  *
+  * Algorithm: min-label propagation (Pregel-style connected components) —
+  * every node starts labeled with its own id; each round takes the min of
+  * its own and its neighbors' labels; fixpoint = per-component min id.
+  * Scale posture: one hash-shuffle join per round on the node id, rounds
+  * bounded by graph diameter (dup graphs are shallow — chains of edit
+  * generations), and the driver sees one scalar (the label checksum) per
+  * round. For adversarially deep graphs the contraction variant
+  * (alternating large-star/small-star) bounds rounds at O(log n); the
+  * propagation loop below is the diameter-bound core both share.
+  */
+object Cluster {
+
+  /** Corpus with planted near-dup CHAINS, so clustering genuinely needs
+    * transitive closure: for every doc_id % 5 == 0 with head tokens H
+    * (first 12), v1 = H + 2 pad tokens and v2 = H + 4 pad tokens (pads
+    * derived from the BASE id, so v1's pads are a prefix of v2's). On
+    * distinct bigrams: |base|=11, |v1|=13 (11 head + seam + 1 pad pair),
+    * |v2|=15, so jaccard(base,v1)=11/13≈.846 ≥ .8 and
+    * jaccard(v1,v2)=13/15≈.867 ≥ .8 but jaccard(base,v2)=11/15≈.733 < .8:
+    * base—v1—v2 is a CHAIN with no direct base—v2 edge. */
+  private def headCorpus(spark: SparkSession, dir: String): DataFrame = {
+    val head = tbl(spark, dir, "documents")
+      .select(col("doc_id"), slice(split(col("text"), "\\s+"), 1, 12).as("toks"))
+    // base id under a distinct name: a same-select reference to `doc_id`
+    // would lateral-alias-resolve to the OFFSET id just aliased beside it,
+    // silently de-correlating v1's and v2's pads (hit in round 5)
+    val planted = head.filter(col("doc_id") % 5 === 0)
+      .select(col("doc_id").as("base_id"), col("toks"))
+    def variant(offset: Long, nPads: Int) = planted.select(
+      (col("base_id") + offset).as("doc_id"),
+      concat(col("toks"), transform(sequence(lit(1), lit(nPads)),
+        i => concat(lit("zq"), col("base_id").cast(StringType), lit("p"),
+          i.cast(StringType)))).as("toks"))
+    head.unionAll(variant(100000L, 2)).unionAll(variant(200000L, 4))
+  }
+
+  private val headCorpusSql = """
+      SELECT doc_id, list_slice(string_split_regex(text, '\s+'), 1, 12) AS toks
+      FROM documents
+      UNION ALL
+      SELECT doc_id + 100000,
+             list_concat(list_slice(string_split_regex(text, '\s+'), 1, 12),
+               list_transform(range(1, 3), i -> 'zq' || doc_id || 'p' || i))
+      FROM documents WHERE doc_id % 5 = 0
+      UNION ALL
+      SELECT doc_id + 200000,
+             list_concat(list_slice(string_split_regex(text, '\s+'), 1, 12),
+               list_transform(range(1, 5), i -> 'zq' || doc_id || 'p' || i))
+      FROM documents WHERE doc_id % 5 = 0"""
+
+  /** Near-dup edges over the chain corpus: prefix-block bigram Jaccard,
+    * same bucket-join shape as dedup_ngram_jaccard (never all-pairs). */
+  def dupEdges(spark: SparkSession, dir: String): DataFrame = {
+    val feat = headCorpus(spark, dir)
+      // single-file source → spread feature construction across cores
+      .repartition(spark.sessionState.conf.numShufflePartitions)
+      .select(
+        col("doc_id"),
+        concat_ws(" ", slice(col("toks"), 1, 2)).as("block_key"),
+        when(size(col("toks")) >= 2,
+          array_distinct(transform(sequence(lit(1), size(col("toks")) - 1),
+            i => concat_ws(" ", element_at(col("toks"), i), element_at(col("toks"), i + 1)))))
+          .otherwise(array().cast(ArrayType(StringType))).as("bigrams"))
+      .persist() // compute-once barrier for both self-join sides
+    // 0/0 guard: the jaccard filter gets pushed into the join condition
+    // where conjunct order is unspecified (ANSI would throw on an
+    // empty-bigram self-pair); emitted rows all have union > 0
+    val union = size(array_distinct(concat(col("ba"), col("bb"))))
+    val jac = when(union > 0,
+      size(array_intersect(col("ba"), col("bb"))).cast(DoubleType) / union.cast(DoubleType))
+      .otherwise(lit(0.0))
+    feat.as("a")
+      .join(feat.as("b"),
+        col("a.block_key") === col("b.block_key") && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"),
+        col("a.bigrams").as("ba"), col("b.bigrams").as("bb"))
+      .filter(jac >= 0.8)
+      .select(col("a_id"), col("b_id"))
+  }
+
+  private val dupEdgesSql = s"""
+      feat AS (
+        SELECT doc_id,
+               array_to_string(list_slice(toks, 1, 2), ' ') AS block_key,
+               list_distinct(list_transform(range(1, len(toks)),
+                 i -> toks[i] || ' ' || toks[i+1])) AS bigrams
+        FROM ($headCorpusSql)),
+      edges AS (
+        SELECT a.doc_id AS a_id, b.doc_id AS b_id
+        FROM feat a JOIN feat b
+          ON a.block_key = b.block_key AND a.doc_id < b.doc_id
+        WHERE CAST(len(list_intersect(a.bigrams, b.bigrams)) AS DOUBLE)
+            / CAST(len(list_distinct(list_concat(a.bigrams, b.bigrams))) AS DOUBLE) >= 0.8)"""
+
+  /** Connected components of an undirected edge list (columns `a_id`,
+    * `b_id`): returns (id, label) with label = min doc_id reachable from
+    * id. Nodes are the edge endpoints (isolated docs need no clustering).
+    * Each round is one shuffle join + partial-aggregated min; the loop
+    * stops when the label checksum stops moving (labels only ever
+    * decrease, so an unchanged sum IS the fixpoint). The per-round
+    * persist truncates recomputation; rounds-deep lineage stays shallow
+    * because dup graphs have small diameter (use localCheckpoint if ever
+    * run on a deep graph). */
+  def components(edges: DataFrame, maxIters: Int = 30): DataFrame = {
+    val und = edges.select(col("a_id").as("src"), col("b_id").as("dst"))
+      .unionAll(edges.select(col("b_id").as("src"), col("a_id").as("dst")))
+      .persist()
+    def checksum(df: DataFrame): Long = {
+      val v = df.agg(sum("label")).head().get(0)
+      if (v == null) 0L else v.asInstanceOf[Long]
+    }
+    var labels = und.select(col("src").as("id")).distinct()
+      .select(col("id"), col("id").as("label")).persist()
+    var prevSum = checksum(labels)
+    var iter = 0
+    var done = false
+    while (!done && iter < maxIters) {
+      val nbrMin = und.join(labels, col("src") === col("id"))
+        .groupBy("dst").agg(min("label").as("nbr_min"))
+      val next = labels.join(nbrMin, col("id") === col("dst"), "left")
+        .select(col("id"),
+          least(col("label"), coalesce(col("nbr_min"), col("label"))).as("label"))
+        .persist()
+      val s = checksum(next)
+      labels.unpersist()
+      labels = next
+      if (s == prevSum) done = true else prevSum = s
+      iter += 1
+    }
+    require(done, s"components did not converge in $maxIters rounds")
+    und.unpersist()
+    labels
+  }
+
+  /** dd5 — dup-cluster resolution: near-dup edges → connected components →
+    * (doc, canonical, cluster size). The planted chains make base and v2
+    * cluster together with NO direct edge — the oracle's recursive CTE
+    * replays the same closure. */
+  val ddCluster: QueryDef = QueryDef(
+    "dedup_cluster",
+    Some(s"""
+      WITH RECURSIVE $dupEdgesSql,
+      eu AS (SELECT a_id AS u, b_id AS v FROM edges
+             UNION ALL SELECT b_id, a_id FROM edges),
+      reach(id, lbl) AS (
+        SELECT u, u FROM (SELECT DISTINCT u FROM eu)
+        UNION
+        SELECT e.v, r.lbl FROM reach r JOIN eu e ON e.u = r.id),
+      cc AS (SELECT id AS doc_id, min(lbl) AS canonical_id FROM reach GROUP BY id)
+      SELECT c.doc_id, c.canonical_id, s.cluster_size
+      FROM cc c
+      JOIN (SELECT canonical_id, count(*) AS cluster_size
+            FROM cc GROUP BY canonical_id) s USING (canonical_id)
+      ORDER BY doc_id
+    """)) { (spark, dir) =>
+    val labels = components(dupEdges(spark, dir))
+    val sizes = labels.groupBy("label").agg(count(lit(1)).as("cluster_size"))
+    labels.join(sizes, "label")
+      .select(col("id").as("doc_id"), col("label").as("canonical_id"),
+        col("cluster_size"))
+      .orderBy("doc_id")
+  }
+
+  val all: Seq[QueryDef] = Seq(ddCluster)
+}
