@@ -289,7 +289,68 @@ object TextOps {
       .orderBy("doc_id")
   }
 
+  /** t8 — intra-document line dedup (C4-style boilerplate removal: drop
+    * repeated lines within a document, keeping first occurrences in
+    * order). The corpus has no newlines, so the gate SYNTHESIZES the line
+    * structure deterministically — reshape each doc into 8-token lines and
+    * plant a repeat by re-appending line 1 (the classic repeated header /
+    * boilerplate) — then runs the real operator: posexplode lines →
+    * first-occurrence position per distinct (doc, line) → reassemble in
+    * original order. Shape at 100 TB: one explode + two partial-aggregated
+    * groupBys, all keyed by doc_id so AQE coalesces; no doc's lines ever
+    * gather outside its own group, and a document too large for one row is
+    * exactly what the explode normalizes. Oracle replays it with a
+    * positional struct-unnest + ordered `string_agg`. */
+  val tLineDedup: QueryDef = QueryDef(
+    "t_line_dedup",
+    Some("""
+      WITH tok AS (
+        SELECT doc_id, string_split_regex(text, '\s+') AS t FROM documents),
+      ln AS (
+        SELECT doc_id,
+               list_transform(range(0, CAST(ceil(len(t) / 8.0) AS INTEGER)),
+                 c -> array_to_string(list_slice(t, c*8 + 1, c*8 + 8), ' ')) AS lines
+        FROM tok),
+      doc AS (
+        SELECT doc_id, list_concat(lines, list_slice(lines, 1, 1)) AS lines FROM ln),
+      ex AS (
+        SELECT doc_id, u.line AS line, u.ord AS ord FROM (
+          SELECT doc_id, unnest(list_transform(range(1, len(lines) + 1),
+            i -> {'line': lines[i], 'ord': i})) AS u
+          FROM doc)),
+      firsts AS (
+        SELECT doc_id, line, min(ord) AS mp, count(*) AS c
+        FROM ex GROUP BY doc_id, line)
+      SELECT doc_id,
+             CAST(sum(c) AS BIGINT) AS n_lines,
+             count(*) AS n_uniq,
+             string_agg(line, chr(10) ORDER BY mp) AS clean_text
+      FROM firsts GROUP BY doc_id ORDER BY doc_id
+    """)) { (spark, dir) =>
+    val t = toks(col("text"))
+    val nChunks = ceil(size(t) / lit(8.0)).cast(IntegerType)
+    val lines = transform(sequence(lit(0), greatest(nChunks, lit(1)) - 1),
+      c => array_join(slice(t, c * 8 + 1, lit(8)), " "))
+    val withPlant = tbl(spark, dir, "documents")
+      .select(col("doc_id"),
+        concat(lines, slice(lines, 1, 1)).as("lines"))
+    val firsts = withPlant
+      .select(col("doc_id"), posexplode(col("lines")).as(Seq("pos", "line")))
+      .groupBy("doc_id", "line")
+      .agg(min(col("pos")).as("mp"), count(lit(1)).as("c"))
+    firsts.groupBy("doc_id")
+      .agg(
+        sum(col("c")).as("n_lines"),
+        count(lit(1)).as("n_uniq"),
+        // deterministic ordered reassembly: collect_list order is
+        // partition-arbitrary, so sort by the (unique) first position
+        array_join(
+          transform(array_sort(collect_list(struct(col("mp"), col("line")))),
+            s => s.getField("line")), "\n").as("clean_text"))
+      .orderBy("doc_id")
+  }
+
   val all: Seq[QueryDef] = Seq(
     tTokenStats, tQualityScore, tLangId, tFingerprint, tMultimodalMeta,
-    tMultimodalDecode, tMultimodalFrames, tStratifiedSample)
+    tMultimodalDecode, tMultimodalFrames, tStratifiedSample, tLineDedup)
 }

@@ -62,4 +62,18 @@ class LlmOpsSpec extends SparkSpec {
     assert(mapping.nonEmpty)
     assert(mapping.forall { case (dup, canon) => dup === canon + 200000L })
   }
+
+  test("line dedup keeps first occurrences in order and drops natural + planted repeats") {
+    import SparkSpec.spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_linededup").toString
+    // 17 tokens → lines [A A x] with A = the repeated 8-token chunk; the
+    // gate plants line 1 again → input [A A x A]: 4 lines, 2 distinct
+    val a = "w1 w2 w3 w4 w5 w6 w7 w8"
+    Seq((1L, s"$a $a x")).toDF("doc_id", "text")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val r = TextOps.tLineDedup.run(spark, dir).collect().head
+    assert(r.getAs[Long]("n_lines") === 4L)
+    assert(r.getAs[Long]("n_uniq") === 2L)
+    assert(r.getAs[String]("clean_text") === s"$a\nx")
+  }
 }
