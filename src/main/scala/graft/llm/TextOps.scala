@@ -350,7 +350,71 @@ object TextOps {
       .orderBy("doc_id")
   }
 
+  /** t9 — benchmark decontamination: flag training documents that share
+    * any word 8-gram with an evaluation/benchmark set (the contamination
+    * check every pre-training pipeline runs; 8–13-gram overlap is the
+    * published convention). Gate: eval set = doc_id % 50 == 0; training
+    * set = the rest plus PLANTED contaminated rows (an eval doc's full
+    * text + a suffix at id+300000), so recall is provable. Shape at
+    * 100 TB: grams are md5-hashed (fixed-width keys, never raw text),
+    * the eval side is tiny and BROADCAST — the corpus-side gram stream
+    * never shuffles; per-doc counts partial-aggregate map-side. */
+  val tDecontaminate: QueryDef = QueryDef(
+    "t_decontaminate",
+    Some("""
+      WITH eval_docs AS (
+        SELECT doc_id, text FROM documents WHERE doc_id % 50 = 0),
+      train AS (
+        SELECT doc_id, text FROM documents WHERE doc_id % 50 <> 0
+        UNION ALL
+        SELECT doc_id + 300000, text || ' zzcontam' FROM eval_docs),
+      grams AS (
+        SELECT doc_id,
+               unnest(list_distinct(list_transform(range(1, len(t) - 6),
+                 i -> md5(t[i]||' '||t[i+1]||' '||t[i+2]||' '||t[i+3]||' '
+                          ||t[i+4]||' '||t[i+5]||' '||t[i+6]||' '||t[i+7])))) AS g
+        FROM (SELECT doc_id, string_split_regex(text, '\s+') AS t FROM train)
+        WHERE len(t) >= 8),
+      eval_grams AS (
+        SELECT DISTINCT eval_id, g FROM (
+          SELECT doc_id AS eval_id,
+                 unnest(list_distinct(list_transform(range(1, len(t) - 6),
+                   i -> md5(t[i]||' '||t[i+1]||' '||t[i+2]||' '||t[i+3]||' '
+                            ||t[i+4]||' '||t[i+5]||' '||t[i+6]||' '||t[i+7])))) AS g
+          FROM (SELECT doc_id, string_split_regex(text, '\s+') AS t FROM eval_docs)
+          WHERE len(t) >= 8))
+      SELECT doc_id,
+             count(DISTINCT g) AS n_shared_ngrams,
+             count(DISTINCT eval_id) AS n_eval_docs
+      FROM grams JOIN eval_grams USING (g)
+      GROUP BY doc_id ORDER BY doc_id
+    """)) { (spark, dir) =>
+    def grams8(textCol: Column): Column = {
+      val t = toks(textCol)
+      when(size(t) >= 8,
+        array_distinct(transform(sequence(lit(1), size(t) - 7),
+          i => md5(concat_ws(" ", (0 until 8).map(o => element_at(t, i + o)): _*)))))
+        .otherwise(array().cast(ArrayType(StringType)))
+    }
+    val docs = tbl(spark, dir, "documents").select("doc_id", "text")
+    val evalDocs = docs.filter(col("doc_id") % 50 === 0)
+    val train = docs.filter(col("doc_id") % 50 =!= 0)
+      .unionAll(evalDocs.select((col("doc_id") + 300000L).as("doc_id"),
+        concat(col("text"), lit(" zzcontam")).as("text")))
+    val trainGrams = train
+      .select(col("doc_id"), explode(grams8(col("text"))).as("g"))
+    val evalGrams = evalDocs
+      .select(col("doc_id").as("eval_id"), explode(grams8(col("text"))).as("g"))
+      .distinct()
+    trainGrams.join(broadcast(evalGrams), "g")
+      .groupBy("doc_id")
+      .agg(count_distinct(col("g")).as("n_shared_ngrams"),
+        count_distinct(col("eval_id")).as("n_eval_docs"))
+      .orderBy("doc_id")
+  }
+
   val all: Seq[QueryDef] = Seq(
     tTokenStats, tQualityScore, tLangId, tFingerprint, tMultimodalMeta,
-    tMultimodalDecode, tMultimodalFrames, tStratifiedSample, tLineDedup)
+    tMultimodalDecode, tMultimodalFrames, tStratifiedSample, tLineDedup,
+    tDecontaminate)
 }

@@ -76,4 +76,19 @@ class LlmOpsSpec extends SparkSpec {
     assert(r.getAs[Long]("n_uniq") === 2L)
     assert(r.getAs[String]("clean_text") === s"$a\nx")
   }
+
+  test("decontamination flags every planted contaminated doc against its eval source") {
+    val flagged = TextOps.tDecontaminate.run(spark, sfDir).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("n_shared_ngrams"), r.getAs[Long]("n_eval_docs"))).toMap
+    val evalIds = SparkSpec.spark.read.parquet(s"$sfDir/documents.parquet")
+      .filter(col("doc_id") % 50 === 0 && size(split(col("text"), "\\s+")) >= 8)
+      .select("doc_id").collect().map(_.getLong(0))
+    assert(evalIds.nonEmpty)
+    evalIds.foreach { e =>
+      val p = flagged.get(e + 300000L)
+      assert(p.isDefined, s"planted contaminated doc ${e + 300000L} not flagged")
+      assert(p.get._1 >= 1L && p.get._2 >= 1L)
+    }
+  }
 }
