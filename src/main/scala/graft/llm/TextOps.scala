@@ -413,8 +413,37 @@ object TextOps {
       .orderBy("doc_id")
   }
 
+  /** t10 — deterministic training-data shuffle: every example gets a
+    * reproducible global shuffle position, the export order a trainer
+    * streams. Position = rank in `md5(seed | doc_id)` order (a new seed =
+    * a fresh epoch-level reshuffle); the md5 key is suffixed with the
+    * doc_id so keys stay unique even under digest collision — the
+    * uniqueness the two-pass numbering needs at range boundaries. Rank is
+    * computed with the same scalable machinery as W8 surrogate keys
+    * (range-partition by key → 32-row offset table → per-partition
+    * row_number): no global single-partition window, so it holds at any
+    * corpus size, and the range partitioning IS the export layout (each
+    * output partition is a contiguous, internally-sorted slice of the
+    * shuffle order). */
+  val tShuffleExport: QueryDef = QueryDef(
+    "t_shuffle_export",
+    Some("""
+      SELECT doc_id,
+             row_number() OVER (ORDER BY md5('42|' || doc_id) || '-' || doc_id)
+               AS shuffle_pos
+      FROM documents ORDER BY doc_id
+    """)) { (spark, dir) =>
+    val keyed = tbl(spark, dir, "documents").select(
+      col("doc_id"),
+      concat(md5(concat(lit("42|"), col("doc_id").cast(StringType))),
+        lit("-"), col("doc_id").cast(StringType)).as("__skey"))
+    graft.model.Warehouse.withSurrogateKey(keyed, "__skey", "shuffle_pos")
+      .select(col("doc_id"), col("shuffle_pos"))
+      .orderBy("doc_id")
+  }
+
   val all: Seq[QueryDef] = Seq(
     tTokenStats, tQualityScore, tLangId, tFingerprint, tMultimodalMeta,
     tMultimodalDecode, tMultimodalFrames, tStratifiedSample, tLineDedup,
-    tDecontaminate)
+    tDecontaminate, tShuffleExport)
 }

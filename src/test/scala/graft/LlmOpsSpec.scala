@@ -91,4 +91,14 @@ class LlmOpsSpec extends SparkSpec {
       assert(p.get._1 >= 1L && p.get._2 >= 1L)
     }
   }
+
+  test("shuffle export emits a reproducible permutation 1..n that is not the id order") {
+    def run() = TextOps.tShuffleExport.run(spark, sfDir).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("shuffle_pos"))
+    val a = run()
+    assert(a.map(_._2).sorted.toSeq === (1L to a.length).toSeq, "not a permutation")
+    assert(a.toSeq !== a.sortBy(_._1).map(_._1).zip(1L to a.length).toSeq
+      .map(p => p._1 -> p._2), "shuffle left ids in original order")
+    assert(run().toMap === a.toMap, "shuffle not reproducible across runs")
+  }
 }
