@@ -326,7 +326,50 @@ object Streams {
       .orderBy("user_id")
   }
 
+  /** st7 — STREAMING DEDUP: `dropDuplicatesWithinWatermark` over an
+    * at-least-once event feed (the Kafka-redelivery shape). The landing is
+    * planted with exact duplicate rows (every user_id % 10 == 0 event
+    * re-delivered once); the stream drops re-deliveries whose dedup key
+    * was already seen, with state EVICTED by the watermark — at scale the
+    * store holds only the keys of the sliding watermark window, not the
+    * full history. Output carries exactly the dedup-key columns, so the
+    * result is independent of WHICH physical copy the state kept and of
+    * how `AvailableNow` chunks the replay (the delay spans the bounded
+    * fixture; a live run would use minutes). Oracle: SELECT DISTINCT. */
+  val stStreamDedup: QueryDef = QueryDef(
+    "st_stream_dedup",
+    Some("""
+      SELECT DISTINCT user_id, event_type, ts
+      FROM events
+      ORDER BY user_id, ts, event_type
+    """)) { (spark, dir) =>
+    val base = eventsLanding(spark, dir)
+    val sig = sourceSig(spark, dir, "events")
+    val landing = scratch(dir, s"events_dup_landing_v1_$sig")
+    val marker = new org.apache.hadoop.fs.Path(landing, "_SUCCESS")
+    val fs = marker.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(marker)) {
+      val ev = spark.read.parquet(base)
+      ev.unionAll(ev.filter(col("user_id") % 10 === 0))
+        .write.mode("overwrite").parquet(landing)
+    }
+    val schema = spark.read.parquet(landing).schema
+    val sinkName = "graft_st_dedup_" + dirTag(dir)
+    val q = withStatePartitions(spark, 8) {
+      spark.readStream.schema(schema).parquet(landing)
+        .select(col("user_id"), col("event_type"), col("ts"))
+        .withWatermark("ts", "35 days")
+        .dropDuplicatesWithinWatermark("user_id", "event_type", "ts")
+        .writeStream.format("memory").queryName(sinkName)
+        .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    }
+    q.awaitTermination()
+    spark.table(sinkName)
+      .withColumn("ts", col("ts").cast(TimestampNTZType))
+      .orderBy("user_id", "ts", "event_type")
+  }
+
   val all: Seq[QueryDef] = Seq(
     stHourlyWindows, stSessionWindows, stJsonProps, stStatefulUserAgg,
-    stStreamStreamJoin, stForeachBatchUpsert)
+    stStreamStreamJoin, stForeachBatchUpsert, stStreamDedup)
 }

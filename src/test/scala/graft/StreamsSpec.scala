@@ -91,4 +91,11 @@ class StreamsSpec extends SparkSpec {
       .collect())
     assert(streamed === batch)
   }
+
+  test("st7 streaming dedup drops planted re-deliveries: exactly one row per distinct key") {
+    val streamed = multiset(Streams.stStreamDedup.run(spark, sfDir).collect())
+    val batch = multiset(core.events(spark, sfDir)
+      .select("user_id", "event_type", "ts").distinct().collect())
+    assert(streamed === batch) // multiset equality: no dup survives, none re-emitted
+  }
 }
