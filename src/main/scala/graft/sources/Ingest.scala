@@ -170,6 +170,60 @@ object Ingest {
       .orderBy("o_orderkey")
   }
 
+  /** Schema EVOLUTION across landing batches: an upstream extractor adds
+    * columns over time (the reference's extractors re-infer the frame per
+    * run, so a source migration shows up exactly like this). Batch 1 lands
+    * with the legacy 3-column schema; batch 2 adds `o_orderdate` and
+    * `o_orderpriority`. A `mergeSchema` read unions the schemas —
+    * legacy rows surface NULL for the added columns — and the partition
+    * directory name supplies the `batch` lineage column. At scale schema
+    * merge is footer-metadata work (no data rewrite), which is the whole
+    * point: a 100 TB landing zone never gets backfilled just to add a
+    * column. Oracle replays the union with explicit NULL casts. */
+  val sSchemaEvolution: QueryDef = QueryDef(
+    "s_schema_evolution",
+    Some("""
+      WITH unioned AS (
+        SELECT 1 AS batch, o_orderkey, o_totalprice,
+               CAST(NULL AS TIMESTAMP) AS o_orderdate,
+               CAST(NULL AS VARCHAR) AS o_orderpriority
+        FROM orders WHERE o_orderdate < DATE '1997-01-01'
+        UNION ALL
+        SELECT 2, o_orderkey, o_totalprice, o_orderdate, o_orderpriority
+        FROM orders WHERE o_orderdate >= DATE '1997-01-01')
+      SELECT batch,
+             count(*) AS n_rows,
+             CAST(sum(CASE WHEN o_orderdate IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_missing_date,
+             count(DISTINCT o_orderpriority) AS n_priorities,
+             CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+      FROM unioned GROUP BY batch ORDER BY batch
+    """)) { (spark, dir) =>
+    val evoDir = scratch(dir, s"schema_evo_v1_${sourceSig(spark, dir, "orders")}")
+    val marker = new org.apache.hadoop.fs.Path(s"$evoDir/batch=2", "_SUCCESS")
+    val fs = marker.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(marker)) {
+      val orders = tbl(spark, dir, "orders")
+      val cut = lit("1997-01-01").cast(DateType)
+      orders.filter(col("o_orderdate") < cut)
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+        .write.mode("overwrite").parquet(s"$evoDir/batch=1")
+      orders.filter(col("o_orderdate") >= cut)
+        .select("o_orderkey", "o_custkey", "o_totalprice",
+          "o_orderdate", "o_orderpriority")
+        .write.mode("overwrite").parquet(s"$evoDir/batch=2")
+    }
+    spark.read.option("mergeSchema", "true")
+      .option("basePath", evoDir).parquet(evoDir)
+      .groupBy("batch")
+      .agg(count(lit(1)).as("n_rows"),
+        countIf(col("o_orderdate").isNull).as("n_missing_date"),
+        count_distinct(col("o_orderpriority")).as("n_priorities"),
+        moneySumD(col("o_totalprice")).as("revenue"))
+      .orderBy("batch")
+  }
+
   val all: Seq[QueryDef] = Seq(
-    s5DocIngest, s7ParquetRoundtrip, sPartitionPruning, sJdbcSource)
+    s5DocIngest, s7ParquetRoundtrip, sPartitionPruning, sJdbcSource,
+    sSchemaEvolution)
 }
