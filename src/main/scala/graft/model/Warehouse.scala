@@ -240,7 +240,53 @@ object Warehouse {
       .orderBy("user_id", "eff_from")
   }
 
+  /** Incremental aggregate maintenance: the monthly revenue mart is kept
+    * fresh from persisted DAILY PARTIALS instead of rescanning history —
+    * the materialized-view maintenance every warehouse needs once facts
+    * outgrow full recompute. Partials carry (count, exact decimal sum),
+    * both associative, so merging a new batch is: aggregate the batch to
+    * day grain, re-sum per day with the stored partials, roll days up to
+    * months. Each refresh touches |batch| fact rows + |days| partial rows
+    * — at 100 TB of history the refresh cost is bounded by the batch, not
+    * the table. The gate replays the full cycle (historic load → store →
+    * incremental 1998 batch → merge → rollup); the oracle recomputes the
+    * months directly from all of `orders`, proving incremental == full. */
+  val wIncrementalAgg: QueryDef = QueryDef(
+    "w_incremental_agg",
+    Some("""
+      SELECT year(o_orderdate) AS o_year, month(o_orderdate) AS o_month,
+             count(*) AS n_orders,
+             CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+      FROM orders
+      GROUP BY 1, 2
+      ORDER BY 1, 2
+    """)) { (spark, dir) =>
+    val store = scratch(dir, "w_daily_partials_run") // rebuilt per run: the cycle IS the op
+    val storePath = new org.apache.hadoop.fs.Path(store)
+    val fs = storePath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(storePath, true)
+    val cut = lit("1998-01-01").cast(DateType)
+    def dailyPartials(df: org.apache.spark.sql.DataFrame) = df
+      .groupBy(col("o_orderdate").as("day"))
+      .agg(count(lit(1)).as("n"), moneySum(col("o_totalprice")).as("rev"))
+    // phase 1: historic load → persisted daily partials
+    dailyPartials(tbl(spark, dir, "orders").filter(col("o_orderdate") < cut))
+      .write.mode("overwrite").parquet(store)
+    // phase 2: incremental batch merged by re-summing per day (the merge
+    // reads partials, never historic facts)
+    val batch = dailyPartials(tbl(spark, dir, "orders").filter(col("o_orderdate") >= cut))
+    spark.read.parquet(store).unionByName(batch)
+      .groupBy("day")
+      .agg(sum(col("n")).as("n"), sum(col("rev")).cast(DecimalType(38, 2)).as("rev"))
+      .write.mode("overwrite").parquet(store + "_merged")
+    // phase 3: month rollup from the merged partials only
+    spark.read.parquet(store + "_merged")
+      .groupBy(year(col("day")).as("o_year"), month(col("day")).as("o_month"))
+      .agg(sum(col("n")).as("n_orders"), sum(col("rev")).cast(DoubleType).as("revenue"))
+      .orderBy("o_year", "o_month")
+  }
+
   val all: Seq[QueryDef] = Seq(
     s10DateDim, w8SurrogateKeys, s8UpsertMerge, s9AppendIfAbsent, j5DateExprJoin,
-    wScd2Dim)
+    wScd2Dim, wIncrementalAgg)
 }

@@ -81,4 +81,16 @@ class WarehouseSpec extends SparkSpec {
     }
     assert(rows.nonEmpty)
   }
+
+  test("incremental aggregate maintenance equals the full monthly recompute") {
+    val incr = Warehouse.wIncrementalAgg.run(spark, sfDir)
+      .collect().map(_.toSeq).toSeq
+    val full = core.tbl(spark, sfDir, "orders")
+      .groupBy(year(col("o_orderdate")).as("o_year"), month(col("o_orderdate")).as("o_month"))
+      .agg(count(lit(1)).as("n_orders"),
+        core.moneySumD(col("o_totalprice")).as("revenue"))
+      .orderBy("o_year", "o_month")
+      .collect().map(_.toSeq).toSeq
+    assert(incr === full)
+  }
 }
