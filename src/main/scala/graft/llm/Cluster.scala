@@ -133,9 +133,17 @@ object Cluster {
     while (!done && iter < maxIters) {
       val nbrMin = und.join(labels, col("src") === col("id"))
         .groupBy("dst").agg(min("label").as("nbr_min"))
-      val next = labels.join(nbrMin, col("id") === col("dst"), "left")
+      val prop = labels.join(nbrMin, col("id") === col("dst"), "left")
         .select(col("id"),
           least(col("label"), coalesce(col("nbr_min"), col("label"))).as("label"))
+      // pointer jumping: also adopt the label OF the label (labels only
+      // decrease, so label(label) ≤ label) — collapses long chains in
+      // O(log diameter) rounds instead of O(diameter)
+      val next = prop.as("x")
+        .join(prop.select(col("id").as("pid"), col("label").as("plabel")),
+          col("x.label") === col("pid"), "left")
+        .select(col("x.id").as("id"),
+          coalesce(col("plabel"), col("x.label")).as("label"))
         .persist()
       val s = checksum(next)
       labels.unpersist()

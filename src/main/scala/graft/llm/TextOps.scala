@@ -389,23 +389,29 @@ object TextOps {
       FROM grams JOIN eval_grams USING (g)
       GROUP BY doc_id ORDER BY doc_id
     """)) { (spark, dir) =>
-    def grams8(textCol: Column): Column = {
-      val t = toks(textCol)
-      when(size(t) >= 8,
-        array_distinct(transform(sequence(lit(1), size(t) - 7),
-          i => md5(concat_ws(" ", (0 until 8).map(o => element_at(t, i + o)): _*)))))
-        .otherwise(array().cast(ArrayType(StringType)))
-    }
+    // explode gram START POSITIONS first, then build each digest
+    // row-at-a-time from codegen'd element_at/concat_ws/md5 — the
+    // array-of-digests `transform` form runs INTERPRETED per element and
+    // measured ~10× slower here. The oracle's list_distinct is mirrored
+    // by the row-level distinct (map-side-combined on (id, g)).
+    def grams8(df: DataFrame, idCol: String): DataFrame = df
+      .select(col(idCol), toks(col("text")).as("t"))
+      .filter(size(col("t")) >= 8)
+      .select(col(idCol), col("t"),
+        explode(sequence(lit(1), size(col("t")) - 7)).as("i"))
+      .select(col(idCol),
+        md5(concat_ws(" ",
+          (0 until 8).map(o => element_at(col("t"), col("i") + o)): _*)).as("g"))
+      .distinct()
     val docs = tbl(spark, dir, "documents").select("doc_id", "text")
+      // single-file source → spread the gram+digest pass across cores
+      .repartition(spark.sessionState.conf.numShufflePartitions)
     val evalDocs = docs.filter(col("doc_id") % 50 === 0)
     val train = docs.filter(col("doc_id") % 50 =!= 0)
       .unionAll(evalDocs.select((col("doc_id") + 300000L).as("doc_id"),
         concat(col("text"), lit(" zzcontam")).as("text")))
-    val trainGrams = train
-      .select(col("doc_id"), explode(grams8(col("text"))).as("g"))
-    val evalGrams = evalDocs
-      .select(col("doc_id").as("eval_id"), explode(grams8(col("text"))).as("g"))
-      .distinct()
+    val trainGrams = grams8(train, "doc_id")
+    val evalGrams = grams8(evalDocs.withColumnRenamed("doc_id", "eval_id"), "eval_id")
     trainGrams.join(broadcast(evalGrams), "g")
       .groupBy("doc_id")
       .agg(count_distinct(col("g")).as("n_shared_ngrams"),
