@@ -46,32 +46,34 @@ object Bench {
     // local-iteration aid: SPARK_GRAFT_ONLY=regex limits the run to matching
     // query names (the driver never sets it, so the gate always runs all)
     val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.r)
-    SparkEntry.queries.toSeq.sortBy(_._1)
+    val qlist = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (n, _) => only.forall(_.findFirstIn(n).isDefined) }
-      .foreach { case (name, fn) =>
-      // Noise defense: a single timing on a shared host swings ±25% and has
-      // produced phantom 5-10x outliers on unchanged code; time each query
-      // twice and record the min (the run least disturbed by the host).
-      // Each attempt clears the cache pool first so no measurement depends
-      // on what an earlier query (or the first attempt) left persisted.
-      val reps = sys.env.getOrElse("SPARK_GRAFT_REPS", "2").toInt
-      var best = Double.MaxValue
-      var failed = false
-      var rep = 0
-      while (rep < reps && !failed) {
-        spark.catalog.clearCache()
-        val t0 = System.nanoTime()
-        try {
-          fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-          best = math.min(best, (System.nanoTime() - t0) / 1e9)
-        } catch {
-          case e: Throwable =>
-            failed = true
-            errors(name) = Option(e.getMessage).getOrElse(e.getClass.getName).take(200)
+    // Noise defense: a single timing on a shared host swings ±25% and has
+    // produced phantom 5-13x outliers on unchanged code. Back-to-back reps
+    // of the same query share any contention window, so min-of-2 didn't
+    // help (r5). Instead run the reps as INTERLEAVED FULL PASSES — pass 1
+    // times every query, then pass 2 times every query — and take the
+    // per-query min: a sustained contention burst lands on different
+    // queries in each pass, so at least one sample of each query is clean.
+    // Each attempt clears the cache pool first so no measurement depends
+    // on what an earlier query (or an earlier pass) left persisted.
+    val reps = sys.env.getOrElse("SPARK_GRAFT_REPS", "2").toInt
+    for (_ <- 0 until reps) {
+      qlist.foreach { case (name, fn) =>
+        if (!errors.contains(name)) {
+          spark.catalog.clearCache()
+          val t0 = System.nanoTime()
+          try {
+            fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+            val dt = (System.nanoTime() - t0) / 1e9
+            timings(name) = math.min(timings.getOrElse(name, Double.MaxValue), dt)
+          } catch {
+            case e: Throwable =>
+              errors(name) = Option(e.getMessage).getOrElse(e.getClass.getName).take(200)
+              timings.remove(name)
+          }
         }
-        rep += 1
       }
-      if (!failed) timings(name) = best
     }
     def esc(s: String): String =
       s.flatMap { case '"' => "\\\""; case '\\' => "\\\\"; case '\n' => "\\n"
