@@ -94,18 +94,29 @@ object Bench {
     val es = errors.map { case (k, v) => s""""${esc(k)}":"${esc(v.take(80))}"""" }.mkString("{", ",", "}")
     val total = timings.values.sum
     val sfName = sfDir.split('/').last
-    def line(dp: Int): String = {
+    // error bookkeeping appears only when something failed — the happy
+    // path spends its char budget on timing precision instead
+    val errPart = if (errors.isEmpty) ""
+      else s""","errors":$es,"n_ok":${timings.size},"n_err":${errors.size}"""
+    // per-query values are integer DECISECONDS ("unit_q":"ds"): at 82+
+    // queries the old self-adjusting decimal precision degraded to whole
+    // seconds (37 queries reported 0 in round 6). Integer deciseconds cost
+    // ~1 char/query over whole seconds yet keep 0.1s resolution; the total
+    // stays in plain seconds.
+    def dsLine: String = {
+      val qs = timings.map { case (k, v) => s""""${esc(k)}":${math.round(v * 10)}""" }.mkString("{", ",", "}")
+      s"""{"metric":"total","value":${rnd(total, 2)},"unit":"sec","unit_q":"ds","queries":$qs$errPart,"sf":"$sfName"}"""
+    }
+    // fallback if the registry ever outgrows the tail window at ds
+    // precision: whole-second per-query values (no "unit_q" key)
+    def secLine(dp: Int): String = {
       val qs = timings.map { case (k, v) => s""""${esc(k)}":${rnd(v, dp)}""" }.mkString("{", ",", "}")
-      // error bookkeeping appears only when something failed — the happy
-      // path spends its char budget on timing precision instead
-      val errPart = if (errors.isEmpty) ""
-        else s""","errors":$es,"n_ok":${timings.size},"n_err":${errors.size}"""
       s"""{"metric":"total","value":${rnd(total, 2)},"unit":"sec","queries":$qs$errPart,"sf":"$sfName"}"""
     }
-    // self-adjusting precision: the line must stay well inside the tail
-    // window (~2000 chars) the driver parses from, with room for trailing
-    // build-tool output — degrade per-query decimals before overflowing
-    val out = Seq(2, 1, 0).map(line).find(_.length <= 1850).getOrElse(line(0))
+    // the line must stay well inside the tail window (~2000 chars) the
+    // driver parses from, with room for trailing build-tool output
+    val out = if (dsLine.length <= 1850) dsLine
+      else Seq(1, 0).map(secLine).find(_.length <= 1850).getOrElse(secLine(0))
     spark.stop()
     println(out)
   }

@@ -111,49 +111,70 @@ object Cluster {
   /** Connected components of an undirected edge list (columns `a_id`,
     * `b_id`): returns (id, label) with label = min doc_id reachable from
     * id. Nodes are the edge endpoints (isolated docs need no clustering).
-    * Each round is one shuffle join + partial-aggregated min; the loop
-    * stops when the label checksum stops moving (labels only ever
-    * decrease, so an unchanged sum IS the fixpoint). The per-round
-    * persist truncates recomputation; rounds-deep lineage stays shallow
-    * because dup graphs have small diameter (use localCheckpoint if ever
-    * run on a deep graph). */
+    * Each round is one shuffle join + partial-aggregated min, and exactly
+    * ONE driver action: the count of labels that changed this round — the
+    * same job that materializes the round's labels. Zero changes IS the
+    * fixpoint (labels only ever decrease). `prop` feeds both sides of the
+    * pointer-jump self-join, so it is persisted for the round (computing
+    * it twice would double the per-round work). The round's labels are
+    * lazily localCheckpoint'ed, not persisted: the self-join makes the
+    * LOGICAL plan double every round, and persist only short-circuits
+    * compute — analysis/optimization still walks the whole tree, which at
+    * round r is O(4^r) nodes and was the dominant cost (measured: the
+    * post-loop consumer alone paid 8s of plan analysis at sf0.1).
+    * localCheckpoint truncates the plan to a LogicalRDD leaf inside the
+    * SAME action that computes the convergence count. (On a real cluster
+    * swap for reliable checkpoint() if executor loss matters — local
+    * checkpoint trades fault-tolerance for speed.) */
   def components(edges: DataFrame, maxIters: Int = 30): DataFrame = {
+    val debug = sys.env.contains("SPARK_GRAFT_DEBUG")
+    var t0 = System.nanoTime()
+    def mark(what: String): Unit = if (debug) {
+      System.err.println(f"[components] $what: ${(System.nanoTime() - t0) / 1e9}%.2fs")
+      t0 = System.nanoTime()
+    }
+    // und is re-read every round: checkpoint it so each round's plan holds
+    // a leaf, not the whole edge-generation tree (6 parquet scans deep)
     val und = edges.select(col("a_id").as("src"), col("b_id").as("dst"))
       .unionAll(edges.select(col("b_id").as("src"), col("a_id").as("dst")))
-      .persist()
-    def checksum(df: DataFrame): Long = {
-      val v = df.agg(sum("label")).head().get(0)
-      if (v == null) 0L else v.asInstanceOf[Long]
-    }
+      .localCheckpoint(false)
+    if (debug) { und.count(); mark("edges+und materialize") }
     var labels = und.select(col("src").as("id")).distinct()
       .select(col("id"), col("id").as("label")).persist()
-    var prevSum = checksum(labels)
     var iter = 0
     var done = false
     while (!done && iter < maxIters) {
       val nbrMin = und.join(labels, col("src") === col("id"))
         .groupBy("dst").agg(min("label").as("nbr_min"))
-      val prop = labels.join(nbrMin, col("id") === col("dst"), "left")
-        .select(col("id"),
-          least(col("label"), coalesce(col("nbr_min"), col("label"))).as("label"))
+      val prop = labels.select(col("id"), col("label").as("old_label"))
+        .join(nbrMin, col("id") === col("dst"), "left")
+        .select(col("id"), col("old_label"),
+          least(col("old_label"), coalesce(col("nbr_min"), col("old_label"))).as("label"))
+        .persist()
       // pointer jumping: also adopt the label OF the label (labels only
       // decrease, so label(label) ≤ label) — collapses long chains in
       // O(log diameter) rounds instead of O(diameter)
-      val next = prop.as("x")
+      val jumped = prop.as("x")
         .join(prop.select(col("id").as("pid"), col("label").as("plabel")),
           col("x.label") === col("pid"), "left")
-        .select(col("x.id").as("id"),
+        .select(col("x.id").as("id"), col("x.old_label").as("old_label"),
           coalesce(col("plabel"), col("x.label")).as("label"))
-        .persist()
-      val s = checksum(next)
+      // lazy checkpoint: materializes inside the SAME action as the
+      // convergence count, truncating plan AND lineage without an extra job
+      val next = jumped.localCheckpoint(false)
+      val changed = next
+        .agg(count(when(col("label") =!= col("old_label"), lit(1))).as("c"))
+        .head().getLong(0)
+      prop.unpersist()
       labels.unpersist()
       labels = next
-      if (s == prevSum) done = true else prevSum = s
+      if (changed == 0L) done = true
+      mark(s"round $iter (changed=$changed)")
       iter += 1
     }
     require(done, s"components did not converge in $maxIters rounds")
     und.unpersist()
-    labels
+    labels.select(col("id"), col("label"))
   }
 
   /** dd5 — dup-cluster resolution: near-dup edges → connected components →
@@ -177,7 +198,10 @@ object Cluster {
             FROM cc GROUP BY canonical_id) s USING (canonical_id)
       ORDER BY doc_id
     """)) { (spark, dir) =>
+    val t0 = System.nanoTime()
     val labels = components(dupEdges(spark, dir))
+    if (sys.env.contains("SPARK_GRAFT_DEBUG"))
+      System.err.println(f"[ddCluster] components total: ${(System.nanoTime() - t0) / 1e9}%.2fs")
     val sizes = labels.groupBy("label").agg(count(lit(1)).as("cluster_size"))
     labels.join(sizes, "label")
       .select(col("id").as("doc_id"), col("label").as("canonical_id"),
