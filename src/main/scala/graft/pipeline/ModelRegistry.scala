@@ -25,7 +25,11 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 final case class ModelDef(
     name: String,
     deps: Seq[String],
-    mart: Boolean)(
+    mart: Boolean,
+    // append-materialized mart (an incremental fact): each run ADDS the
+    // batch to the table instead of rebuilding it — the dbt
+    // `materialized: incremental` posture
+    append: Boolean = false)(
     val build: (SparkSession, String, String => DataFrame) => DataFrame)
 
 final class ModelRegistry(models: Seq[ModelDef]) {
@@ -69,16 +73,18 @@ final class ModelRegistry(models: Seq[ModelDef]) {
 
   /** Build every model in dependency order; returns name → materialized
     * frame. Staging views are registered as `<prefix><name>`; mart tables
-    * land under `scratch(dir, "marts/<name>")`. */
-  def run(spark: SparkSession, dir: String, viewPrefix: String = "graft_mdl_")
-      : Map[String, DataFrame] =
+    * land under `scratch(dir, "<martPrefix>/<name>")` (append-marts
+    * accumulate across runs; the read-back below always reflects the
+    * whole table, so downstream models see the accumulated state). */
+  def run(spark: SparkSession, dir: String, viewPrefix: String = "graft_mdl_",
+      martPrefix: String = "marts"): Map[String, DataFrame] =
     topoOrder.foldLeft(Map.empty[String, DataFrame]) { (built, name) =>
       val m = byName(name)
       val df = m.build(spark, dir, built.apply)
       val out =
         if (m.mart) {
-          val loc = scratch(dir, s"marts/$name")
-          df.write.mode("overwrite").parquet(loc)
+          val loc = scratch(dir, s"$martPrefix/$name")
+          df.write.mode(if (m.append) "append" else "overwrite").parquet(loc)
           spark.read.parquet(loc)
         } else {
           df.createOrReplaceTempView(s"$viewPrefix$name")

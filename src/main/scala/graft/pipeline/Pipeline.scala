@@ -1,11 +1,14 @@
 package graft.pipeline
 
-import graft.{QueryDef, core}
+import graft.{QueryDef, RunContext, core}
 import graft.core._
 import graft.model.Warehouse
+import graft.sources.Watermark
 import graft.transform.Cleaning
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
+import java.time.LocalDate
 
 /** The end-to-end pipeline runner: the reference's 9-task daily DAG
   * (reference `airflow/dags/etl_daily_pipeline.py:403–412` — extract →
@@ -83,6 +86,130 @@ object Pipeline {
         .agg(moneySum(col("total_amount")).as("rev"))
     }))
 
+  // -- incremental daily DAG (SURVEY §2.10 wired end-to-end) --------------
+
+  /** The daily DAG in INCREMENTAL form: the extract model reads strictly
+    * past the persisted high-watermark and no further than the run's
+    * logical date (reference: the watermark handed extract→transform→load,
+    * `airflow/dags/etl_daily_pipeline.py:87–88`,
+    * `extractors/postgres_extractor.py:41–50`), the fact mart is
+    * append-materialized (each run ADDS its batch), and after load the
+    * watermark advances to the batch max — so a re-triggered run is a
+    * provably-empty no-op. Dimensions stay full-refresh (the reference
+    * rebuilds dims every run too). The watermark is read at DAG-build
+    * time, so each [[runIncremental]] call binds the current checkpoint
+    * as a pushed-down scan predicate. */
+  def incrementalDag(ctx: RunContext, seed: LocalDate): ModelRegistry =
+    new ModelRegistry(Seq(
+      ModelDef("inc_orders", Nil, mart = false) { (spark, dir, _) =>
+        val wm = Watermark.read(spark, dir, "orders", seed, tag = "dag")
+        tbl(spark, dir, "orders")
+          .select("o_orderkey", "o_custkey", "o_orderdate", "o_totalprice")
+          .filter(col("o_orderdate") > lit(wm.toString).cast(DateType) &&
+            col("o_orderdate") <= ctx.asOfCol)
+      },
+      ModelDef("stg_customer", Nil, mart = false) { (spark, dir, _) =>
+        tbl(spark, dir, "customer")
+      },
+      ModelDef("inc_valid", Seq("inc_orders", "stg_customer"), mart = false) {
+        (_, _, ref) =>
+          Cleaning.integrityFilter(ref("inc_orders"),
+            ref("stg_customer").select(col("c_custkey").as("o_custkey")), "o_custkey")
+      },
+      ModelDef("dim_customer", Seq("stg_customer"), mart = true) { (_, _, ref) =>
+        Warehouse.withSurrogateKey(
+          ref("stg_customer").select("c_custkey"), "c_custkey", "customer_key")
+      },
+      ModelDef("fact_orders_inc", Seq("inc_valid", "dim_customer"),
+        mart = true, append = true) { (_, _, ref) =>
+        val valid = ref("inc_valid")
+        val dimCustomer = ref("dim_customer")
+        valid
+          .join(broadcast(dimCustomer), valid("o_custkey") === dimCustomer("c_custkey"))
+          .select(col("o_orderkey"), col("customer_key"),
+            dateKey(col("o_orderdate").cast(DateType)).as("date_key"),
+            dec2(col("o_totalprice")).as("total_amount"))
+      }))
+
+  private final case class IncRun(extracted: Long, loaded: Long,
+      built: Map[String, DataFrame])
+
+  /** One incremental daily run: build the DAG (fact batch appended to the
+    * mart inside), then advance the checkpoint to the batch max. Only the
+    * batch-accounting scalars cross to the driver. */
+  private def runIncremental(spark: SparkSession, dir: String,
+      ctx: RunContext, seed: LocalDate): IncRun = {
+    val built = incrementalDag(ctx, seed)
+      .run(spark, dir, viewPrefix = "graft_inc_", martPrefix = "marts_inc")
+    val incRow = built("inc_orders")
+      .agg(count(lit(1)).as("n"), max(col("o_orderdate")).as("mx")).head()
+    val extracted = incRow.getAs[Long]("n")
+    if (extracted > 0)
+      Watermark.advance(spark, dir, "orders",
+        Watermark.asLocalDate(incRow.getAs[Any]("mx")), tag = "dag")
+    val loaded = built("inc_valid")
+      .agg(count(lit(1)).as("n")).head().getAs[Long]("n")
+    IncRun(extracted, loaded, built)
+  }
+
+  /** Gate — three incremental daily runs against one persisted checkpoint:
+    * run 1 (as-of 1998-07-31) loads the seed→July batch, run 2 (as-of
+    * year-end) loads everything the advanced watermark now excludes from
+    * run 1's batch, run 3 re-triggers run 2's context and extracts
+    * PROVABLY ZERO rows while the fact mart stays unchanged — the
+    * idempotence contract of a scheduled daily pipeline. */
+  val pipelineIncremental: QueryDef = QueryDef(
+    "pipeline_incremental",
+    Some("""
+      WITH b1 AS (
+        SELECT * FROM orders
+        WHERE o_orderdate > DATE '1998-06-30' AND o_orderdate <= DATE '1998-07-31'),
+      v1 AS (SELECT * FROM b1 WHERE o_custkey IN (SELECT c_custkey FROM customer)),
+      b2 AS (
+        SELECT * FROM orders
+        WHERE o_orderdate > (SELECT max(o_orderdate) FROM b1)
+          AND o_orderdate <= DATE '1998-12-31'),
+      v2 AS (SELECT * FROM b2 WHERE o_custkey IN (SELECT c_custkey FROM customer)),
+      fact AS (SELECT * FROM v1 UNION ALL SELECT * FROM v2)
+      SELECT
+        (SELECT count(*) FROM v1) AS run1_loaded,
+        (SELECT count(*) FROM v2) AS run2_loaded,
+        CAST(0 AS BIGINT) AS run3_extracted,
+        (SELECT count(*) FROM fact) AS fact_rows_total,
+        (SELECT CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) FROM fact)
+          AS total_revenue,
+        CAST((SELECT max(o_orderdate) FROM b2) AS TIMESTAMP) AS final_watermark,
+        'INCREMENTAL_OK' AS run_status
+    """)) { (spark, dir) =>
+    val seed = LocalDate.parse("1998-06-30")
+    // deterministic gate: drop the checkpoint and the accumulated fact mart
+    Watermark.reset(spark, dir, "orders", tag = "dag")
+    val factLoc = new org.apache.hadoop.fs.Path(
+      scratch(dir, "marts_inc/fact_orders_inc"))
+    factLoc.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      .delete(factLoc, true)
+
+    val r1 = runIncremental(spark, dir,
+      RunContext(LocalDate.parse("1998-07-31")), seed)
+    val r2 = runIncremental(spark, dir, RunContext.default, seed)
+    val r3 = runIncremental(spark, dir, RunContext.default, seed)
+    val wmFinal = Watermark.read(spark, dir, "orders", seed, tag = "dag")
+
+    r3.built("fact_orders_inc")
+      .agg(count(lit(1)).as("fact_rows_total"),
+        moneySumD(col("total_amount")).as("total_revenue"))
+      .select(
+        lit(r1.loaded).as("run1_loaded"),
+        lit(r2.loaded).as("run2_loaded"),
+        lit(r3.extracted).as("run3_extracted"),
+        col("fact_rows_total"), col("total_revenue"),
+        to_timestamp(lit(wmFinal.toString)).as("final_watermark"),
+        // self-checking status: idempotent re-run AND append accounting
+        when(lit(r3.extracted) === 0L &&
+          col("fact_rows_total") === lit(r1.loaded + r2.loaded),
+          "INCREMENTAL_OK").otherwise("INCREMENTAL_MISMATCH").as("run_status"))
+  }
+
   /** The whole DAG, gated by one auditable summary row (the reference's
     * `etl_run_log` shape). Orphans are injected (o_orderkey % 11 → shifted
     * keys) so the validate → reject path is exercised end-to-end. */
@@ -150,5 +277,5 @@ object Pipeline {
           .otherwise("SUCCESS").as("run_status"))
   }
 
-  val all: Seq[QueryDef] = Seq(pipelineE2e)
+  val all: Seq[QueryDef] = Seq(pipelineE2e, pipelineIncremental)
 }

@@ -24,36 +24,57 @@ import java.time.LocalDate
   */
 object Watermark {
 
-  private def file(spark: SparkSession, dir: String, source: String): Path =
+  /** `tag` separates independent consumers of the same source table (e.g.
+    * the standalone gate vs the incremental DAG) into distinct checkpoints;
+    * the content signature still comes from the real source table. */
+  private def file(spark: SparkSession, dir: String, source: String,
+      tag: String): Path =
     Paths.get(scratch(dir, "watermarks"),
-      s"${source}_${sourceSig(spark, dir, source)}.txt")
+      s"$source${if (tag.isEmpty) "" else s"_$tag"}_${sourceSig(spark, dir, source)}.txt")
 
   /** Stored watermark, or `default` when none has been persisted for this
     * (dir, source, content) yet. */
   def read(spark: SparkSession, dir: String, source: String,
-      default: LocalDate): LocalDate = {
-    val f = file(spark, dir, source)
+      default: LocalDate, tag: String = ""): LocalDate = {
+    val f = file(spark, dir, source, tag)
     if (Files.exists(f)) LocalDate.parse(Files.readString(f).trim) else default
   }
 
   /** Advance the stored watermark to `to` — MONOTONIC: a lagging caller
     * (a re-run of an old batch) can never move the checkpoint backwards.
-    * Returns the effective stored value. */
+    * Returns the effective stored value. The write goes through a temp
+    * file + ATOMIC_MOVE so a concurrent reader can never observe a torn
+    * value (the read-compare-write itself is last-writer-wins; serialize
+    * runs externally if two drivers may advance the same checkpoint). */
   def advance(spark: SparkSession, dir: String, source: String,
-      to: LocalDate): LocalDate = {
-    val f = file(spark, dir, source)
+      to: LocalDate, tag: String = ""): LocalDate = {
+    val f = file(spark, dir, source, tag)
     val eff = if (Files.exists(f)) {
       val cur = LocalDate.parse(Files.readString(f).trim)
       if (to.isAfter(cur)) to else cur
     } else to
     Files.createDirectories(f.getParent)
-    Files.writeString(f, eff.toString)
+    val tmp = Files.createTempFile(f.getParent, f.getFileName.toString, ".tmp")
+    Files.writeString(tmp, eff.toString)
+    Files.move(tmp, f, java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
     eff
   }
 
   /** Drop the checkpoint (a backfill-from-scratch request). */
-  def reset(spark: SparkSession, dir: String, source: String): Unit =
-    Files.deleteIfExists(file(spark, dir, source))
+  def reset(spark: SparkSession, dir: String, source: String,
+      tag: String = ""): Unit =
+    Files.deleteIfExists(file(spark, dir, source, tag))
+
+  /** A date read back from a Row surfaces per session config as sql.Date /
+    * LocalDate / (midnight) timestamp — normalize to the day. */
+  def asLocalDate(v: Any): LocalDate = v match {
+    case d: java.sql.Date           => d.toLocalDate
+    case d: LocalDate               => d
+    case t: java.time.LocalDateTime => t.toLocalDate
+    case t: java.sql.Timestamp      => t.toLocalDateTime.toLocalDate
+    case other => sys.error(s"unexpected watermark type: $other")
+  }
 
   /** Gate — the full checkpointed incremental cycle in one deterministic
     * run: seed the store, extract strictly past the stored watermark
@@ -79,15 +100,7 @@ object Watermark {
     val wm0 = read(spark, dir, "orders", seed)
     val first = extractPast(wm0)
       .agg(count(lit(1)).as("n"), max(col("o_orderdate")).as("mx")).head()
-    // date column surfaces per session config as sql.Date / LocalDate /
-    // (midnight) timestamp — normalize to the day
-    val batchMax = first.getAs[Any]("mx") match {
-      case d: java.sql.Date            => d.toLocalDate
-      case d: LocalDate                => d
-      case t: java.time.LocalDateTime  => t.toLocalDate
-      case t: java.sql.Timestamp       => t.toLocalDateTime.toLocalDate
-      case other => sys.error(s"unexpected watermark type: $other")
-    }
+    val batchMax = asLocalDate(first.getAs[Any]("mx"))
     val wm1 = advance(spark, dir, "orders", batchMax)
     val second = extractPast(wm1).count()
     spark.range(1).select(
