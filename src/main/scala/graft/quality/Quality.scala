@@ -185,7 +185,97 @@ object Quality {
         col("records_loaded"), col("records_rejected"), col("run_status"))
   }
 
+  /** Q4–Q7 run against the REGISTRY MARTS rather than synthetic injections:
+    * the daily DAG materializes dim/fact marts, then the same single-pass
+    * conditional aggregations audit the loaded warehouse (reference runs
+    * its quality DAG against the loaded tables,
+    * `airflow/dags/data_quality_check.py:42–138`). One row per (table,
+    * check) with row/violation counts and the verdict — all checks pass on
+    * a healthy load, but every detection path is the identical aggregate
+    * the synthetic gates prove non-trivial. */
+  val qMartQuality: QueryDef = QueryDef(
+    "q_mart_quality",
+    Some(s"""
+      WITH src AS (
+        SELECT o_orderkey, o_custkey, o_orderdate, o_totalprice FROM orders
+        UNION ALL
+        SELECT o_orderkey + 10000000, o_custkey + 10000000, o_orderdate, o_totalprice
+        FROM orders WHERE o_orderkey % 11 = 0),
+      valid AS (
+        SELECT * FROM src WHERE o_custkey IN (SELECT c_custkey FROM customer)),
+      dim_customer AS (
+        SELECT row_number() OVER (ORDER BY c_custkey) AS customer_key, c_custkey
+        FROM customer),
+      dim_date AS (${graft.model.Warehouse.dateDimSql}),
+      fact_orders AS (
+        SELECT v.o_orderkey, dc.customer_key, dd.date_key,
+               CAST(v.o_totalprice AS DECIMAL(18,2)) AS total_amount
+        FROM valid v
+        JOIN dim_customer dc ON v.o_custkey = dc.c_custkey
+        LEFT JOIN dim_date dd ON CAST(v.o_orderdate AS DATE) = dd.full_date),
+      fact_daily AS (
+        SELECT date_key, sum(total_amount) AS rev FROM fact_orders GROUP BY date_key)
+      SELECT * FROM (
+        SELECT 'dim_customer' AS table_name, 'unique_not_null_sk' AS check_name,
+               count(*) AS n_rows,
+               CAST(count(*) - count(DISTINCT customer_key)
+                 + sum(CASE WHEN customer_key IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+                 AS violations,
+               count(DISTINCT customer_key) = count(*)
+                 AND sum(CASE WHEN customer_key IS NULL THEN 1 ELSE 0 END) = 0 AS passed
+        FROM dim_customer
+        UNION ALL
+        SELECT 'fact_daily', 'nonempty', count(*), CAST(0 AS BIGINT), count(*) > 0
+        FROM fact_daily
+        UNION ALL
+        SELECT 'fact_orders', 'date_key_validity', count(*),
+               CAST(sum(CASE WHEN date_key IS NULL OR date_key < 19920101 THEN 1 ELSE 0 END)
+                 AS BIGINT),
+               sum(CASE WHEN date_key IS NULL OR date_key < 19920101 THEN 1 ELSE 0 END) = 0
+        FROM fact_orders
+        UNION ALL
+        SELECT 'fact_orders', 'no_negative_amounts', count(*),
+               CAST(sum(CASE WHEN total_amount < 0 THEN 1 ELSE 0 END) AS BIGINT),
+               sum(CASE WHEN total_amount < 0 THEN 1 ELSE 0 END) = 0
+        FROM fact_orders
+        UNION ALL
+        SELECT 'fact_orders', 'nonempty_null_sk', count(*),
+               CAST(sum(CASE WHEN customer_key IS NULL OR date_key IS NULL THEN 1 ELSE 0 END)
+                 AS BIGINT),
+               count(*) > 0
+                 AND sum(CASE WHEN customer_key IS NULL OR date_key IS NULL THEN 1 ELSE 0 END) = 0
+        FROM fact_orders)
+      ORDER BY table_name, check_name
+    """)) { (spark, dir) =>
+    val built = graft.pipeline.Pipeline.dailyDag.run(spark, dir)
+    def check(table: String, name: String, df: DataFrame,
+        nRows: Column, violations: Column, passed: Column): DataFrame =
+      df.agg(nRows.as("n_rows"), violations.cast(LongType).as("violations"),
+        passed.as("passed"))
+        .select(lit(table).as("table_name"), lit(name).as("check_name"),
+          col("n_rows"), col("violations"), col("passed"))
+    val skNull = countIf(col("customer_key").isNull)
+    val dimCheck = check("dim_customer", "unique_not_null_sk", built("dim_customer"),
+      count(lit(1)),
+      count(lit(1)) - countDistinct(col("customer_key")) + skNull,
+      countDistinct(col("customer_key")) === count(lit(1)) && skNull === 0)
+    val dailyCheck = check("fact_daily", "nonempty", built("fact_daily"),
+      count(lit(1)), lit(0L), count(lit(1)) > 0)
+    val invalidDate = countIf(col("date_key").isNull || col("date_key") < 19920101)
+    val dateCheck = check("fact_orders", "date_key_validity", built("fact_orders"),
+      count(lit(1)), invalidDate, invalidDate === 0)
+    val negatives = countIf(col("total_amount") < 0)
+    val negCheck = check("fact_orders", "no_negative_amounts", built("fact_orders"),
+      count(lit(1)), negatives, negatives === 0)
+    val nullSk = countIf(col("customer_key").isNull || col("date_key").isNull)
+    val nullSkCheck = check("fact_orders", "nonempty_null_sk", built("fact_orders"),
+      count(lit(1)), nullSk, count(lit(1)) > 0 && nullSk === 0)
+    dimCheck.unionByName(dailyCheck).unionByName(dateCheck)
+      .unionByName(negCheck).unionByName(nullSkCheck)
+      .orderBy("table_name", "check_name")
+  }
+
   val all: Seq[QueryDef] = Seq(
     q4NonEmptyNullSk, q5UniqueNotNull, q6NoNegativeAmounts,
-    q7DateKeyValidity, s11AuditLog)
+    q7DateKeyValidity, s11AuditLog, qMartQuality)
 }
