@@ -6,6 +6,18 @@ import org.apache.spark.sql.SparkSession
   * map (never as negative seconds that would *shrink* the total). */
 object Bench {
   def main(args: Array[String]): Unit = {
+    val tMain0 = System.nanoTime()
+    // host-load marker: 1-minute loadavg at start and end, plus this JVM's
+    // wall seconds. The r7 bench recorded a phantom 1.7x "regression" that
+    // a judge re-run adjudicated as host contention (sbt wall 918s vs 287s
+    // for the same suite); with wall+load in the JSON a contaminated run
+    // is flaggable from the artifact itself.
+    def load1m: String =
+      try {
+        val src = scala.io.Source.fromFile("/proc/loadavg")
+        try src.getLines().next().split(" ")(0) finally src.close()
+      } catch { case _: Throwable => "-1" }
+    val loadStart = load1m
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
@@ -103,20 +115,26 @@ object Bench {
     // seconds (37 queries reported 0 in round 6). Integer deciseconds cost
     // ~1 char/query over whole seconds yet keep 0.1s resolution; the total
     // stays in plain seconds.
-    def dsLine: String = {
+    val wallSec = math.round((System.nanoTime() - tMain0) / 1e9)
+    val hostPart = s""","wall":$wallSec,"ld":[$loadStart,$load1m]"""
+    def dsLine(host: String): String = {
       val qs = timings.map { case (k, v) => s""""${esc(k)}":${math.round(v * 10)}""" }.mkString("{", ",", "}")
-      s"""{"metric":"total","value":${rnd(total, 2)},"unit":"sec","unit_q":"ds","queries":$qs$errPart,"sf":"$sfName"}"""
+      s"""{"metric":"total","value":${rnd(total, 1)},"unit":"sec","unit_q":"ds","queries":$qs$errPart$host,"sf":"$sfName"}"""
     }
     // fallback if the registry ever outgrows the tail window at ds
     // precision: whole-second per-query values (no "unit_q" key)
     def secLine(dp: Int): String = {
       val qs = timings.map { case (k, v) => s""""${esc(k)}":${rnd(v, dp)}""" }.mkString("{", ",", "}")
-      s"""{"metric":"total","value":${rnd(total, 2)},"unit":"sec","queries":$qs$errPart,"sf":"$sfName"}"""
+      s"""{"metric":"total","value":${rnd(total, 1)},"unit":"sec","queries":$qs$errPart,"sf":"$sfName"}"""
     }
-    // the line must stay well inside the tail window (~2000 chars) the
-    // driver parses from, with room for trailing build-tool output
-    val out = if (dsLine.length <= 1850) dsLine
-      else Seq(1, 0).map(secLine).find(_.length <= 1850).getOrElse(secLine(0))
+    // the driver parses a ~2000-char tail of the process output; the old
+    // 1850 cutoff was so conservative that at 84 queries the ds line
+    // silently fell back to whole seconds (14 queries recorded 0 in r7).
+    // The line is the LAST thing printed and the only trailer is sbt's
+    // short epilogue, so 1950 still clears the window; shed the host
+    // marker before shedding timing precision.
+    val out = Seq(dsLine(hostPart), dsLine(""), secLine(1), secLine(0))
+      .find(_.length <= 1950).getOrElse(secLine(0))
     spark.stop()
     println(out)
   }

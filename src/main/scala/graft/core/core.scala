@@ -48,6 +48,19 @@ object core {
   def tbl(spark: SparkSession, dir: String, name: String): DataFrame =
     spark.read.parquet(s"$dir/$name.parquet")
 
+  /** Bind `c` to a lambda VARIABLE for the scope of `f`, evaluating it
+    * exactly once per row. Higher-order functions run interpreted with no
+    * cross-lambda subexpression elimination, so a lambda body that
+    * references a non-attribute argument expression re-evaluates it on
+    * EVERY element access — e.g. `element_at(split(text), i)` inside a
+    * `transform` re-ran the split on each element: O(tokens²) per document
+    * (a 70k-token doc spun for minutes; found via jstack). A 1-element
+    * `transform` is the standard binding trick: `array(c)` evaluates c
+    * once, and the lambda body sees a cheap variable lookup. Attribute
+    * references don't need this — only composite expressions do. */
+  def bindOnce(c: Column)(f: Column => Column): Column =
+    get(transform(array(c), f), lit(0))
+
   /** Collision-free tag for an input dir, usable in SQL identifiers and
     * paths: the sanitized dir itself (not its hashCode — 32-bit hashes can
     * collide across dirs, and `math.abs(Int.MinValue)` is negative). */

@@ -73,10 +73,7 @@ object Cluster {
       .select(
         col("doc_id"),
         concat_ws(" ", slice(col("toks"), 1, 2)).as("block_key"),
-        when(size(col("toks")) >= 2,
-          array_distinct(transform(sequence(lit(1), size(col("toks")) - 1),
-            i => concat_ws(" ", element_at(col("toks"), i), element_at(col("toks"), i + 1)))))
-          .otherwise(array().cast(ArrayType(StringType))).as("bigrams"))
+        Dedup.bigrams2(col("toks")).as("bigrams"))
       .persist() // compute-once barrier for both self-join sides
     // 0/0 guard: the jaccard filter gets pushed into the join condition
     // where conjunct order is unspecified (ANSI would throw on an

@@ -36,16 +36,36 @@ object Dedup {
       SELECT doc_id + 100000, text || ' graft dup probe'
       FROM documents WHERE doc_id % 5 = 0"""
 
-  /** Distinct word-level 3-shingles of a token array (1-based element_at,
-    * matching DuckDB's 1-based list indexing). Docs with <3 tokens yield an
-    * empty set — guarded explicitly because Spark's `sequence(1, n)` with
-    * n < 1 generates a DESCENDING sequence (would hit index 0 and throw
-    * under ANSI), while DuckDB's `range(1, len-1)` is already empty. */
-  private def shingles3(t: Column): Column =
-    when(size(t) >= 3,
-      array_distinct(transform(sequence(lit(1), size(t) - 2),
-        i => concat_ws(" ", element_at(t, i), element_at(t, i + 1), element_at(t, i + 2)))))
+  /** Distinct word-level 3-shingles of a token array. Built with two
+    * `zip_with` passes against offset slices — each array argument is
+    * evaluated once per ROW (vs once per element for expressions inside a
+    * lambda body; see bindOnce) — then cut back to the n−2 full windows:
+    * `zip_with` pads the shorter side with NULL and `concat_ws` skips
+    * NULLs, so the last two entries would otherwise be bogus short
+    * "shingles". Docs with <3 tokens yield an empty set, matching the
+    * oracle's already-empty `range(1, len-1)`. */
+  private[graft] def shingles3(t: Column): Column = bindOnce(t) { a =>
+    when(size(a) >= 3,
+      array_distinct(slice(
+        zip_with(
+          zip_with(a, slice(a, lit(2), size(a)), (x, y) => concat_ws(" ", x, y)),
+          slice(a, lit(3), size(a)),
+          (xy, z) => concat_ws(" ", xy, z)),
+        lit(1), size(a) - 2)))
       .otherwise(array().cast(ArrayType(StringType)))
+  }
+
+  /** Distinct word-level bigrams of a token array — same bindOnce +
+    * zip_with shape as shingles3: the argument is evaluated once per row
+    * and construction is O(tokens), where the old element_at-in-lambda
+    * form re-ran a `split` argument twice per element. */
+  private[graft] def bigrams2(t: Column): Column = bindOnce(t) { a =>
+    when(size(a) >= 2,
+      array_distinct(slice(
+        zip_with(a, slice(a, lit(2), size(a)), (x, y) => concat_ws(" ", x, y)),
+        lit(1), size(a) - 1)))
+      .otherwise(array().cast(ArrayType(StringType)))
+  }
 
   /** dd1 — exact dedup: hash-groupBy on the content digest, keep the
     * smallest doc_id as canonical, count copies. One shuffle on the digest;
@@ -218,6 +238,68 @@ object Dedup {
           THEN '1' ELSE '0' END"""
     }.mkString(" || ")
 
+  /** SimHash 64-bit fingerprints of (doc_id, text) rows as a '0'/'1' bit
+    * string. Explode + codegen'd sum-aggregates: bit j∈[1,32] ← salt s1
+    * position j; j∈[33,64] ← salt s2 position j-32, exactly the oracle's
+    * CASE-per-bit construction. A hex char >= '8' iff the nibble's HIGH BIT
+    * is set, so instead of 64 string substring+compare sums the two salted
+    * digests are parsed once per row into eight unsigned 32-bit ints and
+    * the per-nibble indicator bits are summed LANE-PACKED: two 32-bit
+    * counter lanes per long, 32 lane-sum columns (+count) instead of 64 — a
+    * much smaller aggregation buffer and pure integer shift/mask work per
+    * row. A 32-bit lane cross-carries only at >= 2^31 distinct shingles in
+    * ONE doc, which no Spark-representable string can produce (strings cap
+    * at 2^31 bytes and each extra distinct 3-shingle costs >= 2 source
+    * bytes, so n < 2^30); an assert_true enforces even that bound loudly.
+    * The ±1 vote sum >= 0 of the oracle is equivalently 2·S_j >= N with S_j
+    * the set-bit count and N the shingle count. Empty-shingle docs (shorter
+    * than the 3-gram) vanish on explode, mirroring the oracle's
+    * len(sh) > 0 exclusion. Package-visible so DedupSpec can verify the
+    * lane-packed sums against an unpacked 64-column reference on an
+    * oversized (> 65,536-distinct-shingle) document. */
+  private[graft] def simhashFingerprints(docs: DataFrame): DataFrame = {
+    val expl = docs
+      // single-file source → spread the shingle+digest map work across cores
+      .repartition(docs.sparkSession.sessionState.conf.numShufflePartitions)
+      .select(col("doc_id"), explode(shingles3(split(col("text"), "\\s+"))).as("s"))
+      .select(col("doc_id"),
+        md5(concat(lit("s1|"), col("s"))).as("m1"),
+        md5(concat(lit("s2|"), col("s"))).as("m2"))
+    // chunk k∈[0,7]: hex chars [8k+1, 8k+8] of (m1 ++ m2) as one 32-bit int
+    val withChunks = expl.select(col("doc_id") +: (0 until 8).map { k =>
+      val m = if (k < 4) col("m1") else col("m2")
+      conv(substring(m, (k % 4) * 8 + 1, 8), 16, 10).cast(LongType).as(s"c$k")
+    }: _*)
+    // indicator of nibble p∈[0,7] (leftmost hex char first) of chunk c:
+    // the nibble's high bit, at bit position 4·(7−p)+3
+    def ind(c: Column, p: Int): Column =
+      shiftright(c, 4 * (7 - p) + 3).bitwiseAND(lit(1L))
+    // lane column (k, q): nibbles 2q, 2q+1 of chunk k in 32-bit lanes.
+    // (16-bit×4 lanes — 16 columns — silently cross-carried at a plausible
+    // 65,536 distinct shingles per doc; the wider lanes cost 16 more longs
+    // of buffer per group while the per-row work is unchanged: the same 64
+    // indicators get shifted/OR'd either way.)
+    val laneCols = for { k <- 0 until 8; q <- 0 until 4 } yield
+      sum((0 until 2).map(i => shiftleft(ind(col(s"c$k"), q * 2 + i), 32 * i))
+        .reduce(_.bitwiseOR(_))).as(s"l${k}_$q")
+    val aggCols = count(lit(1)).as("n") +: laneCols
+    // bit j of the fingerprint: S_j = lane (chunk (j-1)/8, quarter, slot)
+    // of the summed lanes; set iff votes 2·S_j − N >= 0
+    val bitCols = (1 to 64).map { j =>
+      val k = (j - 1) / 8
+      val p = (j - 1) % 8
+      val s = shiftright(col(s"l${k}_${p / 2}"), 32 * (p % 2)).bitwiseAND(lit(0xFFFFFFFFL))
+      when(s * 2 >= col("n"), "1").otherwise("0")
+    }
+    withChunks.groupBy("doc_id").agg(aggCols.head, aggCols.tail: _*)
+      // enforce the lane bound instead of only arguing it: a doc at
+      // >= 2^31 distinct shingles fails LOUDLY, never by silent carry
+      .filter(coalesce(assert_true(col("n") < lit(1L << 31),
+        lit("simhash: >= 2^31 distinct shingles in one doc; lane counters would overflow")),
+        lit(true)))
+      .select(col("doc_id"), concat(bitCols: _*).as("bits"))
+  }
+
   /** dd3 — SimHash near-dup pairs: 64-bit shingle fingerprints, 4×16-bit
     * block LSH, Hamming ≤ 3 verification inside blocks. Oracle replays the
     * identical bit construction. */
@@ -255,54 +337,7 @@ object Dedup {
       FROM verified WHERE hamming <= 3
       ORDER BY a_id, b_id
     """)) { (spark, dir) =>
-    // Fingerprint via explode + codegen'd sum-aggregates: bit j∈[1,32] ←
-    // salt s1 position j; j∈[33,64] ← salt s2 position j-32, exactly the
-    // oracle's CASE-per-bit construction. A hex char >= '8' iff the
-    // nibble's HIGH BIT is set, so instead of 64 string substring+compare
-    // sums the two salted digests are parsed once per row into eight
-    // unsigned 32-bit ints and the per-nibble indicator bits are summed
-    // LANE-PACKED: four 16-bit counter lanes per long, 16 lane-sum
-    // columns (+count) instead of 64 — a much smaller aggregation buffer
-    // and pure integer shift/mask work per row. Lanes never cross-carry
-    // while a doc has < 65536 distinct shingles (a 64K-token document —
-    // far past any real row; the text column is KB-scale). The ±1 vote
-    // sum >= 0 of the oracle is equivalently 2·S_j >= N with S_j the
-    // set-bit count and N the shingle count. Empty-shingle docs (shorter
-    // than the 3-gram) vanish on explode, mirroring the oracle's
-    // len(sh) > 0 exclusion. persist = one materialization for both
-    // self-join sides.
-    val expl = withNearDups(spark, dir)
-      // single-file source → spread the shingle+digest map work across cores
-      .repartition(spark.sessionState.conf.numShufflePartitions)
-      .select(col("doc_id"), explode(shingles3(split(col("text"), "\\s+"))).as("s"))
-      .select(col("doc_id"),
-        md5(concat(lit("s1|"), col("s"))).as("m1"),
-        md5(concat(lit("s2|"), col("s"))).as("m2"))
-    // chunk k∈[0,7]: hex chars [8k+1, 8k+8] of (m1 ++ m2) as one 32-bit int
-    val withChunks = expl.select(col("doc_id") +: (0 until 8).map { k =>
-      val m = if (k < 4) col("m1") else col("m2")
-      conv(substring(m, (k % 4) * 8 + 1, 8), 16, 10).cast(LongType).as(s"c$k")
-    }: _*)
-    // indicator of nibble p∈[0,7] (leftmost hex char first) of chunk c:
-    // the nibble's high bit, at bit position 4·(7−p)+3
-    def ind(c: Column, p: Int): Column =
-      shiftright(c, 4 * (7 - p) + 3).bitwiseAND(lit(1L))
-    // lane column (k, h): nibbles 4h..4h+3 of chunk k in 16-bit lanes
-    val laneCols = for { k <- 0 until 8; h <- 0 until 2 } yield
-      sum((0 until 4).map(i => shiftleft(ind(col(s"c$k"), h * 4 + i), 16 * i))
-        .reduce(_.bitwiseOR(_))).as(s"l${k}_$h")
-    val aggCols = count(lit(1)).as("n") +: laneCols
-    // bit j of the fingerprint: S_j = lane (chunk (j-1)/8, half, slot) of
-    // the summed lanes; set iff votes 2·S_j − N >= 0
-    val bitCols = (1 to 64).map { j =>
-      val k = (j - 1) / 8
-      val p = (j - 1) % 8
-      val s = shiftright(col(s"l${k}_${p / 4}"), 16 * (p % 4)).bitwiseAND(lit(0xFFFFL))
-      when(s * 2 >= col("n"), "1").otherwise("0")
-    }
-    val fp = withChunks.groupBy("doc_id").agg(aggCols.head, aggCols.tail: _*)
-      .select(col("doc_id"), concat(bitCols: _*).as("bits"))
-      .persist()
+    val fp = simhashFingerprints(withNearDups(spark, dir)).persist()
     val blocks = fp.select(col("doc_id"), col("bits"),
       explode(array((0 until 4).map(b =>
         concat(lit(s"$b:"), substring(col("bits"), b * 16 + 1, 16))): _*)).as("block_key"))
@@ -354,11 +389,7 @@ object Dedup {
       col("doc_id"),
       // slice tolerates <2 tokens (vs element_at(t,2), which throws under ANSI)
       concat_ws(" ", slice(t, 1, 2)).as("block_key"),
-      // same short-doc guard as shingles3: sequence(1, 0) would descend
-      when(size(t) >= 2,
-        array_distinct(transform(sequence(lit(1), size(t) - 1),
-          i => concat_ws(" ", element_at(t, i), element_at(t, i + 1)))))
-        .otherwise(array().cast(ArrayType(StringType))).as("bigrams"))
+      bigrams2(t).as("bigrams"))
       // compute the bigram arrays once, not once per self-join side
       .persist()
     // guard 0/0: Catalyst pushes the jaccard filter into the self-join

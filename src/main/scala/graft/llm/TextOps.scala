@@ -327,13 +327,18 @@ object TextOps {
              string_agg(line, chr(10) ORDER BY mp) AS clean_text
       FROM firsts GROUP BY doc_id ORDER BY doc_id
     """)) { (spark, dir) =>
-    val t = toks(col("text"))
-    val nChunks = ceil(size(t) / lit(8.0)).cast(IntegerType)
-    val lines = transform(sequence(lit(0), greatest(nChunks, lit(1)) - 1),
-      c => array_join(slice(t, c * 8 + 1, lit(8)), " "))
+    // bindOnce both levels: the chunking lambda re-evaluated the token
+    // split per CHUNK (O(tokens²/8) per doc) and the plant referenced the
+    // whole transform twice — both now evaluate once per row
+    val lines = bindOnce(toks(col("text"))) { t =>
+      val nChunks = ceil(size(t) / lit(8.0)).cast(IntegerType)
+      bindOnce(transform(sequence(lit(0), greatest(nChunks, lit(1)) - 1),
+        c => array_join(slice(t, c * 8 + 1, lit(8)), " "))) { ls =>
+        concat(ls, slice(ls, 1, 1))
+      }
+    }
     val withPlant = tbl(spark, dir, "documents")
-      .select(col("doc_id"),
-        concat(lines, slice(lines, 1, 1)).as("lines"))
+      .select(col("doc_id"), lines.as("lines"))
     val firsts = withPlant
       .select(col("doc_id"), posexplode(col("lines")).as(Seq("pos", "line")))
       .groupBy("doc_id", "line")

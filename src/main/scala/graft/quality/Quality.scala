@@ -41,6 +41,16 @@ object Quality {
         (countIf(col("customer_key").isNull) === 0).as("sk_check_passed"))
   }
 
+  /** `unique` verdict for a two-column composite key: struct-valued
+    * distinct is injective for any key types AND NULL-exact — a string
+    * encoding via concat_ws skips NULLs, so the pairs (k, NULL) and
+    * (NULL, k) both encode to "k" and report a false duplicate on nullable
+    * key columns; an arithmetic packing like key*10000+line silently
+    * collides once line >= 10000. Package-visible for the nullable-key
+    * QualitySpec case. */
+  private[graft] def compositeUniquePassed(a: String, b: String): Column =
+    (countDistinct(struct(col(a), col(b))) === count(lit(1))).as("unique_passed")
+
   /** Q5 — the dbt generic-test suite: `unique` + `not_null` per declared key
     * column (reference `dbt_warehouse/models/schema.yml:14–100`), evaluated
     * as one row per (table, column) with both verdicts. Uniqueness is
@@ -67,7 +77,7 @@ object Quality {
         UNION ALL
         SELECT 'lineitem', 'l_orderkey:l_linenumber', count(*),
                count(l_orderkey) = count(*) AND count(l_linenumber) = count(*),
-               count(DISTINCT concat_ws(':', l_orderkey, l_linenumber)) = count(*)
+               count(DISTINCT (l_orderkey, l_linenumber)) = count(*)
         FROM lineitem)
       ORDER BY table_name, column_name
     """)) { (spark, dir) =>
@@ -82,11 +92,7 @@ object Quality {
       count(lit(1)).as("n_rows"),
       (count(col("l_orderkey")) === count(lit(1)) &&
         count(col("l_linenumber")) === count(lit(1))).as("not_null_passed"),
-      // collision-free pair encoding: delimiter-joined decimal strings are
-      // injective for integer keys at any magnitude (an arithmetic packing
-      // like key*10000+line silently collides once line >= 10000)
-      (countDistinct(concat_ws(":", col("l_orderkey"), col("l_linenumber"))) === count(lit(1)))
-        .as("unique_passed"))
+      compositeUniquePassed("l_orderkey", "l_linenumber"))
       .select(lit("lineitem").as("table_name"),
         lit("l_orderkey:l_linenumber").as("column_name"),
         col("n_rows"), col("not_null_passed"), col("unique_passed"))

@@ -49,6 +49,23 @@ object Streams {
     landing
   }
 
+  /** Watermark delay that provably covers the whole event-time span of a
+    * bounded landing. The `AvailableNow` replay reads files in arbitrary
+    * order, so result-vs-batch-oracle equality needs NO row to fall behind
+    * the watermark — and a hard-coded delay holds only while the fixture
+    * spans less than it (a regenerated events table spanning > 35 days
+    * would have silently diverged from the DISTINCT oracle). One
+    * column-pruned min/max batch pre-pass per query — counter-scale
+    * output; a live unbounded deployment replaces this with a small
+    * constant delay and aggressive state eviction. */
+  private def spanCoveringDelay(spark: SparkSession, landing: String, tsCol: String = "ts"): String = {
+    val span = spark.read.parquet(landing)
+      .agg(datediff(max(col(tsCol)), min(col(tsCol)))).head().getInt(0)
+    // +2 days: datediff truncates both endpoints to whole dates and the
+    // delay must strictly exceed the true span
+    s"${span + 2} days"
+  }
+
   /** st1 — event-time tumbling-window aggregation as a real streaming job:
     * `readStream` file source → 1-hour `window(ts)` groupBy with a
     * watermark → memory sink via `Trigger.AvailableNow`. The single
@@ -226,13 +243,13 @@ object Streams {
     * attribution-join shape (`purchase ⋈ clicks in [t−24h, t]`). Both sides
     * carry watermarks and the join predicate bounds event-time distance, so
     * the state store provably retains only a sliding day per side at any
-    * scale. The watermark DELAY here is set beyond the fixture's 30-day
-    * span: the bounded `AvailableNow` replay reads files in arbitrary
-    * order, and a tight delay would make results depend on which
-    * micro-batch a file lands in (dropped "late" rows) — in a live
-    * deployment with near-ordered arrival the same query runs with a
-    * minutes-long delay and aggressive state eviction. The oracle is the
-    * equivalent batch interval join. */
+    * scale. The watermark DELAY is derived from the fixture's actual
+    * event-time span (spanCoveringDelay): the bounded `AvailableNow`
+    * replay reads files in arbitrary order, and a tighter delay would make
+    * results depend on which micro-batch a file lands in (dropped "late"
+    * rows) — in a live deployment with near-ordered arrival the same query
+    * runs with a minutes-long delay and aggressive state eviction. The
+    * oracle is the equivalent batch interval join. */
   val stStreamStreamJoin: QueryDef = QueryDef(
     "st_stream_stream_join",
     Some("""
@@ -245,13 +262,14 @@ object Streams {
     val landing = eventsLanding(spark, dir)
     val schema = spark.read.parquet(landing).schema
     val sinkName = "graft_st_ssjoin_" + dirTag(dir)
+    val delay = spanCoveringDelay(spark, landing)
     def src = spark.readStream.schema(schema).parquet(landing)
     val purchases = src.filter(col("event_type") === "purchase")
       .select(col("user_id"), col("ts").as("purchase_ts"))
-      .withWatermark("purchase_ts", "35 days")
+      .withWatermark("purchase_ts", delay)
     val clicks = src.filter(col("event_type") === "click")
       .select(col("user_id").as("c_user"), col("ts").as("click_ts"))
-      .withWatermark("click_ts", "35 days")
+      .withWatermark("click_ts", delay)
     // a stream-stream join keeps 4 state stores per partition, each paying
     // a per-batch commit — size the count to this fixture's state volume
     val q = withStatePartitions(spark, 8) {
@@ -334,8 +352,9 @@ object Streams {
     * store holds only the keys of the sliding watermark window, not the
     * full history. Output carries exactly the dedup-key columns, so the
     * result is independent of WHICH physical copy the state kept and of
-    * how `AvailableNow` chunks the replay (the delay spans the bounded
-    * fixture; a live run would use minutes). Oracle: SELECT DISTINCT. */
+    * how `AvailableNow` chunks the replay (the delay is DERIVED from the
+    * bounded fixture's span via spanCoveringDelay; a live run would use
+    * minutes). Oracle: SELECT DISTINCT. */
   val stStreamDedup: QueryDef = QueryDef(
     "st_stream_dedup",
     Some("""
@@ -355,10 +374,11 @@ object Streams {
     }
     val schema = spark.read.parquet(landing).schema
     val sinkName = "graft_st_dedup_" + dirTag(dir)
+    val delay = spanCoveringDelay(spark, landing)
     val q = withStatePartitions(spark, 8) {
       spark.readStream.schema(schema).parquet(landing)
         .select(col("user_id"), col("event_type"), col("ts"))
-        .withWatermark("ts", "35 days")
+        .withWatermark("ts", delay)
         .dropDuplicatesWithinWatermark("user_id", "event_type", "ts")
         .writeStream.format("memory").queryName(sinkName)
         .outputMode("append").trigger(Trigger.AvailableNow()).start()

@@ -53,6 +53,31 @@ class DedupSpec extends SparkSpec {
     assert(!pairs.contains((7L, 11L)))
   }
 
+  test("lane-packed simhash matches an unpacked 64-sum reference past 65536 shingles") {
+    // 70,002 distinct tokens → 70,000 distinct 3-shingles: past the 16-bit
+    // lane limit that silently cross-carried before the 32-bit widening.
+    // The reference below is the oracle's construction verbatim — one
+    // substring+compare sum per bit, no packing — so any carry between
+    // lanes would flip a low-order bit of the packed result.
+    val doc = Seq((1L, (0 until 70002).map(i => s"w$i").mkString(" ")))
+      .toDF("doc_id", "text")
+    val packed = Dedup.simhashFingerprints(doc).select("bits").as[String].head()
+    val expl = doc
+      .select(explode(Dedup.shingles3(split(col("text"), "\\s+"))).as("s"))
+      .select(md5(concat(lit("s1|"), col("s"))).as("m1"),
+        md5(concat(lit("s2|"), col("s"))).as("m2"))
+    val hexHigh = "89abcdef".map(_.toString)
+    val sums = (1 to 64).map { j =>
+      val (m, pos) = if (j <= 32) (col("m1"), j) else (col("m2"), j - 32)
+      sum(when(substring(m, pos, 1).isin(hexHigh: _*), 1L).otherwise(0L)).as(s"s$j")
+    }
+    val row = expl.agg(count(lit(1)).as("n"), sums: _*).head()
+    val n = row.getLong(0)
+    assert(n > 65536L, s"fixture must exceed the old lane limit, got $n")
+    val reference = (1 to 64).map(j => if (row.getLong(j) * 2 >= n) '1' else '0').mkString
+    assert(packed === reference)
+  }
+
   test("ngram-jaccard verifies the planted pair above the 0.8 threshold") {
     val rows = Dedup.ddNgramJaccard.run(spark, corpusDir)
       .select("a_id", "b_id", "jaccard").as[(Long, Long, Double)].collect()

@@ -29,6 +29,18 @@ class QualitySpec extends SparkSpec {
     assert(rows("lineitem")._2 === false)
   }
 
+  test("composite unique keeps (k, NULL) and (NULL, k) distinct, still catches real dups") {
+    import SparkSpec.spark.implicits._
+    // the pre-fix concat_ws encoding collapsed both mixed-NULL pairs to "1"
+    // and reported a false duplicate here
+    val pairs = Seq((Option(1), Option.empty[Int]), (Option.empty[Int], Option(1)),
+      (Option(2), Option(3))).toDF("a", "b")
+    assert(pairs.agg(Quality.compositeUniquePassed("a", "b")).head().getBoolean(0))
+    // a genuine duplicate of a NULL-bearing pair must still fail
+    val withDup = pairs.unionAll(Seq((Option(1), Option.empty[Int])).toDF("a", "b"))
+    assert(!withDup.agg(Quality.compositeUniquePassed("a", "b")).head().getBoolean(0))
+  }
+
   test("Q6 negative-amount test fails on injected negatives with an exact count") {
     val row = Quality.q6NoNegativeAmounts.run(spark, sfDir).head()
     assert(row.getAs[Long]("negative_rows") > 0)
