@@ -355,6 +355,92 @@ object TextOps {
       .orderBy("doc_id")
   }
 
+  /** t8b — CORPUS-level boilerplate removal: drop lines appearing in more
+    * than 5% of documents (cross-document line frequency — the CCNet /
+    * RefinedWeb-style pass every training-data pipeline runs; completes
+    * the intra-document t8 the way dedup_cluster completed pairwise
+    * dedup). The corpus has no newlines, so the gate synthesizes the same
+    * 8-token line structure as t8 and PLANTS the boilerplate: a header
+    * line prepended to every document (df = 100%) and a second header on
+    * doc_id % 3 == 0 (df ≈ 33%) — both 8-token-aligned so they chunk into
+    * identical lines; natural lines sit far under the threshold. Shape at
+    * 100 TB: one persisted explode of (doc, pos, line); document frequency
+    * is a hash-shuffle on md5(line) (fixed-width key, never raw text) with
+    * partial aggregation; the boiler set is provably small — at most
+    * total_lines / (0.05 · n_docs) distinct hashes — so it BROADCASTS and
+    * the line stream shuffles exactly once more, to its own doc_id, for
+    * ordered reassembly. The corpus size enters the threshold via a
+    * broadcast 1-row frame, not a driver scalar. */
+  val tBoilerplateCorpus: QueryDef = {
+    val hdr1 = "graft corpus boiler head alpha beta gamma one"
+    val hdr2 = "graft corpus boiler foot delta epsilon zeta two"
+    QueryDef(
+      "t_boilerplate_corpus",
+      Some(s"""
+      WITH src AS (
+        SELECT doc_id,
+               CASE WHEN doc_id % 3 = 0 THEN '$hdr1 $hdr2 ' || text
+                    ELSE '$hdr1 ' || text END AS text
+        FROM documents),
+      tok AS (SELECT doc_id, string_split_regex(text, '\\s+') AS t FROM src),
+      ex AS (
+        SELECT doc_id, u.pos AS pos, u.line AS line FROM (
+          SELECT doc_id, unnest(list_transform(range(0, CAST(ceil(len(t) / 8.0) AS INTEGER)),
+            c -> {'pos': c, 'line': array_to_string(list_slice(t, c*8 + 1, c*8 + 8), ' ')})) AS u
+          FROM tok)),
+      freq AS (
+        SELECT md5(line) AS h, count(DISTINCT doc_id) AS df FROM ex GROUP BY 1),
+      nd AS (SELECT count(*) AS n_docs FROM src),
+      flagged AS (
+        SELECT e.doc_id, e.pos, e.line, f.df > 0.05 * nd.n_docs AS is_boiler
+        FROM ex e JOIN freq f ON md5(e.line) = f.h CROSS JOIN nd)
+      SELECT doc_id,
+             count(*) AS n_lines,
+             CAST(sum(CASE WHEN is_boiler THEN 0 ELSE 1 END) AS BIGINT) AS n_kept,
+             COALESCE(string_agg(line, chr(10) ORDER BY pos) FILTER (WHERE NOT is_boiler), '')
+               AS clean_text
+      FROM flagged GROUP BY doc_id ORDER BY doc_id
+    """)) { (spark, dir) =>
+      val src = tbl(spark, dir, "documents")
+        // single-file source → spread the chunking pass across cores
+        .repartition(spark.sessionState.conf.numShufflePartitions)
+        .select(col("doc_id"),
+          when(col("doc_id") % 3 === 0, concat(lit(s"$hdr1 $hdr2 "), col("text")))
+            .otherwise(concat(lit(s"$hdr1 "), col("text"))).as("text"))
+      val lines = bindOnce(toks(col("text"))) { t =>
+        val nChunks = ceil(size(t) / lit(8.0)).cast(IntegerType)
+        transform(sequence(lit(0), greatest(nChunks, lit(1)) - 1),
+          c => array_join(slice(t, c * 8 + 1, lit(8)), " "))
+      }
+      // compute-once barrier: the explode feeds both the frequency agg and
+      // the flag join
+      val ex = src.select(col("doc_id"), posexplode(lines).as(Seq("pos", "line")))
+        .persist()
+      val nDocs = src.agg(count(lit(1)).as("n_docs"))
+      val freq = ex.groupBy(md5(col("line")).as("h"))
+        .agg(countDistinct(col("doc_id")).as("df"))
+      // the 1-row corpus count and the (small by construction) boiler set
+      // both broadcast — the exploded line stream never shuffles for them
+      val boilerHashes = freq.crossJoin(broadcast(nDocs))
+        .filter(col("df") > lit(0.05) * col("n_docs"))
+        .select(col("h"), lit(true).as("is_b"))
+      val flagged = ex.join(broadcast(boilerHashes),
+        md5(col("line")) === col("h"), "left")
+      flagged.groupBy("doc_id")
+        .agg(
+          count(lit(1)).as("n_lines"),
+          countIf(col("is_b").isNull).as("n_kept"),
+          // ordered reassembly of surviving lines: collect_list drops the
+          // NULLs that when() leaves on boiler rows; pos is unique per doc
+          array_join(
+            transform(
+              array_sort(collect_list(when(col("is_b").isNull,
+                struct(col("pos"), col("line"))))),
+              s => s.getField("line")), "\n").as("clean_text"))
+        .orderBy("doc_id")
+    }
+  }
+
   /** t9 — benchmark decontamination: flag training documents that share
     * any word 8-gram with an evaluation/benchmark set (the contamination
     * check every pre-training pipeline runs; 8–13-gram overlap is the
@@ -456,5 +542,5 @@ object TextOps {
   val all: Seq[QueryDef] = Seq(
     tTokenStats, tQualityScore, tLangId, tFingerprint, tMultimodalMeta,
     tMultimodalDecode, tMultimodalFrames, tStratifiedSample, tLineDedup,
-    tDecontaminate, tShuffleExport)
+    tBoilerplateCorpus, tDecontaminate, tShuffleExport)
 }

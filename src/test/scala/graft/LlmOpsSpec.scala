@@ -77,6 +77,25 @@ class LlmOpsSpec extends SparkSpec {
     assert(r.getAs[String]("clean_text") === s"$a\nx")
   }
 
+  test("corpus boilerplate removal drops exactly the planted cross-doc lines") {
+    val out = TextOps.tBoilerplateCorpus.run(spark, sfDir).collect()
+    assert(out.length === 500)
+    // every document loses its universal header; doc_id % 3 == 0 also
+    // loses the partial second header; nothing natural crosses 5% df
+    out.foreach { r =>
+      val id = r.getAs[Long]("doc_id")
+      val dropped = r.getAs[Long]("n_lines") - r.getAs[Long]("n_kept")
+      assert(dropped === (if (id % 3 == 0) 2L else 1L), s"doc $id")
+      assert(!r.getAs[String]("clean_text").contains("graft corpus boiler"), s"doc $id")
+    }
+    // surviving lines keep original order: clean_text re-chunks to the
+    // document's own token stream (header sits in its own aligned chunk)
+    val doc1 = out.find(_.getAs[Long]("doc_id") == 1L).get
+    val orig = core.tbl(spark, sfDir, "documents")
+      .filter(col("doc_id") === 1L).head().getAs[String]("text")
+    assert(doc1.getAs[String]("clean_text").replace("\n", " ") === orig)
+  }
+
   test("decontamination flags every planted contaminated doc against its eval source") {
     val flagged = TextOps.tDecontaminate.run(spark, sfDir).collect()
       .map(r => r.getAs[Long]("doc_id") ->
