@@ -441,6 +441,89 @@ object TextOps {
     }
   }
 
+  // -- PII redaction -------------------------------------------------------
+  // Patterns are written in the common RE2 ⊂ Java-regex subset (character
+  // classes and bounded repetition only — no lookaround, no backrefs) so
+  // the DuckDB oracle replays them VERBATIM. Replacement tokens cannot
+  // re-match a later pattern in the chain.
+  private[graft] val emailRe = """[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"""
+  private[graft] val phoneRe = """[0-9]{2}-[0-9]{3}-[0-9]{3}-[0-9]{4}"""
+  private[graft] val acctRe = """ACCT-[0-9]+"""
+
+  /** Chained codegen'd `regexp_replace` passes: email → phone → account id.
+    * Order matters only in that replacements must not feed later patterns
+    * (the bracket tokens can't). Reusable over any text column — the same
+    * chain a cleaning flow would run over free-text fields. */
+  private[graft] def redactPii(c: Column): Column =
+    regexp_replace(
+      regexp_replace(
+        regexp_replace(c, emailRe, "[EMAIL]"),
+        phoneRe, "[PHONE]"),
+      acctRe, "[ID]")
+
+  /** t8c — PII redaction over the customer contact path: mask emails,
+    * phone numbers, and account ids in free text and count redactions per
+    * category (the audit trail a compliance pass needs). The fixture's
+    * customer table carries no contact columns, so the gate synthesizes a
+    * deterministic TPC-H-shaped phone (dd-ddd-ddd-dddd from custkey) and
+    * builds a contact note — email present except custkey % 5, phone
+    * doubled on custkey % 3 — so per-category counts actually vary.
+    * Everything is a single codegen'd projection over a column-pruned
+    * scan: three regexp_replace passes plus three regexp_count, no
+    * shuffle but the oracle ORDER BY. At 100 TB this is a map-only pass. */
+  val tPiiRedact: QueryDef = QueryDef(
+    "t_pii_redact",
+    Some(s"""
+      WITH ph AS (
+        SELECT c_custkey, c_name,
+               (10 + c_custkey % 90) || '-' || (100 + (c_custkey * 7) % 900)
+                 || '-' || (100 + (c_custkey * 13) % 900)
+                 || '-' || (1000 + (c_custkey * 31) % 9000) AS phone
+        FROM customer),
+      src AS (
+        SELECT c_custkey,
+               c_name ||
+               CASE WHEN c_custkey % 5 = 0 THEN ''
+                    ELSE ' <cust' || c_custkey || '@example.com>' END ||
+               ' tel ' || phone ||
+               CASE WHEN c_custkey % 3 = 0 THEN ' alt ' || phone ELSE '' END ||
+               ' ref ACCT-' || c_custkey AS note
+        FROM ph)
+      SELECT c_custkey,
+             regexp_replace(regexp_replace(regexp_replace(note,
+               '$emailRe', '[EMAIL]', 'g'),
+               '$phoneRe', '[PHONE]', 'g'),
+               'ACCT-[0-9]+', '[ID]', 'g') AS redacted_note,
+             CAST(len(regexp_extract_all(note, '$emailRe')) AS BIGINT) AS n_email,
+             CAST(len(regexp_extract_all(note, '$phoneRe')) AS BIGINT) AS n_phone,
+             CAST(len(regexp_extract_all(note, 'ACCT-[0-9]+')) AS BIGINT) AS n_id
+      FROM src ORDER BY c_custkey
+    """)) { (spark, dir) =>
+    val phone = concat(
+      lit(10) + col("c_custkey") % 90, lit("-"),
+      lit(100) + (col("c_custkey") * 7) % 900, lit("-"),
+      lit(100) + (col("c_custkey") * 13) % 900, lit("-"),
+      lit(1000) + (col("c_custkey") * 31) % 9000)
+    val note = concat(
+      col("c_name"),
+      when(col("c_custkey") % 5 === 0, lit(""))
+        .otherwise(concat(lit(" <cust"), col("c_custkey"), lit("@example.com>"))),
+      lit(" tel "), col("phone"),
+      when(col("c_custkey") % 3 === 0, concat(lit(" alt "), col("phone")))
+        .otherwise(lit("")),
+      lit(" ref ACCT-"), col("c_custkey"))
+    tbl(spark, dir, "customer")
+      .select(col("c_custkey"), col("c_name"), phone.as("phone"))
+      .select(col("c_custkey"), note.as("note"))
+      .select(
+        col("c_custkey"),
+        redactPii(col("note")).as("redacted_note"),
+        regexp_count(col("note"), lit(emailRe)).cast(LongType).as("n_email"),
+        regexp_count(col("note"), lit(phoneRe)).cast(LongType).as("n_phone"),
+        regexp_count(col("note"), lit(acctRe)).cast(LongType).as("n_id"))
+      .orderBy("c_custkey")
+  }
+
   /** t9 — benchmark decontamination: flag training documents that share
     * any word 8-gram with an evaluation/benchmark set (the contamination
     * check every pre-training pipeline runs; 8–13-gram overlap is the
@@ -542,5 +625,5 @@ object TextOps {
   val all: Seq[QueryDef] = Seq(
     tTokenStats, tQualityScore, tLangId, tFingerprint, tMultimodalMeta,
     tMultimodalDecode, tMultimodalFrames, tStratifiedSample, tLineDedup,
-    tBoilerplateCorpus, tDecontaminate, tShuffleExport)
+    tBoilerplateCorpus, tPiiRedact, tDecontaminate, tShuffleExport)
 }

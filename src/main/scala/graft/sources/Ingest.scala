@@ -170,6 +170,80 @@ object Ingest {
       .orderBy("o_orderkey")
   }
 
+  /** Embedded-Derby mirror of `customer` as a SECOND live source system
+    * with its OWN schema (MySQL-flavored column names: customer_id /
+    * full_name / balance / segment), mirroring the reference's two
+    * distinct SQL extractors (reference `extractors/mysql_extractor.py:
+    * 41–60` vs `postgres_extractor.py:41–50`). Loaded once per source
+    * content signature; string columns pinned to VARCHAR (Spark's Derby
+    * default is CLOB, which can't be compared or sorted). */
+  private def customersJdbcUrl(spark: SparkSession, dir: String): String = {
+    derbyQuiet()
+    val dbDir = scratch(dir, s"derby_customers_${sourceSig(spark, dir, "customer")}")
+    val url = s"jdbc:derby:$dbDir;create=true"
+    val marker = new java.io.File(dbDir, "_graft_loaded")
+    if (!marker.exists()) {
+      tbl(spark, dir, "customer")
+        .select(col("c_custkey").as("customer_id"), col("c_name").as("full_name"),
+          col("c_acctbal").as("balance"), col("c_mktsegment").as("segment"))
+        .coalesce(4) // embedded DB: a few writers beat 32 contending ones
+        .write.format("jdbc")
+        .option("url", url)
+        .option("dbtable", "customers_src")
+        .option("driver", "org.apache.derby.jdbc.EmbeddedDriver")
+        .option("createTableColumnTypes", "full_name VARCHAR(64), segment VARCHAR(16)")
+        .option("batchsize", "10000")
+        .mode("overwrite").save()
+      marker.createNewFile()
+    }
+    url
+  }
+
+  /** Incremental extraction from the customers mirror past a sequence-id
+    * watermark — the predicate pushes into the database. Package-visible
+    * so the spec can drive the full checkpoint cycle. */
+  private[graft] def jdbcCustomersPast(spark: SparkSession, dir: String,
+      past: Long): org.apache.spark.sql.DataFrame =
+    spark.read.format("jdbc")
+      .option("url", customersJdbcUrl(spark, dir))
+      .option("dbtable", "customers_src")
+      .option("driver", "org.apache.derby.jdbc.EmbeddedDriver")
+      .option("partitionColumn", "customer_id")
+      .option("lowerBound", "1")
+      .option("upperBound", (1L << 22).toString)
+      .option("numPartitions", "8")
+      .load()
+      .filter(col("customer_id") > past)
+
+  /** S3/S4 second live source — the customers mirror extracted
+    * incrementally past a SEQUENCE-ID watermark with its own persisted
+    * checkpoint (tag `jdbc`, distinct from every date checkpoint): seed →
+    * extract strictly past it (WHERE runs inside the DB; 8 key-range
+    * partitions extract in parallel) → ADVANCE the checkpoint to the
+    * batch max. The gate run is deterministic (reset + fixed seed each
+    * run); the advanced-checkpoint idempotence — a second extract is
+    * provably empty — is asserted in WatermarkSpec. Oracle = the same
+    * rows from the parquet original, proving the round-trip through the
+    * second system's own schema is value-exact. */
+  val sJdbcCustomers: QueryDef = QueryDef(
+    "s_jdbc_customers",
+    Some("""
+      SELECT c_custkey AS customer_id, c_name AS full_name,
+             CAST(c_acctbal AS DOUBLE) AS balance, c_mktsegment AS segment
+      FROM customer WHERE c_custkey > 100
+      ORDER BY customer_id
+    """)) { (spark, dir) =>
+    val seed = 100L
+    Watermark.reset(spark, dir, "customer", tag = "jdbc")
+    val wm0 = Watermark.readLong(spark, dir, "customer", seed, tag = "jdbc")
+    val first = jdbcCustomersPast(spark, dir, wm0)
+    val mx = first.agg(max(col("customer_id"))).head().getLong(0)
+    Watermark.advanceLong(spark, dir, "customer", mx, tag = "jdbc")
+    first
+      .select(col("customer_id"), col("full_name"), col("balance"), col("segment"))
+      .orderBy("customer_id")
+  }
+
   /** Schema EVOLUTION across landing batches: an upstream extractor adds
     * columns over time (the reference's extractors re-infer the frame per
     * run, so a source migration shows up exactly like this). Batch 1 lands
@@ -225,5 +299,5 @@ object Ingest {
 
   val all: Seq[QueryDef] = Seq(
     s5DocIngest, s7ParquetRoundtrip, sPartitionPruning, sJdbcSource,
-    sSchemaEvolution)
+    sJdbcCustomers, sSchemaEvolution)
 }

@@ -32,32 +32,56 @@ object Watermark {
     Paths.get(scratch(dir, "watermarks"),
       s"$source${if (tag.isEmpty) "" else s"_$tag"}_${sourceSig(spark, dir, source)}.txt")
 
+  private def readRaw(f: Path): Option[String] =
+    if (Files.exists(f)) Some(Files.readString(f).trim) else None
+
+  /** Temp file + ATOMIC_MOVE so a concurrent reader can never observe a
+    * torn value (the read-compare-write itself is last-writer-wins;
+    * serialize runs externally if two drivers may advance the same
+    * checkpoint). */
+  private def writeAtomic(f: Path, v: String): Unit = {
+    Files.createDirectories(f.getParent)
+    val tmp = Files.createTempFile(f.getParent, f.getFileName.toString, ".tmp")
+    Files.writeString(tmp, v)
+    Files.move(tmp, f, java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+  }
+
   /** Stored watermark, or `default` when none has been persisted for this
     * (dir, source, content) yet. */
   def read(spark: SparkSession, dir: String, source: String,
-      default: LocalDate, tag: String = ""): LocalDate = {
-    val f = file(spark, dir, source, tag)
-    if (Files.exists(f)) LocalDate.parse(Files.readString(f).trim) else default
-  }
+      default: LocalDate, tag: String = ""): LocalDate =
+    readRaw(file(spark, dir, source, tag)).map(LocalDate.parse).getOrElse(default)
 
   /** Advance the stored watermark to `to` — MONOTONIC: a lagging caller
     * (a re-run of an old batch) can never move the checkpoint backwards.
-    * Returns the effective stored value. The write goes through a temp
-    * file + ATOMIC_MOVE so a concurrent reader can never observe a torn
-    * value (the read-compare-write itself is last-writer-wins; serialize
-    * runs externally if two drivers may advance the same checkpoint). */
+    * Returns the effective stored value. */
   def advance(spark: SparkSession, dir: String, source: String,
       to: LocalDate, tag: String = ""): LocalDate = {
     val f = file(spark, dir, source, tag)
-    val eff = if (Files.exists(f)) {
-      val cur = LocalDate.parse(Files.readString(f).trim)
-      if (to.isAfter(cur)) to else cur
-    } else to
-    Files.createDirectories(f.getParent)
-    val tmp = Files.createTempFile(f.getParent, f.getFileName.toString, ".tmp")
-    Files.writeString(tmp, eff.toString)
-    Files.move(tmp, f, java.nio.file.StandardCopyOption.ATOMIC_MOVE,
-      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    val eff = readRaw(f).map(LocalDate.parse) match {
+      case Some(cur) if !to.isAfter(cur) => cur
+      case _                             => to
+    }
+    writeAtomic(f, eff.toString)
+    eff
+  }
+
+  /** Sequence-id twin of [[read]] — for sources whose increment column is
+    * a monotone key rather than a date (the MySQL id-watermark idiom). */
+  def readLong(spark: SparkSession, dir: String, source: String,
+      default: Long, tag: String = ""): Long =
+    readRaw(file(spark, dir, source, tag)).map(_.toLong).getOrElse(default)
+
+  /** Sequence-id twin of [[advance]]: same file, same MONOTONIC rule. */
+  def advanceLong(spark: SparkSession, dir: String, source: String,
+      to: Long, tag: String = ""): Long = {
+    val f = file(spark, dir, source, tag)
+    val eff = readRaw(f).map(_.toLong) match {
+      case Some(cur) if to <= cur => cur
+      case _                      => to
+    }
+    writeAtomic(f, eff.toString)
     eff
   }
 

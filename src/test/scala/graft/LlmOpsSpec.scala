@@ -96,6 +96,22 @@ class LlmOpsSpec extends SparkSpec {
     assert(doc1.getAs[String]("clean_text").replace("\n", " ") === orig)
   }
 
+  test("PII redaction masks every category and counts per-category occurrences") {
+    val out = TextOps.tPiiRedact.run(spark, sfDir).collect()
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      val id = r.getAs[Long]("c_custkey")
+      val red = r.getAs[String]("redacted_note")
+      assert(r.getAs[Long]("n_email") === (if (id % 5 == 0) 0L else 1L), s"cust $id")
+      assert(r.getAs[Long]("n_phone") === (if (id % 3 == 0) 2L else 1L), s"cust $id")
+      assert(r.getAs[Long]("n_id") === 1L, s"cust $id")
+      // nothing sensitive survives: no address-sign, no phone shape, no acct id
+      assert(!red.contains("@") && !red.contains("ACCT-"), s"cust $id: $red")
+      assert(!"[0-9]{2}-[0-9]{3}-[0-9]{3}-[0-9]{4}".r.findFirstIn(red).isDefined, s"cust $id")
+      assert(red.contains("[PHONE]"), s"cust $id")
+    }
+  }
+
   test("decontamination flags every planted contaminated doc against its eval source") {
     val flagged = TextOps.tDecontaminate.run(spark, sfDir).collect()
       .map(r => r.getAs[Long]("doc_id") ->

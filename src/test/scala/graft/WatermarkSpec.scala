@@ -29,6 +29,26 @@ class WatermarkSpec extends SparkSpec {
     assert(Watermark.read(spark, sfDir, "orders", default) === default)
   }
 
+  test("sequence-id watermark: monotonic long cycle, own tag, distinct from date store") {
+    Watermark.reset(spark, sfDir, "customer", tag = "idtest")
+    assert(Watermark.readLong(spark, sfDir, "customer", 7L, tag = "idtest") === 7L)
+    assert(Watermark.advanceLong(spark, sfDir, "customer", 100L, tag = "idtest") === 100L)
+    // a lagging re-run may not move the checkpoint backwards
+    assert(Watermark.advanceLong(spark, sfDir, "customer", 50L, tag = "idtest") === 100L)
+    assert(Watermark.readLong(spark, sfDir, "customer", 7L, tag = "idtest") === 100L)
+    Watermark.reset(spark, sfDir, "customer", tag = "idtest")
+  }
+
+  test("customers JDBC mirror: extract past seed, advance, second extract empty") {
+    val out = sources.Ingest.sJdbcCustomers.run(spark, sfDir)
+    assert(out.count() > 0)
+    // the gate advanced the checkpoint to the batch max — extracting past
+    // the stored watermark again is provably empty (daily-job idempotence)
+    val wm = Watermark.readLong(spark, sfDir, "customer", 0L, tag = "jdbc")
+    assert(wm > 100L)
+    assert(sources.Ingest.jdbcCustomersPast(spark, sfDir, wm).count() === 0L)
+  }
+
   test("a regenerated source starts from a fresh watermark, not a stale checkpoint") {
     val tmp = s"${sys.props("user.dir")}/target/wm-regen-test"
     def writeSource(n: Int): Unit =
