@@ -441,6 +441,108 @@ object TextOps {
     }
   }
 
+  /** t8d — the corpus FILTER FUNNEL: the multi-stage keep/drop pipeline
+    * every pretraining corpus goes through (lang-ID → length → quality →
+    * exact dedup), with per-stage drop accounting and a checksum of the
+    * surviving set. Each document is attributed to its FIRST failing
+    * stage (funnel semantics); exact dedup runs only among docs that
+    * passed the filters and keeps the min doc_id per content hash, so a
+    * planted copy (doc_id % 7 → +200000, same text) always loses the tie.
+    * Shape at 100 TB: one projection computes every stage flag in a single
+    * codegen'd pass; the only shuffle is the dedup window partitioned by
+    * md5(text) (fixed-width key), then a single-row conditional
+    * aggregation with map-side partials. The survivor-set checksums
+    * (sum(id), sum(id²) in DECIMAL(38,0) — overflow-proof under ANSI) are
+    * commutative, so no doc list ever gathers anywhere. */
+  val tCorpusFilter: QueryDef = QueryDef(
+    "t_corpus_filter",
+    Some("""
+      WITH src AS (
+        SELECT doc_id, text FROM documents
+        UNION ALL
+        SELECT doc_id + 200000, text FROM documents WHERE doc_id % 7 = 0),
+      feat AS (
+        SELECT doc_id, text,
+               len(string_split_regex(text, '\s+')) AS n_tokens,
+               len(list_filter(string_split_regex(text, '\s+'),
+                               x -> x IN ('the','a','query','table'))) AS en_hits,
+               len(list_filter(string_split_regex(text, '\s+'),
+                               x -> x IN ('data','fast','batch'))) AS x1_hits,
+               len(list_filter(string_split_regex(text, '\s+'),
+                               x -> x IN ('spark','merge','window'))) AS x2_hits,
+               CAST(length(replace(text, ' ', '')) AS DOUBLE)
+                 / CAST(len(string_split_regex(text, '\s+')) AS DOUBLE) AS mwl
+        FROM src),
+      flags AS (
+        SELECT doc_id, text,
+               en_hits >= x1_hits AND en_hits >= x2_hits AS lang_ok,
+               n_tokens BETWEEN 20 AND 1000 AS len_ok,
+               mwl BETWEEN 2.0 AND 12.0 AS qual_ok
+        FROM feat),
+      withdup AS (
+        SELECT doc_id, lang_ok, len_ok, qual_ok,
+               lang_ok AND len_ok AND qual_ok AND doc_id <>
+                 min(CASE WHEN lang_ok AND len_ok AND qual_ok THEN doc_id END)
+                   OVER (PARTITION BY md5(text)) AS is_dup
+        FROM flags),
+      lab AS (
+        SELECT doc_id,
+               CASE WHEN NOT lang_ok THEN 'lang'
+                    WHEN NOT len_ok THEN 'length'
+                    WHEN NOT qual_ok THEN 'quality'
+                    WHEN is_dup THEN 'dup' END AS fail_stage
+        FROM withdup)
+      SELECT count(*) AS n_docs,
+             CAST(sum(CASE WHEN fail_stage = 'lang' THEN 1 ELSE 0 END) AS BIGINT) AS drop_lang,
+             CAST(sum(CASE WHEN fail_stage = 'length' THEN 1 ELSE 0 END) AS BIGINT) AS drop_length,
+             CAST(sum(CASE WHEN fail_stage = 'quality' THEN 1 ELSE 0 END) AS BIGINT) AS drop_quality,
+             CAST(sum(CASE WHEN fail_stage = 'dup' THEN 1 ELSE 0 END) AS BIGINT) AS drop_dup,
+             CAST(sum(CASE WHEN fail_stage IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+             CAST(sum(CASE WHEN fail_stage IS NULL THEN CAST(doc_id AS DECIMAL(38,0)) END) AS DOUBLE) AS kept_sum,
+             CAST(sum(CASE WHEN fail_stage IS NULL THEN CAST(doc_id AS DECIMAL(38,0)) * doc_id END) AS DOUBLE) AS kept_sumsq
+      FROM lab
+    """)) { (spark, dir) =>
+    val d = tbl(spark, dir, "documents").select("doc_id", "text")
+    val src = d.unionAll(
+      d.filter(col("doc_id") % 7 === 0)
+        .select((col("doc_id") + 200000L).as("doc_id"), col("text")))
+      // single-file source → spread the scoring pass across cores
+      .repartition(spark.sessionState.conf.numShufflePartitions)
+    val t = toks(col("text"))
+    def hits(words: String*): Column = size(filter(t, x => x.isin(words: _*)))
+    val mwl = length(regexp_replace(col("text"), " ", "")).cast(DoubleType) /
+      size(t).cast(DoubleType)
+    val flags = src.select(
+      col("doc_id"), col("text"),
+      (hits("the", "a", "query", "table") >= hits("data", "fast", "batch") &&
+        hits("the", "a", "query", "table") >= hits("spark", "merge", "window")).as("lang_ok"),
+      size(t).between(20, 1000).as("len_ok"),
+      mwl.between(2.0, 12.0).as("qual_ok"))
+    val passed = col("lang_ok") && col("len_ok") && col("qual_ok")
+    val byContent = org.apache.spark.sql.expressions.Window.partitionBy(md5(col("text")))
+    val lab = flags
+      .select(col("doc_id"),
+        (passed && col("doc_id") =!=
+          min(when(passed, col("doc_id"))).over(byContent)).as("is_dup"),
+        col("lang_ok"), col("len_ok"), col("qual_ok"))
+      .select(col("doc_id"),
+        when(!col("lang_ok"), "lang")
+          .when(!col("len_ok"), "length")
+          .when(!col("qual_ok"), "quality")
+          .when(col("is_dup"), "dup").as("fail_stage"))
+    val kept = col("fail_stage").isNull
+    lab.agg(
+      count(lit(1)).as("n_docs"),
+      countIf(col("fail_stage") === "lang").as("drop_lang"),
+      countIf(col("fail_stage") === "length").as("drop_length"),
+      countIf(col("fail_stage") === "quality").as("drop_quality"),
+      countIf(col("fail_stage") === "dup").as("drop_dup"),
+      countIf(kept).as("n_kept"),
+      sum(when(kept, col("doc_id").cast(DecimalType(38, 0)))).cast(DoubleType).as("kept_sum"),
+      sum(when(kept, col("doc_id").cast(DecimalType(38, 0)) * col("doc_id")))
+        .cast(DoubleType).as("kept_sumsq"))
+  }
+
   // -- PII redaction -------------------------------------------------------
   // Patterns are written in the common RE2 ⊂ Java-regex subset (character
   // classes and bounded repetition only — no lookaround, no backrefs) so
@@ -625,5 +727,5 @@ object TextOps {
   val all: Seq[QueryDef] = Seq(
     tTokenStats, tQualityScore, tLangId, tFingerprint, tMultimodalMeta,
     tMultimodalDecode, tMultimodalFrames, tStratifiedSample, tLineDedup,
-    tBoilerplateCorpus, tPiiRedact, tDecontaminate, tShuffleExport)
+    tBoilerplateCorpus, tCorpusFilter, tPiiRedact, tDecontaminate, tShuffleExport)
 }

@@ -96,6 +96,40 @@ class LlmOpsSpec extends SparkSpec {
     assert(doc1.getAs[String]("clean_text").replace("\n", " ") === orig)
   }
 
+  test("corpus filter funnel matches an independent driver-side model exactly") {
+    import SparkSpec.spark.implicits._
+    val row = TextOps.tCorpusFilter.run(spark, sfDir).head()
+    // replay the funnel in plain Scala over the collected corpus (500 docs
+    // + planted copies — trivially driver-sized at spec scale)
+    val docs = core.tbl(spark, sfDir, "documents")
+      .select(col("doc_id"), col("text")).as[(Long, String)].collect()
+    val src = docs ++ docs.filter(_._1 % 7 == 0).map { case (id, tx) => (id + 200000L, tx) }
+    val en = Set("the", "a", "query", "table")
+    val x1 = Set("data", "fast", "batch")
+    val x2 = Set("spark", "merge", "window")
+    case class F(id: Long, text: String, lang: Boolean, len: Boolean, qual: Boolean)
+    val fs = src.map { case (id, tx) =>
+      val t = tx.split("\\s+")
+      val (e, h1, h2) = (t.count(en), t.count(x1), t.count(x2))
+      val mwl = tx.replace(" ", "").length.toDouble / t.length
+      F(id, tx, e >= h1 && e >= h2, t.length >= 20 && t.length <= 1000,
+        mwl >= 2.0 && mwl <= 12.0)
+    }
+    val passed = fs.filter(f => f.lang && f.len && f.qual)
+    val minByText = passed.groupBy(_.text).map { case (tx, l) => tx -> l.map(_.id).min }
+    val kept = passed.filter(f => minByText(f.text) == f.id)
+    assert(row.getAs[Long]("n_docs") === src.length.toLong)
+    assert(row.getAs[Long]("drop_lang") === fs.count(!_.lang).toLong)
+    assert(row.getAs[Long]("drop_length") === fs.count(f => f.lang && !f.len).toLong)
+    assert(row.getAs[Long]("drop_quality") === fs.count(f => f.lang && f.len && !f.qual).toLong)
+    assert(row.getAs[Long]("drop_dup") === (passed.length - kept.length).toLong)
+    assert(row.getAs[Long]("n_kept") === kept.length.toLong)
+    assert(row.getAs[Double]("kept_sum") === kept.map(_.id).sum.toDouble)
+    assert(row.getAs[Double]("kept_sumsq") === kept.map(f => f.id * f.id).sum.toDouble)
+    // the funnel actually exercised every stage boundary we care about
+    assert(row.getAs[Long]("drop_dup") > 0 && row.getAs[Long]("n_kept") > 0)
+  }
+
   test("PII redaction masks every category and counts per-category occurrences") {
     val out = TextOps.tPiiRedact.run(spark, sfDir).collect()
     assert(out.nonEmpty)

@@ -80,6 +80,24 @@ class PropertySpec extends SparkSpec {
         app.join(e, Seq("k"), "left_semi").collect().toSet == e.collect().toSet
     })
 
+  check("zip_with shingle/bigram builders match the naive sliding-window reference")(
+    Prop.forAll(Gen.listOf(Gen.oneOf("a", "b", "cc", "d1", "ee", "f"))) { ts =>
+      // the O(tokens) zip_with construction (llm.Dedup) vs a driver-side
+      // sliding-window model — the refactor away from element_at-in-lambda
+      // must be result-identical on every length, including 0/1/2 tokens
+      val text = ts.mkString(" ")
+      val row = Seq(Tuple1(text)).toDF("text")
+        .select(
+          llm.Dedup.shingles3(split(col("text"), "\\s+")).as("sh"),
+          llm.Dedup.bigrams2(split(col("text"), "\\s+")).as("bg"))
+        .head()
+      val toks = text.split("\\s+").toSeq.filter(_ => text.nonEmpty)
+      def ref(n: Int) =
+        if (toks.length < n) Seq.empty
+        else toks.sliding(n).map(_.mkString(" ")).toSeq.distinct
+      row.getSeq[String](0) == ref(3) && row.getSeq[String](1) == ref(2)
+    })
+
   check("graft_dot is bit-identical to a sequential driver fold on arbitrary float arrays")(
     Prop.forAll(
       Gen.chooseNum(1, 64).flatMap(n => Gen.zip(
