@@ -543,6 +543,108 @@ object TextOps {
         .cast(DoubleType).as("kept_sumsq"))
   }
 
+  /** t8e — SEQUENCE PACKING: lay documents end-to-end and cut fixed
+    * 512-token context windows (the GPT-style concat-and-chunk batching
+    * every pretraining run performs). The layout is a pure PREFIX SUM, so
+    * it parallelizes: docs shard deterministically (doc_id % 8 here;
+    * thousands of shards at corpus scale), each shard lays out its docs in
+    * doc_id order via a window cumsum, and each doc's block span falls out of
+    * integer arithmetic on its start offset — no sequential packer, no
+    * driver loop, and within-shard layout is independent of partitioning.
+    * Exact floor semantics via floor(x / 512.0) on both engines (doubles
+    * are exact far past any corpus token count < 2^53). */
+  val tPackSequences: QueryDef = QueryDef(
+    "t_pack_sequences",
+    Some("""
+      WITH tk AS (
+        SELECT doc_id, doc_id % 8 AS shard,
+               len(string_split_regex(text, '\s+')) AS n_tokens
+        FROM documents),
+      cum AS (
+        SELECT doc_id, shard, n_tokens,
+               -- DuckDB sum(BIGINT) widens to HUGEINT (rendered as float):
+               -- pin the offset back to BIGINT to match Spark's long
+               CAST(COALESCE(sum(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS tok_start
+        FROM tk)
+      SELECT doc_id, shard, n_tokens, tok_start,
+             CAST(floor(tok_start / 512.0) AS BIGINT) AS first_block,
+             CAST(floor((tok_start + n_tokens - 1) / 512.0) AS BIGINT) AS last_block,
+             tok_start % 512 AS block_offset
+      FROM cum ORDER BY doc_id
+    """)) { (spark, dir) =>
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("shard").orderBy("doc_id")
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    tbl(spark, dir, "documents")
+      .select(col("doc_id"), (col("doc_id") % 8).as("shard"),
+        size(toks(col("text"))).cast(LongType).as("n_tokens"))
+      .withColumn("tok_start", coalesce(sum(col("n_tokens")).over(w), lit(0L)))
+      .select(col("doc_id"), col("shard"), col("n_tokens"), col("tok_start"),
+        floor(col("tok_start") / 512.0).cast(LongType).as("first_block"),
+        floor((col("tok_start") + col("n_tokens") - 1) / 512.0).cast(LongType)
+          .as("last_block"),
+        (col("tok_start") % 512).as("block_offset"))
+      .orderBy("doc_id")
+  }
+
+  /** t8f — TEMPERATURE-WEIGHTED domain resampling (the XLM-R-style α=0.5
+    * mixture pass): keep-rate per language = sqrt(n_min / n_lang), so the
+    * smallest domain is kept whole and large domains are downsampled
+    * toward a flatter mixture. Rates are QUANTIZED to k/4096 and applied
+    * as a lexicographic 3-hex-char threshold on a salted md5 of the doc id
+    * — every step (division, sqrt, *4096, floor) is a correctly-rounded
+    * IEEE op, so both engines derive the identical integer threshold and
+    * the identical per-doc verdicts; no float ever crosses a comparison.
+    * Shape at 100 TB: one count aggregation, the per-lang rate table
+    * broadcast back (a handful of rows), one map-side keep decision per
+    * doc, one final per-lang rollup with commutative kept-set checksums. */
+  val tMixtureSample: QueryDef = QueryDef(
+    "t_mixture_sample",
+    Some("""
+      WITH lc AS (SELECT lang, count(*) AS n_l FROM documents GROUP BY lang),
+      mn AS (SELECT min(n_l) AS n_min FROM lc),
+      rates AS (
+        SELECT lang, n_l,
+               CAST(floor(sqrt(CAST(n_min AS DOUBLE) / n_l) * 4096) AS BIGINT) AS k
+        FROM lc CROSS JOIN mn),
+      dec AS (
+        SELECT d.doc_id, d.lang, r.n_l, r.k,
+               (r.k >= 4096 OR substr(md5('mix|' || CAST(d.doc_id AS VARCHAR)), 1, 3)
+                  < lpad(lower(to_hex(r.k)), 3, '0')) AS keep
+        FROM documents d JOIN rates r USING (lang))
+      SELECT lang,
+             count(*) AS n_total,
+             CAST(max(k) AS BIGINT) AS threshold_k,
+             CAST(sum(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+             CAST(sum(CASE WHEN keep THEN CAST(doc_id AS DECIMAL(38,0)) END) AS DOUBLE) AS kept_sum,
+             CAST(sum(CASE WHEN keep THEN CAST(doc_id AS DECIMAL(38,0)) * doc_id END) AS DOUBLE) AS kept_sumsq
+      FROM dec GROUP BY lang ORDER BY lang
+    """)) { (spark, dir) =>
+    val docs = tbl(spark, dir, "documents").select("doc_id", "lang")
+    val lc = docs.groupBy("lang").agg(count(lit(1)).as("n_l"))
+    val mn = lc.agg(min(col("n_l")).as("n_min"))
+    val rates = lc.crossJoin(broadcast(mn))
+      .select(col("lang"), col("n_l"),
+        floor(sqrt(col("n_min").cast(DoubleType) / col("n_l")) * 4096)
+          .cast(LongType).as("k"))
+    val keep = col("k") >= 4096 ||
+      substring(md5(concat(lit("mix|"), col("doc_id").cast(StringType))), 1, 3) <
+        lpad(lower(hex(col("k"))), 3, "0")
+    docs.join(broadcast(rates), Seq("lang"))
+      .select(col("lang"), col("doc_id"), col("k"), keep.as("keep"))
+      .groupBy("lang")
+      .agg(
+        count(lit(1)).as("n_total"),
+        max(col("k")).as("threshold_k"),
+        countIf(col("keep")).as("n_kept"),
+        sum(when(col("keep"), col("doc_id").cast(DecimalType(38, 0))))
+          .cast(DoubleType).as("kept_sum"),
+        sum(when(col("keep"), col("doc_id").cast(DecimalType(38, 0)) * col("doc_id")))
+          .cast(DoubleType).as("kept_sumsq"))
+      .orderBy("lang")
+  }
+
   // -- PII redaction -------------------------------------------------------
   // Patterns are written in the common RE2 ⊂ Java-regex subset (character
   // classes and bounded repetition only — no lookaround, no backrefs) so
@@ -727,5 +829,6 @@ object TextOps {
   val all: Seq[QueryDef] = Seq(
     tTokenStats, tQualityScore, tLangId, tFingerprint, tMultimodalMeta,
     tMultimodalDecode, tMultimodalFrames, tStratifiedSample, tLineDedup,
-    tBoilerplateCorpus, tCorpusFilter, tPiiRedact, tDecontaminate, tShuffleExport)
+    tBoilerplateCorpus, tCorpusFilter, tPackSequences, tMixtureSample,
+    tPiiRedact, tDecontaminate, tShuffleExport)
 }

@@ -130,6 +130,40 @@ class LlmOpsSpec extends SparkSpec {
     assert(row.getAs[Long]("drop_dup") > 0 && row.getAs[Long]("n_kept") > 0)
   }
 
+  test("sequence packing lays out each shard contiguously with exact block spans") {
+    import SparkSpec.spark.implicits._
+    val rows = TextOps.tPackSequences.run(spark, sfDir)
+      .select("doc_id", "shard", "n_tokens", "tok_start", "first_block", "last_block", "block_offset")
+      .as[(Long, Long, Long, Long, Long, Long, Long)].collect()
+    assert(rows.length === 500)
+    rows.groupBy(_._2).foreach { case (_, docs) =>
+      val inOrder = docs.sortBy(_._1)
+      // contiguous concat layout: each doc starts where the previous ended
+      inOrder.foldLeft(0L) { case (expectedStart, (id, _, n, start, fb, lb, off)) =>
+        assert(start === expectedStart, s"doc $id")
+        assert(fb === start / 512 && lb === (start + n - 1) / 512 && off === start % 512)
+        start + n
+      }
+    }
+  }
+
+  test("temperature mixture keeps the smallest domain whole and flattens the rest") {
+    val rows = TextOps.tMixtureSample.run(spark, sfDir).collect()
+      .map(r => (r.getAs[String]("lang"), r.getAs[Long]("n_total"),
+        r.getAs[Long]("threshold_k"), r.getAs[Long]("n_kept")))
+    assert(rows.length >= 2)
+    val nMin = rows.map(_._2).min
+    rows.foreach { case (lang, nTot, k, nKept) =>
+      assert(nKept <= nTot, lang)
+      if (nTot == nMin) assert(k === 4096L && nKept === nTot, s"$lang must keep all")
+      else {
+        // realized rate tracks the α=0.5 target within hash variance
+        val target = math.sqrt(nMin.toDouble / nTot)
+        assert(math.abs(nKept.toDouble / nTot - target) < 0.15, s"$lang rate")
+      }
+    }
+  }
+
   test("PII redaction masks every category and counts per-category occurrences") {
     val out = TextOps.tPiiRedact.run(spark, sfDir).collect()
     assert(out.nonEmpty)
