@@ -410,5 +410,82 @@ object Dedup {
       .orderBy("a_id", "b_id")
   }
 
-  val all: Seq[QueryDef] = Seq(ddExact, ddMinHashLsh, ddSimHash, ddNgramJaccard)
+  /** dd5 — INCREMENTAL dedup against a persisted fingerprint store: the
+    * continual-ingestion shape — every arriving batch first dedups
+    * internally (keep min doc_id per content hash), then anti-joins the
+    * persisted store of everything ever ingested, and appends only its
+    * genuinely-new fingerprints. The gate replays a deterministic two-batch
+    * cycle (batch 1 = even doc_ids; batch 2 = odd doc_ids plus
+    * re-deliveries of every doc_id % 10 == 0 text under a new id — the
+    * cross-batch duplicates only the STORE can catch) against a store that
+    * is rebuilt from empty each run, and emits per-batch accounting. Shape
+    * at 100 TB: the store holds (md5, canonical id) — fixed-width keys,
+    * never text; each ingest is one shuffle of the batch's fingerprints
+    * plus an anti join against the store on the digest; the appended delta
+    * is only the new rows. Per-batch counters are driver scalars, same as
+    * the pipeline's XCom-style bookkeeping. */
+  val ddIncremental: QueryDef = QueryDef(
+    "dedup_incremental",
+    Some("""
+      WITH b1 AS (
+        SELECT doc_id, md5(text) AS fp FROM documents WHERE doc_id % 2 = 0),
+      b2 AS (
+        SELECT doc_id, md5(text) AS fp FROM documents WHERE doc_id % 2 = 1
+        UNION ALL
+        SELECT doc_id + 400000, md5(text) FROM documents WHERE doc_id % 10 = 0),
+      s1 AS (SELECT count(*) AS arrived, count(DISTINCT fp) AS uniq FROM b1),
+      s2 AS (SELECT count(*) AS arrived, count(DISTINCT fp) AS uniq FROM b2),
+      b2new AS (
+        SELECT count(*) AS n FROM (
+          SELECT DISTINCT fp FROM b2
+          EXCEPT
+          SELECT DISTINCT fp FROM b1))
+      SELECT 1 AS batch, s1.arrived AS n_arrived, s1.uniq AS n_unique,
+             s1.uniq AS n_new, s1.uniq AS store_rows_after
+      FROM s1
+      UNION ALL
+      SELECT 2, s2.arrived, s2.uniq, b2new.n, s1.uniq + b2new.n
+      FROM s1, s2, b2new
+      ORDER BY batch
+    """)) { (spark, dir) =>
+    val storeDir = scratch(dir, "dedup_fp_store_run") // rebuilt per run: the cycle IS the op
+    val storePath = new org.apache.hadoop.fs.Path(storeDir)
+    val fs = storePath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(storePath, true)
+    val d = tbl(spark, dir, "documents").select("doc_id", "text")
+    val b1 = d.filter(col("doc_id") % 2 === 0)
+    val b2 = d.filter(col("doc_id") % 2 === 1)
+      .unionAll(d.filter(col("doc_id") % 10 === 0)
+        .select((col("doc_id") + 400000L).as("doc_id"), col("text")))
+    /** One ingest: intra-batch keep-first, anti-join the store, append the
+      * delta. Returns (arrived, unique, new, storeRowsAfter). */
+    def ingest(batch: DataFrame): (Long, Long, Long, Long) = {
+      val arrived = batch.count()
+      val uniq = batch
+        .select(md5(col("text")).as("fp"), col("doc_id"))
+        .groupBy("fp").agg(min(col("doc_id")).as("canonical_doc_id"))
+      val fresh =
+        if (fs.exists(new org.apache.hadoop.fs.Path(storeDir, "_SUCCESS")))
+          uniq.join(spark.read.parquet(storeDir).select("fp"), Seq("fp"), "left_anti")
+        else uniq
+      val freshP = fresh.persist()
+      val nNew = freshP.count()
+      // append only the delta; the store is (fp, canonical_doc_id) parquet
+      freshP.write.mode("append").parquet(storeDir)
+      freshP.unpersist()
+      val storeRows = spark.read.parquet(storeDir).count()
+      (arrived, uniq.count(), nNew, storeRows)
+    }
+    val r1 = ingest(b1)
+    val r2 = ingest(b2)
+    val rows = Seq((1L, r1), (2L, r2)).map { case (b, (a, u, n, s)) => (b, a, u, n, s) }
+    import spark.implicits._
+    rows.toDF("batch", "n_arrived", "n_unique", "n_new", "store_rows_after")
+      .select(col("batch").cast(IntegerType).as("batch"), col("n_arrived"),
+        col("n_unique"), col("n_new"), col("store_rows_after"))
+      .orderBy("batch")
+  }
+
+  val all: Seq[QueryDef] = Seq(ddExact, ddMinHashLsh, ddSimHash, ddNgramJaccard,
+    ddIncremental)
 }

@@ -645,6 +645,75 @@ object TextOps {
       .orderBy("lang")
   }
 
+  /** t8g — REPETITION statistics (the Gopher-rule repetition signals):
+    * duplicate-line fraction over the synthesized 8-token line structure
+    * (row-local — no explode; a distinct count inside the row) and the
+    * top word-bigram share (max bigram multiplicity / total bigrams —
+    * this one needs the real multiplicity, so NON-distinct bigrams
+    * explode into a two-level count). Shape at 100 TB: the line stats are
+    * a pure map pass; the bigram stats shuffle once on (doc, bigram) with
+    * map-side partials, re-aggregate by doc (already co-partitioned), and
+    * the final join is doc-keyed on both pre-hashed sides. */
+  val tRepetitionStats: QueryDef = QueryDef(
+    "t_repetition_stats",
+    Some("""
+      WITH tok AS (SELECT doc_id, string_split_regex(text, '\s+') AS t FROM documents),
+      ln AS (
+        SELECT doc_id,
+               list_transform(range(0, CAST(ceil(len(t) / 8.0) AS INTEGER)),
+                 c -> array_to_string(list_slice(t, c*8 + 1, c*8 + 8), ' ')) AS lines
+        FROM tok),
+      lstat AS (
+        SELECT doc_id, len(lines) AS n_lines, len(list_distinct(lines)) AS n_uniq_lines
+        FROM ln),
+      bg AS (
+        SELECT doc_id, unnest(list_transform(range(1, len(t)),
+          i -> t[i] || ' ' || t[i+1])) AS b
+        FROM tok WHERE len(t) >= 2),
+      bcnt AS (SELECT doc_id, b, count(*) AS c FROM bg GROUP BY doc_id, b),
+      bstat AS (
+        SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_bigrams, max(c) AS top_c
+        FROM bcnt GROUP BY doc_id)
+      SELECT l.doc_id, l.n_lines, l.n_uniq_lines,
+             1.0 - CAST(l.n_uniq_lines AS DOUBLE) / l.n_lines AS dup_line_frac,
+             COALESCE(b.n_bigrams, 0) AS n_bigrams,
+             COALESCE(CAST(b.top_c AS DOUBLE) / b.n_bigrams, 0.0) AS top_bigram_share
+      FROM lstat l LEFT JOIN bstat b USING (doc_id)
+      ORDER BY doc_id
+    """)) { (spark, dir) =>
+    val src = tbl(spark, dir, "documents")
+      // single-file source → spread the token passes across cores
+      .repartition(spark.sessionState.conf.numShufflePartitions)
+      .select("doc_id", "text")
+    val linesCol = bindOnce(toks(col("text"))) { t =>
+      transform(sequence(lit(0),
+        greatest(ceil(size(t) / lit(8.0)).cast(IntegerType), lit(1)) - 1),
+        c => array_join(slice(t, c * 8 + 1, lit(8)), " "))
+    }
+    val lstat = src.select(col("doc_id"), linesCol.as("lines"))
+      .select(col("doc_id"),
+        size(col("lines")).cast(LongType).as("n_lines"),
+        size(array_distinct(col("lines"))).cast(LongType).as("n_uniq_lines"))
+    // NON-distinct bigrams (multiplicity matters here, unlike bigrams2)
+    val bigramsAll = bindOnce(toks(col("text"))) { a =>
+      when(size(a) >= 2,
+        slice(zip_with(a, slice(a, lit(2), size(a)), (x, y) => concat_ws(" ", x, y)),
+          lit(1), size(a) - 1))
+        .otherwise(array().cast(ArrayType(StringType)))
+    }
+    val bstat = src.select(col("doc_id"), explode(bigramsAll).as("b"))
+      .groupBy("doc_id", "b").agg(count(lit(1)).as("c"))
+      .groupBy("doc_id").agg(sum(col("c")).as("n_bigrams"), max(col("c")).as("top_c"))
+    lstat.join(bstat, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_lines"), col("n_uniq_lines"),
+        (lit(1.0) - col("n_uniq_lines").cast(DoubleType) / col("n_lines"))
+          .as("dup_line_frac"),
+        coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
+        coalesce(col("top_c").cast(DoubleType) / col("n_bigrams"), lit(0.0))
+          .as("top_bigram_share"))
+      .orderBy("doc_id")
+  }
+
   // -- PII redaction -------------------------------------------------------
   // Patterns are written in the common RE2 ⊂ Java-regex subset (character
   // classes and bounded repetition only — no lookaround, no backrefs) so
@@ -830,5 +899,5 @@ object TextOps {
     tTokenStats, tQualityScore, tLangId, tFingerprint, tMultimodalMeta,
     tMultimodalDecode, tMultimodalFrames, tStratifiedSample, tLineDedup,
     tBoilerplateCorpus, tCorpusFilter, tPackSequences, tMixtureSample,
-    tPiiRedact, tDecontaminate, tShuffleExport)
+    tRepetitionStats, tPiiRedact, tDecontaminate, tShuffleExport)
 }

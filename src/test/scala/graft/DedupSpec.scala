@@ -96,6 +96,20 @@ class DedupSpec extends SparkSpec {
     assert(!ng.exists(p => p._1 == 7L || p._2 == 7L))
   }
 
+  test("incremental dedup: the store catches every cross-batch re-delivery") {
+    val rows = Dedup.ddIncremental.run(spark, sfDir).collect()
+      .map(r => r.getAs[Int]("batch") ->
+        (r.getAs[Long]("n_arrived"), r.getAs[Long]("n_unique"),
+          r.getAs[Long]("n_new"), r.getAs[Long]("store_rows_after"))).toMap
+    val (a1, u1, n1, s1) = rows(1)
+    val (a2, u2, n2, s2) = rows(2)
+    assert(n1 === u1 && s1 === u1) // empty store: every unique fp is new
+    assert(a2 > u2 || n2 < u2, "batch 2 must carry duplicates")
+    assert(n2 < u2, "re-delivered texts must be caught by the STORE, not intra-batch dedup")
+    assert(s2 === s1 + n2) // append-only delta
+    assert(a1 + a2 > s2) // overall: store smaller than arrivals
+  }
+
   test("exact dedup groups identical content and keeps the smallest doc_id") {
     // ddExact plants a copy of doc 7 (doc_id % 7) at 200007; docs 3 and 13
     // are identical by construction → two multi-copy groups

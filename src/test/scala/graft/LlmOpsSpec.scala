@@ -164,6 +164,22 @@ class LlmOpsSpec extends SparkSpec {
     }
   }
 
+  test("repetition stats: dup-line fraction and top-bigram share on a crafted doc") {
+    import SparkSpec.spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_repstats").toString
+    // 17 tokens: lines [w1..w8, w1..w8, "x"] → 3 lines, 2 distinct;
+    // bigrams: w1w2..w7w8 twice each (14), w8w1 and w8x once → top 2/16
+    val a = (1 to 8).map(i => s"w$i").mkString(" ")
+    Seq((1L, s"$a $a x")).toDF("doc_id", "text")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val r = TextOps.tRepetitionStats.run(spark, dir).head()
+    assert(r.getAs[Long]("n_lines") === 3L)
+    assert(r.getAs[Long]("n_uniq_lines") === 2L)
+    assert(math.abs(r.getAs[Double]("dup_line_frac") - 1.0 / 3) < 1e-12)
+    assert(r.getAs[Long]("n_bigrams") === 16L)
+    assert(math.abs(r.getAs[Double]("top_bigram_share") - 0.125) < 1e-12)
+  }
+
   test("PII redaction masks every category and counts per-category occurrences") {
     val out = TextOps.tPiiRedact.run(spark, sfDir).collect()
     assert(out.nonEmpty)

@@ -32,6 +32,29 @@ class PlanSpec extends SparkSpec {
       s"watermark predicate not pushed into the database:\n${plan.take(800)}")
   }
 
+  test("customers-mirror extraction pushes the id watermark into the second database") {
+    val df = sources.Ingest.jdbcCustomersPast(spark, sfDir, 100L)
+    val plan = finalPlan(df)
+    assert(plan.contains("JDBCRelation"), "not reading through the JDBC scan")
+    assert(plan.contains("numPartitions=8"), "extraction not split into parallel key ranges")
+    assert(plan.contains("GreaterThan(customer_id,100)"),
+      s"id watermark not pushed into the database:\n${plan.take(800)}")
+  }
+
+  test("boilerplate removal joins the boiler set as broadcast, never sort-merge") {
+    val plan = finalPlan(llm.TextOps.tBoilerplateCorpus.run(spark, sfDir))
+    assert(plan.contains("BroadcastHashJoin"))
+    assert(!plan.contains("SortMergeJoin"),
+      "line stream degenerated to a sort-merge shuffle join against the boiler set")
+  }
+
+  test("mixture sampling broadcasts the per-domain rate table") {
+    val plan = finalPlan(llm.TextOps.tMixtureSample.run(spark, sfDir))
+    assert(plan.contains("BroadcastHashJoin"))
+    assert(!plan.contains("SortMergeJoin"),
+      "docs⋈rates degenerated to a sort-merge shuffle join")
+  }
+
   test("q2's customer dimension joins as broadcast — the fact side never sort-merges") {
     val plan = finalPlan(analytics.Analytics.q2CustomerSegmentation.run(spark, sfDir))
     assert(plan.contains("BroadcastHashJoin"))
