@@ -458,26 +458,31 @@ object Dedup {
       .unionAll(d.filter(col("doc_id") % 10 === 0)
         .select((col("doc_id") + 400000L).as("doc_id"), col("text")))
     /** One ingest: intra-batch keep-first, anti-join the store, append the
-      * delta. Returns (arrived, unique, new, storeRowsAfter). */
-    def ingest(batch: DataFrame): (Long, Long, Long, Long) = {
-      val arrived = batch.count()
-      val uniq = batch
-        .select(md5(col("text")).as("fp"), col("doc_id"))
-        .groupBy("fp").agg(min(col("doc_id")).as("canonical_doc_id"))
+      * delta. Returns (arrived, unique, new, storeRowsAfter). Exactly two
+      * actions per batch — one combined arrived/unique agg and one count
+      * of the persisted delta (whose write reuses the same
+      * materialization); the store size is arithmetic, not a re-read. */
+    def ingest(batch: DataFrame, storeRowsBefore: Long): (Long, Long, Long, Long) = {
+      val fps = batch.select(md5(col("text")).as("fp"), col("doc_id"))
+      val stats = fps.agg(count(lit(1)).as("a"), count_distinct(col("fp")).as("u")).head()
+      val (arrived, unique) = (stats.getLong(0), stats.getLong(1))
+      val uniq = fps.groupBy("fp").agg(min(col("doc_id")).as("canonical_doc_id"))
       val fresh =
-        if (fs.exists(new org.apache.hadoop.fs.Path(storeDir, "_SUCCESS")))
+        if (storeRowsBefore > 0)
           uniq.join(spark.read.parquet(storeDir).select("fp"), Seq("fp"), "left_anti")
         else uniq
       val freshP = fresh.persist()
       val nNew = freshP.count()
-      // append only the delta; the store is (fp, canonical_doc_id) parquet
-      freshP.write.mode("append").parquet(storeDir)
+      // append only the delta; the store is (fp, canonical_doc_id) parquet.
+      // coalesce: a 32-way-partitioned tiny delta would land 32 midget
+      // files per batch — at corpus scale the delta is large enough that
+      // a real deployment sizes this by target file size instead
+      freshP.coalesce(4).write.mode("append").parquet(storeDir)
       freshP.unpersist()
-      val storeRows = spark.read.parquet(storeDir).count()
-      (arrived, uniq.count(), nNew, storeRows)
+      (arrived, unique, nNew, storeRowsBefore + nNew)
     }
-    val r1 = ingest(b1)
-    val r2 = ingest(b2)
+    val r1 = ingest(b1, 0L)
+    val r2 = ingest(b2, r1._4)
     val rows = Seq((1L, r1), (2L, r2)).map { case (b, (a, u, n, s)) => (b, a, u, n, s) }
     import spark.implicits._
     rows.toDF("batch", "n_arrived", "n_unique", "n_new", "store_rows_after")

@@ -714,6 +714,53 @@ object TextOps {
       .orderBy("doc_id")
   }
 
+  /** t8h — SALIENT-TERM extraction (the tf·idf family): per document, the
+    * top-3 terms ranked by term frequency over document frequency. The
+    * score is tf/df — ONE correctly-rounded division, so both engines
+    * compute bit-identical doubles and the ranking can never diverge on a
+    * libm ulp the way a log-based idf could; ties break on the term
+    * itself (a term appears once per doc, so the sort key is total).
+    * Shape at 100 TB: one (doc, term) shuffle with map-side partial
+    * counts; df re-aggregates THAT output by term (counts of rows, not a
+    * second corpus scan — the tf table is persisted); the tf⋈df join is
+    * vocabulary-keyed; the top-k window partitions by doc over rows
+    * already shrunk to distinct (doc, term). */
+  val tSalientTerms: QueryDef = QueryDef(
+    "t_salient_terms",
+    Some("""
+      WITH tf AS (
+        SELECT doc_id, t AS term, count(*) AS tf
+        FROM (SELECT doc_id, unnest(string_split_regex(text, '\s+')) AS t FROM documents)
+        GROUP BY doc_id, t),
+      df AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+      scored AS (
+        SELECT tf.doc_id, tf.term, tf.tf, df.df,
+               CAST(tf.tf AS DOUBLE) / df.df AS score,
+               row_number() OVER (PARTITION BY tf.doc_id
+                 ORDER BY CAST(tf.tf AS DOUBLE) / df.df DESC, tf.term) AS term_rank
+        FROM tf JOIN df USING (term))
+      SELECT doc_id, term_rank, term, tf, df, score
+      FROM scored WHERE term_rank <= 3
+      ORDER BY doc_id, term_rank
+    """)) { (spark, dir) =>
+    val tf = tbl(spark, dir, "documents")
+      // single-file source → spread the token explode across cores
+      .repartition(spark.sessionState.conf.numShufflePartitions)
+      .select(col("doc_id"), explode(toks(col("text"))).as("term"))
+      .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+      .persist() // compute-once barrier: feeds both df and the join
+    val dfreq = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("doc_id").orderBy(col("score").desc, col("term"))
+    tf.join(dfreq, Seq("term"))
+      .withColumn("score", col("tf").cast(DoubleType) / col("df"))
+      .withColumn("term_rank", row_number().over(w).cast(LongType))
+      .filter(col("term_rank") <= 3)
+      .select(col("doc_id"), col("term_rank"), col("term"),
+        col("tf"), col("df"), col("score"))
+      .orderBy("doc_id", "term_rank")
+  }
+
   // -- PII redaction -------------------------------------------------------
   // Patterns are written in the common RE2 ⊂ Java-regex subset (character
   // classes and bounded repetition only — no lookaround, no backrefs) so
@@ -899,5 +946,5 @@ object TextOps {
     tTokenStats, tQualityScore, tLangId, tFingerprint, tMultimodalMeta,
     tMultimodalDecode, tMultimodalFrames, tStratifiedSample, tLineDedup,
     tBoilerplateCorpus, tCorpusFilter, tPackSequences, tMixtureSample,
-    tRepetitionStats, tPiiRedact, tDecontaminate, tShuffleExport)
+    tRepetitionStats, tSalientTerms, tPiiRedact, tDecontaminate, tShuffleExport)
 }

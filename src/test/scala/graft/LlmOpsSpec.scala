@@ -180,6 +180,21 @@ class LlmOpsSpec extends SparkSpec {
     assert(math.abs(r.getAs[Double]("top_bigram_share") - 0.125) < 1e-12)
   }
 
+  test("salient terms: dense ranks, exact tf/df scores, non-increasing per doc") {
+    val rows = TextOps.tSalientTerms.run(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    rows.groupBy(_.getAs[Long]("doc_id")).values.foreach { rs =>
+      val sorted = rs.sortBy(_.getAs[Long]("term_rank"))
+      assert(sorted.map(_.getAs[Long]("term_rank")).toSeq === (1L to sorted.length.toLong))
+      sorted.foreach { r =>
+        assert(r.getAs[Double]("score") ===
+          r.getAs[Long]("tf").toDouble / r.getAs[Long]("df"))
+      }
+      val scores = sorted.map(_.getAs[Double]("score")).toSeq
+      assert(scores.zip(scores.tail).forall { case (a, b) => a >= b })
+    }
+  }
+
   test("PII redaction masks every category and counts per-category occurrences") {
     val out = TextOps.tPiiRedact.run(spark, sfDir).collect()
     assert(out.nonEmpty)
