@@ -761,6 +761,52 @@ object TextOps {
       .orderBy("doc_id", "term_rank")
   }
 
+  /** t8i — overlapping CHUNK WINDOWS (the retrieval-indexing split: size
+    * 32 tokens, stride 24, 8-token overlap): every document expands
+    * row-locally into its covering windows — start offsets are pure
+    * arithmetic on the token count, the window array builds inside one
+    * bindOnce lambda (token split evaluated once), and posexplode emits
+    * (win_id, start, len, fp) rows with the chunk content carried as an
+    * md5, never as text. Shape at 100 TB: a map-only 1→k expansion with
+    * no shuffle but the oracle ORDER BY; chunks of one doc never need to
+    * meet chunks of another. */
+  val tChunkWindows: QueryDef = QueryDef(
+    "t_chunk_windows",
+    Some("""
+      WITH tok AS (SELECT doc_id, string_split_regex(text, '\s+') AS t FROM documents),
+      wins AS (
+        SELECT doc_id, u.i AS win_id,
+               u.i * 24 AS tok_start,
+               least(32, len(t) - u.i * 24) AS win_len,
+               md5(array_to_string(
+                 list_slice(t, u.i * 24 + 1, u.i * 24 + least(32, len(t) - u.i * 24)),
+                 ' ')) AS chunk_fp
+        FROM tok,
+             unnest(range(0, CASE WHEN len(t) > 32
+               THEN CAST(ceil((len(t) - 32) / 24.0) AS INTEGER) ELSE 0 END + 1)) AS u(i))
+      SELECT doc_id, win_id, tok_start, win_len, chunk_fp
+      FROM wins ORDER BY doc_id, win_id
+    """)) { (spark, dir) =>
+    val wins = bindOnce(toks(col("text"))) { t =>
+      val n = size(t)
+      val k = when(n > 32, ceil((n - 32) / lit(24.0)).cast(IntegerType)).otherwise(lit(0))
+      transform(sequence(lit(0), k), i => {
+        val start = i * 24
+        val len = least(lit(32), n - start)
+        struct(start.cast(LongType).as("tok_start"), len.cast(LongType).as("win_len"),
+          md5(array_join(slice(t, start + 1, len), " ")).as("chunk_fp"))
+      })
+    }
+    tbl(spark, dir, "documents")
+      // single-file source → spread the chunking across cores
+      .repartition(spark.sessionState.conf.numShufflePartitions)
+      .select(col("doc_id"), posexplode(wins).as(Seq("win_id", "w")))
+      .select(col("doc_id"), col("win_id").cast(LongType).as("win_id"),
+        col("w.tok_start").as("tok_start"), col("w.win_len").as("win_len"),
+        col("w.chunk_fp").as("chunk_fp"))
+      .orderBy("doc_id", "win_id")
+  }
+
   // -- PII redaction -------------------------------------------------------
   // Patterns are written in the common RE2 ⊂ Java-regex subset (character
   // classes and bounded repetition only — no lookaround, no backrefs) so
@@ -946,5 +992,6 @@ object TextOps {
     tTokenStats, tQualityScore, tLangId, tFingerprint, tMultimodalMeta,
     tMultimodalDecode, tMultimodalFrames, tStratifiedSample, tLineDedup,
     tBoilerplateCorpus, tCorpusFilter, tPackSequences, tMixtureSample,
-    tRepetitionStats, tSalientTerms, tPiiRedact, tDecontaminate, tShuffleExport)
+    tRepetitionStats, tSalientTerms, tChunkWindows, tPiiRedact, tDecontaminate,
+    tShuffleExport)
 }

@@ -244,6 +244,58 @@ object Ingest {
       .orderBy("customer_id")
   }
 
+  /** CSV landing with MALFORMED-ROW accounting: the third wire format a
+    * real warehouse ingests (after parquet and JDBC). The landing is
+    * staged once per source signature with planted corruption — every
+    * o_orderkey % 97 == 0 row carries a non-numeric price — and read back
+    * under an explicit schema in PERMISSIVE mode with
+    * `columnNameOfCorruptRecord`: malformed rows surface as NULL-typed
+    * fields plus the preserved raw line, they are COUNTED and excluded,
+    * never dropped silently (same reject posture as D5). The parsed frame
+    * persists because Spark disallows plans that touch only the internal
+    * corrupt-record column on a streaming-style re-read. Oracle replays
+    * the corruption rule over the parquet original. */
+  val sCsvRejects: QueryDef = QueryDef(
+    "s_csv_rejects",
+    Some("""
+      SELECT count(*) AS n_rows,
+             CAST(sum(CASE WHEN o_orderkey % 97 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_bad,
+             CAST(sum(CASE WHEN o_orderkey % 97 = 0 THEN 0 ELSE 1 END) AS BIGINT) AS n_good,
+             CAST(sum(CASE WHEN o_orderkey % 97 <> 0
+                           THEN CAST(o_totalprice AS DECIMAL(18,2)) END) AS DOUBLE)
+               AS revenue_good
+      FROM orders
+    """)) { (spark, dir) =>
+    val landing = scratch(dir, s"csv_landing_v1_${sourceSig(spark, dir, "orders")}")
+    val marker = new org.apache.hadoop.fs.Path(landing, "_SUCCESS")
+    val fs = marker.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(marker)) {
+      tbl(spark, dir, "orders")
+        .select(col("o_orderkey"),
+          when(col("o_orderkey") % 97 === 0, lit("N/A"))
+            .otherwise(col("o_totalprice").cast(StringType)).as("o_totalprice"))
+        .write.mode("overwrite").option("header", "true").csv(landing)
+    }
+    val schema = StructType(Seq(
+      StructField("o_orderkey", LongType),
+      StructField("o_totalprice", DoubleType),
+      StructField("_corrupt_record", StringType)))
+    val parsed = spark.read
+      .schema(schema)
+      .option("header", "true")
+      .option("mode", "PERMISSIVE")
+      .option("columnNameOfCorruptRecord", "_corrupt_record")
+      .csv(landing)
+      .persist()
+    parsed.agg(
+      count(lit(1)).as("n_rows"),
+      countIf(col("_corrupt_record").isNotNull).as("n_bad"),
+      countIf(col("_corrupt_record").isNull).as("n_good"),
+      sum(when(col("_corrupt_record").isNull,
+        col("o_totalprice").cast(DecimalType(18, 2))))
+        .cast(DoubleType).as("revenue_good"))
+  }
+
   /** Schema EVOLUTION across landing batches: an upstream extractor adds
     * columns over time (the reference's extractors re-infer the frame per
     * run, so a source migration shows up exactly like this). Batch 1 lands
@@ -299,5 +351,5 @@ object Ingest {
 
   val all: Seq[QueryDef] = Seq(
     s5DocIngest, s7ParquetRoundtrip, sPartitionPruning, sJdbcSource,
-    sJdbcCustomers, sSchemaEvolution)
+    sJdbcCustomers, sCsvRejects, sSchemaEvolution)
 }

@@ -195,6 +195,26 @@ class LlmOpsSpec extends SparkSpec {
     }
   }
 
+  test("chunk windows cover every token with the declared size/stride/overlap") {
+    import SparkSpec.spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_chunks").toString
+    val tokens = (1 to 50).map(i => s"w$i")
+    Seq((1L, tokens.mkString(" "))).toDF("doc_id", "text")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val rows = TextOps.tChunkWindows.run(spark, dir)
+      .select("win_id", "tok_start", "win_len", "chunk_fp")
+      .as[(Long, Long, Long, String)].collect().sortBy(_._1)
+    // 50 tokens, size 32, stride 24 → windows at 0 (len 32) and 24 (len 26)
+    assert(rows.map(r => (r._1, r._2, r._3)).toSeq === Seq((0L, 0L, 32L), (1L, 24L, 26L)))
+    // fingerprints hash exactly the declared token spans
+    rows.foreach { case (_, start, len, fp) =>
+      val expected = java.security.MessageDigest.getInstance("MD5")
+        .digest(tokens.slice(start.toInt, (start + len).toInt).mkString(" ").getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+      assert(fp === expected)
+    }
+  }
+
   test("PII redaction masks every category and counts per-category occurrences") {
     val out = TextOps.tPiiRedact.run(spark, sfDir).collect()
     assert(out.nonEmpty)

@@ -49,6 +49,15 @@ class WatermarkSpec extends SparkSpec {
     assert(sources.Ingest.jdbcCustomersPast(spark, sfDir, wm).count() === 0L)
   }
 
+  test("CSV landing accounts every planted malformed row, drops none silently") {
+    val r = sources.Ingest.sCsvRejects.run(spark, sfDir).head()
+    val expectedBad = core.tbl(spark, sfDir, "orders")
+      .filter(col("o_orderkey") % 97 === 0).count()
+    assert(r.getAs[Long]("n_bad") === expectedBad)
+    assert(r.getAs[Long]("n_rows") === r.getAs[Long]("n_good") + r.getAs[Long]("n_bad"))
+    assert(r.getAs[Double]("revenue_good") > 0.0)
+  }
+
   test("a regenerated source starts from a fresh watermark, not a stale checkpoint") {
     val tmp = s"${sys.props("user.dir")}/target/wm-regen-test"
     def writeSource(n: Int): Unit =
