@@ -98,6 +98,25 @@ class PropertySpec extends SparkSpec {
       row.getSeq[String](0) == ref(3) && row.getSeq[String](1) == ref(2)
     })
 
+  check("chunk windows tile any document: starts stride 24, full coverage, len = min(32, rest)")(
+    Prop.forAll(Gen.chooseNum(1, 200)) { n =>
+      val text = (1 to n).map(i => s"w$i").mkString(" ")
+      val rows = Seq((1L, text)).toDF("doc_id", "text")
+        .transform { df =>
+          val dir = java.nio.file.Files.createTempDirectory("graft_chunk_prop").toString
+          df.write.mode("overwrite").parquet(s"$dir/documents.parquet")
+          llm.TextOps.tChunkWindows.run(SparkSpec.spark, dir)
+        }
+        .select("win_id", "tok_start", "win_len")
+        .as[(Long, Long, Long)].collect().sortBy(_._1)
+      val expected = {
+        val k = if (n > 32) math.ceil((n - 32) / 24.0).toInt else 0
+        (0 to k).map(i => (i.toLong, i * 24L, math.min(32L, n - i * 24L)))
+      }
+      rows.toSeq == expected &&
+        rows.last._2 + rows.last._3 == n // the final window ends exactly at n
+    })
+
   check("graft_dot is bit-identical to a sequential driver fold on arbitrary float arrays")(
     Prop.forAll(
       Gen.chooseNum(1, 64).flatMap(n => Gen.zip(
