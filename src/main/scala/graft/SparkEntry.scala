@@ -21,6 +21,7 @@ object SparkEntry {
         model.Warehouse.all ++
         quality.Quality.all ++
         llm.TextOps.all ++
+        llm.Curation.all ++
         llm.Dedup.all ++
         llm.Cluster.all ++
         llm.Similarity.all ++

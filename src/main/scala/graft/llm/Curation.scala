@@ -1,0 +1,209 @@
+package graft.llm
+
+import graft.{QueryDef, core}
+import graft.core._
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Corpus-curation operators (builder brief; SURVEY.md §7.5) — the
+  * selection passes that run BETWEEN per-doc scoring (TextOps) and dedup
+  * (Dedup/Cluster) in a training-data pipeline: source-level gating,
+  * token-budget selection, cross-source contamination accounting, and
+  * whitespace normalization.
+  *
+  * Scale posture: per-source state is tiny (one row per source/domain —
+  * thousands of rows at 100 TB, not billions), so every source-level
+  * decision aggregates once and BROADCASTS back; per-doc work stays
+  * map-parallel codegen'd expressions. No operator here shuffles document
+  * text except where the semantics require grouping it (overlap matrix
+  * groups 16-byte digests, never text).
+  */
+object Curation {
+
+  /** Whitespace tokens (same canonical tokenizer as TextOps). */
+  private def toks(c: Column): Column = split(c, "\\s+")
+
+  /** Per-doc quality flag — the t_quality_score keep rule (token count in
+    * [20,1000], mean word length in [2,12]), recomputed here so the gate is
+    * self-contained. */
+  private def keepDoc: Column = {
+    val t = toks(col("text"))
+    val mwl = length(regexp_replace(col("text"), " ", "")).cast(DoubleType) /
+      size(t).cast(DoubleType)
+    size(t).between(20, 1000) && mwl.between(2.0, 12.0)
+  }
+  private val keepDocSql = """
+    len(string_split_regex(text, '\s+')) BETWEEN 20 AND 1000
+    AND CAST(length(replace(text, ' ', '')) AS DOUBLE)
+        / CAST(len(string_split_regex(text, '\s+')) AS DOUBLE) BETWEEN 2.0 AND 12.0"""
+
+  /** c1 — SOURCE-LEVEL quality gating (the "drop bad domains wholesale"
+    * pass — cheaper than per-doc review and standard before it): score
+    * every doc, aggregate a keep-rate per source, keep a source iff at
+    * least half its docs pass, then admit only docs of kept sources.
+    * The verdict table is one row per source — at 100 TB still just
+    * thousands of rows — so the join back to documents is a BROADCAST
+    * hash join on the map side of the scan; the only shuffle over doc
+    * data is the tiny per-source count aggregation (map-side partials of
+    * two longs per source per task). Keep-rate compares as 2·n_keep >=
+    * n_docs in exact integers; the emitted rate is one int/int division,
+    * bit-identical on both engines. */
+  val cDomainFilter: QueryDef = QueryDef(
+    "t_domain_filter",
+    Some(s"""
+      WITH flagged AS (
+        SELECT doc_id, source, ($keepDocSql) AS keep_doc FROM documents),
+      verdict AS (
+        SELECT source, count(*) AS src_docs,
+               CAST(sum(CASE WHEN keep_doc THEN 1 ELSE 0 END) AS BIGINT) AS src_keep_docs
+        FROM flagged GROUP BY source)
+      SELECT f.doc_id, f.source, v.src_docs,
+             CAST(v.src_keep_docs AS DOUBLE) / CAST(v.src_docs AS DOUBLE) AS src_keep_rate
+      FROM flagged f JOIN verdict v USING (source)
+      WHERE 2 * v.src_keep_docs >= v.src_docs
+      ORDER BY f.doc_id
+    """)) { (spark, dir) =>
+    val flagged = tbl(spark, dir, "documents")
+      .select(col("doc_id"), col("source"), keepDoc.as("keep_doc"))
+    val verdict = flagged.groupBy("source")
+      .agg(count(lit(1)).as("src_docs"), countIf(col("keep_doc")).as("src_keep_docs"))
+      .filter(lit(2) * col("src_keep_docs") >= col("src_docs"))
+    flagged.join(broadcast(verdict), Seq("source"))
+      .select(col("doc_id"), col("source"), col("src_docs"),
+        (col("src_keep_docs").cast(DoubleType) / col("src_docs").cast(DoubleType))
+          .as("src_keep_rate"))
+      .orderBy("doc_id")
+  }
+
+  /** c2 — TOKEN-BUDGET selection: per source, admit the highest-quality
+    * docs until a fixed token budget is spent (the "N tokens per domain"
+    * curation rule used to cap dominant domains). Quality = stopword
+    * ratio (int/int division — identical doubles on both engines);
+    * selection is the PREFIX rule — rank docs by (quality DESC, doc_id),
+    * keep while the inclusive running token count stays within budget.
+    * Once the cumsum exceeds the budget it never recovers (token counts
+    * are positive), so the kept set is a clean prefix — one window
+    * cumsum per source partition, no driver loop, no knapsack. Scale:
+    * sources partition the window; skew caps at the largest single
+    * domain, which the budget itself bounds the OUTPUT of. */
+  val cTokenBudget: QueryDef = QueryDef(
+    "t_token_budget",
+    Some("""
+      WITH scored AS (
+        SELECT doc_id, source,
+               len(string_split_regex(text, '\s+')) AS n_tokens,
+               CAST(len(list_filter(string_split_regex(text, '\s+'),
+                                    x -> x IN ('the','a','of','and','to','in'))) AS DOUBLE)
+                 / CAST(len(string_split_regex(text, '\s+')) AS DOUBLE) AS quality
+        FROM documents),
+      ranked AS (
+        SELECT doc_id, source, n_tokens, quality,
+               CAST(sum(n_tokens) OVER (PARTITION BY source
+                 ORDER BY quality DESC, doc_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_tokens
+        FROM scored)
+      SELECT doc_id, source, n_tokens, quality, cum_tokens
+      FROM ranked WHERE cum_tokens <= 1024
+      ORDER BY source, doc_id
+    """)) { (spark, dir) =>
+    val t = toks(col("text"))
+    val stop = Seq("the", "a", "of", "and", "to", "in")
+    val quality = size(filter(t, x => x.isin(stop: _*))).cast(DoubleType) /
+      size(t).cast(DoubleType)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("source").orderBy(col("quality").desc, col("doc_id"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    tbl(spark, dir, "documents")
+      .select(col("doc_id"), col("source"),
+        size(t).cast(LongType).as("n_tokens"), quality.as("quality"))
+      .withColumn("cum_tokens", sum(col("n_tokens")).over(w))
+      .filter(col("cum_tokens") <= 1024)
+      .orderBy("source", "doc_id")
+  }
+
+  /** c3 — cross-source OVERLAP MATRIX (split/source contamination
+    * accounting: how many documents do two sources share verbatim?).
+    * A synthetic "recrawl" source replays every doc_id % 6 == 0 doc, so
+    * overlap is planted and provable. Shape: digest each doc (md5 — the
+    * only thing that ever shuffles), distinct per (source, digest), then
+    * a self-equi-join on the 16-byte digest with source_a < source_b and
+    * a pair rollup. At 100 TB: two shuffles of (source, 32-hex) pairs and
+    * a bucket join on the digest — text never leaves the scan. */
+  val cOverlapMatrix: QueryDef = QueryDef(
+    "t_overlap_matrix",
+    Some("""
+      WITH src AS (
+        SELECT source, text FROM documents
+        UNION ALL
+        SELECT 'recrawl', text FROM documents WHERE doc_id % 6 = 0),
+      dd AS (SELECT DISTINCT source, md5(text) AS fp FROM src)
+      SELECT a.source AS source_a, b.source AS source_b, count(*) AS n_shared
+      FROM dd a JOIN dd b ON a.fp = b.fp AND a.source < b.source
+      GROUP BY a.source, b.source
+      ORDER BY source_a, source_b
+    """)) { (spark, dir) =>
+    val d = tbl(spark, dir, "documents")
+    val src = d.select(col("source"), col("text"))
+      .unionAll(d.filter(col("doc_id") % 6 === 0)
+        .select(lit("recrawl").as("source"), col("text")))
+    val dd = src.select(col("source"), md5(col("text")).as("fp")).distinct()
+    dd.as("a")
+      .join(dd.as("b"),
+        col("a.fp") === col("b.fp") && col("a.source") < col("b.source"))
+      .groupBy(col("a.source").as("source_a"), col("b.source").as("source_b"))
+      .agg(count(lit(1)).as("n_shared"))
+      .orderBy("source_a", "source_b")
+  }
+
+  /** c4 — whitespace NORMALIZATION (the first text-cleaning pass every
+    * pipeline runs): collapse runs of blank characters to one space and
+    * trim. Verified as a canonicalization PROPERTY, row-locally: each doc
+    * gets a synthetic noisy twin (leading pad, every space tripled, a
+    * trailing newline+tab) and the gate proves normalize(noisy) ==
+    * normalize(original) by fingerprint — all codegen'd regexp/concat
+    * expressions, zero shuffle except the oracle ORDER BY. The character
+    * class is spelled [ \\t\\n\\r] explicitly because Java's \\s and RE2's
+    * \\s disagree on vertical tab — the one regex-dialect trap between the
+    * two engines. */
+  val cNormalize: QueryDef = QueryDef(
+    "t_normalize",
+    Some("""
+      WITH pair AS (
+        SELECT doc_id, text,
+               '  ' || replace(text, ' ', '   ') || chr(10) || chr(9) AS noisy
+        FROM documents),
+      norm AS (
+        SELECT doc_id,
+               length(text) AS n_chars_raw,
+               length(noisy) AS n_chars_noisy,
+               trim(regexp_replace(text, '[ \t\n\r]+', ' ', 'g')) AS norm_base,
+               trim(regexp_replace(noisy, '[ \t\n\r]+', ' ', 'g')) AS norm_noisy
+        FROM pair)
+      SELECT doc_id, n_chars_raw, n_chars_noisy,
+             length(norm_noisy) AS n_chars_norm,
+             md5(norm_noisy) AS norm_fp,
+             md5(norm_noisy) = md5(norm_base) AS fp_match
+      FROM norm
+      ORDER BY doc_id
+    """)) { (spark, dir) =>
+    def normalize(c: Column): Column =
+      trim(regexp_replace(c, "[ \t\n\r]+", " "))
+    val noisy = concat(lit("  "),
+      regexp_replace(col("text"), " ", "   "), lit("\n\t"))
+    tbl(spark, dir, "documents")
+      .select(col("doc_id"), col("text"), noisy.as("noisy"))
+      .select(col("doc_id"),
+        length(col("text")).cast(LongType).as("n_chars_raw"),
+        length(col("noisy")).cast(LongType).as("n_chars_noisy"),
+        normalize(col("text")).as("norm_base"),
+        normalize(col("noisy")).as("norm_noisy"))
+      .select(col("doc_id"), col("n_chars_raw"), col("n_chars_noisy"),
+        length(col("norm_noisy")).cast(LongType).as("n_chars_norm"),
+        md5(col("norm_noisy")).as("norm_fp"),
+        (md5(col("norm_noisy")) === md5(col("norm_base"))).as("fp_match"))
+      .orderBy("doc_id")
+  }
+
+  val all: Seq[QueryDef] = Seq(cDomainFilter, cTokenBudget, cOverlapMatrix, cNormalize)
+}
