@@ -206,5 +206,59 @@ object Cluster {
       .orderBy("doc_id")
   }
 
-  val all: Seq[QueryDef] = Seq(ddCluster)
+  /** dd6 — SURVIVOR SELECTION: the pipeline stage AFTER clustering — pick
+    * which member of each dup cluster to KEEP. `dedup_cluster` labels each
+    * member with the min-id canonical; real pipelines keep the *best*
+    * member instead (here: longest token stream, the standard "keep the
+    * most complete capture" rule — on the planted chains that's v2, NOT
+    * the min-id base, so the two policies provably differ). Deterministic
+    * argmax via row_number over (n_toks DESC, doc_id): the window
+    * partitions by cluster label, so work distributes across clusters and
+    * a cluster's members — dup chains, not the corpus — bound any single
+    * partition. Emits every member with its cluster, survivor, and verdict
+    * (the drop-list a dedup job actually executes). */
+  val ddSurvivor: QueryDef = QueryDef(
+    "dedup_survivor",
+    Some(s"""
+      WITH RECURSIVE $dupEdgesSql,
+      eu AS (SELECT a_id AS u, b_id AS v FROM edges
+             UNION ALL SELECT b_id, a_id FROM edges),
+      reach(id, lbl) AS (
+        SELECT u, u FROM (SELECT DISTINCT u FROM eu)
+        UNION
+        SELECT e.v, r.lbl FROM reach r JOIN eu e ON e.u = r.id),
+      cc AS (SELECT id AS doc_id, min(lbl) AS cluster_id FROM reach GROUP BY id),
+      lens AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_toks
+               FROM ($headCorpusSql)),
+      member AS (SELECT c.doc_id, c.cluster_id, l.n_toks
+                 FROM cc c JOIN lens l USING (doc_id)),
+      surv AS (
+        SELECT cluster_id, doc_id AS survivor_id FROM (
+          SELECT cluster_id, doc_id,
+                 row_number() OVER (PARTITION BY cluster_id
+                   ORDER BY n_toks DESC, doc_id) AS rk
+          FROM member) WHERE rk = 1)
+      SELECT m.doc_id, m.cluster_id, s.survivor_id, m.n_toks,
+             m.doc_id = s.survivor_id AS is_survivor
+      FROM member m JOIN surv s USING (cluster_id)
+      ORDER BY doc_id
+    """)) { (spark, dir) =>
+    val labels = components(dupEdges(spark, dir))
+    val lens = headCorpus(spark, dir)
+      .select(col("doc_id"), size(col("toks")).cast(LongType).as("n_toks"))
+    val member = labels.join(lens, col("id") === col("doc_id"))
+      .select(col("doc_id"), col("label").as("cluster_id"), col("n_toks"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("cluster_id").orderBy(col("n_toks").desc, col("doc_id"))
+    val survivors = member
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") === 1)
+      .select(col("cluster_id"), col("doc_id").as("survivor_id"))
+    member.join(survivors, Seq("cluster_id"))
+      .select(col("doc_id"), col("cluster_id"), col("survivor_id"), col("n_toks"),
+        (col("doc_id") === col("survivor_id")).as("is_survivor"))
+      .orderBy("doc_id")
+  }
+
+  val all: Seq[QueryDef] = Seq(ddCluster, ddSurvivor)
 }

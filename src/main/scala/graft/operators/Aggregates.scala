@@ -381,8 +381,50 @@ object Aggregates {
       .orderBy("measure")
   }
 
+  /** Cumulative distinct users per day (beyond parity; the DAU/"users to
+    * date" growth curve every events pipeline reports). A windowed
+    * COUNT(DISTINCT) is unsupported/quadratic on both engines; the scale
+    * form is the FIRST-SEEN trick — cumulative distinct = running sum of
+    * first appearances: one shuffle on user_id for min(day), one tiny
+    * rollup of new-user counts per day, joined to the per-day active
+    * count (partial-aggregated countDistinct). The final cumsum window
+    * runs over one row per DAY — dozens of rows at any corpus scale, so
+    * the single-partition window is by design, same as s10's date dim.
+    * Day is emitted as TIMESTAMP on both engines (DATE columns render
+    * differently in the two client layers). */
+  val aCumulativeUsers: QueryDef = QueryDef(
+    "a_cumulative_users",
+    Some("""
+      WITH ev AS (SELECT CAST(CAST(ts AS DATE) AS TIMESTAMP) AS day, user_id FROM events),
+      active AS (
+        SELECT day, count(DISTINCT user_id) AS n_active FROM ev GROUP BY day),
+      firstseen AS (
+        SELECT user_id, min(day) AS first_day FROM ev GROUP BY user_id),
+      news AS (
+        SELECT first_day AS day, count(*) AS n_new FROM firstseen GROUP BY first_day)
+      SELECT a.day, a.n_active,
+             COALESCE(n.n_new, 0) AS n_new_users,
+             CAST(sum(COALESCE(n.n_new, 0)) OVER (ORDER BY a.day
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_users
+      FROM active a LEFT JOIN news n USING (day)
+      ORDER BY day
+    """)) { (spark, dir) =>
+    val ev = core.events(spark, dir)
+      .select(to_date(col("ts")).cast(TimestampNTZType).as("day"), col("user_id"))
+    val active = ev.groupBy("day").agg(countDistinct(col("user_id")).as("n_active"))
+    val news = ev.groupBy("user_id").agg(min(col("day")).as("day"))
+      .groupBy("day").agg(count(lit(1)).as("n_new"))
+    val w = org.apache.spark.sql.expressions.Window.orderBy("day")
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    active.join(news, Seq("day"), "left")
+      .select(col("day"), col("n_active"),
+        coalesce(col("n_new"), lit(0L)).as("n_new_users"))
+      .withColumn("cum_users", sum(col("n_new_users")).over(w))
+      .orderBy("day")
+  }
+
   val all: Seq[QueryDef] = Seq(
     a1ProductRollup, a2DailySalesRollup, a7CountDistinct, a10DupAudit,
     a11NullRate, aRollupSets, aApproxDistinct, aSaltedSkewAgg,
-    aApproxPercentile, aTimeWindowBatch, aPivot, aUnpivot)
+    aApproxPercentile, aTimeWindowBatch, aPivot, aUnpivot, aCumulativeUsers)
 }

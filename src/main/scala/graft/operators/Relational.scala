@@ -347,9 +347,52 @@ object Relational {
     buyers.intersect(building).orderBy("custkey")
   }
 
+  /** Salted SKEW JOIN (beyond parity; completes the skew family next to
+    * a_salted_skew_agg's salted aggregation): events are brutally skewed
+    * on event_type (a handful of distinct values — at 100 TB one key can
+    * be 30% of all rows, and an unsalted shuffle join puts that key on
+    * ONE reducer). Mitigation: salt the big side with pmod(hash(id), 8)
+    * and REPLICATE the small side 8× (explode over the salt range), then
+    * join on (key, salt) — the hot key's rows spread over 8 reducers.
+    * The small side here fits a broadcast (which would bypass the demo),
+    * so the shuffle topology is pinned with a SHUFFLE_HASH hint — the
+    * production case this models is a dim too large to broadcast. The
+    * post-join per-type rollup re-shuffles the skewed key but partial
+    * aggregation reduces each task to one row per type first, so the hot
+    * reducer receives task-count rows, not data-sized rows. Salt choice
+    * never affects results (the oracle is the plain unsalted join). */
+  val jSaltedSkewJoin: QueryDef = QueryDef(
+    "j_salted_skew_join",
+    Some("""
+      WITH dim AS (
+        SELECT event_type, CAST(length(event_type) AS BIGINT) AS type_weight
+        FROM (SELECT DISTINCT event_type FROM events))
+      SELECT e.event_type, max(d.type_weight) AS type_weight,
+             count(*) AS n_events,
+             CAST(sum(CAST(e.value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+      FROM events e JOIN dim d USING (event_type)
+      GROUP BY e.event_type
+      ORDER BY event_type
+    """)) { (spark, dir) =>
+    val nSalts = 8
+    val ev = core.events(spark, dir).select("event_id", "event_type", "value")
+    val dim = ev.select("event_type").distinct()
+      .select(col("event_type"), length(col("event_type")).cast(LongType).as("type_weight"))
+    val salted = ev.withColumn("__salt", pmod(hash(col("event_id")), lit(nSalts)))
+    val dimReplicated = dim
+      .withColumn("__salt", explode(sequence(lit(0), lit(nSalts - 1))))
+      .hint("shuffle_hash")
+    salted.join(dimReplicated, Seq("event_type", "__salt"))
+      .groupBy("event_type")
+      .agg(max(col("type_weight")).as("type_weight"),
+        count(lit(1)).as("n_events"),
+        moneySumD(col("value")).as("total_value"))
+      .orderBy("event_type")
+  }
+
   val all: Seq[QueryDef] = Seq(
     s1ScanProject, s2IncrementalScan, s6StringWatermark, pPredicates,
     d1DedupKeepFirst, d4IntegritySemiJoin, d5RejectAccounting,
     j1StarJoin, j4LeftSkResolution, j7AntiOrphans, j8CorrelatedSubquery,
-    jBucketedColocated, o4SetOps)
+    jBucketedColocated, jSaltedSkewJoin, o4SetOps)
 }

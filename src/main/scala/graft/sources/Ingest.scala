@@ -349,7 +349,36 @@ object Ingest {
       .orderBy("batch")
   }
 
+  /** ORC stage handoff (beyond parity; the columnar-format twin of
+    * [[s7ParquetRoundtrip]]): write a filtered projection to ORC, read it
+    * back, aggregate. Proves the engine is format-neutral across the two
+    * columnar container formats a lake actually mixes — ORC preserves the
+    * same types/pushdown surface (PushedFilters appear against ORC scans
+    * exactly as against parquet). The oracle replays the predicate over
+    * the original parquet, proving the ORC hop is lossless. */
+  val sOrcRoundtrip: QueryDef = QueryDef(
+    "s_orc_roundtrip",
+    Some("""
+      SELECT l_linestatus,
+             count(*) AS n_lines,
+             CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+      FROM lineitem
+      WHERE l_quantity >= 45
+      GROUP BY l_linestatus
+      ORDER BY l_linestatus
+    """)) { (spark, dir) =>
+    val stageDir = scratch(dir, "s_orc_stage")
+    tbl(spark, dir, "lineitem")
+      .filter(col("l_quantity") >= 45)
+      .select("l_orderkey", "l_linestatus", "l_extendedprice")
+      .write.mode("overwrite").orc(stageDir)
+    spark.read.orc(stageDir)
+      .groupBy("l_linestatus")
+      .agg(count(lit(1)).as("n_lines"), moneySumD(col("l_extendedprice")).as("revenue"))
+      .orderBy("l_linestatus")
+  }
+
   val all: Seq[QueryDef] = Seq(
     s5DocIngest, s7ParquetRoundtrip, sPartitionPruning, sJdbcSource,
-    sJdbcCustomers, sCsvRejects, sSchemaEvolution)
+    sJdbcCustomers, sCsvRejects, sSchemaEvolution, sOrcRoundtrip)
 }

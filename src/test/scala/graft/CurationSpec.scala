@@ -1,0 +1,113 @@
+package graft
+
+import graft.llm.{Cluster, Curation}
+import graft.operators.{Aggregates, Relational}
+import graft.sources.Ingest
+import org.apache.spark.sql.functions._
+
+/** Invariants for the r8 curation/skew/survivor additions — properties the
+  * hash-matching oracle can't express (prefix-ness of the budget rule,
+  * shuffle topology of the salted join, survivor-policy divergence from the
+  * min-id canonical). */
+class CurationSpec extends SparkSpec {
+
+  test("domain filter: every admitted doc comes from a source with keep-rate >= 1/2") {
+    val rows = Curation.cDomainFilter.run(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    assert(rows.forall(_.getAs[Double]("src_keep_rate") >= 0.5))
+    // admitted docs are a subset of the corpus, never duplicated
+    val ids = rows.map(_.getAs[Long]("doc_id"))
+    assert(ids.distinct.length === ids.length)
+  }
+
+  test("token budget: kept set per source is a quality-ranked prefix within 1024 tokens") {
+    val rows = Curation.cTokenBudget.run(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    assert(rows.forall(_.getAs[Long]("cum_tokens") <= 1024L))
+    // within a source, the running total equals the sum of kept token
+    // counts when replayed in (quality DESC, doc_id) order — i.e. the kept
+    // set is a clean prefix, nothing was skipped over
+    rows.groupBy(_.getAs[String]("source")).foreach { case (_, rs) =>
+      val ordered = rs.sortBy(r => (-r.getAs[Double]("quality"), r.getAs[Long]("doc_id")))
+      var cum = 0L
+      ordered.foreach { r =>
+        cum += r.getAs[Long]("n_tokens")
+        assert(r.getAs[Long]("cum_tokens") === cum)
+      }
+    }
+  }
+
+  test("overlap matrix: planted recrawl accounts for exactly the doc_id % 6 == 0 docs") {
+    val rows = Curation.cOverlapMatrix.run(spark, sfDir).collect()
+    val planted = tbl(spark, sfDir, "documents")
+      .filter(col("doc_id") % 6 === 0).count()
+    // the base corpus has no cross-source verbatim dups, so every overlap
+    // pair involves the planted recrawl source ('r' sorts before 'srcN')
+    assert(rows.forall(_.getAs[String]("source_a") === "recrawl"))
+    assert(rows.map(_.getAs[Long]("n_shared")).sum === planted)
+  }
+
+  test("normalize: canonicalization erases planted whitespace noise on every doc") {
+    val rows = Curation.cNormalize.run(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    assert(rows.forall(_.getAs[Boolean]("fp_match")))
+    assert(rows.forall(r =>
+      r.getAs[Long]("n_chars_norm") <= r.getAs[Long]("n_chars_noisy")))
+  }
+
+  test("cumulative users: monotone, and the final total is the distinct-user count") {
+    val rows = Aggregates.aCumulativeUsers.run(spark, sfDir).collect()
+    val cums = rows.map(_.getAs[Long]("cum_users"))
+    assert(cums.sliding(2).forall { case Array(a, b) => a <= b; case _ => true })
+    val totalUsers = core.events(spark, sfDir).select("user_id").distinct().count()
+    assert(cums.last === totalUsers)
+    assert(rows.map(_.getAs[Long]("n_new_users")).sum === totalUsers)
+    assert(rows.forall(r => r.getAs[Long]("n_active") <= r.getAs[Long]("cum_users")))
+  }
+
+  test("salted skew join: shuffle topology is pinned and results match the unsalted join") {
+    val df = Relational.jSaltedSkewJoin.run(spark, sfDir)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("ShuffledHashJoin"),
+      s"salt demo degenerated to another join strategy:\n$plan")
+    val plain = core.events(spark, sfDir)
+      .groupBy("event_type").agg(count(lit(1)).as("n_events"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    df.collect().foreach { r =>
+      assert(r.getAs[Long]("n_events") === plain(r.getAs[String]("event_type")))
+    }
+  }
+
+  test("ORC roundtrip: the ORC hop is lossless vs a direct parquet aggregate") {
+    val viaOrc = Ingest.sOrcRoundtrip.run(spark, sfDir).collect()
+    val direct = tbl(spark, sfDir, "lineitem")
+      .filter(col("l_quantity") >= 45)
+      .groupBy("l_linestatus").agg(count(lit(1)).as("n_lines"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(viaOrc.nonEmpty)
+    viaOrc.foreach { r =>
+      assert(r.getAs[Long]("n_lines") === direct(r.getAs[String]("l_linestatus")))
+    }
+  }
+
+  test("survivor selection: keep-longest picks v2 on planted chains, one survivor per cluster") {
+    val rows = Cluster.ddSurvivor.run(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    val byCluster = rows.groupBy(_.getAs[Long]("cluster_id"))
+    byCluster.foreach { case (_, members) =>
+      assert(members.count(_.getAs[Boolean]("is_survivor")) === 1)
+      val surv = members.find(_.getAs[Boolean]("is_survivor")).get
+      assert(surv.getAs[Long]("n_toks") === members.map(_.getAs[Long]("n_toks")).max)
+    }
+    // the longest chain member is v2 (base_id + 200000): keep-longest must
+    // pick it, diverging from dedup_cluster's min-id canonical (the base)
+    val chainClusters = byCluster.filter(_._2.exists(_.getAs[Long]("doc_id") >= 200000L))
+    assert(chainClusters.nonEmpty)
+    chainClusters.foreach { case (_, members) =>
+      assert(members.find(_.getAs[Boolean]("is_survivor")).get.getAs[Long]("doc_id") >= 200000L)
+    }
+  }
+
+  private def tbl(spark: org.apache.spark.sql.SparkSession, dir: String, name: String) =
+    core.tbl(spark, dir, name)
+}
