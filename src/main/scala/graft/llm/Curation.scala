@@ -205,5 +205,108 @@ object Curation {
       .orderBy("doc_id")
   }
 
-  val all: Seq[QueryDef] = Seq(cDomainFilter, cTokenBudget, cOverlapMatrix, cNormalize)
+  /** c5 — repeated-SUBSTRING detection (the distributed stand-in for
+    * suffix-array exact-substring dedup, Lee et al. 2022's "dedup makes LMs
+    * better" pass): every 16-token window is digested; a window is
+    * duplicated iff its digest occurs in >= 2 distinct documents; each doc
+    * reports how much of it is covered by cross-doc repeats. Planted
+    * copies (doc_id % 9, one token PREPENDED) shift every window position
+    * yet share every interior 16-gram — position-independence is the
+    * property that breaks naive text-offset comparison and is exactly what
+    * digest matching gives. Shape at 100 TB: windows explode to (doc,
+    * digest) pairs — fixed 32-hex keys, never text; the dup-digest set
+    * comes from one hash-groupBy on the digest; the join back is
+    * digest-bucketed. The per-doc rollups partial-aggregate map-side.
+    * Windows are built by exploding START POSITIONS and assembling each
+    * digest from codegen'd element_at/concat_ws/md5 (the array-of-digests
+    * `transform` form runs interpreted, ~10× slower — same finding as
+    * t_decontaminate). */
+  val cSubstringDups: QueryDef = QueryDef(
+    "t_substring_dups",
+    Some("""
+      WITH src AS (
+        SELECT doc_id, text FROM documents
+        UNION ALL
+        SELECT doc_id + 600000, 'zzpre ' || text FROM documents WHERE doc_id % 9 = 0),
+      tok AS (SELECT doc_id, string_split_regex(text, '\s+') AS t FROM src),
+      pos AS (
+        SELECT doc_id, unnest(list_transform(range(1, len(t) - 14),
+                 i -> md5(array_to_string(list_slice(t, i, i + 15), ' ')))) AS g
+        FROM tok WHERE len(t) >= 16),
+      dupg AS (SELECT g FROM pos GROUP BY g HAVING count(DISTINCT doc_id) >= 2),
+      totals AS (SELECT doc_id, count(*) AS n_windows FROM pos GROUP BY doc_id),
+      dups AS (
+        SELECT p.doc_id, count(*) AS n_dup_windows
+        FROM pos p JOIN dupg d USING (g) GROUP BY p.doc_id)
+      SELECT t.doc_id, t.n_windows,
+             COALESCE(d.n_dup_windows, 0) AS n_dup_windows,
+             CAST(COALESCE(d.n_dup_windows, 0) AS DOUBLE)
+               / CAST(t.n_windows AS DOUBLE) AS dup_share
+      FROM totals t LEFT JOIN dups d USING (doc_id)
+      ORDER BY doc_id
+    """)) { (spark, dir) =>
+    val d = tbl(spark, dir, "documents").select("doc_id", "text")
+    val src = d.unionAll(
+      d.filter(col("doc_id") % 9 === 0)
+        .select((col("doc_id") + 600000L).as("doc_id"),
+          concat(lit("zzpre "), col("text")).as("text")))
+      // single-file source → spread the window+digest pass across cores
+      .repartition(spark.sessionState.conf.numShufflePartitions)
+    val pos = src.select(col("doc_id"), toks(col("text")).as("t"))
+      .filter(size(col("t")) >= 16)
+      .select(col("doc_id"), col("t"),
+        explode(sequence(lit(1), size(col("t")) - 15)).as("i"))
+      .select(col("doc_id"),
+        md5(concat_ws(" ",
+          (0 until 16).map(o => element_at(col("t"), col("i") + o)): _*)).as("g"))
+    val dupg = pos.groupBy("g")
+      .agg(count_distinct(col("doc_id")).as("nd"))
+      .filter(col("nd") >= 2).select("g")
+    val totals = pos.groupBy("doc_id").agg(count(lit(1)).as("n_windows"))
+    val dups = pos.join(dupg, "g")
+      .groupBy("doc_id").agg(count(lit(1)).as("n_dup_windows"))
+    totals.join(dups, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_windows"),
+        coalesce(col("n_dup_windows"), lit(0L)).as("n_dup_windows"),
+        (coalesce(col("n_dup_windows"), lit(0L)).cast(DoubleType) /
+          col("n_windows").cast(DoubleType)).as("dup_share"))
+      .orderBy("doc_id")
+  }
+
+  /** c6 — train/val/test SPLIT assignment: every doc lands in exactly one
+    * split by a salted-hash threshold (~80/10/10 via the first 4 hex chars
+    * of md5 against 0xcccc/0xe666) — deterministic, data-independent,
+    * stable under repartitioning and reruns, the reproducibility property
+    * ad-hoc RNG splits lack. Pure map pass; the per-(split, lang) rollup
+    * with commutative id checksums is the audit a split job publishes. */
+  val cTrainSplit: QueryDef = QueryDef(
+    "t_train_split",
+    Some("""
+      WITH assigned AS (
+        SELECT doc_id, lang,
+               CASE WHEN substr(md5('split|' || CAST(doc_id AS VARCHAR)), 1, 4) < 'cccc'
+                      THEN 'train'
+                    WHEN substr(md5('split|' || CAST(doc_id AS VARCHAR)), 1, 4) < 'e666'
+                      THEN 'val'
+                    ELSE 'test' END AS split_name
+        FROM documents)
+      SELECT split_name, lang, count(*) AS n_docs,
+             CAST(sum(CAST(doc_id AS DECIMAL(38,0))) AS DOUBLE) AS id_sum
+      FROM assigned GROUP BY split_name, lang
+      ORDER BY split_name, lang
+    """)) { (spark, dir) =>
+    val h = substring(md5(concat(lit("split|"), col("doc_id").cast(StringType))), 1, 4)
+    tbl(spark, dir, "documents")
+      .select(col("doc_id"), col("lang"),
+        when(h < "cccc", "train").when(h < "e666", "val").otherwise("test")
+          .as("split_name"))
+      .groupBy("split_name", "lang")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("doc_id").cast(DecimalType(38, 0))).cast(DoubleType).as("id_sum"))
+      .orderBy("split_name", "lang")
+  }
+
+  val all: Seq[QueryDef] = Seq(
+    cDomainFilter, cTokenBudget, cOverlapMatrix, cNormalize,
+    cSubstringDups, cTrainSplit)
 }

@@ -108,6 +108,38 @@ class CurationSpec extends SparkSpec {
     }
   }
 
+  test("substring dups: planted prepend-shifted copies are detected near-fully on both sides") {
+    val rows = Curation.cSubstringDups.run(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    val byId = rows.map(r => r.getAs[Long]("doc_id") -> r).toMap
+    val copies = rows.filter(_.getAs[Long]("doc_id") >= 600000L)
+    assert(copies.nonEmpty)
+    copies.foreach { c =>
+      // every interior window of a copy matches its base despite the
+      // position shift; only the ONE window anchored at the prepended
+      // token can miss (it's the only window containing 'zzpre')
+      assert(c.getAs[Long]("n_dup_windows") >= c.getAs[Long]("n_windows") - 1,
+        s"copy ${c.getAs[Long]("doc_id")} under-detected: $c")
+      val base = byId(c.getAs[Long]("doc_id") - 600000L)
+      assert(base.getAs[Long]("n_dup_windows") === base.getAs[Long]("n_windows"),
+        s"base of ${c.getAs[Long]("doc_id")} not fully covered: $base")
+    }
+    // share is a valid ratio everywhere
+    assert(rows.forall { r =>
+      val s = r.getAs[Double]("dup_share"); s >= 0.0 && s <= 1.0
+    })
+  }
+
+  test("train split: partitions are exhaustive and roughly 80/10/10") {
+    val rows = Curation.cTrainSplit.run(spark, sfDir).collect()
+    val total = rows.map(_.getAs[Long]("n_docs")).sum
+    assert(total === core.tbl(spark, sfDir, "documents").count())
+    val bySplit = rows.groupBy(_.getAs[String]("split_name"))
+      .map { case (k, rs) => k -> rs.map(_.getAs[Long]("n_docs")).sum }
+    assert(bySplit.keySet === Set("train", "val", "test"))
+    assert(bySplit("train") > bySplit("val") && bySplit("train") > bySplit("test"))
+  }
+
   private def tbl(spark: org.apache.spark.sql.SparkSession, dir: String, name: String) =
     core.tbl(spark, dir, name)
 }

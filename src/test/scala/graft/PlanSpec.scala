@@ -105,4 +105,29 @@ class PlanSpec extends SparkSpec {
         "re-registered external table lost bucket co-location")
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", threshold)
   }
+
+  test("domain filter broadcasts the per-source verdict table back to the doc scan") {
+    val plan = finalPlan(llm.Curation.cDomainFilter.run(spark, sfDir))
+    assert(plan.contains("BroadcastHashJoin"))
+    assert(!plan.contains("SortMergeJoin"),
+      "docs⋈verdicts degenerated to a sort-merge shuffle join")
+  }
+
+  test("overlap matrix joins on digests only — document text never reaches the join") {
+    val df = llm.Curation.cOverlapMatrix.run(spark, sfDir)
+    val plan = finalPlan(df)
+    // the self-join operates on (source, fp) pairs; text is consumed by
+    // md5() inside the scan-side projection and must not appear in any
+    // exchange or join operator
+    val joinSection = plan.linesIterator
+      .filter(l => l.contains("Join") || l.contains("Exchange")).mkString("\n")
+    assert(!joinSection.contains("text"),
+      s"document text leaked past the digest projection:\n$joinSection")
+  }
+
+  test("ORC roundtrip reads back through an ORC scan with the projection pruned") {
+    val plan = finalPlan(sources.Ingest.sOrcRoundtrip.run(spark, sfDir))
+    assert(plan.contains("Format: ORC") || plan.contains("orc"),
+      s"stage not read via ORC:\n${plan.take(600)}")
+  }
 }
