@@ -252,6 +252,10 @@ object Curation {
           concat(lit("zzpre "), col("text")).as("text")))
       // single-file source → spread the window+digest pass across cores
       .repartition(spark.sessionState.conf.numShufflePartitions)
+    // the digest stream feeds three consumers (dup-digest set, per-doc
+    // totals, per-doc dup counts): persist it so the explode + 16-way
+    // concat + md5 work runs ONCE — the persisted form is (id, 32-hex),
+    // far smaller than the text it came from
     val pos = src.select(col("doc_id"), toks(col("text")).as("t"))
       .filter(size(col("t")) >= 16)
       .select(col("doc_id"), col("t"),
@@ -259,6 +263,7 @@ object Curation {
       .select(col("doc_id"),
         md5(concat_ws(" ",
           (0 until 16).map(o => element_at(col("t"), col("i") + o)): _*)).as("g"))
+      .persist()
     val dupg = pos.groupBy("g")
       .agg(count_distinct(col("doc_id")).as("nd"))
       .filter(col("nd") >= 2).select("g")
