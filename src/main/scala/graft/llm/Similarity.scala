@@ -194,5 +194,55 @@ object Similarity {
       .orderBy("dup_id")
   }
 
-  val all: Seq[QueryDef] = Seq(simTopKBrute, simLshPairs, simIvfProbe, ddEmbeddingCosine)
+  /** sim5 — INT8 scalar quantization (the compression step every vector
+    * store applies before ANN serving — 4× smaller than float32, dot
+    * products in integer SIMD): per vector, scale = 127 / max|x_i|, code
+    * q_i = floor(x_i·scale + 0.5) ∈ [-127, 127]. Pure map pass, one row
+    * per vector. Cross-engine determinism: every step is per-ELEMENT IEEE
+    * double arithmetic (float→double exact, one multiply, one floor) —
+    * no cross-element float accumulation anywhere; the emitted checksums
+    * (Σq, Σq², min, max) are exact integers and the scale is rounded only
+    * for display. The max-|x| reduction is order-insensitive (max is
+    * associative-commutative and exact). */
+  val simQuantizeInt8: QueryDef = QueryDef(
+    "sim_quantize_int8",
+    Some("""
+      WITH prep AS (
+        SELECT vec_id, label,
+               list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))) AS mx
+        FROM embeddings),
+      scaled AS (
+        SELECT e.vec_id, e.label,
+               CASE WHEN p.mx > 0 THEN 127.0 / p.mx ELSE 0.0 END AS scale,
+               list_transform(e.embedding,
+                 x -> CAST(floor(CAST(x AS DOUBLE)
+                        * (CASE WHEN p.mx > 0 THEN 127.0 / p.mx ELSE 0.0 END)
+                        + 0.5) AS BIGINT)) AS q
+        FROM embeddings e JOIN prep p USING (vec_id))
+      SELECT vec_id, label, round(scale, 6) AS scale_r,
+             CAST(list_sum(q) AS BIGINT) AS q_sum,
+             CAST(list_sum(list_transform(q, v -> v * v)) AS BIGINT) AS q_sumsq,
+             list_min(q) AS q_min,
+             list_max(q) AS q_max
+      FROM scaled
+      ORDER BY vec_id
+    """)) { (spark, dir) =>
+    val mx = array_max(transform(col("embedding"), x => abs(x.cast(DoubleType))))
+    val scale = when(col("mx") > 0, lit(127.0) / col("mx")).otherwise(lit(0.0))
+    emb(spark, dir)
+      .select(col("vec_id"), col("label"), col("embedding"), mx.as("mx"))
+      .select(col("vec_id"), col("label"), scale.as("scale"),
+        transform(col("embedding"),
+          x => floor(x.cast(DoubleType) * scale + 0.5).cast(LongType)).as("q"))
+      .select(col("vec_id"), col("label"),
+        round(col("scale"), 6).as("scale_r"),
+        aggregate(col("q"), lit(0L), (acc, v) => acc + v).as("q_sum"),
+        aggregate(col("q"), lit(0L), (acc, v) => acc + v * v).as("q_sumsq"),
+        array_min(col("q")).as("q_min"),
+        array_max(col("q")).as("q_max"))
+      .orderBy("vec_id")
+  }
+
+  val all: Seq[QueryDef] = Seq(
+    simTopKBrute, simLshPairs, simIvfProbe, ddEmbeddingCosine, simQuantizeInt8)
 }

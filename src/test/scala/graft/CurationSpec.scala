@@ -130,6 +130,18 @@ class CurationSpec extends SparkSpec {
     })
   }
 
+  test("int8 quantization: codes live in [-127,127] and the max-magnitude lane saturates") {
+    val rows = llm.Similarity.simQuantizeInt8.run(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (lo, hi) = (r.getAs[Long]("q_min"), r.getAs[Long]("q_max"))
+      assert(lo >= -127L && hi <= 127L)
+      // the element at max |x| maps to exactly ±127 by construction
+      assert(math.max(math.abs(lo), math.abs(hi)) === 127L)
+      assert(r.getAs[Double]("scale_r") > 0.0)
+    }
+  }
+
   test("train split: partitions are exhaustive and roughly 80/10/10") {
     val rows = Curation.cTrainSplit.run(spark, sfDir).collect()
     val total = rows.map(_.getAs[Long]("n_docs")).sum
