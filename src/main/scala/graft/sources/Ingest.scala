@@ -378,7 +378,42 @@ object Ingest {
       .orderBy("l_linestatus")
   }
 
+  /** JSON-lines stage handoff (beyond parity; completes the format matrix —
+    * parquet [[s7ParquetRoundtrip]], ORC [[sOrcRoundtrip]], CSV
+    * [[sCsvRejects]], and the text interchange format every external
+    * system speaks). The read-back DECLARES its schema — JSON inference is
+    * a full extra pass over the data and a nondeterministic contract at
+    * 100 TB. Doubles survive the text hop bit-exactly (Spark emits
+    * shortest-round-trip literals); the oracle aggregates the original
+    * parquet, proving the JSONL hop lossless. */
+  val sJsonlRoundtrip: QueryDef = QueryDef(
+    "s_jsonl_roundtrip",
+    Some("""
+      SELECT o_orderpriority,
+             count(*) AS n_orders,
+             CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+      FROM orders
+      WHERE o_orderstatus = 'P'
+      GROUP BY o_orderpriority
+      ORDER BY o_orderpriority
+    """)) { (spark, dir) =>
+    val stageDir = scratch(dir, "s_jsonl_stage")
+    tbl(spark, dir, "orders")
+      .filter(col("o_orderstatus") === "P")
+      .select("o_orderkey", "o_orderpriority", "o_totalprice")
+      .write.mode("overwrite").json(stageDir)
+    val schema = StructType(Seq(
+      StructField("o_orderkey", LongType),
+      StructField("o_orderpriority", StringType),
+      StructField("o_totalprice", DoubleType)))
+    spark.read.schema(schema).json(stageDir)
+      .groupBy("o_orderpriority")
+      .agg(count(lit(1)).as("n_orders"), moneySumD(col("o_totalprice")).as("revenue"))
+      .orderBy("o_orderpriority")
+  }
+
   val all: Seq[QueryDef] = Seq(
     s5DocIngest, s7ParquetRoundtrip, sPartitionPruning, sJdbcSource,
-    sJdbcCustomers, sCsvRejects, sSchemaEvolution, sOrcRoundtrip)
+    sJdbcCustomers, sCsvRejects, sSchemaEvolution, sOrcRoundtrip,
+    sJsonlRoundtrip)
 }
