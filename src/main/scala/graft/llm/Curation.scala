@@ -85,8 +85,14 @@ object Curation {
     * Once the cumsum exceeds the budget it never recovers (token counts
     * are positive), so the kept set is a clean prefix — one window
     * cumsum per source partition, no driver loop, no knapsack. Scale:
-    * sources partition the window; skew caps at the largest single
-    * domain, which the budget itself bounds the OUTPUT of. */
+    * sources partition the window, so the unit of skew is one domain. A
+    * mega-domain (billions of docs) would make its window partition
+    * sort-heavy even though the budget bounds the OUTPUT to ~1024 tokens;
+    * the standard mitigation is a pre-prune — estimate the per-source
+    * quality threshold that spends the budget (approx quantile over
+    * (source, quality)), pre-filter to docs near-or-above it, and run the
+    * exact window over that bounded survivor set. The fixture's domains
+    * are small, so the gate runs the exact form directly. */
   val cTokenBudget: QueryDef = QueryDef(
     "t_token_budget",
     Some("""
