@@ -317,7 +317,50 @@ object Curation {
       .orderBy("split_name", "lang")
   }
 
+  /** c7 — CLASSIFIER-style quality filtering (the fasttext-model pass of
+    * modern pipelines — CCNet/LLaMA-style "score with a trained classifier,
+    * keep above threshold" — expressed as a fixed linear model over the
+    * engine's extracted features). The LOGIT is the decision statistic:
+    * keep ⇔ w·f + b > 0, identical to thresholding the sigmoid at 0.5 but
+    * with no transcendental function — exp() differs in the last ulp
+    * across libm implementations, while the logit is a fixed-order chain
+    * of IEEE multiply-adds both engines execute identically. Weights are
+    * frozen constants (a real deployment loads them from a trained model;
+    * the plumbing — feature extraction, scoring, verdict — is what the
+    * engine owns). Pure map pass over the scan. */
+  val cQualityLogit: QueryDef = QueryDef(
+    "t_quality_logit",
+    Some("""
+      WITH f AS (
+        SELECT doc_id,
+               len(string_split_regex(text, '\s+')) AS nt,
+               CAST(len(list_filter(string_split_regex(text, '\s+'),
+                                    x -> x IN ('the','a','of','and','to','in'))) AS DOUBLE)
+                 / CAST(len(string_split_regex(text, '\s+')) AS DOUBLE) AS sw,
+               CAST(length(replace(text, ' ', '')) AS DOUBLE)
+                 / CAST(len(string_split_regex(text, '\s+')) AS DOUBLE) AS mwl
+        FROM documents)
+      SELECT doc_id,
+             round(-3.0 + 20.0 * sw + 0.5 * mwl + 0.01 * CAST(nt AS DOUBLE), 6) AS logit_r,
+             (-3.0 + 20.0 * sw + 0.5 * mwl + 0.01 * CAST(nt AS DOUBLE)) > 0.0 AS keep_doc
+      FROM f
+      ORDER BY doc_id
+    """)) { (spark, dir) =>
+    val t = toks(col("text"))
+    val stop = Seq("the", "a", "of", "and", "to", "in")
+    val nt = size(t).cast(DoubleType)
+    val sw = size(filter(t, x => x.isin(stop: _*))).cast(DoubleType) / nt
+    val mwl = length(regexp_replace(col("text"), " ", "")).cast(DoubleType) / nt
+    // same left-to-right association as the oracle: ((b + w1·sw) + w2·mwl) + w3·nt
+    val logit = lit(-3.0) + lit(20.0) * sw + lit(0.5) * mwl + lit(0.01) * nt
+    tbl(spark, dir, "documents")
+      .select(col("doc_id"),
+        round(logit, 6).as("logit_r"),
+        (logit > 0.0).as("keep_doc"))
+      .orderBy("doc_id")
+  }
+
   val all: Seq[QueryDef] = Seq(
     cDomainFilter, cTokenBudget, cOverlapMatrix, cNormalize,
-    cSubstringDups, cTrainSplit)
+    cSubstringDups, cTrainSplit, cQualityLogit)
 }

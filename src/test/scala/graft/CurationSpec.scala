@@ -142,6 +142,20 @@ class CurationSpec extends SparkSpec {
     }
   }
 
+  test("quality logit: verdict is exactly the sign of the logit and both classes occur") {
+    val rows = Curation.cQualityLogit.run(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      // rounding to 6dp cannot flip the sign unless the logit is within
+      // 5e-7 of zero — flag that pathological weight choice loudly
+      val l = r.getAs[Double]("logit_r")
+      if (math.abs(l) > 1e-6)
+        assert(r.getAs[Boolean]("keep_doc") === (l > 0.0))
+    }
+    val kept = rows.count(_.getAs[Boolean]("keep_doc"))
+    assert(kept > 0 && kept < rows.length, s"degenerate split: $kept/${rows.length}")
+  }
+
   test("train split: partitions are exhaustive and roughly 80/10/10") {
     val rows = Curation.cTrainSplit.run(spark, sfDir).collect()
     val total = rows.map(_.getAs[Long]("n_docs")).sum
