@@ -281,7 +281,90 @@ object Quality {
       .orderBy("table_name", "check_name")
   }
 
+  /** q9 — single-pass TABLE PROFILER (the onboarding scan every warehouse
+    * runs before trusting a new table): per column — null count, exact
+    * distinct cardinality, numeric min/max — all from ONE aggregation over
+    * ONE scan. The multi-column exact countDistinct compiles to Spark's
+    * expand-based multi-distinct (rows replicate per distinct-column, then
+    * partial-aggregate map-side) — one shuffle, no per-column re-scan; at
+    * 100 TB the alternative "one query per column" costs a full scan each.
+    * Non-numeric min/max are reported as NULL doubles rather than strings
+    * (double→text rendering differs across engines); dates profile via
+    * their yyyymmdd key. A derived `priority_nulled` column (NULLIF) plants
+    * a non-zero null count so the null path is provably exercised. The
+    * wide one-row aggregate pivots to long form with a row-local
+    * explode(array(struct...)) — no second shuffle. */
+  val qProfileTable: QueryDef = QueryDef(
+    "q_profile_table",
+    Some("""
+      WITH src AS (
+        SELECT *, nullif(o_orderpriority, '1-URGENT') AS priority_nulled FROM orders),
+      w AS (
+        SELECT count(*) AS n,
+               CAST(count(*) - count(o_orderkey) AS BIGINT) AS nul_ok,
+               count(DISTINCT o_orderkey) AS nd_ok,
+               CAST(min(o_orderkey) AS DOUBLE) AS mn_ok, CAST(max(o_orderkey) AS DOUBLE) AS mx_ok,
+               CAST(count(*) - count(o_custkey) AS BIGINT) AS nul_ck,
+               count(DISTINCT o_custkey) AS nd_ck,
+               CAST(min(o_custkey) AS DOUBLE) AS mn_ck, CAST(max(o_custkey) AS DOUBLE) AS mx_ck,
+               CAST(count(*) - count(o_totalprice) AS BIGINT) AS nul_tp,
+               count(DISTINCT o_totalprice) AS nd_tp,
+               min(o_totalprice) AS mn_tp, max(o_totalprice) AS mx_tp,
+               CAST(count(*) - count(o_orderdate) AS BIGINT) AS nul_od,
+               count(DISTINCT o_orderdate) AS nd_od,
+               CAST(CAST(strftime(min(o_orderdate), '%Y%m%d') AS INTEGER) AS DOUBLE) AS mn_od,
+               CAST(CAST(strftime(max(o_orderdate), '%Y%m%d') AS INTEGER) AS DOUBLE) AS mx_od,
+               CAST(count(*) - count(o_orderpriority) AS BIGINT) AS nul_op,
+               count(DISTINCT o_orderpriority) AS nd_op,
+               CAST(count(*) - count(priority_nulled) AS BIGINT) AS nul_pn,
+               count(DISTINCT priority_nulled) AS nd_pn
+        FROM src)
+      SELECT col_name, n AS n_rows, n_nulls, n_distinct, min_d, max_d FROM (
+        SELECT n, 'o_orderkey' AS col_name, nul_ok AS n_nulls, nd_ok AS n_distinct, mn_ok AS min_d, mx_ok AS max_d FROM w
+        UNION ALL SELECT n, 'o_custkey', nul_ck, nd_ck, mn_ck, mx_ck FROM w
+        UNION ALL SELECT n, 'o_totalprice', nul_tp, nd_tp, mn_tp, mx_tp FROM w
+        UNION ALL SELECT n, 'o_orderdate', nul_od, nd_od, mn_od, mx_od FROM w
+        UNION ALL SELECT n, 'o_orderpriority', nul_op, nd_op, NULL, NULL FROM w
+        UNION ALL SELECT n, 'priority_nulled', nul_pn, nd_pn, NULL, NULL FROM w)
+      ORDER BY col_name
+    """)) { (spark, dir) =>
+    val src = tbl(spark, dir, "orders")
+      .withColumn("priority_nulled", nullif(col("o_orderpriority"), lit("1-URGENT")))
+    def nulls(c: String) = countIf(col(c).isNull).as(s"nul_$c")
+    def nd(c: String) = count_distinct(col(c)).as(s"nd_$c")
+    val w = src.agg(
+      count(lit(1)).as("n"),
+      nulls("o_orderkey"), nd("o_orderkey"),
+      min(col("o_orderkey")).cast(DoubleType).as("mn_ok"),
+      max(col("o_orderkey")).cast(DoubleType).as("mx_ok"),
+      nulls("o_custkey"), nd("o_custkey"),
+      min(col("o_custkey")).cast(DoubleType).as("mn_ck"),
+      max(col("o_custkey")).cast(DoubleType).as("mx_ck"),
+      nulls("o_totalprice"), nd("o_totalprice"),
+      min(col("o_totalprice")).as("mn_tp"), max(col("o_totalprice")).as("mx_tp"),
+      nulls("o_orderdate"), nd("o_orderdate"),
+      dateKey(min(col("o_orderdate"))).cast(DoubleType).as("mn_od"),
+      dateKey(max(col("o_orderdate"))).cast(DoubleType).as("mx_od"),
+      nulls("o_orderpriority"), nd("o_orderpriority"),
+      nulls("priority_nulled"), nd("priority_nulled"))
+    def row(name: String, nul: String, ndc: String, mn: Column, mx: Column) =
+      struct(lit(name).as("col_name"), col("n").as("n_rows"),
+        col(nul).as("n_nulls"), col(ndc).as("n_distinct"),
+        mn.as("min_d"), mx.as("max_d"))
+    val nullD = lit(null).cast(DoubleType)
+    w.select(explode(array(
+        row("o_orderkey", "nul_o_orderkey", "nd_o_orderkey", col("mn_ok"), col("mx_ok")),
+        row("o_custkey", "nul_o_custkey", "nd_o_custkey", col("mn_ck"), col("mx_ck")),
+        row("o_totalprice", "nul_o_totalprice", "nd_o_totalprice", col("mn_tp"), col("mx_tp")),
+        row("o_orderdate", "nul_o_orderdate", "nd_o_orderdate", col("mn_od"), col("mx_od")),
+        row("o_orderpriority", "nul_o_orderpriority", "nd_o_orderpriority", nullD, nullD),
+        row("priority_nulled", "nul_priority_nulled", "nd_priority_nulled", nullD, nullD)
+      )).as("p"))
+      .select("p.*")
+      .orderBy("col_name")
+  }
+
   val all: Seq[QueryDef] = Seq(
     q4NonEmptyNullSk, q5UniqueNotNull, q6NoNegativeAmounts,
-    q7DateKeyValidity, s11AuditLog, qMartQuality)
+    q7DateKeyValidity, s11AuditLog, qMartQuality, qProfileTable)
 }
