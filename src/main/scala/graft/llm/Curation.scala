@@ -24,6 +24,13 @@ object Curation {
   /** Whitespace tokens (same canonical tokenizer as TextOps). */
   private def toks(c: Column): Column = split(c, "\\s+")
 
+  /** Whitespace canonicalization: collapse runs of blank characters to one
+    * space and trim. Exposed for property tests (idempotence and
+    * noise-invariance in PropertySpec); the char class is explicit because
+    * Java \\s and RE2 \\s disagree on vertical tab. */
+  private[graft] def normalizeWs(c: Column): Column =
+    trim(regexp_replace(c, "[ \t\n\r]+", " "))
+
   /** Per-doc quality flag — the t_quality_score keep rule (token count in
     * [20,1000], mean word length in [2,12]), recomputed here so the gate is
     * self-contained. */
@@ -193,8 +200,6 @@ object Curation {
       FROM norm
       ORDER BY doc_id
     """)) { (spark, dir) =>
-    def normalize(c: Column): Column =
-      trim(regexp_replace(c, "[ \t\n\r]+", " "))
     val noisy = concat(lit("  "),
       regexp_replace(col("text"), " ", "   "), lit("\n\t"))
     tbl(spark, dir, "documents")
@@ -202,8 +207,8 @@ object Curation {
       .select(col("doc_id"),
         length(col("text")).cast(LongType).as("n_chars_raw"),
         length(col("noisy")).cast(LongType).as("n_chars_noisy"),
-        normalize(col("text")).as("norm_base"),
-        normalize(col("noisy")).as("norm_noisy"))
+        normalizeWs(col("text")).as("norm_base"),
+        normalizeWs(col("noisy")).as("norm_noisy"))
       .select(col("doc_id"), col("n_chars_raw"), col("n_chars_noisy"),
         length(col("norm_noisy")).cast(LongType).as("n_chars_norm"),
         md5(col("norm_noisy")).as("norm_fp"),

@@ -204,6 +204,23 @@ object Similarity {
     * (Σq, Σq², min, max) are exact integers and the scale is rounded only
     * for display. The max-|x| reduction is order-insensitive (max is
     * associative-commutative and exact). */
+  /** Int8 scalar-quantization plumbing for a float-vector column: adds
+    * `scale` (127 / max|x_i|, or 0 for an all-zero vector) and `q` (the
+    * BIGINT code array floor(x·scale + 0.5)). The max-magnitude pass is
+    * materialized as a column FIRST so the per-element lambda multiplies
+    * by a cheap column reference — an array_max argument inside the
+    * lambda body would re-reduce the vector per element, O(d²) (the
+    * bindOnce finding). Exposed for PropertySpec's reconstruction-bound
+    * check. */
+  private[graft] def quantizeInt8(df: DataFrame, vec: Column): DataFrame = {
+    val scale = when(col("__mx") > 0, lit(127.0) / col("__mx")).otherwise(lit(0.0))
+    df.withColumn("__mx", array_max(transform(vec, x => abs(x.cast(DoubleType)))))
+      .withColumn("scale", scale)
+      .withColumn("q", transform(vec,
+        x => floor(x.cast(DoubleType) * col("scale") + 0.5).cast(LongType)))
+      .drop("__mx")
+  }
+
   val simQuantizeInt8: QueryDef = QueryDef(
     "sim_quantize_int8",
     Some("""
@@ -227,13 +244,7 @@ object Similarity {
       FROM scaled
       ORDER BY vec_id
     """)) { (spark, dir) =>
-    val mx = array_max(transform(col("embedding"), x => abs(x.cast(DoubleType))))
-    val scale = when(col("mx") > 0, lit(127.0) / col("mx")).otherwise(lit(0.0))
-    emb(spark, dir)
-      .select(col("vec_id"), col("label"), col("embedding"), mx.as("mx"))
-      .select(col("vec_id"), col("label"), scale.as("scale"),
-        transform(col("embedding"),
-          x => floor(x.cast(DoubleType) * scale + 0.5).cast(LongType)).as("q"))
+    quantizeInt8(emb(spark, dir), col("embedding"))
       .select(col("vec_id"), col("label"),
         round(col("scale"), 6).as("scale_r"),
         aggregate(col("q"), lit(0L), (acc, v) => acc + v).as("q_sum"),

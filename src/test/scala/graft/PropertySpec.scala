@@ -130,4 +130,42 @@ class PropertySpec extends SparkSpec {
       for (i <- a.indices) acc += a(i).toDouble * b(i).toDouble
       java.lang.Double.doubleToLongBits(got) == java.lang.Double.doubleToLongBits(acc)
     })
+
+  private val wsChars = Gen.oneOf(' ', '\t', '\n', '\r')
+  private val noisyText: Gen[String] = Gen.listOf(Gen.frequency(
+    4 -> Gen.alphaNumChar, 2 -> wsChars)).map(_.mkString)
+
+  check("whitespace normalization is idempotent and invariant under injected blank runs")(
+    Prop.forAll(noisyText) { s =>
+      val out = Seq(s).toDF("t")
+        .select(
+          llm.Curation.normalizeWs(col("t")).as("n1"),
+          llm.Curation.normalizeWs(llm.Curation.normalizeWs(col("t"))).as("n2"),
+          // re-noise: pad + triple every space + trailing blanks, then normalize
+          llm.Curation.normalizeWs(concat(lit(" \t"),
+            regexp_replace(llm.Curation.normalizeWs(col("t")), " ", "   "),
+            lit("\n\r "))).as("n3"))
+        .head()
+      val (n1, n2, n3) = (out.getString(0), out.getString(1), out.getString(2))
+      n1 == n2 && n1 == n3 &&
+        !n1.exists(c => c == '\t' || c == '\n' || c == '\r') && !n1.contains("  ")
+    })
+
+  check("int8 quantization: codes bounded, max lane saturates, reconstruction within half a step")(
+    Prop.forAll(Gen.nonEmptyListOf(Gen.chooseNum(-1e3f, 1e3f))) { xs =>
+      val row = llm.Similarity.quantizeInt8(Seq(xs.toArray).toDF("v"), col("v"))
+        .select(col("scale"), col("q"), col("v")).head()
+      val scale = row.getDouble(0)
+      val q = row.getSeq[Long](1)
+      val v = row.getSeq[Float](2)
+      if (v.forall(_ == 0.0f)) scale == 0.0 && q.forall(_ == 0L)
+      else {
+        val maxAbsQ = q.map(math.abs).max
+        q.forall(c => c >= -127L && c <= 127L) &&
+          maxAbsQ == 127L &&
+          v.indices.forall { i =>
+            math.abs(v(i).toDouble - q(i).toDouble / scale) <= 0.5 / scale * (1 + 1e-12)
+          }
+      }
+    })
 }
