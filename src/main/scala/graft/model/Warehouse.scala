@@ -227,6 +227,12 @@ object Warehouse {
       FROM transitions
       ORDER BY user_id, eff_from
     """)) { (spark, dir) =>
+    scd2Intervals(spark, dir).orderBy("user_id", "eff_from")
+  }
+
+  /** The SCD2 interval table [[wScd2Dim]] emits, unordered — shared with
+    * the point-in-time consumer [[jScd2PointInTime]]. */
+  private def scd2Intervals(spark: SparkSession, dir: String): DataFrame = {
     val byKey = Window.partitionBy("user_id").orderBy("ts")
     val transitions = events(spark, dir)
       .select(col("user_id"), col("ts"), col("event_type"))
@@ -237,7 +243,63 @@ object Warehouse {
     transitions
       .withColumn("eff_to", lead("eff_from", 1).over(byFrom))
       .withColumn("is_current", col("eff_to").isNull)
-      .orderBy("user_id", "eff_from")
+  }
+
+  /** POINT-IN-TIME join against the SCD2 dimension — the consumer side
+    * that justifies building SCD2 at all: resolve each fact to the dim
+    * version valid AT ITS TIMESTAMP (equi join on the key + the interval
+    * residual `eff_from <= ts < eff_to`). Scale shape: the join shuffles
+    * on user_id only; the interval predicate is a residual filter inside
+    * the per-key join, and the expansion before filtering is bounded by
+    * versions-per-key (dup chains of attribute changes), never by table
+    * size. The gate is SELF-PROVING: the facts are the same events the
+    * dim was derived from, so every event must land in exactly ONE
+    * interval and the resolved attr must equal the event's own — any
+    * boundary error (>= vs >, null eff_to) breaks n_resolved or n_match
+    * against n_events in the output. */
+  val jScd2PointInTime: QueryDef = QueryDef(
+    "j_scd2_pointintime",
+    Some("""
+      WITH changes AS (
+        SELECT user_id, ts, event_type,
+               lag(event_type) OVER (PARTITION BY user_id ORDER BY ts) AS prev_attr
+        FROM events),
+      transitions AS (
+        SELECT user_id, event_type AS attr, ts AS eff_from
+        FROM changes
+        WHERE prev_attr IS NULL OR prev_attr <> event_type),
+      dim AS (
+        SELECT user_id, attr, eff_from,
+               lead(eff_from) OVER (PARTITION BY user_id ORDER BY eff_from) AS eff_to
+        FROM transitions),
+      resolved AS (
+        SELECT e.user_id, e.event_type, d.attr
+        FROM events e JOIN dim d
+          ON e.user_id = d.user_id
+         AND e.ts >= d.eff_from
+         AND (d.eff_to IS NULL OR e.ts < d.eff_to)),
+      ev AS (SELECT user_id, count(*) AS n_events FROM events GROUP BY user_id)
+      SELECT ev.user_id, ev.n_events,
+             count(r.attr) AS n_resolved,
+             CAST(sum(CASE WHEN r.attr = r.event_type THEN 1 ELSE 0 END) AS BIGINT) AS n_match
+      FROM ev LEFT JOIN resolved r USING (user_id)
+      GROUP BY ev.user_id, ev.n_events
+      ORDER BY user_id
+    """)) { (spark, dir) =>
+    val ev = events(spark, dir).select(col("user_id"), col("ts"), col("event_type"))
+    val dim = scd2Intervals(spark, dir)
+      .select(col("user_id").as("d_user"), col("attr"), col("eff_from"), col("eff_to"))
+    val resolved = ev.join(dim,
+      col("user_id") === col("d_user") &&
+        col("ts") >= col("eff_from") &&
+        (col("eff_to").isNull || col("ts") < col("eff_to")))
+      .select(col("user_id"), col("event_type"), col("attr"))
+    val perUser = ev.groupBy("user_id").agg(count(lit(1)).as("n_events"))
+    perUser.join(resolved, Seq("user_id"), "left")
+      .groupBy("user_id", "n_events")
+      .agg(count(col("attr")).as("n_resolved"),
+        countIf(col("attr") === col("event_type")).as("n_match"))
+      .orderBy("user_id")
   }
 
   /** Incremental aggregate maintenance: the monthly revenue mart is kept
@@ -288,5 +350,5 @@ object Warehouse {
 
   val all: Seq[QueryDef] = Seq(
     s10DateDim, w8SurrogateKeys, s8UpsertMerge, s9AppendIfAbsent, j5DateExprJoin,
-    wScd2Dim, wIncrementalAgg)
+    wScd2Dim, jScd2PointInTime, wIncrementalAgg)
 }
