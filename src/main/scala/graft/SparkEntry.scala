@@ -18,6 +18,7 @@ object SparkEntry {
         operators.Temporal.all ++
         transform.Cleaning.all ++
         analytics.Analytics.all ++
+        analytics.Behavior.all ++
         model.Warehouse.all ++
         quality.Quality.all ++
         llm.TextOps.all ++

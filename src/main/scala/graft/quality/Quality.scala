@@ -364,7 +364,86 @@ object Quality {
       .orderBy("col_name")
   }
 
+  /** SNAPSHOT DIFF — reconcile two versions of a table into
+    * added/removed/changed/unchanged counts, the audit every warehouse
+    * migration and CDC backfill runs. Snapshot B is derived from orders
+    * deterministically (keys %101 deleted, %97 price-bumped, %103 cloned
+    * under a fresh key) so the gate exercises all four classes. Shape: one
+    * full-outer shuffle join on the key, then row-compare — at width,
+    * collapse the per-column `IS DISTINCT FROM` chain into a single
+    * xxhash64 over the value struct so the compare stays one expression
+    * regardless of column count (spelled out here column-wise because the
+    * oracle must replay the exact same semantics). Output is 4 counter
+    * rows; nothing row-level survives the aggregate. */
+  val qSnapshotDiff: QueryDef = QueryDef(
+    "q_snapshot_diff",
+    Some("""
+      WITH base AS (
+        SELECT o_orderkey, o_orderstatus,
+               CASE WHEN o_orderkey % 97 = 3 THEN o_totalprice + 10.0
+                    ELSE o_totalprice END AS o_totalprice
+        FROM orders WHERE o_orderkey % 101 <> 0),
+      adds AS (
+        SELECT o_orderkey + 100000000 AS o_orderkey, o_orderstatus, o_totalprice
+        FROM orders WHERE o_orderkey % 103 = 5),
+      b AS (SELECT * FROM base UNION ALL SELECT * FROM adds)
+      SELECT CASE WHEN a.o_orderkey IS NULL THEN 'added'
+                  WHEN b.o_orderkey IS NULL THEN 'removed'
+                  WHEN a.o_totalprice IS DISTINCT FROM b.o_totalprice
+                    OR a.o_orderstatus IS DISTINCT FROM b.o_orderstatus THEN 'changed'
+                  ELSE 'unchanged' END AS status,
+             count(*) AS n
+      FROM orders a FULL OUTER JOIN b ON a.o_orderkey = b.o_orderkey
+      GROUP BY 1
+      ORDER BY status
+    """)) { (spark, dir) =>
+    val a = tbl(spark, dir, "orders")
+      .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
+    val base = a.filter(col("o_orderkey") % 101 =!= 0)
+      .withColumn("o_totalprice",
+        when(col("o_orderkey") % 97 === 3, col("o_totalprice") + 10.0)
+          .otherwise(col("o_totalprice")))
+    val adds = a.filter(col("o_orderkey") % 103 === 5)
+      .withColumn("o_orderkey", col("o_orderkey") + 100000000L)
+    val b = base.unionAll(adds)
+      .select(col("o_orderkey").as("b_key"), col("o_orderstatus").as("b_status"),
+        col("o_totalprice").as("b_total"))
+    a.join(b, col("o_orderkey") === col("b_key"), "full_outer")
+      .select(
+        when(col("o_orderkey").isNull, "added")
+          .when(col("b_key").isNull, "removed")
+          .when(!(col("o_totalprice") <=> col("b_total")) ||
+            !(col("o_orderstatus") <=> col("b_status")), "changed")
+          .otherwise("unchanged").as("status"))
+      .groupBy("status").agg(count(lit(1)).as("n"))
+      .orderBy("status")
+  }
+
+  /** HEAVY HITTERS — the skew diagnostic run before choosing a join or
+    * aggregation strategy: top-20 keys by row count with a deterministic
+    * key tie-break. Plans as partial count + `TakeOrderedAndProject`
+    * (per-partition top-k, merge on the driver) — no global sort ever
+    * materializes, so the cost at 100 TB is the aggregation itself. The
+    * output is what `a_salted_skew_agg` / `j_salted_skew_join` consume as
+    * their salt-list input. */
+  val qHeavyHitters: QueryDef = QueryDef(
+    "q_heavy_hitters",
+    Some("""
+      SELECT l_suppkey AS key, count(*) AS n
+      FROM lineitem
+      GROUP BY 1
+      ORDER BY n DESC, key
+      LIMIT 20
+    """)) { (spark, dir) =>
+    tbl(spark, dir, "lineitem")
+      .groupBy(col("l_suppkey").as("key"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("key"))
+      .limit(20)
+  }
+
   val all: Seq[QueryDef] = Seq(
     q4NonEmptyNullSk, q5UniqueNotNull, q6NoNegativeAmounts,
-    q7DateKeyValidity, s11AuditLog, qMartQuality, qProfileTable)
+    q7DateKeyValidity, s11AuditLog, qMartQuality, qProfileTable,
+    qSnapshotDiff, qHeavyHitters)
 }
