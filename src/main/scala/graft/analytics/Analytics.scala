@@ -263,7 +263,43 @@ object Analytics {
       .orderBy("ship_date")
   }
 
+  /** TOP-K PER GROUP — the "3 best products per brand" query, written as
+    * a ranked window + `rn <= k` filter so Spark's rank-limit pushdown
+    * (`WindowGroupLimit`, asserted in PlanSpec) keeps only k rows per
+    * group ALIVE THROUGH THE SORT on each map side: at 100 TB the window
+    * never materializes a full per-brand ordering, it streams each
+    * partition keeping a k-row heap. row_number over (revenue DESC,
+    * p_partkey) — not rank — pins ties deterministically. */
+  val wTopkPerGroup: QueryDef = QueryDef(
+    "w_topk_per_group",
+    Some("""
+      WITH rev AS (
+        SELECT p_brand, p_partkey,
+               CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+        FROM lineitem JOIN part ON l_partkey = p_partkey
+        GROUP BY 1, 2),
+      ranked AS (
+        SELECT p_brand, p_partkey, revenue,
+               row_number() OVER (PARTITION BY p_brand
+                                  ORDER BY revenue DESC, p_partkey) AS rn
+        FROM rev)
+      SELECT p_brand, p_partkey, revenue, rn
+      FROM ranked WHERE rn <= 3
+      ORDER BY p_brand, rn
+    """)) { (spark, dir) =>
+    val rev = tbl(spark, dir, "lineitem")
+      .join(broadcast(tbl(spark, dir, "part").select("p_partkey", "p_brand")),
+        col("l_partkey") === col("p_partkey"))
+      .groupBy("p_brand", "p_partkey")
+      .agg(moneySumD(col("l_extendedprice")).as("revenue"))
+    val byBrand = Window.partitionBy("p_brand")
+      .orderBy(col("revenue").desc, col("p_partkey"))
+    rev.withColumn("rn", row_number().over(byBrand))
+      .filter(col("rn") <= 3)
+      .orderBy("p_brand", "rn")
+  }
+
   val all: Seq[QueryDef] = Seq(
     q1MonthlyRevenue, q2CustomerSegmentation, q3ProductRank,
-    q4CohortRetention, q5DailyAnomaly)
+    q4CohortRetention, q5DailyAnomaly, wTopkPerGroup)
 }

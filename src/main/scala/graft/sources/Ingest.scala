@@ -412,8 +412,43 @@ object Ingest {
       .orderBy("o_orderpriority")
   }
 
+  /** SORTED-WRITE DATA SKIPPING (beyond parity) — the companion to
+    * [[sPartitionPruning]] for predicates FINER than the partition grain:
+    * the fact is staged range-partitioned + sorted on `l_shipdate`, so
+    * every parquet row group covers a narrow shipdate interval and a
+    * range predicate prunes via row-group min/max statistics instead of
+    * directory names. At 100 TB this is the ~free ordering discipline
+    * (one range-shuffle at write time) that turns every time-bounded scan
+    * into a small fraction of the bytes; parquet does the skipping, the
+    * plan shows the pushed range filter (asserted in PlanSpec). The
+    * oracle replays the predicate over the unsorted table, proving the
+    * layout changes cost, never results. */
+  val sSortedSkipping: QueryDef = QueryDef(
+    "s_sorted_skipping",
+    Some("""
+      SELECT l_returnflag, count(*) AS n_lines,
+             CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+      FROM lineitem
+      WHERE l_shipdate BETWEEN DATE '1995-06-01' AND DATE '1995-12-31'
+      GROUP BY 1
+      ORDER BY l_returnflag
+    """)) { (spark, dir) =>
+    val stageDir = scratch(dir, "s_sorted_stage")
+    tbl(spark, dir, "lineitem")
+      .select("l_shipdate", "l_returnflag", "l_extendedprice")
+      .repartitionByRange(8, col("l_shipdate"))
+      .sortWithinPartitions("l_shipdate")
+      .write.mode("overwrite").parquet(stageDir)
+    spark.read.parquet(stageDir)
+      .filter(col("l_shipdate").between(
+        to_date(lit("1995-06-01")), to_date(lit("1995-12-31"))))
+      .groupBy("l_returnflag")
+      .agg(count(lit(1)).as("n_lines"), moneySumD(col("l_extendedprice")).as("revenue"))
+      .orderBy("l_returnflag")
+  }
+
   val all: Seq[QueryDef] = Seq(
     s5DocIngest, s7ParquetRoundtrip, sPartitionPruning, sJdbcSource,
     sJdbcCustomers, sCsvRejects, sSchemaEvolution, sOrcRoundtrip,
-    sJsonlRoundtrip)
+    sJsonlRoundtrip, sSortedSkipping)
 }

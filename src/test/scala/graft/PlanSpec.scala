@@ -125,6 +125,22 @@ class PlanSpec extends SparkSpec {
       s"document text leaked past the digest projection:\n$joinSection")
   }
 
+  test("top-k per group plans a WindowGroupLimit, not a full per-group sort") {
+    val plan = finalPlan(analytics.Analytics.wTopkPerGroup.run(spark, sfDir))
+    assert(plan.contains("WindowGroupLimit"),
+      s"rank-limit pushdown missing — window materializes full groups:\n${plan.take(800)}")
+  }
+
+  test("sorted stage read pushes the shipdate range into the parquet scan") {
+    val plan = finalPlan(sources.Ingest.sSortedSkipping.run(spark, sfDir))
+    // the PushedFilters list renders truncated at ~100 chars, so match the
+    // upper bound on its (possibly cut) prefix
+    assert(plan.contains("PushedFilters:") &&
+      plan.contains("GreaterThanOrEqual(l_shipdate") &&
+      plan.contains("LessThanOrEqual(l_shipda"),
+      s"range predicate not pushed to the sorted stage:\n${plan.take(800)}")
+  }
+
   test("ORC roundtrip reads back through an ORC scan with the projection pruned") {
     val plan = finalPlan(sources.Ingest.sOrcRoundtrip.run(spark, sfDir))
     assert(plan.contains("Format: ORC") || plan.contains("orc"),
