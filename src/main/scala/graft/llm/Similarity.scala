@@ -254,6 +254,57 @@ object Similarity {
       .orderBy("vec_id")
   }
 
+  /** sim6 — per-label MEAN VECTOR (the k-means/IVF TRAINING step that
+    * [[simIvfProbe]]'s fixed seed centroids stand in for): element-wise
+    * average of every label's vectors, computed DISTRIBUTED-EXACT.
+    * Cross-row float summation is evaluation-order-dependent, so each
+    * element is first quantized to a 1e-7 fixed-point BIGINT (`floor(v ·
+    * 1e7)` — the float→double widening and the multiply are exact IEEE on
+    * both engines, so the integer is bit-deterministic); the integer sums
+    * then aggregate exactly at any parallelism and the single final
+    * divide reconstructs the mean in double. Quantization error 1e-7 is
+    * at float-ulp scale — the price of a result that is bit-identical on
+    * 1 core or 1000 executors. Shape: `posexplode` fans each vector into
+    * (label, pos, v) rows — dim× the row count but a fraction of the
+    * bytes per row — one partial+final aggregate on (label, pos), then a
+    * dim-bounded ordered reassembly per label. Nothing collects beyond
+    * 64-element lists. */
+  val simCentroids: QueryDef = QueryDef(
+    "sim_centroids",
+    Some("""
+      WITH ex AS (
+        SELECT label,
+               unnest(range(0, len(embedding))) AS pos,
+               unnest(embedding) AS v
+        FROM embeddings),
+      per AS (
+        SELECT label, pos,
+               CAST(sum(CAST(floor(CAST(v AS DOUBLE) * 10000000.0) AS BIGINT)) AS BIGINT) AS s,
+               count(*) AS n
+        FROM ex GROUP BY 1, 2)
+      SELECT label,
+             list(CAST(s AS DOUBLE) / CAST(n AS DOUBLE) / 10000000.0 ORDER BY pos) AS centroid,
+             CAST(max(n) AS BIGINT) AS n_vectors
+      FROM per GROUP BY label ORDER BY label
+    """)) { (spark, dir) =>
+    val per = emb(spark, dir)
+      .select(col("label"), posexplode(col("embedding")).as(Seq("pos", "v")))
+      .groupBy("label", "pos")
+      .agg(
+        sum(floor(col("v").cast(DoubleType) * 10000000.0).cast(LongType)).as("s"),
+        count(lit(1)).as("n"))
+      .select(col("label"), col("pos"),
+        (col("s").cast(DoubleType) / col("n").cast(DoubleType) / 10000000.0).as("c"),
+        col("n"))
+    per.groupBy("label")
+      .agg(
+        transform(array_sort(collect_list(struct(col("pos"), col("c")))), s => s("c"))
+          .as("centroid"),
+        max(col("n")).as("n_vectors"))
+      .orderBy("label")
+  }
+
   val all: Seq[QueryDef] = Seq(
-    simTopKBrute, simLshPairs, simIvfProbe, ddEmbeddingCosine, simQuantizeInt8)
+    simTopKBrute, simLshPairs, simIvfProbe, ddEmbeddingCosine, simQuantizeInt8,
+    simCentroids)
 }

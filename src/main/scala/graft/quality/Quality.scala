@@ -375,6 +375,19 @@ object Quality {
     * regardless of column count (spelled out here column-wise because the
     * oracle must replay the exact same semantics). Output is 4 counter
     * rows; nothing row-level survives the aggregate. */
+  /** The deterministic "next-day" snapshot both reconciliation gates run
+    * against: keys %101 deleted, %97 price-bumped, %103 cloned under a
+    * fresh key. */
+  private def snapshotB(a: DataFrame): DataFrame = {
+    val base = a.filter(col("o_orderkey") % 101 =!= 0)
+      .withColumn("o_totalprice",
+        when(col("o_orderkey") % 97 === 3, col("o_totalprice") + 10.0)
+          .otherwise(col("o_totalprice")))
+    val adds = a.filter(col("o_orderkey") % 103 === 5)
+      .withColumn("o_orderkey", col("o_orderkey") + 100000000L)
+    base.unionAll(adds)
+  }
+
   val qSnapshotDiff: QueryDef = QueryDef(
     "q_snapshot_diff",
     Some("""
@@ -399,13 +412,7 @@ object Quality {
     """)) { (spark, dir) =>
     val a = tbl(spark, dir, "orders")
       .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
-    val base = a.filter(col("o_orderkey") % 101 =!= 0)
-      .withColumn("o_totalprice",
-        when(col("o_orderkey") % 97 === 3, col("o_totalprice") + 10.0)
-          .otherwise(col("o_totalprice")))
-    val adds = a.filter(col("o_orderkey") % 103 === 5)
-      .withColumn("o_orderkey", col("o_orderkey") + 100000000L)
-    val b = base.unionAll(adds)
+    val b = snapshotB(a)
       .select(col("o_orderkey").as("b_key"), col("o_orderstatus").as("b_status"),
         col("o_totalprice").as("b_total"))
     a.join(b, col("o_orderkey") === col("b_key"), "full_outer")
@@ -442,8 +449,77 @@ object Quality {
       .limit(20)
   }
 
+  /** PROFILE DRIFT — the statistical companion to [[qSnapshotDiff]]: where
+    * the diff reconciles ROWS, this compares the two snapshots' PROFILES
+    * (row count, distinct keys, money average/extremes) and flags any
+    * metric that moved more than 1% relative — the cheap day-over-day
+    * monitor that catches an upstream change without ever joining the
+    * snapshots. Each side is ONE single-pass aggregate collapsing to a
+    * 1-row frame; the comparison is a broadcast of two single rows, so
+    * the cost at 100 TB is two column-pruned scans and nothing else.
+    * Averages go through exact decimal sums, so both engines divide
+    * identical numbers. */
+  val qProfileDrift: QueryDef = QueryDef(
+    "q_profile_drift",
+    Some("""
+      WITH b AS (
+        SELECT o_orderkey, o_orderstatus,
+               CASE WHEN o_orderkey % 97 = 3 THEN o_totalprice + 10.0
+                    ELSE o_totalprice END AS o_totalprice
+        FROM orders WHERE o_orderkey % 101 <> 0
+        UNION ALL
+        SELECT o_orderkey + 100000000, o_orderstatus, o_totalprice
+        FROM orders WHERE o_orderkey % 103 = 5),
+      pa AS (
+        SELECT CAST(count(*) AS DOUBLE) AS n_rows,
+               CAST(count(DISTINCT o_orderstatus) AS DOUBLE) AS nd_status,
+               CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+                 / CAST(count(*) AS DOUBLE) AS avg_total,
+               CAST(max(o_totalprice) AS DOUBLE) AS max_total
+        FROM orders),
+      pb AS (
+        SELECT CAST(count(*) AS DOUBLE) AS n_rows,
+               CAST(count(DISTINCT o_orderstatus) AS DOUBLE) AS nd_status,
+               CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+                 / CAST(count(*) AS DOUBLE) AS avg_total,
+               CAST(max(o_totalprice) AS DOUBLE) AS max_total
+        FROM b)
+      SELECT m.metric, m.a_value, m.b_value,
+             CASE WHEN abs(m.b_value - m.a_value) > 0.01 * abs(m.a_value)
+                  THEN 'DRIFT' ELSE 'STABLE' END AS flag
+      FROM (
+        SELECT 'n_rows' AS metric, pa.n_rows AS a_value, pb.n_rows AS b_value FROM pa, pb
+        UNION ALL
+        SELECT 'nd_status', pa.nd_status, pb.nd_status FROM pa, pb
+        UNION ALL
+        SELECT 'avg_total', pa.avg_total, pb.avg_total FROM pa, pb
+        UNION ALL
+        SELECT 'max_total', pa.max_total, pb.max_total FROM pa, pb) m
+      ORDER BY m.metric
+    """)) { (spark, dir) =>
+    val a = tbl(spark, dir, "orders")
+      .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
+    def profile(df: DataFrame, p: String): DataFrame = df.agg(
+      count(lit(1)).cast(DoubleType).as(s"${p}n_rows"),
+      countDistinct(col("o_orderstatus")).cast(DoubleType).as(s"${p}nd_status"),
+      (moneySumD(col("o_totalprice")) / count(lit(1)).cast(DoubleType))
+        .as(s"${p}avg_total"),
+      max(col("o_totalprice")).cast(DoubleType).as(s"${p}max_total"))
+    val joined = profile(a, "a_").crossJoin(broadcast(profile(snapshotB(a), "b_")))
+    def metric(name: String) = struct(lit(name).as("metric"),
+      col(s"a_$name").as("a_value"), col(s"b_$name").as("b_value"))
+    joined
+      .select(explode(array(
+        metric("n_rows"), metric("nd_status"),
+        metric("avg_total"), metric("max_total"))).as("m"))
+      .select(col("m.metric"), col("m.a_value"), col("m.b_value"),
+        when(abs(col("m.b_value") - col("m.a_value")) >
+          lit(0.01) * abs(col("m.a_value")), "DRIFT").otherwise("STABLE").as("flag"))
+      .orderBy("metric")
+  }
+
   val all: Seq[QueryDef] = Seq(
     q4NonEmptyNullSk, q5UniqueNotNull, q6NoNegativeAmounts,
     q7DateKeyValidity, s11AuditLog, qMartQuality, qProfileTable,
-    qSnapshotDiff, qHeavyHitters)
+    qSnapshotDiff, qHeavyHitters, qProfileDrift)
 }

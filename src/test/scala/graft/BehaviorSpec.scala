@@ -67,6 +67,41 @@ class BehaviorSpec extends SparkSpec {
     assert(got("unchanged") === nTotal - nRemoved - nChanged)
   }
 
+  test("centroids match a driver-side recomputation at any partitioning") {
+    val got = llm.Similarity.simCentroids.run(spark, sfDir).collect()
+      .map(r => r.getInt(0) -> r.getSeq[Double](1)).toMap
+    // brute-force reference: same fixed-point quantization, computed
+    // single-threaded on the driver
+    val rows = core.tbl(spark, sfDir, "embeddings")
+      .select("label", "embedding").collect()
+      .map(r => r.getInt(0) -> r.getSeq[Float](1))
+    val expect = rows.groupBy(_._1).map { case (label, vs) =>
+      val dim = vs.head._2.length
+      val sums = Array.fill(dim)(0L)
+      vs.foreach { case (_, v) =>
+        for (i <- 0 until dim) sums(i) += math.floor(v(i).toDouble * 1e7).toLong
+      }
+      label -> sums.map(s => s.toDouble / vs.length.toDouble / 1e7).toSeq
+    }
+    assert(got.keySet === expect.keySet)
+    for (l <- got.keySet)
+      assert(got(l) === expect(l), s"label $l centroid diverged from reference")
+  }
+
+  test("drift flags are exactly the >1%-relative-move metrics") {
+    val rows = quality.Quality.qProfileDrift.run(spark, sfDir).collect()
+    assert(rows.length === 4)
+    for (r <- rows) {
+      val (a, b, flag) = (r.getDouble(1), r.getDouble(2), r.getString(3))
+      val expect = if (math.abs(b - a) > 0.01 * math.abs(a)) "DRIFT" else "STABLE"
+      assert(flag === expect, s"metric ${r.getString(0)}: a=$a b=$b flagged $flag")
+    }
+    // the synthetic snapshot changes ~1% of rows and bumps prices — the
+    // row-count metric must register as a real, detected drift... unless
+    // adds and deletes happen to cancel inside the threshold; assert the
+    // flag agrees with the actual delta rather than hard-coding it
+  }
+
   test("sessionization plans one data shuffle; heavy hitters avoids a global sort") {
     val sessPlan = analytics.Behavior.aSessionizeGaps.run(spark, sfDir)
       .queryExecution.executedPlan.toString
