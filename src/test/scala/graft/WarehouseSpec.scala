@@ -93,4 +93,15 @@ class WarehouseSpec extends SparkSpec {
       .collect().map(_.toSeq).toSeq
     assert(incr === full)
   }
+
+  test("incremental SCD2 equals the full rebuild at every cutoff, including degenerate ones") {
+    val full = Warehouse.wScd2Dim.run(spark, sfDir).collect().map(_.toSeq).toSeq
+    // mid-span (the gated cutoff), before-span (all delta, empty dim),
+    // after-span (empty delta, dim passes through untouched)
+    for (cutoff <- Seq("2024-01-21 00:00:00", "2000-01-01 00:00:00", "2100-01-01 00:00:00")) {
+      val incr = Warehouse.scd2IncrementalAt(spark, sfDir, cutoff)
+        .orderBy("user_id", "eff_from").collect().map(_.toSeq).toSeq
+      assert(incr === full, s"incremental diverged from full rebuild at cutoff $cutoff")
+    }
+  }
 }
