@@ -304,7 +304,95 @@ object Similarity {
       .orderBy("label")
   }
 
+  /** sim7 — one full LLOYD'S K-MEANS round trip (seed → assign → exact
+    * recompute → reassign), the training loop [[simCentroids]] is the
+    * inner step of. Assignment minimizes squared L2 via the expansion
+    * `‖c‖² − 2x·c` (‖x‖² is constant per vector and drops out of the
+    * argmin); the per-centroid norm is precomputed once and travels
+    * inside the SAME broadcast row as the centroid, so each pass is a
+    * map-side higher-order argmin — no shuffle ever carries a vector,
+    * exactly the [[simIvfProbe]] posture. Recomputed centroids go through
+    * the 1e-7 fixed-point mean, so iteration 2 starts from bit-identical
+    * doubles on both engines and every downstream distance agrees.
+    * Unrolled to 2 assignment passes — at scale each extra round is one
+    * more map pass plus one (cell, pos) aggregate, never a join. */
+  val simKmeans: QueryDef = QueryDef(
+    "sim_kmeans",
+    Some(s"""
+      WITH c0 AS (
+        SELECT CAST(vec_id AS INTEGER) AS cent_id, embedding AS cv
+        FROM embeddings WHERE vec_id < 8),
+      a1 AS (
+        SELECT e.vec_id, e.embedding,
+               arg_min(c.cent_id,
+                 ${dotSql("c.cv", "c.cv")} - 2 * ${dotSql("e.embedding", "c.cv")}
+                   + 1e-12 * c.cent_id) AS cell
+        FROM embeddings e, c0 c
+        GROUP BY e.vec_id, e.embedding),
+      ex AS (
+        SELECT cell, unnest(range(0, len(embedding))) AS pos, unnest(embedding) AS v
+        FROM a1),
+      per AS (
+        SELECT cell, pos,
+               CAST(sum(CAST(floor(CAST(v AS DOUBLE) * 10000000.0) AS BIGINT)) AS BIGINT) AS s,
+               count(*) AS n
+        FROM ex GROUP BY 1, 2),
+      c1 AS (
+        SELECT cell AS cent_id,
+               list(CAST(s AS DOUBLE) / CAST(n AS DOUBLE) / 10000000.0 ORDER BY pos) AS cv
+        FROM per GROUP BY cell),
+      a2 AS (
+        SELECT e.vec_id,
+               arg_min(c.cent_id,
+                 ${dotSql("c.cv", "c.cv")} - 2 * ${dotSql("e.embedding", "c.cv")}
+                   + 1e-12 * c.cent_id) AS cell
+        FROM embeddings e, c1 c
+        GROUP BY e.vec_id, e.embedding),
+      sizes AS (SELECT cell, count(*) AS n_members FROM a2 GROUP BY 1)
+      SELECT c1.cent_id AS cluster_id,
+             CAST(coalesce(sizes.n_members, 0) AS BIGINT) AS n_members,
+             c1.cv AS centroid
+      FROM c1 LEFT JOIN sizes ON c1.cent_id = sizes.cell
+      ORDER BY cluster_id
+    """)) { (spark, dir) =>
+    val e = emb(spark, dir).select(col("vec_id"), col("embedding"))
+    // one argmin assignment pass: centroids (with their norms) fold into a
+    // single broadcast row; ties broken toward the lower cent_id by the
+    // same 1e-12 bias the oracle applies
+    def assign(cents: DataFrame): DataFrame = {
+      val packed = cents
+        .withColumn("cc", dot(col("cv"), col("cv")))
+        .agg(collect_list(struct(col("cent_id"), col("cv"), col("cc"))).as("cents"))
+      val best = array_min(transform(col("cents"), c => struct(
+        (c("cc") - lit(2.0) * dot(col("embedding"), c("cv"))
+          + lit(1e-12) * c("cent_id")).as("score"),
+        c("cent_id").as("cent_id"))))
+      e.crossJoin(broadcast(packed))
+        .select(col("vec_id"), col("embedding"), best("cent_id").as("cell"))
+    }
+    val cents0 = e.filter(col("vec_id") < 8)
+      .select(col("vec_id").cast(IntegerType).as("cent_id"),
+        col("embedding").cast(ArrayType(DoubleType)).as("cv"))
+    // exact fixed-point recompute (see simCentroids) keyed by cell
+    val cents1 = assign(cents0)
+      .select(col("cell"), posexplode(col("embedding")).as(Seq("pos", "v")))
+      .groupBy("cell", "pos")
+      .agg(
+        sum(floor(col("v").cast(DoubleType) * 10000000.0).cast(LongType)).as("s"),
+        count(lit(1)).as("n"))
+      .select(col("cell"), col("pos"),
+        (col("s").cast(DoubleType) / col("n").cast(DoubleType) / 10000000.0).as("c"))
+      .groupBy(col("cell").as("cent_id"))
+      .agg(transform(array_sort(collect_list(struct(col("pos"), col("c")))), s => s("c"))
+        .as("cv"))
+    val sizes = assign(cents1).groupBy(col("cell")).agg(count(lit(1)).as("n_members"))
+    cents1.join(sizes, col("cent_id") === col("cell"), "left")
+      .select(col("cent_id").as("cluster_id"),
+        coalesce(col("n_members"), lit(0L)).as("n_members"), col("cv").as("centroid"))
+      .orderBy("cluster_id")
+  }
+
   val all: Seq[QueryDef] = Seq(
     simTopKBrute, simLshPairs, simIvfProbe, ddEmbeddingCosine, simQuantizeInt8,
-    simCentroids)
+    simCentroids, simKmeans)
 }
