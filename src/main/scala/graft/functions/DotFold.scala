@@ -93,7 +93,14 @@ case class DotFold(left: Expression, right: Expression) extends BinaryExpression
   * session's FunctionRegistry (so `graft_dot` is callable from SQL and via
   * `call_function`) and the [[FuseDotFold]] optimizer rule (so the
   * declarative HOF dot-product fold runs on the fused kernel) — wire with
-  * `.config("spark.sql.extensions", "graft.functions.GraftExtensions")`. */
+  * `.config("spark.sql.extensions", "graft.functions.GraftExtensions")`.
+  *
+  * Also surfaces Spark's own bloom-filter expressions
+  * (`BloomFilterAggregate` / `BloomFilterMightContain` — the machinery
+  * behind AQE's injected runtime row-level filters, present in the engine
+  * but not SQL-registered) as `graft_bloom_agg` / `graft_might_contain`,
+  * so a pipeline can build and apply a semi-join prefilter EXPLICITLY
+  * where the optimizer's cost model wouldn't inject one. */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectFunction((
@@ -102,6 +109,29 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (children: Seq[Expression]) => {
         require(children.length == 2, "graft_dot takes exactly 2 arguments")
         DotFold(children.head, children(1))
+      }))
+    ext.injectFunction((
+      FunctionIdentifier("graft_bloom_agg"),
+      new ExpressionInfo(
+        classOf[org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate].getName,
+        "graft_bloom_agg"),
+      (children: Seq[Expression]) => children match {
+        case Seq(c) =>
+          new org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate(c)
+        case Seq(c, n) =>
+          new org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate(c, n)
+        case _ => throw new IllegalArgumentException(
+          "graft_bloom_agg takes (xxhash64 value[, estimated items])")
+      }))
+    ext.injectFunction((
+      FunctionIdentifier("graft_might_contain"),
+      new ExpressionInfo(
+        classOf[org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain].getName,
+        "graft_might_contain"),
+      (children: Seq[Expression]) => {
+        require(children.length == 2, "graft_might_contain takes exactly 2 arguments")
+        org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain(
+          children.head, children(1))
       }))
     ext.injectOptimizerRule(_ => FuseDotFold)
   }

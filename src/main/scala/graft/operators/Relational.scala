@@ -390,9 +390,51 @@ object Relational {
       .orderBy("event_type")
   }
 
+  /** BLOOM-PREFILTERED SEMI JOIN (beyond parity) — the explicit form of
+    * the runtime row-level filter Spark's optimizer injects only when its
+    * cost model chooses to: a bloom filter is built over the SELECTIVE
+    * side's join keys ([[graft.functions.GraftExtensions]] surfaces the
+    * engine's own `BloomFilterAggregate`/`BloomFilterMightContain`), lands
+    * in a scalar subquery, and drops non-matching fact rows AT THE SCAN —
+    * before any exchange. The exact semi join afterwards removes the
+    * false positives, so results are exact (bloom filters have no false
+    * negatives) and the oracle is the plain `IN` semi join. At 100 TB the
+    * few-MB filter reaches every scan task and eliminates ~the
+    * non-matching fraction of shuffle bytes — the difference between
+    * shuffling 100 TB and shuffling the 20% that survives. */
+  val jBloomPrefilter: QueryDef = QueryDef(
+    "j_bloom_prefilter",
+    Some("""
+      SELECT l_returnflag, count(*) AS n_lines,
+             CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+      FROM lineitem
+      WHERE l_orderkey IN
+        (SELECT o_orderkey FROM orders WHERE o_orderpriority = '1-URGENT')
+      GROUP BY 1
+      ORDER BY l_returnflag
+    """)) { (spark, dir) =>
+    tbl(spark, dir, "orders").createOrReplaceTempView("g_bloom_orders")
+    tbl(spark, dir, "lineitem").createOrReplaceTempView("g_bloom_lineitem")
+    spark.sql("""
+      WITH sel AS (
+        SELECT o_orderkey FROM g_bloom_orders WHERE o_orderpriority = '1-URGENT'),
+      pre AS (
+        SELECT l_orderkey, l_returnflag, l_extendedprice
+        FROM g_bloom_lineitem
+        WHERE graft_might_contain(
+          (SELECT graft_bloom_agg(xxhash64(o_orderkey), CAST(100000 AS BIGINT)) FROM sel),
+          xxhash64(l_orderkey)))
+      SELECT l_returnflag, count(*) AS n_lines,
+             CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+      FROM pre LEFT SEMI JOIN sel ON l_orderkey = o_orderkey
+      GROUP BY l_returnflag
+      ORDER BY l_returnflag
+    """)
+  }
+
   val all: Seq[QueryDef] = Seq(
     s1ScanProject, s2IncrementalScan, s6StringWatermark, pPredicates,
     d1DedupKeepFirst, d4IntegritySemiJoin, d5RejectAccounting,
     j1StarJoin, j4LeftSkResolution, j7AntiOrphans, j8CorrelatedSubquery,
-    jBucketedColocated, jSaltedSkewJoin, o4SetOps)
+    jBucketedColocated, jSaltedSkewJoin, o4SetOps, jBloomPrefilter)
 }

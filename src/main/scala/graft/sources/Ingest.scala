@@ -447,8 +447,43 @@ object Ingest {
       .orderBy("l_returnflag")
   }
 
+  /** SMALL-FILE COMPACTION (beyond parity) — the lakehouse `OPTIMIZE`
+    * maintenance pass: a fragmented landing (64 shards here; in production
+    * thousands of per-batch micro-files whose open/footer overhead
+    * dominates scan time) is rewritten into a few right-sized files. The
+    * rewrite is ONE shuffle-free coalesce — `coalesce(4)` merges input
+    * splits without repartitioning, so compaction cost is a copy, not a
+    * shuffle — and at 100 TB the same pass is driven by a target file
+    * size (`maxRecordsPerFile` / AQE advisory partition size) instead of
+    * a fixed count. The oracle aggregates the original table, proving
+    * compaction preserves content exactly; the spec asserts the file
+    * count actually collapsed. */
+  val sCompactSmallFiles: QueryDef = QueryDef(
+    "s_compact_small_files",
+    Some("""
+      SELECT o_orderpriority, count(*) AS n_orders,
+             CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+      FROM orders
+      GROUP BY 1
+      ORDER BY o_orderpriority
+    """)) { (spark, dir) =>
+    val smallDir = scratch(dir, "s_compact_small")
+    val outDir = scratch(dir, "s_compact_out")
+    tbl(spark, dir, "orders")
+      .select("o_orderkey", "o_orderpriority", "o_totalprice")
+      .repartition(64) // the fragmented landing a streaming writer leaves
+      .write.mode("overwrite").parquet(smallDir)
+    spark.read.parquet(smallDir)
+      .coalesce(4)
+      .write.mode("overwrite").parquet(outDir)
+    spark.read.parquet(outDir)
+      .groupBy("o_orderpriority")
+      .agg(count(lit(1)).as("n_orders"), moneySumD(col("o_totalprice")).as("revenue"))
+      .orderBy("o_orderpriority")
+  }
+
   val all: Seq[QueryDef] = Seq(
     s5DocIngest, s7ParquetRoundtrip, sPartitionPruning, sJdbcSource,
     sJdbcCustomers, sCsvRejects, sSchemaEvolution, sOrcRoundtrip,
-    sJsonlRoundtrip, sSortedSkipping)
+    sJsonlRoundtrip, sSortedSkipping, sCompactSmallFiles)
 }

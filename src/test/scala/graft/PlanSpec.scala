@@ -141,6 +141,30 @@ class PlanSpec extends SparkSpec {
       s"range predicate not pushed to the sorted stage:\n${plan.take(800)}")
   }
 
+  test("bloom prefilter evaluates at the fact scan, ahead of the exact semi join") {
+    val df = operators.Relational.jBloomPrefilter.run(spark, sfDir)
+    val plan = finalPlan(df)
+    assert(plan.contains("might_contain"),
+      s"bloom predicate missing from the physical plan:\n${plan.take(800)}")
+    assert(plan.contains("LeftSemi"),
+      "exact semi join (false-positive removal) missing")
+    // the bloom test must sit in a Filter below the join, not after it
+    val filterIdx = plan.indexOf("might_contain")
+    val joinIdx = plan.indexOf("LeftSemi")
+    assert(filterIdx > joinIdx,
+      "bloom filter rendered above the join — prefilter not at the scan side")
+  }
+
+  test("compaction collapses the fragmented landing without changing content") {
+    sources.Ingest.sCompactSmallFiles.run(spark, sfDir).collect()
+    def files(name: String) =
+      new java.io.File(core.scratch(sfDir, name))
+        .listFiles().count(_.getName.endsWith(".parquet"))
+    assert(files("s_compact_small") === 64, "fragmented landing not staged as expected")
+    assert(files("s_compact_out") === 4,
+      "compaction did not produce the target file count")
+  }
+
   test("ORC roundtrip reads back through an ORC scan with the projection pruned") {
     val plan = finalPlan(sources.Ingest.sOrcRoundtrip.run(spark, sfDir))
     assert(plan.contains("Format: ORC") || plan.contains("orc"),
