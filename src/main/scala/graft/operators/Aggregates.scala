@@ -2,6 +2,7 @@ package graft.operators
 
 import graft.{QueryDef, core}
 import graft.core._
+import org.apache.spark.sql.Column
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
@@ -423,8 +424,47 @@ object Aggregates {
       .orderBy("day")
   }
 
+  /** RE-AGGREGATABLE SKETCH MARTS (beyond parity) — the reason a warehouse
+    * stores per-day DISTINCT SKETCHES instead of per-day distinct COUNTS:
+    * counts don't add across days (the same customer appears twice), but
+    * DataSketches HLL unions do — the month answer comes from merging ~30
+    * kilobyte-sized sketches instead of rescanning the month. (The union
+    * is register-lossless only once sketches are in dense HLL mode; small
+    * daily sketches sit in sparse mode and promotion during union can
+    * shift the estimate a hair from the directly-built sketch, so the
+    * gate pins the CONTRACT — merged and global estimates both inside the
+    * [[aApproxDistinct]]-style ±15% band around the exact count — rather
+    * than register equality.) At 100 TB the daily sketch mart turns every
+    * distinct-over-arbitrary-range query from a scan into a
+    * broadcast-sized merge. */
+  val aSketchMerge: QueryDef = QueryDef(
+    "a_sketch_merge",
+    Some("""
+      SELECT count(DISTINCT o_custkey) AS exact_distinct,
+             true AS merged_within_bound,
+             true AS global_within_bound
+      FROM orders
+    """)) { (spark, dir) =>
+    val o = tbl(spark, dir, "orders")
+    // the daily mart: one ~KB sketch per day, built in one pass
+    val merged = o.groupBy("o_orderdate")
+      .agg(hll_sketch_agg(col("o_custkey")).as("sk"))
+      .agg(hll_sketch_estimate(hll_union_agg(col("sk"))).as("merged_est"))
+    val global = o.agg(
+      hll_sketch_estimate(hll_sketch_agg(col("o_custkey"))).as("global_est"),
+      countDistinct(col("o_custkey")).as("exact_distinct"))
+    def withinBound(est: Column, exact: Column): Column =
+      abs(est.cast(DoubleType) / exact.cast(DoubleType) - 1.0) <= 0.15
+    merged.crossJoin(broadcast(global))
+      .select(
+        col("exact_distinct"),
+        withinBound(col("merged_est"), col("exact_distinct")).as("merged_within_bound"),
+        withinBound(col("global_est"), col("exact_distinct")).as("global_within_bound"))
+  }
+
   val all: Seq[QueryDef] = Seq(
     a1ProductRollup, a2DailySalesRollup, a7CountDistinct, a10DupAudit,
     a11NullRate, aRollupSets, aApproxDistinct, aSaltedSkewAgg,
-    aApproxPercentile, aTimeWindowBatch, aPivot, aUnpivot, aCumulativeUsers)
+    aApproxPercentile, aTimeWindowBatch, aPivot, aUnpivot, aCumulativeUsers,
+    aSketchMerge)
 }
