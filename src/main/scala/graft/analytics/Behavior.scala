@@ -2,6 +2,7 @@ package graft.analytics
 
 import graft.{QueryDef, core}
 import graft.core._
+import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
@@ -20,6 +21,25 @@ import org.apache.spark.sql.types._
 object Behavior {
 
   private val GapUs = 1800L * 1000000L // 30-minute inactivity gap, in µs
+
+  /** The sessionizer core over `(user_id, us: Long, value)` — per-session
+    * `(user_id, session_id, start_us, end_us, n_events, total_value)`.
+    * Exposed so the property suite can drive generated event sets through
+    * the REAL window expressions against a single-node reference. */
+  def sessionize(ev: DataFrame, gapUs: Long): DataFrame = {
+    val byUser = Window.partitionBy("user_id").orderBy("us")
+    ev.withColumn("boundary",
+        when(lag("us", 1).over(byUser).isNull ||
+          col("us") - lag("us", 1).over(byUser) > gapUs, 1).otherwise(0))
+      .withColumn("session_id",
+        sum("boundary").over(byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy("user_id", "session_id")
+      .agg(
+        min("us").as("start_us"),
+        max("us").as("end_us"),
+        count(lit(1)).as("n_events"),
+        moneySumD(col("value")).as("total_value"))
+  }
 
   /** Gap-based SESSIONIZATION (batch twin of the streaming
     * `st_session_windows` gate): a new session starts when a user is idle
@@ -56,21 +76,15 @@ object Behavior {
       GROUP BY 1, 2
       ORDER BY user_id, session_id
     """)) { (spark, dir) =>
-    val byUser = Window.partitionBy("user_id").orderBy("us")
-    tbl(spark, dir, "events")
-      .select(col("user_id"), expr("ts div 1000").as("us"), col("value"))
-      .withColumn("boundary",
-        when(lag("us", 1).over(byUser).isNull ||
-          col("us") - lag("us", 1).over(byUser) > GapUs, 1).otherwise(0))
-      .withColumn("session_id",
-        sum("boundary").over(byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
-      .groupBy("user_id", "session_id")
-      .agg(
-        expr("timestamp_micros(min(us))").cast(TimestampNTZType).as("session_start"),
-        expr("timestamp_micros(max(us))").cast(TimestampNTZType).as("session_end"),
-        count(lit(1)).as("n_events"),
-        moneySumD(col("value")).as("total_value"),
-        ((max("us") - min("us")).cast(DoubleType) / 1000000.0).as("duration_sec"))
+    sessionize(
+      tbl(spark, dir, "events")
+        .select(col("user_id"), expr("ts div 1000").as("us"), col("value")),
+      GapUs)
+      .select(col("user_id"), col("session_id"),
+        expr("timestamp_micros(start_us)").cast(TimestampNTZType).as("session_start"),
+        expr("timestamp_micros(end_us)").cast(TimestampNTZType).as("session_end"),
+        col("n_events"), col("total_value"),
+        ((col("end_us") - col("start_us")).cast(DoubleType) / 1000000.0).as("duration_sec"))
       .orderBy("user_id", "session_id")
   }
 

@@ -151,6 +151,29 @@ class PropertySpec extends SparkSpec {
         !n1.exists(c => c == '\t' || c == '\n' || c == '\r') && !n1.contains("  ")
     })
 
+  check("gap sessionization matches a single-node reference on generated event sets")(
+    Prop.forAll(Gen.nonEmptyListOf(
+      Gen.zip(Gen.chooseNum(0L, 3L), Gen.chooseNum(0L, 8000L)))) { rows =>
+      val gap = 1000L
+      val got = analytics.Behavior.sessionize(
+        rows.map { case (u, us) => (u, us, 1.0) }.toDF("user_id", "us", "value"),
+        gap)
+        .select("user_id", "session_id", "start_us", "end_us", "n_events")
+        .as[(Long, Long, Long, Long, Long)].collect().toSet
+      // reference: sort each user's times, split on gap, number sessions 1..n
+      val expect = rows.groupBy(_._1).flatMap { case (u, es) =>
+        val ts = es.map(_._2).sorted
+        val sessions = ts.tail.foldLeft(List(List(ts.head))) { (acc, t) =>
+          if (t - acc.head.head > gap) List(t) :: acc
+          else (t :: acc.head) :: acc.tail
+        }.reverse.map(_.reverse)
+        sessions.zipWithIndex.map { case (s, i) =>
+          (u, (i + 1).toLong, s.min, s.max, s.length.toLong)
+        }
+      }.toSet
+      got == expect
+    })
+
   check("int8 quantization: codes bounded, max lane saturates, reconstruction within half a step")(
     Prop.forAll(Gen.nonEmptyListOf(Gen.chooseNum(-1e3f, 1e3f))) { xs =>
       val row = llm.Similarity.quantizeInt8(Seq(xs.toArray).toDF("v"), col("v"))
