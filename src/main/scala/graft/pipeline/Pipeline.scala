@@ -277,5 +277,81 @@ object Pipeline {
           .otherwise("SUCCESS").as("run_status"))
   }
 
-  val all: Seq[QueryDef] = Seq(pipelineE2e, pipelineIncremental)
+  // -- corpus curation DAG (the LLM-side twin of the warehouse dailyDag) --
+
+  /** The training-corpus pipeline as a REGISTRY DAG — normalize → quality
+    * filter → exact dedup → per-source stats, the same staging/mart split
+    * the warehouse models use: text-bearing stages stay lazy views
+    * (Catalyst inlines them, so the filter reaches the document scan), the
+    * deduped corpus and its rollup materialize as parquet marts. A planted
+    * duplicate set (doc_id % 7, cloned under +200000) exercises the dedup
+    * stage; the dedup window partitions on `md5(ntext)` so the shuffle key
+    * is a fixed-width digest, never document text. */
+  val corpusDag: ModelRegistry = new ModelRegistry(Seq(
+    ModelDef("stg_corpus_raw", Nil, mart = false) { (spark, dir, _) =>
+      val d = tbl(spark, dir, "documents").select("doc_id", "source", "text")
+      d.unionAll(d.filter(col("doc_id") % 7 === 0)
+        .select((col("doc_id") + 200000L).as("doc_id"), col("source"), col("text")))
+    },
+    ModelDef("stg_corpus_norm", Seq("stg_corpus_raw"), mart = false) { (_, _, ref) =>
+      ref("stg_corpus_raw").select(col("doc_id"), col("source"),
+        graft.llm.Curation.normalizeWs(col("text")).as("ntext"))
+    },
+    ModelDef("stg_corpus_kept", Seq("stg_corpus_norm"), mart = false) { (_, _, ref) =>
+      val t = split(col("ntext"), "\\s+")
+      val mwl = length(regexp_replace(col("ntext"), " ", "")).cast(DoubleType) /
+        size(t).cast(DoubleType)
+      ref("stg_corpus_norm")
+        .filter(size(t).between(20, 1000) && mwl.between(2.0, 12.0))
+        .withColumn("n_toks", size(t).cast(LongType))
+    },
+    ModelDef("mart_corpus", Seq("stg_corpus_kept"), mart = true) { (_, _, ref) =>
+      val byFp = org.apache.spark.sql.expressions.Window.partitionBy(md5(col("ntext")))
+      ref("stg_corpus_kept")
+        .withColumn("canon_id", min("doc_id").over(byFp))
+        .filter(col("doc_id") === col("canon_id"))
+        .select("doc_id", "source", "n_toks")
+    },
+    ModelDef("mart_corpus_stats", Seq("mart_corpus"), mart = true) { (_, _, ref) =>
+      ref("mart_corpus").groupBy("source")
+        .agg(count(lit(1)).as("n_docs"), sum("n_toks").as("n_tokens"))
+    }))
+
+  /** §3.2 on the corpus side: run the curation DAG through the registry
+    * and emit the per-source mart; the oracle replays every stage
+    * (normalize → keep rule → min-id dedup → rollup) in SQL. */
+  val pipelineCorpus: QueryDef = QueryDef(
+    "pipeline_corpus",
+    Some("""
+      WITH src AS (
+        SELECT doc_id, source, text FROM documents
+        UNION ALL
+        SELECT doc_id + 200000, source, text FROM documents WHERE doc_id % 7 = 0),
+      norm AS (
+        SELECT doc_id, source,
+               trim(regexp_replace(text, '[ \t\n\r]+', ' ', 'g')) AS ntext
+        FROM src),
+      kept AS (
+        SELECT doc_id, source, ntext,
+               CAST(len(string_split_regex(ntext, '\s+')) AS BIGINT) AS n_toks
+        FROM norm
+        WHERE len(string_split_regex(ntext, '\s+')) BETWEEN 20 AND 1000
+          AND CAST(length(replace(ntext, ' ', '')) AS DOUBLE)
+              / CAST(len(string_split_regex(ntext, '\s+')) AS DOUBLE)
+              BETWEEN 2.0 AND 12.0),
+      canon AS (
+        SELECT doc_id, source, n_toks,
+               doc_id = min(doc_id) OVER (PARTITION BY md5(ntext)) AS is_canon
+        FROM kept)
+      SELECT source, count(*) AS n_docs, CAST(sum(n_toks) AS BIGINT) AS n_tokens
+      FROM canon WHERE is_canon
+      GROUP BY source
+      ORDER BY source
+    """)) { (spark, dir) =>
+    corpusDag.run(spark, dir, viewPrefix = "graft_corpus_", martPrefix = "corpus_marts")
+      .apply("mart_corpus_stats")
+      .orderBy("source")
+  }
+
+  val all: Seq[QueryDef] = Seq(pipelineE2e, pipelineIncremental, pipelineCorpus)
 }
