@@ -353,5 +353,60 @@ object Pipeline {
       .orderBy("source")
   }
 
-  val all: Seq[QueryDef] = Seq(pipelineE2e, pipelineIncremental, pipelineCorpus)
+  /** Post-load quality audit over the MATERIALIZED corpus marts (the
+    * corpus twin of `q_mart_quality`): key uniqueness, the token-range
+    * contract the filter stage guarantees, and cross-mart consistency
+    * between the corpus and its rollup — each check a single-pass
+    * aggregate over the parquet the DAG actually wrote, not the lazy
+    * lineage that produced it. */
+  val qCorpusQuality: QueryDef = QueryDef(
+    "q_corpus_quality",
+    Some("""
+      WITH src AS (
+        SELECT doc_id, source, text FROM documents
+        UNION ALL
+        SELECT doc_id + 200000, source, text FROM documents WHERE doc_id % 7 = 0),
+      norm AS (
+        SELECT doc_id, source,
+               trim(regexp_replace(text, '[ \t\n\r]+', ' ', 'g')) AS ntext
+        FROM src),
+      kept AS (
+        SELECT doc_id, source, ntext,
+               CAST(len(string_split_regex(ntext, '\s+')) AS BIGINT) AS n_toks
+        FROM norm
+        WHERE len(string_split_regex(ntext, '\s+')) BETWEEN 20 AND 1000
+          AND CAST(length(replace(ntext, ' ', '')) AS DOUBLE)
+              / CAST(len(string_split_regex(ntext, '\s+')) AS DOUBLE)
+              BETWEEN 2.0 AND 12.0),
+      mart AS (
+        SELECT doc_id, source, n_toks FROM (
+          SELECT doc_id, source, n_toks,
+                 doc_id = min(doc_id) OVER (PARTITION BY md5(ntext)) AS is_canon
+          FROM kept) WHERE is_canon)
+      SELECT count(*) AS n_docs,
+             CAST(count(*) - count(DISTINCT doc_id) AS BIGINT) AS n_dup_ids,
+             CAST(sum(CASE WHEN n_toks BETWEEN 20 AND 1000 THEN 0 ELSE 1 END) AS BIGINT)
+               AS n_tok_out_of_range,
+             true AS stats_match
+      FROM mart
+    """)) { (spark, dir) =>
+    val outs = corpusDag.run(spark, dir,
+      viewPrefix = "graft_corpus_", martPrefix = "corpus_marts")
+    val mart = outs("mart_corpus")
+    val stats = outs("mart_corpus_stats")
+    val m = mart.agg(
+      count(lit(1)).as("n_docs"),
+      (count(lit(1)) - countDistinct(col("doc_id"))).as("n_dup_ids"),
+      sum(when(col("n_toks").between(20, 1000), 0).otherwise(1)).as("n_tok_out_of_range"),
+      sum(col("n_toks")).as("mart_tokens"))
+    val s = stats.agg(
+      sum(col("n_docs")).as("stats_docs"), sum(col("n_tokens")).as("stats_tokens"))
+    m.crossJoin(broadcast(s))
+      .select(col("n_docs"), col("n_dup_ids"), col("n_tok_out_of_range"),
+        (col("stats_docs") === col("n_docs") &&
+          col("stats_tokens") === col("mart_tokens")).as("stats_match"))
+  }
+
+  val all: Seq[QueryDef] = Seq(
+    pipelineE2e, pipelineIncremental, pipelineCorpus, qCorpusQuality)
 }
