@@ -9,6 +9,24 @@ import org.apache.spark.sql.functions._
   * the dbt custom tests). */
 class QualitySpec extends SparkSpec {
 
+  test("composite uniqueness treats (k, NULL) and (NULL, k) as distinct keys") {
+    import SparkSpec.spark.implicits._
+    // all three pairs are distinct — a concat_ws encoding collapses the
+    // first two to "1" and would report a false duplicate
+    val unique = Seq(
+      (Option(1), Option.empty[Int]),
+      (Option.empty[Int], Option(1)),
+      (Option(1), Option(1))).toDF("a", "b")
+    assert(unique.agg(Quality.compositeUniquePassed("a", "b")).head.getBoolean(0),
+      "distinct nullable pairs misreported as duplicates")
+    // a genuinely repeated (NULL, NULL) pair must still fail
+    val dup = Seq(
+      (Option.empty[Int], Option.empty[Int]),
+      (Option.empty[Int], Option.empty[Int])).toDF("a", "b")
+    assert(!dup.agg(Quality.compositeUniquePassed("a", "b")).head.getBoolean(0),
+      "repeated (NULL, NULL) pair not detected as a duplicate")
+  }
+
   test("Q4 flags injected null surrogate keys but confirms non-empty facts") {
     val row = Quality.q4NonEmptyNullSk.run(spark, sfDir).head()
     assert(row.getAs[Boolean]("fact_nonempty"))
