@@ -299,7 +299,51 @@ object Analytics {
       .orderBy("p_brand", "rn")
   }
 
+  /** WINDOW GALLERY — the analytic-function builtins the five reference
+    * queries don't reach (`percent_rank`, `cume_dist`, `first/last/
+    * nth_value`, offset defaults), exercised over one per-customer order
+    * sequence so the whole gallery shares a single shuffle + sort. The
+    * full-partition functions pin their frame to ROWS UNBOUNDED
+    * PRECEDING..UNBOUNDED FOLLOWING explicitly — both engines default
+    * `last_value` to ...CURRENT ROW, the classic silent-wrong-answer
+    * frame. Ordering is (o_orderdate, o_orderkey): unique, so every rank
+    * and offset is deterministic. */
+  val wWindowGallery: QueryDef = QueryDef(
+    "w_window_gallery",
+    Some("""
+      SELECT o_custkey, o_orderkey,
+             row_number() OVER w AS seq,
+             percent_rank() OVER w AS pr,
+             cume_dist() OVER w AS cd,
+             first_value(o_totalprice) OVER wf AS first_total,
+             last_value(o_totalprice) OVER wf AS last_total,
+             nth_value(o_totalprice, 2) OVER wf AS second_total,
+             lag(o_totalprice, 1, -1.0) OVER w AS prev_total,
+             lead(o_totalprice, 1, -1.0) OVER w AS next_total
+      FROM orders
+      WINDOW
+        w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey),
+        wf AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+               ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+      ORDER BY o_custkey, seq
+    """)) { (spark, dir) =>
+    val w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    val wf = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    tbl(spark, dir, "orders")
+      .select(col("o_custkey"), col("o_orderkey"), col("o_orderdate"), col("o_totalprice"))
+      .select(col("o_custkey"), col("o_orderkey"),
+        row_number().over(w).as("seq"),
+        percent_rank().over(w).as("pr"),
+        cume_dist().over(w).as("cd"),
+        first(col("o_totalprice")).over(wf).as("first_total"),
+        last(col("o_totalprice")).over(wf).as("last_total"),
+        nth_value(col("o_totalprice"), 2).over(wf).as("second_total"),
+        lag(col("o_totalprice"), 1, -1.0).over(w).as("prev_total"),
+        lead(col("o_totalprice"), 1, -1.0).over(w).as("next_total"))
+      .orderBy("o_custkey", "seq")
+  }
+
   val all: Seq[QueryDef] = Seq(
     q1MonthlyRevenue, q2CustomerSegmentation, q3ProductRank,
-    q4CohortRetention, q5DailyAnomaly, wTopkPerGroup)
+    q4CohortRetention, q5DailyAnomaly, wTopkPerGroup, wWindowGallery)
 }

@@ -462,9 +462,53 @@ object Aggregates {
         withinBound(col("global_est"), col("exact_distinct")).as("global_within_bound"))
   }
 
+  /** PER-GROUP EXACT MEDIAN without value buffering (the group-wise
+    * companion to the global percentile yardstick): rank each group's
+    * values with a window sort, pick the one or two middle ranks, and
+    * average them — `median = avg(v where rn ∈ {⌈n/2⌉, ⌊n/2⌋+1})`. Spark's
+    * own `percentile`/`median` aggregates BUFFER every group value in
+    * executor memory (OOM bait on a skewed 100 TB group); this form is
+    * sort-based — one shuffle on the group key, a streaming rank, a
+    * 2-rows-per-group filter — so memory is O(1) per row at any group
+    * size. The middle pair is averaged on exact DECIMAL, so both engines
+    * interpolate identical numbers. */
+  val aGroupMedian: QueryDef = QueryDef(
+    "a_group_median",
+    Some("""
+      WITH ranked AS (
+        SELECT o_orderpriority, o_totalprice,
+               row_number() OVER (PARTITION BY o_orderpriority
+                                  ORDER BY o_totalprice, o_orderkey) AS rn,
+               count(*) OVER (PARTITION BY o_orderpriority) AS n
+        FROM orders)
+      SELECT o_orderpriority,
+             CAST(avg(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS median_total,
+             CAST(max(n) AS BIGINT) AS n_orders
+      FROM ranked
+      WHERE rn IN ((n + 1) // 2, n // 2 + 1)
+      GROUP BY o_orderpriority
+      ORDER BY o_orderpriority
+    """)) { (spark, dir) =>
+    import org.apache.spark.sql.expressions.Window
+    val byPrio = Window.partitionBy("o_orderpriority")
+    val ranked = tbl(spark, dir, "orders")
+      .select(col("o_orderkey"), col("o_orderpriority"), col("o_totalprice"))
+      .withColumn("rn", row_number().over(byPrio.orderBy("o_totalprice", "o_orderkey")))
+      .withColumn("n", count(lit(1)).over(byPrio))
+    ranked
+      // `div`, not `/`: both engines float-divide integers with `/`, which
+      // would skip the lower middle rank on even-sized groups
+      .filter(col("rn") === expr("(n + 1) div 2") || col("rn") === expr("n div 2 + 1"))
+      .groupBy("o_orderpriority")
+      .agg(
+        avg(dec2(col("o_totalprice"))).cast(DoubleType).as("median_total"),
+        max(col("n")).as("n_orders"))
+      .orderBy("o_orderpriority")
+  }
+
   val all: Seq[QueryDef] = Seq(
     a1ProductRollup, a2DailySalesRollup, a7CountDistinct, a10DupAudit,
     a11NullRate, aRollupSets, aApproxDistinct, aSaltedSkewAgg,
     aApproxPercentile, aTimeWindowBatch, aPivot, aUnpivot, aCumulativeUsers,
-    aSketchMerge)
+    aSketchMerge, aGroupMedian)
 }

@@ -115,5 +115,42 @@ object Temporal {
       .orderBy("window_id")
   }
 
-  val all: Seq[QueryDef] = Seq(jAsofEvent, jRangeWindows)
+  /** FORWARD as-of join — [[jAsofEvent]]'s time-mirror: each purchase
+    * matched to the user's NEXT click at-or-after it (the "time-to-next-
+    * action" enrichment attribution and latency analyses need). Same
+    * tagged-union shuffle-once shape, with the carry reversed: purchases
+    * tag side=0 so an equal-timestamp click (side=1) sorts after and is
+    * picked up by `first(ignoreNulls)` over the [current, ∞) frame —
+    * giving the `<=` at-or-after semantics DuckDB's forward ASOF uses. */
+  val jAsofForward: QueryDef = QueryDef(
+    "j_asof_forward",
+    Some("""
+      SELECT p.user_id, p.ts AS purchase_ts, p.value,
+             c.ts AS next_click_ts,
+             date_diff('microseconds', p.ts, c.ts) AS us_until_click
+      FROM (SELECT user_id, ts, value FROM events WHERE event_type = 'purchase') p
+      ASOF LEFT JOIN (SELECT user_id, ts FROM events WHERE event_type = 'click') c
+        ON p.user_id = c.user_id AND p.ts <= c.ts
+      ORDER BY p.user_id, purchase_ts
+    """)) { (spark, dir) =>
+    val ev = events(spark, dir)
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("ts").as("t"), lit(0).as("side"),
+        lit(null).cast(TimestampNTZType).as("click_ts"), col("value"))
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("user_id"), col("ts").as("t"), lit(1).as("side"),
+        col("ts").as("click_ts"), lit(null).cast(DoubleType).as("value"))
+    val carry = Window.partitionBy("user_id").orderBy("t", "side")
+      .rowsBetween(0, Window.unboundedFollowing)
+    purchases.unionByName(clicks)
+      .withColumn("next_click_ts", first("click_ts", ignoreNulls = true).over(carry))
+      .filter(col("side") === 0)
+      .select(col("user_id"), col("t").as("purchase_ts"), col("value"),
+        col("next_click_ts"),
+        (unix_micros(col("next_click_ts").cast(TimestampType)) -
+          unix_micros(col("t").cast(TimestampType))).as("us_until_click"))
+      .orderBy("user_id", "purchase_ts")
+  }
+
+  val all: Seq[QueryDef] = Seq(jAsofEvent, jRangeWindows, jAsofForward)
 }

@@ -102,6 +102,19 @@ class BehaviorSpec extends SparkSpec {
     // flag agrees with the actual delta rather than hard-coding it
   }
 
+  test("sort-based group median agrees with Spark's buffering percentile aggregate") {
+    val got = operators.Aggregates.aGroupMedian.run(spark, sfDir).collect()
+      .map(r => r.getString(0) -> r.getDouble(1)).toMap
+    val ref = core.tbl(spark, sfDir, "orders")
+      .groupBy("o_orderpriority")
+      .agg(expr("percentile(o_totalprice, 0.5)").as("m")).collect()
+      .map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(got.keySet === ref.keySet)
+    for (k <- got.keySet)
+      assert(math.abs(got(k) - ref(k)) < 1e-6,
+        s"group $k: sort-based ${got(k)} vs buffering ${ref(k)}")
+  }
+
   test("sessionization plans one data shuffle; heavy hitters avoids a global sort") {
     val sessPlan = analytics.Behavior.aSessionizeGaps.run(spark, sfDir)
       .queryExecution.executedPlan.toString
