@@ -432,9 +432,47 @@ object Relational {
     """)
   }
 
+  /** NULL-SAFE equi join (`<=>` / `IS NOT DISTINCT FROM`) — joining on a
+    * NULLABLE key with null-matches-null semantics, the dimension-lookup
+    * case where "unknown" is itself a dimension member. Spark plans `<=>`
+    * as a true equi join (hashable — here a broadcast hash join on the
+    * 50-row dim), NOT the nested-loop a `coalesce`-to-sentinel rewrite
+    * risks colliding with real values. The null bucket (o_custkey % 50 =
+    * 0) carries ~2% of rows and lands on the 'b_null' member on both
+    * engines. */
+  val jNullSafeJoin: QueryDef = QueryDef(
+    "j_null_safe_join",
+    Some("""
+      WITH dim AS (
+        SELECT CASE WHEN i = 0 THEN NULL ELSE i END AS bucket,
+               CASE WHEN i = 0 THEN 'b_null' ELSE 'b' || i END AS label
+        FROM range(0, 50) t(i)),
+      o AS (
+        SELECT CASE WHEN o_custkey % 50 = 0 THEN NULL
+                    ELSE o_custkey % 50 END AS bucket
+        FROM orders)
+      SELECT d.label, count(*) AS n
+      FROM o JOIN dim d ON o.bucket IS NOT DISTINCT FROM d.bucket
+      GROUP BY 1
+      ORDER BY label
+    """)) { (spark, dir) =>
+    val dim = spark.range(0, 50).select(
+      when(col("id") === 0, lit(null).cast(LongType))
+        .otherwise(col("id")).as("d_bucket"),
+      when(col("id") === 0, "b_null")
+        .otherwise(concat(lit("b"), col("id"))).as("label"))
+    val o = tbl(spark, dir, "orders").select(
+      when(col("o_custkey") % 50 === 0, lit(null).cast(LongType))
+        .otherwise(col("o_custkey") % 50).as("bucket"))
+    o.join(broadcast(dim), col("bucket") <=> col("d_bucket"))
+      .groupBy("label").agg(count(lit(1)).as("n"))
+      .orderBy("label")
+  }
+
   val all: Seq[QueryDef] = Seq(
     s1ScanProject, s2IncrementalScan, s6StringWatermark, pPredicates,
     d1DedupKeepFirst, d4IntegritySemiJoin, d5RejectAccounting,
     j1StarJoin, j4LeftSkResolution, j7AntiOrphans, j8CorrelatedSubquery,
-    jBucketedColocated, jSaltedSkewJoin, o4SetOps, jBloomPrefilter)
+    jBucketedColocated, jSaltedSkewJoin, o4SetOps, jBloomPrefilter,
+    jNullSafeJoin)
 }
