@@ -988,10 +988,56 @@ object TextOps {
       .orderBy("doc_id")
   }
 
+  /** t6b — multimodal RESIZE stage (between decode and feature
+    * extraction): letterbox-fit each decoded item into the model's 224×224
+    * input, preserving aspect ratio — target dims, padding, and the
+    * resized-payload identity computed per item. The pixel work is the
+    * stub (same convention as t_multimodal_decode: a real resampler rides
+    * the decode `mapPartitions`); the PLUMBING is real — the dims math is
+    * all integer `div` (bit-deterministic on both engines), zero-sized
+    * stub dims are floored at 1, and the output schema is what the
+    * feature extractor downstream consumes. Pure map pass, no shuffle. */
+  val tMultimodalResize: QueryDef = QueryDef(
+    "t_multimodal_resize",
+    Some("""
+      WITH dims AS (
+        SELECT doc_id, md5(text) AS content_digest,
+               greatest(CAST(n_chars % 640 AS INTEGER), 1) AS w,
+               greatest(CAST((n_chars * 7) % 480 AS INTEGER), 1) AS h
+        FROM documents),
+      fit AS (
+        SELECT doc_id, content_digest, w, h,
+               CASE WHEN w >= h THEN 224 ELSE (w * 224) // h END AS new_w,
+               CASE WHEN w >= h THEN (h * 224) // w ELSE 224 END AS new_h
+        FROM dims)
+      SELECT doc_id, w, h, new_w, new_h,
+             224 - new_w AS pad_x, 224 - new_h AS pad_y,
+             md5(content_digest || ':' || CAST(new_w AS VARCHAR)
+                 || 'x' || CAST(new_h AS VARCHAR)) AS resized_digest
+      FROM fit
+      ORDER BY doc_id
+    """)) { (spark, dir) =>
+    val w = greatest((col("n_chars") % 640).cast(IntegerType), lit(1))
+    val h = greatest(((col("n_chars") * 7) % 480).cast(IntegerType), lit(1))
+    tbl(spark, dir, "documents")
+      .select(col("doc_id"), md5(col("text")).as("content_digest"),
+        w.as("w"), h.as("h"))
+      .withColumn("new_w",
+        when(col("w") >= col("h"), 224).otherwise(expr("(w * 224) div h")))
+      .withColumn("new_h",
+        when(col("w") >= col("h"), expr("(h * 224) div w")).otherwise(224))
+      .select(col("doc_id"), col("w"), col("h"), col("new_w"), col("new_h"),
+        (lit(224) - col("new_w")).as("pad_x"),
+        (lit(224) - col("new_h")).as("pad_y"),
+        md5(concat(col("content_digest"), lit(":"), col("new_w").cast(StringType),
+          lit("x"), col("new_h").cast(StringType))).as("resized_digest"))
+      .orderBy("doc_id")
+  }
+
   val all: Seq[QueryDef] = Seq(
     tTokenStats, tQualityScore, tLangId, tFingerprint, tMultimodalMeta,
-    tMultimodalDecode, tMultimodalFrames, tStratifiedSample, tLineDedup,
-    tBoilerplateCorpus, tCorpusFilter, tPackSequences, tMixtureSample,
+    tMultimodalDecode, tMultimodalFrames, tMultimodalResize, tStratifiedSample,
+    tLineDedup, tBoilerplateCorpus, tCorpusFilter, tPackSequences, tMixtureSample,
     tRepetitionStats, tSalientTerms, tChunkWindows, tPiiRedact, tDecontaminate,
     tShuffleExport)
 }
