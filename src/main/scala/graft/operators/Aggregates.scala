@@ -506,9 +506,38 @@ object Aggregates {
       .orderBy("o_orderpriority")
   }
 
+  /** CUBE over (status, priority) — the full 2^k grouping matrix
+    * [[aRollupSets]]' hierarchy-only rollup doesn't produce (rollup emits
+    * k+1 prefix levels; cube emits all 4 combinations here, including the
+    * priority-only margin). Spark plans one Expand + one aggregate — each
+    * input row fans into its 4 grouping projections map-side, so the
+    * shuffle carries group partials exactly like a plain groupBy. NULL
+    * grouping slots label as 'ALL' (both key columns are non-null in the
+    * fixture, so coalesce is unambiguous). */
+  val aCubeMatrix: QueryDef = QueryDef(
+    "a_cube_matrix",
+    Some("""
+      SELECT COALESCE(o_orderstatus, 'ALL') AS status,
+             COALESCE(o_orderpriority, 'ALL') AS priority,
+             count(*) AS n_orders,
+             CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+      FROM orders
+      GROUP BY CUBE (o_orderstatus, o_orderpriority)
+      ORDER BY status, priority
+    """)) { (spark, dir) =>
+    tbl(spark, dir, "orders")
+      .cube("o_orderstatus", "o_orderpriority")
+      .agg(count(lit(1)).as("n_orders"), moneySumD(col("o_totalprice")).as("revenue"))
+      .select(
+        coalesce(col("o_orderstatus"), lit("ALL")).as("status"),
+        coalesce(col("o_orderpriority"), lit("ALL")).as("priority"),
+        col("n_orders"), col("revenue"))
+      .orderBy("status", "priority")
+  }
+
   val all: Seq[QueryDef] = Seq(
     a1ProductRollup, a2DailySalesRollup, a7CountDistinct, a10DupAudit,
     a11NullRate, aRollupSets, aApproxDistinct, aSaltedSkewAgg,
     aApproxPercentile, aTimeWindowBatch, aPivot, aUnpivot, aCumulativeUsers,
-    aSketchMerge, aGroupMedian)
+    aSketchMerge, aGroupMedian, aCubeMatrix)
 }
