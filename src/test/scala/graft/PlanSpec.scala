@@ -141,6 +141,31 @@ class PlanSpec extends SparkSpec {
       s"range predicate not pushed to the sorted stage:\n${plan.take(800)}")
   }
 
+  test("cube plans one Expand + aggregate; null-safe join broadcasts the dim") {
+    val cubePlan = finalPlan(operators.Aggregates.aCubeMatrix.run(spark, sfDir))
+    assert(cubePlan.contains("Expand"),
+      s"cube lost its Expand fan-out:\n${cubePlan.take(600)}")
+    val nsPlan = finalPlan(operators.Relational.jNullSafeJoin.run(spark, sfDir))
+    assert(nsPlan.contains("BroadcastHashJoin"),
+      s"null-safe join degenerated from a broadcast equi join:\n${nsPlan.take(600)}")
+    assert(!nsPlan.contains("BroadcastNestedLoopJoin") && !nsPlan.contains("CartesianProduct"),
+      "null-safe join fell back to a nested loop")
+  }
+
+  test("window gallery and group median each sort the fact exactly once") {
+    // the AQE plan string repeats the tree under "== Initial Plan ==";
+    // count exchanges in the final section only
+    def finalSection(p: String): String = p.split("== Initial Plan ==").head
+    // every gallery function shares one (o_custkey, date, key) sort; the
+    // only other exchange is the final presentation ORDER BY
+    val gallery = finalSection(finalPlan(analytics.Analytics.wWindowGallery.run(spark, sfDir)))
+    assert("hashpartitioning".r.findAllIn(gallery).size === 1,
+      s"gallery windows stopped sharing their shuffle:\n${gallery.take(800)}")
+    val median = finalSection(finalPlan(operators.Aggregates.aGroupMedian.run(spark, sfDir)))
+    assert("hashpartitioning".r.findAllIn(median).size === 1,
+      s"group median re-shuffled beyond its rank sort:\n${median.take(800)}")
+  }
+
   test("bloom prefilter evaluates at the fact scan, ahead of the exact semi join") {
     val df = operators.Relational.jBloomPrefilter.run(spark, sfDir)
     val plan = finalPlan(df)
