@@ -478,7 +478,7 @@ object Aggregates {
       WITH ranked AS (
         SELECT o_orderpriority, o_totalprice,
                row_number() OVER (PARTITION BY o_orderpriority
-                                  ORDER BY o_totalprice, o_orderkey) AS rn,
+                                  ORDER BY o_totalprice NULLS FIRST, o_orderkey) AS rn,
                count(*) OVER (PARTITION BY o_orderpriority) AS n
         FROM orders)
       SELECT o_orderpriority,
@@ -493,7 +493,11 @@ object Aggregates {
     val byPrio = Window.partitionBy("o_orderpriority")
     val ranked = tbl(spark, dir, "orders")
       .select(col("o_orderkey"), col("o_orderpriority"), col("o_totalprice"))
-      .withColumn("rn", row_number().over(byPrio.orderBy("o_totalprice", "o_orderkey")))
+      // nulls-first pinned explicitly: Spark ASC defaults nulls-first but
+      // DuckDB defaults nulls-last — divergent ranks the moment the money
+      // column turns nullable
+      .withColumn("rn", row_number().over(
+        byPrio.orderBy(col("o_totalprice").asc_nulls_first, col("o_orderkey"))))
       .withColumn("n", count(lit(1)).over(byPrio))
     ranked
       // `div`, not `/`: both engines float-divide integers with `/`, which
