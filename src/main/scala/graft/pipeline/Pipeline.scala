@@ -315,6 +315,24 @@ object Pipeline {
     ModelDef("mart_corpus_stats", Seq("mart_corpus"), mart = true) { (_, _, ref) =>
       ref("mart_corpus").groupBy("source")
         .agg(count(lit(1)).as("n_docs"), sum("n_toks").as("n_tokens"))
+    },
+    // the training-export tail: deduped docs → per-doc block offsets in
+    // 8 shards of 512-token blocks (same offset arithmetic as
+    // t_pack_sequences — a per-shard prefix sum, no sequential packer)
+    ModelDef("mart_packed", Seq("mart_corpus"), mart = true) { (_, _, ref) =>
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("shard").orderBy("doc_id")
+        .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+      ref("mart_corpus")
+        .select(col("doc_id"), (col("doc_id") % 8).as("shard"), col("n_toks"))
+        .withColumn("tok_start", coalesce(sum("n_toks").over(w), lit(0L)))
+        .withColumn("first_block", expr("tok_start div 512"))
+        .withColumn("last_block", expr("(tok_start + n_toks - 1) div 512"))
+    },
+    ModelDef("mart_shards", Seq("mart_packed"), mart = true) { (_, _, ref) =>
+      ref("mart_packed").groupBy("shard")
+        .agg(count(lit(1)).as("n_docs"), sum("n_toks").as("n_tokens"),
+          (max(col("last_block")) + 1).as("n_blocks"))
     }))
 
   /** §3.2 on the corpus side: run the curation DAG through the registry
@@ -407,6 +425,54 @@ object Pipeline {
           col("stats_tokens") === col("mart_tokens")).as("stats_match"))
   }
 
+  /** The corpus DAG's export tail as a gate: raw documents all the way to
+    * per-shard training-data accounting (docs, tokens, 512-token blocks),
+    * with every stage — normalize, filter, dedup, per-shard prefix-sum
+    * packing — replayed by the oracle. `n_blocks` comes from the packed
+    * mart's own offsets (`max(last_block)+1`), so a broken prefix sum
+    * fails the gate even though the rollup could be derived from totals
+    * alone. */
+  val pipelineTrainExport: QueryDef = QueryDef(
+    "pipeline_train_export",
+    Some("""
+      WITH src AS (
+        SELECT doc_id, source, text FROM documents
+        UNION ALL
+        SELECT doc_id + 200000, source, text FROM documents WHERE doc_id % 7 = 0),
+      norm AS (
+        SELECT doc_id, source,
+               trim(regexp_replace(text, '[ \t\n\r]+', ' ', 'g')) AS ntext
+        FROM src),
+      kept AS (
+        SELECT doc_id, source, ntext,
+               CAST(len(string_split_regex(ntext, '\s+')) AS BIGINT) AS n_toks
+        FROM norm
+        WHERE len(string_split_regex(ntext, '\s+')) BETWEEN 20 AND 1000
+          AND CAST(length(replace(ntext, ' ', '')) AS DOUBLE)
+              / CAST(len(string_split_regex(ntext, '\s+')) AS DOUBLE)
+              BETWEEN 2.0 AND 12.0),
+      mart AS (
+        SELECT doc_id, n_toks FROM (
+          SELECT doc_id, n_toks,
+                 doc_id = min(doc_id) OVER (PARTITION BY md5(ntext)) AS is_canon
+          FROM kept) WHERE is_canon),
+      cum AS (
+        SELECT doc_id, doc_id % 8 AS shard, n_toks,
+               CAST(COALESCE(sum(n_toks) OVER (PARTITION BY doc_id % 8 ORDER BY doc_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS tok_start
+        FROM mart)
+      SELECT shard, count(*) AS n_docs, CAST(sum(n_toks) AS BIGINT) AS n_tokens,
+             CAST(max((tok_start + n_toks - 1) // 512) + 1 AS BIGINT) AS n_blocks
+      FROM cum
+      GROUP BY shard
+      ORDER BY shard
+    """)) { (spark, dir) =>
+    corpusDag.run(spark, dir, viewPrefix = "graft_corpus_", martPrefix = "corpus_marts")
+      .apply("mart_shards")
+      .orderBy("shard")
+  }
+
   val all: Seq[QueryDef] = Seq(
-    pipelineE2e, pipelineIncremental, pipelineCorpus, qCorpusQuality)
+    pipelineE2e, pipelineIncremental, pipelineCorpus, qCorpusQuality,
+    pipelineTrainExport)
 }
