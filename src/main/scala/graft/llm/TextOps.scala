@@ -1034,10 +1034,55 @@ object TextOps {
       .orderBy("doc_id")
   }
 
+  /** t9b — corpus-trained RARITY scoring (the "train a statistic on the
+    * corpus, apply it per document" pattern a perplexity filter runs —
+    * CCNet-style — with the LM replaced by an integer-deterministic
+    * surprisal proxy): global token frequencies are computed in one
+    * word-count aggregation, each token's rarity is the DIGIT COUNT of
+    * its corpus frequency (a log10 bucket with no libm in sight — `log`
+    * differs across engines in final ulps, digit counts never do), and
+    * each document scores its mean bucket plus its fraction of hapax/rare
+    * tokens. Shape at 100 TB: one shuffle to count tokens, one
+    * vocabulary-sized join back on the token, one per-doc aggregate —
+    * the exact word-count topology, nothing document-sized ever
+    * broadcast. Low mean_digits = rare-heavy (OCR noise, codes); high =
+    * stop-word soup; both tails are what the filter drops. */
+  val tRarityScore: QueryDef = QueryDef(
+    "t_rarity_score",
+    Some("""
+      WITH tok AS (
+        SELECT doc_id, unnest(string_split_regex(text, '\s+')) AS token
+        FROM documents),
+      counts AS (SELECT token, count(*) AS n FROM tok GROUP BY token),
+      j AS (SELECT t.doc_id, c.n FROM tok t JOIN counts c USING (token))
+      SELECT doc_id, count(*) AS n_tokens,
+             CAST(sum(length(CAST(n AS VARCHAR))) AS DOUBLE)
+               / CAST(count(*) AS DOUBLE) AS mean_digits,
+             CAST(sum(CASE WHEN n <= 2 THEN 1 ELSE 0 END) AS DOUBLE)
+               / CAST(count(*) AS DOUBLE) AS rare_frac
+      FROM j
+      GROUP BY doc_id
+      ORDER BY doc_id
+    """)) { (spark, dir) =>
+    val tok = tbl(spark, dir, "documents")
+      .select(col("doc_id"), explode(toks(col("text"))).as("token"))
+      .repartition(spark.sessionState.conf.numShufflePartitions)
+    val counts = tok.groupBy("token").agg(count(lit(1)).as("n"))
+    tok.join(counts, "token")
+      .groupBy("doc_id")
+      .agg(
+        count(lit(1)).as("n_tokens"),
+        (sum(length(col("n").cast(StringType))).cast(DoubleType) /
+          count(lit(1)).cast(DoubleType)).as("mean_digits"),
+        (sum(when(col("n") <= 2, 1).otherwise(0)).cast(DoubleType) /
+          count(lit(1)).cast(DoubleType)).as("rare_frac"))
+      .orderBy("doc_id")
+  }
+
   val all: Seq[QueryDef] = Seq(
     tTokenStats, tQualityScore, tLangId, tFingerprint, tMultimodalMeta,
     tMultimodalDecode, tMultimodalFrames, tMultimodalResize, tStratifiedSample,
     tLineDedup, tBoilerplateCorpus, tCorpusFilter, tPackSequences, tMixtureSample,
     tRepetitionStats, tSalientTerms, tChunkWindows, tPiiRedact, tDecontaminate,
-    tShuffleExport)
+    tShuffleExport, tRarityScore)
 }
