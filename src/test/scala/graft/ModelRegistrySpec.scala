@@ -55,6 +55,30 @@ class ModelRegistrySpec extends SparkSpec {
     assert(built("mart_probe").head().getLong(0) === 5L)
   }
 
+  test("the corpus DAG topo-orders its stages and packs consistent shard offsets") {
+    val order = pipeline.Pipeline.corpusDag.topoOrder
+    val stages = Seq("stg_corpus_raw", "stg_corpus_norm", "stg_corpus_kept",
+      "mart_corpus", "mart_packed", "mart_shards")
+    for (Seq(a, b) <- stages.sliding(2))
+      assert(order.indexOf(a) < order.indexOf(b), s"$a not ordered before $b")
+    val outs = pipeline.Pipeline.corpusDag.run(spark, sfDir,
+      viewPrefix = "graft_corpus_", martPrefix = "corpus_marts")
+    // re-verify the packed offsets on the driver: within each shard,
+    // tok_start must be the exact running sum of earlier docs' tokens
+    val packed = outs("mart_packed")
+      .select("shard", "doc_id", "n_toks", "tok_start")
+      .orderBy("shard", "doc_id").collect()
+    var curShard = -1L
+    var running = 0L
+    for (r <- packed) {
+      val (shard, toks, start) = (r.getLong(0), r.getLong(2), r.getLong(3))
+      if (shard != curShard) { curShard = shard; running = 0L }
+      assert(start === running,
+        s"shard $shard doc ${r.getLong(1)}: tok_start $start != running sum $running")
+      running += toks
+    }
+  }
+
   test("the registry-built pipeline marts agree with the summary row") {
     // collect the summary BEFORE re-running the dag: each run overwrites
     // the mart files, invalidating frames handed out by a previous run
