@@ -518,8 +518,56 @@ object Quality {
       .orderBy("metric")
   }
 
+  /** SOURCE FRESHNESS (the dbt `source freshness` check the suite lacked):
+    * per source table, the newest event/order date, its lag against a
+    * pinned as-of date (2024-06-30 — past every fixture table, so lags
+    * are positive and the FRESH/WARN/ERROR branches all get exercised; a
+    * real deployment passes the scheduler's execution date), and a
+    * verdict against declared thresholds. Each probe is a column-pruned `max()` scan —
+    * at 100 TB with a date-partitioned layout the same check reads only
+    * partition metadata. Lag arithmetic is whole days on DATE values,
+    * identical on both engines. */
+  val qSourceFreshness: QueryDef = QueryDef(
+    "q_source_freshness",
+    Some("""
+      WITH probes AS (
+        SELECT 'orders' AS source_table,
+               CAST(max(o_orderdate) AS DATE) AS latest
+        FROM orders
+        UNION ALL
+        SELECT 'lineitem', CAST(max(l_shipdate) AS DATE) FROM lineitem
+        UNION ALL
+        SELECT 'events', CAST(max(ts) AS DATE) FROM events)
+      SELECT source_table,
+             CAST(latest AS TIMESTAMP) AS latest,
+             date_diff('day', latest, DATE '2024-06-30') AS lag_days,
+             CASE WHEN date_diff('day', latest, DATE '2024-06-30') <= 200 THEN 'FRESH'
+                  WHEN date_diff('day', latest, DATE '2024-06-30') <= 8300 THEN 'WARN'
+                  ELSE 'ERROR' END AS verdict
+      FROM probes
+      ORDER BY source_table
+    """)) { (spark, dir) =>
+    val asOf = lit("2024-06-30").cast(DateType)
+    def probe(name: String, df: DataFrame, dateCol: Column): DataFrame =
+      df.agg(max(dateCol).cast(DateType).as("latest"))
+        .select(lit(name).as("source_table"), col("latest"))
+    val probes =
+      probe("orders", tbl(spark, dir, "orders"), col("o_orderdate"))
+        .unionAll(probe("lineitem", tbl(spark, dir, "lineitem"), col("l_shipdate")))
+        .unionAll(probe("events", core.events(spark, dir), col("ts")))
+    probes
+      .select(col("source_table"),
+        col("latest").cast(TimestampNTZType).as("latest"),
+        datediff(asOf, col("latest")).cast(LongType).as("lag_days"))
+      .withColumn("verdict",
+        when(col("lag_days") <= 200, "FRESH")
+          .when(col("lag_days") <= 8300, "WARN")
+          .otherwise("ERROR"))
+      .orderBy("source_table")
+  }
+
   val all: Seq[QueryDef] = Seq(
     q4NonEmptyNullSk, q5UniqueNotNull, q6NoNegativeAmounts,
     q7DateKeyValidity, s11AuditLog, qMartQuality, qProfileTable,
-    qSnapshotDiff, qHeavyHitters, qProfileDrift)
+    qSnapshotDiff, qHeavyHitters, qProfileDrift, qSourceFreshness)
 }
