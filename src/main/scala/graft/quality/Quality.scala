@@ -566,8 +566,37 @@ object Quality {
       .orderBy("source_table")
   }
 
+  /** ACCEPTED VALUES (the last dbt generic test the suite lacked —
+    * `accepted_values` alongside unique / not_null / relationships):
+    * every status must come from the declared domain. Defects injected on
+    * o_orderkey % 43 (the suite's convention) so the detection path runs
+    * non-vacuously; one conditional aggregate, map-side partials. */
+  val qAcceptedValues: QueryDef = QueryDef(
+    "q_accepted_values",
+    Some("""
+      WITH fact AS (
+        SELECT CASE WHEN o_orderkey % 43 = 0 THEN 'X' ELSE o_orderstatus END AS status
+        FROM orders)
+      SELECT count(*) AS n_rows,
+             CAST(sum(CASE WHEN status NOT IN ('F', 'O', 'P') THEN 1 ELSE 0 END) AS BIGINT)
+               AS invalid_rows,
+             sum(CASE WHEN status NOT IN ('F', 'O', 'P') THEN 1 ELSE 0 END) = 0
+               AS test_passed
+      FROM fact
+    """)) { (spark, dir) =>
+    val invalid = !col("status").isin("F", "O", "P")
+    tbl(spark, dir, "orders")
+      .select(when(col("o_orderkey") % 43 === 0, "X")
+        .otherwise(col("o_orderstatus")).as("status"))
+      .agg(
+        count(lit(1)).as("n_rows"),
+        countIf(invalid).as("invalid_rows"),
+        (countIf(invalid) === 0).as("test_passed"))
+  }
+
   val all: Seq[QueryDef] = Seq(
     q4NonEmptyNullSk, q5UniqueNotNull, q6NoNegativeAmounts,
     q7DateKeyValidity, s11AuditLog, qMartQuality, qProfileTable,
-    qSnapshotDiff, qHeavyHitters, qProfileDrift, qSourceFreshness)
+    qSnapshotDiff, qHeavyHitters, qProfileDrift, qSourceFreshness,
+    qAcceptedValues)
 }
