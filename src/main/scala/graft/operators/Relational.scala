@@ -328,6 +328,34 @@ object Relational {
     """)
   }
 
+  /** KEYSET PAGINATION (beyond parity) — the scale-correct form of "give
+    * me the next page": resume from a (date, key) cursor with a
+    * lexicographic predicate + LIMIT, instead of OFFSET — OFFSET n scans
+    * and discards n rows on every page (page 10,000 of a 100 TB export
+    * reads half the table; the cursor form reads ~one page regardless of
+    * depth, and the date predicate pushes into the scan). The row
+    * comparison is spelled as the expanded OR form on both engines so
+    * null semantics and pushdown behave identically. */
+  val oKeysetPagination: QueryDef = QueryDef(
+    "o_keyset_pagination",
+    Some("""
+      SELECT o_orderkey, o_orderdate, CAST(o_totalprice AS DOUBLE) AS o_totalprice
+      FROM orders
+      WHERE o_orderdate > DATE '1996-06-15'
+         OR (o_orderdate = DATE '1996-06-15' AND o_orderkey > 4000)
+      ORDER BY o_orderdate, o_orderkey
+      LIMIT 100
+    """)) { (spark, dir) =>
+    val cursorDate = to_date(lit("1996-06-15"))
+    tbl(spark, dir, "orders")
+      .filter(col("o_orderdate") > cursorDate ||
+        (col("o_orderdate") === cursorDate && col("o_orderkey") > 4000))
+      .orderBy("o_orderdate", "o_orderkey")
+      .limit(100)
+      .select(col("o_orderkey"), col("o_orderdate"),
+        col("o_totalprice").cast(DoubleType).as("o_totalprice"))
+  }
+
   /** O4 — set operations (available beyond parity, SURVEY.md §2.8):
     * INTERSECT of high-value buyers and building-segment customers. */
   val o4SetOps: QueryDef = QueryDef(
@@ -473,6 +501,6 @@ object Relational {
     s1ScanProject, s2IncrementalScan, s6StringWatermark, pPredicates,
     d1DedupKeepFirst, d4IntegritySemiJoin, d5RejectAccounting,
     j1StarJoin, j4LeftSkResolution, j7AntiOrphans, j8CorrelatedSubquery,
-    jBucketedColocated, jSaltedSkewJoin, o4SetOps, jBloomPrefilter,
-    jNullSafeJoin)
+    jBucketedColocated, jSaltedSkewJoin, o4SetOps, oKeysetPagination,
+    jBloomPrefilter, jNullSafeJoin)
 }
