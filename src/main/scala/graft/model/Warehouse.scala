@@ -407,7 +407,58 @@ object Warehouse {
       .orderBy("o_year", "o_month")
   }
 
+  /** LATE-ARRIVING FACT correction via LOOKBACK recompute — the failure
+    * mode [[wIncrementalAgg]]'s strictly-forward watermark can't handle:
+    * rows whose EVENT date is before the watermark but whose ARRIVAL is
+    * after it (simulated here: o_orderkey % 13 = 7 rows are withheld from
+    * batch 1 and arrive with batch 2). A naive forward increment would
+    * drop them from their pre-cutoff months forever; the lookback
+    * maintenance instead recomputes exactly the MONTHS BATCH 2 TOUCHES —
+    * late months included — from base+batch rows of those months, and
+    * anti-joins everything else through untouched. Work scales with the
+    * touched-month slice of the fact, never the full history, and the
+    * ORACLE IS the full recompute, so the gate proves the correction is
+    * exact. */
+  val wLateLookback: QueryDef = QueryDef(
+    "w_late_lookback",
+    Some("""
+      SELECT year(o_orderdate) AS o_year, month(o_orderdate) AS o_month,
+             count(*) AS n_orders,
+             CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+      FROM orders
+      GROUP BY 1, 2
+      ORDER BY 1, 2
+    """)) { (spark, dir) =>
+    val cut = lit("1997-01-01").cast(DateType)
+    val o = tbl(spark, dir, "orders")
+      .select(col("o_orderkey"), col("o_orderdate"), col("o_totalprice"))
+    // lates are month-sparse (only March orders run late) so the gate
+    // exercises BOTH branches: pre-cutoff Marches recompute, every other
+    // pre-cutoff month passes through the anti join untouched
+    val late = col("o_orderkey") % 13 === 7 && month(col("o_orderdate")) === 3
+    // batch 1: everything before the cutoff except the rows that run late
+    val batch1 = o.filter(col("o_orderdate") < cut && !late)
+    // batch 2: the post-cutoff rows PLUS the late arrivals
+    val batch2 = o.filter(col("o_orderdate") >= cut ||
+      (col("o_orderdate") < cut && late))
+    def monthly(df: DataFrame) = df
+      .groupBy(year(col("o_orderdate")).as("o_year"), month(col("o_orderdate")).as("o_month"))
+      .agg(count(lit(1)).as("n_orders"), moneySumD(col("o_totalprice")).as("revenue"))
+    val mart1 = monthly(batch1)
+    // lookback set: every month batch 2 touches (incl. late months)
+    val touched = batch2
+      .select(year(col("o_orderdate")).as("o_year"), month(col("o_orderdate")).as("o_month"))
+      .distinct()
+    val untouched = mart1.join(touched, Seq("o_year", "o_month"), "left_anti")
+    // recompute touched months from base + batch rows OF THOSE MONTHS only
+    val touchedRows = batch1.unionAll(batch2)
+      .join(broadcast(touched),
+        year(col("o_orderdate")) === touched("o_year") &&
+          month(col("o_orderdate")) === touched("o_month"), "left_semi")
+    untouched.unionAll(monthly(touchedRows)).orderBy("o_year", "o_month")
+  }
+
   val all: Seq[QueryDef] = Seq(
     s10DateDim, w8SurrogateKeys, s8UpsertMerge, s9AppendIfAbsent, j5DateExprJoin,
-    wScd2Dim, jScd2PointInTime, wScd2Incremental, wIncrementalAgg)
+    wScd2Dim, jScd2PointInTime, wScd2Incremental, wIncrementalAgg, wLateLookback)
 }
