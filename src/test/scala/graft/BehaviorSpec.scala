@@ -115,6 +115,30 @@ class BehaviorSpec extends SparkSpec {
         s"group $k: sort-based ${got(k)} vs buffering ${ref(k)}")
   }
 
+  test("keyset pages chain without gaps or overlaps into the full sorted prefix") {
+    import org.apache.spark.sql.functions._
+    val orders = core.tbl(spark, sfDir, "orders")
+      .select(col("o_orderkey"), col("o_orderdate"))
+    def page(cursor: Option[(java.time.LocalDateTime, Long)], n: Int) = {
+      val base = cursor match {
+        case Some((d, k)) => orders.filter(col("o_orderdate") > lit(d) ||
+          (col("o_orderdate") === lit(d) && col("o_orderkey") > k))
+        case None => orders
+      }
+      base.orderBy("o_orderdate", "o_orderkey").limit(n).collect()
+    }
+    // chain 5 pages of 50 by cursor, compare against the direct top-250
+    var cursor: Option[(java.time.LocalDateTime, Long)] = None
+    val chained = (1 to 5).flatMap { _ =>
+      val rows = page(cursor, 50)
+      cursor = Some((rows.last.getAs[java.time.LocalDateTime](1), rows.last.getLong(0)))
+      rows
+    }
+    val direct = page(None, 250)
+    assert(chained.map(_.getLong(0)).toSeq === direct.map(_.getLong(0)).toSeq,
+      "chained pages diverge from the directly-sorted prefix")
+  }
+
   test("sessionization plans one data shuffle; heavy hitters avoids a global sort") {
     val sessPlan = analytics.Behavior.aSessionizeGaps.run(spark, sfDir)
       .queryExecution.executedPlan.toString
