@@ -269,6 +269,32 @@ object Similarity {
     * bytes per row — one partial+final aggregate on (label, pos), then a
     * dim-bounded ordered reassembly per label. Nothing collects beyond
     * 64-element lists. */
+  /** Per-element fixed-point mean rows (label, pos, c, n) — the shared core
+    * of [[simCentroids]] and [[centroidVectors]]. */
+  private def centroidElems(spark: SparkSession, dir: String): DataFrame =
+    emb(spark, dir)
+      .select(col("label"), posexplode(col("embedding")).as(Seq("pos", "v")))
+      .groupBy("label", "pos")
+      .agg(
+        sum(floor(col("v").cast(DoubleType) * 10000000.0).cast(LongType)).as("s"),
+        count(lit(1)).as("n"))
+      .select(col("label"), col("pos"),
+        (col("s").cast(DoubleType) / col("n").cast(DoubleType) / 10000000.0).as("c"),
+        col("n"))
+
+  /** Array-shaped centroids (label, centroid, n_vectors) — the internal
+    * training artifact, checked element-wise by BehaviorSpec. The GATED
+    * query emits the exploded scalar form instead: the oracle comparator
+    * hashes scalar cells and cannot sort a raw `array<double>` column. */
+  private[graft] def centroidVectors(spark: SparkSession, dir: String): DataFrame =
+    centroidElems(spark, dir)
+      .groupBy("label")
+      .agg(
+        transform(array_sort(collect_list(struct(col("pos"), col("c")))), s => s("c"))
+          .as("centroid"),
+        max(col("n")).as("n_vectors"))
+      .orderBy("label")
+
   val simCentroids: QueryDef = QueryDef(
     "sim_centroids",
     Some("""
@@ -282,26 +308,15 @@ object Similarity {
                CAST(sum(CAST(floor(CAST(v AS DOUBLE) * 10000000.0) AS BIGINT)) AS BIGINT) AS s,
                count(*) AS n
         FROM ex GROUP BY 1, 2)
-      SELECT label,
-             list(CAST(s AS DOUBLE) / CAST(n AS DOUBLE) / 10000000.0 ORDER BY pos) AS centroid,
-             CAST(max(n) AS BIGINT) AS n_vectors
-      FROM per GROUP BY label ORDER BY label
+      SELECT label, CAST(pos AS BIGINT) AS pos,
+             round(CAST(s AS DOUBLE) / CAST(n AS DOUBLE) / 10000000.0, 6) AS c_r,
+             CAST(n AS BIGINT) AS n_vectors
+      FROM per ORDER BY label, pos
     """)) { (spark, dir) =>
-    val per = emb(spark, dir)
-      .select(col("label"), posexplode(col("embedding")).as(Seq("pos", "v")))
-      .groupBy("label", "pos")
-      .agg(
-        sum(floor(col("v").cast(DoubleType) * 10000000.0).cast(LongType)).as("s"),
-        count(lit(1)).as("n"))
-      .select(col("label"), col("pos"),
-        (col("s").cast(DoubleType) / col("n").cast(DoubleType) / 10000000.0).as("c"),
-        col("n"))
-    per.groupBy("label")
-      .agg(
-        transform(array_sort(collect_list(struct(col("pos"), col("c")))), s => s("c"))
-          .as("centroid"),
-        max(col("n")).as("n_vectors"))
-      .orderBy("label")
+    centroidElems(spark, dir)
+      .select(col("label"), col("pos").cast(LongType).as("pos"),
+        round(col("c"), 6).as("c_r"), col("n").as("n_vectors"))
+      .orderBy("label", "pos")
   }
 
   /** sim7 — one full LLOYD'S K-MEANS round trip (seed → assign → exact
@@ -348,12 +363,14 @@ object Similarity {
                    + 1e-12 * c.cent_id) AS cell
         FROM embeddings e, c1 c
         GROUP BY e.vec_id, e.embedding),
-      sizes AS (SELECT cell, count(*) AS n_members FROM a2 GROUP BY 1)
-      SELECT c1.cent_id AS cluster_id,
-             CAST(coalesce(sizes.n_members, 0) AS BIGINT) AS n_members,
-             c1.cv AS centroid
-      FROM c1 LEFT JOIN sizes ON c1.cent_id = sizes.cell
-      ORDER BY cluster_id
+      sizes AS (SELECT cell, count(*) AS n_members FROM a2 GROUP BY 1),
+      exploded AS (
+        SELECT cent_id, unnest(range(0, len(cv))) AS pos, unnest(cv) AS v FROM c1)
+      SELECT e.cent_id AS cluster_id, CAST(e.pos AS BIGINT) AS pos,
+             round(e.v, 6) AS c_r,
+             CAST(coalesce(s.n_members, 0) AS BIGINT) AS n_members
+      FROM exploded e LEFT JOIN sizes s ON e.cent_id = s.cell
+      ORDER BY cluster_id, pos
     """)) { (spark, dir) =>
     val e = emb(spark, dir).select(col("vec_id"), col("embedding"))
     // one argmin assignment pass: centroids (with their norms) fold into a
@@ -386,10 +403,15 @@ object Similarity {
       .agg(transform(array_sort(collect_list(struct(col("pos"), col("c")))), s => s("c"))
         .as("cv"))
     val sizes = assign(cents1).groupBy(col("cell")).agg(count(lit(1)).as("n_members"))
+    // gated shape: exploded (cluster_id, pos, rounded value) scalar rows —
+    // the oracle comparator cannot sort a raw array<double> centroid column
     cents1.join(sizes, col("cent_id") === col("cell"), "left")
       .select(col("cent_id").as("cluster_id"),
-        coalesce(col("n_members"), lit(0L)).as("n_members"), col("cv").as("centroid"))
-      .orderBy("cluster_id")
+        coalesce(col("n_members"), lit(0L)).as("n_members"),
+        posexplode(col("cv")).as(Seq("pos", "v")))
+      .select(col("cluster_id"), col("pos").cast(LongType).as("pos"),
+        round(col("v"), 6).as("c_r"), col("n_members"))
+      .orderBy("cluster_id", "pos")
   }
 
   val all: Seq[QueryDef] = Seq(

@@ -68,7 +68,7 @@ class BehaviorSpec extends SparkSpec {
   }
 
   test("centroids match a driver-side recomputation at any partitioning") {
-    val got = llm.Similarity.simCentroids.run(spark, sfDir).collect()
+    val got = llm.Similarity.centroidVectors(spark, sfDir).collect()
       .map(r => r.getInt(0) -> r.getSeq[Double](1)).toMap
     // brute-force reference: same fixed-point quantization, computed
     // single-threaded on the driver
