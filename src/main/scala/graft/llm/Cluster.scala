@@ -123,7 +123,7 @@ object Cluster {
     * SAME action that computes the convergence count. (On a real cluster
     * swap for reliable checkpoint() if executor loss matters — local
     * checkpoint trades fault-tolerance for speed.) */
-  def components(edges: DataFrame, maxIters: Int = 30): DataFrame = {
+  def components(edges: DataFrame, maxIters: Int = 30, maxDepth: Int = 3): DataFrame = {
     val debug = sys.env.contains("SPARK_GRAFT_DEBUG")
     var t0 = System.nanoTime()
     def mark(what: String): Unit = if (debug) {
@@ -169,10 +169,131 @@ object Cluster {
       mark(s"round $iter (changed=$changed)")
       iter += 1
     }
-    require(done, s"components did not converge in $maxIters rounds")
+    if (!done) {
+      // CONTRACTION FALLBACK instead of the old hard failure (maxDepth = 0
+      // restores strict mode): bank the propagation progress by contracting
+      // each partial cluster to its label, then run large-star/small-star
+      // to a guaranteed fixpoint on the contracted graph and compose the
+      // two mappings. Min-label propagation alone can need O(diameter)-ish
+      // budgets on adversarial id layouts; the star contraction's round
+      // bound is O(log² n) REGARDLESS of ids, so this path always lands.
+      require(maxDepth > 0,
+        s"components did not converge in $maxIters rounds at max contraction depth")
+      val byId = labels.select(col("id"), col("label"))
+      val contracted = und
+        .join(byId.select(col("id").as("sid"), col("label").as("a_id")),
+          col("src") === col("sid"))
+        .join(byId.select(col("id").as("did"), col("label").as("b_id")),
+          col("dst") === col("did"))
+        .select(col("a_id"), col("b_id"))
+        .filter(col("a_id") =!= col("b_id"))
+        .distinct()
+      val upper = starContraction(contracted)
+      val composed = byId
+        .join(upper.select(col("id").as("l"), col("label").as("root")),
+          col("label") === col("l"), "left")
+        .select(col("id"), coalesce(col("root"), col("label")).as("label"))
+        .localCheckpoint(false)
+      // materialize BEFORE dropping und: composed's lineage reads und via
+      // contracted, and a lazily-checkpointed plan can't recompute from
+      // dropped blocks
+      composed.count()
+      und.unpersist()
+      mark("star-contraction fallback")
+      return composed
+    }
     und.unpersist()
     labels.select(col("id"), col("label"))
   }
+
+  /** Alternating large-star/small-star contraction (Kiveris et al.,
+    * "Connected Components in MapReduce and Beyond", SoCC'14 — public
+    * algorithm): edges held as child→parent pointers, each round one
+    * neighborhood-min aggregate + one re-point per star op, O(log² n)
+    * rounds on ANY graph shape — the guarantee min-label propagation lacks
+    * when ids are laid out adversarially along long chains. Fixpoint is a
+    * star forest whose centers are the component minima. Per round the
+    * driver sees one (count, checksum) row; plans are truncated by the
+    * same lazy localCheckpoint discipline as the propagation loop. */
+  private[graft] def starContraction(edges0: DataFrame, maxRounds: Int = 64): DataFrame = {
+    val asEdge = edges0.select(
+      greatest(col("a_id"), col("b_id")).as("u"),
+      least(col("a_id"), col("b_id")).as("v"))
+      .filter(col("u") =!= col("v")).distinct()
+    var e = asEdge.localCheckpoint(false)
+    var prevSig: (Long, Long) = null
+    var round = 0
+    var done = false
+    while (!done && round < maxRounds) {
+      // LARGE-STAR: every node attaches its strictly-larger neighbors to
+      // the minimum of its closed neighborhood
+      val und = e.unionAll(e.select(col("v").as("u"), col("u").as("v")))
+      val nbrMin = und.groupBy("u").agg(min(col("v")).as("nm"))
+        .select(col("u"), least(col("nm"), col("u")).as("m"))
+      val afterLarge = und
+        .join(nbrMin, "u")
+        .filter(col("v") > col("u"))
+        .select(col("v").as("u"), col("m").as("v"))
+        .filter(col("u") =!= col("v"))
+        .distinct()
+      // SMALL-STAR: every node re-points its (smaller) parents — and
+      // itself — at the minimum parent
+      val parMin = afterLarge.groupBy("u").agg(min(col("v")).as("m"))
+      val afterSmall = afterLarge
+        .join(parMin, "u")
+        .filter(col("v") =!= col("m"))
+        .select(col("v").as("u"), col("m").as("v"))
+        .unionAll(parMin.select(col("u"), col("m").as("v")))
+        .filter(col("u") =!= col("v"))
+        .distinct()
+      val next = afterSmall.localCheckpoint(false)
+      // one driver row: materializes the round AND decides convergence —
+      // count + murmur3 sum identify the edge set (the round function is
+      // deterministic, so set-equality with the previous round ⇒ fixpoint)
+      val sig = next.agg(count(lit(1)), sum(hash(col("u"), col("v")).cast(LongType))).head()
+      val sigT = (sig.getLong(0), if (sig.isNullAt(1)) 0L else sig.getLong(1))
+      e.unpersist()
+      e = next
+      if (sigT == prevSig) done = true
+      prevSig = sigT
+      round += 1
+    }
+    require(done, s"star contraction did not converge in $maxRounds rounds")
+    // star forest → labels: children point at their center; centers (and
+    // only they) never appear as a child
+    val nodes = edges0.select(col("a_id").as("id"))
+      .unionAll(edges0.select(col("b_id").as("id"))).distinct()
+    nodes
+      .join(e.groupBy(col("u").as("id")).agg(min(col("v")).as("parent")), Seq("id"), "left")
+      .select(col("id"), coalesce(col("parent"), col("id")).as("label"))
+  }
+
+  /** Cluster-labels DAG (the §3.2 staging/mart split applied to dedup):
+    * edges stay a lazy staging model; the component LABELS are a mart — a
+    * real pipeline materializes labels ONCE and every consumer (canonical
+    * mapping, survivor selection, the drop-list export) reads the table
+    * instead of re-running edge generation + CC rounds. */
+  private val clusterDag = new graft.pipeline.ModelRegistry(Seq(
+    graft.pipeline.ModelDef("stg_dup_edges", Nil, mart = false) {
+      (s, d, _) => dupEdges(s, d)
+    },
+    graft.pipeline.ModelDef("mart_cluster_labels", Seq("stg_dup_edges"), mart = true) {
+      (_, _, ref) => components(ref("stg_dup_edges"))
+    }))
+
+  /** Materialize-once accessor for the labels mart: the DAG runs the first
+    * time a (session, dir) asks for it; after that both gates — and any
+    * later consumer — read the parquet table back. This is the pipeline
+    * posture at 100 TB too: CC is the expensive step, its output is tiny
+    * (two bigints per clustered doc), so you pay it once per corpus
+    * snapshot, never once per consumer. */
+  private val labelsCache =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]()
+  private[graft] def clusterLabels(spark: SparkSession, dir: String): DataFrame =
+    labelsCache.computeIfAbsent((spark, dir), _ =>
+      clusterDag.run(spark, dir,
+        viewPrefix = "graft_cluster_", martPrefix = "cluster_marts")
+        .apply("mart_cluster_labels"))
 
   /** dd5 — dup-cluster resolution: near-dup edges → connected components →
     * (doc, canonical, cluster size). The planted chains make base and v2
@@ -196,9 +317,9 @@ object Cluster {
       ORDER BY doc_id
     """)) { (spark, dir) =>
     val t0 = System.nanoTime()
-    val labels = components(dupEdges(spark, dir))
+    val labels = clusterLabels(spark, dir)
     if (sys.env.contains("SPARK_GRAFT_DEBUG"))
-      System.err.println(f"[ddCluster] components total: ${(System.nanoTime() - t0) / 1e9}%.2fs")
+      System.err.println(f"[ddCluster] labels mart: ${(System.nanoTime() - t0) / 1e9}%.2fs")
     val sizes = labels.groupBy("label").agg(count(lit(1)).as("cluster_size"))
     labels.join(sizes, "label")
       .select(col("id").as("doc_id"), col("label").as("canonical_id"),
@@ -243,7 +364,7 @@ object Cluster {
       FROM member m JOIN surv s USING (cluster_id)
       ORDER BY doc_id
     """)) { (spark, dir) =>
-    val labels = components(dupEdges(spark, dir))
+    val labels = clusterLabels(spark, dir)
     val lens = headCorpus(spark, dir)
       .select(col("doc_id"), size(col("toks")).cast(LongType).as("n_toks"))
     val member = labels.join(lens, col("id") === col("doc_id"))

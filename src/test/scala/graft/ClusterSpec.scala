@@ -20,6 +20,32 @@ class ClusterSpec extends SparkSpec {
     assert(labels(10L) == 10L && labels(11L) == 10L)
   }
 
+  test("components falls back to star contraction when propagation rounds run out") {
+    // chain 0—1—…—63 (diameter 63). maxIters=2 reaches distance ~4, far
+    // short of the diameter, so the fallback MUST fire for correct labels.
+    val edges = (0L until 63L).map(i => (i, i + 1L)).toDF("a_id", "b_id")
+    val labels = Cluster.components(edges, maxIters = 2, maxDepth = 1)
+      .as[(Long, Long)].collect().toMap
+    assert(labels.size == 64)
+    assert((0L to 63L).forall(labels(_) == 0L), s"chain mislabeled: $labels")
+    // maxDepth = 0 restores strict mode: loud, structured failure
+    val ex = intercept[IllegalArgumentException] {
+      Cluster.components(edges, maxIters = 1, maxDepth = 0).collect()
+    }
+    assert(ex.getMessage.contains("did not converge"))
+  }
+
+  test("star contraction labels chains, stars and forests by component min") {
+    // reversed-id chain (worst case for min-propagation), a star, a pair
+    val chain = (0L until 40L).map(i => (100L - i, 100L - i - 1L))
+    val extra = Seq((7L, 3L), (7L, 4L), (7L, 5L), (200L, 201L))
+    val labels = Cluster.starContraction((chain ++ extra).toDF("a_id", "b_id"))
+      .as[(Long, Long)].collect().toMap
+    assert((60L to 100L).forall(labels(_) == 60L), s"chain mislabeled: $labels")
+    assert(Seq(3L, 4L, 5L, 7L).forall(labels(_) == 3L))
+    assert(labels(200L) == 200L && labels(201L) == 200L)
+  }
+
   test("gate corpus plants chains: base—v1 and v1—v2 edge, no base—v2 edge") {
     val edges = Cluster.dupEdges(spark, sfDir)
       .as[(Long, Long)].collect().toSet
