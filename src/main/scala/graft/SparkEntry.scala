@@ -9,27 +9,32 @@ import org.apache.spark.sql.{SparkSession, DataFrame}
   */
 object SparkEntry {
 
+  /** Registered modules, in registration order — the module name is the
+    * source file the QueryDefs live in (used by [[CoverageMap]] to emit the
+    * OPERATORS.md gate registry). */
+  lazy val modules: Seq[(String, Seq[QueryDef])] = Seq(
+    "operators/Relational.scala" -> operators.Relational.all,
+    "operators/Aggregates.scala" -> operators.Aggregates.all,
+    "operators/Temporal.scala" -> operators.Temporal.all,
+    "transform/Cleaning.scala" -> transform.Cleaning.all,
+    "analytics/Analytics.scala" -> analytics.Analytics.all,
+    "analytics/Behavior.scala" -> analytics.Behavior.all,
+    "model/Warehouse.scala" -> model.Warehouse.all,
+    "quality/Quality.scala" -> quality.Quality.all,
+    "llm/TextOps.scala" -> llm.TextOps.all,
+    "llm/Curation.scala" -> llm.Curation.all,
+    "llm/Dedup.scala" -> llm.Dedup.all,
+    "llm/Cluster.scala" -> llm.Cluster.all,
+    "llm/Similarity.scala" -> llm.Similarity.all,
+    "sources/Ingest.scala" -> sources.Ingest.all,
+    "sources/Watermark.scala" -> sources.Watermark.all,
+    "streaming/Streams.scala" -> streaming.Streams.all,
+    "pipeline/Pipeline.scala" -> pipeline.Pipeline.all)
+
   /** All engine capabilities, one QueryDef per SURVEY.md §2 operator (plus
     * the LLM-pipeline extensions). */
   lazy val defs: Seq[QueryDef] = {
-    val ds =
-      operators.Relational.all ++
-        operators.Aggregates.all ++
-        operators.Temporal.all ++
-        transform.Cleaning.all ++
-        analytics.Analytics.all ++
-        analytics.Behavior.all ++
-        model.Warehouse.all ++
-        quality.Quality.all ++
-        llm.TextOps.all ++
-        llm.Curation.all ++
-        llm.Dedup.all ++
-        llm.Cluster.all ++
-        llm.Similarity.all ++
-        sources.Ingest.all ++
-        sources.Watermark.all ++
-        streaming.Streams.all ++
-        pipeline.Pipeline.all
+    val ds = modules.flatMap(_._2)
     // a cross-module name collision would silently shadow a QueryDef in the
     // maps below and shrink gate coverage — fail loudly instead
     val dup = ds.groupBy(_.name).collect { case (n, g) if g.size > 1 => n }

@@ -77,8 +77,7 @@ object Behavior {
       ORDER BY user_id, session_id
     """)) { (spark, dir) =>
     sessionize(
-      tbl(spark, dir, "events")
-        .select(col("user_id"), expr("ts div 1000").as("us"), col("value")),
+      core.eventsUs(spark, dir).select(col("user_id"), col("us"), col("value")),
       GapUs)
       .select(col("user_id"), col("session_id"),
         expr("timestamp_micros(start_us)").cast(TimestampNTZType).as("session_start"),

@@ -93,16 +93,27 @@ object core {
       .map("%02x".format(_)).mkString.take(12)
   }
 
-  /** The `events` table with its TIMESTAMP(NANOS) column made usable.
+  /** The `events` table with its raw TIMESTAMP(NANOS) column truncated to
+    * MICROSECOND LONGS (`us`) — the one place the ns→µs contract lives.
     * Spark has no nanosecond timestamp type, so sessions must set
     * `spark.sql.legacy.parquet.nanosAsLong=true` (Verify/Bench/tests do);
-    * the raw nanos then convert to microsecond TIMESTAMP_NTZ here — the
-    * same ns→µs truncation DuckDB applies, so both engines see identical
-    * event times. */
-  def events(spark: SparkSession, dir: String): DataFrame =
+    * the integer-div truncation here is the same one DuckDB applies when
+    * it reads the nanos column, so both engines see identical event times.
+    * Consumers that want an epoch-micros long (sessionization arithmetic)
+    * read `us`; consumers that want a timestamp use [[events]]. */
+  def eventsUs(spark: SparkSession, dir: String): DataFrame =
     tbl(spark, dir, "events")
-      .withColumn("ts",
-        expr("timestamp_micros(ts div 1000)").cast(TimestampNTZType))
+      .withColumn("ts", expr("ts div 1000")) // in-place: keeps column position
+      .withColumnRenamed("ts", "us")
+
+  /** [[eventsUs]] with the micros re-surfaced as a microsecond
+    * TIMESTAMP_NTZ `ts` column (the shape most calendar/window queries
+    * want). Derived, so the truncation rule cannot diverge between the
+    * long and timestamp views. */
+  def events(spark: SparkSession, dir: String): DataFrame =
+    eventsUs(spark, dir)
+      .withColumn("us", expr("timestamp_micros(us)").cast(TimestampNTZType))
+      .withColumnRenamed("us", "ts")
 
   // ---------------------------------------------------------------------
   // Determinism helpers for oracle (DuckDB) hash-parity.

@@ -82,13 +82,20 @@ object Cluster {
     val jac = when(union > 0,
       size(array_intersect(col("ba"), col("bb"))).cast(DoubleType) / union.cast(DoubleType))
       .otherwise(lit(0.0))
-    feat.as("a")
+    val edges = feat.as("a")
       .join(feat.as("b"),
         col("a.block_key") === col("b.block_key") && col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"),
         col("a.bigrams").as("ba"), col("b.bigrams").as("bb"))
       .filter(jac >= 0.8)
       .select(col("a_id"), col("b_id"))
+      // edges are two bigints per near-dup pair — tiny next to the token
+      // features; eager-checkpoint them so the cached feature frame can be
+      // released NOW rather than squatting in executor memory for the rest
+      // of the session (same release pattern as cSubstringDups / ingest)
+      .localCheckpoint(true)
+    feat.unpersist()
+    edges
   }
 
   private val dupEdgesSql = s"""

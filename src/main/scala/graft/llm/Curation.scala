@@ -281,12 +281,19 @@ object Curation {
     val totals = pos.groupBy("doc_id").agg(count(lit(1)).as("n_windows"))
     val dups = pos.join(dupg, "g")
       .groupBy("doc_id").agg(count(lit(1)).as("n_dup_windows"))
-    totals.join(dups, Seq("doc_id"), "left")
+    val out = totals.join(dups, Seq("doc_id"), "left")
       .select(col("doc_id"), col("n_windows"),
         coalesce(col("n_dup_windows"), lit(0L)).as("n_dup_windows"),
         (coalesce(col("n_dup_windows"), lit(0L)).cast(DoubleType) /
           col("n_windows").cast(DoubleType)).as("dup_share"))
       .orderBy("doc_id")
+      // one row per doc — tiny; eager-checkpoint it so the cached digest
+      // frame can be RELEASED here instead of leaking for the rest of a
+      // 137-query session (the Dedup.scala ingest / Cluster.components
+      // release discipline)
+      .localCheckpoint(true)
+    pos.unpersist()
+    out
   }
 
   /** c6 — train/val/test SPLIT assignment: every doc lands in exactly one
