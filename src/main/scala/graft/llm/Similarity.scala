@@ -414,7 +414,147 @@ object Similarity {
       .orderBy("cluster_id", "pos")
   }
 
+  /** DuckDB CTE pair for one Lloyd's round: assignment a$r from c${r-1},
+    * fixed-point recompute c$r. Generated per round so the pinned-N oracle
+    * stays mechanical instead of hand-unrolled. */
+  private def kmRoundSql(r: Int): String = {
+    val sc = s"${dotSql("c.cv", "c.cv")} - 2 * ${dotSql("e.embedding", "c.cv")} + 1e-12 * c.cent_id"
+    s"""a$r AS (
+        SELECT e.vec_id, e.embedding,
+               arg_min(c.cent_id, $sc) AS cell
+        FROM embeddings e, c${r - 1} c
+        GROUP BY e.vec_id, e.embedding),
+      ex$r AS (
+        SELECT cell, unnest(range(0, len(embedding))) AS pos, unnest(embedding) AS v
+        FROM a$r),
+      per$r AS (
+        SELECT cell, pos,
+               CAST(sum(CAST(floor(CAST(v AS DOUBLE) * 10000000.0) AS BIGINT)) AS BIGINT) AS s,
+               count(*) AS n
+        FROM ex$r GROUP BY 1, 2),
+      c$r AS (
+        SELECT cell AS cent_id,
+               list(CAST(s AS DOUBLE) / CAST(n AS DOUBLE) / 10000000.0 ORDER BY pos) AS cv
+        FROM per$r GROUP BY cell)"""
+  }
+
+  /** Pinned round budget for [[simKmeansConverged]] — the oracle unrolls
+    * exactly this many recomputes; the Spark loop may exit earlier at the
+    * assignment fixpoint because the remaining rounds are provable no-ops. */
+  private val KmRounds = 4
+
+  /** sim8 — CONVERGENCE-CHECKED k-means training loop (round-9 queue #6):
+    * [[simKmeans]] is one unrolled round trip; this is the real loop —
+    * assign → exact fixed-point recompute, repeated until the assignment
+    * reaches a FIXPOINT or the pinned budget of [[KmRounds]] recomputes is
+    * spent, then a final assignment pass for membership + inertia.
+    *
+    * Determinism vs early exit: the oracle replays exactly [[KmRounds]]
+    * rounds. The Spark loop compares each round's assignment signature
+    * (count + commutative hash sum — ONE driver scalar per round, the
+    * [[graft.llm.Cluster.components]] discipline) with the previous
+    * round's; equal assignments ⇒ the recompute reproduces the same
+    * centroids bit-for-bit (fixed-point integer means) ⇒ every remaining
+    * round is a no-op, so stopping early yields the identical result the
+    * pinned unroll does. Per-round cost at 100 TB: one broadcast-argmin
+    * map pass over the vectors plus one (cell, pos) partial-aggregated
+    * recompute — no shuffle ever carries a vector; the tiny centroid frame
+    * is localCheckpoint'ed each round so the lineage doesn't grow with
+    * the round count. Inertia is the standard convergence metric a real
+    * training job logs: per-vector squared distance quantized to 1e-7
+    * fixed point (identical IEEE chain on both engines), summed as exact
+    * BIGINTs — order-insensitive at any parallelism. */
+  val simKmeansConverged: QueryDef = QueryDef(
+    "sim_kmeans_converged",
+    Some {
+      val sc = s"${dotSql("c.cv", "c.cv")} - 2 * ${dotSql("e.embedding", "c.cv")} + 1e-12 * c.cent_id"
+      s"""
+      WITH c0 AS (
+        SELECT CAST(vec_id AS INTEGER) AS cent_id, embedding AS cv
+        FROM embeddings WHERE vec_id < 8),
+      ${(1 to KmRounds).map(kmRoundSql).mkString(",\n      ")},
+      af AS (
+        SELECT e.vec_id,
+               arg_min(c.cent_id, $sc) AS cell,
+               CAST(floor((min($sc) + ${dotSql("e.embedding", "e.embedding")})
+                      * 10000000.0) AS BIGINT) AS dist_q
+        FROM embeddings e, c$KmRounds c
+        GROUP BY e.vec_id, e.embedding),
+      sizes AS (
+        SELECT cell, count(*) AS n_members, CAST(sum(dist_q) AS BIGINT) AS inertia_q
+        FROM af GROUP BY cell),
+      exploded AS (
+        SELECT cent_id, unnest(range(0, len(cv))) AS pos, unnest(cv) AS v FROM c$KmRounds)
+      SELECT e.cent_id AS cluster_id, CAST(e.pos AS BIGINT) AS pos,
+             round(e.v, 6) AS c_r,
+             CAST(coalesce(s.n_members, 0) AS BIGINT) AS n_members,
+             CAST(coalesce(s.inertia_q, 0) AS BIGINT) AS inertia_q
+      FROM exploded e LEFT JOIN sizes s ON e.cent_id = s.cell
+      ORDER BY cluster_id, pos
+    """
+    }) { (spark, dir) =>
+    val e = emb(spark, dir).select(col("vec_id"), col("embedding"))
+    // assignment pass: centroids (with norms) in ONE broadcast row; also
+    // emits the 1e-7-quantized squared distance of the chosen centroid
+    // (bias included on both engines, so the doubles are identical)
+    def assign(cents: DataFrame): DataFrame = {
+      val packed = cents
+        .withColumn("cc", dot(col("cv"), col("cv")))
+        .agg(collect_list(struct(col("cent_id"), col("cv"), col("cc"))).as("cents"))
+      val best = array_min(transform(col("cents"), c => struct(
+        (c("cc") - lit(2.0) * dot(col("embedding"), c("cv"))
+          + lit(1e-12) * c("cent_id")).as("score"),
+        c("cent_id").as("cent_id"))))
+      e.crossJoin(broadcast(packed))
+        .withColumn("best", best)
+        .select(col("vec_id"), col("embedding"),
+          col("best")("cent_id").as("cell"),
+          floor((col("best")("score") + dot(col("embedding"), col("embedding")))
+            * lit(10000000.0)).cast(LongType).as("dist_q"))
+    }
+    def recompute(assigned: DataFrame): DataFrame = assigned
+      .select(col("cell"), posexplode(col("embedding")).as(Seq("pos", "v")))
+      .groupBy("cell", "pos")
+      .agg(
+        sum(floor(col("v").cast(DoubleType) * 10000000.0).cast(LongType)).as("s"),
+        count(lit(1)).as("n"))
+      .select(col("cell"), col("pos"),
+        (col("s").cast(DoubleType) / col("n").cast(DoubleType) / 10000000.0).as("c"))
+      .groupBy(col("cell").as("cent_id"))
+      .agg(transform(array_sort(collect_list(struct(col("pos"), col("c")))), s => s("c"))
+        .as("cv"))
+    var cents = e.filter(col("vec_id") < 8)
+      .select(col("vec_id").cast(IntegerType).as("cent_id"),
+        col("embedding").cast(ArrayType(DoubleType)).as("cv"))
+    var prevSig: (Long, Long) = null
+    var iters = 0
+    var fixed = false
+    while (iters < KmRounds && !fixed) {
+      val a = assign(cents)
+      val row = a.agg(count(lit(1)),
+        sum(hash(col("vec_id"), col("cell")).cast(LongType))).head()
+      val sig = (row.getLong(0), if (row.isNullAt(1)) 0L else row.getLong(1))
+      if (sig == prevSig) fixed = true // remaining rounds are no-ops
+      else {
+        cents = recompute(a).localCheckpoint(false)
+        prevSig = sig
+        iters += 1
+      }
+    }
+    val fin = assign(cents)
+    val sizes = fin.groupBy(col("cell"))
+      .agg(count(lit(1)).as("n_members"), sum(col("dist_q")).as("inertia_q"))
+    cents.join(sizes, col("cent_id") === col("cell"), "left")
+      .select(col("cent_id").as("cluster_id"),
+        coalesce(col("n_members"), lit(0L)).as("n_members"),
+        coalesce(col("inertia_q"), lit(0L)).as("inertia_q"),
+        posexplode(col("cv")).as(Seq("pos", "v")))
+      .select(col("cluster_id"), col("pos").cast(LongType).as("pos"),
+        round(col("v"), 6).as("c_r"), col("n_members"), col("inertia_q"))
+      .orderBy("cluster_id", "pos")
+  }
+
   val all: Seq[QueryDef] = Seq(
     simTopKBrute, simLshPairs, simIvfProbe, ddEmbeddingCosine, simQuantizeInt8,
-    simCentroids, simKmeans)
+    simCentroids, simKmeans, simKmeansConverged)
 }

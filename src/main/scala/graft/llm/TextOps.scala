@@ -1079,10 +1079,115 @@ object TextOps {
       .orderBy("doc_id")
   }
 
+  // -------------------------------------------------------------------
+  // Subword tokenization (round-9 queue #4): every token-denominated gate
+  // above counts WHITESPACE tokens; real training pipelines count subword
+  // tokens. This is a deterministic WordPiece-style GREEDY LONGEST-MATCH
+  // over a fixed in-repo vocabulary — no external model, no RNG — kept as
+  // a PARALLEL gate so the whitespace-token gates stay intact.
+  // -------------------------------------------------------------------
+
+  /** Multi-character vocabulary units by length (single characters are
+    * implicitly in-vocab — the fallback that guarantees the tokenizer
+    * always advances). Frequent English digraphs/trigraphs/quadgraphs:
+    * what a tiny BPE learned on English text converges to first. */
+  private val sub4 = Seq("tion", "ment", "able", "ight", "ough")
+  private val sub3 = Seq("the", "ing", "ion", "ent", "and", "ati", "for", "ter", "ers")
+  private val sub2 = Seq("th", "he", "in", "er", "an", "re", "on", "at", "en", "nd",
+    "es", "or", "te", "ed", "is", "al", "ar", "st", "to", "of")
+
+  /** Greedy longest-match subword count of one (lowercase, non-empty) word.
+    *
+    * The greedy scan is a data-dependent-advance loop — not expressible as
+    * a fixed-depth projection — so it runs as a SEQUENTIAL LEFT FOLD over
+    * the word's character positions with the cursor packed into a single
+    * BIGINT accumulator: `acc = pos·10⁶ + count`. Step i is a no-op unless
+    * i is the cursor position; there it looks up the longest vocab match
+    * (4→3→2→1 chars) and advances. Packing the state into one integer is
+    * what makes the SAME fold replayable in DuckDB's `list_reduce` (whose
+    * accumulator seeds from the list head — hence the prepended seed on
+    * the oracle side); integer arithmetic is bit-identical on both
+    * engines at any position. Pure per-row map work, O(chars) per word —
+    * at 100 TB this is the same single-pass posture as [[tTokenStats]];
+    * the native-`Expression` rewrite is the known optimization path if a
+    * profiler ever ranks it. */
+  private def subwordCount(w: Column): Column = {
+    val folded = aggregate(
+      sequence(lit(1), length(w)),
+      lit(1000000L),
+      (acc, i) => {
+        val pos = (acc / lit(1000000L)).cast(IntegerType)
+        val l = when(w.substr(pos, lit(4)).isin(sub4: _*), 4)
+          .when(w.substr(pos, lit(3)).isin(sub3: _*), 3)
+          .when(w.substr(pos, lit(2)).isin(sub2: _*), 2)
+          .otherwise(1)
+        when(i.cast(LongType) === pos.cast(LongType),
+          (pos + l).cast(LongType) * lit(1000000L) + acc % lit(1000000L) + lit(1L))
+          .otherwise(acc)
+      })
+    folded % lit(1000000L)
+  }
+
+  /** DuckDB twin of [[subwordCount]] over word variable `$w`: identical
+    * packed-state fold; `list_reduce` seeds from the first element, so the
+    * initial state is prepended to the position list. */
+  private def subwordCountSql(w: String): String = {
+    def inList(xs: Seq[String]) = xs.map(s => s"'$s'").mkString("[", ", ", "]")
+    s"""list_reduce(
+         list_prepend(CAST(1000000 AS BIGINT), range(1, length($w) + 1)),
+         (acc, i) -> CASE WHEN CAST(i AS BIGINT) = acc // 1000000 THEN
+             (acc // 1000000
+              + CASE WHEN list_contains(${inList(sub4)}, substr($w, CAST(acc // 1000000 AS INTEGER), 4)) THEN 4
+                     WHEN list_contains(${inList(sub3)}, substr($w, CAST(acc // 1000000 AS INTEGER), 3)) THEN 3
+                     WHEN list_contains(${inList(sub2)}, substr($w, CAST(acc // 1000000 AS INTEGER), 2)) THEN 2
+                     ELSE 1 END) * 1000000 + acc % 1000000 + 1
+           ELSE acc END) % 1000000"""
+  }
+
+  /** t22 — SUBWORD token accounting: per document, whitespace-word count,
+    * greedy-subword count over the fixed vocab, and fertility (subwords
+    * per word — the number a tokenizer-aware packing/budget stage would
+    * use instead of the whitespace count). Pure map pass over a pruned
+    * (doc_id, text) scan; the fold is per-word, so cost is O(total chars)
+    * regardless of corpus size. */
+  val tTokenSubword: QueryDef = QueryDef(
+    "t_token_subword",
+    Some(s"""
+      WITH w AS (
+        SELECT doc_id,
+               list_filter(string_split_regex(lower(text), '\\s+'),
+                           x -> length(x) > 0) AS ws
+        FROM documents),
+      c AS (
+        SELECT doc_id,
+               CAST(len(ws) AS BIGINT) AS n_words,
+               CAST(list_sum(list_transform(ws, w -> ${subwordCountSql("w")})) AS BIGINT)
+                 AS n_subwords
+        FROM w)
+      SELECT doc_id, n_words, n_subwords,
+             CAST(n_subwords AS DOUBLE) / CAST(n_words AS DOUBLE) AS fertility
+      FROM c
+      ORDER BY doc_id
+    """)) { (spark, dir) =>
+    // empty strings filtered BEFORE the fold: Spark's sequence(1, 0) would
+    // produce a DESCENDING [1, 0] rather than an empty list
+    val words = filter(toks(lower(col("text"))), x => length(x) > 0)
+    tbl(spark, dir, "documents")
+      .select(col("doc_id"), words.as("ws"))
+      .select(col("doc_id"),
+        size(col("ws")).cast(LongType).as("n_words"),
+        aggregate(transform(col("ws"), w => subwordCount(w)), lit(0L),
+          (a, b) => a + b).as("n_subwords"))
+      .select(col("doc_id"), col("n_words"), col("n_subwords"),
+        (col("n_subwords").cast(DoubleType) / col("n_words").cast(DoubleType))
+          .as("fertility"))
+      .orderBy("doc_id")
+  }
+
   val all: Seq[QueryDef] = Seq(
     tTokenStats, tQualityScore, tLangId, tFingerprint, tMultimodalMeta,
     tMultimodalDecode, tMultimodalFrames, tMultimodalResize, tStratifiedSample,
     tLineDedup, tBoilerplateCorpus, tCorpusFilter, tPackSequences, tMixtureSample,
     tRepetitionStats, tSalientTerms, tChunkWindows, tPiiRedact, tDecontaminate,
-    tShuffleExport, tRarityScore)
+    tShuffleExport, tRarityScore, tTokenSubword)
 }
