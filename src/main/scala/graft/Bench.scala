@@ -73,7 +73,9 @@ object Bench {
     for (_ <- 0 until reps) {
       qlist.foreach { case (name, fn) =>
         if (!errors.contains(name)) {
-          spark.catalog.clearCache()
+          // full release (catalog cache + checkpoint blocks) so no timing
+          // depends on what an earlier query left in executor memory
+          core.releaseSessionState(spark)
           val t0 = System.nanoTime()
           try {
             fn(spark, sfDir).write.format("noop").mode("overwrite").save()

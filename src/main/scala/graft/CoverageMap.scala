@@ -26,10 +26,21 @@ object CoverageMap {
       }.mkString("\n")
       s"### ${file} (${ds.size})\n\n| Gate query | Oracle |\n|---|---|\n$rows"
     }.mkString("\n\n")
+    // prose tracks reality: the universal "hash-compared against its
+    // DuckDB oracle" claim is only printed while it is true; if an
+    // oracle-less gate is ever registered the weaker wording (and the
+    // per-row Oracle column) carries the distinction instead
+    val compareClaim =
+      if (withOracle == total)
+        "Every registered `QueryDef` — the driver runs each through Verify at\n" +
+          "sf0.01 and hash-compares against its DuckDB oracle (rows + schema +\n" +
+          "value hash)."
+      else
+        "Every registered `QueryDef` — the driver runs each through Verify at\n" +
+          "sf0.01; gates with a DuckDB oracle are hash-compared (rows + schema +\n" +
+          "value hash), the rest get a rows-only check (see the Oracle column)."
     s"$Marker\n\n## Gate registry (generated)\n\n" +
-      "Every registered `QueryDef` — the driver runs each through Verify at\n" +
-      "sf0.01 and hash-compares against its DuckDB oracle (rows + schema +\n" +
-      s"value hash). **$total gates, $withOracle with full SQL oracles.**\n" +
+      s"$compareClaim **$total gates, $withOracle with full SQL oracles.**\n" +
       "Grouped by the source file that registers them.\n\n" +
       s"$perModule\n"
   }

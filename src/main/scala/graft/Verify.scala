@@ -25,9 +25,10 @@ object Verify {
     val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.r)
     def keep(name: String): Boolean = only.forall(_.findFirstIn(name).isDefined)
     SparkEntry.queries.filter(kv => keep(kv._1)).foreach { case (name, fn) =>
-      // queries persist intermediates; drop them between queries so the
-      // cache pool can't grow unboundedly across the 60+ query run
-      spark.catalog.clearCache()
+      // queries persist intermediates (including localCheckpoint blocks the
+      // catalog cache doesn't track); drop them between queries so the
+      // pool can't grow unboundedly across the 130+ query run
+      core.releaseSessionState(spark)
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>

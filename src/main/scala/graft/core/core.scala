@@ -168,4 +168,18 @@ object core {
     * Oracle: `CAST(strftime(d, '%Y%m%d') AS INTEGER)`. */
   def dateKey(c: Column): Column =
     date_format(c, "yyyyMMdd").cast(IntegerType)
+
+  /** Release every block a query may have left in session memory: the
+    * catalog cache AND raw RDD-level persists. `localCheckpoint` blocks
+    * live outside the CacheManager, so `clearCache()` alone left them
+    * pinned for the rest of the session (the round-9 suite-inflation
+    * suspect); Verify and Bench call this between queries so each
+    * measurement starts from a cold cache pool. Safe between queries —
+    * results are already materialized — but NOT mid-query: an unpersisted
+    * localCheckpoint cannot be recomputed (its lineage is truncated). */
+  def releaseSessionState(spark: SparkSession): Unit = {
+    spark.catalog.clearCache()
+    spark.sparkContext.getPersistentRDDs.values
+      .foreach(_.unpersist(blocking = false))
+  }
 }

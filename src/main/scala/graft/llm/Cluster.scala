@@ -293,14 +293,30 @@ object Cluster {
     * later consumer — read the parquet table back. This is the pipeline
     * posture at 100 TB too: CC is the expensive step, its output is tiny
     * (two bigints per clustered doc), so you pay it once per corpus
-    * snapshot, never once per consumer. */
-  private val labelsCache =
-    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]()
-  private[graft] def clusterLabels(spark: SparkSession, dir: String): DataFrame =
-    labelsCache.computeIfAbsent((spark, dir), _ =>
-      clusterDag.run(spark, dir,
-        viewPrefix = "graft_cluster_", martPrefix = "cluster_marts")
-        .apply("mart_cluster_labels"))
+    * snapshot, never once per consumer.
+    *
+    * Session-state footprint: the marker map is WEAK-keyed by the session
+    * (dead sessions fall out with GC) and holds only built-dir strings —
+    * no DataFrame — and every call returns a fresh parquet scan of the
+    * mart. The round-9 finding (a DataFrame pinned for the life of the
+    * session with no eviction) is gone by construction;
+    * `core.releaseSessionState` has nothing to evict here. The lock spans
+    * the DAG run so a concurrent second consumer blocks until the mart
+    * exists rather than reading a half-written table. */
+  private val martBuilt =
+    new java.util.WeakHashMap[SparkSession, scala.collection.mutable.Set[String]]()
+  private[graft] def clusterLabels(spark: SparkSession, dir: String): DataFrame = {
+    martBuilt.synchronized {
+      val dirs = martBuilt.computeIfAbsent(spark,
+        _ => scala.collection.mutable.Set[String]())
+      if (!dirs.contains(dir)) {
+        clusterDag.run(spark, dir,
+          viewPrefix = "graft_cluster_", martPrefix = "cluster_marts")
+        dirs += dir
+      }
+    }
+    spark.read.parquet(core.scratch(dir, "cluster_marts/mart_cluster_labels"))
+  }
 
   /** dd5 — dup-cluster resolution: near-dup edges → connected components →
     * (doc, canonical, cluster size). The planted chains make base and v2

@@ -1165,7 +1165,8 @@ object TextOps {
                  AS n_subwords
         FROM w)
       SELECT doc_id, n_words, n_subwords,
-             CAST(n_subwords AS DOUBLE) / CAST(n_words AS DOUBLE) AS fertility
+             CAST(n_subwords AS DOUBLE) / CAST(NULLIF(n_words, 0) AS DOUBLE)
+               AS fertility
       FROM c
       ORDER BY doc_id
     """)) { (spark, dir) =>
@@ -1178,8 +1179,12 @@ object TextOps {
         size(col("ws")).cast(LongType).as("n_words"),
         aggregate(transform(col("ws"), w => subwordCount(w)), lit(0L),
           (a, b) => a + b).as("n_subwords"))
+      // empty/whitespace-only document ⇒ NULL fertility on BOTH engines:
+      // Spark (non-ANSI) already yields NULL on /0 but DuckDB's IEEE float
+      // divide yields Infinity — the when/NULLIF pair pins the agreed value
       .select(col("doc_id"), col("n_words"), col("n_subwords"),
-        (col("n_subwords").cast(DoubleType) / col("n_words").cast(DoubleType))
+        when(col("n_words") > 0,
+          col("n_subwords").cast(DoubleType) / col("n_words").cast(DoubleType))
           .as("fertility"))
       .orderBy("doc_id")
   }
