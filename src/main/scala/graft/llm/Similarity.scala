@@ -117,6 +117,26 @@ object Similarity {
       .orderBy("a_id")
   }
 
+  /** Coarse-quantizer centroid set folded into ONE broadcast row of
+    * struct(cent_id, cv): every IVF pass (assignment, probe-cell selection)
+    * is then a map-side higher-order scan per vector — no shuffle ever
+    * carries an embedding, which is the whole point of IVF. */
+  private def ivfCentroids(spark: SparkSession, dir: String): DataFrame =
+    emb(spark, dir).filter(col("vec_id") < 8)
+      .agg(collect_list(struct(col("vec_id").as("cent_id"), col("embedding").as("cv")))
+        .as("cents"))
+
+  /** Every vector tagged with its IVF cell (argmax dot over the broadcast
+    * centroids, ties toward the lower cent_id via the 1e-12 bias the oracle
+    * replays) — shared by [[simIvfProbe]] and [[simIvfMultiprobe]]. */
+  private def ivfAssigned(spark: SparkSession, dir: String): DataFrame = {
+    val best = array_max(transform(col("cents"), c => struct(
+      (dot(col("embedding"), c("cv")) - lit(1e-12) * c("cent_id")).as("score"),
+      c("cent_id").as("cent_id"))))
+    emb(spark, dir).crossJoin(broadcast(ivfCentroids(spark, dir)))
+      .select(col("vec_id"), col("label"), col("embedding"), best("cent_id").as("cell"))
+  }
+
   /** sim3 — IVF-style search: coarse-quantize every vector to its nearest
     * of 8 deterministic centroids (argmax dot, ties by centroid id), then
     * answer the query by probing ONLY the query's cell — the inverted-file
@@ -141,18 +161,7 @@ object Similarity {
       ORDER BY ${dotSql("a.embedding", "q.qv")} DESC, a.vec_id
       LIMIT 5
     """)) { (spark, dir) =>
-    val embAll = emb(spark, dir)
-    // centroid set folded into ONE broadcast row of struct(cent_id, cv):
-    // assignment is then a map-side higher-order argmax per vector — no
-    // shuffle ever carries an embedding, which is the whole point of IVF.
-    val centArr = embAll.filter(col("vec_id") < 8)
-      .agg(collect_list(struct(col("vec_id").as("cent_id"), col("embedding").as("cv")))
-        .as("cents"))
-    val best = array_max(transform(col("cents"), c => struct(
-      (dot(col("embedding"), c("cv")) - lit(1e-12) * c("cent_id")).as("score"),
-      c("cent_id").as("cent_id"))))
-    val assigned = embAll.crossJoin(broadcast(centArr))
-      .select(col("vec_id"), col("label"), col("embedding"), best("cent_id").as("cell"))
+    val assigned = ivfAssigned(spark, dir)
     val q = assigned.filter(col("vec_id") === 17)
       .select(col("embedding").as("qv"), col("cell").as("qcell"))
     assigned.join(broadcast(q), col("cell") === col("qcell"))
@@ -160,6 +169,66 @@ object Similarity {
         dot(col("embedding"), col("qv")).as("score"))
       .orderBy(col("score").desc, col("vec_id"))
       .limit(5)
+      .select(col("vec_id"), col("label"), col("cell"), round(col("score"), 6).as("score_r"))
+  }
+
+  /** sim3b — MULTI-PROBE IVF (round-9 queue #5): single-probe IVF loses any
+    * true neighbor whose vector quantized into a different cell than the
+    * query — the classic recall cliff at cell boundaries. Production IVF
+    * probes the query's nearest P cells instead: here the SAME broadcast
+    * centroid row yields the query's top-3 cells (sorted struct array, ties
+    * toward the lower cent_id by the same 1e-12 bias assignment uses), the
+    * probe is a map-side `array_contains` against the 3-cell list riding in
+    * the one-row broadcast query frame, and the union of the 3 candidate
+    * cells is exactly re-ranked. Scale: candidate volume is P/K of the
+    * corpus (3/8 here; P=32 of K=65536 in a real deployment) — still
+    * partition-pruned, still nothing but (id, score) past the scan, and P
+    * trades recall for scan cost with no re-layout. The spec pins the
+    * recall claim: multi-probe top-5 recovers at least as many of the exact
+    * top-5 as the single-probe gate does. */
+  val simIvfMultiprobe: QueryDef = QueryDef(
+    "sim_ivf_multiprobe",
+    Some(s"""
+      WITH cents AS (
+        SELECT vec_id AS cent_id, embedding AS cv FROM embeddings WHERE vec_id < 8),
+      assigned AS (
+        SELECT e.vec_id, e.label, e.embedding,
+               arg_max(c.cent_id, ${dotSql("e.embedding", "c.cv")} - 1e-12 * c.cent_id) AS cell
+        FROM embeddings e, cents c
+        GROUP BY e.vec_id, e.label, e.embedding),
+      q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 17),
+      qc AS (
+        SELECT c.cent_id AS cell
+        FROM cents c, q
+        ORDER BY ${dotSql("q.qv", "c.cv")} - 1e-12 * c.cent_id DESC
+        LIMIT 3)
+      SELECT a.vec_id, a.label, a.cell,
+             round(${dotSql("a.embedding", "q.qv")}, 6) AS score_r
+      FROM assigned a, q
+      WHERE a.cell IN (SELECT cell FROM qc)
+      ORDER BY ${dotSql("a.embedding", "q.qv")} DESC, a.vec_id
+      LIMIT 10
+    """)) { (spark, dir) =>
+    val assigned = ivfAssigned(spark, dir)
+    // one broadcast row carries the query vector AND its top-3 probe cells:
+    // ascending sort on struct(-dot + bias, cent_id) == the oracle's
+    // `dot - bias DESC` (IEEE negation is exact), slice takes the best 3
+    val qcells = slice(
+      transform(
+        array_sort(transform(col("cents"), c => struct(
+          (lit(-1.0) * dot(col("qv"), c("cv")) + lit(1e-12) * c("cent_id")).as("score"),
+          c("cent_id").as("cent_id")))),
+        s => s("cent_id")),
+      1, 3)
+    val q = emb(spark, dir).filter(col("vec_id") === 17)
+      .select(col("embedding").as("qv"))
+      .crossJoin(broadcast(ivfCentroids(spark, dir)))
+      .select(col("qv"), qcells.as("qcells"))
+    assigned.join(broadcast(q), array_contains(col("qcells"), col("cell")))
+      .select(col("vec_id"), col("label"), col("cell"),
+        dot(col("embedding"), col("qv")).as("score"))
+      .orderBy(col("score").desc, col("vec_id"))
+      .limit(10)
       .select(col("vec_id"), col("label"), col("cell"), round(col("score"), 6).as("score_r"))
   }
 
@@ -573,6 +642,6 @@ object Similarity {
   }
 
   val all: Seq[QueryDef] = Seq(
-    simTopKBrute, simLshPairs, simIvfProbe, ddEmbeddingCosine, simQuantizeInt8,
-    simCentroids, simKmeans, simKmeansConverged)
+    simTopKBrute, simLshPairs, simIvfProbe, simIvfMultiprobe, ddEmbeddingCosine,
+    simQuantizeInt8, simCentroids, simKmeans, simKmeansConverged)
 }

@@ -56,6 +56,25 @@ class LlmOpsSpec extends SparkSpec {
     assert(rows.head.getAs[Long]("vec_id") === 17L) // self top-1
   }
 
+  test("IVF multi-probe: ≤3 cells probed, self top-1, recall ≥ single-probe vs exact") {
+    val multi = Similarity.simIvfMultiprobe.run(spark, sfDir).collect()
+    assert(multi.nonEmpty)
+    assert(multi.map(_.getAs[Long]("cell")).distinct.length <= 3)
+    assert(multi.head.getAs[Long]("vec_id") === 17L) // self top-1
+    // exact top-5 for the same query, brute force — the recall yardstick
+    val e = core.tbl(spark, sfDir, "embeddings")
+    val q = e.filter(col("vec_id") === 17).select(col("embedding").as("qv"))
+    val exact = e.crossJoin(broadcast(q))
+      .select(col("vec_id"),
+        call_function("graft_dot", col("embedding"), col("qv")).as("s"))
+      .orderBy(col("s").desc, col("vec_id")).limit(5)
+      .collect().map(_.getLong(0)).toSet
+    val single = Similarity.simIvfProbe.run(spark, sfDir).collect()
+      .map(_.getAs[Long]("vec_id")).toSet
+    val multiTop5 = multi.take(5).map(_.getAs[Long]("vec_id")).toSet
+    assert((multiTop5 & exact).size >= (single & exact).size)
+  }
+
   test("embedding-cosine dedup maps every planted copy to its exact original") {
     val mapping = Similarity.ddEmbeddingCosine.run(spark, sfDir)
       .collect().map(r => r.getAs[Long]("dup_id") -> r.getAs[Long]("canonical_id"))
