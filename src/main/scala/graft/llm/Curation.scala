@@ -372,7 +372,50 @@ object Curation {
       .orderBy("doc_id")
   }
 
+  /** c2b — SUBWORD-TRUE token budget (round-9 queue #4): identical
+    * prefix-rule selection to [[cTokenBudget]], but the running spend is
+    * measured in SUBWORD tokens ([[TextOps.docSubwords]]) — the budget a
+    * training run actually pays — while quality stays the whitespace
+    * stopword ratio (scoring and accounting are independent axes). The
+    * budget doubles to 2048 because fertility > 1 inflates every doc's
+    * cost; the whitespace gate stays registered untouched. Same scale
+    * shape: map-pass counts, one window cumsum per source, prefix filter. */
+  val cBudgetSubword: QueryDef = QueryDef(
+    "t_budget_subword",
+    Some(s"""
+      WITH scored AS (
+        SELECT doc_id, source,
+               ${TextOps.docSubwordsSql("text")} AS n_tokens,
+               CAST(len(list_filter(string_split_regex(text, '\\s+'),
+                                    x -> x IN ('the','a','of','and','to','in'))) AS DOUBLE)
+                 / CAST(len(string_split_regex(text, '\\s+')) AS DOUBLE) AS quality
+        FROM documents),
+      ranked AS (
+        SELECT doc_id, source, n_tokens, quality,
+               CAST(sum(n_tokens) OVER (PARTITION BY source
+                 ORDER BY quality DESC, doc_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_tokens
+        FROM scored)
+      SELECT doc_id, source, n_tokens, quality, cum_tokens
+      FROM ranked WHERE cum_tokens <= 2048
+      ORDER BY source, doc_id
+    """)) { (spark, dir) =>
+    val t = toks(col("text"))
+    val stop = Seq("the", "a", "of", "and", "to", "in")
+    val quality = size(filter(t, x => x.isin(stop: _*))).cast(DoubleType) /
+      size(t).cast(DoubleType)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("source").orderBy(col("quality").desc, col("doc_id"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    tbl(spark, dir, "documents")
+      .select(col("doc_id"), col("source"),
+        TextOps.docSubwords(col("text")).as("n_tokens"), quality.as("quality"))
+      .withColumn("cum_tokens", sum(col("n_tokens")).over(w))
+      .filter(col("cum_tokens") <= 2048)
+      .orderBy("source", "doc_id")
+  }
+
   val all: Seq[QueryDef] = Seq(
     cDomainFilter, cTokenBudget, cOverlapMatrix, cNormalize,
-    cSubstringDups, cTrainSplit, cQualityLogit)
+    cSubstringDups, cTrainSplit, cQualityLogit, cBudgetSubword)
 }

@@ -1111,7 +1111,7 @@ object TextOps {
     * at 100 TB this is the same single-pass posture as [[tTokenStats]];
     * the native-`Expression` rewrite is the known optimization path if a
     * profiler ever ranks it. */
-  private def subwordCount(w: Column): Column = {
+  private[llm] def subwordCount(w: Column): Column = {
     val folded = aggregate(
       sequence(lit(1), length(w)),
       lit(1000000L),
@@ -1131,7 +1131,7 @@ object TextOps {
   /** DuckDB twin of [[subwordCount]] over word variable `$w`: identical
     * packed-state fold; `list_reduce` seeds from the first element, so the
     * initial state is prepended to the position list. */
-  private def subwordCountSql(w: String): String = {
+  private[llm] def subwordCountSql(w: String): String = {
     def inList(xs: Seq[String]) = xs.map(s => s"'$s'").mkString("[", ", ", "]")
     s"""list_reduce(
          list_prepend(CAST(1000000 AS BIGINT), range(1, length($w) + 1)),
@@ -1143,6 +1143,24 @@ object TextOps {
                      ELSE 1 END) * 1000000 + acc % 1000000 + 1
            ELSE acc END) % 1000000"""
   }
+
+  /** Per-document subword count under the fixed vocab: lowercase, split,
+    * drop empty strings (Spark's `sequence(1, 0)` would otherwise yield a
+    * DESCENDING [1, 0]), greedy-fold each word, sum. Shared by
+    * [[tTokenSubword]], [[tPackSubword]] and
+    * [[Curation.cBudgetSubword]] — the export tail measures the SAME token
+    * count the accounting gate reports. */
+  private[llm] def docSubwords(text: Column): Column =
+    aggregate(
+      transform(filter(toks(lower(text)), x => length(x) > 0), w => subwordCount(w)),
+      lit(0L), (a, b) => a + b)
+
+  /** DuckDB twin of [[docSubwords]] over text expression `$t`; `list_sum`
+    * of an empty list is NULL, pinned back to 0 to match the Spark seed. */
+  private[llm] def docSubwordsSql(t: String): String =
+    s"""COALESCE(CAST(list_sum(list_transform(
+          list_filter(string_split_regex(lower($t), '\\s+'), x -> length(x) > 0),
+          w -> ${subwordCountSql("w")})) AS BIGINT), 0)"""
 
   /** t22 — SUBWORD token accounting: per document, whitespace-word count,
     * greedy-subword count over the fixed vocab, and fertility (subwords
@@ -1189,10 +1207,51 @@ object TextOps {
       .orderBy("doc_id")
   }
 
+  /** t23 — SUBWORD-TRUE sequence packing (round-9 queue #4): identical
+    * prefix-sum layout to [[tPackSequences]], but block spans are measured
+    * in SUBWORD tokens ([[docSubwords]]) instead of whitespace words — so a
+    * 512-token context window holds what the tokenizer actually emits, not
+    * a fertility-inflated overestimate. Same scale shape: one map pass for
+    * the counts (the greedy fold is O(chars) per doc), one window cumsum
+    * per shard, block arithmetic on the offsets; the whitespace gate stays
+    * registered untouched as the fixture-stable baseline. */
+  val tPackSubword: QueryDef = QueryDef(
+    "t_pack_subword",
+    Some(s"""
+      WITH tk AS (
+        SELECT doc_id, doc_id % 8 AS shard,
+               ${docSubwordsSql("text")} AS n_tokens
+        FROM documents),
+      cum AS (
+        SELECT doc_id, shard, n_tokens,
+               CAST(COALESCE(sum(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS tok_start
+        FROM tk)
+      SELECT doc_id, shard, n_tokens, tok_start,
+             CAST(floor(tok_start / 512.0) AS BIGINT) AS first_block,
+             CAST(floor((tok_start + n_tokens - 1) / 512.0) AS BIGINT) AS last_block,
+             tok_start % 512 AS block_offset
+      FROM cum ORDER BY doc_id
+    """)) { (spark, dir) =>
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("shard").orderBy("doc_id")
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    tbl(spark, dir, "documents")
+      .select(col("doc_id"), (col("doc_id") % 8).as("shard"),
+        docSubwords(col("text")).as("n_tokens"))
+      .withColumn("tok_start", coalesce(sum(col("n_tokens")).over(w), lit(0L)))
+      .select(col("doc_id"), col("shard"), col("n_tokens"), col("tok_start"),
+        floor(col("tok_start") / 512.0).cast(LongType).as("first_block"),
+        floor((col("tok_start") + col("n_tokens") - 1) / 512.0).cast(LongType)
+          .as("last_block"),
+        (col("tok_start") % 512).as("block_offset"))
+      .orderBy("doc_id")
+  }
+
   val all: Seq[QueryDef] = Seq(
     tTokenStats, tQualityScore, tLangId, tFingerprint, tMultimodalMeta,
     tMultimodalDecode, tMultimodalFrames, tMultimodalResize, tStratifiedSample,
     tLineDedup, tBoilerplateCorpus, tCorpusFilter, tPackSequences, tMixtureSample,
     tRepetitionStats, tSalientTerms, tChunkWindows, tPiiRedact, tDecontaminate,
-    tShuffleExport, tRarityScore, tTokenSubword)
+    tShuffleExport, tRarityScore, tTokenSubword, tPackSubword)
 }

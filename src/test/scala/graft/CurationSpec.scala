@@ -37,6 +37,26 @@ class CurationSpec extends SparkSpec {
     }
   }
 
+  test("subword budget: prefix law holds and spend matches the subword accounting gate") {
+    val rows = Curation.cBudgetSubword.run(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    assert(rows.forall(_.getAs[Long]("cum_tokens") <= 2048L))
+    rows.groupBy(_.getAs[String]("source")).foreach { case (_, rs) =>
+      val ordered = rs.sortBy(r => (-r.getAs[Double]("quality"), r.getAs[Long]("doc_id")))
+      var cum = 0L
+      ordered.foreach { r =>
+        cum += r.getAs[Long]("n_tokens")
+        assert(r.getAs[Long]("cum_tokens") === cum)
+      }
+    }
+    // every kept doc is billed at exactly its t_token_subword count
+    val acct = graft.llm.TextOps.tTokenSubword.run(spark, sfDir).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("n_subwords")).toMap
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_tokens") === acct(r.getAs[Long]("doc_id")))
+    }
+  }
+
   test("overlap matrix: planted recrawl accounts for exactly the doc_id % 6 == 0 docs") {
     val rows = Curation.cOverlapMatrix.run(spark, sfDir).collect()
     val planted = tbl(spark, sfDir, "documents")

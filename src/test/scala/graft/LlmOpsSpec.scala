@@ -166,6 +166,29 @@ class LlmOpsSpec extends SparkSpec {
     }
   }
 
+  test("subword packing: same layout law, counts agree with the subword accounting gate") {
+    import SparkSpec.spark.implicits._
+    val rows = TextOps.tPackSubword.run(spark, sfDir)
+      .select("doc_id", "shard", "n_tokens", "tok_start", "first_block", "last_block", "block_offset")
+      .as[(Long, Long, Long, Long, Long, Long, Long)].collect()
+    assert(rows.length === 500)
+    rows.groupBy(_._2).foreach { case (_, docs) =>
+      docs.sortBy(_._1).foldLeft(0L) { case (expectedStart, (id, _, n, start, fb, lb, off)) =>
+        assert(start === expectedStart, s"doc $id")
+        assert(fb === start / 512 && lb === (start + n - 1) / 512 && off === start % 512)
+        start + n
+      }
+    }
+    // the packer spends the SAME per-doc token count t_token_subword reports
+    val acct = TextOps.tTokenSubword.run(spark, sfDir)
+      .select("doc_id", "n_subwords").as[(Long, Long)].collect().toMap
+    rows.foreach { case (id, _, n, _, _, _, _) => assert(n === acct(id), s"doc $id") }
+    // fertility > 1 on real text: subword layout is strictly longer
+    val wsTotal = TextOps.tPackSequences.run(spark, sfDir)
+      .agg(sum("n_tokens")).as[Long].head()
+    assert(rows.map(_._3).sum > wsTotal)
+  }
+
   test("temperature mixture keeps the smallest domain whole and flattens the rest") {
     val rows = TextOps.tMixtureSample.run(spark, sfDir).collect()
       .map(r => (r.getAs[String]("lang"), r.getAs[Long]("n_total"),
