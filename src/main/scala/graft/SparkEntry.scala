@@ -22,6 +22,7 @@ object SparkEntry {
     "model/Warehouse.scala" -> model.Warehouse.all,
     "quality/Quality.scala" -> quality.Quality.all,
     "llm/TextOps.scala" -> llm.TextOps.all,
+    "llm/Bpe.scala" -> llm.Bpe.all,
     "llm/Curation.scala" -> llm.Curation.all,
     "llm/Dedup.scala" -> llm.Dedup.all,
     "llm/Cluster.scala" -> llm.Cluster.all,

@@ -1,0 +1,213 @@
+package graft.llm
+
+import graft.{QueryDef, core}
+import graft.core._
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Corpus-trained BPE (round-9 queue #3): the merge table
+  * [[TextOps.subwordCount]]'s hand-pinned digraph lists stand in for is
+  * LEARNED here, by the textbook byte-pair-encoding trainer — iterated
+  * pair-frequency counting over the corpus vocabulary (Sennrich et al.
+  * 2016), pinned to [[BpeRounds]] merges with integer-deterministic
+  * tie-breaks, exactly the "train a statistic on the corpus, apply it per
+  * document" pattern `t_rarity_score` established.
+  *
+  * Two design decisions carry all the cross-engine determinism:
+  *
+  *  - '''Training runs over the weighted DISTINCT-WORD vocabulary''', never
+  *    the corpus: one word-count aggregation reduces 100 TB of text to a
+  *    vocabulary-sized frame (millions of rows, not billions — words repeat;
+  *    that is the point of BPE), and every subsequent round is a pair-count
+  *    aggregation over THAT frame weighted by `wcount`. Per round: one
+  *    vocabulary-sized shuffle of (pa, pb, weight) triples and ONE driver
+  *    scalar (the winning pair — the
+  *    [[graft.llm.Cluster]] one-scalar-per-round discipline). The corpus is
+  *    re-read exactly once, for the initial count.
+  *
+  *  - '''Symbol strings are bracketed''' — word "the" is held as
+  *    `<t><h><e>` — so applying merge (pa, pb) is a plain
+  *    `replace(syms, '<pa><pb>', '<papb>')` on BOTH engines: the brackets
+  *    make each symbol self-delimiting (a pattern can never match a symbol
+  *    SUFFIX the way a space-separated encoding can), and left-to-right
+  *    non-overlapping `replace` — the semantics Spark's `UTF8String.replace`
+  *    and DuckDB's `replace` share — IS the greedy left-to-right merge
+  *    order BPE specifies: after a replacement the scan resumes past the
+  *    merged symbol, so `<a><a><a>` under (a, a) becomes `<aa><a>`, and
+  *    `<a><b><a><b>` under (a, b) becomes `<ab><ab>`. No fold, no UDF.
+  *
+  * Ties (equal pair counts) break on (count DESC, pa ASC, pb ASC); the
+  * alphabet is pre-restricted to `^[a-z]+$` words, so string order is plain
+  * ASCII byte order on both engines. The DuckDB oracle replays the SAME
+  * [[BpeRounds]] rounds as unrolled CTEs — b₁…bₙ each pick their round's
+  * argmax pair with the same tie-break, w₁…wₙ apply the same replace.
+  */
+object Bpe {
+
+  /** Pinned merge budget — the oracle unrolls exactly this many rounds. */
+  private[llm] val BpeRounds = 8
+
+  /** Lowercased `^[a-z]+$` corpus words with occurrence counts, each word
+    * exploded into its bracketed character-symbol string. */
+  private def bpeVocab(spark: SparkSession, dir: String): DataFrame =
+    tbl(spark, dir, "documents")
+      .select(explode(split(lower(col("text")), "\\s+")).as("word"))
+      .filter(col("word").rlike("^[a-z]+$"))
+      .groupBy("word").agg(count(lit(1)).as("wcount"))
+      // Spark's split("", -1 limit) keeps a trailing empty string the way
+      // DuckDB's string_split does not — filter it before joining
+      .select(
+        concat(lit("<"),
+          array_join(filter(split(col("word"), ""), c => length(c) > 0), "><"),
+          lit(">")).as("syms"),
+        col("wcount"))
+
+  /** Run the pinned-budget trainer; returns the merges in rank order as
+    * (left symbol, right symbol, weighted pair count). Each round's
+    * superseded vocabulary checkpoint is released inside the loop (the
+    * [[Similarity.simKmeansConverged]] discipline). */
+  private[llm] def trainMerges(spark: SparkSession, dir: String): Seq[(String, String, Long)] = {
+    val merges = Seq.newBuilder[(String, String, Long)]
+    var vocab = bpeVocab(spark, dir).localCheckpoint(true)
+    var round = 0
+    while (round < BpeRounds) {
+      val withL = vocab.select(col("wcount"),
+        split(col("syms").substr(lit(2), length(col("syms")) - 2), "><").as("l"))
+      val pairs = withL.select(col("wcount"), explode(
+        zip_with(
+          slice(col("l"), lit(1), size(col("l")) - 1),
+          slice(col("l"), lit(2), size(col("l")) - 1),
+          (a, b) => struct(a.as("pa"), b.as("pb")))).as("p"))
+      val top = pairs
+        .groupBy(col("p.pa").as("pa"), col("p.pb").as("pb"))
+        .agg(sum(col("wcount")).as("cnt"))
+        .orderBy(col("cnt").desc, col("pa"), col("pb"))
+        .limit(1).collect()
+      // the fixture corpus has far more than BpeRounds distinct adjacent
+      // pairs; an exhausted vocabulary would silently desync the unrolled
+      // oracle, so fail loudly instead
+      require(top.nonEmpty, s"BPE corpus exhausted at round ${round + 1}/$BpeRounds")
+      val (pa, pb, cnt) = (top(0).getString(0), top(0).getString(1), top(0).getLong(2))
+      merges += ((pa, pb, cnt))
+      val next = vocab.withColumn("syms",
+        replace(col("syms"), lit(s"<$pa><$pb>"), lit(s"<$pa$pb>")))
+        .localCheckpoint(true)
+      vocab.unpersist(false)
+      vocab = next
+      round += 1
+    }
+    vocab.unpersist(false)
+    merges.result()
+  }
+
+  /** Oracle CTE bundle shared by both gates: wf (weighted vocabulary), w0
+    * (bracketed symbols), then per round r: p_r (pair counts), b_r (argmax
+    * pair), w_r (merge applied). */
+  private def trainSql: String = {
+    val rounds = (1 to BpeRounds).map { r =>
+      s"""p$r AS (
+        SELECT pa, pb, CAST(sum(wcount) AS BIGINT) AS cnt FROM (
+          SELECT l[i] AS pa, l[i + 1] AS pb, wcount FROM (
+            SELECT unnest(range(1, len(l))) AS i, l, wcount FROM (
+              SELECT string_split(substr(syms, 2, length(syms) - 2), '><') AS l, wcount
+              FROM w${r - 1})))
+        GROUP BY pa, pb),
+      b$r AS (SELECT pa, pb, cnt FROM p$r ORDER BY cnt DESC, pa, pb LIMIT 1),
+      w$r AS (
+        SELECT replace(w.syms, '<' || b.pa || '><' || b.pb || '>',
+                       '<' || b.pa || b.pb || '>') AS syms, w.wcount
+        FROM w${r - 1} w, b$r b)"""
+    }.mkString(",\n      ")
+    s"""wf AS (
+        SELECT word, count(*) AS wcount FROM (
+          SELECT unnest(string_split_regex(lower(text), '\\s+')) AS word FROM documents)
+        WHERE regexp_matches(word, '^[a-z]+$$')
+        GROUP BY word),
+      w0 AS (
+        SELECT '<' || array_to_string(string_split(word, ''), '><') || '>' AS syms, wcount
+        FROM wf),
+      $rounds"""
+  }
+
+  /** bpe1 — the TRAINER's gate: the learned merge table itself, one row per
+    * rank — (rank, left, right, merged symbol, weighted pair count). The
+    * oracle re-derives all [[BpeRounds]] rounds from the raw corpus. */
+  val bpeTrain: QueryDef = QueryDef(
+    "t_bpe_train",
+    Some(s"""
+      WITH ${trainSql}
+      SELECT CAST(r AS BIGINT) AS merge_rank, pa AS left_sym, pb AS right_sym,
+             pa || pb AS merged_sym, cnt AS pair_count
+      FROM (${(1 to BpeRounds).map(r => s"SELECT $r AS r, * FROM b$r").mkString("\n            UNION ALL ")})
+      ORDER BY merge_rank
+    """)) { (spark, dir) =>
+    val s2 = spark
+    import s2.implicits._
+    trainMerges(spark, dir).zipWithIndex.map { case ((pa, pb, cnt), i) =>
+      (i + 1L, pa, pb, pa + pb, cnt)
+    }.toDF("merge_rank", "left_sym", "right_sym", "merged_sym", "pair_count")
+      .orderBy("merge_rank")
+  }
+
+  /** bpe2 — TOKENIZE with the learned vocab: per document, replay the
+    * trained merge table over every word (chained `replace` — BPE's exact
+    * tokenization IS merge replay in rank order; greedy longest-match is
+    * the WordPiece approximation [[TextOps.subwordCount]] keeps as the
+    * fixture-stable fallback) and count surviving symbols by counting
+    * brackets. Training cost is paid once per corpus snapshot; application
+    * is a pure map pass, O(chars · merges) per doc. The oracle re-trains in
+    * its CTE prefix and applies the same chain via a 1-row merge frame the
+    * per-doc lambda captures. */
+  val bpeTokenize: QueryDef = QueryDef(
+    "t_bpe_tokenize",
+    Some {
+      val rep0 = "'<' || array_to_string(string_split(w, ''), '><') || '>'"
+      val rep = (1 to BpeRounds).foldLeft(rep0)((acc, i) => s"replace($acc, f$i, r$i)")
+      val mCols = (1 to BpeRounds).map(i =>
+        s"(SELECT '<' || pa || '><' || pb || '>' FROM b$i) AS f$i,\n             (SELECT '<' || pa || pb || '>' FROM b$i) AS r$i").mkString(",\n             ")
+      s"""
+      WITH ${trainSql},
+      m AS (SELECT $mCols),
+      d AS (
+        SELECT doc_id,
+               list_filter(string_split_regex(lower(text), '\\s+'),
+                           x -> regexp_matches(x, '^[a-z]+$$')) AS ws
+        FROM documents),
+      c AS (
+        SELECT doc_id, CAST(len(ws) AS BIGINT) AS n_words,
+               COALESCE(CAST(list_sum(list_transform(ws, w ->
+                 length($rep) - length(replace($rep, '<', '')))) AS BIGINT), 0)
+                 AS n_bpe_tokens
+        FROM d, m)
+      SELECT doc_id, n_words, n_bpe_tokens,
+             CAST(n_bpe_tokens AS DOUBLE) / CAST(NULLIF(n_words, 0) AS DOUBLE)
+               AS fertility
+      FROM c ORDER BY doc_id
+    """
+    }) { (spark, dir) =>
+    val merges = trainMerges(spark, dir)
+    def tokens(w: Column): Column = {
+      val rep0 = concat(lit("<"),
+        array_join(filter(split(w, ""), c => length(c) > 0), "><"), lit(">"))
+      val rep = merges.foldLeft(rep0) { case (acc, (pa, pb, _)) =>
+        replace(acc, lit(s"<$pa><$pb>"), lit(s"<$pa$pb>"))
+      }
+      length(rep) - length(replace(rep, lit("<")))
+    }
+    tbl(spark, dir, "documents")
+      .select(col("doc_id"),
+        filter(split(lower(col("text")), "\\s+"), x => x.rlike("^[a-z]+$")).as("ws"))
+      .select(col("doc_id"),
+        size(col("ws")).cast(LongType).as("n_words"),
+        aggregate(transform(col("ws"), w => tokens(w)), lit(0L), (a, b) => a + b)
+          .as("n_bpe_tokens"))
+      .select(col("doc_id"), col("n_words"), col("n_bpe_tokens"),
+        when(col("n_words") > 0,
+          col("n_bpe_tokens").cast(DoubleType) / col("n_words").cast(DoubleType))
+          .as("fertility"))
+      .orderBy("doc_id")
+  }
+
+  val all: Seq[QueryDef] = Seq(bpeTrain, bpeTokenize)
+}

@@ -1111,15 +1111,17 @@ object TextOps {
     * at 100 TB this is the same single-pass posture as [[tTokenStats]];
     * the native-`Expression` rewrite is the known optimization path if a
     * profiler ever ranks it. */
-  private[llm] def subwordCount(w: Column): Column = {
+  private[llm] def subwordCount(
+      w: Column,
+      v4: Seq[String] = sub4, v3: Seq[String] = sub3, v2: Seq[String] = sub2): Column = {
     val folded = aggregate(
       sequence(lit(1), length(w)),
       lit(1000000L),
       (acc, i) => {
         val pos = (acc / lit(1000000L)).cast(IntegerType)
-        val l = when(w.substr(pos, lit(4)).isin(sub4: _*), 4)
-          .when(w.substr(pos, lit(3)).isin(sub3: _*), 3)
-          .when(w.substr(pos, lit(2)).isin(sub2: _*), 2)
+        val l = when(w.substr(pos, lit(4)).isin(v4: _*), 4)
+          .when(w.substr(pos, lit(3)).isin(v3: _*), 3)
+          .when(w.substr(pos, lit(2)).isin(v2: _*), 2)
           .otherwise(1)
         when(i.cast(LongType) === pos.cast(LongType),
           (pos + l).cast(LongType) * lit(1000000L) + acc % lit(1000000L) + lit(1L))

@@ -1,0 +1,54 @@
+package graft
+
+import graft.llm.Bpe
+import org.apache.spark.sql.functions._
+
+/** BPE trainer/tokenizer invariants the hash oracle can't express — the
+  * monotonicity law of merge counts, hierarchy (merges built from earlier
+  * merges), and the accounting relationship between the tokenizer's output
+  * and raw character/word counts. */
+class BpeSpec extends SparkSpec {
+
+  test("trainer: full merge budget, positive counts, monotone non-increasing") {
+    val rows = Bpe.bpeTrain.run(spark, sfDir).collect()
+    assert(rows.map(_.getAs[Long]("merge_rank")).toSeq === (1L to 8L))
+    val counts = rows.map(_.getAs[Long]("pair_count"))
+    assert(counts.forall(_ > 0))
+    // BPE law: an existing pair's count never grows, and a pair created by
+    // merge r occurs at most as often as merge r itself — so the winning
+    // count can never increase between rounds
+    assert(counts.sliding(2).forall { case Array(a, b) => a >= b; case _ => true })
+    // merged symbols are exactly left || right
+    rows.foreach { r =>
+      assert(r.getAs[String]("merged_sym") ===
+        r.getAs[String]("left_sym") + r.getAs[String]("right_sym"))
+    }
+  }
+
+  test("trainer: learned table is hierarchical — later merges consume earlier ones") {
+    val rows = Bpe.bpeTrain.run(spark, sfDir).collect()
+    val merged = rows.map(_.getAs[String]("merged_sym")).toSet
+    val participants = rows.flatMap(r =>
+      Seq(r.getAs[String]("left_sym"), r.getAs[String]("right_sym")))
+    // at least one later merge uses an earlier round's output as a symbol
+    assert(participants.exists(s => s.length > 1 && merged.contains(s)))
+  }
+
+  test("tokenizer: per-doc counts bracket between word count and character count") {
+    val toks = Bpe.bpeTokenize.run(spark, sfDir).collect()
+    assert(toks.length === 500)
+    toks.foreach { r =>
+      val (w, t) = (r.getAs[Long]("n_words"), r.getAs[Long]("n_bpe_tokens"))
+      assert(t >= w, s"doc ${r.getAs[Long]("doc_id")}: every word is ≥1 token")
+      if (w > 0)
+        assert(r.getAs[Double]("fertility") === t.toDouble / w)
+    }
+    // merges actually fire: total tokens strictly below total characters
+    val chars = core.tbl(spark, sfDir, "documents")
+      .select(aggregate(
+        filter(split(lower(col("text")), "\\s+"), x => x.rlike("^[a-z]+$")),
+        lit(0L), (a, w) => a + length(w).cast("long")).as("c"))
+      .agg(sum("c")).head().getLong(0)
+    assert(toks.map(_.getAs[Long]("n_bpe_tokens")).sum < chars)
+  }
+}
