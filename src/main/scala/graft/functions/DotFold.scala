@@ -111,6 +111,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         DotFold(children.head, children(1))
       }))
     ext.injectFunction((
+      FunctionIdentifier("graft_subwords"),
+      new ExpressionInfo(classOf[SubwordFold].getName, "graft_subwords"),
+      (children: Seq[Expression]) => {
+        require(children.length == 1, "graft_subwords takes exactly 1 argument")
+        SubwordFold(children.head)
+      }))
+    ext.injectFunction((
       FunctionIdentifier("graft_bloom_agg"),
       new ExpressionInfo(
         classOf[org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate].getName,

@@ -63,11 +63,29 @@ object Bpe {
           lit(">")).as("syms"),
         col("wcount"))
 
-  /** Run the pinned-budget trainer; returns the merges in rank order as
-    * (left symbol, right symbol, weighted pair count). Each round's
-    * superseded vocabulary checkpoint is released inside the loop (the
+  /** Train-once memo: both gates (and any later consumer — a packing or
+    * budget stage measuring in BPE tokens) replay the SAME learned table, so
+    * training is paid once per (session, corpus snapshot) — the
+    * [[Cluster.clusterLabels]] mart posture, scaled down: the artifact here
+    * is [[BpeRounds]] driver-side string pairs, so the memo holds the value
+    * itself rather than a parquet pointer. WEAK-keyed by session (dead
+    * sessions fall out with GC); `core.releaseSessionState` has nothing to
+    * evict — no DataFrame, no blocks. */
+  private val mergeMemo =
+    new java.util.WeakHashMap[SparkSession, scala.collection.mutable.Map[String, Seq[(String, String, Long)]]]()
+
+  /** Learned merges in rank order as (left symbol, right symbol, weighted
+    * pair count) — memoized per (session, dir). */
+  private[llm] def trainMerges(spark: SparkSession, dir: String): Seq[(String, String, Long)] =
+    mergeMemo.synchronized {
+      mergeMemo.computeIfAbsent(spark, _ => scala.collection.mutable.Map())
+        .getOrElseUpdate(dir, trainMergesUncached(spark, dir))
+    }
+
+  /** The actual pinned-budget trainer. Each round's superseded vocabulary
+    * checkpoint is released inside the loop (the
     * [[Similarity.simKmeansConverged]] discipline). */
-  private[llm] def trainMerges(spark: SparkSession, dir: String): Seq[(String, String, Long)] = {
+  private def trainMergesUncached(spark: SparkSession, dir: String): Seq[(String, String, Long)] = {
     val merges = Seq.newBuilder[(String, String, Long)]
     var vocab = bpeVocab(spark, dir).localCheckpoint(true)
     var round = 0

@@ -1090,11 +1090,13 @@ object TextOps {
   /** Multi-character vocabulary units by length (single characters are
     * implicitly in-vocab — the fallback that guarantees the tokenizer
     * always advances). Frequent English digraphs/trigraphs/quadgraphs:
-    * what a tiny BPE learned on English text converges to first. */
-  private val sub4 = Seq("tion", "ment", "able", "ight", "ough")
-  private val sub3 = Seq("the", "ing", "ion", "ent", "and", "ati", "for", "ter", "ers")
-  private val sub2 = Seq("th", "he", "in", "er", "an", "re", "on", "at", "en", "nd",
-    "es", "or", "te", "ed", "is", "al", "ar", "st", "to", "of")
+    * what a tiny BPE learned on English text converges to first (and what
+    * [[Bpe.bpeTrain]] now actually learns from the corpus). Single-sourced
+    * with the native [[graft.functions.SubwordFold]] expression so the fold,
+    * the codegen'd kernel and the DuckDB twin can never drift. */
+  private val sub4 = graft.functions.SubwordFold.Sub4
+  private val sub3 = graft.functions.SubwordFold.Sub3
+  private val sub2 = graft.functions.SubwordFold.Sub2
 
   /** Greedy longest-match subword count of one (lowercase, non-empty) word.
     *
@@ -1146,13 +1148,19 @@ object TextOps {
            ELSE acc END) % 1000000"""
   }
 
-  /** Per-document subword count under the fixed vocab: lowercase, split,
-    * drop empty strings (Spark's `sequence(1, 0)` would otherwise yield a
-    * DESCENDING [1, 0]), greedy-fold each word, sum. Shared by
-    * [[tTokenSubword]], [[tPackSubword]] and
-    * [[Curation.cBudgetSubword]] — the export tail measures the SAME token
-    * count the accounting gate reports. */
-  private[llm] def docSubwords(text: Column): Column =
+  /** Per-document subword count under the fixed vocab — the native
+    * [[graft.functions.SubwordFold]] kernel (one tight Java loop per row,
+    * inside whole-stage codegen), spec-pinned equal to the reference column
+    * fold `aggregate(transform(filter(split(lower(text))), subwordCount))`
+    * it replaced in the hot path. Shared by [[tTokenSubword]],
+    * [[tPackSubword]] and [[Curation.cBudgetSubword]] — the export tail
+    * measures the SAME token count the accounting gate reports. */
+  private[graft] def docSubwords(text: Column): Column =
+    call_function("graft_subwords", lower(text))
+
+  /** The interpreted reference form of [[docSubwords]] — kept for the
+    * equivalence spec and as the template for custom vocabularies. */
+  private[graft] def docSubwordsFold(text: Column): Column =
     aggregate(
       transform(filter(toks(lower(text)), x => length(x) > 0), w => subwordCount(w)),
       lit(0L), (a, b) => a + b)
@@ -1190,15 +1198,13 @@ object TextOps {
       FROM c
       ORDER BY doc_id
     """)) { (spark, dir) =>
-    // empty strings filtered BEFORE the fold: Spark's sequence(1, 0) would
-    // produce a DESCENDING [1, 0] rather than an empty list
+    // empty strings filtered BEFORE counting: Spark's split keeps empty
+    // fields at separator runs the way the native scanner never forms
     val words = filter(toks(lower(col("text"))), x => length(x) > 0)
     tbl(spark, dir, "documents")
-      .select(col("doc_id"), words.as("ws"))
       .select(col("doc_id"),
-        size(col("ws")).cast(LongType).as("n_words"),
-        aggregate(transform(col("ws"), w => subwordCount(w)), lit(0L),
-          (a, b) => a + b).as("n_subwords"))
+        size(words).cast(LongType).as("n_words"),
+        docSubwords(col("text")).as("n_subwords"))
       // empty/whitespace-only document ⇒ NULL fertility on BOTH engines:
       // Spark (non-ANSI) already yields NULL on /0 but DuckDB's IEEE float
       // divide yields Infinity — the when/NULLIF pair pins the agreed value

@@ -189,6 +189,20 @@ class LlmOpsSpec extends SparkSpec {
     assert(rows.map(_._3).sum > wsTotal)
   }
 
+  test("native graft_subwords equals the reference column fold on corpus and edges") {
+    import SparkSpec.spark.implicits._
+    val corpus = core.tbl(spark, sfDir, "documents").select(col("text"))
+    val edges = Seq("", "   ", "\t\n x", "the theology", "tionmenttion",
+      "héllo wörld", "a b", "𝔘𝔫𝔦 ok",
+      "MiXeD CaSe THE", "ab  cd\r\nef", "xy\fz").toDF("text")
+    val diff = corpus.unionAll(edges)
+      .select(TextOps.docSubwords(col("text")).as("native"),
+        TextOps.docSubwordsFold(col("text")).as("fold"))
+      .filter(not(col("native") <=> col("fold")))
+      .count()
+    assert(diff === 0L)
+  }
+
   test("temperature mixture keeps the smallest domain whole and flattens the rest") {
     val rows = TextOps.tMixtureSample.run(spark, sfDir).collect()
       .map(r => (r.getAs[String]("lang"), r.getAs[Long]("n_total"),
