@@ -168,43 +168,33 @@ object Bpe {
       .orderBy("merge_rank")
   }
 
-  /** bpe2 — TOKENIZE with the learned vocab: per document, replay the
-    * trained merge table over every word (chained `replace` — BPE's exact
-    * tokenization IS merge replay in rank order; greedy longest-match is
-    * the WordPiece approximation [[TextOps.subwordCount]] keeps as the
-    * fixture-stable fallback) and count surviving symbols by counting
-    * brackets. Training cost is paid once per corpus snapshot; application
-    * is a pure map pass, O(chars · merges) per doc. The oracle re-trains in
-    * its CTE prefix and applies the same chain via a 1-row merge frame the
-    * per-doc lambda captures. */
-  val bpeTokenize: QueryDef = QueryDef(
-    "t_bpe_tokenize",
-    Some {
-      val rep0 = "'<' || array_to_string(string_split(w, ''), '><') || '>'"
-      val rep = (1 to BpeRounds).foldLeft(rep0)((acc, i) => s"replace($acc, f$i, r$i)")
-      val mCols = (1 to BpeRounds).map(i =>
-        s"(SELECT '<' || pa || '><' || pb || '>' FROM b$i) AS f$i,\n             (SELECT '<' || pa || pb || '>' FROM b$i) AS r$i").mkString(",\n             ")
-      s"""
-      WITH ${trainSql},
-      m AS (SELECT $mCols),
-      d AS (
-        SELECT doc_id,
-               list_filter(string_split_regex(lower(text), '\\s+'),
-                           x -> regexp_matches(x, '^[a-z]+$$')) AS ws
-        FROM documents),
-      c AS (
-        SELECT doc_id, CAST(len(ws) AS BIGINT) AS n_words,
-               COALESCE(CAST(list_sum(list_transform(ws, w ->
-                 length($rep) - length(replace($rep, '<', '')))) AS BIGINT), 0)
-                 AS n_bpe_tokens
-        FROM d, m)
-      SELECT doc_id, n_words, n_bpe_tokens,
-             CAST(n_bpe_tokens AS DOUBLE) / CAST(NULLIF(n_words, 0) AS DOUBLE)
-               AS fertility
-      FROM c ORDER BY doc_id
-    """
-    }) { (spark, dir) =>
-    val merges = trainMerges(spark, dir)
+  /** The 1-row merge frame CTE (`m`) — find/replace pattern columns f₁…fₙ /
+    * r₁…rₙ pivoted out of the training CTEs; per-doc lambdas capture them. */
+  private def mergeFrameSql: String = {
+    val mCols = (1 to BpeRounds).map(i =>
+      s"(SELECT '<' || pa || '><' || pb || '>' FROM b$i) AS f$i,\n             (SELECT '<' || pa || pb || '>' FROM b$i) AS r$i").mkString(",\n             ")
+    s"m AS (SELECT $mCols)"
+  }
+
+  /** `[a-z]+` word list of a doc (the trainer's alphabet restriction). */
+  private val wsSql =
+    """list_filter(string_split_regex(lower(text), '\s+'),
+                           x -> regexp_matches(x, '^[a-z]+$'))"""
+
+  /** Per-doc BPE token count over word-list variable `ws` (merge frame `m`
+    * in scope): replay the chain per word, count surviving symbols by
+    * counting brackets. */
+  private def bpeCountSql: String = {
+    val rep0 = "'<' || array_to_string(string_split(w, ''), '><') || '>'"
+    val rep = (1 to BpeRounds).foldLeft(rep0)((acc, i) => s"replace($acc, f$i, r$i)")
+    s"""COALESCE(CAST(list_sum(list_transform(ws, w ->
+                 length($rep) - length(replace($rep, '<', '')))) AS BIGINT), 0)"""
+  }
+
+  /** Spark twins of the three SQL fragments above. */
+  private def wsCol: Column =
+    filter(split(lower(col("text")), "\\s+"), x => x.rlike("^[a-z]+$"))
+  private def docBpeTokens(merges: Seq[(String, String, Long)], ws: Column): Column = {
     def tokens(w: Column): Column = {
       val rep0 = concat(lit("<"),
         array_join(filter(split(w, ""), c => length(c) > 0), "><"), lit(">"))
@@ -213,13 +203,39 @@ object Bpe {
       }
       length(rep) - length(replace(rep, lit("<")))
     }
+    aggregate(transform(ws, w => tokens(w)), lit(0L), (a, b) => a + b)
+  }
+
+  /** bpe2 — TOKENIZE with the learned vocab: per document, replay the
+    * trained merge table over every word (chained `replace` — BPE's exact
+    * tokenization IS merge replay in rank order; greedy longest-match is
+    * the WordPiece approximation [[TextOps.subwordCount]] keeps as the
+    * fixture-stable fallback) and count surviving symbols by counting
+    * brackets. Training cost is paid once per corpus snapshot (the memo);
+    * application is a pure map pass, O(chars · merges) per doc. The oracle
+    * re-trains in its CTE prefix and applies the same chain via a 1-row
+    * merge frame the per-doc lambda captures. */
+  val bpeTokenize: QueryDef = QueryDef(
+    "t_bpe_tokenize",
+    Some(s"""
+      WITH ${trainSql},
+      ${mergeFrameSql},
+      d AS (SELECT doc_id, ${wsSql} AS ws FROM documents),
+      c AS (
+        SELECT doc_id, CAST(len(ws) AS BIGINT) AS n_words,
+               ${bpeCountSql} AS n_bpe_tokens
+        FROM d, m)
+      SELECT doc_id, n_words, n_bpe_tokens,
+             CAST(n_bpe_tokens AS DOUBLE) / CAST(NULLIF(n_words, 0) AS DOUBLE)
+               AS fertility
+      FROM c ORDER BY doc_id
+    """)) { (spark, dir) =>
+    val merges = trainMerges(spark, dir)
     tbl(spark, dir, "documents")
-      .select(col("doc_id"),
-        filter(split(lower(col("text")), "\\s+"), x => x.rlike("^[a-z]+$")).as("ws"))
+      .select(col("doc_id"), wsCol.as("ws"))
       .select(col("doc_id"),
         size(col("ws")).cast(LongType).as("n_words"),
-        aggregate(transform(col("ws"), w => tokens(w)), lit(0L), (a, b) => a + b)
-          .as("n_bpe_tokens"))
+        docBpeTokens(merges, col("ws")).as("n_bpe_tokens"))
       .select(col("doc_id"), col("n_words"), col("n_bpe_tokens"),
         when(col("n_words") > 0,
           col("n_bpe_tokens").cast(DoubleType) / col("n_words").cast(DoubleType))
@@ -227,5 +243,47 @@ object Bpe {
       .orderBy("doc_id")
   }
 
-  val all: Seq[QueryDef] = Seq(bpeTrain, bpeTokenize)
+  /** bpe3 — PACK in LEARNED-tokenizer tokens: the
+    * [[TextOps.tPackSequences]] prefix-sum layout with block spans measured
+    * by THIS corpus' trained BPE — the end of the arc (learn → tokenize →
+    * pack) and the memo's third consumer: at 100 TB the trainer runs once
+    * per snapshot, every downstream stage replays its tiny merge table as
+    * literal map-pass expressions. Same scale shape as every pack gate: one
+    * map pass for counts, one window cumsum per shard, block arithmetic. */
+  val bpePack: QueryDef = QueryDef(
+    "t_pack_bpe",
+    Some(s"""
+      WITH ${trainSql},
+      ${mergeFrameSql},
+      tk AS (
+        SELECT doc_id, doc_id % 8 AS shard, ${bpeCountSql} AS n_tokens
+        FROM (SELECT doc_id, ${wsSql} AS ws FROM documents) d, m),
+      cum AS (
+        SELECT doc_id, shard, n_tokens,
+               CAST(COALESCE(sum(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS tok_start
+        FROM tk)
+      SELECT doc_id, shard, n_tokens, tok_start,
+             CAST(floor(tok_start / 512.0) AS BIGINT) AS first_block,
+             CAST(floor((tok_start + n_tokens - 1) / 512.0) AS BIGINT) AS last_block,
+             tok_start % 512 AS block_offset
+      FROM cum ORDER BY doc_id
+    """)) { (spark, dir) =>
+    val merges = trainMerges(spark, dir)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("shard").orderBy("doc_id")
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    tbl(spark, dir, "documents")
+      .select(col("doc_id"), (col("doc_id") % 8).as("shard"), wsCol.as("ws"))
+      .select(col("doc_id"), col("shard"), docBpeTokens(merges, col("ws")).as("n_tokens"))
+      .withColumn("tok_start", coalesce(sum(col("n_tokens")).over(w), lit(0L)))
+      .select(col("doc_id"), col("shard"), col("n_tokens"), col("tok_start"),
+        floor(col("tok_start") / 512.0).cast(LongType).as("first_block"),
+        floor((col("tok_start") + col("n_tokens") - 1) / 512.0).cast(LongType)
+          .as("last_block"),
+        (col("tok_start") % 512).as("block_offset"))
+      .orderBy("doc_id")
+  }
+
+  val all: Seq[QueryDef] = Seq(bpeTrain, bpeTokenize, bpePack)
 }

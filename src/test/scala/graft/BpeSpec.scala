@@ -34,6 +34,24 @@ class BpeSpec extends SparkSpec {
     assert(participants.exists(s => s.length > 1 && merged.contains(s)))
   }
 
+  test("packer: BPE layout obeys the prefix-sum law and bills tokenizer counts") {
+    import SparkSpec.spark.implicits._
+    val rows = Bpe.bpePack.run(spark, sfDir)
+      .select("doc_id", "shard", "n_tokens", "tok_start", "first_block", "last_block", "block_offset")
+      .as[(Long, Long, Long, Long, Long, Long, Long)].collect()
+    assert(rows.length === 500)
+    rows.groupBy(_._2).foreach { case (_, docs) =>
+      docs.sortBy(_._1).foldLeft(0L) { case (expectedStart, (id, _, n, start, fb, lb, off)) =>
+        assert(start === expectedStart, s"doc $id")
+        assert(fb === start / 512 && lb === (start + n - 1) / 512 && off === start % 512)
+        start + n
+      }
+    }
+    val acct = Bpe.bpeTokenize.run(spark, sfDir).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("n_bpe_tokens")).toMap
+    rows.foreach { case (id, _, n, _, _, _, _) => assert(n === acct(id), s"doc $id") }
+  }
+
   test("tokenizer: per-doc counts bracket between word count and character count") {
     val toks = Bpe.bpeTokenize.run(spark, sfDir).collect()
     assert(toks.length === 500)
