@@ -49,8 +49,9 @@ object Bpe {
   private[llm] val BpeRounds = 8
 
   /** Lowercased `^[a-z]+$` corpus words with occurrence counts, each word
-    * exploded into its bracketed character-symbol string. */
-  private def bpeVocab(spark: SparkSession, dir: String): DataFrame =
+    * exploded into its bracketed character-symbol string (the trainer's w0
+    * state). */
+  private def bpeVocab0(spark: SparkSession, dir: String): DataFrame =
     tbl(spark, dir, "documents")
       .select(explode(split(lower(col("text")), "\\s+")).as("word"))
       .filter(col("word").rlike("^[a-z]+$"))
@@ -87,7 +88,7 @@ object Bpe {
     * [[Similarity.simKmeansConverged]] discipline). */
   private def trainMergesUncached(spark: SparkSession, dir: String): Seq[(String, String, Long)] = {
     val merges = Seq.newBuilder[(String, String, Long)]
-    var vocab = bpeVocab(spark, dir).localCheckpoint(true)
+    var vocab = bpeVocab0(spark, dir).localCheckpoint(true)
     var round = 0
     while (round < BpeRounds) {
       val withL = vocab.select(col("wcount"),
@@ -285,5 +286,72 @@ object Bpe {
       .orderBy("doc_id")
   }
 
-  val all: Seq[QueryDef] = Seq(bpeTrain, bpeTokenize, bpePack)
+  /** bpe4 — the VOCABULARY artifact: what a tokenizer ships — every token
+    * (base characters in ascending order, then merges in rank order) with
+    * its id and its occurrence count in the fully-tokenized corpus (the
+    * frequency table an embedding init or a sampling temperature reads).
+    * GPT-2-style id layout: alphabet first, merge r gets id |alphabet|+r−1.
+    * Occurrence counts fall out of the trainer's FINAL word state — symbols
+    * per word after all merges, weighted by word count — so the oracle just
+    * explodes its last training CTE; a base character fully absorbed into
+    * merges (or a merge consumed by a later merge) legitimately counts 0.
+    * The id-assigning window runs over the ALPHABET (≤26 rows here; vocab
+    * entries, not corpus rows, at any scale) — bounded, not a scale risk. */
+  val bpeVocab: QueryDef = QueryDef(
+    "t_bpe_vocab",
+    Some(s"""
+      WITH ${trainSql},
+      syms_final AS (
+        SELECT unnest(string_split(substr(syms, 2, length(syms) - 2), '><')) AS symbol,
+               wcount
+        FROM w$BpeRounds),
+      tokfreq AS (
+        SELECT symbol, CAST(sum(wcount) AS BIGINT) AS n_occurrences
+        FROM syms_final GROUP BY symbol),
+      base AS (
+        SELECT DISTINCT unnest(string_split(substr(syms, 2, length(syms) - 2), '><')) AS symbol
+        FROM w0),
+      nb AS (SELECT count(*) AS n FROM base),
+      ids AS (
+        SELECT row_number() OVER (ORDER BY symbol) - 1 AS token_id,
+               symbol, 'char' AS kind
+        FROM base
+        UNION ALL
+        SELECT nb.n + m.r - 1, m.pa || m.pb, 'merge'
+        FROM (${(1 to BpeRounds).map(r => s"SELECT $r AS r, pa, pb FROM b$r").mkString("\n              UNION ALL ")}) m, nb)
+      SELECT CAST(i.token_id AS BIGINT) AS token_id, i.symbol, i.kind,
+             COALESCE(f.n_occurrences, 0) AS n_occurrences
+      FROM ids i LEFT JOIN tokfreq f USING (symbol)
+      ORDER BY token_id
+    """)) { (spark, dir) =>
+    val merges = trainMerges(spark, dir)
+    val symsOf = (c: Column) => split(c.substr(lit(2), length(c) - 2), "><")
+    val w0 = bpeVocab0(spark, dir)
+    val finalSyms = merges.foldLeft(w0) { case (df, (pa, pb, _)) =>
+      df.withColumn("syms", replace(col("syms"), lit(s"<$pa><$pb>"), lit(s"<$pa$pb>")))
+    }
+    val tokfreq = finalSyms
+      .select(explode(symsOf(col("syms"))).as("symbol"), col("wcount"))
+      .groupBy("symbol").agg(sum(col("wcount")).as("n_occurrences"))
+    val base = w0.select(explode(symsOf(col("syms"))).as("symbol")).distinct()
+    // alphabet-bounded single-partition window (≤ |alphabet| rows) — the
+    // same adjudicated posture as the 32-row surrogate-offset table
+    val idWin = org.apache.spark.sql.expressions.Window.orderBy("symbol")
+    val baseIds = base
+      .select((row_number().over(idWin) - 1).cast(LongType).as("token_id"),
+        col("symbol"), lit("char").as("kind"))
+    val nBase = base.count()
+    val s2 = spark
+    import s2.implicits._
+    val mergeIds = merges.zipWithIndex.map { case ((pa, pb, _), i) =>
+      (nBase + i, pa + pb, "merge")
+    }.toDF("token_id", "symbol", "kind")
+    baseIds.unionAll(mergeIds)
+      .join(tokfreq, Seq("symbol"), "left")
+      .select(col("token_id"), col("symbol"), col("kind"),
+        coalesce(col("n_occurrences"), lit(0L)).as("n_occurrences"))
+      .orderBy("token_id")
+  }
+
+  val all: Seq[QueryDef] = Seq(bpeTrain, bpeTokenize, bpePack, bpeVocab)
 }

@@ -52,6 +52,21 @@ class BpeSpec extends SparkSpec {
     rows.foreach { case (id, _, n, _, _, _, _) => assert(n === acct(id), s"doc $id") }
   }
 
+  test("vocabulary: contiguous ids, chars before merges, occurrence conservation") {
+    val v = Bpe.bpeVocab.run(spark, sfDir).collect()
+    assert(v.map(_.getAs[Long]("token_id")).toSeq === (0L until v.length))
+    val (chars, merges) = v.partition(_.getAs[String]("kind") == "char")
+    assert(merges.length === 8)
+    assert(chars.forall(_.getAs[String]("symbol").length == 1))
+    assert(chars.map(_.getAs[Long]("token_id")).max < merges.map(_.getAs[Long]("token_id")).min)
+    // conservation: every token the tokenizer emits is some vocab entry —
+    // the two artifacts must account for the same corpus total
+    val vocabTotal = v.map(_.getAs[Long]("n_occurrences")).sum
+    val tokenizeTotal = Bpe.bpeTokenize.run(spark, sfDir).collect()
+      .map(_.getAs[Long]("n_bpe_tokens")).sum
+    assert(vocabTotal === tokenizeTotal)
+  }
+
   test("tokenizer: per-doc counts bracket between word count and character count") {
     val toks = Bpe.bpeTokenize.run(spark, sfDir).collect()
     assert(toks.length === 500)
