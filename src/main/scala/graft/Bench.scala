@@ -54,6 +54,10 @@ object Bench {
         .write.format("noop").mode("overwrite").save()
     } catch { case _: Throwable => () }
     val timings = scala.collection.mutable.LinkedHashMap[String, Double]()
+    // every sample, not just the min: with both pass timings in the sidecar
+    // a judge can tell "one contaminated sample" (min ≪ max) from "genuine
+    // regression" (min ≈ max, both high) without re-running the suite
+    val samples = scala.collection.mutable.LinkedHashMap[String, List[Double]]()
     val errors = scala.collection.mutable.LinkedHashMap[String, String]()
     // local-iteration aid: SPARK_GRAFT_ONLY=regex limits the run to matching
     // query names (the driver never sets it, so the gate always runs all)
@@ -81,6 +85,7 @@ object Bench {
             fn(spark, sfDir).write.format("noop").mode("overwrite").save()
             val dt = (System.nanoTime() - t0) / 1e9
             timings(name) = math.min(timings.getOrElse(name, Double.MaxValue), dt)
+            samples(name) = samples.getOrElse(name, Nil) :+ dt
           } catch {
             case e: Throwable =>
               errors(name) = Option(e.getMessage).getOrElse(e.getClass.getName).take(200)
@@ -158,7 +163,10 @@ object Bench {
     // tail-window-constrained; for local iteration and judge spot-checks
     val detail = {
       val qs = timings.map { case (k, v) => s""""${esc(k)}":${math.round(v * 1000)}""" }.mkString("{", ",", "}")
-      s"""{"unit_q":"ms","queries":$qs,"total_sec":${rnd(total, 2)},"wall":$wallSec,"ld":[$loadStart,$loadEnd],"errors":$es,"sf":"$sfName"}"""
+      val ss = samples.map { case (k, vs) =>
+        s""""${esc(k)}":[${vs.map(v => math.round(v * 1000)).mkString(",")}]"""
+      }.mkString("{", ",", "}")
+      s"""{"unit_q":"ms","queries":$qs,"samples":$ss,"total_sec":${rnd(total, 2)},"wall":$wallSec,"ld":[$loadStart,$loadEnd],"errors":$es,"sf":"$sfName"}"""
     }
     try java.nio.file.Files.write(
       java.nio.file.Paths.get(s"${sys.props("user.dir")}/target/bench_detail.json"),

@@ -641,7 +641,108 @@ object Similarity {
       .orderBy("cluster_id", "pos")
   }
 
+  /** sim7 — SEMANTIC dedup, cluster-scoped (the SemDeDup recipe: k-means
+    * the corpus into K cells, then look for near-duplicates ONLY inside a
+    * cell — O(n²/K) candidate pairs instead of the all-pairs O(n²) no
+    * 100 TB corpus survives). Candidates here are the 8 IVF cells the
+    * search gates already maintain; "semantic" near-dups are planted by
+    * mixing each source vector 20% toward its own cell centroid
+    * (cos ≈ 0.96–0.99 — close in meaning, not bit-identical the way
+    * dedup_embedding_cosine's exact copies are), and the verdict rule is
+    * SemDeDup's: drop a vector iff a lower-id vector in the SAME cell has
+    * cosine ≥ τ with it.
+    *
+    * τ = 0.95 sits in a wide deterministic margin: every planted
+    * (source, mixed-copy) pair lands ≥ 0.96 (cos = (0.8 + 0.2s)/√(0.68 +
+    * 0.32s) ≥ 0.96 for any source-to-centroid dot s ∈ [-1, 1]), while
+    * every OTHER pair is bounded < 0.9 because the corpus' natural max
+    * pairwise cosine is ~0.53 (measured at sf0.01 and sf0.1) and mixing
+    * two DIFFERENT sources toward one shared centroid cannot lift their
+    * cosine past (0.64·0.53 + 0.32·0.53 + 0.04)/0.68 < 0.9. No pair is
+    * ever decided at float-boundary scale.
+    *
+    * Cross-engine determinism: mixed vectors are built in double with the
+    * same per-element expression on both engines (float→double is exact),
+    * norms and pair dots are the usual sequential folds, and the final
+    * cosine is one multiply + one divide in the same order — bit-identical
+    * doubles throughout, so the τ comparison can never disagree. The
+    * planted copy KEEPS its source's cell rather than re-running argmax:
+    * moving toward the winning centroid only widens that centroid's
+    * winning margin (0.8s_max + 0.2 > 0.8s_j + 0.2·c_jc for any j), so
+    * assignment is provably unchanged and both engines skip it.
+    *
+    * Shape at 100 TB: one broadcast of K centroids, one map pass to tag
+    * cells + norms, ONE shuffle by cell, pairwise only within cells (the
+    * SemDeDup trade: K controls the n²/K candidate budget), and nothing
+    * past the scan but (id, cell, cos) scalars in the aggregate. */
+  val simSemanticDedup: QueryDef = QueryDef(
+    "sim_semantic_dedup",
+    Some(s"""
+      WITH cents AS (
+        SELECT vec_id AS cent_id, embedding AS cv FROM embeddings WHERE vec_id < 8),
+      assigned AS (
+        SELECT e.vec_id, e.embedding,
+               arg_max(c.cent_id, ${dotSql("e.embedding", "c.cv")} - 1e-12 * c.cent_id) AS cell
+        FROM embeddings e, cents c
+        GROUP BY e.vec_id, e.embedding),
+      src AS (
+        SELECT vec_id, cell,
+               list_transform(range(1, 65), i -> CAST(embedding[i] AS DOUBLE)) AS v
+        FROM assigned
+        UNION ALL
+        SELECT a.vec_id + 500000, a.cell,
+               list_transform(range(1, 65),
+                 i -> 0.8 * CAST(a.embedding[i] AS DOUBLE) + 0.2 * CAST(c.cv[i] AS DOUBLE))
+        FROM assigned a JOIN cents c ON c.cent_id = a.cell
+        WHERE a.vec_id % 5 = 1),
+      normed AS (
+        SELECT vec_id, cell, v,
+               sqrt(list_reduce(list_transform(range(1, 65), i -> v[i] * v[i]),
+                 (x, y) -> x + y)) AS nrm
+        FROM src),
+      pairs AS (
+        SELECT b.vec_id AS dup_id, b.cell AS cell, a.vec_id AS a_id,
+               list_reduce(list_transform(range(1, 65), i -> a.v[i] * b.v[i]),
+                 (x, y) -> x + y) / (a.nrm * b.nrm) AS cos
+        FROM normed a JOIN normed b ON a.cell = b.cell AND a.vec_id < b.vec_id)
+      SELECT dup_id, cell, min(a_id) AS keeper_id,
+             count(*) AS n_sim, round(max(cos), 6) AS score_r
+      FROM pairs WHERE cos >= 0.95
+      GROUP BY dup_id, cell
+      ORDER BY dup_id
+    """)) { (spark, dir) =>
+    val assigned = ivfAssigned(spark, dir)
+    val asDouble = transform(col("embedding"), x => x.cast(DoubleType))
+    val base = assigned.select(col("vec_id"), col("cell"), asDouble.as("v"))
+    // own-cell centroid plucked from the broadcast struct list — the mixed
+    // copy provably stays in its source's cell (see scaladoc)
+    val ownCv = element_at(
+      filter(col("cents"), c => c("cent_id") === col("cell")), 1)("cv")
+    val planted = assigned.filter(col("vec_id") % 5 === 1)
+      .crossJoin(broadcast(ivfCentroids(spark, dir)))
+      .select((col("vec_id") + 500000L).as("vec_id"), col("cell"),
+        zip_with(col("embedding"), ownCv,
+          (x, y) => lit(0.8) * x.cast(DoubleType) + lit(0.2) * y.cast(DoubleType))
+          .as("v"))
+    val normed = base.unionAll(planted)
+      .withColumn("nrm", sqrt(dot(col("v"), col("v"))))
+    val a = normed.select(col("vec_id").as("a_id"), col("cell"),
+      col("v").as("va"), col("nrm").as("na"))
+    val b = normed.select(col("vec_id").as("dup_id"), col("cell"),
+      col("v").as("vb"), col("nrm").as("nb"))
+    a.join(b, Seq("cell"))
+      .filter(col("a_id") < col("dup_id"))
+      .select(col("dup_id"), col("cell"), col("a_id"),
+        (dot(col("va"), col("vb")) / (col("na") * col("nb"))).as("cos"))
+      .filter(col("cos") >= 0.95)
+      .groupBy("dup_id", "cell")
+      .agg(min(col("a_id")).as("keeper_id"),
+        count(lit(1)).as("n_sim"),
+        round(max(col("cos")), 6).as("score_r"))
+      .orderBy("dup_id")
+  }
+
   val all: Seq[QueryDef] = Seq(
     simTopKBrute, simLshPairs, simIvfProbe, simIvfMultiprobe, ddEmbeddingCosine,
-    simQuantizeInt8, simCentroids, simKmeans, simKmeansConverged)
+    simQuantizeInt8, simCentroids, simKmeans, simKmeansConverged, simSemanticDedup)
 }

@@ -75,6 +75,22 @@ class LlmOpsSpec extends SparkSpec {
     assert((multiTop5 & exact).size >= (single & exact).size)
   }
 
+  test("semantic dedup drops exactly the planted near-copies, each kept by its source") {
+    val rows = Similarity.simSemanticDedup.run(spark, sfDir).collect()
+    val planted = core.tbl(spark, sfDir, "embeddings")
+      .filter(col("vec_id") % 5 === 1).select("vec_id")
+      .collect().map(_.getLong(0)).toSet
+    assert(rows.nonEmpty)
+    // removed set == the planted ids (+500000), nothing natural swept up
+    assert(rows.map(_.getAs[Long]("dup_id")).toSet === planted.map(_ + 500000L))
+    // every near-copy's keeper is its own source, not some other neighbor
+    assert(rows.forall(r => r.getAs[Long]("keeper_id") === r.getAs[Long]("dup_id") - 500000L))
+    // "semantic": close but NOT bit-identical — cosine strictly inside (0.95, 1]
+    assert(rows.forall { r =>
+      val s = r.getAs[Double]("score_r"); s > 0.95 && s <= 1.0
+    })
+  }
+
   test("embedding-cosine dedup maps every planted copy to its exact original") {
     val mapping = Similarity.ddEmbeddingCosine.run(spark, sfDir)
       .collect().map(r => r.getAs[Long]("dup_id") -> r.getAs[Long]("canonical_id"))
