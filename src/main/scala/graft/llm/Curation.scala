@@ -415,7 +415,68 @@ object Curation {
       .orderBy("source", "doc_id")
   }
 
+  /** c9 — DSIR-style importance weighting (data selection with importance
+    * resampling: weight every raw document by how much it "looks like" a
+    * target distribution, using HASHED n-gram features so the feature space
+    * is fixed-width no matter how large the vocabulary grows). Target here
+    * is the `lang = 'en'` stratum; features are unigrams hashed to 256
+    * buckets by the repo's cross-engine hash (the first 2 hex chars of
+    * md5 — replayed verbatim by DuckDB, same trick as the mixture/split
+    * gates). Each doc scores two EXACT INTEGER masses — Σ over its tokens
+    * of the target-corpus count (resp. full-corpus count) of the token's
+    * bucket — and the emitted weight is their single int/int division.
+    * The real DSIR weight is the log-likelihood ratio Σ log(p_t/p_b); the
+    * integer-mass ratio keeps the same "more target-like ⇒ larger" signal
+    * while avoiding cross-row float sums AND libm log entirely — both
+    * engines compute bit-identical values (the t_salient_terms precedent).
+    *
+    * Shape at 100 TB: tokenize once (map), shuffle (bucket) partial counts
+    * to build the 256-row feature table, broadcast it back, and the
+    * per-doc mass is a map-side-combinable groupBy(doc) of two longs —
+    * document text never shuffles, and the feature table stays 256 rows
+    * whether the corpus is 500 docs or 100 TB (that is the point of
+    * hashing). */
+  val cDsirWeight: QueryDef = QueryDef(
+    "t_dsir_weight",
+    Some("""
+      WITH tok AS (
+        SELECT doc_id, lang, substr(md5(unnest(string_split_regex(text, '\s+'))), 1, 2) AS b
+        FROM documents),
+      counts AS (
+        SELECT b, CAST(count(*) AS BIGINT) AS bg,
+               CAST(sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS BIGINT) AS tgt
+        FROM tok GROUP BY b),
+      mass AS (
+        SELECT t.doc_id, t.lang, CAST(count(*) AS BIGINT) AS n_toks,
+               CAST(sum(c.tgt) AS BIGINT) AS tgt_mass,
+               CAST(sum(c.bg) AS BIGINT) AS bg_mass
+        FROM tok t JOIN counts c USING (b)
+        GROUP BY t.doc_id, t.lang)
+      SELECT doc_id, lang, n_toks, tgt_mass, bg_mass,
+             round(CAST(tgt_mass AS DOUBLE) / CAST(bg_mass AS DOUBLE), 6) AS weight_r
+      FROM mass ORDER BY doc_id
+    """)) { (spark, dir) =>
+    val tok = tbl(spark, dir, "documents")
+      // single-file source → spread the token explode across cores
+      .repartition(spark.sessionState.conf.numShufflePartitions)
+      .select(col("doc_id"), col("lang"), explode(toks(col("text"))).as("w"))
+      .select(col("doc_id"), col("lang"), substring(md5(col("w")), 1, 2).as("b"))
+      .persist() // feeds the feature table AND the per-doc mass join
+    val counts = tok.groupBy("b").agg(
+      count(lit(1)).as("bg"),
+      sum(when(col("lang") === "en", 1L).otherwise(0L)).as("tgt"))
+    tok.join(broadcast(counts), Seq("b"))
+      .groupBy("doc_id", "lang")
+      .agg(count(lit(1)).as("n_toks"),
+        sum(col("tgt")).as("tgt_mass"),
+        sum(col("bg")).as("bg_mass"))
+      .select(col("doc_id"), col("lang"), col("n_toks"), col("tgt_mass"), col("bg_mass"),
+        round(col("tgt_mass").cast(DoubleType) / col("bg_mass").cast(DoubleType), 6)
+          .as("weight_r"))
+      .orderBy("doc_id")
+  }
+
   val all: Seq[QueryDef] = Seq(
     cDomainFilter, cTokenBudget, cOverlapMatrix, cNormalize,
-    cSubstringDups, cTrainSplit, cQualityLogit, cBudgetSubword)
+    cSubstringDups, cTrainSplit, cQualityLogit, cBudgetSubword, cDsirWeight)
 }

@@ -1256,10 +1256,52 @@ object TextOps {
       .orderBy("doc_id")
   }
 
+  /** t24 — INVERTED-INDEX construction (the retrieval side of a training
+    * pipeline: decontamination lookups, membership tests, and BM25-style
+    * ranking all read a term → postings layout, and building it IS a
+    * classic one-shuffle Spark job). Per term: document frequency, total
+    * occurrences, and a bounded PREVIEW of the posting list (first 8
+    * doc_ids ascending, joined to a string — full postings stream to the
+    * index store at scale; df/tf_total are computed over ALL postings, so
+    * nothing is silently truncated). Top-50 terms by df keeps the gate
+    * output fixed-size at any corpus scale; ties break on the term.
+    *
+    * Shape at 100 TB: tokenize (map) → ONE shuffle keyed (term, doc) with
+    * map-side combine → per-term aggregate of longs + an 8-element sorted
+    * prefix; text never shuffles, posting previews are bounded, and the
+    * final top-k is a sort of |vocabulary| scalar rows, not documents. */
+  val tInvertedPostings: QueryDef = QueryDef(
+    "t_inverted_postings",
+    Some("""
+      WITH tf AS (
+        SELECT t AS term, doc_id, count(*) AS tf
+        FROM (SELECT doc_id, unnest(string_split_regex(text, '\s+')) AS t FROM documents)
+        GROUP BY t, doc_id),
+      idx AS (
+        SELECT term, CAST(count(*) AS BIGINT) AS df, CAST(sum(tf) AS BIGINT) AS tf_total,
+               array_to_string((list(doc_id ORDER BY doc_id))[1:8], ',') AS top_docs
+        FROM tf GROUP BY term)
+      SELECT term, df, tf_total, top_docs
+      FROM idx ORDER BY df DESC, term LIMIT 50
+    """)) { (spark, dir) =>
+    val tf = tbl(spark, dir, "documents")
+      // single-file source → spread the token explode across cores
+      .repartition(spark.sessionState.conf.numShufflePartitions)
+      .select(col("doc_id"), explode(toks(col("text"))).as("term"))
+      .groupBy("term", "doc_id").agg(count(lit(1)).as("tf"))
+    tf.groupBy("term")
+      .agg(count(lit(1)).as("df"), sum(col("tf")).as("tf_total"),
+        // collect_list order is partition-dependent; sort_array pins it
+        array_join(slice(sort_array(collect_list(col("doc_id"))), 1, 8), ",")
+          .as("top_docs"))
+      .orderBy(col("df").desc, col("term"))
+      .limit(50)
+  }
+
   val all: Seq[QueryDef] = Seq(
     tTokenStats, tQualityScore, tLangId, tFingerprint, tMultimodalMeta,
     tMultimodalDecode, tMultimodalFrames, tMultimodalResize, tStratifiedSample,
     tLineDedup, tBoilerplateCorpus, tCorpusFilter, tPackSequences, tMixtureSample,
     tRepetitionStats, tSalientTerms, tChunkWindows, tPiiRedact, tDecontaminate,
-    tShuffleExport, tRarityScore, tTokenSubword, tPackSubword)
+    tShuffleExport, tRarityScore, tTokenSubword, tPackSubword, tInvertedPostings)
 }

@@ -176,6 +176,31 @@ class CurationSpec extends SparkSpec {
     assert(kept > 0 && kept < rows.length, s"degenerate split: $kept/${rows.length}")
   }
 
+  test("dsir weight: masses are consistent integers and the target stratum scores higher") {
+    val rows = Curation.cDsirWeight.run(spark, sfDir).collect()
+    // one scored row per corpus document (no empty docs in the fixture)
+    assert(rows.length === tbl(spark, sfDir, "documents").count())
+    val ids = rows.map(_.getAs[Long]("doc_id"))
+    assert(ids.distinct.length === ids.length)
+    rows.foreach { r =>
+      val (n, tgt, bg) = (r.getAs[Long]("n_toks"),
+        r.getAs[Long]("tgt_mass"), r.getAs[Long]("bg_mass"))
+      // target counts are a per-bucket subset of background counts, and a
+      // doc's own tokens contribute at least 1 each to its background mass
+      assert(n > 0 && bg >= n && tgt >= 0 && tgt <= bg)
+      val w = r.getAs[Double]("weight_r")
+      assert(w > 0.0 && w <= 1.0)
+      assert(math.abs(w - math.rint(tgt.toDouble / bg * 1e6) / 1e6) < 1e-9)
+    }
+    // the point of the weighting: en docs look more like the en target
+    val (en, other) = rows.partition(_.getAs[String]("lang") == "en")
+    assert(en.nonEmpty && other.nonEmpty)
+    def mean(rs: Array[org.apache.spark.sql.Row]) =
+      rs.map(_.getAs[Double]("weight_r")).sum / rs.length
+    assert(mean(en) > mean(other),
+      s"en mean ${mean(en)} should exceed non-en mean ${mean(other)}")
+  }
+
   test("train split: partitions are exhaustive and roughly 80/10/10") {
     val rows = Curation.cTrainSplit.run(spark, sfDir).collect()
     val total = rows.map(_.getAs[Long]("n_docs")).sum

@@ -318,6 +318,38 @@ class LlmOpsSpec extends SparkSpec {
     }
   }
 
+  test("inverted postings: df ordering, bounded ascending previews, exact counts on a planted term") {
+    val rows = TextOps.tInvertedPostings.run(spark, sfDir).collect()
+    val corpus = SparkSpec.spark.read.parquet(s"$sfDir/documents.parquet")
+    val vocab = corpus.select(explode(split(col("text"), "\\s+")).as("t"))
+      .select("t").distinct().count()
+    assert(rows.length === math.min(50L, vocab).toInt)
+    val nDocs = corpus.count()
+    // top-k order is (df DESC, term ASC), df bounded by the corpus size
+    rows.sliding(2).foreach {
+      case Array(a, b) =>
+        val (dfA, dfB) = (a.getAs[Long]("df"), b.getAs[Long]("df"))
+        assert(dfA > dfB || (dfA == dfB &&
+          a.getAs[String]("term") < b.getAs[String]("term")))
+      case _ =>
+    }
+    rows.foreach { r =>
+      val (df, tf) = (r.getAs[Long]("df"), r.getAs[Long]("tf_total"))
+      assert(df >= 1 && df <= nDocs && tf >= df)
+      // preview: min(df, 8) strictly-ascending doc ids
+      val docs = r.getAs[String]("top_docs").split(",").map(_.toLong)
+      assert(docs.length === math.min(df, 8L).toInt)
+      assert(docs.sliding(2).forall { case Array(x, y) => x < y; case _ => true })
+    }
+    // cross-check one term end-to-end against a direct count
+    val probe = rows.head.getAs[String]("term")
+    val direct = SparkSpec.spark.read.parquet(s"$sfDir/documents.parquet")
+      .select(col("doc_id"), explode(split(col("text"), "\\s+")).as("t"))
+      .filter(col("t") === probe)
+    assert(rows.head.getAs[Long]("tf_total") === direct.count())
+    assert(rows.head.getAs[Long]("df") === direct.select("doc_id").distinct().count())
+  }
+
   test("shuffle export emits a reproducible permutation 1..n that is not the id order") {
     def run() = TextOps.tShuffleExport.run(spark, sfDir).collect()
       .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("shuffle_pos"))
