@@ -1298,10 +1298,92 @@ object TextOps {
       .limit(50)
   }
 
+  /** t25 — BM25-style RANKED RETRIEVAL over the [[tInvertedPostings]]
+    * layout (the lookup a decontamination or topical-filter pass actually
+    * issues: "which documents best match these terms?"). The query is
+    * self-contained and scale-stable: the corpus's 5 highest-df terms
+    * (ties on the term), so the gate needs no side fixture. Per matching
+    * (doc, term): the classic tf saturation curve
+    * `tf·(k1+1) / (tf + k1·(1−b+b·dl/avgdl))` with k1=1.2, b=0.75, scaled
+    * by a RATIONAL RSJ idf `(N−df+0.5)/(df+0.5)` — the exact operand of
+    * BM25's log, used un-logged so no libm transcendental enters the
+    * cross-engine contract (the t_quality_logit precedent; still strictly
+    * decreasing in df, so common terms still count less). Each per-term
+    * contribution is one fixed-order double chain quantized to a 1e-6
+    * fixed-point BIGINT (`floor(c·1e6)`, the simCentroids trick) so the
+    * per-doc sum is exact-integer and order-independent at any
+    * parallelism. Output: top-20 docs by (score DESC, doc_id).
+    *
+    * Shape at 100 TB: tokenize (map) → (term,doc) shuffle with map-side
+    * combine; the 5-row query table and the 1-row corpus stats broadcast;
+    * the doc-length join is scalar-row sized; top-20 is a TakeOrdered of
+    * |matching docs| scalar rows, never a global sort of documents. */
+  val tBm25Rank: QueryDef = QueryDef(
+    "t_bm25_rank",
+    Some("""
+      WITH tok AS (
+        SELECT doc_id, unnest(string_split_regex(text, '\s+')) AS term FROM documents),
+      tf AS (
+        SELECT term, doc_id, CAST(count(*) AS BIGINT) AS tf FROM tok GROUP BY term, doc_id),
+      dl AS (
+        SELECT doc_id, CAST(count(*) AS BIGINT) AS dl FROM tok GROUP BY doc_id),
+      stats AS (
+        SELECT CAST(sum(dl) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS avgdl,
+               CAST(count(*) AS DOUBLE) AS n FROM dl),
+      q AS (
+        SELECT term, CAST(count(*) AS BIGINT) AS df FROM tf
+        GROUP BY term ORDER BY df DESC, term LIMIT 5),
+      hits AS (
+        SELECT t.doc_id,
+               CAST(floor(((s.n - CAST(q.df AS DOUBLE) + 0.5) / (CAST(q.df AS DOUBLE) + 0.5))
+                 * ((CAST(t.tf AS DOUBLE) * 2.2)
+                    / (CAST(t.tf AS DOUBLE)
+                       + 1.2 * (0.25 + 0.75 * (CAST(d.dl AS DOUBLE) / s.avgdl))))
+                 * 1000000.0) AS BIGINT) AS contrib_fp
+        FROM tf t JOIN q USING (term) JOIN dl d USING (doc_id) CROSS JOIN stats s)
+      SELECT doc_id, CAST(count(*) AS BIGINT) AS n_hit,
+             CAST(sum(contrib_fp) AS BIGINT) AS score_fp,
+             round(CAST(sum(contrib_fp) AS DOUBLE) / 1000000.0, 6) AS score_r
+      FROM hits GROUP BY doc_id
+      ORDER BY score_fp DESC, doc_id LIMIT 20
+    """)) { (spark, dir) =>
+    val tok = tbl(spark, dir, "documents")
+      // single-file source → spread the token explode across cores
+      .repartition(spark.sessionState.conf.numShufflePartitions)
+      .select(col("doc_id"), explode(toks(col("text"))).as("term"))
+      .persist() // feeds tf and dl; released by core.releaseSessionState
+    val tf = tok.groupBy("term", "doc_id").agg(count(lit(1)).as("tf"))
+    val dl = tok.groupBy("doc_id").agg(count(lit(1)).as("dl"))
+    val stats = dl.agg(
+      (sum(col("dl")).cast(DoubleType) / count(lit(1)).cast(DoubleType)).as("avgdl"),
+      count(lit(1)).cast(DoubleType).as("n"))
+    val q = tf.groupBy("term").agg(count(lit(1)).as("df"))
+      .orderBy(col("df").desc, col("term")).limit(5)
+    // association order mirrors the oracle token-for-token: one fixed
+    // IEEE chain per (doc, term), then exact integer sums
+    val idf = (col("n") - col("df").cast(DoubleType) + lit(0.5)) /
+      (col("df").cast(DoubleType) + lit(0.5))
+    val satur = (col("tf").cast(DoubleType) * lit(2.2)) /
+      (col("tf").cast(DoubleType) +
+        lit(1.2) * (lit(0.25) + lit(0.75) * (col("dl").cast(DoubleType) / col("avgdl"))))
+    tf.join(broadcast(q), Seq("term"))
+      .join(dl, Seq("doc_id"))
+      .crossJoin(broadcast(stats))
+      .select(col("doc_id"),
+        floor(idf * satur * lit(1000000.0)).cast(LongType).as("contrib_fp"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_hit"), sum(col("contrib_fp")).as("score_fp"))
+      .select(col("doc_id"), col("n_hit"), col("score_fp"),
+        round(col("score_fp").cast(DoubleType) / lit(1000000.0), 6).as("score_r"))
+      .orderBy(col("score_fp").desc, col("doc_id"))
+      .limit(20)
+  }
+
   val all: Seq[QueryDef] = Seq(
     tTokenStats, tQualityScore, tLangId, tFingerprint, tMultimodalMeta,
     tMultimodalDecode, tMultimodalFrames, tMultimodalResize, tStratifiedSample,
     tLineDedup, tBoilerplateCorpus, tCorpusFilter, tPackSequences, tMixtureSample,
     tRepetitionStats, tSalientTerms, tChunkWindows, tPiiRedact, tDecontaminate,
-    tShuffleExport, tRarityScore, tTokenSubword, tPackSubword, tInvertedPostings)
+    tShuffleExport, tRarityScore, tTokenSubword, tPackSubword, tInvertedPostings,
+    tBm25Rank)
 }

@@ -350,6 +350,34 @@ class LlmOpsSpec extends SparkSpec {
     assert(rows.head.getAs[Long]("df") === direct.select("doc_id").distinct().count())
   }
 
+  test("bm25 rank: ordered top-k, hit counts bounded by the query, saturation ceiling holds") {
+    val rows = TextOps.tBm25Rank.run(spark, sfDir).collect()
+    assert(rows.nonEmpty && rows.length <= 20)
+    rows.sliding(2).foreach {
+      case Array(a, b) =>
+        val (sa, sb) = (a.getAs[Long]("score_fp"), b.getAs[Long]("score_fp"))
+        assert(sa > sb || (sa == sb && a.getAs[Long]("doc_id") < b.getAs[Long]("doc_id")))
+      case _ =>
+    }
+    rows.foreach { r =>
+      val n = r.getAs[Long]("n_hit")
+      assert(n >= 1 && n <= 5, "a doc can match at most the 5 query terms")
+      assert(r.getAs[Long]("score_fp") > 0L)
+      assert(math.abs(r.getAs[Double]("score_r") -
+        math.rint(r.getAs[Long]("score_fp").toDouble / 1e6 * 1e6) / 1e6) < 1e-9)
+    }
+    // saturation curve < k1+1 = 2.2 per term, so score < Σ_query idf·2.2;
+    // recompute the query's (term, df) directly to bound the top score
+    val corpus = SparkSpec.spark.read.parquet(s"$sfDir/documents.parquet")
+    val nDocs = corpus.count().toDouble
+    val dfTop = corpus.select(col("doc_id"), explode(split(col("text"), "\\s+")).as("t"))
+      .distinct().groupBy("t").count()
+      .orderBy(col("count").desc, col("t")).limit(5)
+      .collect().map(_.getAs[Long]("count"))
+    val ceiling = dfTop.map(df => (nDocs - df + 0.5) / (df + 0.5) * 2.2).sum * 1e6
+    assert(rows.head.getAs[Long]("score_fp") < ceiling)
+  }
+
   test("shuffle export emits a reproducible permutation 1..n that is not the id order") {
     def run() = TextOps.tShuffleExport.run(spark, sfDir).collect()
       .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("shuffle_pos"))
