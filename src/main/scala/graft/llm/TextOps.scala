@@ -1379,11 +1379,109 @@ object TextOps {
       .limit(20)
   }
 
+  /** t26 — TOKENIZER-EFFICIENCY evaluation: the metrics a team actually
+    * reads before committing to a vocabulary — compression (chars per
+    * subword) and fertility (subwords per whitespace word), per language.
+    * A tokenizer trained on an en-heavy corpus compresses en best; this
+    * gate makes that measurable per stratum so a vocab change shows up as
+    * a diff in 5 rows, not an eyeballed sample. Counts reuse the exact
+    * kernels the accounting/packing gates bill with ([[docSubwords]] and
+    * its DuckDB twin), so the evaluation measures the production
+    * tokenizer, not a reimplementation. Ratios guard the zero case on
+    * both engines (NULL, never Inf/NaN — the fertility-guard precedent).
+    *
+    * Shape at 100 TB: pure map pass (pruned lang/text scan, O(chars)
+    * subword fold) into a map-side-combinable sum over |languages| groups
+    * — the output is 5 scalar rows whether the corpus is 500 docs or
+    * 100 TB. */
+  val tTokenizerEval: QueryDef = QueryDef(
+    "t_tokenizer_eval",
+    Some(s"""
+      WITH d AS (
+        SELECT lang,
+               CAST(length(text) AS BIGINT) AS nc,
+               CAST(len(list_filter(string_split_regex(lower(text), '\\s+'),
+                                    x -> length(x) > 0)) AS BIGINT) AS nw,
+               ${docSubwordsSql("text")} AS ns
+        FROM documents)
+      SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+             CAST(sum(nc) AS BIGINT) AS n_chars,
+             CAST(sum(nw) AS BIGINT) AS n_words,
+             CAST(sum(ns) AS BIGINT) AS n_subwords,
+             round(CAST(sum(nc) AS DOUBLE) / CAST(NULLIF(sum(ns), 0) AS DOUBLE), 6)
+               AS chars_per_subword_r,
+             round(CAST(sum(ns) AS DOUBLE) / CAST(NULLIF(sum(nw), 0) AS DOUBLE), 6)
+               AS fertility_r
+      FROM d GROUP BY lang ORDER BY lang
+    """)) { (spark, dir) =>
+    tbl(spark, dir, "documents")
+      .select(col("lang"),
+        length(col("text")).cast(LongType).as("nc"),
+        size(filter(toks(lower(col("text"))), x => length(x) > 0))
+          .cast(LongType).as("nw"),
+        docSubwords(col("text")).as("ns"))
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("nc")).as("n_chars"),
+        sum(col("nw")).as("n_words"),
+        sum(col("ns")).as("n_subwords"))
+      .select(col("lang"), col("n_docs"), col("n_chars"), col("n_words"), col("n_subwords"),
+        round(when(col("n_subwords") > 0L,
+          col("n_chars").cast(DoubleType) / col("n_subwords").cast(DoubleType)), 6)
+          .as("chars_per_subword_r"),
+        round(when(col("n_words") > 0L,
+          col("n_subwords").cast(DoubleType) / col("n_words").cast(DoubleType)), 6)
+          .as("fertility_r"))
+      .orderBy("lang")
+  }
+
+  /** t27 — LENGTH-BUCKETED BATCH SHAPING with padding-waste accounting:
+    * the complement of [[tPackSequences]]' concatenate-and-split layout.
+    * Bucketing pads every sequence up to its bucket cap (width 16 here)
+    * and keeps documents intact; the cost is the padding. This gate
+    * produces the decision table — per bucket: population, real tokens,
+    * tokens-as-padded, waste, utilization — so "pack vs pad" is settled
+    * by arithmetic instead of folklore. All-integer except the final
+    * utilization ratio (exact int/int division, rounded once).
+    *
+    * Shape at 100 TB: one map pass (token count → bucket id) into a
+    * map-side-combinable sum over ~⌈maxlen/16⌉ groups; output rows scale
+    * with the LENGTH RANGE, never the corpus. */
+  val tLengthBuckets: QueryDef = QueryDef(
+    "t_length_buckets",
+    Some("""
+      WITH d AS (
+        SELECT CAST(len(string_split_regex(text, '\s+')) AS BIGINT) AS nt
+        FROM documents)
+      SELECT nt // 16 AS bucket,
+             CAST((nt // 16 + 1) * 16 AS BIGINT) AS bucket_cap,
+             CAST(count(*) AS BIGINT) AS n_docs,
+             CAST(sum(nt) AS BIGINT) AS n_tokens,
+             CAST((nt // 16 + 1) * 16 * count(*) - sum(nt) AS BIGINT) AS pad_waste,
+             round(CAST(sum(nt) AS DOUBLE)
+                   / CAST((nt // 16 + 1) * 16 * count(*) AS DOUBLE), 6) AS util_r
+      FROM d GROUP BY bucket ORDER BY bucket
+    """)) { (spark, dir) =>
+    val bucket = floor(col("nt") / lit(16L)).cast(LongType)
+    tbl(spark, dir, "documents")
+      .select(size(toks(col("text"))).cast(LongType).as("nt"))
+      .groupBy(bucket.as("bucket"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("nt")).as("n_tokens"))
+      .select(col("bucket"),
+        ((col("bucket") + 1L) * 16L).as("bucket_cap"),
+        col("n_docs"), col("n_tokens"),
+        ((col("bucket") + 1L) * 16L * col("n_docs") - col("n_tokens")).as("pad_waste"),
+        round(col("n_tokens").cast(DoubleType)
+          / ((col("bucket") + 1L) * 16L * col("n_docs")).cast(DoubleType), 6)
+          .as("util_r"))
+      .orderBy("bucket")
+  }
+
   val all: Seq[QueryDef] = Seq(
     tTokenStats, tQualityScore, tLangId, tFingerprint, tMultimodalMeta,
     tMultimodalDecode, tMultimodalFrames, tMultimodalResize, tStratifiedSample,
     tLineDedup, tBoilerplateCorpus, tCorpusFilter, tPackSequences, tMixtureSample,
     tRepetitionStats, tSalientTerms, tChunkWindows, tPiiRedact, tDecontaminate,
     tShuffleExport, tRarityScore, tTokenSubword, tPackSubword, tInvertedPostings,
-    tBm25Rank)
+    tBm25Rank, tTokenizerEval, tLengthBuckets)
 }

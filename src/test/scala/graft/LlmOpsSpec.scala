@@ -378,6 +378,45 @@ class LlmOpsSpec extends SparkSpec {
     assert(rows.head.getAs[Long]("score_fp") < ceiling)
   }
 
+  test("tokenizer eval: per-lang rows cross-foot with the per-doc accounting gate") {
+    val rows = TextOps.tTokenizerEval.run(spark, sfDir).collect()
+    val corpus = SparkSpec.spark.read.parquet(s"$sfDir/documents.parquet")
+    assert(rows.map(_.getAs[String]("lang")).toSet ===
+      corpus.select("lang").distinct().collect().map(_.getString(0)).toSet)
+    assert(rows.map(_.getAs[Long]("n_docs")).sum === corpus.count())
+    rows.foreach { r =>
+      // a subword never exceeds its word, a word never exceeds its chars
+      assert(r.getAs[Double]("fertility_r") >= 1.0)
+      assert(r.getAs[Double]("chars_per_subword_r") >= 1.0)
+      assert(r.getAs[Long]("n_subwords") >= r.getAs[Long]("n_words"))
+    }
+    // the evaluation bills with the SAME kernel the accounting gate reports
+    val perDoc = TextOps.tTokenSubword.run(spark, sfDir)
+      .agg(sum("n_subwords"), sum("n_words")).head()
+    assert(rows.map(_.getAs[Long]("n_subwords")).sum === perDoc.getLong(0))
+    assert(rows.map(_.getAs[Long]("n_words")).sum === perDoc.getLong(1))
+  }
+
+  test("length buckets: exhaustive population, exact waste arithmetic, caps honored") {
+    val rows = TextOps.tLengthBuckets.run(spark, sfDir).collect()
+    val corpus = SparkSpec.spark.read.parquet(s"$sfDir/documents.parquet")
+    assert(rows.map(_.getAs[Long]("n_docs")).sum === corpus.count())
+    val totalToks = corpus
+      .select(size(split(col("text"), "\\s+")).cast("long").as("nt"))
+      .agg(sum("nt")).head().getLong(0)
+    assert(rows.map(_.getAs[Long]("n_tokens")).sum === totalToks)
+    rows.foreach { r =>
+      val (b, cap, n, tok, waste) = (r.getAs[Long]("bucket"), r.getAs[Long]("bucket_cap"),
+        r.getAs[Long]("n_docs"), r.getAs[Long]("n_tokens"), r.getAs[Long]("pad_waste"))
+      assert(cap === (b + 1) * 16)
+      assert(waste === cap * n - tok && waste >= 0)
+      // every doc in bucket b has nt in [b*16, cap-1]: tokens bounded both ways
+      assert(tok >= b * 16 * n && tok <= (cap - 1) * n)
+      val u = r.getAs[Double]("util_r")
+      assert(u > 0.0 && u <= 1.0)
+    }
+  }
+
   test("shuffle export emits a reproducible permutation 1..n that is not the id order") {
     def run() = TextOps.tShuffleExport.run(spark, sfDir).collect()
       .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("shuffle_pos"))
