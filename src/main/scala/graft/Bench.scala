@@ -113,10 +113,23 @@ object Bench {
     val es = errors.map { case (k, v) => s""""${esc(k)}":"${esc(v.take(80))}"""" }.mkString("{", ",", "}")
     val total = timings.values.sum
     val sfName = sfDir.split('/').last
-    // error bookkeeping appears only when something failed — the happy
-    // path spends its char budget on timing precision instead
-    val errPart = if (errors.isEmpty) ""
-      else s""","errors":$es,"n_ok":${timings.size},"n_err":${errors.size}"""
+    // Error bookkeeping appears only when something failed — the happy
+    // path spends its char budget on timing precision instead. When MANY
+    // queries fail the error map itself can blow the tail window (r10: 20
+    // failures x ~100 chars pushed every candidate line past the cutoff
+    // and the driver parsed nothing), so the payload degrades: full
+    // 80-char messages -> 24-char messages -> failing names only. The
+    // count pair (n_ok/n_err) survives every variant.
+    def errPartAt(msgLen: Int): String =
+      if (errors.isEmpty) ""
+      else {
+        val body =
+          if (msgLen > 0)
+            errors.map { case (k, v) => s""""${esc(k)}":"${esc(v.take(msgLen))}"""" }
+              .mkString("{", ",", "}")
+          else errors.keys.map(k => s""""${esc(k)}"""").mkString("[", ",", "]")
+        s""","errors":$body,"n_ok":${timings.size},"n_err":${errors.size}"""
+      }
     // per-query values are integer DECISECONDS ("unit_q":"ds"): at 82+
     // queries the old self-adjusting decimal precision degraded to whole
     // seconds (37 queries reported 0 in round 6). Integer deciseconds cost
@@ -141,13 +154,13 @@ object Bench {
         n -> n.take(len)
       }.toMap
     }
-    def dsLine(host: String): String = {
+    def dsLine(host: String, errPart: String): String = {
       val qs = timings.map { case (k, v) => s""""${esc(prefixFor(k))}":${math.round(v * 10)}""" }.mkString("{", ",", "}")
       s"""{"metric":"total","value":${rnd(total, 1)},"unit":"sec","unit_q":"ds","queries":$qs$errPart$host,"sf":"$sfName"}"""
     }
     // fallback if the registry ever outgrows the tail window at ds
     // precision: whole-second per-query values (no "unit_q" key)
-    def secLine(dp: Int): String = {
+    def secLine(dp: Int, errPart: String): String = {
       val qs = timings.map { case (k, v) => s""""${esc(k)}":${rnd(v, dp)}""" }.mkString("{", ",", "}")
       s"""{"metric":"total","value":${rnd(total, 1)},"unit":"sec","queries":$qs$errPart,"sf":"$sfName"}"""
     }
@@ -155,10 +168,15 @@ object Bench {
     // 1850 cutoff was so conservative that at 84 queries the ds line
     // silently fell back to whole seconds (14 queries recorded 0 in r7).
     // The line is the LAST thing printed and the only trailer is sbt's
-    // short epilogue, so 1950 still clears the window; shed the host
-    // marker before shedding timing precision.
-    val out = Seq(dsLine(hostPart), dsLine(""), secLine(1), secLine(0))
-      .find(_.length <= 1950).getOrElse(secLine(0))
+    // short epilogue, so 1950 still clears the window. Shedding order:
+    // host marker, then timing precision, then error-message detail —
+    // and a guaranteed-fit floor (total + counts only) so the driver
+    // ALWAYS gets a parseable metric no matter how much failed.
+    val floorLine =
+      s"""{"metric":"total","value":${rnd(total, 1)},"unit":"sec","n_ok":${timings.size},"n_err":${errors.size},"sf":"$sfName"}"""
+    val out = Seq(80, 24, 0).map(errPartAt).flatMap(e =>
+        Seq(dsLine(hostPart, e), dsLine("", e), secLine(1, e), secLine(0, e)))
+      .find(_.length <= 1950).getOrElse(floorLine)
     // full-precision sidecar (every query in ms, wall, load, errors) — not
     // tail-window-constrained; for local iteration and judge spot-checks
     val detail = {

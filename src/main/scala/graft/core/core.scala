@@ -93,18 +93,29 @@ object core {
       .map("%02x".format(_)).mkString.take(12)
   }
 
-  /** The `events` table with its raw TIMESTAMP(NANOS) column truncated to
-    * MICROSECOND LONGS (`us`) — the one place the ns→µs contract lives.
-    * Spark has no nanosecond timestamp type, so sessions must set
-    * `spark.sql.legacy.parquet.nanosAsLong=true` (Verify/Bench/tests do);
-    * the integer-div truncation here is the same one DuckDB applies when
-    * it reads the nanos column, so both engines see identical event times.
-    * Consumers that want an epoch-micros long (sessionization arithmetic)
-    * read `us`; consumers that want a timestamp use [[events]]. */
-  def eventsUs(spark: SparkSession, dir: String): DataFrame =
-    tbl(spark, dir, "events")
-      .withColumn("ts", expr("ts div 1000")) // in-place: keeps column position
+  /** The `events` table with its timestamp column normalized to MICROSECOND
+    * LONGS (`us`) — the one place the events-time contract lives. The driver
+    * has shipped `ts` in two physical shapes across rounds: INT64 nanoseconds
+    * (read as LONG under `spark.sql.legacy.parquet.nanosAsLong=true`, where
+    * ns→µs is an integer `div 1000` — the same truncation DuckDB applies) and
+    * a native parquet TIMESTAMP(MICROS). This adapter dispatches on the
+    * *observed* schema so both shapes land on identical epoch-micros longs;
+    * sessions run with `spark.sql.session.timeZone=UTC`, so the NTZ→micros
+    * conversion equals DuckDB's `epoch_us(ts)`. Consumers that want an
+    * epoch-micros long (sessionization arithmetic) read `us`; consumers that
+    * want a timestamp use [[events]]. */
+  def eventsUs(spark: SparkSession, dir: String): DataFrame = {
+    val raw = tbl(spark, dir, "events")
+    val us = raw.schema("ts").dataType match {
+      case LongType         => expr("ts div 1000")            // int64 nanos → µs
+      case TimestampNTZType => unix_micros(col("ts").cast(TimestampType))
+      case TimestampType    => unix_micros(col("ts"))
+      case other => throw new IllegalStateException(
+        s"events.ts has unsupported type $other (expected LONG nanos or TIMESTAMP)")
+    }
+    raw.withColumn("ts", us) // in-place: keeps column position
       .withColumnRenamed("ts", "us")
+  }
 
   /** [[eventsUs]] with the micros re-surfaced as a microsecond
     * TIMESTAMP_NTZ `ts` column (the shape most calendar/window queries

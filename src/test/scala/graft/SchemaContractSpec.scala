@@ -7,9 +7,9 @@ import org.apache.spark.sql.types._
   * oracles, planted-dup offsets, and watermark gates all assume these
   * shapes — a regenerated fixture that drifts (new column, widened type,
   * ns→µs timestamps) should fail HERE with a readable diff, not as a
-  * mysterious hash mismatch three gates downstream. `events.ts` is LongType
-  * because sessions read TIMESTAMP(NANOS) via nanosAsLong=true; core.events
-  * owns the µs conversion. */
+  * mysterious hash mismatch three gates downstream. `events.ts` admits the
+  * shapes the driver has actually shipped (INT64 nanos via nanosAsLong=true,
+  * native TIMESTAMP(MICROS)); core.eventsUs owns the normalization. */
 class SchemaContractSpec extends SparkSpec {
 
   private val expected: Map[String, Seq[(String, DataType)]] = Map(
@@ -42,7 +42,10 @@ class SchemaContractSpec extends SparkSpec {
       "l_shipdate" -> TimestampNTZType),
     "events" -> Seq(
       "event_id" -> LongType,
-      "ts" -> LongType, // TIMESTAMP(NANOS) read via nanosAsLong=true
+      // The driver has shipped ts as INT64 nanos (read as LONG via
+      // nanosAsLong=true) and as native TIMESTAMP(MICROS) in different
+      // rounds; core.eventsUs adapts to both, so the contract admits both.
+      "ts" -> TimestampNTZType,
       "user_id" -> LongType, "event_type" -> StringType,
       "value" -> DoubleType, "props" -> StringType),
     "documents" -> Seq(
@@ -52,13 +55,24 @@ class SchemaContractSpec extends SparkSpec {
       "vec_id" -> LongType, "embedding" -> ArrayType(FloatType),
       "label" -> IntegerType))
 
+  /** Alternate types the contract also admits, keyed by (table, column):
+    * shapes the driver has actually shipped in past rounds and that the
+    * engine's read adapters normalize away. */
+  private val alsoAllowed: Map[(String, String), Set[DataType]] = Map(
+    ("events", "ts") -> Set[DataType](LongType, TimestampType))
+
   test("every driver table matches its declared schema (names, types, order)") {
     val diffs = core.tableNames.flatMap { t =>
       val got = core.tbl(spark, sfDir, t).schema.fields
-        .map(f => (f.name, f.dataType.simpleString)).toSeq
-      val want = expected(t).map { case (n, dt) => (n, dt.simpleString) }
-      if (got == want) None
-      else Some(s"$t:\n  want $want\n  got  $got")
+        .map(f => (f.name, f.dataType)).toSeq
+      val want = expected(t)
+      val ok = got.size == want.size && got.zip(want).forall {
+        case ((gn, gt), (wn, wt)) =>
+          gn == wn && (gt == wt || alsoAllowed.getOrElse((t, gn), Set.empty)(gt))
+      }
+      if (ok) None
+      else Some(s"$t:\n  want ${want.map { case (n, d) => (n, d.simpleString) }}" +
+        s"\n  got  ${got.map { case (n, d) => (n, d.simpleString) }}")
     }
     assert(diffs.isEmpty, s"schema drift:\n${diffs.mkString("\n")}")
   }
