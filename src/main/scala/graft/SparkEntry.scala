@@ -16,6 +16,7 @@ object SparkEntry {
     "operators/Relational.scala" -> operators.Relational.all,
     "operators/Aggregates.scala" -> operators.Aggregates.all,
     "operators/Temporal.scala" -> operators.Temporal.all,
+    "operators/Linkage.scala" -> operators.Linkage.all,
     "transform/Cleaning.scala" -> transform.Cleaning.all,
     "analytics/Analytics.scala" -> analytics.Analytics.all,
     "analytics/Behavior.scala" -> analytics.Behavior.all,
@@ -24,6 +25,7 @@ object SparkEntry {
     "llm/TextOps.scala" -> llm.TextOps.all,
     "llm/Bpe.scala" -> llm.Bpe.all,
     "llm/Curation.scala" -> llm.Curation.all,
+    "llm/LangModel.scala" -> llm.LangModel.all,
     "llm/Dedup.scala" -> llm.Dedup.all,
     "llm/Cluster.scala" -> llm.Cluster.all,
     "llm/Similarity.scala" -> llm.Similarity.all,

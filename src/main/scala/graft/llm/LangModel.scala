@@ -1,0 +1,166 @@
+package graft.llm
+
+import graft.{QueryDef, core}
+import graft.core._
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Corpus-trained n-gram language-model scoring (builder brief: quality
+  * scoring for a training-data pipeline). CCNet-style curation scores every
+  * candidate document by how predictable it is under a language model
+  * trained on a trusted stratum, then keeps the head of that ranking
+  * (Wenzek et al., "CCNet: Extracting High Quality Monolingual Datasets
+  * from Web Crawl Data", 2020 — the public recipe this follows). Here the
+  * trusted stratum is the `lang = 'en'` slice of `documents` (the same
+  * target [[Curation.cDsirWeight]] uses), the model is a BIGRAM table, and
+  * the emitted signal is log-free: per-document EXACT INTEGER probability
+  * masses plus a digit-count surprisal surrogate, so Spark and DuckDB
+  * compute bit-identical values with no cross-row float sums and no libm
+  * (the t_dsir_weight / t_salient_terms precedent — both engines' `ln`
+  * are only 1-ulp-accurate, which is exactly the kind of divergence the
+  * hash gate exists to catch).
+  *
+  * Scale posture: tokenize+pair once (map), shuffle bigram pairs to build
+  * the model (map-side-combined partial counts), then one shuffle join of
+  * the corpus bigram stream against the model keyed by (w1, w2) — document
+  * text never travels, only word pairs, and the per-doc rollup partial-
+  * aggregates map-side. The model table grows with VOCABULARY², not corpus
+  * size, and the context table is a pure rollup of the model; at 100 TB
+  * both stay orders of magnitude smaller than the corpus and the join
+  * stays a standard shuffled hash join (switch the join key to
+  * `xxhash64(w1, w2)` if profiling ever shows the string shuffle dominating
+  * — not done here so the oracle join stays verbatim-replayable).
+  */
+object LangModel {
+
+  /** Whitespace tokens (same canonical tokenizer as TextOps/Curation). */
+  private def toks(c: Column): Column = split(c, "\\s+")
+
+  /** Corpus bigram stream (doc_id, lang, w1, w2): gram START POSITIONS
+    * explode first, then each pair builds row-at-a-time from codegen'd
+    * element_at — the array-of-pairs `transform` form runs interpreted per
+    * element (the t_decontaminate finding). */
+  private def bigrams(spark: SparkSession, dir: String): DataFrame =
+    tbl(spark, dir, "documents")
+      // single-file source → spread the token+pair pass across cores
+      .repartition(spark.sessionState.conf.numShufflePartitions)
+      .select(col("doc_id"), col("lang"), toks(col("text")).as("t"))
+      .filter(size(col("t")) >= 2)
+      .select(col("doc_id"), col("lang"), col("t"),
+        explode(sequence(lit(2), size(col("t")))).as("i"))
+      .select(col("doc_id"), col("lang"),
+        element_at(col("t"), col("i") - 1).as("w1"),
+        element_at(col("t"), col("i")).as("w2"))
+
+  /** The oracle's twin of [[bigrams]] (parallel unnest = positional zip). */
+  private val bigramsSql: String = """
+      d AS (
+        SELECT doc_id, lang, string_split_regex(text, '\s+') AS t
+        FROM documents
+        WHERE len(string_split_regex(text, '\s+')) >= 2),
+      bg AS (
+        SELECT doc_id, lang,
+               unnest(list_transform(range(2, len(t)+1), i -> t[i-1])) AS w1,
+               unnest(list_transform(range(2, len(t)+1), i -> t[i])) AS w2
+        FROM d)"""
+
+  /** lm1 — per-document LM predictability score. For every document, each
+    * of its bigrams looks up the en-trained model: `n_bg` = times the en
+    * stratum produced this exact pair, `n_ctx` = times the en stratum
+    * produced ANY pair with this context word (the LM denominator — a pure
+    * rollup of the model, so numerator and denominator are consistent by
+    * construction). The document then rolls up:
+    *
+    *  - `pred_mass` / `ctx_mass`: Σ n_bg and Σ n_ctx — the exact-integer
+    *    numerator/denominator whose single final division `predict_r` is
+    *    the order-insensitive stand-in for mean conditional probability
+    *    (higher = the en LM finds the text more predictable);
+    *  - `surprisal_r`: mean over known bigrams of
+    *    `digits((n_ctx·10⁶) div n_bg)` — an integer ⌊log₁₀⌋+1 of the
+    *    inverse conditional probability (≈ 6 + log₁₀(ctx/bg)), the
+    *    log-free perplexity surrogate: all-integer per row, one final
+    *    int/int division, bit-identical on both engines;
+    *  - `known_bigrams`: coverage of the doc by the model (OOV pairs carry
+    *    no mass — exactly add-zero smoothing).
+    *
+    * A curation pass keeps documents above a `predict_r` (or below a
+    * `surprisal_r`) threshold; the score columns are emitted raw so the
+    * threshold stays a downstream policy choice. */
+  val lmScore: QueryDef = QueryDef(
+    "t_lm_score",
+    Some(s"""
+      WITH $bigramsSql,
+      model AS (
+        SELECT w1, w2, CAST(count(*) AS BIGINT) AS n_bg
+        FROM bg WHERE lang = 'en' GROUP BY w1, w2),
+      ctx AS (
+        SELECT w1, CAST(sum(n_bg) AS BIGINT) AS n_ctx FROM model GROUP BY w1),
+      j AS (
+        SELECT b.doc_id, b.lang, m.n_bg, c.n_ctx
+        FROM bg b
+        LEFT JOIN model m ON b.w1 = m.w1 AND b.w2 = m.w2
+        LEFT JOIN ctx c ON b.w1 = c.w1)
+      SELECT doc_id, lang,
+             CAST(count(*) AS BIGINT) AS n_bigrams,
+             CAST(sum(CASE WHEN n_bg IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS known_bigrams,
+             CAST(coalesce(sum(n_bg), 0) AS BIGINT) AS pred_mass,
+             CAST(coalesce(sum(n_ctx), 0) AS BIGINT) AS ctx_mass,
+             CASE WHEN coalesce(sum(n_ctx), 0) > 0
+                  THEN round(CAST(sum(n_bg) AS DOUBLE) / CAST(sum(n_ctx) AS DOUBLE), 6)
+             END AS predict_r,
+             CASE WHEN sum(CASE WHEN n_bg IS NOT NULL THEN 1 ELSE 0 END) > 0
+                  THEN round(
+                    CAST(sum(CASE WHEN n_bg IS NOT NULL
+                             THEN length(CAST((n_ctx * 1000000) // n_bg AS VARCHAR)) END) AS DOUBLE)
+                    / CAST(sum(CASE WHEN n_bg IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE), 6)
+             END AS surprisal_r
+      FROM j GROUP BY doc_id, lang ORDER BY doc_id
+    """)) { (spark, dir) =>
+    val bg = bigrams(spark, dir)
+      .persist() // feeds the model build AND the scoring join
+    val model = bg.filter(col("lang") === "en")
+      .groupBy("w1", "w2").agg(count(lit(1)).as("n_bg"))
+    val ctx = model.groupBy("w1").agg(sum(col("n_bg")).as("n_ctx"))
+    val known = col("n_bg").isNotNull
+    bg.join(model, Seq("w1", "w2"), "left")
+      .join(ctx, Seq("w1"), "left")
+      .groupBy("doc_id", "lang")
+      .agg(
+        count(lit(1)).as("n_bigrams"),
+        countIf(known).as("known_bigrams"),
+        coalesce(sum(col("n_bg")), lit(0L)).as("pred_mass"),
+        coalesce(sum(col("n_ctx")), lit(0L)).as("ctx_mass"),
+        when(coalesce(sum(col("n_ctx")), lit(0L)) > 0,
+          round(sum(col("n_bg")).cast(DoubleType) /
+            sum(col("n_ctx")).cast(DoubleType), 6)).as("predict_r"),
+        when(countIf(known) > 0,
+          round(sum(when(known,
+              length(expr("(n_ctx * 1000000) div n_bg").cast(StringType))))
+              .cast(DoubleType) / countIf(known).cast(DoubleType), 6))
+          .as("surprisal_r"))
+      .orderBy("doc_id")
+  }
+
+  /** lm2 — the trained model head: top-20 bigrams by en-stratum count with
+    * fully pinned tie-breaks. The model is a first-class mart a pipeline
+    * materializes once and reuses across scoring runs; this gate pins the
+    * training itself (counts, not just downstream scores) to the oracle. */
+  val lmTopBigrams: QueryDef = QueryDef(
+    "t_lm_top_bigrams",
+    Some(s"""
+      WITH $bigramsSql
+      SELECT w1, w2, CAST(count(*) AS BIGINT) AS n_bg
+      FROM bg WHERE lang = 'en'
+      GROUP BY w1, w2
+      ORDER BY n_bg DESC, w1, w2 LIMIT 20
+    """)) { (spark, dir) =>
+    bigrams(spark, dir)
+      .filter(col("lang") === "en")
+      .groupBy("w1", "w2").agg(count(lit(1)).as("n_bg"))
+      .orderBy(col("n_bg").desc, col("w1"), col("w2"))
+      .limit(20)
+  }
+
+  val all: Seq[QueryDef] = Seq(lmScore, lmTopBigrams)
+}

@@ -1,0 +1,45 @@
+package graft
+
+import graft.llm.LangModel
+
+/** Invariants of the corpus-trained bigram LM the hash oracle can't
+  * express: mass bounds, model/score consistency, and the one property
+  * that makes the score a useful curation signal — the training stratum
+  * ranks above every other language under its own model. */
+class LangModelSpec extends SparkSpec {
+
+  test("lm score: masses bound each other and coverage bounds the count") {
+    val rows = LangModel.lmScore.run(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val n = r.getAs[Long]("n_bigrams")
+      val known = r.getAs[Long]("known_bigrams")
+      assert(known >= 0 && known <= n)
+      // every known bigram contributes n_bg ≤ n_ctx (a pair can't outnumber
+      // its own context), so the doc-level masses preserve the order
+      assert(r.getAs[Long]("pred_mass") <= r.getAs[Long]("ctx_mass"))
+      Option(r.getAs[java.lang.Double]("predict_r")).foreach(p =>
+        assert(p >= 0.0 && p <= 1.0))
+    }
+  }
+
+  test("lm score: the en training stratum is most predictable under its own model") {
+    val rows = LangModel.lmScore.run(spark, sfDir).collect()
+      .filter(_.getAs[java.lang.Double]("predict_r") != null)
+    val byLang = rows.groupBy(_.getAs[String]("lang")).map { case (l, rs) =>
+      l -> rs.map(_.getAs[java.lang.Double]("predict_r").doubleValue).sum / rs.size
+    }
+    val en = byLang("en")
+    byLang.filter(_._1 != "en").foreach { case (l, avg) =>
+      assert(en > avg, s"en avg $en should exceed $l avg $avg")
+    }
+  }
+
+  test("lm model head: counts are positive, non-increasing, and en-only by construction") {
+    val top = LangModel.lmTopBigrams.run(spark, sfDir).collect()
+    assert(top.length === 20)
+    val counts = top.map(_.getAs[Long]("n_bg"))
+    assert(counts.forall(_ > 0))
+    assert(counts.sliding(2).forall { case Array(a, b) => a >= b; case _ => true })
+  }
+}
