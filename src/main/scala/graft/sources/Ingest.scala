@@ -527,18 +527,26 @@ object Ingest {
         .select(col("l_orderkey"), col("l_partkey"), col("l_suppkey"),
           expr(zSql).as("z"))
       // one broadcast scalar row bounds the code space; the bucket maps are
-      // then pure per-row integer math — no global sort anywhere
+      // then pure per-row integer math — no global sort anywhere. The two
+      // layouts share ONE fact scan: each row explodes into its (layout,
+      // bucket) pair before the rollup, instead of a UNION ALL of two
+      // branches that would re-read the fact per layout (the oracle keeps
+      // the UNION ALL form — semantically identical, and DuckDB reads the
+      // file twice either way).
       val m = li.agg(max(col("z")).as("zmax"), max(col("l_orderkey")).as("okmax"))
-      val b = li.crossJoin(broadcast(m))
-      def spans(df: DataFrame, layout: String, bucket: String): DataFrame = df
-        .select(lit(layout).as("layout"), expr(bucket).as("bucket"),
+      li.crossJoin(broadcast(m))
+        .select(col("l_partkey"), col("l_suppkey"),
+          explode(array(
+            struct(lit("zorder").as("layout"),
+              expr("(z * 32) div (zmax + 1)").as("bucket")),
+            struct(lit("natural").as("layout"),
+              expr("(l_orderkey * 32) div (okmax + 1)").as("bucket")))).as("lb"))
+        .select(col("lb.layout").as("layout"), col("lb.bucket").as("bucket"),
           col("l_partkey"), col("l_suppkey"))
         .groupBy("layout", "bucket")
         .agg(count(lit(1)).as("n"),
           (max(col("l_partkey")) - min(col("l_partkey"))).as("p_span"),
           (max(col("l_suppkey")) - min(col("l_suppkey"))).as("s_span"))
-      spans(b, "zorder", "(z * 32) div (zmax + 1)")
-        .unionAll(spans(b, "natural", "(l_orderkey * 32) div (okmax + 1)"))
         .orderBy("layout", "bucket")
     }
   }
