@@ -539,9 +539,50 @@ object Aggregates {
       .orderBy("status", "priority")
   }
 
+  /** JOIN-SIZE ESTIMATION (beyond parity) — the cardinality statistic a
+    * planner needs BEFORE committing to a join strategy at 100 TB: the
+    * exact self-join size on a key is Σ_k n(k)² computed from the per-key
+    * COUNT TABLE (one groupBy, key-space-sized, never the join itself),
+    * set against the textbook uniform estimate |R|²/d whose
+    * underestimation factor IS the key-skew measure (ratio 1 = uniform
+    * keys; ≫1 = skewed enough that the naive plan mis-sizes by that
+    * factor — the number that justifies [[aSaltedSkewAgg]]'s salting).
+    * All-integer masses, one final ratio; the fact shuffles only its key
+    * column. */
+  val aJoinSizeEst: QueryDef = QueryDef(
+    "a_join_size_est",
+    Some("""
+      WITH c AS (
+        SELECT l_partkey, CAST(count(*) AS BIGINT) AS n
+        FROM lineitem GROUP BY l_partkey),
+      t AS (
+        SELECT CAST(sum(n) AS BIGINT) AS n_rows,
+               CAST(count(*) AS BIGINT) AS d_keys,
+               CAST(sum(n * n) AS BIGINT) AS exact_rows
+        FROM c)
+      SELECT n_rows, d_keys,
+             (n_rows * n_rows) // d_keys AS est_uniform,
+             exact_rows,
+             round(CAST(exact_rows AS DOUBLE)
+                   / CAST((n_rows * n_rows) // d_keys AS DOUBLE), 6) AS skew_r
+      FROM t
+    """)) { (spark, dir) =>
+    tbl(spark, dir, "lineitem")
+      .groupBy("l_partkey").agg(count(lit(1)).as("n"))
+      .agg(
+        sum(col("n")).as("n_rows"),
+        count(lit(1)).as("d_keys"),
+        sum(col("n") * col("n")).as("exact_rows"))
+      .select(col("n_rows"), col("d_keys"),
+        expr("(n_rows * n_rows) div d_keys").as("est_uniform"),
+        col("exact_rows"),
+        round(col("exact_rows").cast(DoubleType) /
+          expr("(n_rows * n_rows) div d_keys").cast(DoubleType), 6).as("skew_r"))
+  }
+
   val all: Seq[QueryDef] = Seq(
     a1ProductRollup, a2DailySalesRollup, a7CountDistinct, a10DupAudit,
     a11NullRate, aRollupSets, aApproxDistinct, aSaltedSkewAgg,
     aApproxPercentile, aTimeWindowBatch, aPivot, aUnpivot, aCumulativeUsers,
-    aSketchMerge, aGroupMedian, aCubeMatrix)
+    aSketchMerge, aGroupMedian, aCubeMatrix, aJoinSizeEst)
 }

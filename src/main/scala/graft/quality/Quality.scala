@@ -594,9 +594,64 @@ object Quality {
         (countIf(invalid) === 0).as("test_passed"))
   }
 
+  /** K-ANONYMITY AUDIT (beyond parity; privacy companion to
+    * [[graft.llm.TextOps.tPiiRedact]]) — redaction scrubs direct
+    * identifiers, but a release is still re-identifiable through
+    * QUASI-identifier combinations (Sweeney's k-anonymity: every QI group
+    * must hold ≥ k records). The audit measures the customer dimension at
+    * two generalization rungs of the location hierarchy — (nation,
+    * segment), then (region, segment) — the ladder a release climbs until
+    * every group clears k=5. Per rung: group-size floor, at-risk groups
+    * and rows, and the pass verdict. One groupBy per rung over a pruned
+    * 2-column projection (the hierarchy dim broadcasts); group counts are
+    * map-side-combined longs, so the audit is one cheap pass per rung at
+    * any scale. */
+  val qKAnonymity: QueryDef = QueryDef(
+    "q_k_anonymity",
+    Some("""
+      WITH l1 AS (
+        SELECT count(*) AS n FROM customer GROUP BY c_nationkey, c_mktsegment),
+      l2 AS (
+        SELECT count(*) AS n
+        FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey
+        GROUP BY n.n_regionkey, c.c_mktsegment),
+      s AS (
+        SELECT 'nation_segment' AS level, n FROM l1
+        UNION ALL
+        SELECT 'region_segment' AS level, n FROM l2)
+      SELECT level,
+             CAST(count(*) AS BIGINT) AS n_groups,
+             CAST(min(n) AS BIGINT) AS min_group,
+             CAST(sum(CASE WHEN n < 5 THEN 1 ELSE 0 END) AS BIGINT) AS risky_groups,
+             CAST(coalesce(sum(CASE WHEN n < 5 THEN n END), 0) AS BIGINT) AS risky_rows,
+             sum(CASE WHEN n < 5 THEN 1 ELSE 0 END) = 0 AS k_anonymous
+      FROM s GROUP BY level ORDER BY level
+    """)) { (spark, dir) =>
+    val cust = tbl(spark, dir, "customer")
+    val l1 = cust.groupBy("c_nationkey", "c_mktsegment")
+      .agg(count(lit(1)).as("n")).select("n")
+    val l2 = cust
+      .join(broadcast(tbl(spark, dir, "nation")),
+        cust("c_nationkey") === col("n_nationkey"))
+      .groupBy("n_regionkey", "c_mktsegment")
+      .agg(count(lit(1)).as("n")).select("n")
+    def audit(level: String, g: DataFrame): DataFrame = g
+      .select(lit(level).as("level"), col("n"))
+    val risky = col("n") < 5
+    audit("nation_segment", l1).unionAll(audit("region_segment", l2))
+      .groupBy("level")
+      .agg(
+        count(lit(1)).as("n_groups"),
+        min(col("n")).as("min_group"),
+        countIf(risky).as("risky_groups"),
+        coalesce(sum(when(risky, col("n"))), lit(0L)).as("risky_rows"),
+        (countIf(risky) === 0).as("k_anonymous"))
+      .orderBy("level")
+  }
+
   val all: Seq[QueryDef] = Seq(
     q4NonEmptyNullSk, q5UniqueNotNull, q6NoNegativeAmounts,
     q7DateKeyValidity, s11AuditLog, qMartQuality, qProfileTable,
     qSnapshotDiff, qHeavyHitters, qProfileDrift, qSourceFreshness,
-    qAcceptedValues)
+    qAcceptedValues, qKAnonymity)
 }
