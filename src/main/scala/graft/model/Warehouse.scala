@@ -2,7 +2,7 @@ package graft.model
 
 import graft.{QueryDef, core}
 import graft.core._
-import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Row, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
@@ -458,7 +458,60 @@ object Warehouse {
     untouched.unionAll(monthly(touchedRows)).orderBy("o_year", "o_month")
   }
 
+  /** CDC APPLY (beyond parity; completes the merge family S8/S9 with the
+    * op-coded form) — replaying a change-data-capture log (I/U/D ops, each
+    * with a monotonically increasing sequence per key) onto a snapshot:
+    * LAST-WRITE-WINS per key, then deletes drop out. The log here is
+    * fabricated deterministically from `orders` (insert every key at seq 1,
+    * update keys ≡0 mod 7 at seq 2, delete keys ≡0 mod 11 at seq 3 — the
+    * suite's defect-injection convention), and the apply is ONE
+    * shuffle-by-key `max_by` aggregation: no window sort, partials merge
+    * map-side (max_by is an associative agg), so a 100 TB log applies in a
+    * single pass whose state per key is one row. The emitted mart is the
+    * applied snapshot's per-status rollup. */
+  val sCdcApply: QueryDef = QueryDef(
+    "s_cdc_apply",
+    Some("""
+      WITH log AS (
+        SELECT o_orderkey AS k, 'I' AS op, 1 AS seq,
+               o_orderstatus AS status, o_totalprice AS price
+        FROM orders
+        UNION ALL
+        SELECT o_orderkey, 'U', 2, o_orderstatus, o_totalprice + 10.0
+        FROM orders WHERE o_orderkey % 7 = 0
+        UNION ALL
+        SELECT o_orderkey, 'D', 3, o_orderstatus, 0.0
+        FROM orders WHERE o_orderkey % 11 = 0),
+      applied AS (
+        SELECT k, max_by(op, seq) AS op, max_by(status, seq) AS status,
+               max_by(price, seq) AS price
+        FROM log GROUP BY k)
+      SELECT status, count(*) AS n_rows,
+             CAST(sum(CAST(price AS DECIMAL(18,2))) AS DOUBLE) AS mass
+      FROM applied WHERE op <> 'D'
+      GROUP BY status ORDER BY status
+    """)) { (spark, dir) =>
+    val o = tbl(spark, dir, "orders")
+      .select("o_orderkey", "o_orderstatus", "o_totalprice")
+    def slice(cond: Column, op: String, seq: Int, price: Column): DataFrame = o
+      .filter(cond)
+      .select(col("o_orderkey").as("k"), lit(op).as("op"), lit(seq).as("seq"),
+        col("o_orderstatus").as("status"), price.as("price"))
+    slice(lit(true), "I", 1, col("o_totalprice"))
+      .unionAll(slice(col("o_orderkey") % 7 === 0, "U", 2, col("o_totalprice") + 10.0))
+      .unionAll(slice(col("o_orderkey") % 11 === 0, "D", 3, lit(0.0)))
+      .groupBy("k")
+      .agg(max_by(col("op"), col("seq")).as("op"),
+        max_by(col("status"), col("seq")).as("status"),
+        max_by(col("price"), col("seq")).as("price"))
+      .filter(col("op") =!= "D")
+      .groupBy("status")
+      .agg(count(lit(1)).as("n_rows"), moneySumD(col("price")).as("mass"))
+      .orderBy("status")
+  }
+
   val all: Seq[QueryDef] = Seq(
     s10DateDim, w8SurrogateKeys, s8UpsertMerge, s9AppendIfAbsent, j5DateExprJoin,
-    wScd2Dim, jScd2PointInTime, wScd2Incremental, wIncrementalAgg, wLateLookback)
+    wScd2Dim, jScd2PointInTime, wScd2Incremental, wIncrementalAgg, wLateLookback,
+    sCdcApply)
 }

@@ -389,7 +389,87 @@ object Streams {
       .orderBy("user_id", "ts", "event_type")
   }
 
+  /** [[eventsLanding]] plus two far-future SENTINEL rows (user_id = -1, one
+    * per joined event_type, ts = max(ts) + 90 days). OUTER stream-stream
+    * join results only emit when the watermark passes a row's state-expiry
+    * bound — under the suite's span-covering delay the watermark never
+    * clears the real data span, so without a sentinel every unmatched row
+    * would stay unemitted at termination. The sentinels advance the final
+    * watermark ~53 days past the real span (90d − span − 2d), forcing every
+    * outer result to flush before `AvailableNow` stops; consumers filter
+    * `user_id ≥ 0` after the sink. One landing write (base ∪ sentinels), so
+    * the `_SUCCESS` marker only appears once the sentinels are in. */
+  private def eventsLandingSentinel(spark: SparkSession, dir: String): String = {
+    val sig = sourceSig(spark, dir, "events")
+    val landing = scratch(dir, s"events_ts_sentinel_v1_$sig")
+    val marker = new org.apache.hadoop.fs.Path(landing, "_SUCCESS")
+    val fs = marker.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(marker)) {
+      import spark.implicits._
+      val base = spark.read.parquet(eventsLanding(spark, dir))
+      val sentinelTs = expr("max(ts) + INTERVAL 90 DAYS")
+      val sentinels = base.agg(sentinelTs.as("ts"))
+        .crossJoin(Seq("purchase" -> -1L, "click" -> -2L)
+          .toDF("event_type", "event_id"))
+        .select(col("event_id"), col("ts"), lit(-1L).as("user_id"),
+          col("event_type"), lit(0.0).as("value"),
+          lit(null).cast(StringType).as("props"))
+      base.unionByName(sentinels).write.mode("overwrite").parquet(landing)
+    }
+    landing
+  }
+
+  /** st8 — watermarked LEFT OUTER stream-stream join: every purchase emits,
+    * joined to the clicks that preceded it within 24h, or null-padded once
+    * the watermark proves no matching click can still arrive. This is the
+    * semantics [[stStreamStreamJoin]] cannot express (inner joins simply
+    * drop unmatched rows; outer joins require the engine to hold the row in
+    * state and PROVE absence via watermark passage — the state-expiry
+    * contract that makes outer joins bounded-memory on an unbounded
+    * stream). Same state posture as the inner join: 4 stores per partition,
+    * retention bounded by the 24h window + delay. Oracle = the batch left
+    * join; the sentinel mechanics (see [[eventsLandingSentinel]]) are
+    * harness-only and filtered out. */
+  val stStreamJoinLeft: QueryDef = QueryDef(
+    "st_stream_join_left",
+    Some("""
+      SELECT p.user_id, p.ts AS purchase_ts, c.ts AS click_ts
+      FROM events p LEFT JOIN events c ON p.user_id = c.user_id
+       AND c.event_type = 'click'
+       AND c.ts BETWEEN p.ts - INTERVAL 24 HOURS AND p.ts
+      WHERE p.event_type = 'purchase'
+      ORDER BY 1, 2, 3
+    """)) { (spark, dir) =>
+    val landing = eventsLandingSentinel(spark, dir)
+    val schema = spark.read.parquet(landing).schema
+    val sinkName = "graft_st_ssjoin_left_" + dirTag(dir)
+    val delay = spanCoveringDelay(spark, eventsLanding(spark, dir))
+    def src = spark.readStream.schema(schema).parquet(landing)
+    val purchases = src.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("ts").as("purchase_ts"))
+      .withWatermark("purchase_ts", delay)
+    val clicks = src.filter(col("event_type") === "click")
+      .select(col("user_id").as("c_user"), col("ts").as("click_ts"))
+      .withWatermark("click_ts", delay)
+    val q = withStatePartitions(spark, 8) {
+      purchases.join(clicks,
+        col("user_id") === col("c_user") &&
+          col("click_ts") >= col("purchase_ts") - expr("INTERVAL 24 HOURS") &&
+          col("click_ts") <= col("purchase_ts"),
+        "leftOuter")
+        .select(col("user_id"), col("purchase_ts"), col("click_ts"))
+        .writeStream.format("memory").queryName(sinkName)
+        .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    }
+    q.awaitTermination()
+    spark.table(sinkName)
+      .filter(col("user_id") >= 0) // shed the watermark sentinels
+      .withColumn("purchase_ts", col("purchase_ts").cast(TimestampNTZType))
+      .withColumn("click_ts", col("click_ts").cast(TimestampNTZType))
+      .orderBy("user_id", "purchase_ts", "click_ts")
+  }
+
   val all: Seq[QueryDef] = Seq(
     stHourlyWindows, stSessionWindows, stJsonProps, stStatefulUserAgg,
-    stStreamStreamJoin, stForeachBatchUpsert, stStreamDedup)
+    stStreamStreamJoin, stForeachBatchUpsert, stStreamDedup, stStreamJoinLeft)
 }
