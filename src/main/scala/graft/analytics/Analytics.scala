@@ -343,7 +343,43 @@ object Analytics {
       .orderBy("o_custkey", "seq")
   }
 
+  /** MARKET-BASKET AFFINITY (beyond parity) — co-occurrence counts of part
+    * pairs within an order, the association-mining primitive behind
+    * "frequently bought together". The pair generator is a SELF-JOIN ON THE
+    * BASKET KEY with an ordered-pair predicate (p1 < p2), so fanout per
+    * order is C(lines, 2) with lines bounded by the basket size — candidate
+    * volume stays linear in the fact with a small constant, never all-pairs
+    * across baskets (the same bounded-blocking discipline as
+    * [[graft.operators.Linkage.dFuzzyMatch]]). Counts partial-aggregate
+    * map-side after the join; the head is taken with fully pinned
+    * tie-breaks. Deduplicated per (order, pair) first: a part appearing on
+    * two lines of one order would otherwise double-count the pair. */
+  val aBasketPairs: QueryDef = QueryDef(
+    "a_basket_pairs",
+    Some("""
+      WITH lines AS (
+        SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+      pairs AS (
+        SELECT a.l_partkey AS p1, b.l_partkey AS p2
+        FROM lines a JOIN lines b
+          ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey)
+      SELECT p1, p2, CAST(count(*) AS BIGINT) AS n_baskets
+      FROM pairs GROUP BY p1, p2
+      ORDER BY n_baskets DESC, p1, p2 LIMIT 20
+    """)) { (spark, dir) =>
+    val lines = tbl(spark, dir, "lineitem")
+      .select("l_orderkey", "l_partkey").distinct()
+    lines.as("a").join(lines.as("b"),
+        col("a.l_orderkey") === col("b.l_orderkey") &&
+          col("a.l_partkey") < col("b.l_partkey"))
+      .groupBy(col("a.l_partkey").as("p1"), col("b.l_partkey").as("p2"))
+      .agg(count(lit(1)).as("n_baskets"))
+      .orderBy(col("n_baskets").desc, col("p1"), col("p2"))
+      .limit(20)
+  }
+
   val all: Seq[QueryDef] = Seq(
     q1MonthlyRevenue, q2CustomerSegmentation, q3ProductRank,
-    q4CohortRetention, q5DailyAnomaly, wTopkPerGroup, wWindowGallery)
+    q4CohortRetention, q5DailyAnomaly, wTopkPerGroup, wWindowGallery,
+    aBasketPairs)
 }

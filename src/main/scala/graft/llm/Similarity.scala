@@ -742,7 +742,79 @@ object Similarity {
       .orderBy("dup_id")
   }
 
+  /** sim10 — PRODUCT QUANTIZATION encode (Jégou et al., "Product
+    * Quantization for Nearest Neighbor Search", TPAMI 2011 — the standard
+    * compression layer under billion-scale ANN, and the natural companion
+    * to [[simIvfProbe]]: IVF prunes which vectors to scan, PQ shrinks what
+    * each scan reads). The 64-dim space splits into M=4 independent
+    * 16-dim subspaces; each subvector quantizes to its nearest of 8
+    * codewords (argmin squared L2, ties toward the lower code via the
+    * 1e-12 bias the oracle replays), so a vector stores as 4 small codes —
+    * 256 bytes of floats → 4 codes — plus one shared codebook. Codebook =
+    * the suite's deterministic seed vectors (vec_id < 8, sliced per
+    * subspace), the same stand-in [[simIvfProbe]] uses for its coarse
+    * quantizer; [[simKmeansConverged]] is the trained-codebook path.
+    * Posture at 100 TB: the codebook folds into ONE broadcast row, encode
+    * is a map-only pass (no shuffle ever carries a vector), and the
+    * emitted `recon_r` (total squared distortion, the PQ training loss) is
+    * the same sequential-fold double discipline as every sim gate. The
+    * zip_with/aggregate folds run on the interpreted HOF path — fine for
+    * an encode pass that runs once per corpus snapshot; the
+    * [[graft.functions.DotFold]]-style native expression is the known
+    * rewrite if a profiler ranks it. */
+  val simPqEncode: QueryDef = {
+    val M = 4
+    val sub = 16
+    def subSqSql(m: Int): String = {
+      val off = m * sub
+      s"""list_reduce(list_transform(range(1, ${sub + 1}),
+          i -> (CAST(e.embedding[i + $off] AS DOUBLE) - CAST(c.cv[i + $off] AS DOUBLE))
+             * (CAST(e.embedding[i + $off] AS DOUBLE) - CAST(c.cv[i + $off] AS DOUBLE))),
+          (x, y) -> x + y)"""
+    }
+    val dCols = (0 until M).map(m => s"${subSqSql(m)} AS d$m").mkString(",\n               ")
+    val encCols = (0 until M).map(m =>
+      s"arg_min(cid, d$m + 1e-12 * cid) AS code$m, min(d$m + 1e-12 * cid) AS r$m")
+      .mkString(",\n               ")
+    QueryDef(
+      "sim_pq_encode",
+      Some(s"""
+        WITH cents AS (
+          SELECT vec_id AS cid, embedding AS cv FROM embeddings WHERE vec_id < 8),
+        d AS (
+          SELECT e.vec_id, e.label, c.cid,
+               $dCols
+          FROM embeddings e, cents c),
+        enc AS (
+          SELECT vec_id, label,
+               $encCols
+          FROM d GROUP BY vec_id, label)
+        SELECT vec_id, label, code0, code1, code2, code3,
+               round(r0 + r1 + r2 + r3, 6) AS recon_r
+        FROM enc ORDER BY vec_id
+      """)) { (spark, dir) =>
+      def subSq(a: Column, b: Column, m: Int): Column =
+        aggregate(
+          zip_with(slice(a, m * sub + 1, sub), slice(b, m * sub + 1, sub),
+            (x, y) => (x.cast(DoubleType) - y.cast(DoubleType)) *
+              (x.cast(DoubleType) - y.cast(DoubleType))),
+          lit(0.0), (acc, v) => acc + v)
+      def best(m: Int): Column = array_min(transform(col("cents"), c => struct(
+        (subSq(col("embedding"), c("cv"), m) + lit(1e-12) * c("cent_id")).as("d"),
+        c("cent_id").as("code"))))
+      emb(spark, dir).crossJoin(broadcast(ivfCentroids(spark, dir)))
+        .select(Seq(col("vec_id"), col("label")) ++
+          (0 until M).map(m => best(m).as(s"b$m")): _*)
+        .select(Seq(col("vec_id"), col("label")) ++
+          (0 until M).map(m => col(s"b$m")("code").as(s"code$m")) :+
+          round((0 until M).map(m => col(s"b$m")("d")).reduce(_ + _), 6)
+            .as("recon_r"): _*)
+        .orderBy("vec_id")
+    }
+  }
+
   val all: Seq[QueryDef] = Seq(
     simTopKBrute, simLshPairs, simIvfProbe, simIvfMultiprobe, ddEmbeddingCosine,
-    simQuantizeInt8, simCentroids, simKmeans, simKmeansConverged, simSemanticDedup)
+    simQuantizeInt8, simCentroids, simKmeans, simKmeansConverged, simSemanticDedup,
+    simPqEncode)
 }

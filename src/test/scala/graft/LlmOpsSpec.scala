@@ -75,6 +75,24 @@ class LlmOpsSpec extends SparkSpec {
     assert((multiTop5 & exact).size >= (single & exact).size)
   }
 
+  test("PQ encode: codes stay in the codebook, distortion ≥ 0, seeds encode to themselves losslessly") {
+    val rows = Similarity.simPqEncode.run(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      (0 until 4).foreach { m =>
+        val c = r.getAs[Long](s"code$m"); assert(c >= 0 && c < 8)
+      }
+      assert(r.getAs[Double]("recon_r") >= 0.0)
+    }
+    // a codebook seed's nearest codeword in every subspace is itself:
+    // exact self-match, zero quantization distortion
+    rows.filter(_.getAs[Long]("vec_id") < 8).foreach { r =>
+      val id = r.getAs[Long]("vec_id")
+      (0 until 4).foreach(m => assert(r.getAs[Long](s"code$m") === id))
+      assert(r.getAs[Double]("recon_r") === 0.0)
+    }
+  }
+
   test("semantic dedup drops exactly the planted near-copies, each kept by its source") {
     val rows = Similarity.simSemanticDedup.run(spark, sfDir).collect()
     val planted = core.tbl(spark, sfDir, "embeddings")
