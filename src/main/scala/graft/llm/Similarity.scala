@@ -813,8 +813,98 @@ object Similarity {
     }
   }
 
+  /** sim11 — PQ ASYMMETRIC-DISTANCE search (the payoff of
+    * [[simPqEncode]]): answer a query by scanning CODES, not vectors. The
+    * query precomputes its squared distance to each of the 8 codewords per
+    * subspace — a 32-entry lookup table, here an 8-row frame with one
+    * column per subspace — and every encoded vector's approximate distance
+    * is just Σ_m lut[code_m]: four broadcast joins against the tiny table,
+    * zero vector arithmetic per corpus row. At 100 TB this is the design
+    * point: the scan touches 4 codes/vector instead of 256 bytes of
+    * floats, the LUT broadcast is constant-size, and only (id, score)
+    * scalars ever rank. Fixed-order double sum (qd0+qd1+qd2+qd3) and
+    * pinned tie-breaks keep both engines bit-identical. */
+  val simPqSearch: QueryDef = {
+    val M = 4
+    val sub = 16
+    def qSqSql(m: Int): String = {
+      val off = m * sub
+      s"""list_reduce(list_transform(range(1, ${sub + 1}),
+          i -> (CAST(q.embedding[i + $off] AS DOUBLE) - CAST(c.cv[i + $off] AS DOUBLE))
+             * (CAST(q.embedding[i + $off] AS DOUBLE) - CAST(c.cv[i + $off] AS DOUBLE))),
+          (x, y) -> x + y)"""
+    }
+    def dSqSql(m: Int): String = {
+      val off = m * sub
+      s"""list_reduce(list_transform(range(1, ${sub + 1}),
+          i -> (CAST(e.embedding[i + $off] AS DOUBLE) - CAST(c.cv[i + $off] AS DOUBLE))
+             * (CAST(e.embedding[i + $off] AS DOUBLE) - CAST(c.cv[i + $off] AS DOUBLE))),
+          (x, y) -> x + y)"""
+    }
+    val dCols = (0 until M).map(m => s"${dSqSql(m)} AS d$m").mkString(",\n               ")
+    val encCols = (0 until M).map(m => s"arg_min(cid, d$m + 1e-12 * cid) AS code$m")
+      .mkString(",\n               ")
+    val qdCols = (0 until M).map(m => s"${qSqSql(m)} AS qd$m").mkString(",\n               ")
+    QueryDef(
+      "sim_pq_search",
+      Some(s"""
+        WITH cents AS (
+          SELECT vec_id AS cid, embedding AS cv FROM embeddings WHERE vec_id < 8),
+        d AS (
+          SELECT e.vec_id, e.label, c.cid,
+               $dCols
+          FROM embeddings e, cents c),
+        enc AS (
+          SELECT vec_id, label,
+               $encCols
+          FROM d GROUP BY vec_id, label),
+        qd AS (
+          SELECT c.cid,
+               $qdCols
+          FROM cents c, (SELECT embedding FROM embeddings WHERE vec_id = 17) q)
+        SELECT e.vec_id, e.label,
+               round(q0.qd0 + q1.qd1 + q2.qd2 + q3.qd3, 6) AS adc_r
+        FROM enc e
+        JOIN qd q0 ON e.code0 = q0.cid
+        JOIN qd q1 ON e.code1 = q1.cid
+        JOIN qd q2 ON e.code2 = q2.cid
+        JOIN qd q3 ON e.code3 = q3.cid
+        ORDER BY q0.qd0 + q1.qd1 + q2.qd2 + q3.qd3, e.vec_id
+        LIMIT 10
+      """)) { (spark, dir) =>
+      def subSq(a: Column, b: Column, m: Int): Column =
+        aggregate(
+          zip_with(slice(a, m * sub + 1, sub), slice(b, m * sub + 1, sub),
+            (x, y) => (x.cast(DoubleType) - y.cast(DoubleType)) *
+              (x.cast(DoubleType) - y.cast(DoubleType))),
+          lit(0.0), (acc, v) => acc + v)
+      def best(m: Int): Column = array_min(transform(col("cents"), c => struct(
+        (subSq(col("embedding"), c("cv"), m) + lit(1e-12) * c("cent_id")).as("d"),
+        c("cent_id").as("code"))))
+      val enc = emb(spark, dir).crossJoin(broadcast(ivfCentroids(spark, dir)))
+        .select(Seq(col("vec_id"), col("label")) ++
+          (0 until M).map(m => best(m)("code").as(s"code$m")): _*)
+      val q = emb(spark, dir).filter(col("vec_id") === 17)
+        .select(col("embedding").as("qv"))
+      val qd = emb(spark, dir).filter(col("vec_id") < 8)
+        .select(col("vec_id").as("cid"), col("embedding").as("cv"))
+        .crossJoin(broadcast(q))
+        .select(Seq(col("cid")) ++
+          (0 until M).map(m => subSq(col("qv"), col("cv"), m).as(s"qd$m")): _*)
+      val adc = (0 until M).foldLeft(enc) { (df, m) =>
+        df.join(broadcast(qd.select(col("cid").as(s"c$m"), col(s"qd$m"))),
+          col(s"code$m") === col(s"c$m"))
+      }
+      val score = (0 until M).map(m => col(s"qd$m")).reduce(_ + _)
+      adc.select(col("vec_id"), col("label"), score.as("adc"))
+        .orderBy(col("adc"), col("vec_id"))
+        .limit(10)
+        .select(col("vec_id"), col("label"), round(col("adc"), 6).as("adc_r"))
+    }
+  }
+
   val all: Seq[QueryDef] = Seq(
     simTopKBrute, simLshPairs, simIvfProbe, simIvfMultiprobe, ddEmbeddingCosine,
     simQuantizeInt8, simCentroids, simKmeans, simKmeansConverged, simSemanticDedup,
-    simPqEncode)
+    simPqEncode, simPqSearch)
 }

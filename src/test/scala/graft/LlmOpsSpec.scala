@@ -93,6 +93,15 @@ class LlmOpsSpec extends SparkSpec {
     }
   }
 
+  test("PQ search: ADC over codes still self-retrieves first, distances non-decreasing") {
+    val rows = Similarity.simPqSearch.run(spark, sfDir).collect()
+    assert(rows.length === 10)
+    assert(rows.head.getAs[Long]("vec_id") === 17L) // self top-1 despite quantization
+    val ds = rows.map(_.getAs[Double]("adc_r"))
+    assert(ds.forall(_ >= 0.0))
+    assert(ds.sliding(2).forall { case Array(a, b) => a <= b; case _ => true })
+  }
+
   test("semantic dedup drops exactly the planted near-copies, each kept by its source") {
     val rows = Similarity.simSemanticDedup.run(spark, sfDir).collect()
     val planted = core.tbl(spark, sfDir, "embeddings")
