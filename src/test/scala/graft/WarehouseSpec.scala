@@ -11,6 +11,29 @@ import org.apache.spark.sql.types._
 class WarehouseSpec extends SparkSpec {
   import SparkSpec.spark.implicits._
 
+  test("CDC apply tolerates at-least-once delivery: replaying the log changes nothing") {
+    // real CDC transports redeliver; last-write-wins keyed on (k, seq) must
+    // make a duplicate-delivered log indistinguishable from a clean one.
+    // The gate's own run IS the clean log; a doubled log puts every op in
+    // the stream twice with identical (seq, payload), and max_by picks the
+    // same survivor either way.
+    val ops = Seq(
+      (1L, "I", 1, "O", 10.0), (1L, "U", 2, "O", 20.0),
+      (2L, "I", 1, "F", 30.0), (2L, "D", 2, "F", 0.0),
+      (3L, "I", 1, "P", 40.0))
+      .toDF("k", "op", "seq", "status", "price")
+    def apply(log: org.apache.spark.sql.DataFrame) = log
+      .groupBy("k")
+      .agg(max_by(col("op"), col("seq")).as("op"),
+        max_by(col("status"), col("seq")).as("status"),
+        max_by(col("price"), col("seq")).as("price"))
+      .filter(col("op") =!= "D")
+      .orderBy("k").collect().toSeq
+    assert(apply(ops) === apply(ops.unionAll(ops)))
+    assert(apply(ops).map(_.getAs[Long]("k")) === Seq(1L, 3L)) // 2 deleted
+    assert(apply(ops).head.getAs[Double]("price") === 20.0)    // update won
+  }
+
   test("dateDim generates 31 rows for January (test_pipeline.py:173–185)") {
     val facts = Seq("2024-01-01", "2024-01-31").toDF("d")
       .select(col("d").cast(TimestampType).as("d"))
