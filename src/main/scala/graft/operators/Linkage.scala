@@ -47,10 +47,15 @@ object Linkage {
       .select(col("c_custkey"), col("c_name"),
         substring(col("c_name"), 10, 7).as("blk"))
     // blocking join: both sides shuffle on blk only — the quadratic
-    // levenshtein work is confined inside each ≤100-row block
+    // levenshtein work is confined inside each ≤100-row block. The
+    // THRESHOLDED levenshtein (returns -1 once the distance provably
+    // exceeds k) runs the banded O(k·n) DP instead of the full O(n²)
+    // table — same ≤1 predicate, ~15× less work per pair, which is the
+    // dominant cost of the gate (the oracle's unthresholded form is
+    // result-identical under the filter)
     val pairs = c.as("a").join(c.as("b"),
         col("a.blk") === col("b.blk") && col("a.c_custkey") < col("b.c_custkey"))
-      .filter(levenshtein(col("a.c_name"), col("b.c_name")) <= 1)
+      .filter(levenshtein(col("a.c_name"), col("b.c_name"), 1) =!= -1)
       .groupBy(col("a.blk").as("blk"))
       .agg(count(lit(1)).as("n_pairs"))
     val members = c.groupBy("blk").agg(count(lit(1)).as("n_members"))
