@@ -496,12 +496,16 @@ object Ingest {
     * is integer bit-twiddling (shift/and/or), bit-identical on both
     * engines; bucket = fixed 32-way range split of the code space via one
     * broadcast scalar (max), never a global sort. */
+  /** 16-bit × 16-bit Morton interleave, emitted once for both engines
+    * (and property-tested for bijectivity in PropertySpec):
+    * z = Σ_i ((x>>i & 1) << 2i) + ((y>>i & 1) << 2i+1) */
+  private[graft] def mortonSql(x: String, y: String): String =
+    (0 until 16).map(i =>
+      s"(((($x % 65536) >> $i) & 1) << ${2 * i}) + " +
+        s"(((($y % 65536) >> $i) & 1) << ${2 * i + 1})").mkString(" + ")
+
   val sZorderLayout: QueryDef = {
-    // 16-bit × 16-bit Morton interleave, emitted once for both engines:
-    // z = Σ_i ((p>>i & 1) << 2i) + ((s>>i & 1) << 2i+1)
-    val zSql = (0 until 16).map(i =>
-      s"((((l_partkey % 65536) >> $i) & 1) << ${2 * i}) + " +
-        s"((((l_suppkey % 65536) >> $i) & 1) << ${2 * i + 1})").mkString(" + ")
+    val zSql = mortonSql("l_partkey", "l_suppkey")
     QueryDef(
       "s_zorder_layout",
       Some(s"""

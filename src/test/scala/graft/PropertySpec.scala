@@ -27,6 +27,21 @@ class PropertySpec extends SparkSpec {
         out.forall { case (x, c) => !(x >= 1 && x <= 5) || c == x }
     })
 
+  check("Morton interleave is bijective: de-interleaving the z-code recovers both keys")(
+    Prop.forAll(
+      Gen.nonEmptyListOf(Gen.zip(Gen.chooseNum(0L, 65535L), Gen.chooseNum(0L, 65535L)))) { xs =>
+      // decode = gather even bits back into x, odd bits into y — if this
+      // round-trips, distinct (x, y) always map to distinct z, which is
+      // what makes z-range bucketing a lossless layout key
+      val decX = (0 until 16).map(i => s"(((z >> ${2 * i}) & 1) << $i)").mkString(" + ")
+      val decY = (0 until 16).map(i => s"(((z >> ${2 * i + 1}) & 1) << $i)").mkString(" + ")
+      val out = xs.toDF("x", "y")
+        .selectExpr(s"x", "y", s"(${graft.sources.Ingest.mortonSql("x", "y")}) AS z")
+        .selectExpr("x", "y", s"($decX) AS dx", s"($decY) AS dy")
+        .as[(Long, Long, Long, Long)].collect()
+      out.forall { case (x, y, dx, dy) => dx == x && dy == y }
+    })
+
   check("sentiment is total over clamped ratings with the reference buckets")(
     Prop.forAll(Gen.nonEmptyListOf(Gen.chooseNum(-10, 20))) { xs =>
       val out = xs.toDF("r")
