@@ -169,14 +169,21 @@ object Bench {
     // silently fell back to whole seconds (14 queries recorded 0 in r7).
     // The line is the LAST thing printed and the only trailer is sbt's
     // short epilogue, so 1950 still clears the window. Shedding order:
-    // host marker, then timing precision, then error-message detail —
-    // and a guaranteed-fit floor (total + counts only) so the driver
-    // ALWAYS gets a parseable metric no matter how much failed.
+    // host marker, then (with failures) error-message detail, then —
+    // only on the happy path, where the registry itself may outgrow the
+    // window — ds precision down to whole seconds. secLine is pointless
+    // alongside a shrinking error payload (its full query names cost
+    // ~1600 chars MORE than ds prefixes, so it can never fit where ds
+    // didn't) — with errors present the ladder goes straight from the
+    // tersest ds form to the guaranteed-fit floor (total + counts).
     val floorLine =
       s"""{"metric":"total","value":${rnd(total, 1)},"unit":"sec","n_ok":${timings.size},"n_err":${errors.size},"sf":"$sfName"}"""
-    val out = Seq(80, 24, 0).map(errPartAt).flatMap(e =>
-        Seq(dsLine(hostPart, e), dsLine("", e), secLine(1, e), secLine(0, e)))
-      .find(_.length <= 1950).getOrElse(floorLine)
+    val candidates =
+      if (errors.isEmpty)
+        Seq(dsLine(hostPart, ""), dsLine("", ""), secLine(1, ""), secLine(0, ""))
+      else Seq(80, 24, 0).map(errPartAt).flatMap(e =>
+        Seq(dsLine(hostPart, e), dsLine("", e)))
+    val out = candidates.find(_.length <= 1950).getOrElse(floorLine)
     // full-precision sidecar (every query in ms, wall, load, errors) — not
     // tail-window-constrained; for local iteration and judge spot-checks
     val detail = {

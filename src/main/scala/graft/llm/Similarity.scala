@@ -742,6 +742,41 @@ object Similarity {
       .orderBy("dup_id")
   }
 
+  // -------------------------------------------------------------------
+  // Product quantization (shared by simPqEncode and simPqSearch — one
+  // definition of the subspace geometry, the distance fold, and the
+  // argmin tie-break, so encode and search can never desynchronize).
+  // -------------------------------------------------------------------
+
+  /** PQ subspace count × width (M × sub = the 64-dim embedding). */
+  private val PqM = 4
+  private val PqSub = 16
+
+  /** DuckDB squared-L2 between subspace `m` of two array expressions —
+    * same sequential fold (and the same bracketing) as the Spark twin. */
+  private def pqSubSqSql(a: String, b: String, m: Int): String = {
+    val off = m * PqSub
+    s"""list_reduce(list_transform(range(1, ${PqSub + 1}),
+        i -> (CAST($a[i + $off] AS DOUBLE) - CAST($b[i + $off] AS DOUBLE))
+           * (CAST($a[i + $off] AS DOUBLE) - CAST($b[i + $off] AS DOUBLE))),
+        (x, y) -> x + y)"""
+  }
+
+  /** Spark twin of [[pqSubSqSql]]. */
+  private def pqSubSq(a: Column, b: Column, m: Int): Column =
+    aggregate(
+      zip_with(slice(a, m * PqSub + 1, PqSub), slice(b, m * PqSub + 1, PqSub),
+        (x, y) => (x.cast(DoubleType) - y.cast(DoubleType)) *
+          (x.cast(DoubleType) - y.cast(DoubleType))),
+      lit(0.0), (acc, v) => acc + v)
+
+  /** Nearest codeword for subspace `m` over the broadcast `cents` row:
+    * struct(d, code) argmin, ties toward the lower code via the 1e-12
+    * bias the oracle replays verbatim. */
+  private def pqBest(m: Int): Column = array_min(transform(col("cents"), c => struct(
+    (pqSubSq(col("embedding"), c("cv"), m) + lit(1e-12) * c("cent_id")).as("d"),
+    c("cent_id").as("code"))))
+
   /** sim10 — PRODUCT QUANTIZATION encode (Jégou et al., "Product
     * Quantization for Nearest Neighbor Search", TPAMI 2011 — the standard
     * compression layer under billion-scale ANN, and the natural companion
@@ -763,17 +798,10 @@ object Similarity {
     * [[graft.functions.DotFold]]-style native expression is the known
     * rewrite if a profiler ranks it. */
   val simPqEncode: QueryDef = {
-    val M = 4
-    val sub = 16
-    def subSqSql(m: Int): String = {
-      val off = m * sub
-      s"""list_reduce(list_transform(range(1, ${sub + 1}),
-          i -> (CAST(e.embedding[i + $off] AS DOUBLE) - CAST(c.cv[i + $off] AS DOUBLE))
-             * (CAST(e.embedding[i + $off] AS DOUBLE) - CAST(c.cv[i + $off] AS DOUBLE))),
-          (x, y) -> x + y)"""
-    }
-    val dCols = (0 until M).map(m => s"${subSqSql(m)} AS d$m").mkString(",\n               ")
-    val encCols = (0 until M).map(m =>
+    val dCols = (0 until PqM)
+      .map(m => s"${pqSubSqSql("e.embedding", "c.cv", m)} AS d$m")
+      .mkString(",\n               ")
+    val encCols = (0 until PqM).map(m =>
       s"arg_min(cid, d$m + 1e-12 * cid) AS code$m, min(d$m + 1e-12 * cid) AS r$m")
       .mkString(",\n               ")
     QueryDef(
@@ -793,21 +821,12 @@ object Similarity {
                round(r0 + r1 + r2 + r3, 6) AS recon_r
         FROM enc ORDER BY vec_id
       """)) { (spark, dir) =>
-      def subSq(a: Column, b: Column, m: Int): Column =
-        aggregate(
-          zip_with(slice(a, m * sub + 1, sub), slice(b, m * sub + 1, sub),
-            (x, y) => (x.cast(DoubleType) - y.cast(DoubleType)) *
-              (x.cast(DoubleType) - y.cast(DoubleType))),
-          lit(0.0), (acc, v) => acc + v)
-      def best(m: Int): Column = array_min(transform(col("cents"), c => struct(
-        (subSq(col("embedding"), c("cv"), m) + lit(1e-12) * c("cent_id")).as("d"),
-        c("cent_id").as("code"))))
       emb(spark, dir).crossJoin(broadcast(ivfCentroids(spark, dir)))
         .select(Seq(col("vec_id"), col("label")) ++
-          (0 until M).map(m => best(m).as(s"b$m")): _*)
+          (0 until PqM).map(m => pqBest(m).as(s"b$m")): _*)
         .select(Seq(col("vec_id"), col("label")) ++
-          (0 until M).map(m => col(s"b$m")("code").as(s"code$m")) :+
-          round((0 until M).map(m => col(s"b$m")("d")).reduce(_ + _), 6)
+          (0 until PqM).map(m => col(s"b$m")("code").as(s"code$m")) :+
+          round((0 until PqM).map(m => col(s"b$m")("d")).reduce(_ + _), 6)
             .as("recon_r"): _*)
         .orderBy("vec_id")
     }
@@ -825,26 +844,14 @@ object Similarity {
     * scalars ever rank. Fixed-order double sum (qd0+qd1+qd2+qd3) and
     * pinned tie-breaks keep both engines bit-identical. */
   val simPqSearch: QueryDef = {
-    val M = 4
-    val sub = 16
-    def qSqSql(m: Int): String = {
-      val off = m * sub
-      s"""list_reduce(list_transform(range(1, ${sub + 1}),
-          i -> (CAST(q.embedding[i + $off] AS DOUBLE) - CAST(c.cv[i + $off] AS DOUBLE))
-             * (CAST(q.embedding[i + $off] AS DOUBLE) - CAST(c.cv[i + $off] AS DOUBLE))),
-          (x, y) -> x + y)"""
-    }
-    def dSqSql(m: Int): String = {
-      val off = m * sub
-      s"""list_reduce(list_transform(range(1, ${sub + 1}),
-          i -> (CAST(e.embedding[i + $off] AS DOUBLE) - CAST(c.cv[i + $off] AS DOUBLE))
-             * (CAST(e.embedding[i + $off] AS DOUBLE) - CAST(c.cv[i + $off] AS DOUBLE))),
-          (x, y) -> x + y)"""
-    }
-    val dCols = (0 until M).map(m => s"${dSqSql(m)} AS d$m").mkString(",\n               ")
-    val encCols = (0 until M).map(m => s"arg_min(cid, d$m + 1e-12 * cid) AS code$m")
+    val dCols = (0 until PqM)
+      .map(m => s"${pqSubSqSql("e.embedding", "c.cv", m)} AS d$m")
       .mkString(",\n               ")
-    val qdCols = (0 until M).map(m => s"${qSqSql(m)} AS qd$m").mkString(",\n               ")
+    val encCols = (0 until PqM).map(m => s"arg_min(cid, d$m + 1e-12 * cid) AS code$m")
+      .mkString(",\n               ")
+    val qdCols = (0 until PqM)
+      .map(m => s"${pqSubSqSql("q.embedding", "c.cv", m)} AS qd$m")
+      .mkString(",\n               ")
     QueryDef(
       "sim_pq_search",
       Some(s"""
@@ -872,30 +879,21 @@ object Similarity {
         ORDER BY q0.qd0 + q1.qd1 + q2.qd2 + q3.qd3, e.vec_id
         LIMIT 10
       """)) { (spark, dir) =>
-      def subSq(a: Column, b: Column, m: Int): Column =
-        aggregate(
-          zip_with(slice(a, m * sub + 1, sub), slice(b, m * sub + 1, sub),
-            (x, y) => (x.cast(DoubleType) - y.cast(DoubleType)) *
-              (x.cast(DoubleType) - y.cast(DoubleType))),
-          lit(0.0), (acc, v) => acc + v)
-      def best(m: Int): Column = array_min(transform(col("cents"), c => struct(
-        (subSq(col("embedding"), c("cv"), m) + lit(1e-12) * c("cent_id")).as("d"),
-        c("cent_id").as("code"))))
       val enc = emb(spark, dir).crossJoin(broadcast(ivfCentroids(spark, dir)))
         .select(Seq(col("vec_id"), col("label")) ++
-          (0 until M).map(m => best(m)("code").as(s"code$m")): _*)
+          (0 until PqM).map(m => pqBest(m)("code").as(s"code$m")): _*)
       val q = emb(spark, dir).filter(col("vec_id") === 17)
         .select(col("embedding").as("qv"))
       val qd = emb(spark, dir).filter(col("vec_id") < 8)
         .select(col("vec_id").as("cid"), col("embedding").as("cv"))
         .crossJoin(broadcast(q))
         .select(Seq(col("cid")) ++
-          (0 until M).map(m => subSq(col("qv"), col("cv"), m).as(s"qd$m")): _*)
-      val adc = (0 until M).foldLeft(enc) { (df, m) =>
+          (0 until PqM).map(m => pqSubSq(col("qv"), col("cv"), m).as(s"qd$m")): _*)
+      val adc = (0 until PqM).foldLeft(enc) { (df, m) =>
         df.join(broadcast(qd.select(col("cid").as(s"c$m"), col(s"qd$m"))),
           col(s"code$m") === col(s"c$m"))
       }
-      val score = (0 until M).map(m => col(s"qd$m")).reduce(_ + _)
+      val score = (0 until PqM).map(m => col(s"qd$m")).reduce(_ + _)
       adc.select(col("vec_id"), col("label"), score.as("adc"))
         .orderBy(col("adc"), col("vec_id"))
         .limit(10)

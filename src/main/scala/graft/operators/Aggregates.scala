@@ -561,12 +561,21 @@ object Aggregates {
                CAST(sum(n * n) AS BIGINT) AS exact_rows
         FROM c)
       SELECT n_rows, d_keys,
-             (n_rows * n_rows) // d_keys AS est_uniform,
+             CAST(n_rows AS DOUBLE) * CAST(n_rows AS DOUBLE)
+               / CAST(d_keys AS DOUBLE) AS est_uniform,
              exact_rows,
              round(CAST(exact_rows AS DOUBLE)
-                   / CAST((n_rows * n_rows) // d_keys AS DOUBLE), 6) AS skew_r
+                   / (CAST(n_rows AS DOUBLE) * CAST(n_rows AS DOUBLE)
+                      / CAST(d_keys AS DOUBLE)), 6) AS skew_r
       FROM t
     """)) { (spark, dir) =>
+    // the uniform estimate stays in DOUBLE: an integer n_rows² overflows
+    // BIGINT (ANSI abort) at ~3e9 fact rows — inside the scale this gate
+    // exists to serve — and an ESTIMATE gains nothing from exact integer
+    // division; the double product/divide is the same IEEE value on both
+    // engines (exact below 2^53, well-defined above)
+    val estU = col("n_rows").cast(DoubleType) * col("n_rows").cast(DoubleType) /
+      col("d_keys").cast(DoubleType)
     tbl(spark, dir, "lineitem")
       .groupBy("l_partkey").agg(count(lit(1)).as("n"))
       .agg(
@@ -574,10 +583,9 @@ object Aggregates {
         count(lit(1)).as("d_keys"),
         sum(col("n") * col("n")).as("exact_rows"))
       .select(col("n_rows"), col("d_keys"),
-        expr("(n_rows * n_rows) div d_keys").as("est_uniform"),
+        estU.as("est_uniform"),
         col("exact_rows"),
-        round(col("exact_rows").cast(DoubleType) /
-          expr("(n_rows * n_rows) div d_keys").cast(DoubleType), 6).as("skew_r"))
+        round(col("exact_rows").cast(DoubleType) / estU, 6).as("skew_r"))
   }
 
   val all: Seq[QueryDef] = Seq(

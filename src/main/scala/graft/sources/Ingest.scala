@@ -496,13 +496,18 @@ object Ingest {
     * is integer bit-twiddling (shift/and/or), bit-identical on both
     * engines; bucket = fixed 32-way range split of the code space via one
     * broadcast scalar (max), never a global sort. */
-  /** 16-bit × 16-bit Morton interleave, emitted once for both engines
+  /** 24-bit × 24-bit Morton interleave, emitted once for both engines
     * (and property-tested for bijectivity in PropertySpec):
-    * z = Σ_i ((x>>i & 1) << 2i) + ((y>>i & 1) << 2i+1) */
+    * z = Σ_i ((x>>i & 1) << 2i) + ((y>>i & 1) << 2i+1).
+    * 24 bits per key ⇒ no aliasing until keys exceed 16.7M (l_partkey
+    * reaches that around SF ≈ 83 — far past the driver's ladder; a 16-bit
+    * slice would have aliased from SF ≈ 0.33 and silently flattened the
+    * locality audit). The 48-bit code still leaves 15 bits of headroom for
+    * the bucket map's `z * 32` in BIGINT. */
   private[graft] def mortonSql(x: String, y: String): String =
-    (0 until 16).map(i =>
-      s"(((($x % 65536) >> $i) & 1) << ${2 * i}) + " +
-        s"(((($y % 65536) >> $i) & 1) << ${2 * i + 1})").mkString(" + ")
+    (0 until 24).map(i =>
+      s"(((($x % 16777216) >> $i) & 1) << ${2 * i}) + " +
+        s"(((($y % 16777216) >> $i) & 1) << ${2 * i + 1})").mkString(" + ")
 
   val sZorderLayout: QueryDef = {
     val zSql = mortonSql("l_partkey", "l_suppkey")

@@ -397,24 +397,36 @@ object Streams {
     * would stay unemitted at termination. The sentinels advance the final
     * watermark ~53 days past the real span (90d − span − 2d), forcing every
     * outer result to flush before `AvailableNow` stops; consumers filter
-    * `user_id ≥ 0` after the sink. One landing write (base ∪ sentinels), so
-    * the `_SUCCESS` marker only appears once the sentinels are in. */
+    * `user_id ≥ 0` after the sink. Sentinels are staged as a second,
+    * later-mtime write so a multi-batch replay always processes them LAST
+    * (see inline note), and a `_GRAFT_READY` marker gates reuse. */
   private def eventsLandingSentinel(spark: SparkSession, dir: String): String = {
     val sig = sourceSig(spark, dir, "events")
-    val landing = scratch(dir, s"events_ts_sentinel_v1_$sig")
-    val marker = new org.apache.hadoop.fs.Path(landing, "_SUCCESS")
+    val landing = scratch(dir, s"events_ts_sentinel_v2_$sig")
+    // custom marker, created only after BOTH writes below: parquet's own
+    // _SUCCESS lands after the first write, so guarding on it could serve
+    // a landing whose sentinels were never appended
+    val marker = new org.apache.hadoop.fs.Path(landing, "_GRAFT_READY")
     val fs = marker.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!fs.exists(marker)) {
       import spark.implicits._
       val base = spark.read.parquet(eventsLanding(spark, dir))
-      val sentinelTs = expr("max(ts) + INTERVAL 90 DAYS")
-      val sentinels = base.agg(sentinelTs.as("ts"))
+      base.write.mode("overwrite").parquet(landing)
+      // sentinels go in a SECOND write so their files carry strictly later
+      // modification times: FileStreamSource replays files oldest-first,
+      // so even if AvailableNow splits the landing into many micro-batches
+      // (maxFilesPerTrigger, a larger SF), every real file is processed —
+      // and in watermark state — before a sentinel can advance the
+      // watermark past the real span and expire rows as late. A single
+      // mixed write had no such ordering guarantee.
+      val sentinels = base.agg(expr("max(ts) + INTERVAL 90 DAYS").as("ts"))
         .crossJoin(Seq("purchase" -> -1L, "click" -> -2L)
           .toDF("event_type", "event_id"))
         .select(col("event_id"), col("ts"), lit(-1L).as("user_id"),
           col("event_type"), lit(0.0).as("value"),
           lit(null).cast(StringType).as("props"))
-      base.unionByName(sentinels).write.mode("overwrite").parquet(landing)
+      sentinels.coalesce(1).write.mode("append").parquet(landing)
+      fs.create(marker, true).close()
     }
     landing
   }

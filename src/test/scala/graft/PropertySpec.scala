@@ -29,12 +29,13 @@ class PropertySpec extends SparkSpec {
 
   check("Morton interleave is bijective: de-interleaving the z-code recovers both keys")(
     Prop.forAll(
-      Gen.nonEmptyListOf(Gen.zip(Gen.chooseNum(0L, 65535L), Gen.chooseNum(0L, 65535L)))) { xs =>
+      Gen.nonEmptyListOf(Gen.zip(
+        Gen.chooseNum(0L, 16777215L), Gen.chooseNum(0L, 16777215L)))) { xs =>
       // decode = gather even bits back into x, odd bits into y — if this
       // round-trips, distinct (x, y) always map to distinct z, which is
       // what makes z-range bucketing a lossless layout key
-      val decX = (0 until 16).map(i => s"(((z >> ${2 * i}) & 1) << $i)").mkString(" + ")
-      val decY = (0 until 16).map(i => s"(((z >> ${2 * i + 1}) & 1) << $i)").mkString(" + ")
+      val decX = (0 until 24).map(i => s"(((z >> ${2 * i}) & 1) << $i)").mkString(" + ")
+      val decY = (0 until 24).map(i => s"(((z >> ${2 * i + 1}) & 1) << $i)").mkString(" + ")
       val out = xs.toDF("x", "y")
         .selectExpr(s"x", "y", s"(${graft.sources.Ingest.mortonSql("x", "y")}) AS z")
         .selectExpr("x", "y", s"($decX) AS dx", s"($decY) AS dy")
