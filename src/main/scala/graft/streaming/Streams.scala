@@ -431,32 +431,23 @@ object Streams {
     landing
   }
 
-  /** st8 — watermarked LEFT OUTER stream-stream join: every purchase emits,
-    * joined to the clicks that preceded it within 24h, or null-padded once
-    * the watermark proves no matching click can still arrive. This is the
-    * semantics [[stStreamStreamJoin]] cannot express (inner joins simply
-    * drop unmatched rows; outer joins require the engine to hold the row in
-    * state and PROVE absence via watermark passage — the state-expiry
-    * contract that makes outer joins bounded-memory on an unbounded
-    * stream). Same state posture as the inner join: 4 stores per partition,
-    * retention bounded by the 24h window + delay. Oracle = the batch left
-    * join; the sentinel mechanics (see [[eventsLandingSentinel]]) are
-    * harness-only and filtered out. */
-  val stStreamJoinLeft: QueryDef = QueryDef(
-    "st_stream_join_left",
-    Some("""
-      SELECT p.user_id, p.ts AS purchase_ts, c.ts AS click_ts
-      FROM events p LEFT JOIN events c ON p.user_id = c.user_id
-       AND c.event_type = 'click'
-       AND c.ts BETWEEN p.ts - INTERVAL 24 HOURS AND p.ts
-      WHERE p.event_type = 'purchase'
-      ORDER BY 1, 2, 3
-    """)) { (spark, dir) =>
+  /** The left-outer join pipeline behind [[stStreamJoinLeft]], with the
+    * per-batch file cap injectable so StreamsSpec can force a MULTI-batch
+    * replay (the file-order hazard the sentinel staging exists to survive)
+    * while the gate itself runs the source default. */
+  private[graft] def runStreamJoinLeft(
+      spark: SparkSession, dir: String,
+      maxFilesPerTrigger: Option[Int] = None): DataFrame = {
     val landing = eventsLandingSentinel(spark, dir)
     val schema = spark.read.parquet(landing).schema
-    val sinkName = "graft_st_ssjoin_left_" + dirTag(dir)
+    val sinkName = "graft_st_ssjoin_left_" + dirTag(dir) +
+      maxFilesPerTrigger.map(n => s"_mft$n").getOrElse("")
     val delay = spanCoveringDelay(spark, eventsLanding(spark, dir))
-    def src = spark.readStream.schema(schema).parquet(landing)
+    def src = {
+      val r = spark.readStream.schema(schema)
+      maxFilesPerTrigger.foreach(n => r.option("maxFilesPerTrigger", n))
+      r.parquet(landing)
+    }
     val purchases = src.filter(col("event_type") === "purchase")
       .select(col("user_id"), col("ts").as("purchase_ts"))
       .withWatermark("purchase_ts", delay)
@@ -480,6 +471,28 @@ object Streams {
       .withColumn("click_ts", col("click_ts").cast(TimestampNTZType))
       .orderBy("user_id", "purchase_ts", "click_ts")
   }
+
+  /** st8 — watermarked LEFT OUTER stream-stream join: every purchase emits,
+    * joined to the clicks that preceded it within 24h, or null-padded once
+    * the watermark proves no matching click can still arrive. This is the
+    * semantics [[stStreamStreamJoin]] cannot express (inner joins simply
+    * drop unmatched rows; outer joins require the engine to hold the row in
+    * state and PROVE absence via watermark passage — the state-expiry
+    * contract that makes outer joins bounded-memory on an unbounded
+    * stream). Same state posture as the inner join: 4 stores per partition,
+    * retention bounded by the 24h window + delay. Oracle = the batch left
+    * join; the sentinel mechanics (see [[eventsLandingSentinel]]) are
+    * harness-only and filtered out. */
+  val stStreamJoinLeft: QueryDef = QueryDef(
+    "st_stream_join_left",
+    Some("""
+      SELECT p.user_id, p.ts AS purchase_ts, c.ts AS click_ts
+      FROM events p LEFT JOIN events c ON p.user_id = c.user_id
+       AND c.event_type = 'click'
+       AND c.ts BETWEEN p.ts - INTERVAL 24 HOURS AND p.ts
+      WHERE p.event_type = 'purchase'
+      ORDER BY 1, 2, 3
+    """))((spark, dir) => runStreamJoinLeft(spark, dir))
 
   val all: Seq[QueryDef] = Seq(
     stHourlyWindows, stSessionWindows, stJsonProps, stStatefulUserAgg,

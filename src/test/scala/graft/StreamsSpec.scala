@@ -98,4 +98,28 @@ class StreamsSpec extends SparkSpec {
       .select("user_id", "event_type", "ts").distinct().collect())
     assert(streamed === batch) // multiset equality: no dup survives, none re-emitted
   }
+
+  test("st8 left-outer join survives a MULTI-batch replay (maxFilesPerTrigger=1)") {
+    // the file-order hazard the sentinel staging must survive: when the
+    // replay splits into many micro-batches, the later-mtime sentinel files
+    // must process LAST, or the watermark would jump past the real span and
+    // expire real rows as late. One file per trigger is the worst case.
+    val multi = multiset(
+      streaming.Streams.runStreamJoinLeft(spark, sfDir, Some(1)).collect())
+    val single = multiset(streaming.Streams.stStreamJoinLeft.run(spark, sfDir)
+      .collect())
+    assert(multi === single)
+    // and both match the batch left join computed in-session
+    val e = core.events(spark, sfDir)
+    val p = e.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("ts").as("purchase_ts"))
+    val c = e.filter(col("event_type") === "click")
+      .select(col("user_id").as("c_user"), col("ts").as("click_ts"))
+    val batch = multiset(p.join(c,
+        col("user_id") === col("c_user") &&
+          col("click_ts") >= col("purchase_ts") - expr("INTERVAL 24 HOURS") &&
+          col("click_ts") <= col("purchase_ts"), "left")
+      .select("user_id", "purchase_ts", "click_ts").collect())
+    assert(multi === batch)
+  }
 }
