@@ -78,7 +78,13 @@ object Bench {
       qlist.foreach { case (name, fn) =>
         if (!errors.contains(name)) {
           // full release (catalog cache + checkpoint blocks) so no timing
-          // depends on what an earlier query left in executor memory
+          // depends on what an earlier query left in executor memory.
+          // Deliberately NOT released: materialize-once corpus-snapshot
+          // artifacts (the cluster-labels mart, the BPE merge memo) —
+          // their amortization across consumers IS the measured design
+          // (the r9-adjudicated mart posture), so gates that read them
+          // time the consumer cost, not the training cost; t_bpe_train's
+          // first sample carries the full training run
           core.releaseSessionState(spark)
           val t0 = System.nanoTime()
           try {

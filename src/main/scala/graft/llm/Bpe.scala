@@ -71,17 +71,23 @@ object Bpe {
     * is [[BpeRounds]] driver-side string pairs, so the memo holds the value
     * itself rather than a parquet pointer. WEAK-keyed by session (dead
     * sessions fall out with GC); `core.releaseSessionState` has nothing to
-    * evict — no DataFrame, no blocks. */
+    * evict — no DataFrame, no blocks. The map key includes
+    * [[core.sourceSig]] of the documents table, so a corpus REGENERATED IN
+    * PLACE (the driver does this between rounds — same path, new bytes)
+    * trains fresh merges instead of replaying the dead corpus' vocabulary
+    * while the oracle retrains on the new data. */
   private val mergeMemo =
     new java.util.WeakHashMap[SparkSession, scala.collection.mutable.Map[String, Seq[(String, String, Long)]]]()
 
   /** Learned merges in rank order as (left symbol, right symbol, weighted
-    * pair count) — memoized per (session, dir). */
-  private[llm] def trainMerges(spark: SparkSession, dir: String): Seq[(String, String, Long)] =
+    * pair count) — memoized per (session, dir-at-snapshot). */
+  private[llm] def trainMerges(spark: SparkSession, dir: String): Seq[(String, String, Long)] = {
+    val key = s"$dir@${core.sourceSig(spark, dir, "documents")}"
     mergeMemo.synchronized {
       mergeMemo.computeIfAbsent(spark, _ => scala.collection.mutable.Map())
-        .getOrElseUpdate(dir, trainMergesUncached(spark, dir))
+        .getOrElseUpdate(key, trainMergesUncached(spark, dir))
     }
+  }
 
   /** The actual pinned-budget trainer. Each round's superseded vocabulary
     * checkpoint is released inside the loop (the
@@ -253,37 +259,16 @@ object Bpe {
     * map pass for counts, one window cumsum per shard, block arithmetic. */
   val bpePack: QueryDef = QueryDef(
     "t_pack_bpe",
-    Some(s"""
-      WITH ${trainSql},
+    Some(TextOps.packLayoutSql(s"""${trainSql},
       ${mergeFrameSql},
       tk AS (
         SELECT doc_id, doc_id % 8 AS shard, ${bpeCountSql} AS n_tokens
-        FROM (SELECT doc_id, ${wsSql} AS ws FROM documents) d, m),
-      cum AS (
-        SELECT doc_id, shard, n_tokens,
-               CAST(COALESCE(sum(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
-                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS tok_start
-        FROM tk)
-      SELECT doc_id, shard, n_tokens, tok_start,
-             CAST(floor(tok_start / 512.0) AS BIGINT) AS first_block,
-             CAST(floor((tok_start + n_tokens - 1) / 512.0) AS BIGINT) AS last_block,
-             tok_start % 512 AS block_offset
-      FROM cum ORDER BY doc_id
-    """)) { (spark, dir) =>
+        FROM (SELECT doc_id, ${wsSql} AS ws FROM documents) d, m)"""))) { (spark, dir) =>
     val merges = trainMerges(spark, dir)
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy("shard").orderBy("doc_id")
-      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
-    tbl(spark, dir, "documents")
+    TextOps.packLayout(tbl(spark, dir, "documents")
       .select(col("doc_id"), (col("doc_id") % 8).as("shard"), wsCol.as("ws"))
-      .select(col("doc_id"), col("shard"), docBpeTokens(merges, col("ws")).as("n_tokens"))
-      .withColumn("tok_start", coalesce(sum(col("n_tokens")).over(w), lit(0L)))
-      .select(col("doc_id"), col("shard"), col("n_tokens"), col("tok_start"),
-        floor(col("tok_start") / 512.0).cast(LongType).as("first_block"),
-        floor((col("tok_start") + col("n_tokens") - 1) / 512.0).cast(LongType)
-          .as("last_block"),
-        (col("tok_start") % 512).as("block_offset"))
-      .orderBy("doc_id")
+      .select(col("doc_id"), col("shard"),
+        docBpeTokens(merges, col("ws")).as("n_tokens")))
   }
 
   /** bpe4 — the VOCABULARY artifact: what a tokenizer ships — every token
@@ -318,15 +303,24 @@ object Bpe {
         FROM base
         UNION ALL
         SELECT nb.n + m.r - 1, m.pa || m.pb, 'merge'
-        FROM (${(1 to BpeRounds).map(r => s"SELECT $r AS r, pa, pb FROM b$r").mkString("\n              UNION ALL ")}) m, nb)
-      SELECT CAST(i.token_id AS BIGINT) AS token_id, i.symbol, i.kind,
+        FROM (${(1 to BpeRounds).map(r => s"SELECT $r AS r, pa, pb FROM b$r").mkString("\n              UNION ALL ")}) m, nb),
+      dedup AS (
+        SELECT token_id, symbol, kind,
+               row_number() OVER (PARTITION BY symbol ORDER BY token_id) AS rn
+        FROM ids)
+      SELECT CAST(d.token_id AS BIGINT) AS token_id, d.symbol, d.kind,
              COALESCE(f.n_occurrences, 0) AS n_occurrences
-      FROM ids i LEFT JOIN tokfreq f USING (symbol)
+      FROM dedup d LEFT JOIN tokfreq f USING (symbol)
+      WHERE d.rn = 1
       ORDER BY token_id
     """)) { (spark, dir) =>
     val merges = trainMerges(spark, dir)
     val symsOf = (c: Column) => split(c.substr(lit(2), length(c) - 2), "><")
-    val w0 = bpeVocab0(spark, dir)
+    // one eager materialization of the corpus word state: it feeds the
+    // final-symbol frequency lineage, the alphabet, AND nBase — without
+    // the checkpoint each consumer re-ran the full documents scan +
+    // word groupBy (three corpus passes per gate run)
+    val w0 = bpeVocab0(spark, dir).localCheckpoint(true)
     val finalSyms = merges.foldLeft(w0) { case (df, (pa, pb, _)) =>
       df.withColumn("syms", replace(col("syms"), lit(s"<$pa><$pb>"), lit(s"<$pa$pb>")))
     }
@@ -346,7 +340,16 @@ object Bpe {
     val mergeIds = merges.zipWithIndex.map { case ((pa, pb, _), i) =>
       (nBase + i, pa + pb, "merge")
     }.toDF("token_id", "symbol", "kind")
+    // distinct merges can share a surface form ((a,bc) and (ab,c) both
+    // yield 'abc'): they are distinct merge RULES but ONE vocab token —
+    // keep the first-assigned id per symbol, or the per-symbol frequency
+    // join would double-count n_occurrences and break the conservation
+    // invariant BpeSpec asserts
+    val symWin = org.apache.spark.sql.expressions.Window
+      .partitionBy("symbol").orderBy("token_id")
     baseIds.unionAll(mergeIds)
+      .withColumn("__rn", row_number().over(symWin))
+      .filter(col("__rn") === 1).drop("__rn")
       .join(tokfreq, Seq("symbol"), "left")
       .select(col("token_id"), col("symbol"), col("kind"),
         coalesce(col("n_occurrences"), lit(0L)).as("n_occurrences"))

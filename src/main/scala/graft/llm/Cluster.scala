@@ -306,16 +306,24 @@ object Cluster {
   private val martBuilt =
     new java.util.WeakHashMap[SparkSession, scala.collection.mutable.Set[String]]()
   private[graft] def clusterLabels(spark: SparkSession, dir: String): DataFrame = {
+    // the mart path AND the built-marker carry the corpus snapshot
+    // signature: a dataset regenerated IN PLACE (same dir, new bytes —
+    // the driver does this between rounds) must rebuild the mart, not
+    // serve the dead corpus' labels while the oracle recomputes on fresh
+    // data (the same staleness class core.sourceSig exists to prevent in
+    // the landing zones)
+    val prefix = s"cluster_marts_${core.sourceSig(spark, dir, "documents")}"
+    val key = s"$dir@$prefix" // scratch() scopes by dir, so the marker must too
     martBuilt.synchronized {
       val dirs = martBuilt.computeIfAbsent(spark,
         _ => scala.collection.mutable.Set[String]())
-      if (!dirs.contains(dir)) {
+      if (!dirs.contains(key)) {
         clusterDag.run(spark, dir,
-          viewPrefix = "graft_cluster_", martPrefix = "cluster_marts")
-        dirs += dir
+          viewPrefix = "graft_cluster_", martPrefix = prefix)
+        dirs += key
       }
     }
-    spark.read.parquet(core.scratch(dir, "cluster_marts/mart_cluster_labels"))
+    spark.read.parquet(core.scratch(dir, s"$prefix/mart_cluster_labels"))
   }
 
   /** dd5 — dup-cluster resolution: near-dup edges → connected components →

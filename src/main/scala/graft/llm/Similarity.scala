@@ -726,6 +726,11 @@ object Similarity {
           .as("v"))
     val normed = base.unionAll(planted)
       .withColumn("nrm", sqrt(dot(col("v"), col("v"))))
+      // compute-once barrier for both self-join sides (the Cluster.scala
+      // discipline): without it each side re-runs the scan + broadcast
+      // argmax assignment + planted-copy build + norm fold — doubling the
+      // dominant cost, since exchange reuse is not guaranteed
+      .persist()
     val a = normed.select(col("vec_id").as("a_id"), col("cell"),
       col("v").as("va"), col("nrm").as("na"))
     val b = normed.select(col("vec_id").as("dup_id"), col("cell"),

@@ -543,23 +543,32 @@ object TextOps {
         .cast(DoubleType).as("kept_sumsq"))
   }
 
-  /** t8e — SEQUENCE PACKING: lay documents end-to-end and cut fixed
-    * 512-token context windows (the GPT-style concat-and-chunk batching
-    * every pretraining run performs). The layout is a pure PREFIX SUM, so
-    * it parallelizes: docs shard deterministically (doc_id % 8 here;
-    * thousands of shards at corpus scale), each shard lays out its docs in
-    * doc_id order via a window cumsum, and each doc's block span falls out of
-    * integer arithmetic on its start offset — no sequential packer, no
-    * driver loop, and within-shard layout is independent of partitioning.
-    * Exact floor semantics via floor(x / 512.0) on both engines (doubles
-    * are exact far past any corpus token count < 2^53). */
-  val tPackSequences: QueryDef = QueryDef(
-    "t_pack_sequences",
-    Some("""
-      WITH tk AS (
-        SELECT doc_id, doc_id % 8 AS shard,
-               len(string_split_regex(text, '\s+')) AS n_tokens
-        FROM documents),
+  /** The ONE definition of the 512-block prefix-sum pack layout, shared by
+    * every pack gate ([[tPackSequences]], [[tPackSubword]],
+    * [[graft.llm.Bpe.bpePack]]) — the gates differ only in how they count a
+    * document's tokens. Input: (doc_id, shard, n_tokens); output: the block
+    * span per doc. Exact floor semantics via floor(x / 512.0) on both
+    * engines (doubles are exact far past any corpus token count < 2^53).
+    * A zero-token doc yields last_block = first_block − 1 — the consistent
+    * "empty span" encoding on both engines. */
+  private[llm] def packLayout(counts: DataFrame): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("shard").orderBy("doc_id")
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    counts
+      .withColumn("tok_start", coalesce(sum(col("n_tokens")).over(w), lit(0L)))
+      .select(col("doc_id"), col("shard"), col("n_tokens"), col("tok_start"),
+        floor(col("tok_start") / 512.0).cast(LongType).as("first_block"),
+        floor((col("tok_start") + col("n_tokens") - 1) / 512.0).cast(LongType)
+          .as("last_block"),
+        (col("tok_start") % 512).as("block_offset"))
+      .orderBy("doc_id")
+  }
+
+  /** DuckDB twin of [[packLayout]]: `ctes` is the WITH-body up to and
+    * including a `tk(doc_id, shard, n_tokens)` CTE. */
+  private[llm] def packLayoutSql(ctes: String): String = s"""
+      WITH $ctes,
       cum AS (
         SELECT doc_id, shard, n_tokens,
                -- DuckDB sum(BIGINT) widens to HUGEINT (rendered as float):
@@ -572,20 +581,25 @@ object TextOps {
              CAST(floor((tok_start + n_tokens - 1) / 512.0) AS BIGINT) AS last_block,
              tok_start % 512 AS block_offset
       FROM cum ORDER BY doc_id
-    """)) { (spark, dir) =>
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy("shard").orderBy("doc_id")
-      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
-    tbl(spark, dir, "documents")
+    """
+
+  /** t8e — SEQUENCE PACKING: lay documents end-to-end and cut fixed
+    * 512-token context windows (the GPT-style concat-and-chunk batching
+    * every pretraining run performs). The layout is a pure PREFIX SUM, so
+    * it parallelizes: docs shard deterministically (doc_id % 8 here;
+    * thousands of shards at corpus scale), each shard lays out its docs in
+    * doc_id order via a window cumsum, and each doc's block span falls out of
+    * integer arithmetic on its start offset — no sequential packer, no
+    * driver loop, and within-shard layout is independent of partitioning. */
+  val tPackSequences: QueryDef = QueryDef(
+    "t_pack_sequences",
+    Some(packLayoutSql("""tk AS (
+        SELECT doc_id, doc_id % 8 AS shard,
+               len(string_split_regex(text, '\s+')) AS n_tokens
+        FROM documents)"""))) { (spark, dir) =>
+    packLayout(tbl(spark, dir, "documents")
       .select(col("doc_id"), (col("doc_id") % 8).as("shard"),
-        size(toks(col("text"))).cast(LongType).as("n_tokens"))
-      .withColumn("tok_start", coalesce(sum(col("n_tokens")).over(w), lit(0L)))
-      .select(col("doc_id"), col("shard"), col("n_tokens"), col("tok_start"),
-        floor(col("tok_start") / 512.0).cast(LongType).as("first_block"),
-        floor((col("tok_start") + col("n_tokens") - 1) / 512.0).cast(LongType)
-          .as("last_block"),
-        (col("tok_start") % 512).as("block_offset"))
-      .orderBy("doc_id")
+        size(toks(col("text"))).cast(LongType).as("n_tokens")))
   }
 
   /** t8f — TEMPERATURE-WEIGHTED domain resampling (the XLM-R-style α=0.5
@@ -1225,35 +1239,13 @@ object TextOps {
     * registered untouched as the fixture-stable baseline. */
   val tPackSubword: QueryDef = QueryDef(
     "t_pack_subword",
-    Some(s"""
-      WITH tk AS (
+    Some(packLayoutSql(s"""tk AS (
         SELECT doc_id, doc_id % 8 AS shard,
                ${docSubwordsSql("text")} AS n_tokens
-        FROM documents),
-      cum AS (
-        SELECT doc_id, shard, n_tokens,
-               CAST(COALESCE(sum(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
-                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS tok_start
-        FROM tk)
-      SELECT doc_id, shard, n_tokens, tok_start,
-             CAST(floor(tok_start / 512.0) AS BIGINT) AS first_block,
-             CAST(floor((tok_start + n_tokens - 1) / 512.0) AS BIGINT) AS last_block,
-             tok_start % 512 AS block_offset
-      FROM cum ORDER BY doc_id
-    """)) { (spark, dir) =>
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy("shard").orderBy("doc_id")
-      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
-    tbl(spark, dir, "documents")
+        FROM documents)"""))) { (spark, dir) =>
+    packLayout(tbl(spark, dir, "documents")
       .select(col("doc_id"), (col("doc_id") % 8).as("shard"),
-        docSubwords(col("text")).as("n_tokens"))
-      .withColumn("tok_start", coalesce(sum(col("n_tokens")).over(w), lit(0L)))
-      .select(col("doc_id"), col("shard"), col("n_tokens"), col("tok_start"),
-        floor(col("tok_start") / 512.0).cast(LongType).as("first_block"),
-        floor((col("tok_start") + col("n_tokens") - 1) / 512.0).cast(LongType)
-          .as("last_block"),
-        (col("tok_start") % 512).as("block_offset"))
-      .orderBy("doc_id")
+        docSubwords(col("text")).as("n_tokens")))
   }
 
   /** t24 — INVERTED-INDEX construction (the retrieval side of a training
