@@ -87,10 +87,11 @@ object LangModel {
     * A curation pass keeps documents above a `predict_r` (or below a
     * `surprisal_r`) threshold; the score columns are emitted raw so the
     * threshold stays a downstream policy choice. */
-  val lmScore: QueryDef = QueryDef(
-    "t_lm_score",
-    Some(s"""
-      WITH $bigramsSql,
+  /** The scoring CTE chain shared by [[lmScore]] and [[lmFilter]]: model,
+    * context rollup, per-bigram lookup, and the per-doc aggregate `scored`
+    * — one definition, so the filter can never drift from the score. */
+  private val scoredSql: String = s"""
+      $bigramsSql,
       model AS (
         SELECT w1, w2, CAST(count(*) AS BIGINT) AS n_bg
         FROM bg WHERE lang = 'en' GROUP BY w1, w2),
@@ -100,8 +101,9 @@ object LangModel {
         SELECT b.doc_id, b.lang, m.n_bg, c.n_ctx
         FROM bg b
         LEFT JOIN model m ON b.w1 = m.w1 AND b.w2 = m.w2
-        LEFT JOIN ctx c ON b.w1 = c.w1)
-      SELECT doc_id, lang,
+        LEFT JOIN ctx c ON b.w1 = c.w1),
+      scored AS (
+        SELECT doc_id, lang,
              CAST(count(*) AS BIGINT) AS n_bigrams,
              CAST(sum(CASE WHEN n_bg IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS known_bigrams,
              CAST(coalesce(sum(n_bg), 0) AS BIGINT) AS pred_mass,
@@ -115,8 +117,19 @@ object LangModel {
                              THEN length(CAST((n_ctx * 1000000) // n_bg AS VARCHAR)) END) AS DOUBLE)
                     / CAST(sum(CASE WHEN n_bg IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE), 6)
              END AS surprisal_r
-      FROM j GROUP BY doc_id, lang ORDER BY doc_id
-    """)) { (spark, dir) =>
+        FROM j GROUP BY doc_id, lang)"""
+
+  val lmScore: QueryDef = QueryDef(
+    "t_lm_score",
+    Some(s"""
+      WITH $scoredSql
+      SELECT doc_id, lang, n_bigrams, known_bigrams, pred_mass, ctx_mass,
+             predict_r, surprisal_r
+      FROM scored ORDER BY doc_id
+    """)) { (spark, dir) => lmScored(spark, dir).orderBy("doc_id") }
+
+  /** Spark twin of the `scored` CTE (shared by both gates). */
+  private def lmScored(spark: SparkSession, dir: String): DataFrame = {
     val bg = bigrams(spark, dir)
       .persist() // feeds the model build AND the scoring join
     val model = bg.filter(col("lang") === "en")
@@ -139,7 +152,6 @@ object LangModel {
               length(expr("(n_ctx * 1000000) div n_bg").cast(StringType))))
               .cast(DoubleType) / countIf(known).cast(DoubleType), 6))
           .as("surprisal_r"))
-      .orderBy("doc_id")
   }
 
   /** lm2 — the trained model head: top-20 bigrams by en-stratum count with
@@ -162,5 +174,41 @@ object LangModel {
       .limit(20)
   }
 
-  val all: Seq[QueryDef] = Seq(lmScore, lmTopBigrams)
+  /** lm3 — the FILTER stage that closes the CCNet arc (train → score →
+    * filter): keep documents whose predictability under the en model
+    * clears a FIXED threshold, with per-language accounting of what the
+    * filter did. The threshold is a deployment policy input (CCNet tunes
+    * it offline against held-out labels), pinned here like RunContext pins
+    * the as-of date — NOT learned in-query, so the filter stays a pure
+    * map-side keep decision plus one rollup: no global rank, no
+    * single-partition window, nothing that wouldn't hold at 100 TB.
+    * Kept-set identity travels as the same commutative doc_id checksum the
+    * split/sample gates use, so the oracle verifies WHICH docs survived,
+    * not just how many. */
+  val lmFilter: QueryDef = QueryDef(
+    "t_lm_filter",
+    Some(s"""
+      WITH $scoredSql
+      SELECT lang,
+             CAST(count(*) AS BIGINT) AS n_docs,
+             CAST(sum(CASE WHEN predict_r >= 0.0345 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+             round(CAST(sum(CASE WHEN predict_r >= 0.0345 THEN 1 ELSE 0 END) AS DOUBLE)
+                   / CAST(count(*) AS DOUBLE), 6) AS kept_frac,
+             CAST(CAST(sum(CASE WHEN predict_r >= 0.0345 THEN doc_id END) AS DECIMAL(38, 0)) AS DOUBLE) AS kept_sum
+      FROM scored GROUP BY lang ORDER BY lang
+    """)) { (spark, dir) =>
+    val kept = col("predict_r") >= 0.0345
+    lmScored(spark, dir)
+      .groupBy("lang")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        countIf(kept).as("n_kept"),
+        round(countIf(kept).cast(DoubleType) / count(lit(1)).cast(DoubleType), 6)
+          .as("kept_frac"),
+        sum(when(kept, col("doc_id").cast(DecimalType(38, 0)))).cast(DoubleType)
+          .as("kept_sum"))
+      .orderBy("lang")
+  }
+
+  val all: Seq[QueryDef] = Seq(lmScore, lmTopBigrams, lmFilter)
 }

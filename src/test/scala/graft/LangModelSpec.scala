@@ -35,6 +35,19 @@ class LangModelSpec extends SparkSpec {
     }
   }
 
+  test("lm filter: keep rates in [0,1], and the training stratum passes its own filter most often") {
+    val rows = LangModel.lmFilter.run(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_kept") <= r.getAs[Long]("n_docs"))
+      val f = r.getAs[Double]("kept_frac"); assert(f >= 0.0 && f <= 1.0)
+    }
+    val byLang = rows.map(r => r.getAs[String]("lang") -> r.getAs[Double]("kept_frac")).toMap
+    byLang.filter(_._1 != "en").foreach { case (l, f) =>
+      assert(byLang("en") > f, s"en kept_frac ${byLang("en")} should exceed $l's $f")
+    }
+  }
+
   test("lm model head: counts are positive, non-increasing, and en-only by construction") {
     val top = LangModel.lmTopBigrams.run(spark, sfDir).collect()
     assert(top.length === 20)
