@@ -767,13 +767,25 @@ object Similarity {
         (x, y) -> x + y)"""
   }
 
+  /** Sequential-fold squared L2 between two equal-length arrays (the raw
+    * kernel under [[pqSubSq]]; also used directly on pre-sliced
+    * subvectors by [[simPqTrain]]). */
+  private def pqSq(a: Column, b: Column): Column =
+    aggregate(
+      zip_with(a, b, (x, y) => (x.cast(DoubleType) - y.cast(DoubleType)) *
+        (x.cast(DoubleType) - y.cast(DoubleType))),
+      lit(0.0), (acc, v) => acc + v)
+
+  /** DuckDB twin of [[pqSq]] for 16-element lists. */
+  private def pqSqSql16(a: String, b: String): String =
+    s"""list_reduce(list_transform(range(1, ${PqSub + 1}),
+        i -> (CAST($a[i] AS DOUBLE) - CAST($b[i] AS DOUBLE))
+           * (CAST($a[i] AS DOUBLE) - CAST($b[i] AS DOUBLE))),
+        (x, y) -> x + y)"""
+
   /** Spark twin of [[pqSubSqSql]]. */
   private def pqSubSq(a: Column, b: Column, m: Int): Column =
-    aggregate(
-      zip_with(slice(a, m * PqSub + 1, PqSub), slice(b, m * PqSub + 1, PqSub),
-        (x, y) => (x.cast(DoubleType) - y.cast(DoubleType)) *
-          (x.cast(DoubleType) - y.cast(DoubleType))),
-      lit(0.0), (acc, v) => acc + v)
+    pqSq(slice(a, m * PqSub + 1, PqSub), slice(b, m * PqSub + 1, PqSub))
 
   /** Nearest codeword for subspace `m` over the broadcast `cents` row:
     * struct(d, code) argmin, ties toward the lower code via the 1e-12
@@ -906,8 +918,88 @@ object Similarity {
     }
   }
 
+  /** sim12 — PQ codebook TRAINING: one Lloyd round per subspace, the step
+    * that upgrades [[simPqEncode]]'s seeded codebook into a learned one
+    * (real PQ trains k-means independently in each subspace — Jégou et
+    * al. §III). Per subspace: assign every subvector to its nearest seed
+    * codeword (argmin squared L2, the encode gate's exact tie-break),
+    * then recompute each non-empty codeword as the fixed-point-exact mean
+    * of its members — the [[simCentroids]] 1e-7 bigint discipline, so the
+    * trained codebook is bit-identical at any parallelism. Emitted as
+    * exploded scalar rows (subspace, code, pos, c_r, n_members), the same
+    * oracle-comparable shape as the k-means gates. Shape at 100 TB: the
+    * 32-codeword table folds into one broadcast row, assignment is a
+    * map-only pass over (vec, subspace) rows, and the recompute shuffles
+    * only (m, cell, pos) integer partials — 4× the rows of one k-means
+    * round, never a vector in a shuffle. */
+  val simPqTrain: QueryDef = QueryDef(
+    "sim_pq_train",
+    Some(s"""
+      WITH ms AS (SELECT unnest([0, 1, 2, 3]) AS m),
+      sub AS (
+        SELECT e.vec_id, ms.m,
+               list_slice(e.embedding, ms.m * $PqSub + 1, ms.m * $PqSub + $PqSub) AS sv
+        FROM embeddings e, ms),
+      csub AS (
+        SELECT c.vec_id AS cid, ms.m,
+               list_slice(c.embedding, ms.m * $PqSub + 1, ms.m * $PqSub + $PqSub) AS cs
+        FROM embeddings c, ms WHERE c.vec_id < 8),
+      assigned AS (
+        SELECT s.vec_id, s.m, s.sv,
+               arg_min(c.cid, ${pqSqSql16("s.sv", "c.cs")} + 1e-12 * c.cid) AS cell
+        FROM sub s JOIN csub c ON s.m = c.m
+        GROUP BY s.vec_id, s.m, s.sv),
+      ex AS (
+        SELECT m, cell, unnest(range(0, $PqSub)) AS pos, unnest(sv) AS v
+        FROM assigned),
+      per AS (
+        SELECT m, cell, pos,
+               CAST(sum(CAST(floor(CAST(v AS DOUBLE) * 10000000.0) AS BIGINT)) AS BIGINT) AS s,
+               count(*) AS n
+        FROM ex GROUP BY m, cell, pos)
+      SELECT CAST(m AS BIGINT) AS m, cell AS code, CAST(pos AS BIGINT) AS pos,
+             round(CAST(s AS DOUBLE) / CAST(n AS DOUBLE) / 10000000.0, 6) AS c_r,
+             CAST(n AS BIGINT) AS n_members
+      FROM per ORDER BY m, code, pos
+    """)) { (spark, dir) =>
+    val subs = (0 until PqM).map(m => struct(lit(m).as("m"),
+      slice(col("embedding"), m * PqSub + 1, PqSub).as("sv")))
+    val sub = emb(spark, dir)
+      .select(col("vec_id"), explode(array(subs: _*)).as("x"))
+      .select(col("vec_id"), col("x.m").as("m"), col("x.sv").as("sv"))
+    val cbook = emb(spark, dir).filter(col("vec_id") < 8)
+      .select(col("vec_id").as("cid"), explode(array(subs: _*)).as("x"))
+      .select(col("cid"), col("x.m").as("cm"), col("x.sv").as("cs"))
+      .agg(collect_list(struct(col("cm"), col("cid"), col("cs"))).as("cents"))
+    // named_struct via expr: .as() aliases inside a filter→transform lambda
+    // chain do not survive resolution (fields came back as col1/cid), and
+    // struct-field access needs stable names
+    val best = expr(s"""
+      array_min(transform(
+        filter(cents, c -> c.cm = m),
+        c -> named_struct(
+          'd', aggregate(zip_with(sv, c.cs,
+                 (x, y) -> (CAST(x AS DOUBLE) - CAST(y AS DOUBLE))
+                         * (CAST(x AS DOUBLE) - CAST(y AS DOUBLE))),
+               0D, (acc, v) -> acc + v) + 1e-12 * c.cid,
+          'code', c.cid)))""")
+    sub.crossJoin(broadcast(cbook))
+      .select(col("m"), best("code").as("cell"),
+        posexplode(col("sv")).as(Seq("pos", "v")))
+      .groupBy("m", "cell", "pos")
+      .agg(
+        sum(floor(col("v").cast(DoubleType) * 10000000.0).cast(LongType)).as("s"),
+        count(lit(1)).as("n"))
+      .select(col("m").cast(LongType).as("m"), col("cell").as("code"),
+        col("pos").cast(LongType).as("pos"),
+        round(col("s").cast(DoubleType) / col("n").cast(DoubleType) / 10000000.0, 6)
+          .as("c_r"),
+        col("n").as("n_members"))
+      .orderBy("m", "code", "pos")
+  }
+
   val all: Seq[QueryDef] = Seq(
     simTopKBrute, simLshPairs, simIvfProbe, simIvfMultiprobe, ddEmbeddingCosine,
     simQuantizeInt8, simCentroids, simKmeans, simKmeansConverged, simSemanticDedup,
-    simPqEncode, simPqSearch)
+    simPqEncode, simPqSearch, simPqTrain)
 }

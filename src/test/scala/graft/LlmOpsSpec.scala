@@ -102,6 +102,25 @@ class LlmOpsSpec extends SparkSpec {
     assert(ds.sliding(2).forall { case Array(a, b) => a <= b; case _ => true })
   }
 
+  test("PQ train: every subspace partitions the full corpus and codebook geometry holds") {
+    val rows = Similarity.simPqTrain.run(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    val n = core.tbl(spark, sfDir, "embeddings").count()
+    rows.groupBy(_.getAs[Long]("m")).foreach { case (m, rs) =>
+      assert(m >= 0 && m < 4)
+      // every (code) spans exactly 16 positions with one shared member count
+      rs.groupBy(_.getAs[Long]("code")).foreach { case (code, cr) =>
+        assert(code >= 0 && code < 8)
+        assert(cr.map(_.getAs[Long]("pos")).sorted.toSeq === (0L until 16L))
+        assert(cr.map(_.getAs[Long]("n_members")).distinct.length === 1)
+      }
+      // the subspace's cells partition the corpus: members sum to |corpus|
+      val perCode = rs.groupBy(_.getAs[Long]("code"))
+        .map(_._2.head.getAs[Long]("n_members")).sum
+      assert(perCode === n, s"subspace $m assigns $perCode of $n vectors")
+    }
+  }
+
   test("semantic dedup drops exactly the planted near-copies, each kept by its source") {
     val rows = Similarity.simSemanticDedup.run(spark, sfDir).collect()
     val planted = core.tbl(spark, sfDir, "embeddings")
