@@ -108,7 +108,17 @@ object core {
     val raw = tbl(spark, dir, "events")
     val us = raw.schema("ts").dataType match {
       case LongType         => expr("ts div 1000")            // int64 nanos → µs
-      case TimestampNTZType => unix_micros(col("ts").cast(TimestampType))
+      case TimestampNTZType =>
+        // the NTZ→TimestampType cast below is tz-SENSITIVE: it reinterprets
+        // the wall-clock fields in the session zone, so any zone other than
+        // UTC would shift every event time and surface only as downstream
+        // hash mismatches — fail loudly here instead (round-11 ADVICE)
+        val tz = spark.conf.get("spark.sql.session.timeZone")
+        require(tz == "UTC",
+          s"events.ts is TIMESTAMP_NTZ and spark.sql.session.timeZone=$tz; " +
+            "the NTZ→micros conversion is only oracle-equivalent under UTC — " +
+            "set the session timezone to UTC (Verify/Bench/specs all do)")
+        unix_micros(col("ts").cast(TimestampType))
       case TimestampType    => unix_micros(col("ts"))
       case other => throw new IllegalStateException(
         s"events.ts has unsupported type $other (expected LONG nanos or TIMESTAMP)")

@@ -502,8 +502,10 @@ object Ingest {
     * 24 bits per key ⇒ no aliasing until keys exceed 16.7M (l_partkey
     * reaches that around SF ≈ 83 — far past the driver's ladder; a 16-bit
     * slice would have aliased from SF ≈ 0.33 and silently flattened the
-    * locality audit). The 48-bit code still leaves 15 bits of headroom for
-    * the bucket map's `z * 32` in BIGINT. */
+    * locality audit). z < 2^48, so the bucket map's `z * 32` stays < 2^53
+    * with 10 bits of BIGINT headroom; the gate guards the 2^24 key bound
+    * explicitly (below), so aliasing past the documented SF fails visibly
+    * instead of silently flattening the audit. */
   private[graft] def mortonSql(x: String, y: String): String =
     (0 until 24).map(i =>
       s"(((($x % 16777216) >> $i) & 1) << ${2 * i}) + " +
@@ -532,6 +534,15 @@ object Ingest {
                CAST(max(l_suppkey) - min(l_suppkey) AS BIGINT) AS s_span
         FROM u GROUP BY layout, bucket ORDER BY layout, bucket
       """)) { (spark, dir) =>
+      // aliasing guard (round-11 ADVICE): the 24-bit slice flattens the
+      // locality audit silently once a key exceeds 2^24 — check the actual
+      // key maxima up front (parquet footer min/max stats; counter-scale)
+      val km = tbl(spark, dir, "lineitem")
+        .agg(max(col("l_partkey")), max(col("l_suppkey"))).head()
+      require(km.getLong(0) < (1L << 24) && km.getLong(1) < (1L << 24),
+        s"z-order keys exceed the 24-bit Morton slice (l_partkey max " +
+          s"${km.getLong(0)}, l_suppkey max ${km.getLong(1)}): widen " +
+          "mortonSql before trusting the locality audit")
       val li = tbl(spark, dir, "lineitem")
         .select(col("l_orderkey"), col("l_partkey"), col("l_suppkey"),
           expr(zSql).as("z"))
