@@ -494,7 +494,73 @@ object Streams {
       ORDER BY 1, 2, 3
     """))((spark, dir) => runStreamJoinLeft(spark, dir))
 
+  /** The stream-static pipeline behind [[stStreamStaticJoin]], with a probe
+    * hook so StreamsSpec can assert the two scale contracts on the FINISHED
+    * query (zero state operators; broadcast dim side) without re-running
+    * it. */
+  private[graft] def runStreamStaticJoin(
+      spark: SparkSession, dir: String,
+      probe: org.apache.spark.sql.streaming.StreamingQuery => Unit = _ => ()): DataFrame = {
+    val landing = eventsLanding(spark, dir)
+    val schema = spark.read.parquet(landing).schema
+    val sinkName = "graft_st_static_" + dirTag(dir)
+    // the static side: customer enriched with its nation name, pre-joined
+    // ONCE in batch and explicitly broadcast — every micro-batch then joins
+    // map-side against the same broadcast table. The % 3 restriction drops
+    // a third of the dimension so the LEFT join's null path (events whose
+    // user has no dim row → 'unknown') is genuinely exercised.
+    val dim = broadcast(
+      tbl(spark, dir, "customer").filter(col("c_custkey") % 3 =!= 1)
+        .join(tbl(spark, dir, "nation"), col("c_nationkey") === col("n_nationkey"))
+        .select(col("c_custkey"), col("n_name")))
+    val q = withStatePartitions(spark, 8) {
+      spark.readStream.schema(schema).parquet(landing)
+        .select(col("user_id"), col("event_type"),
+          (dec2(col("value")) * 100).cast(LongType).as("cents"))
+        .join(dim, col("user_id") === col("c_custkey"), "left_outer")
+        .select(col("user_id"), col("event_type"), col("cents"),
+          coalesce(col("n_name"), lit("unknown")).as("n_name"))
+        .writeStream.format("memory").queryName(sinkName)
+        .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    }
+    q.awaitTermination()
+    probe(q)
+    // bounded batch summarization of the enriched stream for the oracle
+    // compare (exact integer cents — no cross-row float sums)
+    spark.table(sinkName)
+      .groupBy("n_name", "event_type")
+      .agg(count(lit(1)).as("n_events"), sum(col("cents")).as("total_cents"))
+      .orderBy("n_name", "event_type")
+  }
+
+  /** st9 — STREAM-STATIC enrichment join (round-11 queue #4): the most
+    * common production streaming pattern — a fact stream enriched against
+    * a slowly-changing dimension table — and the one streaming shape this
+    * file didn't cover. The static side is a batch DataFrame, so the join
+    * is STATELESS: no watermark, no state store, nothing grows with stream
+    * length (the spec asserts zero state operators), and the broadcast
+    * keeps the stream side from ever shuffling — per micro-batch cost is
+    * one map-side hash probe per event at any scale. Unmatched events
+    * surface as 'unknown' rather than dropping (left outer), the
+    * difference between an enrichment join and a filter. Oracle = the
+    * equivalent batch left join + rollup. */
+  val stStreamStaticJoin: QueryDef = QueryDef(
+    "st_stream_static_join",
+    Some("""
+      WITH dim AS (
+        SELECT c_custkey, n_name
+        FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey
+        WHERE c_custkey % 3 <> 1)
+      SELECT coalesce(d.n_name, 'unknown') AS n_name, e.event_type,
+             CAST(count(*) AS BIGINT) AS n_events,
+             CAST(sum(CAST(CAST(e.value AS DECIMAL(18,2)) * 100 AS BIGINT)) AS BIGINT) AS total_cents
+      FROM events e LEFT JOIN dim d ON e.user_id = d.c_custkey
+      GROUP BY 1, 2
+      ORDER BY 1, 2
+    """))((spark, dir) => runStreamStaticJoin(spark, dir))
+
   val all: Seq[QueryDef] = Seq(
     stHourlyWindows, stSessionWindows, stJsonProps, stStatefulUserAgg,
-    stStreamStreamJoin, stForeachBatchUpsert, stStreamDedup, stStreamJoinLeft)
+    stStreamStreamJoin, stForeachBatchUpsert, stStreamDedup, stStreamJoinLeft,
+    stStreamStaticJoin)
 }

@@ -122,4 +122,35 @@ class StreamsSpec extends SparkSpec {
       .select("user_id", "purchase_ts", "click_ts").collect())
     assert(multi === batch)
   }
+
+  test("st9 stream-static join: stateless, dim broadcast, equals the batch join") {
+    var stateOps = -1
+    var planTxt = ""
+    val streamed = streaming.Streams.runStreamStaticJoin(spark, sfDir, q => {
+      // zero state operators: the static side makes the join stateless —
+      // state can NEVER grow with stream length (the gate's scale contract)
+      stateOps = q.recentProgress.map(_.stateOperators.length).sum
+      val out = new java.io.ByteArrayOutputStream()
+      Console.withOut(new java.io.PrintStream(out))(q.explain(extended = false))
+      planTxt = out.toString
+    })
+    val rows = streamed.collect()
+    assert(stateOps === 0, s"stream-static join reported $stateOps state operators")
+    assert(planTxt.contains("BroadcastHashJoin"),
+      s"dim side did not broadcast:\n$planTxt")
+    // the fixture must exercise the outer null path
+    assert(rows.exists(_.getAs[String]("n_name") == "unknown"))
+    // equals the batch left join + rollup computed in-session
+    val dim = core.tbl(spark, sfDir, "customer").filter(col("c_custkey") % 3 =!= 1)
+      .join(core.tbl(spark, sfDir, "nation"), col("c_nationkey") === col("n_nationkey"))
+      .select(col("c_custkey"), col("n_name"))
+    val batch = core.events(spark, sfDir)
+      .select(col("user_id"), col("event_type"),
+        (core.dec2(col("value")) * 100).cast(org.apache.spark.sql.types.LongType).as("cents"))
+      .join(dim, col("user_id") === col("c_custkey"), "left_outer")
+      .groupBy(coalesce(col("n_name"), lit("unknown")).as("n_name"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"), sum(col("cents")).as("total_cents"))
+      .orderBy("n_name", "event_type")
+    assert(multiset(rows) === multiset(batch.collect()))
+  }
 }
