@@ -25,7 +25,15 @@ object Linkage {
     * (one typo'd digit) are counted per block; the emitted mart is the
     * per-block audit (members, near-match pairs) a steward reviews before
     * survivorship. Both engines' `levenshtein` is the exact integer DP —
-    * no float, no RNG, hash-stable. */
+    * no float, no RNG, hash-stable.
+    *
+    * SCHEMA-SPECIFIC by design (round-11 "What's wrong" #1): the key
+    * exploits TPC-H's fixed `Customer#
+    * <9 digits>` name format — on free-text names it degenerates to one
+    * giant block. It stays because keyed-ID dimensions with a stable
+    * surface format are common and the bound is then *exact*; for
+    * content-derived keys over arbitrary text use [[dFuzzyPrefixBlock]],
+    * whose cap is ENFORCED rather than assumed. */
   val dFuzzyMatch: QueryDef = QueryDef(
     "d_fuzzy_match",
     Some("""
@@ -65,5 +73,86 @@ object Linkage {
       .orderBy("blk")
   }
 
-  val all: Seq[QueryDef] = Seq(dFuzzyMatch)
+  /** er2 — CONTENT-DERIVED blocking (round-11 queue #5): the general-text
+    * companion to [[dFuzzyMatch]]'s schema-specific key. Entities are
+    * document HEADS (first 30 chars of `documents.text`); the block key is
+    * derived purely from content — a 12-char prefix plus a length bucket
+    * (`div 4`) — the standard "length-bucketed prefix" recipe: a ≤1-edit
+    * variant that doesn't touch the prefix lands in the same block (a
+    * substitution keeps the length exactly; the bucket tolerates the ±1 of
+    * an indel near a boundary only probabilistically — documented recall
+    * trade, as in any single-key blocking pass; production runs a second
+    * complementary key, e.g. a suffix, and unions candidates).
+    *
+    * Unlike a format-derived key, a content key has NO a-priori block
+    * bound — the degenerate case (every row shares a prefix) is exactly
+    * what broke the naive posture. So the cap is ENFORCED, not assumed:
+    * the gate measures the max block up front (one aggregate, counter-
+    * scale output) and fails loudly past [[BlockCap]] instead of silently
+    * going quadratic — the operator's answer is then "lengthen the
+    * prefix", not a 10⁹-pair join. Candidate volume is Σ|block|² ≤
+    * cap·|corpus|, linear with an enforced constant.
+    *
+    * Fixture: planted typo'd copies (doc_id % 9 == 0 → +1000000, char 20
+    * overwritten with '~' — past the prefix, length-preserving) are the
+    * ground truth the per-block pair counts must recover; the thresholded
+    * `levenshtein(a, b, 1)` runs the banded O(k·n) DP as in er1. */
+  private[graft] val BlockCap = 100
+  val dFuzzyPrefixBlock: QueryDef = QueryDef(
+    "d_fuzzy_prefix_block",
+    Some("""
+      WITH src AS (
+        SELECT doc_id, substr(text, 1, 30) AS h FROM documents
+        UNION ALL
+        SELECT doc_id + 1000000,
+               substr(substr(text, 1, 30), 1, 19) || '~' || substr(substr(text, 1, 30), 21)
+        FROM documents WHERE doc_id % 9 = 0),
+      keyed AS (
+        SELECT doc_id, h,
+               substr(h, 1, 12) || '#' || CAST(length(h) // 4 AS VARCHAR) AS blk
+        FROM src),
+      pairs AS (
+        SELECT a.blk, CAST(count(*) AS BIGINT) AS n_pairs
+        FROM keyed a JOIN keyed b
+          ON a.blk = b.blk AND a.doc_id < b.doc_id
+        WHERE levenshtein(a.h, b.h) <= 1
+        GROUP BY a.blk),
+      members AS (
+        SELECT blk, CAST(count(*) AS BIGINT) AS n_members
+        FROM keyed GROUP BY blk)
+      SELECT m.blk, m.n_members, CAST(coalesce(p.n_pairs, 0) AS BIGINT) AS n_pairs
+      FROM members m LEFT JOIN pairs p ON m.blk = p.blk
+      WHERE m.n_members >= 2
+      ORDER BY m.blk
+    """)) { (spark, dir) =>
+    val heads = tbl(spark, dir, "documents")
+      .select(col("doc_id"), substring(col("text"), 1, 30).as("h"))
+    val planted = heads.filter(col("doc_id") % 9 === 0)
+      .select((col("doc_id") + 1000000L).as("doc_id"),
+        concat(substring(col("h"), 1, 19), lit("~"),
+          substring(col("h"), 21, 10)).as("h"))
+    val keyed = heads.unionAll(planted)
+      .withColumn("blk",
+        concat(substring(col("h"), 1, 12), lit("#"),
+          expr("length(h) div 4").cast("string")))
+    // the enforced cap: one counter-scale aggregate, loud failure past it
+    val mx = keyed.groupBy("blk").agg(count(lit(1)).as("n"))
+      .agg(max(col("n"))).head().getLong(0)
+    require(mx <= BlockCap,
+      s"content-derived block key degenerated (max block $mx > cap $BlockCap): " +
+        "lengthen the prefix before running the quadratic within-block pass")
+    val pairs = keyed.as("a").join(keyed.as("b"),
+        col("a.blk") === col("b.blk") && col("a.doc_id") < col("b.doc_id"))
+      .filter(levenshtein(col("a.h"), col("b.h"), 1) =!= -1)
+      .groupBy(col("a.blk").as("blk"))
+      .agg(count(lit(1)).as("n_pairs"))
+    val members = keyed.groupBy("blk").agg(count(lit(1)).as("n_members"))
+    members.filter(col("n_members") >= 2)
+      .join(pairs, Seq("blk"), "left")
+      .select(col("blk"), col("n_members"),
+        coalesce(col("n_pairs"), lit(0L)).as("n_pairs"))
+      .orderBy("blk")
+  }
+
+  val all: Seq[QueryDef] = Seq(dFuzzyMatch, dFuzzyPrefixBlock)
 }

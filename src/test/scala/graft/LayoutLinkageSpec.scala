@@ -22,6 +22,25 @@ class LayoutLinkageSpec extends SparkSpec {
     }
   }
 
+  test("content-derived blocking: cap enforced, planted typo pairs recovered") {
+    import org.apache.spark.sql.functions._
+    val rows = Linkage.dFuzzyPrefixBlock.run(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    // the enforced Σ|block|² cap: no scored block may exceed BlockCap
+    assert(rows.forall(_.getAs[Long]("n_members") <= Linkage.BlockCap))
+    rows.foreach { r =>
+      val m = r.getAs[Long]("n_members")
+      assert(r.getAs[Long]("n_pairs") <= m * (m - 1) / 2)
+    }
+    // every planted variant with a full-length head differs from its base
+    // by exactly one in-block substitution → at least that many pairs
+    val planted = core.tbl(spark, sfDir, "documents")
+      .filter(col("doc_id") % 9 === 0 && length(col("text")) >= 30)
+      .count()
+    assert(rows.map(_.getAs[Long]("n_pairs")).sum >= planted,
+      s"recovered fewer pairs than the $planted planted typo variants")
+  }
+
   test("zorder layout: interleaved buckets are tighter than natural buckets in the non-sort dimension") {
     val rows = Ingest.sZorderLayout.run(spark, sfDir).collect()
     val (z, nat) = rows.partition(_.getAs[String]("layout") == "zorder")
