@@ -172,6 +172,26 @@ object Similarity {
       .select(col("vec_id"), col("label"), col("cell"), round(col("score"), 6).as("score_r"))
   }
 
+  /** ONE broadcast-able row carrying query `vecId`'s vector (`qv`) AND its
+    * top-`nProbe` coarse cells (`qcells`): ascending sort on
+    * struct(-dot + bias, cent_id) == the oracle's `dot - bias DESC` (IEEE
+    * negation is exact), slice takes the best `nProbe`. Shared by
+    * [[simIvfMultiprobe]] and [[simIvfAdc]] — one definition of the probe
+    * geometry, so the two read paths can never drift. */
+  private def probeQuery(spark: SparkSession, dir: String, vecId: Int, nProbe: Int): DataFrame = {
+    val qcells = slice(
+      transform(
+        array_sort(transform(col("cents"), c => struct(
+          (lit(-1.0) * dot(col("qv"), c("cv")) + lit(1e-12) * c("cent_id")).as("score"),
+          c("cent_id").as("cent_id")))),
+        s => s("cent_id")),
+      1, nProbe)
+    emb(spark, dir).filter(col("vec_id") === vecId)
+      .select(col("embedding").as("qv"))
+      .crossJoin(broadcast(ivfCentroids(spark, dir)))
+      .select(col("qv"), qcells.as("qcells"))
+  }
+
   /** sim3b — MULTI-PROBE IVF (round-9 queue #5): single-probe IVF loses any
     * true neighbor whose vector quantized into a different cell than the
     * query — the classic recall cliff at cell boundaries. Production IVF
@@ -210,20 +230,7 @@ object Similarity {
       LIMIT 10
     """)) { (spark, dir) =>
     val assigned = ivfAssigned(spark, dir)
-    // one broadcast row carries the query vector AND its top-3 probe cells:
-    // ascending sort on struct(-dot + bias, cent_id) == the oracle's
-    // `dot - bias DESC` (IEEE negation is exact), slice takes the best 3
-    val qcells = slice(
-      transform(
-        array_sort(transform(col("cents"), c => struct(
-          (lit(-1.0) * dot(col("qv"), c("cv")) + lit(1e-12) * c("cent_id")).as("score"),
-          c("cent_id").as("cent_id")))),
-        s => s("cent_id")),
-      1, 3)
-    val q = emb(spark, dir).filter(col("vec_id") === 17)
-      .select(col("embedding").as("qv"))
-      .crossJoin(broadcast(ivfCentroids(spark, dir)))
-      .select(col("qv"), qcells.as("qcells"))
+    val q = probeQuery(spark, dir, vecId = 17, nProbe = 3)
     assigned.join(broadcast(q), array_contains(col("qcells"), col("cell")))
       .select(col("vec_id"), col("label"), col("cell"),
         dot(col("embedding"), col("qv")).as("score"))
@@ -962,6 +969,20 @@ object Similarity {
              CAST(n AS BIGINT) AS n_members
       FROM per ORDER BY m, code, pos
     """)) { (spark, dir) =>
+    pqTrainedElems(spark, dir)
+      .select(col("m").cast(LongType).as("m"), col("cell").as("code"),
+        col("pos").cast(LongType).as("pos"),
+        round(col("s").cast(DoubleType) / col("n").cast(DoubleType) / 10000000.0, 6)
+          .as("c_r"),
+        col("n").as("n_members"))
+      .orderBy("m", "code", "pos")
+  }
+
+  /** The trained-codebook training pass shared by [[simPqTrain]] (exploded
+    * scalar gate shape) and [[simIvfAdc]] (array-shaped read path): per
+    * (m, cell, pos) fixed-point integer sums + member counts after one
+    * Lloyd assignment round per subspace against the seed codewords. */
+  private def pqTrainedElems(spark: SparkSession, dir: String): DataFrame = {
     val subs = (0 until PqM).map(m => struct(lit(m).as("m"),
       slice(col("embedding"), m * PqSub + 1, PqSub).as("sv")))
     val sub = emb(spark, dir)
@@ -990,16 +1011,165 @@ object Similarity {
       .agg(
         sum(floor(col("v").cast(DoubleType) * 10000000.0).cast(LongType)).as("s"),
         count(lit(1)).as("n"))
-      .select(col("m").cast(LongType).as("m"), col("cell").as("code"),
-        col("pos").cast(LongType).as("pos"),
-        round(col("s").cast(DoubleType) / col("n").cast(DoubleType) / 10000000.0, 6)
-          .as("c_r"),
-        col("n").as("n_members"))
-      .orderBy("m", "code", "pos")
+  }
+
+  /** The trained PQ codebook in array shape: (m, code, cv ARRAY<DOUBLE>) —
+    * bit-identical doubles at any parallelism (fixed-point integer means,
+    * the [[simCentroids]] discipline). ≤ M·8 rows: folds into one
+    * broadcast row for encode and LUT passes. */
+  private def pqTrainedBook(spark: SparkSession, dir: String): DataFrame =
+    pqTrainedElems(spark, dir)
+      .select(col("m"), col("cell").as("code"), col("pos"),
+        (col("s").cast(DoubleType) / col("n").cast(DoubleType) / 10000000.0).as("c"))
+      .groupBy("m", "code")
+      .agg(transform(array_sort(collect_list(struct(col("pos"), col("c")))), s => s("c"))
+        .as("cv"))
+
+  /** The IVFADC candidate set: every vector whose coarse cell is among the
+    * query's top-3 probe cells — P/K of the corpus by construction, the
+    * volume bound BehaviorSpec asserts (candidates < corpus). Shared by
+    * the gate and the spec so the assertion tests the real read path. */
+  private[graft] def ivfAdcCandidates(spark: SparkSession, dir: String): DataFrame =
+    ivfAssigned(spark, dir)
+      .join(broadcast(probeQuery(spark, dir, vecId = 17, nProbe = 3)),
+        array_contains(col("qcells"), col("cell")))
+
+  /** sim13 — IVFADC: the composed billion-scale ANN read path (Jégou et
+    * al. §IV — the round-11 verdict's top item), wiring the three
+    * previously-separate gates into one query: the coarse quantizer probes
+    * the query's top-3 IVF cells ([[probeQuery]], the multiprobe
+    * machinery), candidates are ONLY those cells' members (P/K of the
+    * corpus — the inverted-file prune), each candidate is PQ-encoded
+    * against the TRAINED codebook ([[pqTrainedBook]] — `sim_pq_train`'s
+    * learned artifact, no longer the seeded stand-in), and ranking is the
+    * ADC scan: the query's 32-entry LUT of subspace distances to every
+    * trained codeword, one broadcast join per subspace code, Σ_m lut[m,
+    * code_m] in fixed order. Shape at 100 TB: centroids + codebook + LUT
+    * each fold into one broadcast row; the only per-corpus-row work before
+    * the prune is the coarse argmax (map-side); after it, candidates carry
+    * 4 codes + scalars — no vector in any shuffle, candidate volume P/K of
+    * the corpus, and the final rank sees only (id, score). In a real
+    * deployment assignment+encode are the WRITE path (materialized once
+    * per snapshot — here inline so the oracle can replay the whole arc
+    * verbatim); the read path is LUT build + probed-cell ADC scan only. */
+  val simIvfAdc: QueryDef = {
+    val sq16 = (a: String, b: String) => s"""list_reduce(list_transform(range(1, ${PqSub + 1}),
+           i -> (CAST($a[i] AS DOUBLE) - $b[i]) * (CAST($a[i] AS DOUBLE) - $b[i])),
+           (x, y) -> x + y)"""
+    QueryDef(
+      "sim_ivfadc",
+      Some(s"""
+      WITH ms AS (SELECT unnest([0, 1, 2, 3]) AS m),
+      cents AS (SELECT vec_id AS cent_id, embedding AS cv FROM embeddings WHERE vec_id < 8),
+      assigned AS (
+        SELECT e.vec_id, e.label, e.embedding,
+               arg_max(c.cent_id, ${dotSql("e.embedding", "c.cv")} - 1e-12 * c.cent_id) AS cell
+        FROM embeddings e, cents c
+        GROUP BY e.vec_id, e.label, e.embedding),
+      q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 17),
+      qc AS (
+        SELECT c.cent_id AS cell FROM cents c, q
+        ORDER BY ${dotSql("q.qv", "c.cv")} - 1e-12 * c.cent_id DESC
+        LIMIT 3),
+      sub AS (
+        SELECT e.vec_id, ms.m,
+               list_slice(e.embedding, ms.m * $PqSub + 1, ms.m * $PqSub + $PqSub) AS sv
+        FROM embeddings e, ms),
+      csub AS (
+        SELECT c.vec_id AS cid, ms.m,
+               list_slice(c.embedding, ms.m * $PqSub + 1, ms.m * $PqSub + $PqSub) AS cs
+        FROM embeddings c, ms WHERE c.vec_id < 8),
+      passign AS (
+        SELECT s.vec_id, s.m, s.sv,
+               arg_min(c.cid, ${pqSqSql16("s.sv", "c.cs")} + 1e-12 * c.cid) AS cell
+        FROM sub s JOIN csub c ON s.m = c.m
+        GROUP BY s.vec_id, s.m, s.sv),
+      pex AS (
+        SELECT m, cell, unnest(range(0, $PqSub)) AS pos, unnest(sv) AS v FROM passign),
+      pper AS (
+        SELECT m, cell, pos,
+               CAST(sum(CAST(floor(CAST(v AS DOUBLE) * 10000000.0) AS BIGINT)) AS BIGINT) AS s,
+               count(*) AS n
+        FROM pex GROUP BY m, cell, pos),
+      book AS (
+        SELECT m, cell AS code,
+               list(CAST(s AS DOUBLE) / CAST(n AS DOUBLE) / 10000000.0 ORDER BY pos) AS cv
+        FROM pper GROUP BY m, cell),
+      lut AS (
+        SELECT b.m, b.code,
+               list_reduce(list_transform(range(1, ${PqSub + 1}),
+                 i -> (CAST(q.qv[i + b.m * $PqSub] AS DOUBLE) - b.cv[i])
+                    * (CAST(q.qv[i + b.m * $PqSub] AS DOUBLE) - b.cv[i])),
+                 (x, y) -> x + y) AS qd
+        FROM book b, q),
+      cand AS (
+        SELECT a.vec_id, a.label, a.cell, ms.m,
+               list_slice(a.embedding, ms.m * $PqSub + 1, ms.m * $PqSub + $PqSub) AS sv
+        FROM assigned a, ms
+        WHERE a.cell IN (SELECT cell FROM qc)),
+      enc AS (
+        SELECT c.vec_id, c.label, c.cell, c.m,
+               arg_min(b.code, ${sq16("c.sv", "b.cv")} + 1e-12 * b.code) AS code
+        FROM cand c JOIN book b ON b.m = c.m
+        GROUP BY c.vec_id, c.label, c.cell, c.m, c.sv),
+      adc AS (
+        SELECT e.vec_id, e.label, e.cell,
+               max(CASE WHEN e.m = 0 THEN l.qd END) AS qd0,
+               max(CASE WHEN e.m = 1 THEN l.qd END) AS qd1,
+               max(CASE WHEN e.m = 2 THEN l.qd END) AS qd2,
+               max(CASE WHEN e.m = 3 THEN l.qd END) AS qd3
+        FROM enc e JOIN lut l ON l.m = e.m AND l.code = e.code
+        GROUP BY e.vec_id, e.label, e.cell)
+      SELECT vec_id, label, cell, round(qd0 + qd1 + qd2 + qd3, 6) AS adc_r
+      FROM adc
+      ORDER BY qd0 + qd1 + qd2 + qd3, vec_id
+      LIMIT 10
+    """)) { (spark, dir) =>
+      val subs = (0 until PqM).map(m => struct(lit(m).as("m"),
+        slice(col("embedding"), m * PqSub + 1, PqSub).as("sv")))
+      val cand = ivfAdcCandidates(spark, dir)
+        .select(col("vec_id"), col("label"), col("cell"),
+          explode(array(subs: _*)).as("x"))
+        .select(col("vec_id"), col("label"), col("cell"),
+          col("x.m").as("m"), col("x.sv").as("sv"))
+      // trained codebook folded into ONE broadcast row for the encode pass
+      val bookRow = pqTrainedBook(spark, dir)
+        .agg(collect_list(struct(col("m").as("bm"), col("code"), col("cv"))).as("book"))
+      val best = expr(s"""
+        array_min(transform(
+          filter(book, c -> c.bm = m),
+          c -> named_struct(
+            'd', aggregate(zip_with(sv, c.cv,
+                   (x, y) -> (CAST(x AS DOUBLE) - CAST(y AS DOUBLE))
+                           * (CAST(x AS DOUBLE) - CAST(y AS DOUBLE))),
+                 0D, (acc, v) -> acc + v) + 1e-12 * c.code,
+            'code', c.code)))""")
+      val enc = cand.crossJoin(broadcast(bookRow))
+        .select(col("vec_id"), col("label"), col("cell"), col("m"),
+          best("code").as("code"))
+      // the query's 32-entry LUT: subspace distance to every trained codeword
+      val qRow = emb(spark, dir).filter(col("vec_id") === 17)
+        .select(col("embedding").as("qv"))
+      val lut = pqTrainedBook(spark, dir).crossJoin(broadcast(qRow))
+        .select(col("m"), col("code"),
+          pqSq(slice(col("qv"), col("m") * PqSub + 1, lit(PqSub)), col("cv")).as("qd"))
+      val aggs = (0 until PqM).map(m =>
+        max(when(col("m") === m, col("qd"))).as(s"qd$m"))
+      val adc = enc.join(broadcast(lut), Seq("m", "code"))
+        .groupBy("vec_id", "label", "cell")
+        .agg(aggs.head, aggs.tail: _*)
+      // fixed-order double sum (qd0+qd1+qd2+qd3): bit-identical both engines
+      val score = (0 until PqM).map(m => col(s"qd$m")).reduce(_ + _)
+      adc.select(col("vec_id"), col("label"), col("cell"), score.as("adc"))
+        .orderBy(col("adc"), col("vec_id"))
+        .limit(10)
+        .select(col("vec_id"), col("label"), col("cell"),
+          round(col("adc"), 6).as("adc_r"))
+    }
   }
 
   val all: Seq[QueryDef] = Seq(
     simTopKBrute, simLshPairs, simIvfProbe, simIvfMultiprobe, ddEmbeddingCosine,
     simQuantizeInt8, simCentroids, simKmeans, simKmeansConverged, simSemanticDedup,
-    simPqEncode, simPqSearch, simPqTrain)
+    simPqEncode, simPqSearch, simPqTrain, simIvfAdc)
 }

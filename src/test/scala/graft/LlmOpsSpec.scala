@@ -121,6 +121,24 @@ class LlmOpsSpec extends SparkSpec {
     }
   }
 
+  test("IVFADC: candidates strictly pruned below corpus size, ≤3 cells, self top-1") {
+    // the composed read path must actually PRUNE: candidate volume is the
+    // P/K bound that makes IVFADC the billion-scale shape (P=3 of K=8 here)
+    val corpus = core.tbl(spark, sfDir, "embeddings").count()
+    val cands = Similarity.ivfAdcCandidates(spark, sfDir).count()
+    assert(cands < corpus,
+      s"IVFADC scanned $cands of $corpus vectors — no pruning happened")
+    assert(cands > 0)
+    val rows = Similarity.simIvfAdc.run(spark, sfDir).collect()
+    assert(rows.length === 10)
+    assert(rows.map(_.getAs[Long]("cell")).distinct.length <= 3) // ≤ P cells
+    assert(rows.head.getAs[Long]("vec_id") === 17L) // self top-1 on trained book
+    // ADC distances non-decreasing down the ranking
+    val ds = rows.map(_.getAs[Double]("adc_r"))
+    assert(ds.forall(_ >= 0.0))
+    assert(ds.sliding(2).forall { case Array(a, b) => a <= b; case _ => true })
+  }
+
   test("semantic dedup drops exactly the planted near-copies, each kept by its source") {
     val rows = Similarity.simSemanticDedup.run(spark, sfDir).collect()
     val planted = core.tbl(spark, sfDir, "embeddings")
