@@ -9,20 +9,44 @@ import org.apache.spark.sql.functions._
   * and raw character/word counts. */
 class BpeSpec extends SparkSpec {
 
-  test("trainer: full merge budget, positive counts, monotone non-increasing") {
+  test("trainer: batched structure — contiguous ranks, bounded rounds, per-round laws") {
     val rows = Bpe.bpeTrain.run(spark, sfDir).collect()
-    assert(rows.map(_.getAs[Long]("merge_rank")).toSeq === (1L to 8L))
-    val counts = rows.map(_.getAs[Long]("pair_count"))
-    assert(counts.forall(_ > 0))
-    // BPE law: an existing pair's count never grows, and a pair created by
-    // merge r occurs at most as often as merge r itself — so the winning
-    // count can never increase between rounds
-    assert(counts.sliding(2).forall { case Array(a, b) => a >= b; case _ => true })
+    assert(rows.map(_.getAs[Long]("merge_rank")).toSeq === (1L to rows.length))
+    assert(rows.length >= Bpe.BpeRounds && rows.length <= Bpe.BpeRounds * Bpe.BpeBatch)
+    assert(rows.map(_.getAs[Long]("round")).distinct.sorted.toSeq ===
+      (1L to Bpe.BpeRounds))
+    assert(rows.forall(_.getAs[Long]("pair_count") > 0))
+    rows.groupBy(_.getAs[Long]("round")).foreach { case (rr, batch) =>
+      assert(batch.length <= Bpe.BpeBatch, s"round $rr overfilled")
+      // WITHIN a round counts are selection-ordered non-increasing (across
+      // rounds batching legitimately breaks monotonicity: a pair skipped
+      // for conflicting with a winner can outrank later rounds' winners)
+      val cs = batch.sortBy(_.getAs[Long]("merge_rank")).map(_.getAs[Long]("pair_count"))
+      assert(cs.sliding(2).forall { case Array(a, b) => a >= b; case _ => true })
+      // the batch is mutually NON-INTERACTING: no shared symbol — the
+      // property that makes batched application order-free and the
+      // reported counts exact
+      val syms = batch.flatMap(r =>
+        Seq(r.getAs[String]("left_sym"), r.getAs[String]("right_sym")))
+      assert(syms.distinct.length === syms.length,
+        s"round $rr selected conflicting pairs: ${syms.mkString(",")}")
+    }
     // merged symbols are exactly left || right
     rows.foreach { r =>
       assert(r.getAs[String]("merged_sym") ===
         r.getAs[String]("left_sym") + r.getAs[String]("right_sym"))
     }
+  }
+
+  test("trainer: batched selection with M=1 reproduces the sequential trainer exactly") {
+    // the equivalence that pins the batched rule to textbook BPE: capped at
+    // one merge per round, the local-maxima selection IS the global argmax,
+    // so 8 batched rounds must equal 8 one-at-a-time rounds of the retained
+    // independent sequential implementation
+    val batched = Bpe.trainMergesBatched(spark, sfDir, rounds = 8, batch = 1)
+      .map(m => (m._2, m._3, m._4))
+    val sequential = Bpe.trainMergesSequential(spark, sfDir, rounds = 8)
+    assert(batched === sequential)
   }
 
   test("trainer: learned table is hierarchical — later merges consume earlier ones") {
@@ -56,7 +80,9 @@ class BpeSpec extends SparkSpec {
     val v = Bpe.bpeVocab.run(spark, sfDir).collect()
     assert(v.map(_.getAs[Long]("token_id")).toSeq === (0L until v.length))
     val (chars, merges) = v.partition(_.getAs[String]("kind") == "char")
-    assert(merges.length === 8)
+    // one vocab entry per trained merge (distinct surface forms)
+    val trained = Bpe.bpeTrain.run(spark, sfDir).collect()
+    assert(merges.length === trained.map(_.getAs[String]("merged_sym")).distinct.length)
     assert(chars.forall(_.getAs[String]("symbol").length == 1))
     assert(chars.map(_.getAs[Long]("token_id")).max < merges.map(_.getAs[Long]("token_id")).min)
     // conservation: every token the tokenizer emits is some vocab entry —
