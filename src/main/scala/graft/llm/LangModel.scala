@@ -329,5 +329,272 @@ object LangModel {
       .limit(30)
   }
 
-  val all: Seq[QueryDef] = Seq(lmScore, lmTopBigrams, lmFilter, lmIncremental)
+  /** Corpus trigram stream (doc_id, lang, w1, w2, w3) — [[bigrams]] one
+    * order up. The `size >= 3` filter matters on the Spark side:
+    * `sequence(3, 2)` would generate a DESCENDING range, not an empty one
+    * (unlike DuckDB's `range(3, 3)`). */
+  private def trigrams(spark: SparkSession, dir: String): DataFrame =
+    tbl(spark, dir, "documents")
+      .repartition(spark.sessionState.conf.numShufflePartitions)
+      .select(col("doc_id"), col("lang"), toks(col("text")).as("t"))
+      .filter(size(col("t")) >= 3)
+      .select(col("doc_id"), col("lang"), col("t"),
+        explode(sequence(lit(3), size(col("t")))).as("i"))
+      .select(col("doc_id"), col("lang"),
+        element_at(col("t"), col("i") - 2).as("w1"),
+        element_at(col("t"), col("i") - 1).as("w2"),
+        element_at(col("t"), col("i")).as("w3"))
+
+  /** Trigram-model marts (the [[lmDag]] discipline, one order up): the en
+    * trigram counts and their context rollup, materialized once per
+    * (session, corpus snapshot) under their own prefix so the bigram-only
+    * gates never pay for trigram training. */
+  private val lmTriDag = new graft.pipeline.ModelRegistry(Seq(
+    graft.pipeline.ModelDef("stg_lm_trigrams", Nil, mart = false) {
+      (s, d, _) => trigrams(s, d).filter(col("lang") === "en")
+    },
+    graft.pipeline.ModelDef("mart_lm_tri", Seq("stg_lm_trigrams"), mart = true) {
+      (_, _, ref) =>
+        ref("stg_lm_trigrams").groupBy("w1", "w2", "w3")
+          .agg(count(lit(1)).as("n_tri"))
+    },
+    graft.pipeline.ModelDef("mart_lm_tri_ctx", Seq("mart_lm_tri"), mart = true) {
+      (_, _, ref) =>
+        ref("mart_lm_tri").groupBy("w1", "w2").agg(sum(col("n_tri")).as("n_tctx"))
+    }))
+
+  private def lmTriMarts(spark: SparkSession, dir: String): (DataFrame, DataFrame) = {
+    val prefix = s"lm3_marts_${core.sourceSig(spark, dir, "documents")}"
+    val key = s"$dir@$prefix"
+    martBuilt.synchronized {
+      val dirs = martBuilt.computeIfAbsent(spark,
+        _ => scala.collection.mutable.Set[String]())
+      if (!dirs.contains(key)) {
+        lmTriDag.run(spark, dir, viewPrefix = "graft_lm3_", martPrefix = prefix)
+        dirs += key
+      }
+    }
+    (spark.read.parquet(core.scratch(dir, s"$prefix/mart_lm_tri")),
+      spark.read.parquet(core.scratch(dir, s"$prefix/mart_lm_tri_ctx")))
+  }
+
+  /** lm5 — TRIGRAM scoring with STUPID BACKOFF (Brants et al., "Large
+    * Language Models in Machine Translation", EMNLP 2007 — the backoff
+    * scheme designed precisely for distributed count-based LMs: no
+    * discounting state, just raw counts at each order and a fixed 0.4
+    * penalty per backoff step). Every trigram position classifies into the
+    * deepest model level that knows it — 0: trigram seen; 1: backoff to
+    * the (w2, w3) bigram; 2: backoff to the w3 unigram (its mass as a
+    * context word); 3: OOV — and each level's conditional probability uses
+    * the numerator/denominator pair that is consistent BY CONSTRUCTION
+    * (n_tri/n_tctx from the trigram mart and its own rollup; n_bg/n_ctx
+    * from the bigram marts; n_ctx/C_total for unigrams). The per-doc
+    * emission keeps the family's log-free integer discipline: level
+    * counts, exact trigram mass sums, one final ratio, and the
+    * digit-count surprisal surrogate — the backoff penalty enters exactly
+    * as 1/(0.4·p) = 5·den/(2·num) and 1/(0.16·p) = 25·den/(4·num), all
+    * integer arithmetic with the divide-before-scale identity (overflow
+    * bound on the per-pair counts, not the context masses — the
+    * [[scoredSql]] posture). Shape at 100 TB: the models grow with
+    * vocab³/vocab², not corpus; scoring is one trigram-stream pass with
+    * five model-keyed shuffle joins (each against a mart orders of
+    * magnitude smaller than the corpus) and a map-side-combined per-doc
+    * rollup — document text never travels. */
+  val lmTrigram: QueryDef = QueryDef(
+    "t_lm_trigram",
+    Some(s"""
+      WITH $bigramsSql,
+      tg AS (
+        SELECT doc_id, lang,
+               unnest(list_transform(range(3, len(t)+1), i -> t[i-2])) AS w1,
+               unnest(list_transform(range(3, len(t)+1), i -> t[i-1])) AS w2,
+               unnest(list_transform(range(3, len(t)+1), i -> t[i])) AS w3
+        FROM d WHERE len(t) >= 3),
+      tri AS (
+        SELECT w1, w2, w3, CAST(count(*) AS BIGINT) AS n_tri
+        FROM tg WHERE lang = 'en' GROUP BY w1, w2, w3),
+      tctx AS (
+        SELECT w1, w2, CAST(sum(n_tri) AS BIGINT) AS n_tctx FROM tri GROUP BY w1, w2),
+      model AS (
+        SELECT w1, w2, CAST(count(*) AS BIGINT) AS n_bg
+        FROM bg WHERE lang = 'en' GROUP BY w1, w2),
+      ctx AS (
+        SELECT w1, CAST(sum(n_bg) AS BIGINT) AS n_ctx FROM model GROUP BY w1),
+      tot AS (SELECT CAST(sum(n_ctx) AS BIGINT) AS c_total FROM ctx),
+      j AS (
+        SELECT g.doc_id, g.lang, t.n_tri, tc.n_tctx, m.n_bg AS n_bg23,
+               c2.n_ctx AS n_ctx2, c3.n_ctx AS n_ctx3, tot.c_total
+        FROM tg g
+        LEFT JOIN tri t ON g.w1 = t.w1 AND g.w2 = t.w2 AND g.w3 = t.w3
+        LEFT JOIN tctx tc ON g.w1 = tc.w1 AND g.w2 = tc.w2
+        LEFT JOIN model m ON g.w2 = m.w1 AND g.w3 = m.w2
+        LEFT JOIN ctx c2 ON g.w2 = c2.w1
+        LEFT JOIN ctx c3 ON g.w3 = c3.w1
+        CROSS JOIN tot),
+      lv AS (
+        SELECT doc_id, lang,
+               CASE WHEN n_tri IS NOT NULL THEN 0
+                    WHEN n_bg23 IS NOT NULL THEN 1
+                    WHEN n_ctx3 IS NOT NULL THEN 2
+                    ELSE 3 END AS lvl,
+               CASE WHEN n_tri IS NOT NULL THEN
+                      length(CAST((n_tctx // n_tri) * 1000000
+                             + ((n_tctx % n_tri) * 1000000) // n_tri AS VARCHAR))
+                    WHEN n_bg23 IS NOT NULL THEN
+                      length(CAST(((5 * n_ctx2) // (2 * n_bg23)) * 1000000
+                             + (((5 * n_ctx2) % (2 * n_bg23)) * 1000000) // (2 * n_bg23) AS VARCHAR))
+                    WHEN n_ctx3 IS NOT NULL THEN
+                      length(CAST(((25 * c_total) // (4 * n_ctx3)) * 1000000
+                             + (((25 * c_total) % (4 * n_ctx3)) * 1000000) // (4 * n_ctx3) AS VARCHAR))
+               END AS dg,
+               n_tri, n_tctx
+        FROM j)
+      SELECT doc_id, lang,
+             CAST(count(*) AS BIGINT) AS n_pos,
+             CAST(sum(CASE WHEN lvl = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_l0,
+             CAST(sum(CASE WHEN lvl = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_l1,
+             CAST(sum(CASE WHEN lvl = 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_l2,
+             CAST(sum(CASE WHEN lvl = 3 THEN 1 ELSE 0 END) AS BIGINT) AS n_oov,
+             CAST(coalesce(sum(n_tri), 0) AS BIGINT) AS tri_mass,
+             CAST(coalesce(sum(n_tctx), 0) AS BIGINT) AS tri_ctx_mass,
+             round(CAST(sum(CASE WHEN lvl IN (1, 2) THEN 1 ELSE 0 END) AS DOUBLE)
+                   / CAST(count(*) AS DOUBLE), 6) AS backoff_r,
+             CASE WHEN sum(CASE WHEN lvl < 3 THEN 1 ELSE 0 END) > 0 THEN
+               round(CAST(sum(dg) AS DOUBLE)
+                     / CAST(sum(CASE WHEN lvl < 3 THEN 1 ELSE 0 END) AS DOUBLE), 6)
+             END AS surprisal3_r
+      FROM lv GROUP BY doc_id, lang ORDER BY doc_id
+    """)) { (spark, dir) =>
+    val (tri, tctx) = lmTriMarts(spark, dir)
+    val (model, ctx) = lmMarts(spark, dir)
+    val cTotal = ctx.agg(sum(col("n_ctx")).as("c_total"))
+    val j = trigrams(spark, dir)
+      .join(tri, Seq("w1", "w2", "w3"), "left")
+      .join(tctx, Seq("w1", "w2"), "left")
+      .join(model.select(col("w1").as("w2"), col("w2").as("w3"),
+        col("n_bg").as("n_bg23")), Seq("w2", "w3"), "left")
+      .join(ctx.select(col("w1").as("w2"), col("n_ctx").as("n_ctx2")),
+        Seq("w2"), "left")
+      .join(ctx.select(col("w1").as("w3"), col("n_ctx").as("n_ctx3")),
+        Seq("w3"), "left")
+      .crossJoin(broadcast(cTotal))
+    val lvl = when(col("n_tri").isNotNull, 0)
+      .when(col("n_bg23").isNotNull, 1)
+      .when(col("n_ctx3").isNotNull, 2)
+      .otherwise(3)
+    // identical divide-before-scale arithmetic as the oracle CTE (see the
+    // [[scoredSql]] overflow note — the bound sits on the per-pair counts)
+    val dg = when(col("n_tri").isNotNull, length(expr(
+        "cast((n_tctx div n_tri) * 1000000 + ((n_tctx % n_tri) * 1000000) div n_tri as string)")))
+      .when(col("n_bg23").isNotNull, length(expr(
+        "cast(((5 * n_ctx2) div (2 * n_bg23)) * 1000000 + (((5 * n_ctx2) % (2 * n_bg23)) * 1000000) div (2 * n_bg23) as string)")))
+      .when(col("n_ctx3").isNotNull, length(expr(
+        "cast(((25 * c_total) div (4 * n_ctx3)) * 1000000 + (((25 * c_total) % (4 * n_ctx3)) * 1000000) div (4 * n_ctx3) as string)")))
+    j.select(col("doc_id"), col("lang"), lvl.as("lvl"), dg.as("dg"),
+        col("n_tri"), col("n_tctx"))
+      .groupBy("doc_id", "lang")
+      .agg(
+        count(lit(1)).as("n_pos"),
+        countIf(col("lvl") === 0).as("n_l0"),
+        countIf(col("lvl") === 1).as("n_l1"),
+        countIf(col("lvl") === 2).as("n_l2"),
+        countIf(col("lvl") === 3).as("n_oov"),
+        coalesce(sum(col("n_tri")), lit(0L)).as("tri_mass"),
+        coalesce(sum(col("n_tctx")), lit(0L)).as("tri_ctx_mass"),
+        round(countIf(col("lvl").isin(1, 2)).cast(DoubleType)
+          / count(lit(1)).cast(DoubleType), 6).as("backoff_r"),
+        when(countIf(col("lvl") < 3) > 0,
+          round(sum(col("dg")).cast(DoubleType)
+            / countIf(col("lvl") < 3).cast(DoubleType), 6)).as("surprisal3_r"))
+      .orderBy("doc_id")
+  }
+
+  /** lm6 — HEAD/MIDDLE/TAIL perplexity bucketing (the CCNet release
+    * layout: Wenzek et al. 2020 §4.3 ship each language in three buckets
+    * by LM score so consumers can choose their quality/volume trade-off).
+    * Thirds are cut with the scale-honest HISTOGRAM-QUANTILE recipe, not a
+    * global sort: per-doc predictability quantizes to k = ⌊predict_r·4096⌋
+    * (unknown-context docs land in bin −1), one count-per-bin histogram is
+    * built (≤ 4098 bins REGARDLESS of corpus size — that bound, not the
+    * row count, is what the cumulative window runs over, which is why the
+    * partition-less window here is safe at 100 TB while one over docs
+    * would not be), the descending cumulative picks the bin thresholds
+    * closest to N/3 and 2N/3 from the top (bucket boundaries land on bin
+    * edges — the standard histogram-quantile granularity trade), and every
+    * doc then maps through the broadcast 2-threshold row. Three passes
+    * total: score rollup, tiny histogram, map-side bucket tag + rollup —
+    * nothing but (bin, count) scalars ever windows or broadcasts. */
+  val lmBuckets: QueryDef = QueryDef(
+    "t_lm_buckets",
+    Some(s"""
+      WITH $scoredSql,
+      sc AS (
+        SELECT doc_id, lang,
+               CASE WHEN predict_r IS NULL THEN -1
+                    ELSE CAST(floor(predict_r * 4096) AS BIGINT) END AS k
+        FROM scored),
+      hist AS (SELECT k, CAST(count(*) AS BIGINT) AS n FROM sc GROUP BY k),
+      c AS (SELECT k, CAST(sum(n) OVER (ORDER BY k DESC) AS BIGINT) AS cum FROM hist),
+      tot AS (SELECT CAST(count(*) AS BIGINT) AS n_total FROM sc),
+      th AS (
+        SELECT coalesce(min(CASE WHEN cum <= n_total // 3 THEN k END), 1073741824) AS kh,
+               coalesce(min(CASE WHEN cum <= 2 * (n_total // 3) THEN k END), 1073741824) AS kt
+        FROM c CROSS JOIN tot),
+      b AS (
+        SELECT s.doc_id, s.k,
+               CASE WHEN s.k >= th.kh THEN 'head'
+                    WHEN s.k >= th.kt THEN 'middle'
+                    ELSE 'tail' END AS bucket
+        FROM sc s CROSS JOIN th)
+      SELECT bucket,
+             CAST(count(*) AS BIGINT) AS n_docs,
+             CAST(min(k) AS BIGINT) AS k_min,
+             CAST(max(k) AS BIGINT) AS k_max,
+             round(CAST(count(*) AS DOUBLE) / CAST(tot.n_total AS DOUBLE), 6) AS share_r,
+             CAST(CAST(sum(CAST(doc_id AS DECIMAL(38, 0))) AS DECIMAL(38, 0)) AS DOUBLE) AS doc_sum
+      FROM b CROSS JOIN tot
+      GROUP BY bucket, tot.n_total ORDER BY bucket
+    """)) { (spark, dir) =>
+    val sc = lmScored(spark, dir)
+      .select(col("doc_id"),
+        when(col("predict_r").isNull, lit(-1L))
+          .otherwise(floor(col("predict_r") * 4096)).as("k"))
+    val hist = sc.groupBy("k").agg(count(lit(1)).as("n"))
+    // partition-less window: safe because it runs over the ≤4098-bin
+    // histogram, never the docs (see the Scaladoc scale argument)
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("k").desc)
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+    val cum = hist.select(col("k"), sum(col("n")).over(w).as("cum"))
+    val tot = sc.agg(count(lit(1)).as("n_total"))
+    val th = cum.crossJoin(broadcast(tot))
+      .agg(
+        coalesce(min(when(col("cum") <= expr("n_total div 3"), col("k"))),
+          lit(1073741824L)).as("kh"),
+        coalesce(min(when(col("cum") <= expr("2 * (n_total div 3)"), col("k"))),
+          lit(1073741824L)).as("kt"))
+    val bucket = when(col("k") >= col("kh"), "head")
+      .when(col("k") >= col("kt"), "middle")
+      .otherwise("tail")
+    sc.crossJoin(broadcast(th))
+      .select(col("doc_id"), col("k"), bucket.as("bucket"))
+      .groupBy("bucket")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        min(col("k")).as("k_min"),
+        max(col("k")).as("k_max"),
+        count(lit(1)).as("n_b"),
+        sum(col("doc_id").cast(DecimalType(38, 0))).cast(DecimalType(38, 0))
+          .cast(DoubleType).as("doc_sum"))
+      .crossJoin(broadcast(tot))
+      .select(col("bucket"), col("n_docs"), col("k_min"), col("k_max"),
+        round(col("n_b").cast(DoubleType) / col("n_total").cast(DoubleType), 6)
+          .as("share_r"),
+        col("doc_sum"))
+      .orderBy("bucket")
+  }
+
+  val all: Seq[QueryDef] = Seq(lmScore, lmTopBigrams, lmFilter, lmIncremental,
+    lmTrigram, lmBuckets)
 }

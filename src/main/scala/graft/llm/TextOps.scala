@@ -659,6 +659,62 @@ object TextOps {
       .orderBy("lang")
   }
 
+  /** t8f2 — MIXTURE EPOCH PLANNING (the companion to [[tMixtureSample]]:
+    * that gate decides WHICH documents a flattened mixture keeps, this one
+    * decides HOW MANY PASSES each domain contributes to a fixed token
+    * budget — the epochs-per-subset accounting every published pretraining
+    * recipe reports). Inputs: per-language available token mass (one
+    * count/sum aggregation) and a uniform target mixture over the observed
+    * languages against a budget of one full corpus pass (both policy
+    * constants, pinned like the [[tMixtureSample]] α — and exactly the
+    * multilingual dilemma: a uniform mixture at corpus-sized budget forces
+    * every below-average language to repeat). Per language:
+    * `target_tokens = Σ tokens div n_langs` (exact integer), the
+    * epochs ratio target/available (one final int/int division), an
+    * oversampled verdict (`target > available` — compared as integers, no
+    * float crosses a comparison), and the shortfall a single-epoch cap
+    * would leave. Shape at 100 TB: one map-side token count + per-lang
+    * rollup (a handful of groups), then arithmetic on the tiny rollup —
+    * the corpus is read once and nothing else moves. */
+  val tMixtureEpochs: QueryDef = QueryDef(
+    "t_mixture_epochs",
+    Some("""
+      WITH lc AS (
+        SELECT lang,
+               CAST(sum(len(string_split_regex(text, '\s+'))) AS BIGINT) AS n_tokens
+        FROM documents GROUP BY lang),
+      tot AS (
+        SELECT CAST(sum(n_tokens) AS BIGINT) AS n_total,
+               CAST(count(*) AS BIGINT) AS n_langs
+        FROM lc),
+      plan AS (
+        SELECT lang, n_tokens, n_total // n_langs AS target_tokens
+        FROM lc CROSS JOIN tot)
+      SELECT lang, n_tokens, target_tokens,
+             round(CAST(target_tokens AS DOUBLE) / CAST(n_tokens AS DOUBLE), 6) AS epochs_r,
+             target_tokens > n_tokens AS oversampled,
+             CAST(greatest(target_tokens - n_tokens, 0) AS BIGINT) AS deficit_tokens
+      FROM plan ORDER BY lang
+    """)) { (spark, dir) =>
+    val lc = tbl(spark, dir, "documents")
+      .groupBy("lang")
+      .agg(sum(size(toks(col("text"))).cast(LongType)).as("n_tokens"))
+    val tot = lc.agg(sum(col("n_tokens")).as("n_total"),
+      count(lit(1)).as("n_langs"))
+    lc.crossJoin(broadcast(tot))
+      .select(col("lang"), col("n_tokens"),
+        // integer div end-to-end (`div`, not `/`): the double detour would
+        // lose exactness past 2^53 total tokens — inside the 100 TB posture
+        expr("n_total div n_langs").as("target_tokens"))
+      .select(col("lang"), col("n_tokens"), col("target_tokens"),
+        round(col("target_tokens").cast(DoubleType)
+          / col("n_tokens").cast(DoubleType), 6).as("epochs_r"),
+        (col("target_tokens") > col("n_tokens")).as("oversampled"),
+        greatest(col("target_tokens") - col("n_tokens"), lit(0L))
+          .as("deficit_tokens"))
+      .orderBy("lang")
+  }
+
   /** t8g — REPETITION statistics (the Gopher-rule repetition signals):
     * duplicate-line fraction over the synthesized 8-token line structure
     * (row-local — no explode; a distinct count inside the row) and the
@@ -1473,6 +1529,7 @@ object TextOps {
     tTokenStats, tQualityScore, tLangId, tFingerprint, tMultimodalMeta,
     tMultimodalDecode, tMultimodalFrames, tMultimodalResize, tStratifiedSample,
     tLineDedup, tBoilerplateCorpus, tCorpusFilter, tPackSequences, tMixtureSample,
+    tMixtureEpochs,
     tRepetitionStats, tSalientTerms, tChunkWindows, tPiiRedact, tDecontaminate,
     tShuffleExport, tRarityScore, tTokenSubword, tPackSubword, tInvertedPostings,
     tBm25Rank, tTokenizerEval, tLengthBuckets)

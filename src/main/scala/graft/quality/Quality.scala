@@ -649,9 +649,75 @@ object Quality {
       .orderBy("level")
   }
 
+  /** L-DIVERSITY AUDIT (the [[qKAnonymity]] companion): k-anonymity bounds
+    * group SIZE, but a group whose members all share the same sensitive
+    * value still leaks it to anyone who can place a person in the group —
+    * the homogeneity attack l-diversity exists to catch (Machanavajjhala
+    * et al., "l-Diversity: Privacy Beyond k-Anonymity", TKDD 2007;
+    * distinct-l-diversity: every QI group must contain ≥ l distinct
+    * sensitive values). Audited on a sparse RELEASE SLICE
+    * (c_custkey % 97 = 0 — a published sample, the situation where
+    * homogeneous groups actually appear; the full dimension would pass
+    * vacuously) with market segment as the sensitive attribute, at the
+    * same two generalization rungs as the k-anonymity ladder: QI = nation,
+    * then QI = region. Per rung: group count, distinct-value floor,
+    * groups/rows below l=3, verdict. Shape at 100 TB: one groupBy +
+    * count_distinct per rung over a pruned 2-column projection of the
+    * slice — partial aggregation handles the distinct, the nation dim
+    * broadcasts, and only per-group scalars shuffle. */
+  val qLDiversity: QueryDef = QueryDef(
+    "q_l_diversity",
+    Some("""
+      WITH rel AS (
+        SELECT c_custkey, c_nationkey, c_mktsegment
+        FROM customer WHERE c_custkey % 97 = 0),
+      l1 AS (
+        SELECT count(*) AS n, count(DISTINCT c_mktsegment) AS ndist
+        FROM rel GROUP BY c_nationkey),
+      l2 AS (
+        SELECT count(*) AS n, count(DISTINCT c.c_mktsegment) AS ndist
+        FROM rel c JOIN nation n ON c.c_nationkey = n.n_nationkey
+        GROUP BY n.n_regionkey),
+      s AS (
+        SELECT 'nation' AS level, n, ndist FROM l1
+        UNION ALL
+        SELECT 'region' AS level, n, ndist FROM l2)
+      SELECT level,
+             CAST(count(*) AS BIGINT) AS n_groups,
+             CAST(min(ndist) AS BIGINT) AS min_distinct,
+             CAST(sum(CASE WHEN ndist < 3 THEN 1 ELSE 0 END) AS BIGINT) AS risky_groups,
+             CAST(coalesce(sum(CASE WHEN ndist < 3 THEN n END), 0) AS BIGINT) AS risky_rows,
+             sum(CASE WHEN ndist < 3 THEN 1 ELSE 0 END) = 0 AS l_diverse
+      FROM s GROUP BY level ORDER BY level
+    """)) { (spark, dir) =>
+    val rel = tbl(spark, dir, "customer")
+      .filter(col("c_custkey") % 97 === 0)
+      .select("c_custkey", "c_nationkey", "c_mktsegment")
+    val l1 = rel.groupBy("c_nationkey")
+      .agg(count(lit(1)).as("n"), countDistinct(col("c_mktsegment")).as("ndist"))
+      .select("n", "ndist")
+    val l2 = rel
+      .join(broadcast(tbl(spark, dir, "nation")),
+        rel("c_nationkey") === col("n_nationkey"))
+      .groupBy("n_regionkey")
+      .agg(count(lit(1)).as("n"), countDistinct(col("c_mktsegment")).as("ndist"))
+      .select("n", "ndist")
+    val risky = col("ndist") < 3
+    l1.select(lit("nation").as("level"), col("n"), col("ndist"))
+      .unionAll(l2.select(lit("region").as("level"), col("n"), col("ndist")))
+      .groupBy("level")
+      .agg(
+        count(lit(1)).as("n_groups"),
+        min(col("ndist")).as("min_distinct"),
+        countIf(risky).as("risky_groups"),
+        coalesce(sum(when(risky, col("n"))), lit(0L)).as("risky_rows"),
+        (countIf(risky) === 0).as("l_diverse"))
+      .orderBy("level")
+  }
+
   val all: Seq[QueryDef] = Seq(
     q4NonEmptyNullSk, q5UniqueNotNull, q6NoNegativeAmounts,
     q7DateKeyValidity, s11AuditLog, qMartQuality, qProfileTable,
     qSnapshotDiff, qHeavyHitters, qProfileDrift, qSourceFreshness,
-    qAcceptedValues, qKAnonymity)
+    qAcceptedValues, qKAnonymity, qLDiversity)
 }
