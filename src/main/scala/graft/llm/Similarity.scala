@@ -903,26 +903,34 @@ object Similarity {
         ORDER BY q0.qd0 + q1.qd1 + q2.qd2 + q3.qd3, e.vec_id
         LIMIT 10
       """)) { (spark, dir) =>
-      val enc = emb(spark, dir).crossJoin(broadcast(ivfCentroids(spark, dir)))
-        .select(Seq(col("vec_id"), col("label")) ++
-          (0 until PqM).map(m => pqBest(m)("code").as(s"code$m")): _*)
-      val q = emb(spark, dir).filter(col("vec_id") === 17)
-        .select(col("embedding").as("qv"))
-      val qd = emb(spark, dir).filter(col("vec_id") < 8)
-        .select(col("vec_id").as("cid"), col("embedding").as("cv"))
-        .crossJoin(broadcast(q))
-        .select(Seq(col("cid")) ++
-          (0 until PqM).map(m => pqSubSq(col("qv"), col("cv"), m).as(s"qd$m")): _*)
-      val adc = (0 until PqM).foldLeft(enc) { (df, m) =>
-        df.join(broadcast(qd.select(col("cid").as(s"c$m"), col(s"qd$m"))),
-          col(s"code$m") === col(s"c$m"))
-      }
-      val score = (0 until PqM).map(m => col(s"qd$m")).reduce(_ + _)
-      adc.select(col("vec_id"), col("label"), score.as("adc"))
+      seededAdcScores(spark, dir)
         .orderBy(col("adc"), col("vec_id"))
         .limit(10)
         .select(col("vec_id"), col("label"), round(col("adc"), 6).as("adc_r"))
     }
+  }
+
+  /** The seeded-codebook ADC scan shared by [[simPqSearch]] and
+    * [[simAnnRecall]]: every vector's 4 codes joined against query 17's
+    * 32-entry LUT, scored Σ_m lut[m, code_m] in fixed order. Returns the
+    * full (vec_id, label, adc) frame, pre-ranking. */
+  private def seededAdcScores(spark: SparkSession, dir: String): DataFrame = {
+    val enc = emb(spark, dir).crossJoin(broadcast(ivfCentroids(spark, dir)))
+      .select(Seq(col("vec_id"), col("label")) ++
+        (0 until PqM).map(m => pqBest(m)("code").as(s"code$m")): _*)
+    val q = emb(spark, dir).filter(col("vec_id") === 17)
+      .select(col("embedding").as("qv"))
+    val qd = emb(spark, dir).filter(col("vec_id") < 8)
+      .select(col("vec_id").as("cid"), col("embedding").as("cv"))
+      .crossJoin(broadcast(q))
+      .select(Seq(col("cid")) ++
+        (0 until PqM).map(m => pqSubSq(col("qv"), col("cv"), m).as(s"qd$m")): _*)
+    val adc = (0 until PqM).foldLeft(enc) { (df, m) =>
+      df.join(broadcast(qd.select(col("cid").as(s"c$m"), col(s"qd$m"))),
+        col(s"code$m") === col(s"c$m"))
+    }
+    val score = (0 until PqM).map(m => col(s"qd$m")).reduce(_ + _)
+    adc.select(col("vec_id"), col("label"), score.as("adc"))
   }
 
   /** sim12 — PQ codebook TRAINING: one Lloyd round per subspace, the step
@@ -1168,8 +1176,282 @@ object Similarity {
     }
   }
 
+  /** Every vector's RESIDUAL against its coarse cell centroid:
+    * r = x − c(cell(x)), the quantity IVFADC actually encodes (Jégou et
+    * al. §IV: residuals concentrate around 0 across cells, so one shared
+    * product quantizer codes them far better than raw vectors). The 8-row
+    * centroid frame broadcasts; the subtraction is one map-side zip_with —
+    * residuals are born as exact doubles (float→double is exact, one IEEE
+    * subtraction per element), so both engines hold identical values. */
+  private def ivfResiduals(spark: SparkSession, dir: String): DataFrame =
+    ivfAssigned(spark, dir)
+      .join(broadcast(emb(spark, dir).filter(col("vec_id") < 8)
+        .select(col("vec_id").as("rc_id"), col("embedding").as("ccv"))),
+        col("cell") === col("rc_id"))
+      .select(col("vec_id"), col("label"), col("cell"),
+        zip_with(col("embedding"), col("ccv"),
+          (x, y) => x.cast(DoubleType) - y.cast(DoubleType)).as("rv"))
+
+  /** sim14 — RESIDUAL-encoded IVFADC: the exact Jégou §IV pipeline, one
+    * step past [[simIvfAdc]] (which PQ-codes RAW vectors). Coarse-quantize,
+    * subtract the cell centroid, train one Lloyd round of a product
+    * quantizer ON THE RESIDUALS (seeded by the residuals of vectors 8..15;
+    * the same quantizer serves every cell, per the paper), and answer the
+    * query per probed cell: the query's residual against THAT cell's
+    * centroid builds a per-cell LUT (3 cells × 4 subspaces × 8 codes = 96
+    * broadcast rows), candidates are only the probed cells' members, and
+    * the ADC score is Σ_m lut[cell, m, code_m] in fixed order. Residuals
+    * matter because the same displacement-from-centroid codebook is shared
+    * across cells — raw-vector PQ must spend codes describing WHERE the
+    * cell sits; residual PQ spends them all on the local displacement.
+    * Shape at 100 TB: centroids (8), the residual codebook (one folded
+    * row), and the per-cell LUT (96 rows) all broadcast; residual
+    * computation is map-side; training shuffles only (m, code, pos)
+    * integer partials; candidates carry 4 codes + scalars — no vector in
+    * any shuffle, candidate volume P/K of the corpus. As with
+    * [[simIvfAdc]], assignment + encode are the snapshot-time WRITE path,
+    * inline here so the oracle replays the whole arc verbatim. */
+  val simIvfAdcResidual: QueryDef = {
+    val sq16 = (a: String, b: String) => s"""list_reduce(list_transform(range(1, ${PqSub + 1}),
+           i -> ($a[i] - $b[i]) * ($a[i] - $b[i])),
+           (x, y) -> x + y)"""
+    QueryDef(
+      "sim_ivfadc_residual",
+      Some(s"""
+      WITH ms AS (SELECT unnest([0, 1, 2, 3]) AS m),
+      cents AS (SELECT vec_id AS cent_id, embedding AS cv FROM embeddings WHERE vec_id < 8),
+      assigned AS (
+        SELECT e.vec_id, e.label, e.embedding,
+               arg_max(c.cent_id, ${dotSql("e.embedding", "c.cv")} - 1e-12 * c.cent_id) AS cell
+        FROM embeddings e, cents c
+        GROUP BY e.vec_id, e.label, e.embedding),
+      res AS (
+        SELECT a.vec_id, a.label, a.cell,
+               list_transform(range(1, 65),
+                 i -> CAST(a.embedding[i] AS DOUBLE) - CAST(c.cv[i] AS DOUBLE)) AS rv
+        FROM assigned a JOIN cents c ON a.cell = c.cent_id),
+      rsub AS (
+        SELECT r.vec_id, ms.m, list_slice(r.rv, ms.m * $PqSub + 1, ms.m * $PqSub + $PqSub) AS sv
+        FROM res r, ms),
+      seed AS (
+        SELECT ms.m, r.vec_id - 8 AS code,
+               list_slice(r.rv, ms.m * $PqSub + 1, ms.m * $PqSub + $PqSub) AS bv
+        FROM res r, ms WHERE r.vec_id >= 8 AND r.vec_id < 16),
+      passign AS (
+        SELECT s.vec_id, s.m, s.sv,
+               arg_min(b.code, ${sq16("s.sv", "b.bv")} + 1e-12 * b.code) AS code
+        FROM rsub s JOIN seed b ON s.m = b.m
+        GROUP BY s.vec_id, s.m, s.sv),
+      pex AS (
+        SELECT m, code, unnest(range(0, $PqSub)) AS pos, unnest(sv) AS v FROM passign),
+      pper AS (
+        SELECT m, code, pos,
+               CAST(sum(CAST(floor(v * 10000000.0) AS BIGINT)) AS BIGINT) AS s,
+               count(*) AS n
+        FROM pex GROUP BY m, code, pos),
+      book AS (
+        SELECT m, code,
+               list(CAST(s AS DOUBLE) / CAST(n AS DOUBLE) / 10000000.0 ORDER BY pos) AS bv
+        FROM pper GROUP BY m, code),
+      q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 17),
+      qc AS (
+        SELECT c.cent_id AS cell, c.cv FROM cents c, q
+        ORDER BY ${dotSql("q.qv", "c.cv")} - 1e-12 * c.cent_id DESC LIMIT 3),
+      qres AS (
+        SELECT qc.cell, ms.m,
+               list_transform(range(1, ${PqSub + 1}),
+                 i -> CAST(q.qv[i + ms.m * $PqSub] AS DOUBLE)
+                    - CAST(qc.cv[i + ms.m * $PqSub] AS DOUBLE)) AS qsv
+        FROM qc, q, ms),
+      lut AS (
+        SELECT r.cell, r.m, b.code, ${sq16("r.qsv", "b.bv")} AS qd
+        FROM qres r JOIN book b ON b.m = r.m),
+      cand AS (
+        SELECT r.vec_id, r.label, r.cell, ms.m,
+               list_slice(r.rv, ms.m * $PqSub + 1, ms.m * $PqSub + $PqSub) AS sv
+        FROM res r, ms
+        WHERE r.cell IN (SELECT cell FROM qc)),
+      enc AS (
+        SELECT c.vec_id, c.label, c.cell, c.m,
+               arg_min(b.code, ${sq16("c.sv", "b.bv")} + 1e-12 * b.code) AS code
+        FROM cand c JOIN book b ON b.m = c.m
+        GROUP BY c.vec_id, c.label, c.cell, c.m, c.sv),
+      adc AS (
+        SELECT e.vec_id, e.label, e.cell,
+               max(CASE WHEN e.m = 0 THEN l.qd END) AS qd0,
+               max(CASE WHEN e.m = 1 THEN l.qd END) AS qd1,
+               max(CASE WHEN e.m = 2 THEN l.qd END) AS qd2,
+               max(CASE WHEN e.m = 3 THEN l.qd END) AS qd3
+        FROM enc e JOIN lut l ON l.cell = e.cell AND l.m = e.m AND l.code = e.code
+        GROUP BY e.vec_id, e.label, e.cell)
+      SELECT vec_id, label, cell, round(qd0 + qd1 + qd2 + qd3, 6) AS adc_r
+      FROM adc ORDER BY qd0 + qd1 + qd2 + qd3, vec_id LIMIT 10
+    """)) { (spark, dir) =>
+      val res = ivfResiduals(spark, dir)
+      val subs = (0 until PqM).map(m => struct(lit(m).as("m"),
+        slice(col("rv"), m * PqSub + 1, PqSub).as("sv")))
+      val rsub = res
+        .select(col("vec_id"), col("cell"), explode(array(subs: _*)).as("x"))
+        .select(col("vec_id"), col("x.m").as("m"), col("x.sv").as("sv"))
+      // seed codebook = residuals of vectors 8..15, folded into one row
+      val seedRow = res.filter(col("vec_id") >= 8 && col("vec_id") < 16)
+        .select((col("vec_id") - 8).as("code"), explode(array(subs: _*)).as("x"))
+        .agg(collect_list(struct(col("x.m").as("bm"), col("code"),
+          col("x.sv").as("cv"))).as("book"))
+      val best = expr(s"""
+        array_min(transform(
+          filter(book, c -> c.bm = m),
+          c -> named_struct(
+            'd', aggregate(zip_with(sv, c.cv, (x, y) -> (x - y) * (x - y)),
+                 0D, (acc, v) -> acc + v) + 1e-12 * c.code,
+            'code', c.code)))""")
+      // one Lloyd round on the residuals: fixed-point integer means (the
+      // simCentroids discipline — bit-identical at any parallelism)
+      val book = rsub.crossJoin(broadcast(seedRow))
+        .select(col("m"), best("code").as("code"),
+          posexplode(col("sv")).as(Seq("pos", "v")))
+        .groupBy("m", "code", "pos")
+        .agg(sum(floor(col("v") * 10000000.0).cast(LongType)).as("s"),
+          count(lit(1)).as("n"))
+        .groupBy("m", "code")
+        .agg(transform(array_sort(collect_list(struct(col("pos"),
+          (col("s").cast(DoubleType) / col("n").cast(DoubleType) / 10000000.0)
+            .as("c")))), s => s("c")).as("bv"))
+      // per-probed-cell query residual → the 96-row (cell, m, code) LUT
+      val qprobe = probeQuery(spark, dir, vecId = 17, nProbe = 3)
+      val qres = qprobe
+        .join(broadcast(emb(spark, dir).filter(col("vec_id") < 8)
+          .select(col("vec_id").as("cell"), col("embedding").as("ccv"))),
+          array_contains(col("qcells"), col("cell")))
+        .select(col("cell"), explode(array((0 until PqM).map(m =>
+          struct(lit(m).as("m"),
+            zip_with(slice(col("qv"), m * PqSub + 1, PqSub),
+              slice(col("ccv"), m * PqSub + 1, PqSub),
+              (x, y) => x.cast(DoubleType) - y.cast(DoubleType)).as("qsv"))): _*))
+          .as("x"))
+        .select(col("cell"), col("x.m").as("m"), col("x.qsv").as("qsv"))
+      val lut = qres.join(book, Seq("m"))
+        .select(col("cell"), col("m"), col("code"),
+          aggregate(zip_with(col("qsv"), col("bv"), (x, y) => (x - y) * (x - y)),
+            lit(0.0), (acc, v) => acc + v).as("qd"))
+      // candidates: probed cells' members only — then encode + ADC
+      val bookRow = book.agg(collect_list(struct(col("m").as("bm"),
+        col("code"), col("bv").as("cv"))).as("book"))
+      val cand = res
+        .join(broadcast(qprobe.select(col("qcells"))),
+          array_contains(col("qcells"), col("cell")))
+        .select(col("vec_id"), col("label"), col("cell"),
+          explode(array(subs: _*)).as("x"))
+        .select(col("vec_id"), col("label"), col("cell"),
+          col("x.m").as("m"), col("x.sv").as("sv"))
+      val enc = cand.crossJoin(broadcast(bookRow))
+        .select(col("vec_id"), col("label"), col("cell"), col("m"),
+          best("code").as("code"))
+      val aggs = (0 until PqM).map(m =>
+        max(when(col("m") === m, col("qd"))).as(s"qd$m"))
+      val adc = enc.join(broadcast(lut), Seq("cell", "m", "code"))
+        .groupBy("vec_id", "label", "cell")
+        .agg(aggs.head, aggs.tail: _*)
+      val score = (0 until PqM).map(m => col(s"qd$m")).reduce(_ + _)
+      adc.select(col("vec_id"), col("label"), col("cell"), score.as("adc"))
+        .orderBy(col("adc"), col("vec_id"))
+        .limit(10)
+        .select(col("vec_id"), col("label"), col("cell"),
+          round(col("adc"), 6).as("adc_r"))
+    }
+  }
+
+  /** sim15 — ANN RECALL evaluation: the quality ledger for the whole
+    * approximate family. Recall@10 against the exact cosine top-10 for the
+    * suite's pinned query (vec 17), for single-probe IVF, 3-probe IVF, and
+    * the full-scan seeded-codebook ADC ranking — the measurement every ANN
+    * deployment runs before trusting an index (and the number that says
+    * what the probe knob buys: probe3 must recover at least probe1's hits,
+    * asserted in LlmOpsSpec). In production this runs over a sampled query
+    * SET; one pinned query here keeps the oracle replayable verbatim.
+    * Shape at 100 TB: each method's top-10 is (id, score) scalars only;
+    * the intersection joins are 10-row frames. The exact baseline is
+    * itself one brute-force corpus pass — that is what "evaluation
+    * harness" means; it is priced per evaluation, not per query. */
+  val simAnnRecall: QueryDef = {
+    QueryDef(
+      "sim_ann_recall",
+      Some(s"""
+      WITH cents AS (SELECT vec_id AS cid, embedding AS cv FROM embeddings WHERE vec_id < 8),
+      qv AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 17),
+      ex AS (
+        SELECT e.vec_id FROM embeddings e, qv
+        ORDER BY ${dotSql("e.embedding", "qv.qv")} DESC, e.vec_id LIMIT 10),
+      assigned AS (
+        SELECT e.vec_id, e.embedding,
+               arg_max(c.cid, ${dotSql("e.embedding", "c.cv")} - 1e-12 * c.cid) AS cell
+        FROM embeddings e, cents c GROUP BY e.vec_id, e.embedding),
+      qc AS (
+        SELECT c.cid AS cell FROM cents c, qv
+        ORDER BY ${dotSql("qv.qv", "c.cv")} - 1e-12 * c.cid DESC LIMIT 3),
+      q1 AS (SELECT cell FROM qc LIMIT 1),
+      m1 AS (
+        SELECT a.vec_id FROM assigned a, qv WHERE a.cell IN (SELECT cell FROM q1)
+        ORDER BY ${dotSql("a.embedding", "qv.qv")} DESC, a.vec_id LIMIT 10),
+      m3 AS (
+        SELECT a.vec_id FROM assigned a, qv WHERE a.cell IN (SELECT cell FROM qc)
+        ORDER BY ${dotSql("a.embedding", "qv.qv")} DESC, a.vec_id LIMIT 10),
+      d AS (
+        SELECT e.vec_id, c.cid,
+               ${(0 until PqM).map(m => s"${pqSubSqSql("e.embedding", "c.cv", m)} AS d$m").mkString(",\n               ")}
+        FROM embeddings e, cents c),
+      enc AS (
+        SELECT vec_id,
+               ${(0 until PqM).map(m => s"arg_min(cid, d$m + 1e-12 * cid) AS code$m").mkString(",\n               ")}
+        FROM d GROUP BY vec_id),
+      qd AS (
+        SELECT c.cid,
+               ${(0 until PqM).map(m => s"${pqSubSqSql("q.embedding", "c.cv", m)} AS qd$m").mkString(",\n               ")}
+        FROM cents c, (SELECT embedding FROM embeddings WHERE vec_id = 17) q),
+      mp AS (
+        SELECT e.vec_id FROM enc e
+        JOIN qd q0 ON e.code0 = q0.cid JOIN qd q1 ON e.code1 = q1.cid
+        JOIN qd q2 ON e.code2 = q2.cid JOIN qd q3 ON e.code3 = q3.cid
+        ORDER BY q0.qd0 + q1.qd1 + q2.qd2 + q3.qd3, e.vec_id LIMIT 10),
+      r AS (
+        SELECT 'ivf_probe1' AS method, (SELECT count(*) FROM m1 JOIN ex USING (vec_id)) AS hits
+        UNION ALL
+        SELECT 'ivf_probe3', (SELECT count(*) FROM m3 JOIN ex USING (vec_id))
+        UNION ALL
+        SELECT 'pq_adc', (SELECT count(*) FROM mp JOIN ex USING (vec_id)))
+      SELECT method, CAST(10 AS BIGINT) AS k, CAST(hits AS BIGINT) AS hits,
+             round(CAST(hits AS DOUBLE) / 10.0, 6) AS recall_r
+      FROM r ORDER BY method
+    """)) { (spark, dir) =>
+      val q = emb(spark, dir).filter(col("vec_id") === 17)
+        .select(col("embedding").as("qv"))
+      val ex = emb(spark, dir).crossJoin(broadcast(q))
+        .select(col("vec_id"), dot(col("embedding"), col("qv")).as("s"))
+        .orderBy(col("s").desc, col("vec_id")).limit(10).select("vec_id")
+      val assigned = ivfAssigned(spark, dir)
+      def probed(nProbe: Int): DataFrame = assigned
+        .join(broadcast(probeQuery(spark, dir, vecId = 17, nProbe = nProbe)),
+          array_contains(col("qcells"), col("cell")))
+        .select(col("vec_id"), dot(col("embedding"), col("qv")).as("s"))
+        .orderBy(col("s").desc, col("vec_id")).limit(10).select("vec_id")
+      val mp = seededAdcScores(spark, dir)
+        .orderBy(col("adc"), col("vec_id")).limit(10).select("vec_id")
+      def recallOf(name: String, ids: DataFrame): DataFrame =
+        ids.join(ex, Seq("vec_id"))
+          .agg(count(lit(1)).as("hits"))
+          .select(lit(name).as("method"), lit(10L).as("k"),
+            col("hits"),
+            round(col("hits").cast(DoubleType) / 10.0, 6).as("recall_r"))
+      recallOf("ivf_probe1", probed(1))
+        .unionAll(recallOf("ivf_probe3", probed(3)))
+        .unionAll(recallOf("pq_adc", mp))
+        .orderBy("method")
+    }
+  }
+
   val all: Seq[QueryDef] = Seq(
     simTopKBrute, simLshPairs, simIvfProbe, simIvfMultiprobe, ddEmbeddingCosine,
     simQuantizeInt8, simCentroids, simKmeans, simKmeansConverged, simSemanticDedup,
-    simPqEncode, simPqSearch, simPqTrain, simIvfAdc)
+    simPqEncode, simPqSearch, simPqTrain, simIvfAdc, simIvfAdcResidual,
+    simAnnRecall)
 }

@@ -139,6 +139,26 @@ class LlmOpsSpec extends SparkSpec {
     assert(ds.sliding(2).forall { case Array(a, b) => a <= b; case _ => true })
   }
 
+  test("residual IVFADC: ≤3 probed cells, non-negative non-decreasing ADC ranking") {
+    val rows = Similarity.simIvfAdcResidual.run(spark, sfDir).collect()
+    assert(rows.length === 10)
+    assert(rows.map(_.getAs[Long]("cell")).distinct.length <= 3) // ≤ P cells
+    val ds = rows.map(_.getAs[Double]("adc_r"))
+    assert(ds.forall(_ >= 0.0))
+    assert(ds.sliding(2).forall { case Array(a, b) => a <= b; case _ => true })
+  }
+
+  test("ANN recall ladder: probe3 recovers at least probe1's hits; self always found") {
+    val byMethod = Similarity.simAnnRecall.run(spark, sfDir).collect()
+      .map(r => r.getAs[String]("method") -> r.getAs[Long]("hits")).toMap
+    assert(byMethod.keySet === Set("ivf_probe1", "ivf_probe3", "pq_adc"))
+    // more probes can only widen the candidate set → recall is monotone
+    assert(byMethod("ivf_probe3") >= byMethod("ivf_probe1"))
+    // the query's own cell holds the query, and dot(q, q) is the max score
+    assert(byMethod("ivf_probe1") >= 1L)
+    assert(byMethod.values.forall(h => h >= 0L && h <= 10L))
+  }
+
   test("semantic dedup drops exactly the planted near-copies, each kept by its source") {
     val rows = Similarity.simSemanticDedup.run(spark, sfDir).collect()
     val planted = core.tbl(spark, sfDir, "embeddings")
