@@ -412,5 +412,90 @@ object Cluster {
       .orderBy("doc_id")
   }
 
-  val all: Seq[QueryDef] = Seq(ddCluster, ddSurvivor)
+  /** dd7 — SPLIT LEAKAGE audit (dedup-aware train/test splitting): hashing
+    * each DOCUMENT into train/val/test — exactly what `t_train_split` does
+    * — scatters the members of a near-dup cluster across splits, so the
+    * model trains on a near-copy of its own eval data and the benchmark
+    * silently inflates (the contamination channel Lee et al.,
+    * "Deduplicating Training Data Makes Language Models Better", ACL 2022
+    * measure: eval-set near-dups of training docs score far better). The
+    * fix is to key the split hash by the CLUSTER CANONICAL instead of the
+    * doc — every member then lands in one split by construction. This gate
+    * audits both policies over the planted chain clusters with the
+    * VERBATIM `t_train_split` hash rule (same salt, same thresholds — the
+    * two gates cannot drift): per variant, how many clusters span >1
+    * split and how many docs sit in those leaky clusters. The
+    * cluster-keyed variant's zero is COMPUTED through the same rollup,
+    * not assumed. Shape at 100 TB: reads the labels mart (two bigints per
+    * clustered doc), one map-side split tag, one groupBy cluster with
+    * partial-aggregated distinct-split counts (≤3 values), one 2-row
+    * rollup — the corpus itself is never touched. */
+  val ddSplitLeakage: QueryDef = {
+    def splitOf(c: String) =
+      s"""CASE WHEN substr(md5('split|' || CAST($c AS VARCHAR)), 1, 4) < 'cccc' THEN 'train'
+              WHEN substr(md5('split|' || CAST($c AS VARCHAR)), 1, 4) < 'e666' THEN 'val'
+              ELSE 'test' END"""
+    QueryDef(
+      "t_split_leakage",
+      Some(s"""
+      WITH RECURSIVE $dupEdgesSql,
+      eu AS (SELECT a_id AS u, b_id AS v FROM edges
+             UNION ALL SELECT b_id, a_id FROM edges),
+      reach(id, lbl) AS (
+        SELECT u, u FROM (SELECT DISTINCT u FROM eu)
+        UNION
+        SELECT e.v, r.lbl FROM reach r JOIN eu e ON e.u = r.id),
+      cc AS (SELECT id AS doc_id, min(lbl) AS canonical_id FROM reach GROUP BY id),
+      sp AS (
+        SELECT doc_id, canonical_id,
+               ${splitOf("doc_id")} AS s_doc,
+               ${splitOf("canonical_id")} AS s_cluster
+        FROM cc),
+      per AS (
+        SELECT canonical_id, count(*) AS n_members,
+               count(DISTINCT s_doc) AS k_doc,
+               count(DISTINCT s_cluster) AS k_cluster
+        FROM sp GROUP BY canonical_id),
+      r AS (
+        SELECT 'doc_hash' AS variant, count(*) AS n_clusters,
+               sum(CASE WHEN k_doc > 1 THEN 1 ELSE 0 END) AS leaky_clusters,
+               sum(CASE WHEN k_doc > 1 THEN n_members ELSE 0 END) AS leaky_docs
+        FROM per
+        UNION ALL
+        SELECT 'cluster_hash', count(*),
+               sum(CASE WHEN k_cluster > 1 THEN 1 ELSE 0 END),
+               sum(CASE WHEN k_cluster > 1 THEN n_members ELSE 0 END)
+        FROM per)
+      SELECT variant, CAST(n_clusters AS BIGINT) AS n_clusters,
+             CAST(leaky_clusters AS BIGINT) AS leaky_clusters,
+             CAST(leaky_docs AS BIGINT) AS leaky_docs,
+             leaky_clusters = 0 AS leak_free
+      FROM r ORDER BY variant
+    """)) { (spark, dir) =>
+      def splitCol(c: Column): Column = {
+        val h = substring(md5(concat(lit("split|"), c.cast(StringType))), 1, 4)
+        when(h < "cccc", "train").when(h < "e666", "val").otherwise("test")
+      }
+      val per = clusterLabels(spark, dir)
+        .select(col("label").as("canonical_id"),
+          splitCol(col("id")).as("s_doc"),
+          splitCol(col("label")).as("s_cluster"))
+        .groupBy("canonical_id")
+        .agg(count(lit(1)).as("n_members"),
+          countDistinct(col("s_doc")).as("k_doc"),
+          countDistinct(col("s_cluster")).as("k_cluster"))
+      def variant(name: String, k: Column): DataFrame = per.agg(
+        count(lit(1)).as("n_clusters"),
+        countIf(k > 1).as("leaky_clusters"),
+        coalesce(sum(when(k > 1, col("n_members"))), lit(0L)).as("leaky_docs"))
+        .select(lit(name).as("variant"), col("n_clusters"),
+          col("leaky_clusters"), col("leaky_docs"),
+          (col("leaky_clusters") === 0).as("leak_free"))
+      variant("doc_hash", col("k_doc"))
+        .unionAll(variant("cluster_hash", col("k_cluster")))
+        .orderBy("variant")
+    }
+  }
+
+  val all: Seq[QueryDef] = Seq(ddCluster, ddSurvivor, ddSplitLeakage)
 }

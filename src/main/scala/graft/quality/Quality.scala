@@ -715,9 +715,50 @@ object Quality {
       .orderBy("level")
   }
 
+  /** OBSERVED-METRICS AUDIT (`Dataset.observe`): every other audit gate
+    * answers "is the data clean?" with its own aggregation pass; at 100 TB
+    * that second corpus read is the single most expensive audit design
+    * decision a pipeline makes. Spark's observe API attaches
+    * accumulator-backed aggregates to the SAME physical pass that does the
+    * real work — here a parquet stage handoff of `orders` — so row counts,
+    * defect counts, and control totals ride along for free: zero extra
+    * scans, metrics available the moment the write commits (this is the
+    * mechanism under Delta/DLT expectations). The gate performs the
+    * observed write, reads the metrics off the [[org.apache.spark.sql.Observation]]
+    * handle, and emits them as the audit row; the oracle recomputes the
+    * same aggregates declaratively — equality proves the piggybacked
+    * metrics match a dedicated audit pass. A fresh Observation per run:
+    * the handle is single-use by API contract. */
+  val qObserveMetrics: QueryDef = QueryDef(
+    "q_observe_metrics",
+    Some("""
+      SELECT CAST(count(*) AS BIGINT) AS n_rows,
+             CAST(sum(CASE WHEN o_totalprice <= 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_nonpositive,
+             CAST(sum(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null_cust,
+             CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_price,
+             sum(CASE WHEN o_totalprice <= 0 THEN 1 ELSE 0 END) = 0 AS clean
+      FROM orders
+    """)) { (spark, dir) =>
+    val obs = org.apache.spark.sql.Observation("q_observe_metrics")
+    tbl(spark, dir, "orders")
+      .observe(obs,
+        count(lit(1)).as("n_rows"),
+        countIf(col("o_totalprice") <= 0).as("n_nonpositive"),
+        countIf(col("o_custkey").isNull).as("n_null_cust"),
+        moneySumD(col("o_totalprice")).as("total_price"))
+      .write.mode("overwrite")
+      .parquet(core.scratch(dir, "observe_handoff/orders"))
+    val m = obs.get
+    import spark.implicits._
+    Seq((m("n_rows").asInstanceOf[Long], m("n_nonpositive").asInstanceOf[Long],
+        m("n_null_cust").asInstanceOf[Long], m("total_price").asInstanceOf[Double]))
+      .toDF("n_rows", "n_nonpositive", "n_null_cust", "total_price")
+      .withColumn("clean", col("n_nonpositive") === 0)
+  }
+
   val all: Seq[QueryDef] = Seq(
     q4NonEmptyNullSk, q5UniqueNotNull, q6NoNegativeAmounts,
     q7DateKeyValidity, s11AuditLog, qMartQuality, qProfileTable,
     qSnapshotDiff, qHeavyHitters, qProfileDrift, qSourceFreshness,
-    qAcceptedValues, qKAnonymity, qLDiversity)
+    qAcceptedValues, qKAnonymity, qLDiversity, qObserveMetrics)
 }
