@@ -1449,9 +1449,73 @@ object Similarity {
     }
   }
 
+  /** Where the materialized inverted file lands (snapshot-signed like
+    * every derived layout, so regenerated embeddings can never serve a
+    * stale index). Shared by the gate and the PlanSpec pruning proof. */
+  private[graft] def ivfLayoutPath(spark: SparkSession, dir: String): String =
+    core.scratch(dir, s"ivf_layout_${core.sourceSig(spark, dir, "embeddings")}")
+
+  /** The probe-side read of the materialized layout: a plain filtered scan
+    * whose cell predicate must become a PARTITION filter (PlanSpec pins
+    * this — it is the entire point of the layout). */
+  private[graft] def ivfLayoutProbe(spark: SparkSession, dir: String, cells: Seq[Long]): DataFrame =
+    spark.read.parquet(ivfLayoutPath(spark, dir))
+      .filter(col("cell").isin(cells: _*))
+
+  /** sim16 — the INVERTED FILE AS A TABLE LAYOUT: every ANN gate so far
+    * computes the IVF assignment in-query; a deployment MATERIALIZES it —
+    * the inverted file IS a partitioned table, one partition per coarse
+    * cell, and "probe P cells" is then nothing but partition pruning, the
+    * same engine mechanism `s_partition_pruning` gates for the warehouse.
+    * This gate writes the layout (vectors partitioned by assigned cell,
+    * snapshot-signed path), reads it back, and emits the per-cell file
+    * statistics an index operator watches: vector count, corpus share,
+    * and a membership checksum. The skew story is the operational reason
+    * the stats exist: a hot cell is a hot partition, and the fix
+    * (re-train centroids, or split the cell) starts from this table.
+    * Shape at 100 TB: the write is one shuffle-free map pass with a
+    * partitioned sink (same posture as the date-partitioned fact); the
+    * probe read scans ONLY the probed cells' files — PlanSpec asserts the
+    * cell predicate lands in PartitionFilters, turning the P/K candidate
+    * bound from an argument into a physical-plan fact. */
+  val simIvfLayout: QueryDef = QueryDef(
+    "sim_ivf_layout",
+    Some(s"""
+      WITH cents AS (
+        SELECT vec_id AS cent_id, embedding AS cv FROM embeddings WHERE vec_id < 8),
+      assigned AS (
+        SELECT e.vec_id,
+               arg_max(c.cent_id, ${dotSql("e.embedding", "c.cv")} - 1e-12 * c.cent_id) AS cell
+        FROM embeddings e, cents c
+        GROUP BY e.vec_id, e.embedding),
+      tot AS (SELECT CAST(count(*) AS BIGINT) AS n FROM assigned)
+      SELECT cell, CAST(count(*) AS BIGINT) AS n_vectors,
+             round(CAST(count(*) AS DOUBLE) / CAST(tot.n AS DOUBLE), 6) AS share_r,
+             CAST(sum(CAST(vec_id AS DECIMAL(38, 0))) AS DOUBLE) AS id_sum
+      FROM assigned CROSS JOIN tot
+      GROUP BY cell, tot.n ORDER BY cell
+    """)) { (spark, dir) =>
+    ivfAssigned(spark, dir)
+      .select(col("vec_id"), col("label"), col("embedding"), col("cell"))
+      .write.mode("overwrite").partitionBy("cell")
+      .parquet(ivfLayoutPath(spark, dir))
+    val back = spark.read.parquet(ivfLayoutPath(spark, dir))
+      .select(col("vec_id"), col("cell").cast(LongType).as("cell"))
+    val tot = back.agg(count(lit(1)).as("n"))
+    back.groupBy("cell")
+      .agg(count(lit(1)).as("n_vectors"),
+        sum(col("vec_id").cast(DecimalType(38, 0))).cast(DoubleType).as("id_sum"))
+      .crossJoin(broadcast(tot))
+      .select(col("cell"), col("n_vectors"),
+        round(col("n_vectors").cast(DoubleType) / col("n").cast(DoubleType), 6)
+          .as("share_r"),
+        col("id_sum"))
+      .orderBy("cell")
+  }
+
   val all: Seq[QueryDef] = Seq(
     simTopKBrute, simLshPairs, simIvfProbe, simIvfMultiprobe, ddEmbeddingCosine,
     simQuantizeInt8, simCentroids, simKmeans, simKmeansConverged, simSemanticDedup,
     simPqEncode, simPqSearch, simPqTrain, simIvfAdc, simIvfAdcResidual,
-    simAnnRecall)
+    simAnnRecall, simIvfLayout)
 }

@@ -69,6 +69,28 @@ class PlanSpec extends SparkSpec {
       s"year filter did not become a partition filter:\n${plan.take(800)}")
   }
 
+  test("IVF layout probe prunes to the probed cells' partitions") {
+    // materialize the inverted file, then prove the probe is partition
+    // pruning: the cell predicate must land in PartitionFilters, and the
+    // pruned scan must touch strictly fewer files than the full layout
+    llm.Similarity.simIvfLayout.run(spark, sfDir).collect()
+    val probe = llm.Similarity.ivfLayoutProbe(spark, sfDir, Seq(0L, 1L))
+    val plan = finalPlan(probe)
+    assert(plan.contains("PartitionFilters: [cell"),
+      s"cell predicate did not become a partition filter:\n${plan.take(800)}")
+    // inputFiles ignores filters — read the actually-executed scan's
+    // numFiles metric instead (populated by running this exact plan)
+    val exec = probe.queryExecution.executedPlan
+    exec.execute().count()
+    val scanned = exec.collect {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec => f
+    }.head.metrics("numFiles").value
+    val allFiles = spark.read
+      .parquet(llm.Similarity.ivfLayoutPath(spark, sfDir)).inputFiles.length
+    assert(scanned < allFiles,
+      s"probe read $scanned of $allFiles files — no pruning")
+  }
+
   test("bucketed co-located join runs without exchanging either join side") {
     val threshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1") // force SMJ path
