@@ -114,7 +114,14 @@ object core {
         // UTC would shift every event time and surface only as downstream
         // hash mismatches — fail loudly here instead (round-11 ADVICE)
         val tz = spark.conf.get("spark.sql.session.timeZone")
-        require(tz == "UTC",
+        // compare zone RULES, not the id string: Etc/UTC, GMT, +00:00 are
+        // all exactly UTC and must not fail a correct deployment
+        val isUtc = try {
+          java.time.ZoneId.of(tz).getRules.isFixedOffset &&
+            java.time.ZoneId.of(tz).getRules.getOffset(java.time.Instant.EPOCH)
+              .getTotalSeconds == 0
+        } catch { case _: java.time.DateTimeException => false }
+        require(isUtc,
           s"events.ts is TIMESTAMP_NTZ and spark.sql.session.timeZone=$tz; " +
             "the NTZ→micros conversion is only oracle-equivalent under UTC — " +
             "set the session timezone to UTC (Verify/Bench/specs all do)")

@@ -19,14 +19,20 @@ import org.apache.spark.sql.types._
   *
   * Batch selection rule — conflict-graph LOCAL MAXIMA: rank pairs by
   * (count DESC, pa, pb); a pair is selected iff NO higher-ranked pair
-  * shares a symbol with it, capped to the best [[BpeBatch]]. Two selected
-  * pairs can therefore never share a symbol (if they conflicted, one
-  * would outrank the other and block it), which buys two exact
-  * guarantees: (1) their bracketed patterns cannot overlap in any word,
-  * so applying the batch via chained `replace` in rank order is
-  * confluent; (2) applying one cannot change another's pair count, so the
-  * counts reported for a batch are exactly the counts a re-count would
-  * see. Batched-BPE is still an approximation of one-at-a-time training
+  * CONFLICTS with it, capped to the best [[BpeBatch]]. Conflict is
+  * intersection of the CLOSED symbol sets S(p) = {left, right, left∥right}
+  * — the merged OUTPUT participates, not just the inputs, because a
+  * symbol-disjoint pair like (x, ab) still interacts with (a, b): applying
+  * (a, b) first manufactures fresh `<ab>` symbols that (x, ab)'s pattern
+  * then matches, so its reported count would undercount what the replace
+  * actually merges (and the apply order would matter). With outputs in the
+  * conflict sets, two selected pairs share no input or output symbol,
+  * which buys two exact guarantees: (1) neither's replace can create,
+  * destroy, or overlap an occurrence of the other's pattern, so applying
+  * the batch via chained `replace` in rank order is confluent; (2)
+  * applying one cannot change another's pair count, so the counts reported
+  * for a batch are exactly the counts a re-count would see.
+  * Batched-BPE is still an approximation of one-at-a-time training
   * (a skipped CONFLICTING pair may outrank later rounds' winners — the
   * standard fast-trainer trade, and why counts are only monotone WITHIN a
   * round); with [[BpeBatch]] = 1 the rule degenerates to the global
@@ -153,18 +159,23 @@ object Bpe {
       // per-symbol best under the (cnt DESC, pa, pb) order, as an orderable
       // struct key (negated count makes MIN the argmax of cnt)
       val key = struct((-col("cnt")).as("nc"), col("pa"), col("pb"))
+      // the CLOSED symbol set {left, right, left∥right}: the merged output
+      // is a conflict symbol too (see the object Scaladoc — without it,
+      // (a,b) and (x,ab) would co-select and the batch counts would lie)
       val bySym = pairs
         .select(col("pa"), col("pb"), col("cnt"),
-          explode(array(col("pa"), col("pb"))).as("s"))
+          explode(array(col("pa"), col("pb"),
+            concat(col("pa"), col("pb")))).as("s"))
         .withColumn("k", key)
       val best = bySym.groupBy("s").agg(min(col("k")).as("bk"))
       val sel = bySym.join(best, Seq("s"))
         .filter(col("k") === col("bk"))
-        // a pair explodes into exactly 2 symbol rows ((a,a) into two equal
-        // ones); winning BOTH is the local-maximum criterion
+        // a pair explodes into exactly 3 symbol rows ((a,a) into two equal
+        // input rows + the output); winning ALL of them is the
+        // local-maximum criterion
         .groupBy("pa", "pb", "cnt")
         .agg(count(lit(1)).as("nwin"))
-        .filter(col("nwin") === 2)
+        .filter(col("nwin") === 3)
         .orderBy(col("cnt").desc, col("pa"), col("pb"))
         .limit(batch)
         .collect()
@@ -249,7 +260,9 @@ object Bpe {
         WHERE NOT EXISTS (
           SELECT 1 FROM rk$r b
           WHERE b.rnk < a.rnk
-            AND (b.pa IN (a.pa, a.pb) OR b.pb IN (a.pa, a.pb)))
+            AND (b.pa IN (a.pa, a.pb, a.pa || a.pb)
+              OR b.pb IN (a.pa, a.pb, a.pa || a.pb)
+              OR b.pa || b.pb IN (a.pa, a.pb, a.pa || a.pb)))
         ORDER BY rnk LIMIT $BpeBatch),
       m$r AS (
         SELECT list('<' || pa || '><' || pb || '>|<' || pa || pb || '>' ORDER BY rnk) AS ms

@@ -288,41 +288,15 @@ object Cluster {
       (_, _, ref) => components(ref("stg_dup_edges"))
     }))
 
-  /** Materialize-once accessor for the labels mart: the DAG runs the first
-    * time a (session, dir) asks for it; after that both gates — and any
-    * later consumer — read the parquet table back. This is the pipeline
-    * posture at 100 TB too: CC is the expensive step, its output is tiny
-    * (two bigints per clustered doc), so you pay it once per corpus
-    * snapshot, never once per consumer.
-    *
-    * Session-state footprint: the marker map is WEAK-keyed by the session
-    * (dead sessions fall out with GC) and holds only built-dir strings —
-    * no DataFrame — and every call returns a fresh parquet scan of the
-    * mart. The round-9 finding (a DataFrame pinned for the life of the
-    * session with no eviction) is gone by construction;
-    * `core.releaseSessionState` has nothing to evict here. The lock spans
-    * the DAG run so a concurrent second consumer blocks until the mart
-    * exists rather than reading a half-written table. */
-  private val martBuilt =
-    new java.util.WeakHashMap[SparkSession, scala.collection.mutable.Set[String]]()
+  /** Materialize-once accessor for the labels mart — the
+    * [[graft.pipeline.MartCache]] discipline (one shared implementation
+    * of the marker/staleness/locking rules; see its Scaladoc). CC is the
+    * expensive step, its output is tiny (two bigints per clustered doc),
+    * so it is paid once per corpus snapshot, never once per consumer;
+    * every call returns a fresh parquet scan of the mart. */
   private[graft] def clusterLabels(spark: SparkSession, dir: String): DataFrame = {
-    // the mart path AND the built-marker carry the corpus snapshot
-    // signature: a dataset regenerated IN PLACE (same dir, new bytes —
-    // the driver does this between rounds) must rebuild the mart, not
-    // serve the dead corpus' labels while the oracle recomputes on fresh
-    // data (the same staleness class core.sourceSig exists to prevent in
-    // the landing zones)
     val prefix = s"cluster_marts_${core.sourceSig(spark, dir, "documents")}"
-    val key = s"$dir@$prefix" // scratch() scopes by dir, so the marker must too
-    martBuilt.synchronized {
-      val dirs = martBuilt.computeIfAbsent(spark,
-        _ => scala.collection.mutable.Set[String]())
-      if (!dirs.contains(key)) {
-        clusterDag.run(spark, dir,
-          viewPrefix = "graft_cluster_", martPrefix = prefix)
-        dirs += key
-      }
-    }
+    graft.pipeline.MartCache.ensure(spark, dir, clusterDag, prefix, "graft_cluster_")
     spark.read.parquet(core.scratch(dir, s"$prefix/mart_cluster_labels"))
   }
 
@@ -431,10 +405,9 @@ object Cluster {
     * partial-aggregated distinct-split counts (≤3 values), one 2-row
     * rollup — the corpus itself is never touched. */
   val ddSplitLeakage: QueryDef = {
-    def splitOf(c: String) =
-      s"""CASE WHEN substr(md5('split|' || CAST($c AS VARCHAR)), 1, 4) < 'cccc' THEN 'train'
-              WHEN substr(md5('split|' || CAST($c AS VARCHAR)), 1, 4) < 'e666' THEN 'val'
-              ELSE 'test' END"""
+    // the ONE split rule (Curation.splitHashSqlOf/splitHashCol) — the
+    // audit's premise is that it replays t_train_split's exact assignment
+    def splitOf(c: String) = Curation.splitHashSqlOf(c)
     QueryDef(
       "t_split_leakage",
       Some(s"""
@@ -472,14 +445,10 @@ object Cluster {
              leaky_clusters = 0 AS leak_free
       FROM r ORDER BY variant
     """)) { (spark, dir) =>
-      def splitCol(c: Column): Column = {
-        val h = substring(md5(concat(lit("split|"), c.cast(StringType))), 1, 4)
-        when(h < "cccc", "train").when(h < "e666", "val").otherwise("test")
-      }
       val per = clusterLabels(spark, dir)
         .select(col("label").as("canonical_id"),
-          splitCol(col("id")).as("s_doc"),
-          splitCol(col("label")).as("s_cluster"))
+          Curation.splitHashCol(col("id")).as("s_doc"),
+          Curation.splitHashCol(col("label")).as("s_cluster"))
         .groupBy("canonical_id")
         .agg(count(lit(1)).as("n_members"),
           countDistinct(col("s_doc")).as("k_doc"),

@@ -296,6 +296,24 @@ object Curation {
     out
   }
 
+  /** THE split-assignment rule — salt `split|`, thresholds 0xcccc/0xe666
+    * (~80/10/10) on the first 4 md5 hex chars. ONE definition (SQL twin
+    * below), shared by [[cTrainSplit]] and [[Cluster.ddSplitLeakage]]'s
+    * leakage audit: the audit's premise is that it replays this exact
+    * rule, so the rule must not be copy-pasteable out of sync. */
+  private[llm] def splitHashCol(c: Column): Column = {
+    val h = substring(md5(concat(lit("split|"), c.cast(StringType))), 1, 4)
+    when(h < "cccc", "train").when(h < "e666", "val").otherwise("test")
+  }
+
+  /** DuckDB twin of [[splitHashCol]] over column expression `c`. */
+  private[llm] def splitHashSqlOf(c: String): String =
+    s"""CASE WHEN substr(md5('split|' || CAST($c AS VARCHAR)), 1, 4) < 'cccc'
+                      THEN 'train'
+                    WHEN substr(md5('split|' || CAST($c AS VARCHAR)), 1, 4) < 'e666'
+                      THEN 'val'
+                    ELSE 'test' END"""
+
   /** c6 — train/val/test SPLIT assignment: every doc lands in exactly one
     * split by a salted-hash threshold (~80/10/10 via the first 4 hex chars
     * of md5 against 0xcccc/0xe666) — deterministic, data-independent,
@@ -304,25 +322,19 @@ object Curation {
     * with commutative id checksums is the audit a split job publishes. */
   val cTrainSplit: QueryDef = QueryDef(
     "t_train_split",
-    Some("""
+    Some(s"""
       WITH assigned AS (
         SELECT doc_id, lang,
-               CASE WHEN substr(md5('split|' || CAST(doc_id AS VARCHAR)), 1, 4) < 'cccc'
-                      THEN 'train'
-                    WHEN substr(md5('split|' || CAST(doc_id AS VARCHAR)), 1, 4) < 'e666'
-                      THEN 'val'
-                    ELSE 'test' END AS split_name
+               ${splitHashSqlOf("doc_id")} AS split_name
         FROM documents)
       SELECT split_name, lang, count(*) AS n_docs,
              CAST(sum(CAST(doc_id AS DECIMAL(38,0))) AS DOUBLE) AS id_sum
       FROM assigned GROUP BY split_name, lang
       ORDER BY split_name, lang
     """)) { (spark, dir) =>
-    val h = substring(md5(concat(lit("split|"), col("doc_id").cast(StringType))), 1, 4)
     tbl(spark, dir, "documents")
       .select(col("doc_id"), col("lang"),
-        when(h < "cccc", "train").when(h < "e666", "val").otherwise("test")
-          .as("split_name"))
+        splitHashCol(col("doc_id")).as("split_name"))
       .groupBy("split_name", "lang")
       .agg(count(lit(1)).as("n_docs"),
         sum(col("doc_id").cast(DecimalType(38, 0))).cast(DoubleType).as("id_sum"))

@@ -34,7 +34,8 @@ import org.apache.spark.sql.types._
   *
   * The model is a MART (round-11 queue #2): training runs once per
   * (session, corpus snapshot) through the [[graft.pipeline.ModelRegistry]]
-  * and both consumers ([[lmScore]], [[lmFilter]]) read the parquet tables
+  * and every consumer ([[lmScore]], [[lmFilter]], [[lmTopBigrams]]) reads
+  * the parquet tables
   * back — the [[Cluster.clusterLabels]] posture. The oracle CTEs still
   * derive the model inline from the corpus: the mart holds exactly those
   * counts, so the values are identical and the SQL stays verbatim-
@@ -166,26 +167,11 @@ object LangModel {
     }))
 
   /** Materialize-once accessor for the (model, ctx) marts — the
-    * [[Cluster.clusterLabels]] discipline verbatim: the marker map is
-    * WEAK-keyed by session and holds only built-dir strings (nothing for
-    * `core.releaseSessionState` to evict); the mart path and marker carry
-    * the corpus snapshot signature so a dataset regenerated IN PLACE
-    * rebuilds the model rather than serving the dead corpus' counts; the
-    * lock spans the DAG run so a concurrent consumer blocks instead of
-    * reading a half-written table. */
-  private val martBuilt =
-    new java.util.WeakHashMap[SparkSession, scala.collection.mutable.Set[String]]()
+    * [[graft.pipeline.MartCache]] discipline (one shared implementation
+    * of the marker/staleness/locking rules; see its Scaladoc). */
   private[graft] def lmMarts(spark: SparkSession, dir: String): (DataFrame, DataFrame) = {
     val prefix = s"lm_marts_${core.sourceSig(spark, dir, "documents")}"
-    val key = s"$dir@$prefix"
-    martBuilt.synchronized {
-      val dirs = martBuilt.computeIfAbsent(spark,
-        _ => scala.collection.mutable.Set[String]())
-      if (!dirs.contains(key)) {
-        lmDag.run(spark, dir, viewPrefix = "graft_lm_", martPrefix = prefix)
-        dirs += key
-      }
-    }
+    graft.pipeline.MartCache.ensure(spark, dir, lmDag, prefix, "graft_lm_")
     (spark.read.parquet(core.scratch(dir, s"$prefix/mart_lm_model")),
       spark.read.parquet(core.scratch(dir, s"$prefix/mart_lm_ctx")))
   }
@@ -233,9 +219,11 @@ object LangModel {
       GROUP BY w1, w2
       ORDER BY n_bg DESC, w1, w2 LIMIT 20
     """)) { (spark, dir) =>
-    bigrams(spark, dir)
-      .filter(col("lang") === "en")
-      .groupBy("w1", "w2").agg(count(lit(1)).as("n_bg"))
+    // the head of the MART, not a fresh corpus pass: mart_lm_model IS the
+    // en bigram count table this gate ranks (round-12 review finding — a
+    // third consumer silently re-deriving the model broke the
+    // materialize-once posture lmScore/lmFilter follow)
+    lmMarts(spark, dir)._1
       .orderBy(col("n_bg").desc, col("w1"), col("w2"))
       .limit(20)
   }
@@ -365,15 +353,7 @@ object LangModel {
 
   private def lmTriMarts(spark: SparkSession, dir: String): (DataFrame, DataFrame) = {
     val prefix = s"lm3_marts_${core.sourceSig(spark, dir, "documents")}"
-    val key = s"$dir@$prefix"
-    martBuilt.synchronized {
-      val dirs = martBuilt.computeIfAbsent(spark,
-        _ => scala.collection.mutable.Set[String]())
-      if (!dirs.contains(key)) {
-        lmTriDag.run(spark, dir, viewPrefix = "graft_lm3_", martPrefix = prefix)
-        dirs += key
-      }
-    }
+    graft.pipeline.MartCache.ensure(spark, dir, lmTriDag, prefix, "graft_lm3_")
     (spark.read.parquet(core.scratch(dir, s"$prefix/mart_lm_tri")),
       spark.read.parquet(core.scratch(dir, s"$prefix/mart_lm_tri_ctx")))
   }
@@ -584,12 +564,11 @@ object LangModel {
         count(lit(1)).as("n_docs"),
         min(col("k")).as("k_min"),
         max(col("k")).as("k_max"),
-        count(lit(1)).as("n_b"),
         sum(col("doc_id").cast(DecimalType(38, 0))).cast(DecimalType(38, 0))
           .cast(DoubleType).as("doc_sum"))
       .crossJoin(broadcast(tot))
       .select(col("bucket"), col("n_docs"), col("k_min"), col("k_max"),
-        round(col("n_b").cast(DoubleType) / col("n_total").cast(DoubleType), 6)
+        round(col("n_docs").cast(DoubleType) / col("n_total").cast(DoubleType), 6)
           .as("share_r"),
         col("doc_sum"))
       .orderBy("bucket")

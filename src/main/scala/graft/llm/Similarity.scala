@@ -1140,8 +1140,12 @@ object Similarity {
           explode(array(subs: _*)).as("x"))
         .select(col("vec_id"), col("label"), col("cell"),
           col("x.m").as("m"), col("x.sv").as("sv"))
-      // trained codebook folded into ONE broadcast row for the encode pass
-      val bookRow = pqTrainedBook(spark, dir)
+      // trained codebook computed ONCE and shared by the encode fold and
+      // the LUT below: two separate pqTrainedBook() calls would run the
+      // whole training pass twice (the round-12 review finding) — one val
+      // keeps the subtree identical so ReuseExchange dedupes it
+      val book = pqTrainedBook(spark, dir)
+      val bookRow = book
         .agg(collect_list(struct(col("m").as("bm"), col("code"), col("cv"))).as("book"))
       val best = expr(s"""
         array_min(transform(
@@ -1158,7 +1162,7 @@ object Similarity {
       // the query's 32-entry LUT: subspace distance to every trained codeword
       val qRow = emb(spark, dir).filter(col("vec_id") === 17)
         .select(col("embedding").as("qv"))
-      val lut = pqTrainedBook(spark, dir).crossJoin(broadcast(qRow))
+      val lut = book.crossJoin(broadcast(qRow))
         .select(col("m"), col("code"),
           pqSq(slice(col("qv"), col("m") * PqSub + 1, lit(PqSub)), col("cv")).as("qd"))
       val aggs = (0 until PqM).map(m =>

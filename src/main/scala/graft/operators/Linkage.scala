@@ -131,10 +131,15 @@ object Linkage {
       .select((col("doc_id") + 1000000L).as("doc_id"),
         concat(substring(col("h"), 1, 19), lit("~"),
           substring(col("h"), 21, 10)).as("h"))
+    // keyed feeds FOUR consumers (the cap aggregate, both self-join sides,
+    // and the members rollup) — checkpoint it once so the documents scan +
+    // union + key derivation run once, not four times (round-12 review;
+    // the frame is (id, 30-char head, key): tiny relative to the corpus)
     val keyed = heads.unionAll(planted)
       .withColumn("blk",
         concat(substring(col("h"), 1, 12), lit("#"),
           expr("length(h) div 4").cast("string")))
+      .localCheckpoint(true)
     // the enforced cap: one counter-scale aggregate, loud failure past it
     val mx = keyed.groupBy("blk").agg(count(lit(1)).as("n"))
       .agg(max(col("n"))).head().getLong(0)

@@ -534,33 +534,37 @@ object Ingest {
                CAST(max(l_suppkey) - min(l_suppkey) AS BIGINT) AS s_span
         FROM u GROUP BY layout, bucket ORDER BY layout, bucket
       """)) { (spark, dir) =>
-      // aliasing guard (round-11 ADVICE): the 24-bit slice flattens the
-      // locality audit silently once a key exceeds 2^24 — check the actual
-      // key maxima up front (parquet footer min/max stats; counter-scale)
-      val km = tbl(spark, dir, "lineitem")
-        .agg(max(col("l_partkey")), max(col("l_suppkey"))).head()
-      require(km.getLong(0) < (1L << 24) && km.getLong(1) < (1L << 24),
-        s"z-order keys exceed the 24-bit Morton slice (l_partkey max " +
-          s"${km.getLong(0)}, l_suppkey max ${km.getLong(1)}): widen " +
-          "mortonSql before trusting the locality audit")
       val li = tbl(spark, dir, "lineitem")
         .select(col("l_orderkey"), col("l_partkey"), col("l_suppkey"),
           expr(zSql).as("z"))
-      // one broadcast scalar row bounds the code space; the bucket maps are
-      // then pure per-row integer math — no global sort anywhere. The two
-      // layouts share ONE fact scan: each row explodes into its (layout,
-      // bucket) pair before the rollup, instead of a UNION ALL of two
-      // branches that would re-read the fact per layout (the oracle keeps
-      // the UNION ALL form — semantically identical, and DuckDB reads the
-      // file twice either way).
-      val m = li.agg(max(col("z")).as("zmax"), max(col("l_orderkey")).as("okmax"))
-      li.crossJoin(broadcast(m))
-        .select(col("l_partkey"), col("l_suppkey"),
+      // ONE scalar aggregation serves both the code-space bounds and the
+      // aliasing guard (round-11 ADVICE): the 24-bit slice would flatten
+      // the locality audit silently once a key exceeds 2^24, so the same
+      // pass that finds zmax/okmax checks the raw key maxima — no separate
+      // guard scan (the earlier comment claimed footer-stats pricing, but
+      // Spark's default v1 parquet path does not push max() to footer
+      // statistics; folding the guard into this pass is the honest fix)
+      val m = li.agg(max(col("z")).as("zmax"), max(col("l_orderkey")).as("okmax"),
+        max(col("l_partkey")).as("pkmax"), max(col("l_suppkey")).as("skmax"))
+        .head()
+      require(m.getAs[Long]("pkmax") < (1L << 24) && m.getAs[Long]("skmax") < (1L << 24),
+        s"z-order keys exceed the 24-bit Morton slice (l_partkey max " +
+          s"${m.getAs[Long]("pkmax")}, l_suppkey max ${m.getAs[Long]("skmax")}): " +
+          "widen mortonSql before trusting the locality audit")
+      // the collected scalars bound the code space as literals; the bucket
+      // maps are then pure per-row integer math — no global sort anywhere.
+      // The two layouts share ONE fact scan: each row explodes into its
+      // (layout, bucket) pair before the rollup, instead of a UNION ALL of
+      // two branches that would re-read the fact per layout (the oracle
+      // keeps the UNION ALL form — semantically identical, and DuckDB
+      // reads the file twice either way).
+      val (zmax, okmax) = (m.getAs[Long]("zmax"), m.getAs[Long]("okmax"))
+      li.select(col("l_partkey"), col("l_suppkey"),
           explode(array(
             struct(lit("zorder").as("layout"),
-              expr("(z * 32) div (zmax + 1)").as("bucket")),
+              expr(s"(z * 32) div (${zmax} + 1)").as("bucket")),
             struct(lit("natural").as("layout"),
-              expr("(l_orderkey * 32) div (okmax + 1)").as("bucket")))).as("lb"))
+              expr(s"(l_orderkey * 32) div (${okmax} + 1)").as("bucket")))).as("lb"))
         .select(col("lb.layout").as("layout"), col("lb.bucket").as("bucket"),
           col("l_partkey"), col("l_suppkey"))
         .groupBy("layout", "bucket")
