@@ -574,6 +574,57 @@ object LangModel {
       .orderBy("bucket")
   }
 
+  /** lm7 — COUNT-THRESHOLD MODEL PRUNING: the size/quality dial every
+    * production n-gram LM ships with (Brants et al. 2007 prune by count
+    * cutoff precisely because it needs no held-out data and distributes
+    * trivially — a row-local `count ≥ t`). The audit that justifies the
+    * cutoff is this gate's output: rows drop much faster than probability
+    * MASS (rare types are many but light), so per candidate threshold the
+    * gate reports rows kept vs mass kept — both shares exact-integer until
+    * one final division. Thresholds bracket the fixture's count median so
+    * all three regimes show: keep-all, drop-the-tail, drop-the-median.
+    * Shape at 100 TB: one pass over the MODEL MART (vocab², not corpus),
+    * exploded ×3 thresholds, one rollup — the corpus is never touched. */
+  val lmPrune: QueryDef = QueryDef(
+    "t_lm_prune",
+    Some(s"""
+      WITH $bigramsSql,
+      model AS (
+        SELECT w1, w2, CAST(count(*) AS BIGINT) AS n_bg
+        FROM bg WHERE lang = 'en' GROUP BY w1, w2),
+      tot AS (
+        SELECT CAST(count(*) AS BIGINT) AS n_rows, CAST(sum(n_bg) AS BIGINT) AS mass
+        FROM model),
+      th AS (SELECT unnest([1, 13, 16]) AS threshold)
+      SELECT CAST(th.threshold AS BIGINT) AS threshold,
+             CAST(sum(CASE WHEN m.n_bg >= th.threshold THEN 1 ELSE 0 END) AS BIGINT) AS rows_kept,
+             round(CAST(sum(CASE WHEN m.n_bg >= th.threshold THEN 1 ELSE 0 END) AS DOUBLE)
+                   / CAST(tot.n_rows AS DOUBLE), 6) AS rows_share_r,
+             CAST(sum(CASE WHEN m.n_bg >= th.threshold THEN m.n_bg ELSE 0 END) AS BIGINT) AS mass_kept,
+             round(CAST(sum(CASE WHEN m.n_bg >= th.threshold THEN m.n_bg ELSE 0 END) AS DOUBLE)
+                   / CAST(tot.mass AS DOUBLE), 6) AS mass_share_r
+      FROM model m CROSS JOIN th CROSS JOIN tot
+      GROUP BY th.threshold, tot.n_rows, tot.mass ORDER BY th.threshold
+    """)) { (spark, dir) =>
+    val (model, _) = lmMarts(spark, dir)
+    val tot = model.agg(count(lit(1)).as("n_rows"), sum(col("n_bg")).as("mass"))
+    model
+      .select(col("n_bg"), explode(array(lit(1L), lit(13L), lit(16L))).as("threshold"))
+      .crossJoin(broadcast(tot))
+      .groupBy("threshold", "n_rows", "mass")
+      .agg(
+        countIf(col("n_bg") >= col("threshold")).as("rows_kept"),
+        coalesce(sum(when(col("n_bg") >= col("threshold"), col("n_bg"))), lit(0L))
+          .as("mass_kept"))
+      .select(col("threshold"), col("rows_kept"),
+        round(col("rows_kept").cast(DoubleType) / col("n_rows").cast(DoubleType), 6)
+          .as("rows_share_r"),
+        col("mass_kept"),
+        round(col("mass_kept").cast(DoubleType) / col("mass").cast(DoubleType), 6)
+          .as("mass_share_r"))
+      .orderBy("threshold")
+  }
+
   val all: Seq[QueryDef] = Seq(lmScore, lmTopBigrams, lmFilter, lmIncremental,
-    lmTrigram, lmBuckets)
+    lmTrigram, lmBuckets, lmPrune)
 }

@@ -2,6 +2,7 @@ package graft.operators
 
 import graft.{QueryDef, core}
 import graft.core._
+import org.apache.spark.sql.Column
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
@@ -152,5 +153,64 @@ object Temporal {
       .orderBy("user_id", "purchase_ts")
   }
 
-  val all: Seq[QueryDef] = Seq(jAsofEvent, jRangeWindows, jAsofForward)
+  /** INTERVAL-OVERLAP self join — the interval×interval member of the
+    * temporal family ([[jRangeWindows]] is point×interval): find every
+    * pair of 7-day order-fulfillment windows of the SAME customer that
+    * overlap in time (the double-booking / concurrent-activity question).
+    * The scale shape is bucket expansion on BOTH sides: each window covers
+    * at most two 7-day week buckets (length == bucket width, the standard
+    * granularity choice), the candidate join is equi on (customer, week
+    * bucket), the exact `a.s < b.e AND b.s < a.e` predicate filters
+    * residually, and a DISTINCT collapses pairs that met in both shared
+    * buckets. Candidates are bounded by per-(customer, week) activity —
+    * data-bounded fanout, never a customer-wide or global quadratic (a
+    * pathological single-key hot spot would surface in `q_heavy_hitters`
+    * and take the salting treatment like any skewed equi join). The
+    * oracle replays the quadratic per-customer join directly — same
+    * pairs, no bucket artifacts. */
+  val jIntervalOverlap: QueryDef = QueryDef(
+    "j_interval_overlap",
+    Some("""
+      WITH w AS (
+        SELECT o_orderkey, o_custkey,
+               CAST(o_orderdate AS DATE) AS s,
+               CAST(o_orderdate AS DATE) + 7 AS e
+        FROM orders),
+      p AS (
+        SELECT a.o_custkey, a.o_orderkey AS a_key, b.o_orderkey AS b_key
+        FROM w a JOIN w b
+          ON a.o_custkey = b.o_custkey AND a.o_orderkey < b.o_orderkey
+        WHERE a.s < b.e AND b.s < a.e)
+      SELECT o_custkey, CAST(count(*) AS BIGINT) AS n_overlaps,
+             CAST(min(a_key) AS BIGINT) AS first_a,
+             CAST(max(b_key) AS BIGINT) AS last_b
+      FROM p GROUP BY o_custkey ORDER BY o_custkey
+    """)) { (spark, dir) =>
+    val w = tbl(spark, dir, "orders")
+      .select(col("o_orderkey"), col("o_custkey"),
+        to_date(col("o_orderdate")).as("s"))
+      .withColumn("e", date_add(col("s"), 7))
+    // week bucket of a date (anchor arbitrary but shared); a [s, s+7)
+    // window touches exactly wk(s) and wk(s+6)
+    def wk(c: Column): Column = floor(datediff(c, lit("1970-01-05")) / 7)
+    val wb = w.select(col("o_orderkey"), col("o_custkey"), col("s"), col("e"),
+      explode(sequence(wk(col("s")), wk(date_add(col("s"), 6)))).as("wkb"))
+    wb.as("a")
+      .join(wb.as("b"),
+        col("a.o_custkey") === col("b.o_custkey") &&
+          col("a.wkb") === col("b.wkb") &&
+          col("a.o_orderkey") < col("b.o_orderkey"))
+      .filter(col("a.s") < col("b.e") && col("b.s") < col("a.e"))
+      .select(col("a.o_custkey").as("o_custkey"),
+        col("a.o_orderkey").as("a_key"), col("b.o_orderkey").as("b_key"))
+      .distinct() // a pair can meet in both of its shared week buckets
+      .groupBy("o_custkey")
+      .agg(count(lit(1)).as("n_overlaps"),
+        min(col("a_key")).as("first_a"),
+        max(col("b_key")).as("last_b"))
+      .orderBy("o_custkey")
+  }
+
+  val all: Seq[QueryDef] = Seq(jAsofEvent, jRangeWindows, jAsofForward,
+    jIntervalOverlap)
 }

@@ -575,8 +575,72 @@ object Ingest {
     }
   }
 
+  /** MIN/MAX MANIFEST + metadata-only scan planning (the Iceberg/Delta
+    * manifest recipe as a first-class mart): [[sSortedSkipping]] lets the
+    * READER discover row-group bounds at scan time; a table format instead
+    * materializes per-file statistics ONCE at write time and plans every
+    * later query from that manifest without touching data. This gate
+    * builds the manifest for a year-bucketed lineitem layout — one
+    * aggregation producing (bucket, rows, min/max ship date), counter-
+    * scale output — then answers the planning question for a fixed
+    * 9-month predicate PURELY from the manifest: which buckets can
+    * contain matches (`min ≤ hi AND max ≥ lo`), and what fraction of the
+    * table's rows a pruned scan would read. At 100 TB the manifest is the
+    * difference between planning in milliseconds from a KB-sized table
+    * and listing/footer-probing millions of files; the scan-fraction
+    * column is the number a table optimizer watches to decide when to
+    * re-cluster. Buckets are DETERMINISTIC calendar years (a
+    * range-sampled split would make file bounds nondeterministic and the
+    * oracle unreplayable — the same determinism rule the z-order gate
+    * follows). */
+  val sManifestSkipping: QueryDef = QueryDef(
+    "s_manifest_skipping",
+    Some("""
+      WITH m AS (
+        SELECT CAST(year(l_shipdate) AS BIGINT) AS yr,
+               CAST(count(*) AS BIGINT) AS n_rows,
+               CAST(min(l_shipdate) AS TIMESTAMP) AS min_ship,
+               CAST(max(l_shipdate) AS TIMESTAMP) AS max_ship
+        FROM lineitem GROUP BY year(l_shipdate)),
+      tot AS (SELECT CAST(sum(n_rows) AS BIGINT) AS total FROM m),
+      v AS (
+        SELECT yr, n_rows, min_ship, max_ship,
+               (min_ship <= TIMESTAMP '1996-02-28 23:59:59'
+                AND max_ship >= TIMESTAMP '1995-06-01 00:00:00') AS candidate
+        FROM m),
+      sc AS (
+        SELECT CAST(sum(CASE WHEN candidate THEN n_rows ELSE 0 END) AS BIGINT) AS scan_rows
+        FROM v)
+      SELECT v.yr, v.n_rows, v.min_ship, v.max_ship, v.candidate,
+             round(CAST(sc.scan_rows AS DOUBLE) / CAST(tot.total AS DOUBLE), 6) AS scan_frac_r
+      FROM v CROSS JOIN tot CROSS JOIN sc
+      ORDER BY v.yr
+    """)) { (spark, dir) =>
+    val lo = lit("1995-06-01 00:00:00").cast(TimestampNTZType)
+    val hi = lit("1996-02-28 23:59:59").cast(TimestampNTZType)
+    val manifest = tbl(spark, dir, "lineitem")
+      .select(year(col("l_shipdate")).cast(LongType).as("yr"),
+        col("l_shipdate").cast(TimestampNTZType).as("ship"))
+      .groupBy("yr")
+      .agg(count(lit(1)).as("n_rows"),
+        min(col("ship")).as("min_ship"), max(col("ship")).as("max_ship"))
+      .withColumn("candidate", col("min_ship") <= hi && col("max_ship") >= lo)
+    // planning happens ON THE MANIFEST: both rollups below read the
+    // handful of manifest rows, never the table
+    val tot = manifest.agg(sum(col("n_rows")).as("total"))
+    val sc = manifest.agg(
+      coalesce(sum(when(col("candidate"), col("n_rows"))), lit(0L)).as("scan_rows"))
+    manifest.crossJoin(broadcast(tot)).crossJoin(broadcast(sc))
+      .select(col("yr"), col("n_rows"), col("min_ship"), col("max_ship"),
+        col("candidate"),
+        round(col("scan_rows").cast(DoubleType) / col("total").cast(DoubleType), 6)
+          .as("scan_frac_r"))
+      .orderBy("yr")
+  }
+
   val all: Seq[QueryDef] = Seq(
     s5DocIngest, s7ParquetRoundtrip, sPartitionPruning, sJdbcSource,
     sJdbcCustomers, sCsvRejects, sSchemaEvolution, sOrcRoundtrip,
-    sJsonlRoundtrip, sSortedSkipping, sCompactSmallFiles, sZorderLayout)
+    sJsonlRoundtrip, sSortedSkipping, sCompactSmallFiles, sZorderLayout,
+    sManifestSkipping)
 }
