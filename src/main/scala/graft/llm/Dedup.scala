@@ -128,6 +128,42 @@ object Dedup {
     * 0.8. O(n·bands) candidate rows, never O(n²); the oracle replays the
     * identical hash family (its digest list is a MATERIALIZED CTE for the
     * same compute-once reason). */
+  /** The 12-rotation one-permutation minhash signature of a
+    * (doc_id, shingles ARRAY) frame: one md5 per shingle, the digest
+    * parsed ONCE into four unsigned 32-bit ints, and each 16-hex-char
+    * rotation derived as a 64-bit window over the circular digest with
+    * shift/or arithmetic — integer ops replace the 12 substring(m||m, …)
+    * string builds per row, and min(long) replaces min(16-char string) in
+    * the aggregation buffer. The hex string is lowercase-hex ordered ==
+    * unsigned-64 ordered; XOR with Long.MinValue makes SIGNED min agree
+    * with unsigned min, so the post-agg hex rendering reproduces the
+    * oracle's lexicographic list_min exactly. Empty-shingle docs vanish
+    * on explode (null minhash on both engines). Shared by
+    * [[ddMinHashLsh]] and [[ddLshTuning]] — one definition of the hash
+    * family, so the tuning audit measures the production signature. */
+  private[llm] def rotationSigs(base: DataFrame): DataFrame = {
+    val dig = base.select(col("doc_id"), explode(col("shingles")).as("s"))
+      .select(col("doc_id"), md5(col("s")).as("m"))
+    val withInts = dig.select(col("doc_id") +: (0 until 4).map(k =>
+      conv(substring(col("m"), k * 8 + 1, 8), 16, 10).cast(LongType).as(s"i$k")): _*)
+    // 64-bit window at byte offset b of the 16-byte circular digest
+    // (== substring(m || m, 2b+1, 16) read as an unsigned number)
+    def window(b: Int): Column = {
+      val w = b / 4; val o = b % 4
+      val hi = shiftleft(col(s"i$w"), 32).bitwiseOR(col(s"i${(w + 1) % 4}"))
+      val win = if (o == 0) hi
+      else shiftleft(hi, 8 * o)
+        .bitwiseOR(shiftrightunsigned(col(s"i${(w + 2) % 4}"), 32 - 8 * o))
+      win.bitwiseXOR(lit(Long.MinValue)) // signed order == unsigned order
+    }
+    val sigCols = (0 until numBands * rowsPerBand).map(i =>
+      min(window(i)).as(s"h$i"))
+    val sigPacked = withInts.groupBy("doc_id").agg(sigCols.head, sigCols.tail: _*)
+    // back to the oracle's 16-lowercase-hex-char rotation strings
+    sigPacked.select(col("doc_id") +: (0 until numBands * rowsPerBand).map(i =>
+      lpad(lower(hex(col(s"h$i").bitwiseXOR(lit(Long.MinValue)))), 16, "0").as(s"h$i")): _*)
+  }
+
   val ddMinHashLsh: QueryDef = QueryDef(
     "dedup_minhash_lsh",
     Some(s"""
@@ -179,26 +215,7 @@ object Dedup {
     // list_min exactly. Empty-shingle docs vanish on explode, matching
     // the oracle's null minhash (null band keys never join on either
     // engine).
-    val dig = base.select(col("doc_id"), explode(col("shingles")).as("s"))
-      .select(col("doc_id"), md5(col("s")).as("m"))
-    val withInts = dig.select(col("doc_id") +: (0 until 4).map(k =>
-      conv(substring(col("m"), k * 8 + 1, 8), 16, 10).cast(LongType).as(s"i$k")): _*)
-    // 64-bit window at byte offset b of the 16-byte circular digest
-    // (== substring(m || m, 2b+1, 16) read as an unsigned number)
-    def window(b: Int): Column = {
-      val w = b / 4; val o = b % 4
-      val hi = shiftleft(col(s"i$w"), 32).bitwiseOR(col(s"i${(w + 1) % 4}"))
-      val win = if (o == 0) hi
-      else shiftleft(hi, 8 * o)
-        .bitwiseOR(shiftrightunsigned(col(s"i${(w + 2) % 4}"), 32 - 8 * o))
-      win.bitwiseXOR(lit(Long.MinValue)) // signed order == unsigned order
-    }
-    val sigCols = (0 until numBands * rowsPerBand).map(i =>
-      min(window(i)).as(s"h$i"))
-    val sigPacked = withInts.groupBy("doc_id").agg(sigCols.head, sigCols.tail: _*)
-    // back to the oracle's 16-lowercase-hex-char rotation strings
-    val sig = sigPacked.select(col("doc_id") +: (0 until numBands * rowsPerBand).map(i =>
-      lpad(lower(hex(col(s"h$i").bitwiseXOR(lit(Long.MinValue)))), 16, "0").as(s"h$i")): _*)
+    val sig = rotationSigs(base)
     val bands = sig.select(col("doc_id"), explode(array((0 until numBands).map { b =>
       val rows = (0 until rowsPerBand).map(r => col(s"h${b * rowsPerBand + r}"))
       concat(lit(s"$b:"), md5(concat(rows: _*)))
@@ -491,6 +508,141 @@ object Dedup {
       .orderBy("batch")
   }
 
+  /** dd8 — LSH BANDING TUNING audit: the (bands × rows) choice IS the
+    * dedup policy — it fixes the S-curve P(candidate) = 1−(1−j^r)^b and
+    * therefore which similarity levels the pipeline can see at all — yet
+    * it usually ships as an unexamined constant. This gate measures the
+    * curve EMPIRICALLY on labeled pairs: three variant sets planted at
+    * controlled distances (1 / 6 / 14 appended tokens → a spread of exact
+    * Jaccard levels), the production 12-rotation signature
+    * ([[rotationSigs]] — the same hash family `dedup_minhash_lsh` ships),
+    * and three band layouts of those 12 rotations (12×1, 4×3, 2×6). Per
+    * (config, Jaccard decile): pairs, band-collision hits, observed hit
+    * rate, and the theoretical S-curve value (fixed-order multiplication
+    * chains only — no pow(), so both engines compute bit-identical
+    * doubles; per-pair values quantized to micro-units before the exact
+    * integer sum). Reading the output IS the tuning decision: 12×1
+    * catches everything (and would flood verification with low-j
+    * candidates), 2×6 loses half of j≈0.8 — the numbers a pipeline owner
+    * trades. Shape at 100 TB: evaluation runs on the PLANTED pair list
+    * (labeled data, linear in the plant rate), one signature pass, one
+    * checkpointed pair frame reused by all three configs — never a
+    * corpus×corpus join. */
+  val ddLshTuning: QueryDef = {
+    val configs = Seq(("12x1", 12, 1), ("4x3", 4, 3), ("2x6", 2, 6))
+    val variants = Seq((100000L, 2), (200000L, 7), (300000L, 15)) // range end is exclusive
+    def powSql(x: String, n: Int): String = "(" + Seq.fill(n)(x).mkString(" * ") + ")"
+    val variantSql = variants.map { case (off, end) =>
+      s"""SELECT doc_id + $off,
+             text || ' ' || array_to_string(list_transform(range(1, $end), i -> 'zq' || doc_id || 'p' || i), ' ')
+          FROM documents WHERE doc_id % 5 = 0"""
+    }.mkString("\n          UNION ALL\n          ")
+    val rot = (0 until 12).map(i =>
+      s"list_min(list_transform(hs, m -> substring(m || m, ${i * 2 + 1}, 16)))")
+      .mkString(", ")
+    val cfgBlocks = configs.map { case (label, b, r) =>
+      val hit = (0 until b).map(i =>
+        "(" + (0 until r).map(k => s"sa.hv[${i * r + k + 1}] = sb.hv[${i * r + k + 1}]")
+          .mkString(" AND ") + ")").mkString(" OR ")
+      val theory = s"(1.0 - ${powSql(s"(1.0 - ${powSql("p.j", r)})", b)})"
+      s"""SELECT '$label' AS config, CAST(floor(p.j * 10) AS BIGINT) AS jbin,
+             CAST(count(*) AS BIGINT) AS n_pairs,
+             CAST(sum(CASE WHEN $hit THEN 1 ELSE 0 END) AS BIGINT) AS n_hits,
+             round(CAST(sum(CASE WHEN $hit THEN 1 ELSE 0 END) AS DOUBLE)
+                   / CAST(count(*) AS DOUBLE), 6) AS hit_r,
+             round(CAST(sum(CAST(floor($theory * 1000000) AS BIGINT)) AS DOUBLE)
+                   / CAST(count(*) AS DOUBLE) / 1000000.0, 6) AS theory_r
+      FROM p JOIN sig sa ON sa.doc_id = p.a_id JOIN sig sb ON sb.doc_id = p.b_id
+      GROUP BY jbin"""
+    }.mkString("\n      UNION ALL\n      ")
+    QueryDef(
+      "dedup_lsh_tuning",
+      Some(s"""
+      WITH src AS (
+        SELECT doc_id, text FROM documents
+        UNION ALL
+        $variantSql),
+      tok AS (SELECT doc_id, string_split_regex(text, '\\s+') AS t FROM src),
+      sh AS MATERIALIZED (
+        SELECT doc_id, list_distinct(list_transform(range(1, len(t) - 1),
+          i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS shingles FROM tok),
+      dig AS MATERIALIZED (SELECT doc_id, list_transform(shingles, s -> md5(s)) AS hs FROM sh),
+      sig AS MATERIALIZED (SELECT doc_id, [$rot] AS hv FROM dig),
+      p AS MATERIALIZED (
+        SELECT a.doc_id AS a_id, a.doc_id + v.off AS b_id,
+               CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE)
+                 / CAST(len(list_distinct(list_concat(a.shingles, b.shingles))) AS DOUBLE) AS j
+        FROM sh a
+        JOIN (VALUES ${variants.map(v => s"(${v._1})").mkString(", ")}) v(off) ON TRUE
+        JOIN sh b ON b.doc_id = a.doc_id + v.off
+        WHERE a.doc_id % 5 = 0 AND a.doc_id < 100000
+          AND len(a.shingles) > 0 AND len(b.shingles) > 0),
+      u AS ($cfgBlocks)
+      SELECT config, jbin, n_pairs, n_hits, hit_r, theory_r
+      FROM u ORDER BY config, jbin
+    """)) { (spark, dir) =>
+      val d = tbl(spark, dir, "documents").select("doc_id", "text")
+      val src = variants.foldLeft(d) { case (acc, (off, end)) =>
+        // base id under a distinct name BEFORE the offset alias: a
+        // same-select doc_id reference would lateral-alias-resolve to the
+        // offset id beside it and silently de-correlate the pads (the
+        // round-5 Cluster finding)
+        acc.unionAll(d.filter(col("doc_id") % 5 === 0)
+          .select(col("doc_id").as("base_id"), col("text"))
+          .select((col("base_id") + off).as("doc_id"),
+            concat(col("text"), lit(" "),
+              array_join(transform(sequence(lit(1), lit(end - 1)),
+                i => concat(lit("zq"), col("base_id").cast(StringType), lit("p"),
+                  i.cast(StringType))), " ")).as("text")))
+      }
+      val sh = src
+        .repartition(spark.sessionState.conf.numShufflePartitions)
+        .select(col("doc_id"), shingles3(split(col("text"), "\\s+")).as("shingles"))
+        .persist()
+      val sig = rotationSigs(sh)
+      val pairs = sh.filter(col("doc_id") % 5 === 0 && col("doc_id") < 100000L)
+        .select(col("doc_id").as("a_id"), col("shingles").as("sh_a"),
+          explode(array(variants.map(v => lit(v._1)): _*)).as("off"))
+        .select(col("a_id"), (col("a_id") + col("off")).as("b_id"), col("sh_a"))
+        .join(sh.select(col("doc_id").as("b_id"), col("shingles").as("sh_b")), Seq("b_id"))
+        .filter(size(col("sh_a")) > 0 && size(col("sh_b")) > 0)
+        .select(col("a_id"), col("b_id"),
+          (size(array_intersect(col("sh_a"), col("sh_b"))).cast(DoubleType) /
+            size(array_distinct(concat(col("sh_a"), col("sh_b")))).cast(DoubleType))
+            .as("j"))
+        .join(sig.select(col("doc_id").as("a_id") +:
+          (0 until 12).map(i => col(s"h$i").as(s"a_h$i")): _*), Seq("a_id"))
+        .join(sig.select(col("doc_id").as("b_id") +:
+          (0 until 12).map(i => col(s"h$i").as(s"b_h$i")): _*), Seq("b_id"))
+        // one checkpointed pair frame feeds all three config rollups; the
+        // shingle cache can be released once it materializes
+        .localCheckpoint(true)
+      sh.unpersist()
+      val perConfig = configs.map { case (label, b, r) =>
+        val hit = (0 until b).map(i =>
+          (0 until r).map(k => col(s"a_h${i * r + k}") === col(s"b_h${i * r + k}"))
+            .reduce(_ && _)).reduce(_ || _)
+        // fixed-order multiplication chains (reduce is left-associative),
+        // mirroring the oracle's "x * x * …" — identical IEEE order
+        val jr = Seq.fill(r)(col("j")).reduce(_ * _)
+        val theory = lit(1.0) - Seq.fill(b)(lit(1.0) - jr).reduce(_ * _)
+        pairs
+          .select(col("j"), hit.as("hit"),
+            floor(theory * 1000000).cast(LongType).as("micro"))
+          .groupBy(floor(col("j") * 10).cast(LongType).as("jbin"))
+          .agg(count(lit(1)).as("n_pairs"),
+            countIf(col("hit")).as("n_hits"),
+            round(countIf(col("hit")).cast(DoubleType)
+              / count(lit(1)).cast(DoubleType), 6).as("hit_r"),
+            round(sum(col("micro")).cast(DoubleType)
+              / count(lit(1)).cast(DoubleType) / 1000000.0, 6).as("theory_r"))
+          .select(lit(label).as("config"), col("jbin"), col("n_pairs"),
+            col("n_hits"), col("hit_r"), col("theory_r"))
+      }
+      perConfig.reduce(_ unionAll _).orderBy("config", "jbin")
+    }
+  }
+
   val all: Seq[QueryDef] = Seq(ddExact, ddMinHashLsh, ddSimHash, ddNgramJaccard,
-    ddIncremental)
+    ddIncremental, ddLshTuning)
 }

@@ -756,9 +756,95 @@ object Quality {
       .withColumn("clean", col("n_nonpositive") === 0)
   }
 
+  /** EXPECTATION SUITE (rules as DATA, the Great-Expectations/dbt-tests
+    * posture generalized): every other quality gate hand-codes one check;
+    * a real platform declares checks as a rule TABLE — (rule, column,
+    * threshold) — and one generic engine evaluates the whole suite. Here
+    * five declared expectations over a defect-injected orders stage
+    * (nulls at %43, domain violations at %61 — the suite's defect
+    * convention, so fail paths run non-vacuously) normalize to one
+    * semantics: observed_r = fraction of rows satisfying the rule,
+    * passed = observed_r ≥ threshold. The engine part is the evaluation
+    * plan: every ROW-LOCAL rule compiles into a conditional aggregate of
+    * the SAME single pass (adding a rule adds a column, not a scan — at
+    * 100 TB the suite costs one corpus read no matter how many rules),
+    * and only genuinely multi-row semantics (uniqueness) pay their own
+    * shuffle. */
+  val qExpectationSuite: QueryDef = QueryDef(
+    "q_expectation_suite",
+    Some("""
+      WITH fact AS (
+        SELECT CASE WHEN o_orderkey % 43 = 0 THEN NULL ELSE o_custkey END AS o_custkey,
+               o_orderkey,
+               CASE WHEN o_orderkey % 61 = 0 THEN 'X' ELSE o_orderstatus END AS o_orderstatus,
+               o_totalprice,
+               CAST(o_orderdate AS DATE) AS o_orderdate
+        FROM orders),
+      t AS (
+        SELECT CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(CASE WHEN o_custkey IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS c1,
+               CAST(sum(CASE WHEN o_orderstatus IN ('F', 'O', 'P') THEN 1 ELSE 0 END) AS BIGINT) AS c3,
+               CAST(sum(CASE WHEN o_totalprice >= 0 THEN 1 ELSE 0 END) AS BIGINT) AS c4,
+               CAST(sum(CASE WHEN o_orderdate >= DATE '2000-01-01' THEN 1 ELSE 0 END) AS BIGINT) AS c5
+        FROM fact),
+      uq AS (SELECT CAST(count(DISTINCT o_orderkey) AS BIGINT) AS c2 FROM fact),
+      r AS (
+        SELECT 1 AS rule_id, 'not_null' AS rule, 'o_custkey' AS column_name,
+               1.0 AS threshold_r, round(CAST(c1 AS DOUBLE) / CAST(n AS DOUBLE), 6) AS observed_r FROM t
+        UNION ALL SELECT 2, 'unique', 'o_orderkey', 1.0,
+               round(CAST(uq.c2 AS DOUBLE) / CAST(t.n AS DOUBLE), 6) FROM t, uq
+        UNION ALL SELECT 3, 'accepted_values', 'o_orderstatus', 1.0,
+               round(CAST(c3 AS DOUBLE) / CAST(n AS DOUBLE), 6) FROM t
+        UNION ALL SELECT 4, 'non_negative', 'o_totalprice', 1.0,
+               round(CAST(c4 AS DOUBLE) / CAST(n AS DOUBLE), 6) FROM t
+        UNION ALL SELECT 5, 'recent_share', 'o_orderdate', 0.25,
+               round(CAST(c5 AS DOUBLE) / CAST(n AS DOUBLE), 6) FROM t)
+      SELECT CAST(rule_id AS BIGINT) AS rule_id, rule, column_name,
+             threshold_r, observed_r, observed_r >= threshold_r AS passed
+      FROM r ORDER BY rule_id
+    """)) { (spark, dir) =>
+    val fact = tbl(spark, dir, "orders").select(
+      when(col("o_orderkey") % 43 === 0, lit(null)).otherwise(col("o_custkey"))
+        .as("o_custkey"),
+      col("o_orderkey"),
+      when(col("o_orderkey") % 61 === 0, "X").otherwise(col("o_orderstatus"))
+        .as("o_orderstatus"),
+      col("o_totalprice"),
+      to_date(col("o_orderdate")).as("o_orderdate"))
+    // the declared suite: row-local rules are (id, rule, column, threshold,
+    // predicate) tuples — each compiles into one conditional aggregate of
+    // the shared pass below
+    val rowRules: Seq[(Int, String, String, Double, Column)] = Seq(
+      (1, "not_null", "o_custkey", 1.0, col("o_custkey").isNotNull),
+      (3, "accepted_values", "o_orderstatus", 1.0,
+        col("o_orderstatus").isin("F", "O", "P")),
+      (4, "non_negative", "o_totalprice", 1.0, col("o_totalprice") >= 0),
+      (5, "recent_share", "o_orderdate", 0.25,
+        col("o_orderdate") >= lit("2000-01-01").cast(DateType)))
+    val aggs = count(lit(1)).as("n") +:
+      rowRules.map { case (id, _, _, _, pred) => countIf(pred).as(s"c$id") }
+    val t = fact.agg(aggs.head, aggs.tail: _*)
+    val uq = fact.agg(countDistinct(col("o_orderkey")).as("c2"))
+    val rowResults = rowRules.map { case (id, rule, column, thr, _) =>
+      t.select(lit(id.toLong).as("rule_id"), lit(rule).as("rule"),
+        lit(column).as("column_name"), lit(thr).as("threshold_r"),
+        round(col(s"c$id").cast(DoubleType) / col("n").cast(DoubleType), 6)
+          .as("observed_r"))
+    }
+    val uniqueResult = t.crossJoin(uq)
+      .select(lit(2L).as("rule_id"), lit("unique").as("rule"),
+        lit("o_orderkey").as("column_name"), lit(1.0).as("threshold_r"),
+        round(col("c2").cast(DoubleType) / col("n").cast(DoubleType), 6)
+          .as("observed_r"))
+    (rowResults :+ uniqueResult).reduce(_ unionAll _)
+      .withColumn("passed", col("observed_r") >= col("threshold_r"))
+      .orderBy("rule_id")
+  }
+
   val all: Seq[QueryDef] = Seq(
     q4NonEmptyNullSk, q5UniqueNotNull, q6NoNegativeAmounts,
     q7DateKeyValidity, s11AuditLog, qMartQuality, qProfileTable,
     qSnapshotDiff, qHeavyHitters, qProfileDrift, qSourceFreshness,
-    qAcceptedValues, qKAnonymity, qLDiversity, qObserveMetrics)
+    qAcceptedValues, qKAnonymity, qLDiversity, qObserveMetrics,
+    qExpectationSuite)
 }
