@@ -488,7 +488,84 @@ object Curation {
       .orderBy("doc_id")
   }
 
+  /** c11 — the DATASET DATASHEET (Gebru et al., "Datasheets for
+    * Datasets", CACM 2021 — the release artifact every published corpus
+    * now ships): the headline composition/statistics table a consumer
+    * reads before training. One corpus pass computes every row-local
+    * statistic as a conditional aggregate (the [[quality.Quality.qExpectationSuite]]
+    * evaluation shape), the two genuinely multi-row facts (language and
+    * exact-content cardinalities) ride the same aggregation as
+    * count_distinct partials, and the metric table unions out of the one
+    * scalar row. Emitted long-form (metric_id, metric, value_r) so the
+    * datasheet is itself a mart downstream release tooling renders.
+    * At 100 TB this is one corpus read — the cheapest artifact in the
+    * pipeline, and the one users see first. */
+  val cDatasetCard: QueryDef = QueryDef(
+    "t_dataset_card",
+    Some("""
+      WITH base AS (
+        SELECT doc_id, lang, n_chars,
+               len(string_split_regex(text, '\s+')) AS n_toks,
+               md5(text) AS fp
+        FROM documents),
+      t AS (
+        SELECT CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(sum(n_toks) AS BIGINT) AS n_tokens,
+               CAST(sum(n_chars) AS BIGINT) AS n_chars,
+               CAST(count(DISTINCT lang) AS BIGINT) AS n_langs,
+               CAST(count(DISTINCT fp) AS BIGINT) AS n_distinct,
+               CAST(sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS BIGINT) AS n_en,
+               CAST(sum(CASE WHEN n_toks < 20 THEN 1 ELSE 0 END) AS BIGINT) AS n_short
+        FROM base),
+      r AS (
+        SELECT 1 AS metric_id, 'n_docs' AS metric, CAST(n_docs AS DOUBLE) AS value_r FROM t
+        UNION ALL SELECT 2, 'n_tokens', CAST(n_tokens AS DOUBLE) FROM t
+        UNION ALL SELECT 3, 'n_langs', CAST(n_langs AS DOUBLE) FROM t
+        UNION ALL SELECT 4, 'mean_tokens', round(CAST(n_tokens AS DOUBLE) / CAST(n_docs AS DOUBLE), 6) FROM t
+        UNION ALL SELECT 5, 'chars_per_token', round(CAST(n_chars AS DOUBLE) / CAST(n_tokens AS DOUBLE), 6) FROM t
+        UNION ALL SELECT 6, 'en_share', round(CAST(n_en AS DOUBLE) / CAST(n_docs AS DOUBLE), 6) FROM t
+        UNION ALL SELECT 7, 'exact_dup_rate', round(1.0 - CAST(n_distinct AS DOUBLE) / CAST(n_docs AS DOUBLE), 6) FROM t
+        UNION ALL SELECT 8, 'short_doc_share', round(CAST(n_short AS DOUBLE) / CAST(n_docs AS DOUBLE), 6) FROM t)
+      SELECT CAST(metric_id AS BIGINT) AS metric_id, metric, value_r
+      FROM r ORDER BY metric_id
+    """)) { (spark, dir) =>
+    val t = tbl(spark, dir, "documents")
+      .select(col("lang"), col("n_chars"),
+        size(toks(col("text"))).cast(LongType).as("n_toks"),
+        md5(col("text")).as("fp"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("n_toks")).as("n_tokens"),
+        sum(col("n_chars")).as("n_chars"),
+        countDistinct(col("lang")).as("n_langs"),
+        countDistinct(col("fp")).as("n_distinct"),
+        countIf(col("lang") === "en").as("n_en"),
+        countIf(col("n_toks") < 20).as("n_short"))
+    // ONE action materializes the scalar row (eight selects from the
+    // aggregate frame would replay the corpus pass per metric); rounding
+    // mirrors the oracle: round(x, 6) on identical IEEE inputs
+    val r = t.head()
+    def g(n: String): Double = r.getAs[Long](n).toDouble
+    val rows = Seq(
+      (1L, "n_docs", g("n_docs")),
+      (2L, "n_tokens", g("n_tokens")),
+      (3L, "n_langs", g("n_langs")),
+      (4L, "mean_tokens", g("n_tokens") / g("n_docs")),
+      (5L, "chars_per_token", g("n_chars") / g("n_tokens")),
+      (6L, "en_share", g("n_en") / g("n_docs")),
+      (7L, "exact_dup_rate", 1.0 - g("n_distinct") / g("n_docs")),
+      (8L, "short_doc_share", g("n_short") / g("n_docs")))
+    val s2 = spark
+    import s2.implicits._
+    // rounding stays in the ENGINE (Spark round == DuckDB round on the
+    // identical IEEE division results — the suite-wide convention)
+    rows.toDF("metric_id", "metric", "v")
+      .select(col("metric_id"), col("metric"), round(col("v"), 6).as("value_r"))
+      .orderBy("metric_id")
+  }
+
   val all: Seq[QueryDef] = Seq(
     cDomainFilter, cTokenBudget, cOverlapMatrix, cNormalize,
-    cSubstringDups, cTrainSplit, cQualityLogit, cBudgetSubword, cDsirWeight)
+    cSubstringDups, cTrainSplit, cQualityLogit, cBudgetSubword, cDsirWeight,
+    cDatasetCard)
 }
