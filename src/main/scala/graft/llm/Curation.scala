@@ -495,8 +495,8 @@ object Curation {
     * statistic as a conditional aggregate (the [[quality.Quality.qExpectationSuite]]
     * evaluation shape), the two genuinely multi-row facts (language and
     * exact-content cardinalities) ride the same aggregation as
-    * count_distinct partials, and the metric table unions out of the one
-    * scalar row. Emitted long-form (metric_id, metric, value_r) so the
+    * count_distinct partials, and the metric table pivots out of the one
+    * scalar row via the explode(array(struct…)) idiom. Emitted long-form (metric_id, metric, value_r) so the
     * datasheet is itself a mart downstream release tooling renders.
     * At 100 TB this is one corpus read — the cheapest artifact in the
     * pipeline, and the one users see first. */
@@ -541,26 +541,23 @@ object Curation {
         countDistinct(col("fp")).as("n_distinct"),
         countIf(col("lang") === "en").as("n_en"),
         countIf(col("n_toks") < 20).as("n_short"))
-    // ONE action materializes the scalar row (eight selects from the
-    // aggregate frame would replay the corpus pass per metric); rounding
-    // mirrors the oracle: round(x, 6) on identical IEEE inputs
-    val r = t.head()
-    def g(n: String): Double = r.getAs[Long](n).toDouble
-    val rows = Seq(
-      (1L, "n_docs", g("n_docs")),
-      (2L, "n_tokens", g("n_tokens")),
-      (3L, "n_langs", g("n_langs")),
-      (4L, "mean_tokens", g("n_tokens") / g("n_docs")),
-      (5L, "chars_per_token", g("n_chars") / g("n_tokens")),
-      (6L, "en_share", g("n_en") / g("n_docs")),
-      (7L, "exact_dup_rate", 1.0 - g("n_distinct") / g("n_docs")),
-      (8L, "short_doc_share", g("n_short") / g("n_docs")))
-    val s2 = spark
-    import s2.implicits._
-    // rounding stays in the ENGINE (Spark round == DuckDB round on the
-    // identical IEEE division results — the suite-wide convention)
-    rows.toDF("metric_id", "metric", "v")
-      .select(col("metric_id"), col("metric"), round(col("v"), 6).as("value_r"))
+    // long form via the one-row explode pivot (the qProfileTable idiom):
+    // fully lazy, one corpus pass, no driver collect — each struct carries
+    // its metric computed from the single aggregate row, rounded in-engine
+    def d(c: Column): Column = c.cast(DoubleType)
+    def m(id: Int, name: String, v: Column): Column = struct(
+      lit(id.toLong).as("metric_id"), lit(name).as("metric"),
+      round(v, 6).as("value_r"))
+    t.select(explode(array(
+        m(1, "n_docs", d(col("n_docs"))),
+        m(2, "n_tokens", d(col("n_tokens"))),
+        m(3, "n_langs", d(col("n_langs"))),
+        m(4, "mean_tokens", d(col("n_tokens")) / d(col("n_docs"))),
+        m(5, "chars_per_token", d(col("n_chars")) / d(col("n_tokens"))),
+        m(6, "en_share", d(col("n_en")) / d(col("n_docs"))),
+        m(7, "exact_dup_rate", lit(1.0) - d(col("n_distinct")) / d(col("n_docs"))),
+        m(8, "short_doc_share", d(col("n_short")) / d(col("n_docs"))))).as("r"))
+      .select(col("r.metric_id"), col("r.metric"), col("r.value_r"))
       .orderBy("metric_id")
   }
 

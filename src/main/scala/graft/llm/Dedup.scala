@@ -120,14 +120,6 @@ object Dedup {
     s"[${bands.mkString(", ")}]"
   }
 
-  /** dd2 — MinHash-LSH near-duplicate pairs. Pipeline: shingle → one md5
-    * per shingle (persisted — the only expensive pass, run exactly once) →
-    * 12-way rotation-minhash signature → 4 band keys → explode →
-    * hash-shuffle bucket join on the band key (candidates = docs sharing
-    * ≥1 band) → exact 3-shingle Jaccard inside buckets only → threshold
-    * 0.8. O(n·bands) candidate rows, never O(n²); the oracle replays the
-    * identical hash family (its digest list is a MATERIALIZED CTE for the
-    * same compute-once reason). */
   /** The 12-rotation one-permutation minhash signature of a
     * (doc_id, shingles ARRAY) frame: one md5 per shingle, the digest
     * parsed ONCE into four unsigned 32-bit ints, and each 16-hex-char
@@ -164,6 +156,14 @@ object Dedup {
       lpad(lower(hex(col(s"h$i").bitwiseXOR(lit(Long.MinValue)))), 16, "0").as(s"h$i")): _*)
   }
 
+  /** dd2 — MinHash-LSH near-duplicate pairs. Pipeline: shingle → one md5
+    * per shingle (persisted — the only expensive pass, run exactly once) →
+    * 12-way rotation-minhash signature → 4 band keys → explode →
+    * hash-shuffle bucket join on the band key (candidates = docs sharing
+    * ≥1 band) → exact 3-shingle Jaccard inside buckets only → threshold
+    * 0.8. O(n·bands) candidate rows, never O(n²); the oracle replays the
+    * identical hash family (its digest list is a MATERIALIZED CTE for the
+    * same compute-once reason). */
   val ddMinHashLsh: QueryDef = QueryDef(
     "dedup_minhash_lsh",
     Some(s"""
@@ -529,7 +529,13 @@ object Dedup {
     * checkpointed pair frame reused by all three configs — never a
     * corpus×corpus join. */
   val ddLshTuning: QueryDef = {
-    val configs = Seq(("12x1", 12, 1), ("4x3", 4, 3), ("2x6", 2, 6))
+    // the rotation budget comes from the PRODUCTION constants — each band
+    // layout must exactly partition it, or the audit would silently
+    // measure a prefix of (or fall off) the shipped signature
+    val nRot = numBands * rowsPerBand
+    val configs = Seq((s"${nRot}x1", nRot, 1), ("4x3", 4, 3), ("2x6", 2, 6))
+    require(configs.forall { case (_, b, r) => b * r == nRot },
+      s"every tuning layout must use all $nRot rotations")
     val variants = Seq((100000L, 2), (200000L, 7), (300000L, 15)) // range end is exclusive
     def powSql(x: String, n: Int): String = "(" + Seq.fill(n)(x).mkString(" * ") + ")"
     val variantSql = variants.map { case (off, end) =>
@@ -537,7 +543,7 @@ object Dedup {
              text || ' ' || array_to_string(list_transform(range(1, $end), i -> 'zq' || doc_id || 'p' || i), ' ')
           FROM documents WHERE doc_id % 5 = 0"""
     }.mkString("\n          UNION ALL\n          ")
-    val rot = (0 until 12).map(i =>
+    val rot = (0 until nRot).map(i =>
       s"list_min(list_transform(hs, m -> substring(m || m, ${i * 2 + 1}, 16)))")
       .mkString(", ")
     val cfgBlocks = configs.map { case (label, b, r) =>
@@ -611,9 +617,9 @@ object Dedup {
             size(array_distinct(concat(col("sh_a"), col("sh_b")))).cast(DoubleType))
             .as("j"))
         .join(sig.select(col("doc_id").as("a_id") +:
-          (0 until 12).map(i => col(s"h$i").as(s"a_h$i")): _*), Seq("a_id"))
+          (0 until nRot).map(i => col(s"h$i").as(s"a_h$i")): _*), Seq("a_id"))
         .join(sig.select(col("doc_id").as("b_id") +:
-          (0 until 12).map(i => col(s"h$i").as(s"b_h$i")): _*), Seq("b_id"))
+          (0 until nRot).map(i => col(s"h$i").as(s"b_h$i")): _*), Seq("b_id"))
         // one checkpointed pair frame feeds all three config rollups; the
         // shingle cache can be released once it materializes
         .localCheckpoint(true)

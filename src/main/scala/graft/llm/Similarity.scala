@@ -1291,7 +1291,11 @@ object Similarity {
       SELECT vec_id, label, cell, round(qd0 + qd1 + qd2 + qd3, 6) AS adc_r
       FROM adc ORDER BY qd0 + qd1 + qd2 + qd3, vec_id LIMIT 10
     """)) { (spark, dir) =>
-      val res = ivfResiduals(spark, dir)
+      // residuals feed THREE consumers (training stream, seed codebook,
+      // candidate encode) — checkpoint once so the assignment crossJoin +
+      // subtraction run once, not three times (each a full interpreted-HOF
+      // pass over the corpus; measured 4.1s → the dominant gate cost)
+      val res = ivfResiduals(spark, dir).localCheckpoint(true)
       val subs = (0 until PqM).map(m => struct(lit(m).as("m"),
         slice(col("rv"), m * PqSub + 1, PqSub).as("sv")))
       val rsub = res

@@ -767,9 +767,11 @@ object Quality {
     * passed = observed_r ≥ threshold. The engine part is the evaluation
     * plan: every ROW-LOCAL rule compiles into a conditional aggregate of
     * the SAME single pass (adding a rule adds a column, not a scan — at
-    * 100 TB the suite costs one corpus read no matter how many rules),
-    * and only genuinely multi-row semantics (uniqueness) pay their own
-    * shuffle. */
+    * 100 TB the suite costs one corpus read no matter how many rules);
+    * uniqueness joins that aggregation as a count-distinct partial
+    * (Catalyst's Expand), and the long-form result pivots out of the one
+    * aggregate row via the explode(array(struct…)) idiom — no per-rule
+    * re-aggregation, no driver collect. */
   val qExpectationSuite: QueryDef = QueryDef(
     "q_expectation_suite",
     Some("""
@@ -813,7 +815,8 @@ object Quality {
       to_date(col("o_orderdate")).as("o_orderdate"))
     // the declared suite: row-local rules are (id, rule, column, threshold,
     // predicate) tuples — each compiles into one conditional aggregate of
-    // the shared pass below
+    // the shared pass below; uniqueness rides the SAME aggregation as a
+    // count-distinct partial, so the whole suite is one table read
     val rowRules: Seq[(Int, String, String, Double, Column)] = Seq(
       (1, "not_null", "o_custkey", 1.0, col("o_custkey").isNotNull),
       (3, "accepted_values", "o_orderstatus", 1.0,
@@ -821,23 +824,27 @@ object Quality {
       (4, "non_negative", "o_totalprice", 1.0, col("o_totalprice") >= 0),
       (5, "recent_share", "o_orderdate", 0.25,
         col("o_orderdate") >= lit("2000-01-01").cast(DateType)))
-    val aggs = count(lit(1)).as("n") +:
+    val aggs = Seq(count(lit(1)).as("n"),
+      countDistinct(col("o_orderkey")).as("c2")) ++
       rowRules.map { case (id, _, _, _, pred) => countIf(pred).as(s"c$id") }
     val t = fact.agg(aggs.head, aggs.tail: _*)
-    val uq = fact.agg(countDistinct(col("o_orderkey")).as("c2"))
-    val rowResults = rowRules.map { case (id, rule, column, thr, _) =>
-      t.select(lit(id.toLong).as("rule_id"), lit(rule).as("rule"),
-        lit(column).as("column_name"), lit(thr).as("threshold_r"),
-        round(col(s"c$id").cast(DoubleType) / col("n").cast(DoubleType), 6)
-          .as("observed_r"))
-    }
-    val uniqueResult = t.crossJoin(uq)
-      .select(lit(2L).as("rule_id"), lit("unique").as("rule"),
-        lit("o_orderkey").as("column_name"), lit(1.0).as("threshold_r"),
-        round(col("c2").cast(DoubleType) / col("n").cast(DoubleType), 6)
-          .as("observed_r"))
-    (rowResults :+ uniqueResult).reduce(_ unionAll _)
-      .withColumn("passed", col("observed_r") >= col("threshold_r"))
+    // long form via the one-row explode pivot (the qProfileTable idiom —
+    // no per-rule re-aggregation, no driver collect): each struct carries
+    // its observed ratio computed from the single aggregate row
+    def ruleStruct(id: Int, rule: String, column: String, thr: Double,
+        cnt: Column): Column = struct(
+      lit(id.toLong).as("rule_id"), lit(rule).as("rule"),
+      lit(column).as("column_name"), lit(thr).as("threshold_r"),
+      round(cnt.cast(DoubleType) / col("n").cast(DoubleType), 6)
+        .as("observed_r"))
+    val structs =
+      (rowRules.map { case (id, rule, column, thr, _) =>
+        ruleStruct(id, rule, column, thr, col(s"c$id"))
+      } :+ ruleStruct(2, "unique", "o_orderkey", 1.0, col("c2")))
+    t.select(explode(array(structs: _*)).as("r"))
+      .select(col("r.rule_id"), col("r.rule"), col("r.column_name"),
+        col("r.threshold_r"), col("r.observed_r"),
+        (col("r.observed_r") >= col("r.threshold_r")).as("passed"))
       .orderBy("rule_id")
   }
 

@@ -625,8 +625,13 @@ object Ingest {
       .agg(count(lit(1)).as("n_rows"),
         min(col("ship")).as("min_ship"), max(col("ship")).as("max_ship"))
       .withColumn("candidate", col("min_ship") <= hi && col("max_ship") >= lo)
+      // checkpoint the counter-scale frame: a lazy manifest would make
+      // each rollup below re-run the lineitem scan (column pruning gives
+      // the branches different partial aggregates, so ReuseExchange can't
+      // dedupe them) — exactly the data-touching this gate exists to avoid
+      .localCheckpoint(true)
     // planning happens ON THE MANIFEST: both rollups below read the
-    // handful of manifest rows, never the table
+    // handful of checkpointed manifest rows, never the table
     val tot = manifest.agg(sum(col("n_rows")).as("total"))
     val sc = manifest.agg(
       coalesce(sum(when(col("candidate"), col("n_rows"))), lit(0L)).as("scan_rows"))
