@@ -1521,9 +1521,83 @@ object Similarity {
       .orderBy("cell")
   }
 
+  /** sim17 — PQ SUBSPACE-LAYOUT distortion audit: which coordinates share
+    * a subspace is a free parameter of product quantization, and choosing
+    * it well is the entire subject of OPQ (Ge et al., "Optimized Product
+    * Quantization", CVPR 2013 — a learned rotation; coordinate
+    * PERMUTATION is its zero-training structured baseline, the first
+    * thing the paper compares against). This gate quantifies the choice:
+    * total quantization distortion of the seeded codebook under the
+    * natural dimension order vs a stride-17 permutation (17 ⊥ 64 ⇒ a
+    * bijection that scatters adjacent dimensions across subspaces).
+    * Per-vector distortion = Σ_m min_code ‖sub_m(v) − sub_m(code)‖² —
+    * quantized to exact integer micro-units per vector before the
+    * cross-row sum, so the corpus total is order-insensitive and
+    * hash-stable (the suite's float-sum rule). One number per layout is
+    * the decision input: re-layout the dimensions when the permuted
+    * distortion is materially lower. Shape at 100 TB: the permutation is
+    * a map-side `transform`, the 8-codeword frame broadcasts, and the
+    * rollup sums (vec_id, micro) longs — one pass per candidate layout. */
+  val simPqDimLayout: QueryDef = {
+    val layouts = Seq(("identity", "i"), ("stride17", "((i * 17 - 17) % 64) + 1"))
+    val blocks = layouts.map { case (label, perm) =>
+      val dcols = (0 until PqM)
+        .map(m => s"${pqSubSqSql("pe.pv", "pc.pv", m)} AS d$m")
+        .mkString(",\n               ")
+      val mins = (0 until PqM).map(m => s"min(d$m) AS m$m").mkString(", ")
+      val tot = (0 until PqM).map(m => s"m$m").mkString(" + ")
+      s"""${label}_pe AS (
+        SELECT vec_id, list_transform(range(1, 65), i -> embedding[$perm]) AS pv
+        FROM embeddings),
+      ${label}_pc AS (SELECT vec_id, pv FROM ${label}_pe WHERE vec_id < 8),
+      ${label}_d AS (
+        SELECT pe.vec_id,
+               $dcols
+        FROM ${label}_pe pe, ${label}_pc pc),
+      ${label}_enc AS (SELECT vec_id, $mins FROM ${label}_d GROUP BY vec_id),
+      ${label}_sum AS (
+        SELECT '$label' AS layout, CAST(count(*) AS BIGINT) AS n_vectors,
+               CAST(sum(CAST(floor(($tot) * 1000000) AS BIGINT)) AS BIGINT) AS total_micro,
+               round(CAST(sum(CAST(floor(($tot) * 1000000) AS BIGINT)) AS DOUBLE)
+                     / CAST(count(*) AS DOUBLE) / 1000000.0, 6) AS mean_r
+        FROM ${label}_enc)"""
+    }
+    QueryDef(
+      "sim_pq_dim_layout",
+      Some(s"""
+      WITH ${blocks.mkString(",\n      ")}
+      SELECT * FROM (
+        ${layouts.map(l => s"SELECT * FROM ${l._1}_sum").mkString("\n        UNION ALL ")})
+      ORDER BY layout
+    """)) { (spark, dir) =>
+      def layoutDist(label: String, perm: Column => Column): DataFrame = {
+        val pv = transform(sequence(lit(1), lit(64)),
+          i => element_at(col("embedding"), perm(i)))
+        val pe = emb(spark, dir).select(col("vec_id"), pv.as("pv"))
+        val pc = pe.filter(col("vec_id") < 8)
+          .select(col("vec_id").as("cid"), col("pv").as("cv"))
+        val d = pe.crossJoin(broadcast(pc))
+          .select(Seq(col("vec_id")) ++
+            (0 until PqM).map(m => pqSubSq(col("pv"), col("cv"), m).as(s"d$m")): _*)
+        val encAggs = (0 until PqM).map(m => min(col(s"d$m")).as(s"m$m"))
+        val tot = (0 until PqM).map(m => col(s"m$m")).reduce(_ + _)
+        d.groupBy("vec_id").agg(encAggs.head, encAggs.tail: _*)
+          .select(floor(tot * 1000000).cast(LongType).as("micro"))
+          .agg(count(lit(1)).as("n_vectors"),
+            sum(col("micro")).as("total_micro"))
+          .select(lit(label).as("layout"), col("n_vectors"), col("total_micro"),
+            round(col("total_micro").cast(DoubleType)
+              / col("n_vectors").cast(DoubleType) / 1000000.0, 6).as("mean_r"))
+      }
+      layoutDist("identity", i => i)
+        .unionAll(layoutDist("stride17", i => ((i * 17 - 17) % 64) + 1))
+        .orderBy("layout")
+    }
+  }
+
   val all: Seq[QueryDef] = Seq(
     simTopKBrute, simLshPairs, simIvfProbe, simIvfMultiprobe, ddEmbeddingCosine,
     simQuantizeInt8, simCentroids, simKmeans, simKmeansConverged, simSemanticDedup,
     simPqEncode, simPqSearch, simPqTrain, simIvfAdc, simIvfAdcResidual,
-    simAnnRecall, simIvfLayout)
+    simAnnRecall, simIvfLayout, simPqDimLayout)
 }
