@@ -510,8 +510,82 @@ object Warehouse {
       .orderBy("status")
   }
 
+  /** BITEMPORAL point-in-time resolution: SCD2 ([[wScd2Dim]]) tracks one
+    * time axis — when a fact was VALID; a bitemporal store also tracks
+    * when the warehouse KNEW it (transaction time), which is what makes
+    * "reproduce the report as it looked last quarter" answerable after
+    * late-arriving history rewrites (Snodgrass's two-axis model — the
+    * SQL:2011 temporal feature set). The change log here derives
+    * deterministically from orders (valid_from = order date; tx_from =
+    * load time, +3 days normally, +300 for the o_orderkey % 37 stragglers
+    * — the late-backfill population that makes the axes genuinely
+    * diverge), and the gate answers the same valid-time question
+    * ("state as of 1996-06-30") under TWO knowledge dates. Resolution is
+    * one pass: filter tx_from ≤ T (knowledge cut), filter valid_from ≤ V,
+    * per-key argmax by (valid_from, orderkey) packed into ONE BIGINT
+    * (days·10⁷ + key — exact while keys < 10⁷, far above the SF ladder;
+    * the [[graft.sources.Ingest]] Morton-guard convention would trip it
+    * loudly) so both engines take the same max with the same tie-break,
+    * never a per-key sort. The t1/t2 outputs differ exactly where late
+    * data rewrote history — customer 505's resolved order changes, 303
+    * gains a known row at sf0.01 — which is the bitemporal contract made
+    * visible. Shape at 100 TB: scenario join is a 2-row broadcast; one
+    * shuffle on (scenario, key) with map-side-combined max/count. */
+  val wBitemporal: QueryDef = QueryDef(
+    "w_bitemporal",
+    Some("""
+      WITH chg AS (
+        SELECT o_custkey, o_orderkey,
+               CAST(o_orderdate AS DATE) AS valid_from,
+               CAST(o_orderdate AS DATE)
+                 + CASE WHEN o_orderkey % 37 = 0 THEN 300 ELSE 3 END AS tx_from
+        FROM orders),
+      sc AS (SELECT * FROM (VALUES ('t1_early', DATE '1996-12-31'),
+                                   ('t2_late', DATE '1997-06-30')) s(scenario, t_know)),
+      elig AS (
+        SELECT s.scenario, c.o_custkey, c.o_orderkey, c.valid_from
+        FROM chg c JOIN sc s ON c.tx_from <= s.t_know
+        WHERE c.valid_from <= DATE '1996-06-30' AND c.o_custkey % 101 = 0),
+      r AS (
+        SELECT scenario, o_custkey,
+               CAST(max(CAST(date_diff('day', DATE '1970-01-01', valid_from) AS BIGINT)
+                        * 10000000 + o_orderkey) AS BIGINT) AS k,
+               CAST(count(*) AS BIGINT) AS n_known
+        FROM elig GROUP BY scenario, o_custkey)
+      SELECT scenario, CAST(o_custkey AS BIGINT) AS c_custkey,
+             k % 10000000 AS resolved_orderkey,
+             k // 10000000 AS valid_days,
+             n_known
+      FROM r ORDER BY scenario, c_custkey
+    """)) { (spark, dir) =>
+    val chg = tbl(spark, dir, "orders").select(
+      col("o_custkey"), col("o_orderkey"),
+      to_date(col("o_orderdate")).as("valid_from"),
+      date_add(to_date(col("o_orderdate")),
+        when(col("o_orderkey") % 37 === 0, 300).otherwise(3)).as("tx_from"))
+    val s2 = spark
+    import s2.implicits._
+    val sc = Seq(("t1_early", "1996-12-31"), ("t2_late", "1997-06-30"))
+      .toDF("scenario", "t_know")
+      .select(col("scenario"), col("t_know").cast(DateType).as("t_know"))
+    chg
+      .filter(col("o_custkey") % 101 === 0 &&
+        col("valid_from") <= lit("1996-06-30").cast(DateType))
+      .join(broadcast(sc), col("tx_from") <= col("t_know"))
+      .groupBy("scenario", "o_custkey")
+      .agg(
+        max(datediff(col("valid_from"), lit("1970-01-01").cast(DateType))
+          .cast(LongType) * 10000000L + col("o_orderkey")).as("k"),
+        count(lit(1)).as("n_known"))
+      .select(col("scenario"), col("o_custkey").cast(LongType).as("c_custkey"),
+        (col("k") % 10000000L).as("resolved_orderkey"),
+        expr("k div 10000000").as("valid_days"),
+        col("n_known"))
+      .orderBy("scenario", "c_custkey")
+  }
+
   val all: Seq[QueryDef] = Seq(
     s10DateDim, w8SurrogateKeys, s8UpsertMerge, s9AppendIfAbsent, j5DateExprJoin,
     wScd2Dim, jScd2PointInTime, wScd2Incremental, wIncrementalAgg, wLateLookback,
-    sCdcApply)
+    sCdcApply, wBitemporal)
 }
