@@ -527,7 +527,9 @@ object Dedup {
     * trades. Shape at 100 TB: evaluation runs on the PLANTED pair list
     * (labeled data, linear in the plant rate), one signature pass, one
     * checkpointed pair frame reused by all three configs — never a
-    * corpus×corpus join. */
+    * corpus×corpus join. The plant offsets assume real doc ids stay below
+    * the first offset — ENFORCED by a counter-scale guard below (round-12
+    * ADVICE), not assumed. */
   val ddLshTuning: QueryDef = {
     // the rotation budget comes from the PRODUCTION constants — each band
     // layout must exactly partition it, or the audit would silently
@@ -588,6 +590,16 @@ object Dedup {
       FROM u ORDER BY config, jbin
     """)) { (spark, dir) =>
       val d = tbl(spark, dir, "documents").select("doc_id", "text")
+      // planted-id headroom, enforced (round-12 ADVICE): the variant sets
+      // live at doc_id + 100000/200000/300000, and the pair builder's
+      // a_id < 100000 filter trims only ONE side — a corpus whose real ids
+      // reach the first offset would alias planted ids onto real docs and
+      // silently fan out the signature joins. One counter-scale scalar.
+      val dmr = d.agg(max(col("doc_id")).cast(LongType)).head()
+      val dmax = if (dmr.isNullAt(0)) 0L else dmr.getLong(0)
+      require(dmax < variants.map(_._1).min,
+        s"lsh-tuning plant offsets collide: max doc_id $dmax >= " +
+          s"${variants.map(_._1).min} — raise the variant offsets before auditing")
       val src = variants.foldLeft(d) { case (acc, (off, end)) =>
         // base id under a distinct name BEFORE the offset alias: a
         // same-select doc_id reference would lateral-alias-resolve to the

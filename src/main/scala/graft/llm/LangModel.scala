@@ -120,18 +120,21 @@ object LangModel {
              CASE WHEN coalesce(sum(n_ctx), 0) > 0
                   THEN round(CAST(sum(n_bg) AS DOUBLE) / CAST(sum(n_ctx) AS DOUBLE), 6)
              END AS predict_r,
-             -- divide BEFORE scaling (round-11 ADVICE): exact Euclidean
-             -- identity (n_ctx·10⁶) div n_bg == (n_ctx div n_bg)·10⁶ +
-             -- ((n_ctx mod n_bg)·10⁶) div n_bg, so the values are unchanged
-             -- while the BIGINT overflow bound moves from n_ctx ≤ 9.2e12 (a
-             -- common context word in a ~1e13-token stratum WOULD hit it) to
-             -- n_bg ≤ 9.2e12 (one specific pair's count — orders of
-             -- magnitude smaller than any context mass at the same scale)
+             -- surprisal digit-count WITHOUT the scaled remainder (round-12
+             -- ADVICE): the rendered value is v = (n_ctx·10⁶) div n_bg, and
+             -- n_bg ≤ n_ctx by construction (ctx is the sum over the model's
+             -- n_bg), so q = n_ctx div n_bg ≥ 1 and q·10⁶ ≤ v < (q+1)·10⁶
+             -- ⇒ digits(v) = digits(q) + 6 EXACTLY — the remainder can never
+             -- change the digit count. Dropping it removes every scaled
+             -- intermediate: the only arithmetic left is one BIGINT integer
+             -- division, so the overflow bound is n_ctx < 2⁶³ (a 9.2e18
+             -- token mass) instead of the old quotient-term bound
+             -- n_ctx/n_bg·10⁶ < 2⁶³ that a hapax bigram under a huge
+             -- context could reach
              CASE WHEN sum(CASE WHEN n_bg IS NOT NULL THEN 1 ELSE 0 END) > 0
                   THEN round(
                     CAST(sum(CASE WHEN n_bg IS NOT NULL
-                             THEN length(CAST((n_ctx // n_bg) * 1000000
-                                    + ((n_ctx % n_bg) * 1000000) // n_bg AS VARCHAR)) END) AS DOUBLE)
+                             THEN length(CAST(n_ctx // n_bg AS VARCHAR)) + 6 END) AS DOUBLE)
                     / CAST(sum(CASE WHEN n_bg IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE), 6)
              END AS surprisal_r
         FROM j GROUP BY doc_id, lang)"""
@@ -184,10 +187,9 @@ object LangModel {
   private def lmScored(spark: SparkSession, dir: String): DataFrame = {
     val (model, ctx) = lmMarts(spark, dir)
     val known = col("n_bg").isNotNull
-    // exact divide-before-scale surprisal (see the oracle comment): same
-    // values as (n_ctx·10⁶) div n_bg, overflow bound now on n_bg only
-    val invProb = expr(
-      "(n_ctx div n_bg) * 1000000 + ((n_ctx % n_bg) * 1000000) div n_bg")
+    // digit count of (n_ctx·10⁶) div n_bg as digits(n_ctx div n_bg) + 6 —
+    // exact because n_bg ≤ n_ctx ⇒ quotient ≥ 1 (see the oracle comment);
+    // no scaled intermediate, so the only overflow bound is n_ctx < 2⁶³
     bigrams(spark, dir)
       .join(model, Seq("w1", "w2"), "left")
       .join(ctx, Seq("w1"), "left")
@@ -201,7 +203,8 @@ object LangModel {
           round(sum(col("n_bg")).cast(DoubleType) /
             sum(col("n_ctx")).cast(DoubleType), 6)).as("predict_r"),
         when(countIf(known) > 0,
-          round(sum(when(known, length(invProb.cast(StringType))))
+          round(sum(when(known,
+              length(expr("n_ctx div n_bg").cast(StringType)) + lit(6)))
               .cast(DoubleType) / countIf(known).cast(DoubleType), 6))
           .as("surprisal_r"))
   }
@@ -417,15 +420,20 @@ object LangModel {
                     WHEN n_bg23 IS NOT NULL THEN 1
                     WHEN n_ctx3 IS NOT NULL THEN 2
                     ELSE 3 END AS lvl,
+               -- digit counts as digits(quotient) + 6, no scaled remainder
+               -- (round-12 ADVICE — the level-2 remainder's bound sat on
+               -- n_ctx3, a CONTEXT mass): each divisor ≤ its dividend
+               -- (n_tri ≤ n_tctx; 2·n_bg23 ≤ 5·n_ctx2 since n_bg23 ≤ n_ctx2;
+               -- 4·n_ctx3 ≤ 25·c_total since n_ctx3 ≤ c_total), so q ≥ 1 and
+               -- digits(q·10⁶ + r) = digits(q) + 6 exactly. Remaining bounds:
+               -- 25·c_total < 2⁶³ ⇒ c_total < 3.7e17 tokens — three decades
+               -- past the 1e13-token posture, on the corpus TOTAL only
                CASE WHEN n_tri IS NOT NULL THEN
-                      length(CAST((n_tctx // n_tri) * 1000000
-                             + ((n_tctx % n_tri) * 1000000) // n_tri AS VARCHAR))
+                      length(CAST(n_tctx // n_tri AS VARCHAR)) + 6
                     WHEN n_bg23 IS NOT NULL THEN
-                      length(CAST(((5 * n_ctx2) // (2 * n_bg23)) * 1000000
-                             + (((5 * n_ctx2) % (2 * n_bg23)) * 1000000) // (2 * n_bg23) AS VARCHAR))
+                      length(CAST((5 * n_ctx2) // (2 * n_bg23) AS VARCHAR)) + 6
                     WHEN n_ctx3 IS NOT NULL THEN
-                      length(CAST(((25 * c_total) // (4 * n_ctx3)) * 1000000
-                             + (((25 * c_total) % (4 * n_ctx3)) * 1000000) // (4 * n_ctx3) AS VARCHAR))
+                      length(CAST((25 * c_total) // (4 * n_ctx3) AS VARCHAR)) + 6
                END AS dg,
                n_tri, n_tctx
         FROM j)
@@ -462,14 +470,16 @@ object LangModel {
       .when(col("n_bg23").isNotNull, 1)
       .when(col("n_ctx3").isNotNull, 2)
       .otherwise(3)
-    // identical divide-before-scale arithmetic as the oracle CTE (see the
-    // [[scoredSql]] overflow note — the bound sits on the per-pair counts)
-    val dg = when(col("n_tri").isNotNull, length(expr(
-        "cast((n_tctx div n_tri) * 1000000 + ((n_tctx % n_tri) * 1000000) div n_tri as string)")))
-      .when(col("n_bg23").isNotNull, length(expr(
-        "cast(((5 * n_ctx2) div (2 * n_bg23)) * 1000000 + (((5 * n_ctx2) % (2 * n_bg23)) * 1000000) div (2 * n_bg23) as string)")))
-      .when(col("n_ctx3").isNotNull, length(expr(
-        "cast(((25 * c_total) div (4 * n_ctx3)) * 1000000 + (((25 * c_total) % (4 * n_ctx3)) * 1000000) div (4 * n_ctx3) as string)")))
+    // identical digits(quotient) + 6 arithmetic as the oracle CTE (each
+    // divisor ≤ its dividend ⇒ q ≥ 1 ⇒ the dropped remainder can never
+    // change the digit count; the only overflow bound left is
+    // 25·c_total < 2⁶³ — the corpus total, not any context mass)
+    val dg = when(col("n_tri").isNotNull,
+        length(expr("n_tctx div n_tri").cast(StringType)) + lit(6))
+      .when(col("n_bg23").isNotNull,
+        length(expr("(5 * n_ctx2) div (2 * n_bg23)").cast(StringType)) + lit(6))
+      .when(col("n_ctx3").isNotNull,
+        length(expr("(25 * c_total) div (4 * n_ctx3)").cast(StringType)) + lit(6))
     j.select(col("doc_id"), col("lang"), lvl.as("lvl"), dg.as("dg"),
         col("n_tri"), col("n_tctx"))
       .groupBy("doc_id", "lang")

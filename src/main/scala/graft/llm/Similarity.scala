@@ -1397,7 +1397,14 @@ object Similarity {
       qc AS (
         SELECT c.cid AS cell FROM cents c, qv
         ORDER BY ${dotSql("qv.qv", "c.cv")} - 1e-12 * c.cid DESC LIMIT 3),
-      q1 AS (SELECT cell FROM qc LIMIT 1),
+      q1 AS (
+        -- the probe-1 cell re-derives the FULL pinned order (round-12
+        -- ADVICE): a bare `FROM qc LIMIT 1` leaned on DuckDB preserving
+        -- qc's internal ORDER BY through the CTE, which no SQL contract
+        -- guarantees — the single-probe cell must be deterministic by
+        -- construction, not by planner behavior
+        SELECT c.cid AS cell FROM cents c, qv
+        ORDER BY ${dotSql("qv.qv", "c.cv")} - 1e-12 * c.cid DESC LIMIT 1),
       m1 AS (
         SELECT a.vec_id FROM assigned a, qv WHERE a.cell IN (SELECT cell FROM q1)
         ORDER BY ${dotSql("a.embedding", "qv.qv")} DESC, a.vec_id LIMIT 10),

@@ -523,10 +523,14 @@ object Warehouse {
     * ("state as of 1996-06-30") under TWO knowledge dates. Resolution is
     * one pass: filter tx_from ≤ T (knowledge cut), filter valid_from ≤ V,
     * per-key argmax by (valid_from, orderkey) packed into ONE BIGINT
-    * (days·10⁷ + key — exact while keys < 10⁷, far above the SF ladder;
-    * the [[graft.sources.Ingest]] Morton-guard convention would trip it
-    * loudly) so both engines take the same max with the same tie-break,
-    * never a per-key sort. The t1/t2 outputs differ exactly where late
+    * (days·10⁷ + key — exact only while keys < 10⁷, which TPC-H orders
+    * reach around SF ≈ 1.7; past it the key bleeds into the day field and
+    * BOTH engines corrupt identically, so the hash gate cannot catch it.
+    * That is why the bound is CHECKED in code below — one counter-scale
+    * max over the eligible slice, the [[graft.sources.Ingest]]
+    * Morton-guard convention — instead of asserted in prose) so both
+    * engines take the same max with the same tie-break, never a per-key
+    * sort. The t1/t2 outputs differ exactly where late
     * data rewrote history — customer 505's resolved order changes, 303
     * gains a known row at sf0.01 — which is the bitemporal contract made
     * visible. Shape at 100 TB: scenario join is a 2-row broadcast; one
@@ -568,9 +572,19 @@ object Warehouse {
     val sc = Seq(("t1_early", "1996-12-31"), ("t2_late", "1997-06-30"))
       .toDF("scenario", "t_know")
       .select(col("scenario"), col("t_know").cast(DateType).as("t_know"))
-    chg
+    val elig = chg
       .filter(col("o_custkey") % 101 === 0 &&
         col("valid_from") <= lit("1996-06-30").cast(DateType))
+    // the packing bound, enforced (round-12 ADVICE): every eligible key
+    // must fit the 10⁷ slot or resolved_orderkey/valid_days/tie-break all
+    // corrupt — identically on both engines, invisible to the hash gate.
+    // One counter-scale scalar over the already-filtered slice.
+    val kr = elig.agg(max(col("o_orderkey")).cast(LongType)).head()
+    val kmax = if (kr.isNullAt(0)) 0L else kr.getLong(0)
+    require(kmax < 10000000L,
+      s"bitemporal argmax packing overflows: max eligible o_orderkey $kmax " +
+        ">= 10^7 — widen the packing multiplier before trusting resolution")
+    elig
       .join(broadcast(sc), col("tx_from") <= col("t_know"))
       .groupBy("scenario", "o_custkey")
       .agg(
