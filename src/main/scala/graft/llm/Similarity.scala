@@ -1025,13 +1025,299 @@ object Similarity {
     * bit-identical doubles at any parallelism (fixed-point integer means,
     * the [[simCentroids]] discipline). ≤ M·8 rows: folds into one
     * broadcast row for encode and LUT passes. */
-  private def pqTrainedBook(spark: SparkSession, dir: String): DataFrame =
+  private[graft] def pqTrainedBook(spark: SparkSession, dir: String): DataFrame =
     pqTrainedElems(spark, dir)
       .select(col("m"), col("cell").as("code"), col("pos"),
         (col("s").cast(DoubleType) / col("n").cast(DoubleType) / 10000000.0).as("c"))
       .groupBy("m", "code")
       .agg(transform(array_sort(collect_list(struct(col("pos"), col("c")))), s => s("c"))
         .as("cv"))
+
+  // -------------------------------------------------------------------
+  // Convergence-budgeted PQ training (round-12 queue #1): the one-round
+  // book above is the training STEP gate; consumers read the CONVERGED
+  // book below — per-subspace Lloyd iterated to an assignment fixpoint
+  // or the pinned round budget, the simKmeansConverged discipline.
+  // -------------------------------------------------------------------
+
+  /** Pinned recompute budget for converged PQ training — the oracle
+    * unrolls exactly this many rounds; the Spark loop may exit earlier at
+    * the assignment fixpoint because the remaining rounds are provable
+    * no-ops (fixed-point means reproduce bit-identical codewords under an
+    * unchanged assignment). */
+  private[graft] val PqTrainRounds = 4
+
+  /** DuckDB CTE chain for [[PqTrainRounds]] subspace-training rounds over
+    * a (vec_id, m, sv) CTE named `$sub` seeded by a (m, code, cv) CTE
+    * named `$seed` (cv must already be DOUBLE): per round r, `${p}a$r`
+    * assigns every subvector to its nearest previous-round codeword
+    * (argmin squared L2, 1e-12·code bias) and `${p}b$r` recomputes each
+    * non-empty codeword as the 1e-7 fixed-point-exact member mean. The
+    * final book CTE is `${p}b$PqTrainRounds`. */
+  private def pqRoundsSql(p: String, sub: String, seed: String): String = {
+    val sq = s"""list_reduce(list_transform(range(1, ${PqSub + 1}),
+           i -> (CAST(s.sv[i] AS DOUBLE) - b.cv[i]) * (CAST(s.sv[i] AS DOUBLE) - b.cv[i])),
+           (x, y) -> x + y)"""
+    val rounds = (1 to PqTrainRounds).map { r =>
+      val prev = if (r == 1) seed else s"${p}b${r - 1}"
+      s"""${p}a$r AS (
+        SELECT s.vec_id, s.m, s.sv,
+               arg_min(b.code, $sq + 1e-12 * b.code) AS cell
+        FROM $sub s JOIN $prev b ON s.m = b.m
+        GROUP BY s.vec_id, s.m, s.sv),
+      ${p}b$r AS (
+        SELECT m, cell AS code,
+               list(CAST(s AS DOUBLE) / CAST(n AS DOUBLE) / 10000000.0 ORDER BY pos) AS cv
+        FROM (
+          SELECT m, cell, pos,
+                 CAST(sum(CAST(floor(CAST(v AS DOUBLE) * 10000000.0) AS BIGINT)) AS BIGINT) AS s,
+                 count(*) AS n
+          FROM (SELECT m, cell, unnest(range(0, $PqSub)) AS pos, unnest(sv) AS v
+                FROM ${p}a$r)
+          GROUP BY m, cell, pos)
+        GROUP BY m, cell)"""
+    }
+    rounds.mkString(",\n      ")
+  }
+
+  /** Convergence-budgeted per-subspace Lloyd training over an arbitrary
+    * (vec_id, m, sv) subvector stream and (m, code, cv DOUBLE) seed book:
+    * assign → exact fixed-point recompute for up to [[PqTrainRounds]]
+    * recomputes, exiting early when the (vec_id, m, cell) assignment
+    * signature (count + commutative murmur3 sum + xxhash64 XOR — the
+    * [[simKmeansConverged]] triple) repeats. Early exit is sound because
+    * an unchanged assignment makes the recompute reproduce the same
+    * codewords bit-for-bit, so the pinned-budget oracle and this loop
+    * land on identical books. Returns the final per-(m, code) records —
+    * codeword values, member count, 1e-7-quantized inertia — collected to
+    * the driver (≤ M·8 rows, a value, not a plan). Per-round cost at
+    * 100 TB: one broadcast-argmin map pass over (vec, subspace) rows plus
+    * one (m, cell, pos) integer-partial recompute; no vector in any
+    * shuffle; superseded book checkpoints released in-loop. */
+  private def trainSubspaceBook(spark: SparkSession, sub0: DataFrame,
+      seed: DataFrame): Seq[(Int, Long, Seq[Double], Long, Long)] = {
+    val sub = sub0.localCheckpoint(true)
+    val best = expr(s"""
+      array_min(transform(
+        filter(book, c -> c.bm = m),
+        c -> named_struct(
+          'd', aggregate(zip_with(sv, c.cv,
+                 (x, y) -> (CAST(x AS DOUBLE) - CAST(y AS DOUBLE))
+                         * (CAST(x AS DOUBLE) - CAST(y AS DOUBLE))),
+               0D, (acc, v) -> acc + v) + 1e-12 * c.code,
+          'code', c.code)))""")
+    def packed(book: DataFrame): DataFrame = book
+      .agg(collect_list(struct(col("m").as("bm"), col("code"), col("cv"))).as("book"))
+    def assign(book: DataFrame): DataFrame = sub
+      .crossJoin(broadcast(packed(book)))
+      .withColumn("b", best)
+      .select(col("vec_id"), col("m"), col("sv"),
+        col("b")("code").as("cell"), col("b")("d").as("d"))
+    def recompute(a: DataFrame): DataFrame = a
+      .select(col("m"), col("cell"), posexplode(col("sv")).as(Seq("pos", "v")))
+      .groupBy("m", "cell", "pos")
+      .agg(sum(floor(col("v").cast(DoubleType) * 10000000.0).cast(LongType)).as("s"),
+        count(lit(1)).as("n"))
+      .select(col("m"), col("cell"), col("pos"),
+        (col("s").cast(DoubleType) / col("n").cast(DoubleType) / 10000000.0).as("c"))
+      .groupBy(col("m"), col("cell").as("code"))
+      .agg(transform(array_sort(collect_list(struct(col("pos"), col("c")))), s => s("c"))
+        .as("cv"))
+    var book = seed
+    var prevSig: (Long, Long, Long) = null
+    var prevCkpt: DataFrame = null
+    var iters = 0
+    var fixed = false
+    while (iters < PqTrainRounds && !fixed) {
+      val a = assign(book)
+      val row = a.agg(count(lit(1)),
+        sum(hash(col("vec_id"), col("m"), col("cell")).cast(LongType)),
+        call_function("bit_xor", xxhash64(col("vec_id"), col("m"), col("cell")))).head()
+      def at(i: Int) = if (row.isNullAt(i)) 0L else row.getLong(i)
+      val sig = (row.getLong(0), at(1), at(2))
+      if (sig == prevSig) fixed = true
+      else {
+        val next = recompute(a).localCheckpoint(true)
+        if (prevCkpt != null) prevCkpt.unpersist(false)
+        prevCkpt = next
+        book = next
+        prevSig = sig
+        iters += 1
+      }
+    }
+    val fin = assign(book)
+      .select(col("m"), col("cell"),
+        floor(col("d") * 10000000.0).cast(LongType).as("dist_q"))
+      .groupBy("m", "cell")
+      .agg(count(lit(1)).as("n_members"), sum(col("dist_q")).as("inertia_q"))
+    val out = book.join(fin, book("m") === fin("m") && col("code") === col("cell"), "left")
+      .select(book("m").as("bm"), col("code"), col("cv"),
+        coalesce(col("n_members"), lit(0L)).as("n_members"),
+        coalesce(col("inertia_q"), lit(0L)).as("inertia_q"))
+      .collect()
+      .map(r => (r.getAs[Int]("bm"), r.getAs[Long]("code"),
+        r.getAs[scala.collection.Seq[Double]]("cv").toSeq,
+        r.getAs[Long]("n_members"), r.getAs[Long]("inertia_q")))
+      .toSeq.sortBy(r => (r._1, r._2))
+    sub.unpersist(false)
+    if (prevCkpt != null) prevCkpt.unpersist(false)
+    out
+  }
+
+  /** Total 1e-6-quantized encode distortion of an arbitrary (m, code, cv)
+    * book over a (vec_id, m, sv) subvector stream — Σ_rows
+    * floor(min_code(d² + bias) · 10⁶), exact BIGINT sum. Powers the
+    * LlmOpsSpec monotonicity check (converged book ≤ one-round book ≤
+    * seed book): one broadcast-argmin pass, only (micro) longs past it. */
+  private[graft] def bookDistortionMicro(spark: SparkSession, sub: DataFrame,
+      book: DataFrame): Long = {
+    val best = expr(s"""
+      array_min(transform(
+        filter(book, c -> c.bm = m),
+        c -> named_struct(
+          'd', aggregate(zip_with(sv, c.cv,
+                 (x, y) -> (CAST(x AS DOUBLE) - CAST(y AS DOUBLE))
+                         * (CAST(x AS DOUBLE) - CAST(y AS DOUBLE))),
+               0D, (acc, v) -> acc + v) + 1e-12 * c.code,
+          'code', c.code)))""")
+    val packed = book
+      .agg(collect_list(struct(col("m").as("bm"), col("code"), col("cv"))).as("book"))
+    val r = sub.crossJoin(broadcast(packed))
+      .select(floor(best("d") * 1000000.0).cast(LongType).as("micro"))
+      .agg(sum(col("micro"))).head()
+    if (r.isNullAt(0)) 0L else r.getLong(0)
+  }
+
+  /** Memoized CONVERGED books (raw + residual variants), value-memoed like
+    * [[Bpe.trainMergesR]]'s merge table: the artifact is ≤ M·8 codewords of
+    * [[PqSub]] doubles plus two scalars each, so the memo holds the VALUE
+    * and consumers re-inject it as a literal local relation — plans stay
+    * tiny, `releaseSessionState` has nothing to evict, and training runs
+    * once per (session, corpus snapshot, variant). Snapshot-keyed via
+    * [[core.sourceSig]] so a regenerated corpus retrains. */
+  private val bookMemo =
+    new java.util.WeakHashMap[SparkSession, scala.collection.mutable.Map[String, Seq[(Int, Long, Seq[Double], Long, Long)]]]()
+
+  private def memoBook(spark: SparkSession, dir: String, variant: String)(
+      train: => Seq[(Int, Long, Seq[Double], Long, Long)]): Seq[(Int, Long, Seq[Double], Long, Long)] =
+    bookMemo.synchronized {
+      bookMemo.computeIfAbsent(spark, _ => scala.collection.mutable.Map())
+        .getOrElseUpdate(s"$variant:$dir@${core.sourceSig(spark, dir, "embeddings")}", train)
+    }
+
+  /** The (vec_id, m, sv) subvector stream of the raw corpus. */
+  private[graft] def rawSub(spark: SparkSession, dir: String): DataFrame = {
+    val subs = (0 until PqM).map(m => struct(lit(m).as("m"),
+      slice(col("embedding"), m * PqSub + 1, PqSub).as("sv")))
+    emb(spark, dir)
+      .select(col("vec_id"), explode(array(subs: _*)).as("x"))
+      .select(col("vec_id"), col("x.m").as("m"), col("x.sv").as("sv"))
+  }
+
+  /** Converged RAW-vector book records (m, code, cv, n_members,
+    * inertia_q); seeds = vec_id < 8 subvectors, the same seeding every PQ
+    * gate uses. */
+  private[graft] def convergedRawBook(spark: SparkSession, dir: String): Seq[(Int, Long, Seq[Double], Long, Long)] =
+    memoBook(spark, dir, "raw") {
+      val subs = (0 until PqM).map(m => struct(lit(m).as("m"),
+        slice(col("embedding"), m * PqSub + 1, PqSub).as("sv")))
+      val seed = emb(spark, dir).filter(col("vec_id") < 8)
+        .select(col("vec_id").as("code"), explode(array(subs: _*)).as("x"))
+        .select(col("x.m").as("m"), col("code").cast(LongType).as("code"),
+          col("x.sv").cast(ArrayType(DoubleType)).as("cv"))
+      trainSubspaceBook(spark, rawSub(spark, dir), seed)
+    }
+
+  /** Converged RESIDUAL book records; the subvector stream and seeds are
+    * the residuals [[ivfResiduals]] emits (seeds = residuals of vectors
+    * 8..15, code = vec_id − 8 — the [[simIvfAdcResidual]] convention). */
+  private[graft] def convergedResidualBook(spark: SparkSession, dir: String): Seq[(Int, Long, Seq[Double], Long, Long)] =
+    memoBook(spark, dir, "res") {
+      val res = ivfResiduals(spark, dir).localCheckpoint(true)
+      val subs = (0 until PqM).map(m => struct(lit(m).as("m"),
+        slice(col("rv"), m * PqSub + 1, PqSub).as("sv")))
+      val rsub = res
+        .select(col("vec_id"), explode(array(subs: _*)).as("x"))
+        .select(col("vec_id"), col("x.m").as("m"), col("x.sv").as("sv"))
+      val seed = res.filter(col("vec_id") >= 8 && col("vec_id") < 16)
+        .select((col("vec_id") - 8).cast(LongType).as("code"),
+          explode(array(subs: _*)).as("x"))
+        .select(col("x.m").as("m"), col("code"), col("x.sv").as("cv"))
+      val out = trainSubspaceBook(spark, rsub, seed)
+      res.unpersist(false)
+      out
+    }
+
+  /** A memoized book as a (m, code, cv) DataFrame — a literal local
+    * relation, broadcastable by construction. */
+  private def bookDf(spark: SparkSession,
+      recs: Seq[(Int, Long, Seq[Double], Long, Long)]): DataFrame = {
+    val s2 = spark
+    import s2.implicits._
+    recs.map(r => (r._1, r._2, r._3)).toDF("m", "code", "cv")
+  }
+
+  /** sim18 — CONVERGED PQ codebook training (round-12 queue #1):
+    * [[simPqTrain]] pins the training STEP (one Lloyd round); this gate
+    * pins the training LOOP — per-subspace k-means iterated to an
+    * assignment fixpoint or the pinned [[PqTrainRounds]] budget, the
+    * [[simKmeansConverged]] recipe applied to the quantizer the IVFADC
+    * read path actually depends on (Jégou §V trains each subspace to
+    * convergence). Emits the converged book exploded to scalar rows plus
+    * per-codeword membership and 1e-7-quantized inertia — the training
+    * ledger (inertia monotonically decreases per round, so the converged
+    * book's total distortion ≤ the one-round book's; LlmOpsSpec asserts
+    * exactly that against [[simPqTrain]]'s book). Shape at 100 TB: per
+    * round one broadcast-argmin map pass + one integer-partial recompute;
+    * the book is a driver value after training (≤ 32 codewords), so every
+    * consumer re-injects it as a literal instead of re-deriving the
+    * subtree. */
+  val simPqTrainConverged: QueryDef = QueryDef(
+    "sim_pq_train_converged",
+    Some(s"""
+      WITH ms AS (SELECT unnest([0, 1, 2, 3]) AS m),
+      sub AS (
+        SELECT e.vec_id, ms.m,
+               list_slice(e.embedding, ms.m * $PqSub + 1, ms.m * $PqSub + $PqSub) AS sv
+        FROM embeddings e, ms),
+      pb0 AS (
+        SELECT ms.m, CAST(c.vec_id AS BIGINT) AS code,
+               list_transform(list_slice(c.embedding, ms.m * $PqSub + 1, ms.m * $PqSub + $PqSub),
+                 x -> CAST(x AS DOUBLE)) AS cv
+        FROM embeddings c, ms WHERE c.vec_id < 8),
+      ${pqRoundsSql("p", "sub", "pb0")},
+      paf AS (
+        SELECT s.vec_id, s.m,
+               arg_min(b.code, ${pqSqSql16("s.sv", "b.cv")} + 1e-12 * b.code) AS cell,
+               CAST(floor(min(${pqSqSql16("s.sv", "b.cv")} + 1e-12 * b.code)
+                      * 10000000.0) AS BIGINT) AS dist_q
+        FROM sub s JOIN pb$PqTrainRounds b ON s.m = b.m
+        GROUP BY s.vec_id, s.m, s.sv),
+      sizes AS (
+        SELECT m, cell, CAST(count(*) AS BIGINT) AS n_members,
+               CAST(sum(dist_q) AS BIGINT) AS inertia_q
+        FROM paf GROUP BY m, cell),
+      exploded AS (
+        SELECT m, code, unnest(range(0, $PqSub)) AS pos, unnest(cv) AS v
+        FROM pb$PqTrainRounds)
+      SELECT CAST(e.m AS BIGINT) AS m, e.code, CAST(e.pos AS BIGINT) AS pos,
+             round(e.v, 6) AS c_r,
+             CAST(coalesce(s.n_members, 0) AS BIGINT) AS n_members,
+             CAST(coalesce(s.inertia_q, 0) AS BIGINT) AS inertia_q
+      FROM exploded e LEFT JOIN sizes s ON e.m = s.m AND e.code = s.cell
+      ORDER BY m, code, pos
+    """)) { (spark, dir) =>
+    val s2 = spark
+    import s2.implicits._
+    convergedRawBook(spark, dir)
+      .toDF("m", "code", "cv", "n_members", "inertia_q")
+      .select(col("m").cast(LongType).as("m"), col("code"),
+        col("n_members"), col("inertia_q"),
+        posexplode(col("cv")).as(Seq("pos", "v")))
+      .select(col("m"), col("code"), col("pos").cast(LongType).as("pos"),
+        round(col("v"), 6).as("c_r"), col("n_members"), col("inertia_q"))
+      .orderBy("m", "code", "pos")
+  }
 
   /** The IVFADC candidate set: every vector whose coarse cell is among the
     * query's top-3 probe cells — P/K of the corpus by construction, the
@@ -1048,8 +1334,9 @@ object Similarity {
     * the query's top-3 IVF cells ([[probeQuery]], the multiprobe
     * machinery), candidates are ONLY those cells' members (P/K of the
     * corpus — the inverted-file prune), each candidate is PQ-encoded
-    * against the TRAINED codebook ([[pqTrainedBook]] — `sim_pq_train`'s
-    * learned artifact, no longer the seeded stand-in), and ranking is the
+    * against the CONVERGED codebook ([[convergedRawBook]] —
+    * `sim_pq_train_converged`'s fixpoint-trained artifact; round 12 used
+    * the one-round book, round 13 closed the loop), and ranking is the
     * ADC scan: the query's 32-entry LUT of subspace distances to every
     * trained codeword, one broadcast join per subspace code, Σ_m lut[m,
     * code_m] in fixed order. Shape at 100 TB: centroids + codebook + LUT
@@ -1083,26 +1370,13 @@ object Similarity {
         SELECT e.vec_id, ms.m,
                list_slice(e.embedding, ms.m * $PqSub + 1, ms.m * $PqSub + $PqSub) AS sv
         FROM embeddings e, ms),
-      csub AS (
-        SELECT c.vec_id AS cid, ms.m,
-               list_slice(c.embedding, ms.m * $PqSub + 1, ms.m * $PqSub + $PqSub) AS cs
+      pb0 AS (
+        SELECT ms.m, CAST(c.vec_id AS BIGINT) AS code,
+               list_transform(list_slice(c.embedding, ms.m * $PqSub + 1, ms.m * $PqSub + $PqSub),
+                 x -> CAST(x AS DOUBLE)) AS cv
         FROM embeddings c, ms WHERE c.vec_id < 8),
-      passign AS (
-        SELECT s.vec_id, s.m, s.sv,
-               arg_min(c.cid, ${pqSqSql16("s.sv", "c.cs")} + 1e-12 * c.cid) AS cell
-        FROM sub s JOIN csub c ON s.m = c.m
-        GROUP BY s.vec_id, s.m, s.sv),
-      pex AS (
-        SELECT m, cell, unnest(range(0, $PqSub)) AS pos, unnest(sv) AS v FROM passign),
-      pper AS (
-        SELECT m, cell, pos,
-               CAST(sum(CAST(floor(CAST(v AS DOUBLE) * 10000000.0) AS BIGINT)) AS BIGINT) AS s,
-               count(*) AS n
-        FROM pex GROUP BY m, cell, pos),
-      book AS (
-        SELECT m, cell AS code,
-               list(CAST(s AS DOUBLE) / CAST(n AS DOUBLE) / 10000000.0 ORDER BY pos) AS cv
-        FROM pper GROUP BY m, cell),
+      ${pqRoundsSql("p", "sub", "pb0")},
+      book AS (SELECT m, code, cv FROM pb$PqTrainRounds),
       lut AS (
         SELECT b.m, b.code,
                list_reduce(list_transform(range(1, ${PqSub + 1}),
@@ -1140,11 +1414,12 @@ object Similarity {
           explode(array(subs: _*)).as("x"))
         .select(col("vec_id"), col("label"), col("cell"),
           col("x.m").as("m"), col("x.sv").as("sv"))
-      // trained codebook computed ONCE and shared by the encode fold and
-      // the LUT below: two separate pqTrainedBook() calls would run the
-      // whole training pass twice (the round-12 review finding) — one val
-      // keeps the subtree identical so ReuseExchange dedupes it
-      val book = pqTrainedBook(spark, dir)
+      // the CONVERGED codebook (round-12 queue #1): trained once per
+      // (session, snapshot) by the fixpoint loop and re-injected here as a
+      // ≤ 32-row literal — the encode fold and the LUT below share the
+      // same value by construction (the round-12 double-training finding
+      // cannot recur: there is no training subtree left in this plan)
+      val book = bookDf(spark, convergedRawBook(spark, dir))
       val bookRow = book
         .agg(collect_list(struct(col("m").as("bm"), col("code"), col("cv"))).as("book"))
       val best = expr(s"""
@@ -1198,8 +1473,9 @@ object Similarity {
 
   /** sim14 — RESIDUAL-encoded IVFADC: the exact Jégou §IV pipeline, one
     * step past [[simIvfAdc]] (which PQ-codes RAW vectors). Coarse-quantize,
-    * subtract the cell centroid, train one Lloyd round of a product
-    * quantizer ON THE RESIDUALS (seeded by the residuals of vectors 8..15;
+    * subtract the cell centroid, train a product quantizer ON THE
+    * RESIDUALS to the [[PqTrainRounds]]-budgeted assignment fixpoint
+    * ([[convergedResidualBook]], seeded by the residuals of vectors 8..15;
     * the same quantizer serves every cell, per the paper), and answer the
     * query per probed cell: the query's residual against THAT cell's
     * centroid builds a per-cell LUT (3 cells × 4 subspaces × 8 codes = 96
@@ -1237,26 +1513,12 @@ object Similarity {
       rsub AS (
         SELECT r.vec_id, ms.m, list_slice(r.rv, ms.m * $PqSub + 1, ms.m * $PqSub + $PqSub) AS sv
         FROM res r, ms),
-      seed AS (
-        SELECT ms.m, r.vec_id - 8 AS code,
-               list_slice(r.rv, ms.m * $PqSub + 1, ms.m * $PqSub + $PqSub) AS bv
+      rb0 AS (
+        SELECT ms.m, CAST(r.vec_id - 8 AS BIGINT) AS code,
+               list_slice(r.rv, ms.m * $PqSub + 1, ms.m * $PqSub + $PqSub) AS cv
         FROM res r, ms WHERE r.vec_id >= 8 AND r.vec_id < 16),
-      passign AS (
-        SELECT s.vec_id, s.m, s.sv,
-               arg_min(b.code, ${sq16("s.sv", "b.bv")} + 1e-12 * b.code) AS code
-        FROM rsub s JOIN seed b ON s.m = b.m
-        GROUP BY s.vec_id, s.m, s.sv),
-      pex AS (
-        SELECT m, code, unnest(range(0, $PqSub)) AS pos, unnest(sv) AS v FROM passign),
-      pper AS (
-        SELECT m, code, pos,
-               CAST(sum(CAST(floor(v * 10000000.0) AS BIGINT)) AS BIGINT) AS s,
-               count(*) AS n
-        FROM pex GROUP BY m, code, pos),
-      book AS (
-        SELECT m, code,
-               list(CAST(s AS DOUBLE) / CAST(n AS DOUBLE) / 10000000.0 ORDER BY pos) AS bv
-        FROM pper GROUP BY m, code),
+      ${pqRoundsSql("r", "rsub", "rb0")},
+      book AS (SELECT m, code, cv AS bv FROM rb$PqTrainRounds),
       q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 17),
       qc AS (
         SELECT c.cent_id AS cell, c.cv FROM cents c, q
@@ -1291,21 +1553,14 @@ object Similarity {
       SELECT vec_id, label, cell, round(qd0 + qd1 + qd2 + qd3, 6) AS adc_r
       FROM adc ORDER BY qd0 + qd1 + qd2 + qd3, vec_id LIMIT 10
     """)) { (spark, dir) =>
-      // residuals feed THREE consumers (training stream, seed codebook,
-      // candidate encode) — checkpoint once so the assignment crossJoin +
-      // subtraction run once, not three times (each a full interpreted-HOF
-      // pass over the corpus; measured 4.1s → the dominant gate cost)
+      // residuals feed the candidate-encode path; the CONVERGED residual
+      // book arrives as a memoized ≤ 32-row literal (the fixpoint loop
+      // ran once per session/snapshot inside convergedResidualBook, which
+      // checkpoints its own residual frame) — checkpoint this one so the
+      // LUT and candidate consumers share one subtraction pass
       val res = ivfResiduals(spark, dir).localCheckpoint(true)
       val subs = (0 until PqM).map(m => struct(lit(m).as("m"),
         slice(col("rv"), m * PqSub + 1, PqSub).as("sv")))
-      val rsub = res
-        .select(col("vec_id"), col("cell"), explode(array(subs: _*)).as("x"))
-        .select(col("vec_id"), col("x.m").as("m"), col("x.sv").as("sv"))
-      // seed codebook = residuals of vectors 8..15, folded into one row
-      val seedRow = res.filter(col("vec_id") >= 8 && col("vec_id") < 16)
-        .select((col("vec_id") - 8).as("code"), explode(array(subs: _*)).as("x"))
-        .agg(collect_list(struct(col("x.m").as("bm"), col("code"),
-          col("x.sv").as("cv"))).as("book"))
       val best = expr(s"""
         array_min(transform(
           filter(book, c -> c.bm = m),
@@ -1313,18 +1568,8 @@ object Similarity {
             'd', aggregate(zip_with(sv, c.cv, (x, y) -> (x - y) * (x - y)),
                  0D, (acc, v) -> acc + v) + 1e-12 * c.code,
             'code', c.code)))""")
-      // one Lloyd round on the residuals: fixed-point integer means (the
-      // simCentroids discipline — bit-identical at any parallelism)
-      val book = rsub.crossJoin(broadcast(seedRow))
-        .select(col("m"), best("code").as("code"),
-          posexplode(col("sv")).as(Seq("pos", "v")))
-        .groupBy("m", "code", "pos")
-        .agg(sum(floor(col("v") * 10000000.0).cast(LongType)).as("s"),
-          count(lit(1)).as("n"))
-        .groupBy("m", "code")
-        .agg(transform(array_sort(collect_list(struct(col("pos"),
-          (col("s").cast(DoubleType) / col("n").cast(DoubleType) / 10000000.0)
-            .as("c")))), s => s("c")).as("bv"))
+      val book = bookDf(spark, convergedResidualBook(spark, dir))
+        .withColumnRenamed("cv", "bv")
       // per-probed-cell query residual → the 96-row (cell, m, code) LUT
       val qprobe = probeQuery(spark, dir, vecId = 17, nProbe = 3)
       val qres = qprobe
@@ -1605,6 +1850,6 @@ object Similarity {
   val all: Seq[QueryDef] = Seq(
     simTopKBrute, simLshPairs, simIvfProbe, simIvfMultiprobe, ddEmbeddingCosine,
     simQuantizeInt8, simCentroids, simKmeans, simKmeansConverged, simSemanticDedup,
-    simPqEncode, simPqSearch, simPqTrain, simIvfAdc, simIvfAdcResidual,
-    simAnnRecall, simIvfLayout, simPqDimLayout)
+    simPqEncode, simPqSearch, simPqTrain, simPqTrainConverged, simIvfAdc,
+    simIvfAdcResidual, simAnnRecall, simIvfLayout, simPqDimLayout)
 }

@@ -121,6 +121,30 @@ class LlmOpsSpec extends SparkSpec {
     }
   }
 
+  test("converged PQ book: fixpoint training never loses to the one-round book") {
+    // Lloyd monotonicity made measurable (round-12 queue #1's Done bar):
+    // each assign+recompute round can only lower total distortion, so the
+    // convergence-budgeted book must encode the corpus at least as well
+    // as sim_pq_train's single round — and the converged gate's ledger
+    // must partition the corpus per subspace like the one-round gate does
+    val sub = Similarity.rawSub(spark, sfDir)
+    val recs = Similarity.convergedRawBook(spark, sfDir)
+    val convDf = {
+      val s2 = spark; import s2.implicits._
+      recs.map(r => (r._1, r._2, r._3)).toDF("m", "code", "cv")
+    }
+    val dConv = Similarity.bookDistortionMicro(spark, sub, convDf)
+    val dOne = Similarity.bookDistortionMicro(spark, sub,
+      Similarity.pqTrainedBook(spark, sfDir))
+    assert(dConv <= dOne,
+      s"converged book distortion $dConv exceeds one-round book's $dOne")
+    val n = core.tbl(spark, sfDir, "embeddings").count()
+    recs.groupBy(_._1).foreach { case (m, rs) =>
+      assert(rs.map(_._4).sum === n, s"subspace $m inertia ledger incomplete")
+      assert(rs.forall(_._5 >= 0L))
+    }
+  }
+
   test("IVFADC: candidates strictly pruned below corpus size, ≤3 cells, self top-1") {
     // the composed read path must actually PRUNE: candidate volume is the
     // P/K bound that makes IVFADC the billion-scale shape (P=3 of K=8 here)
