@@ -1847,9 +1847,221 @@ object Similarity {
     }
   }
 
+  /** The 1e-7-quantized per-dimension variance mass Σ_rows ⌊(v − μ_d)²·10⁷⌋
+    * of the corpus, as a driver value (64 longs — counter-scale by the
+    * embedding width, not the corpus). Two exact map passes: pass 1 sums
+    * ⌊v·10⁷⌋ per dimension (the fixed-point mean numerator), pass 2 sums
+    * the floored squared deviation from μ_d = s1/(n·10⁷) — μ and the
+    * deviation are single IEEE double ops, identical in any engine, and
+    * the cross-row sum is over exact BIGINTs (the suite's float-sum
+    * rule). */
+  private[graft] def dimVarianceQ(spark: SparkSession, dir: String): Seq[(Int, Long)] = {
+    val ve = emb(spark, dir).select(posexplode(col("embedding")).as(Seq("dim", "v")))
+    val mstats = ve.groupBy("dim")
+      .agg(sum(floor(col("v").cast(DoubleType) * 10000000.0).cast(LongType)).as("s1"),
+        count(lit(1)).as("n"))
+    val mu = col("s1").cast(DoubleType) / (col("n").cast(DoubleType) * 10000000.0)
+    val dev = col("v").cast(DoubleType) - mu
+    ve.join(broadcast(mstats), "dim")
+      .select(col("dim"), floor(dev * dev * 10000000.0).cast(LongType).as("dq"))
+      .groupBy("dim").agg(sum(col("dq")).as("vq"))
+      .collect().map(r => (r.getInt(0), r.getLong(1))).toSeq.sortBy(_._1)
+  }
+
+  /** Greedy balanced-variance dimension allocation (the structured half of
+    * Ge et al., "Optimized Product Quantization", TPAMI 2014 — their
+    * eigenvalue-allocation step applied to per-dimension variance mass,
+    * skipping the learned rotation): dimensions sorted by variance
+    * descending (ties → lower dim) are assigned one at a time to the
+    * subspace with the smallest accumulated variance mass that still has
+    * capacity, ties → lowest subspace index. Returns the 1-based learned
+    * permutation (positions m·16+1..m·16+16 hold subspace m's dimensions in
+    * assignment order) — 64 integer steps on the driver; the oracle
+    * replays the identical argmin via a recursive CTE whose first-min
+    * `list_position` matches this loop's strict-< first-win scan. */
+  private[graft] def opqGreedyPerm(varq: Seq[(Int, Long)]): Seq[Int] = {
+    val ord = varq.sortBy { case (dim, vq) => (-vq, dim) }
+    val sums = Array.fill(PqM)(0L)
+    val cnts = Array.fill(PqM)(0)
+    val bins = ord.map { case (_, vq) =>
+      var b = -1
+      var bestSum = Long.MaxValue
+      var i = 0
+      while (i < PqM) {
+        if (cnts(i) < PqSub && sums(i) < bestSum) { bestSum = sums(i); b = i }
+        i += 1
+      }
+      sums(b) += vq
+      cnts(b) += 1
+      b
+    }
+    ord.zip(bins).zipWithIndex
+      .map { case (((dim, _), b), rk) => (b, rk, dim) }
+      .sorted.map(_._3 + 1)
+  }
+
+  /** Per-subspace variance-mass spread (max − min over the 4 subspace
+    * sums) of a 1-based layout permutation — the objective the greedy
+    * allocation minimizes, computed from the collected variance table. */
+  private def layoutSpreadQ(perm: Seq[Int], varq: Map[Int, Long]): Long = {
+    val binSums = (0 until PqM).map(m =>
+      (m * PqSub until (m + 1) * PqSub).map(p => varq(perm(p) - 1)).sum)
+    binSums.max - binSums.min
+  }
+
+  /** sim19 — LEARNED OPQ dimension allocation (round-12 queue #2):
+    * [[simPqDimLayout]] AUDITS two fixed layouts; this gate OPTIMIZES one —
+    * per-dimension variance mass in one counter-scale pass
+    * ([[dimVarianceQ]]), greedy balanced-variance assignment of dimensions
+    * to subspaces ([[opqGreedyPerm]], Ge et al. 2014's eigenvalue
+    * allocation on variances), then every layout (identity, stride-17, and
+    * the learned permutation) is scored the way a deployment would score
+    * it: train a product quantizer per layout to the [[PqTrainRounds]]
+    * fixpoint budget ([[trainSubspaceBook]] — the converged-training
+    * machinery composing with arbitrary layouts) and measure total encode
+    * distortion, alongside the balance objective itself (subspace
+    * variance-mass spread). Honesty note the spec enforces: on this
+    * corpus the learned layout wins the OBJECTIVE by an order of magnitude
+    * at every scale rung (spread ~3e6 vs ~3-6e7) while trained-book
+    * DISTORTION ties within noise across all three layouts — the driver's
+    * synthetic embeddings are near-isotropic (per-dim variance 0.013-0.019),
+    * so no permutation can beat another on distortion by more than ulps;
+    * the allocation's distortion value shows on anisotropic real data
+    * (PCA-rotated or raw-feature vectors), and what this gate pins is the
+    * optimizer machinery plus the measured objective. Shape at 100 TB:
+    * two map passes for variances (64-long driver value), a 64-step driver
+    * greedy, and per layout the budgeted training loop (broadcast-argmin
+    * map passes, integer-partial recomputes) + one distortion pass — no
+    * vector in any shuffle anywhere. */
+  val simOpqLearned: QueryDef = {
+    def layoutBlock(l: String): String = {
+      val sq = s"""list_reduce(list_transform(range(1, ${PqSub + 1}),
+           i -> (CAST(s.sv[i] AS DOUBLE) - b.cv[i]) * (CAST(s.sv[i] AS DOUBLE) - b.cv[i])),
+           (x, y) -> x + y)"""
+      s"""${l}_pe AS (
+        SELECT e.vec_id, list_transform(range(1, 65), i -> e.embedding[p.pm[i]]) AS pv
+        FROM embeddings e, ${l}_perm p),
+      ${l}_sub AS (
+        SELECT pe.vec_id, ms.m,
+               list_slice(pe.pv, ms.m * $PqSub + 1, ms.m * $PqSub + $PqSub) AS sv
+        FROM ${l}_pe pe, ms),
+      ${l}_s0 AS (
+        SELECT ms.m, CAST(pe.vec_id AS BIGINT) AS code,
+               list_transform(list_slice(pe.pv, ms.m * $PqSub + 1, ms.m * $PqSub + $PqSub),
+                 x -> CAST(x AS DOUBLE)) AS cv
+        FROM ${l}_pe pe, ms WHERE pe.vec_id < 8),
+      ${pqRoundsSql(l, s"${l}_sub", s"${l}_s0")},
+      ${l}_dist AS (
+        SELECT CAST(count(DISTINCT s.vec_id) AS BIGINT) AS n_vectors,
+               CAST(sum(micro) AS BIGINT) AS total_micro
+        FROM (
+          SELECT s.vec_id, CAST(floor(min($sq + 1e-12 * b.code) * 1000000.0) AS BIGINT) AS micro
+          FROM ${l}_sub s JOIN ${l}b$PqTrainRounds b ON s.m = b.m
+          GROUP BY s.vec_id, s.m, s.sv) s),
+      ${l}_spread AS (
+        SELECT CAST(max(sb) - min(sb) AS BIGINT) AS spread_q
+        FROM (SELECT (mp.pos - 1) // $PqSub AS sm, sum(v.vq) AS sb
+              FROM ${l}_map mp JOIN varq v ON v.dim = mp.dim0
+              GROUP BY 1)),
+      ${l}_row AS (
+        SELECT '$l' AS layout, d.n_vectors, sp.spread_q, d.total_micro,
+               round(CAST(d.total_micro AS DOUBLE) / CAST(d.n_vectors AS DOUBLE) / 1000000.0, 6) AS mean_r
+        FROM ${l}_dist d, ${l}_spread sp)"""
+    }
+    QueryDef(
+      "sim_opq_learned",
+      Some(s"""
+      WITH ms AS (SELECT unnest([0, 1, 2, 3]) AS m),
+      ve AS (
+        SELECT unnest(range(0, 64)) AS dim, unnest(embedding) AS v FROM embeddings),
+      mstats AS (
+        SELECT dim,
+               CAST(sum(CAST(floor(CAST(v AS DOUBLE) * 10000000.0) AS BIGINT)) AS BIGINT) AS s1,
+               count(*) AS n
+        FROM ve GROUP BY dim),
+      varq AS (
+        SELECT ve.dim,
+               CAST(sum(CAST(floor(
+                 (CAST(ve.v AS DOUBLE) - CAST(st.s1 AS DOUBLE) / (CAST(st.n AS DOUBLE) * 10000000.0))
+                 * (CAST(ve.v AS DOUBLE) - CAST(st.s1 AS DOUBLE) / (CAST(st.n AS DOUBLE) * 10000000.0))
+                 * 10000000.0) AS BIGINT)) AS BIGINT) AS vq
+        FROM ve JOIN mstats st ON ve.dim = st.dim
+        GROUP BY ve.dim),
+      ord AS (
+        SELECT dim, vq, row_number() OVER (ORDER BY vq DESC, dim) - 1 AS rk FROM varq),
+      alloc AS (
+        WITH RECURSIVE g(step, sums, cnts, bins) AS (
+          SELECT 0, [CAST(0 AS BIGINT), 0, 0, 0], [0, 0, 0, 0], CAST([] AS INTEGER[])
+          UNION ALL
+          SELECT s.step + 1,
+                 list_transform(range(1, ${PqM + 1}), i -> s.sums[i] + CASE WHEN i = s.b THEN s.vq ELSE 0 END),
+                 list_transform(range(1, ${PqM + 1}), i -> s.cnts[i] + CASE WHEN i = s.b THEN 1 ELSE 0 END),
+                 list_append(s.bins, s.b)
+          FROM (
+            SELECT g.step, g.sums, g.cnts, g.bins, o.vq,
+                   CAST(list_position(
+                     list_transform(range(1, ${PqM + 1}), i -> CASE WHEN g.cnts[i] >= $PqSub THEN NULL ELSE g.sums[i] END),
+                     list_min(list_transform(range(1, ${PqM + 1}), i -> CASE WHEN g.cnts[i] >= $PqSub THEN NULL ELSE g.sums[i] END))) AS INTEGER) AS b
+            FROM g JOIN ord o ON o.rk = g.step
+            WHERE g.step < 64) s)
+        SELECT bins FROM g WHERE step = 64),
+      learned_map AS (
+        SELECT row_number() OVER (ORDER BY a.bins[o.rk + 1], o.rk) AS pos, o.dim AS dim0
+        FROM ord o, alloc a),
+      identity_map AS (SELECT unnest(range(1, 65)) AS pos, unnest(range(0, 64)) AS dim0),
+      stride17_map AS (
+        SELECT unnest(range(1, 65)) AS pos,
+               unnest(list_transform(range(1, 65), i -> (i * 17 - 17) % 64)) AS dim0),
+      identity_perm AS (SELECT list(dim0 + 1 ORDER BY pos) AS pm FROM identity_map),
+      stride17_perm AS (SELECT list(dim0 + 1 ORDER BY pos) AS pm FROM stride17_map),
+      learned_perm AS (SELECT list(dim0 + 1 ORDER BY pos) AS pm FROM learned_map),
+      ${layoutBlock("identity")},
+      ${layoutBlock("stride17")},
+      ${layoutBlock("learned")}
+      SELECT * FROM (
+        SELECT * FROM identity_row
+        UNION ALL SELECT * FROM stride17_row
+        UNION ALL SELECT * FROM learned_row)
+      ORDER BY layout
+    """)) { (spark, dir) =>
+      val s2 = spark
+      import s2.implicits._
+      val varq = dimVarianceQ(spark, dir)
+      val varqMap = varq.toMap
+      val learned = opqGreedyPerm(varq)
+      val identity = (1 to 64).toSeq
+      val stride17 = (1 to 64).map(i => ((i * 17 - 17) % 64) + 1)
+      val n = emb(spark, dir).count()
+      def eval(label: String, perm: Seq[Int]): (String, Long, Long, Long) = {
+        val pe = emb(spark, dir).select(col("vec_id"),
+          array(perm.map(p => col("embedding")(p - 1)): _*).as("pv"))
+        val subs = (0 until PqM).map(m => struct(lit(m).as("m"),
+          slice(col("pv"), m * PqSub + 1, PqSub).as("sv")))
+        val sub = pe.select(col("vec_id"), explode(array(subs: _*)).as("x"))
+          .select(col("vec_id"), col("x.m").as("m"), col("x.sv").as("sv"))
+        val seed = pe.filter(col("vec_id") < 8)
+          .select(col("vec_id").as("code"), explode(array(subs: _*)).as("x"))
+          .select(col("x.m").as("m"), col("code").cast(LongType).as("code"),
+            col("x.sv").cast(ArrayType(DoubleType)).as("cv"))
+        val recs = memoBook(spark, dir, s"opq_$label") {
+          trainSubspaceBook(spark, sub, seed)
+        }
+        val total = bookDistortionMicro(spark, sub, bookDf(spark, recs))
+        (label, n, layoutSpreadQ(perm, varqMap), total)
+      }
+      Seq(eval("identity", identity), eval("stride17", stride17),
+          eval("learned", learned))
+        .toDF("layout", "n_vectors", "spread_q", "total_micro")
+        .select(col("layout"), col("n_vectors"), col("spread_q"), col("total_micro"),
+          round(col("total_micro").cast(DoubleType) / col("n_vectors").cast(DoubleType)
+            / 1000000.0, 6).as("mean_r"))
+        .orderBy("layout")
+    }
+  }
+
   val all: Seq[QueryDef] = Seq(
     simTopKBrute, simLshPairs, simIvfProbe, simIvfMultiprobe, ddEmbeddingCosine,
     simQuantizeInt8, simCentroids, simKmeans, simKmeansConverged, simSemanticDedup,
     simPqEncode, simPqSearch, simPqTrain, simPqTrainConverged, simIvfAdc,
-    simIvfAdcResidual, simAnnRecall, simIvfLayout, simPqDimLayout)
+    simIvfAdcResidual, simAnnRecall, simIvfLayout, simPqDimLayout, simOpqLearned)
 }
