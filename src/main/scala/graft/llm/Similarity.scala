@@ -1481,9 +1481,15 @@ object Similarity {
     * centroid builds a per-cell LUT (3 cells × 4 subspaces × 8 codes = 96
     * broadcast rows), candidates are only the probed cells' members, and
     * the ADC score is Σ_m lut[cell, m, code_m] in fixed order. Residuals
-    * matter because the same displacement-from-centroid codebook is shared
-    * across cells — raw-vector PQ must spend codes describing WHERE the
-    * cell sits; residual PQ spends them all on the local displacement.
+    * matter (on clustered corpora) because the same
+    * displacement-from-centroid codebook is shared across cells —
+    * raw-vector PQ must spend codes describing WHERE the cell sits;
+    * residual PQ spends them all on the local displacement. Whether that
+    * premise holds is an empirical question [[simAnnRecallSet]] answers
+    * per corpus: on the driver's near-uniform-sphere embeddings it does
+    * NOT (residual norms exceed raw norms, and the measured residual-ADC
+    * recall is below raw-ADC) — this gate pins the PIPELINE's
+    * correctness; the harness decides when to deploy it.
     * Shape at 100 TB: centroids (8), the residual codebook (one folded
     * row), and the per-cell LUT (96 rows) all broadcast; residual
     * computation is map-side; training shuffles only (m, code, pos)
@@ -1705,6 +1711,260 @@ object Similarity {
       recallOf("ivf_probe1", probed(1))
         .unionAll(recallOf("ivf_probe3", probed(3)))
         .unionAll(recallOf("pq_adc", mp))
+        .orderBy("method")
+    }
+  }
+
+  /** sim15b — ANN recall harness over a QUERY SET (round-12 queue #3):
+    * [[simAnnRecall]] pins one query's ladder; this gate is the real
+    * evaluation — mean recall@10 over the 8 held-out queries (vec_ids
+    * 16..23: 0..7 are coarse centroids, 8..15 residual-PQ seeds), with
+    * the two composed IVFADC read paths as rungs so raw-vs-residual
+    * coding is COMPUTED on identical candidates (probe-3 members, only
+    * the coding differs). Measured verdict this harness settles for this
+    * corpus: the residual rung LOSES to raw ADC at every scale rung
+    * (mean recall ~0.06-0.13 vs 0.20-0.25) — the driver's embeddings are
+    * near-uniform on the sphere, so query·centroid ≈ 0.3 and residual
+    * norms ‖v−c‖² = 2−2·v·c exceed raw norms, inverting Jégou §IV's
+    * premise (residuals concentrate only when the corpus is clustered).
+    * That inversion is the point of the gate: a deployment runs exactly
+    * this measurement before choosing an index, and the spec asserts only
+    * corpus-independent structure (probe3 ≥ probe1; every rung ≤ k·|Q|;
+    * raw ADC finds something). Shape at 100 TB: the query set, probe
+    * table, books, and LUTs are counter-scale broadcasts; candidate and
+    * encode frames carry codes + scalars only (never a vector through a
+    * shuffle); the per-qid top-k windows partition by qid over (id,
+    * score) scalars. The exact baseline is one corpus pass against all 8
+    * queries — priced per evaluation, not per query. */
+  val simAnnRecallSet: QueryDef = {
+    val sq16d = (a: String, b: String) => s"""list_reduce(list_transform(range(1, ${PqSub + 1}),
+           i -> ($a[i] - $b[i]) * ($a[i] - $b[i])),
+           (x, y) -> x + y)"""
+    val encWideSql = (src: String, book: String) => s"""
+        SELECT vec_id,
+               max(CASE WHEN m = 0 THEN code END) AS code0,
+               max(CASE WHEN m = 1 THEN code END) AS code1,
+               max(CASE WHEN m = 2 THEN code END) AS code2,
+               max(CASE WHEN m = 3 THEN code END) AS code3
+        FROM (
+          SELECT s.vec_id, s.m,
+                 arg_min(b.code, ${sq16d("s.sv", "b.cv")} + 1e-12 * b.code) AS code
+          FROM $src s JOIN $book b ON s.m = b.m
+          GROUP BY s.vec_id, s.m, s.sv)
+        GROUP BY vec_id"""
+    QueryDef(
+      "sim_ann_recall_set",
+      Some(s"""
+      WITH ms AS (SELECT unnest([0, 1, 2, 3]) AS m),
+      cents AS (SELECT vec_id AS cid, embedding AS cv FROM embeddings WHERE vec_id < 8),
+      qs AS (SELECT vec_id AS qid, embedding AS qv FROM embeddings WHERE vec_id >= 16 AND vec_id < 24),
+      ex AS (
+        SELECT qid, vec_id FROM (
+          SELECT q.qid, e.vec_id,
+                 row_number() OVER (PARTITION BY q.qid
+                   ORDER BY ${dotSql("e.embedding", "q.qv")} DESC, e.vec_id) AS rn
+          FROM embeddings e, qs q)
+        WHERE rn <= 10),
+      assigned AS (
+        SELECT e.vec_id, e.embedding,
+               arg_max(c.cid, ${dotSql("e.embedding", "c.cv")} - 1e-12 * c.cid) AS cell
+        FROM embeddings e, cents c GROUP BY e.vec_id, e.embedding),
+      qprobe AS (
+        SELECT q.qid, q.qv, c.cid AS cell, c.cv,
+               row_number() OVER (PARTITION BY q.qid
+                 ORDER BY ${dotSql("q.qv", "c.cv")} - 1e-12 * c.cid DESC) AS rn
+        FROM qs q, cents c),
+      m1 AS (
+        SELECT qid, vec_id FROM (
+          SELECT p.qid, a.vec_id,
+                 row_number() OVER (PARTITION BY p.qid
+                   ORDER BY ${dotSql("a.embedding", "p.qv")} DESC, a.vec_id) AS rr
+          FROM assigned a JOIN qprobe p ON a.cell = p.cell AND p.rn <= 1)
+        WHERE rr <= 10),
+      m3 AS (
+        SELECT qid, vec_id FROM (
+          SELECT p.qid, a.vec_id,
+                 row_number() OVER (PARTITION BY p.qid
+                   ORDER BY ${dotSql("a.embedding", "p.qv")} DESC, a.vec_id) AS rr
+          FROM assigned a JOIN qprobe p ON a.cell = p.cell AND p.rn <= 3)
+        WHERE rr <= 10),
+      sub AS (
+        SELECT e.vec_id, ms.m,
+               list_slice(e.embedding, ms.m * $PqSub + 1, ms.m * $PqSub + $PqSub) AS sv
+        FROM embeddings e, ms),
+      pb0 AS (
+        SELECT ms.m, CAST(c.vec_id AS BIGINT) AS code,
+               list_transform(list_slice(c.embedding, ms.m * $PqSub + 1, ms.m * $PqSub + $PqSub),
+                 x -> CAST(x AS DOUBLE)) AS cv
+        FROM embeddings c, ms WHERE c.vec_id < 8),
+      ${pqRoundsSql("p", "sub", "pb0")},
+      enc_raw AS (${encWideSql(s"(SELECT vec_id, m, list_transform(sv, x -> CAST(x AS DOUBLE)) AS sv FROM sub)", s"pb$PqTrainRounds")}),
+      lut_raw AS (
+        SELECT q.qid, b.m, b.code,
+               ${sq16d(s"list_transform(list_slice(q.qv, b.m * $PqSub + 1, b.m * $PqSub + $PqSub), x -> CAST(x AS DOUBLE))", "b.cv")} AS qd
+        FROM qs q, pb$PqTrainRounds b),
+      candr AS (
+        SELECT p.qid, a.vec_id FROM assigned a JOIN qprobe p ON a.cell = p.cell AND p.rn <= 3),
+      ar AS (
+        SELECT qid, vec_id FROM (
+          SELECT c.qid, c.vec_id,
+                 row_number() OVER (PARTITION BY c.qid
+                   ORDER BY q0.qd + q1.qd + q2.qd + q3.qd, c.vec_id) AS rr
+          FROM candr c
+          JOIN enc_raw e ON e.vec_id = c.vec_id
+          JOIN lut_raw q0 ON q0.qid = c.qid AND q0.m = 0 AND q0.code = e.code0
+          JOIN lut_raw q1 ON q1.qid = c.qid AND q1.m = 1 AND q1.code = e.code1
+          JOIN lut_raw q2 ON q2.qid = c.qid AND q2.m = 2 AND q2.code = e.code2
+          JOIN lut_raw q3 ON q3.qid = c.qid AND q3.m = 3 AND q3.code = e.code3)
+        WHERE rr <= 10),
+      res AS (
+        SELECT a.vec_id, a.cell,
+               list_transform(range(1, 65),
+                 i -> CAST(a.embedding[i] AS DOUBLE) - CAST(c.cv[i] AS DOUBLE)) AS rv
+        FROM assigned a JOIN cents c ON a.cell = c.cid),
+      rsub AS (
+        SELECT r.vec_id, ms.m, list_slice(r.rv, ms.m * $PqSub + 1, ms.m * $PqSub + $PqSub) AS sv
+        FROM res r, ms),
+      rb0 AS (
+        SELECT ms.m, CAST(r.vec_id - 8 AS BIGINT) AS code,
+               list_slice(r.rv, ms.m * $PqSub + 1, ms.m * $PqSub + $PqSub) AS cv
+        FROM res r, ms WHERE r.vec_id >= 8 AND r.vec_id < 16),
+      ${pqRoundsSql("r", "rsub", "rb0")},
+      enc_res AS (${encWideSql("rsub", s"rb$PqTrainRounds")}),
+      lut_res AS (
+        SELECT p.qid, p.cell, b.m, b.code,
+               ${sq16d(s"list_transform(range(1, ${PqSub + 1}), i -> CAST(p.qv[i + b.m * $PqSub] AS DOUBLE) - CAST(p.cv[i + b.m * $PqSub] AS DOUBLE))", "b.cv")} AS qd
+        FROM qprobe p JOIN rb$PqTrainRounds b ON p.rn <= 3),
+      candc AS (
+        SELECT p.qid, a.vec_id, a.cell FROM assigned a JOIN qprobe p ON a.cell = p.cell AND p.rn <= 3),
+      rr AS (
+        SELECT qid, vec_id FROM (
+          SELECT c.qid, c.vec_id,
+                 row_number() OVER (PARTITION BY c.qid
+                   ORDER BY q0.qd + q1.qd + q2.qd + q3.qd, c.vec_id) AS rr
+          FROM candc c
+          JOIN enc_res e ON e.vec_id = c.vec_id
+          JOIN lut_res q0 ON q0.qid = c.qid AND q0.cell = c.cell AND q0.m = 0 AND q0.code = e.code0
+          JOIN lut_res q1 ON q1.qid = c.qid AND q1.cell = c.cell AND q1.m = 1 AND q1.code = e.code1
+          JOIN lut_res q2 ON q2.qid = c.qid AND q2.cell = c.cell AND q2.m = 2 AND q2.code = e.code2
+          JOIN lut_res q3 ON q3.qid = c.qid AND q3.cell = c.cell AND q3.m = 3 AND q3.code = e.code3)
+        WHERE rr <= 10),
+      r AS (
+        SELECT 'ivf_probe1' AS method, (SELECT count(*) FROM m1 JOIN ex USING (qid, vec_id)) AS hits
+        UNION ALL
+        SELECT 'ivf_probe3', (SELECT count(*) FROM m3 JOIN ex USING (qid, vec_id))
+        UNION ALL
+        SELECT 'ivfadc_raw', (SELECT count(*) FROM ar JOIN ex USING (qid, vec_id))
+        UNION ALL
+        SELECT 'ivfadc_residual', (SELECT count(*) FROM rr JOIN ex USING (qid, vec_id)))
+      SELECT method, CAST(8 AS BIGINT) AS n_queries, CAST(10 AS BIGINT) AS k,
+             CAST(hits AS BIGINT) AS hits,
+             round(CAST(hits AS DOUBLE) / 80.0, 6) AS mean_recall_r
+      FROM r ORDER BY method
+    """)) { (spark, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val wq = Window.partitionBy("qid")
+      val qs = emb(spark, dir).filter(col("vec_id") >= 16 && col("vec_id") < 24)
+        .select(col("vec_id").as("qid"), col("embedding").as("qv"))
+      // 80 (qid, vec_id) rows consumed by all four rungs — checkpoint so
+      // the exact corpus pass runs once, not four times
+      val ex = emb(spark, dir).crossJoin(broadcast(qs))
+        .select(col("qid"), col("vec_id"), dot(col("embedding"), col("qv")).as("s"))
+        .withColumn("rn", row_number().over(wq.orderBy(col("s").desc, col("vec_id"))))
+        .filter(col("rn") <= 10).select("qid", "vec_id")
+        .localCheckpoint(true)
+      val assigned = ivfAssigned(spark, dir)
+      val qprobe = qs.crossJoin(broadcast(ivfCentroids(spark, dir)))
+        .select(col("qid"), col("qv"), explode(col("cents")).as("c"))
+        .select(col("qid"), col("qv"), col("c.cent_id").as("cell"), col("c.cv").as("ccv"),
+          (dot(col("qv"), col("c.cv")) - lit(1e-12) * col("c.cent_id")).as("sc"))
+        .withColumn("rn", row_number().over(wq.orderBy(col("sc").desc)))
+        .localCheckpoint(true)
+      def probedTop(nProbe: Int): DataFrame = assigned
+        .join(broadcast(qprobe.filter(col("rn") <= nProbe)
+          .select(col("qid").as("pqid"), col("qv").as("pqv"), col("cell").as("pcell"))),
+          col("cell") === col("pcell"))
+        .select(col("pqid").as("qid"), col("vec_id"),
+          dot(col("embedding"), col("pqv")).as("s"))
+        .withColumn("rr", row_number().over(wq.orderBy(col("s").desc, col("vec_id"))))
+        .filter(col("rr") <= 10).select("qid", "vec_id")
+      val best = expr(s"""
+        array_min(transform(
+          filter(book, c -> c.bm = m),
+          c -> named_struct(
+            'd', aggregate(zip_with(sv, c.cv,
+                   (x, y) -> (CAST(x AS DOUBLE) - CAST(y AS DOUBLE))
+                           * (CAST(x AS DOUBLE) - CAST(y AS DOUBLE))),
+                 0D, (acc, v) -> acc + v) + 1e-12 * c.code,
+            'code', c.code)))""")
+      def encWide(sub: DataFrame, book: DataFrame): DataFrame = {
+        val bookRow = book
+          .agg(collect_list(struct(col("m").as("bm"), col("code"), col("cv"))).as("book"))
+        val aggs = (0 until PqM).map(m =>
+          max(when(col("m") === m, col("code"))).as(s"code$m"))
+        sub.crossJoin(broadcast(bookRow))
+          .select(col("vec_id"), col("m"), best("code").as("code"))
+          .groupBy("vec_id").agg(aggs.head, aggs.tail: _*)
+      }
+      def adcTop(cand: DataFrame, enc: DataFrame, lut: DataFrame,
+          lutKeys: Seq[String]): DataFrame = {
+        val joined = (0 until PqM).foldLeft(cand.join(enc, "vec_id")) { (df, m) =>
+          val l = lut.filter(col("m") === m)
+            .select(lutKeys.map(k => col(k).as(s"${k}_$m")) :+
+              col("code").as(s"lcode$m") :+ col("qd").as(s"qd$m"): _*)
+          df.join(broadcast(l),
+            lutKeys.map(k => col(k) === col(s"${k}_$m"))
+              .reduce(_ && _) && col(s"code$m") === col(s"lcode$m"))
+        }
+        val score = (0 until PqM).map(m => col(s"qd$m")).reduce(_ + _)
+        joined.select(col("qid"), col("vec_id"), score.as("adc"))
+          .withColumn("rr", row_number().over(wq.orderBy(col("adc"), col("vec_id"))))
+          .filter(col("rr") <= 10).select("qid", "vec_id")
+      }
+      val rawBook = bookDf(spark, convergedRawBook(spark, dir))
+      val resBook = bookDf(spark, convergedResidualBook(spark, dir))
+      val encRaw = encWide(rawSub(spark, dir), rawBook)
+      val qsubRaw = qs.select(col("qid"), explode(array((0 until PqM).map(m =>
+        struct(lit(m).as("m"), slice(col("qv"), m * PqSub + 1, PqSub).as("qsv"))): _*)).as("x"))
+        .select(col("qid"), col("x.m").as("m"), col("x.qsv").as("qsv"))
+      val lutRaw = qsubRaw.join(rawBook, Seq("m"))
+        .select(col("qid"), col("m"), col("code"),
+          aggregate(zip_with(col("qsv"), col("cv"),
+            (x, y) => (x.cast(DoubleType) - y) * (x.cast(DoubleType) - y)),
+            lit(0.0), (acc, v) => acc + v).as("qd"))
+      val candR = assigned
+        .join(broadcast(qprobe.filter(col("rn") <= 3)
+          .select(col("qid").as("cqid"), col("cell").as("pcell"))),
+          col("cell") === col("pcell"))
+        .select(col("cqid").as("qid"), col("vec_id"), col("cell"))
+      val ar = adcTop(candR.select("qid", "vec_id"), encRaw, lutRaw, Seq("qid"))
+      val res = ivfResiduals(spark, dir)
+      val rsub = res.select(col("vec_id"), explode(array((0 until PqM).map(m =>
+        struct(lit(m).as("m"), slice(col("rv"), m * PqSub + 1, PqSub).as("sv"))): _*)).as("x"))
+        .select(col("vec_id"), col("x.m").as("m"), col("x.sv").as("sv"))
+      val encRes = encWide(rsub, resBook)
+      val lutRes = qprobe.filter(col("rn") <= 3)
+        .select(col("qid"), col("cell"), explode(array((0 until PqM).map(m =>
+          struct(lit(m).as("m"),
+            zip_with(slice(col("qv"), m * PqSub + 1, PqSub),
+              slice(col("ccv"), m * PqSub + 1, PqSub),
+              (x, y) => x.cast(DoubleType) - y.cast(DoubleType)).as("qsv"))): _*)).as("x"))
+        .select(col("qid"), col("cell"), col("x.m").as("m"), col("x.qsv").as("qsv"))
+        .join(resBook, Seq("m"))
+        .select(col("qid"), col("cell"), col("m"), col("code"),
+          aggregate(zip_with(col("qsv"), col("cv"), (x, y) => (x - y) * (x - y)),
+            lit(0.0), (acc, v) => acc + v).as("qd"))
+      val rrTop = adcTop(candR, encRes, lutRes, Seq("qid", "cell"))
+      def recallOf(name: String, ids: DataFrame): DataFrame =
+        ids.join(ex, Seq("qid", "vec_id"))
+          .agg(count(lit(1)).as("hits"))
+          .select(lit(name).as("method"), lit(8L).as("n_queries"), lit(10L).as("k"),
+            col("hits"),
+            round(col("hits").cast(DoubleType) / 80.0, 6).as("mean_recall_r"))
+      recallOf("ivf_probe1", probedTop(1))
+        .unionAll(recallOf("ivf_probe3", probedTop(3)))
+        .unionAll(recallOf("ivfadc_raw", ar))
+        .unionAll(recallOf("ivfadc_residual", rrTop))
         .orderBy("method")
     }
   }
@@ -2063,5 +2323,6 @@ object Similarity {
     simTopKBrute, simLshPairs, simIvfProbe, simIvfMultiprobe, ddEmbeddingCosine,
     simQuantizeInt8, simCentroids, simKmeans, simKmeansConverged, simSemanticDedup,
     simPqEncode, simPqSearch, simPqTrain, simPqTrainConverged, simIvfAdc,
-    simIvfAdcResidual, simAnnRecall, simIvfLayout, simPqDimLayout, simOpqLearned)
+    simIvfAdcResidual, simAnnRecall, simAnnRecallSet, simIvfLayout, simPqDimLayout,
+    simOpqLearned)
 }

@@ -207,6 +207,26 @@ class LlmOpsSpec extends SparkSpec {
     assert(byMethod.values.forall(h => h >= 0L && h <= 10L))
   }
 
+  test("recall-set harness: per-set structure holds; raw-vs-residual is measured, not assumed") {
+    // the query-SET harness (round-12 queue #3): 8 held-out queries, four
+    // rungs including both composed IVFADC read paths on IDENTICAL
+    // candidates.  Only corpus-independent structure is asserted — the
+    // raw/residual ordering is the harness's OUTPUT (on this isotropic
+    // corpus residual measurably loses; see the gate's Scaladoc)
+    val rows = Similarity.simAnnRecallSet.run(spark, sfDir).collect()
+    val byMethod = rows.map(r => r.getAs[String]("method") -> r.getAs[Long]("hits")).toMap
+    assert(byMethod.keySet ===
+      Set("ivf_probe1", "ivf_probe3", "ivfadc_raw", "ivfadc_residual"))
+    assert(rows.forall(r => r.getAs[Long]("n_queries") === 8L && r.getAs[Long]("k") === 10L))
+    // widening the probe set can only add candidates → monotone recall
+    assert(byMethod("ivf_probe3") >= byMethod("ivf_probe1"))
+    // every query's own cell holds the query itself → at least 8 hits
+    assert(byMethod("ivf_probe1") >= 8L)
+    // both ADC rungs rank real candidates: 0 < hits <= k * |Q|
+    assert(byMethod("ivfadc_raw") >= 1L)
+    assert(byMethod.values.forall(h => h >= 0L && h <= 80L))
+  }
+
   test("semantic dedup drops exactly the planted near-copies, each kept by its source") {
     val rows = Similarity.simSemanticDedup.run(spark, sfDir).collect()
     val planted = core.tbl(spark, sfDir, "embeddings")
