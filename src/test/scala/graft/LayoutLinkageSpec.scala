@@ -41,6 +41,46 @@ class LayoutLinkageSpec extends SparkSpec {
       s"recovered fewer pairs than the $planted planted typo variants")
   }
 
+  test("golden-record merge is permutation-invariant and masters its clusters") {
+    import org.apache.spark.sql.functions._
+    val s2 = spark; import s2.implicits._
+    // a contested fixture: two clusters, ties in acctbal and in segment
+    // counts, members presented in three different orders/partitionings —
+    // every survivorship rule must land on the identical golden set
+    val rows = Seq(
+      (10L, 13L, "Customer#13", 3, 500.0, "AUTOMOBILE"),
+      (10L, 11L, "Customer#11", 1, 900.0, "BUILDING"),
+      (10L, 12L, "Customer#12", 2, 900.0, "BUILDING"), // acctbal tie → lower key 11 wins master
+      (10L, 14L, "Customer#14", 4, 100.0, "AUTOMOBILE"), // 2×AUTO vs 2×BUILDING → lexicographic
+      (20L, 21L, "Customer#21", 5, -10.0, "MACHINERY"),
+      (20L, 22L, "Customer#22", 6, -20.0, "MACHINERY"))
+    val base = rows.toDF("cluster_id", "c_custkey", "c_name", "c_nationkey",
+      "c_acctbal", "c_mktsegment")
+    val golden = Linkage.goldenMerge(base).collect().map(_.toString).toSeq
+    val reversed = Linkage.goldenMerge(
+      rows.reverse.toDF("cluster_id", "c_custkey", "c_name", "c_nationkey",
+        "c_acctbal", "c_mktsegment")).collect().map(_.toString).toSeq
+    val repartitioned = Linkage.goldenMerge(base.repartition(7))
+      .collect().map(_.toString).toSeq
+    assert(golden === reversed, "merge depends on member input order")
+    assert(golden === repartitioned, "merge depends on partitioning")
+    val g10 = Linkage.goldenMerge(base).filter(col("cluster_id") === 10L).head()
+    assert(g10.getAs[String]("golden_name") === "Customer#11") // tie → lower key
+    assert(g10.getAs[String]("golden_segment") === "AUTOMOBILE") // count tie → lexicographic
+    assert(g10.getAs[Double]("golden_acctbal") === 900.0)
+    assert(g10.getAs[String]("member_ids") === "11,12,13,14")
+    // the full gate: every cluster's master is one of its own members
+    val full = Linkage.dEntityGolden.run(spark, sfDir).collect()
+    assert(full.nonEmpty)
+    full.foreach { r =>
+      val members = r.getAs[String]("member_ids").split(",").map(_.toLong)
+      assert(members.length === r.getAs[Long]("n_members").toInt)
+      val masterKey = r.getAs[String]("golden_name").drop(9).toLong
+      assert(members.contains(masterKey), s"master $masterKey outside cluster")
+      assert(members.min === r.getAs[Long]("cluster_id"), "canonical is not min member")
+    }
+  }
+
   test("zorder layout: interleaved buckets are tighter than natural buckets in the non-sort dimension") {
     val rows = Ingest.sZorderLayout.run(spark, sfDir).collect()
     val (z, nat) = rows.partition(_.getAs[String]("layout") == "zorder")
