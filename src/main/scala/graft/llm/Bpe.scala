@@ -15,7 +15,12 @@ import org.apache.spark.sql.types._
   * one, cutting driver round-trips from O(vocab) to O(vocab/M) at
   * production vocabulary sizes (a 32K-merge vocab is 32K sequential Spark
   * jobs under one-at-a-time selection — the round-11 verdict's scale
-  * objection).
+  * objection), and INCREMENTAL pair-count maintenance (round-12 queue #5):
+  * the corpus vocabulary is pair-counted once, and each round's batch
+  * updates the count table with a delta over only the words a selected
+  * pattern touched — maintained counts are provably (and BpeSpec-audited)
+  * equal to a full recount, so the selection stream is byte-identical to
+  * the recounting trainer's.
   *
   * Batch selection rule — conflict-graph LOCAL MAXIMA: rank pairs by
   * (count DESC, pa, pb); a pair is selected iff NO higher-ranked pair
@@ -130,74 +135,136 @@ object Bpe {
   private[graft] def trainMerges(spark: SparkSession, dir: String): Seq[(String, String, Long)] =
     trainMergesR(spark, dir).map(m => (m._2, m._3, m._4))
 
-  /** The batched trainer: per round, pair-count the vocabulary, select the
-    * conflict-graph local maxima (capped at `batch`), apply them all, loop.
-    * Selection is join-shaped — a pair wins iff it is the (cnt DESC, pa,
-    * pb)-best pair touching EACH of its symbols — which is provably the
-    * "no higher-ranked conflicting pair" rule (if some conflicting b
-    * outranks a at shared symbol s, then best(s) ≤ b < a, so a loses at s;
-    * conversely a non-best a at s loses to best(s), which conflicts via
-    * s). No global window anywhere: one per-symbol argmin aggregate plus a
-    * TakeOrdered LIMIT `batch`, so the selection scales to production
-    * vocabularies. Superseded vocabulary checkpoints are released
-    * in-loop (the [[Similarity.simKmeansConverged]] discipline). */
+  /** Adjacent-pair occurrences of a bracketed-symbol vocabulary frame, one
+    * row per (pa, pb, wcount) occurrence-weight — the explode both the
+    * full recount and the incremental delta share. */
+  private def pairExplode(vocab: DataFrame): DataFrame = {
+    val withL = vocab.select(col("wcount"),
+      split(col("syms").substr(lit(2), length(col("syms")) - 2), "><").as("l"))
+    withL.select(col("wcount"), explode(
+      zip_with(
+        slice(col("l"), lit(1), size(col("l")) - 1),
+        slice(col("l"), lit(2), size(col("l")) - 1),
+        (a, b) => struct(a.as("pa"), b.as("pb")))).as("p"))
+      .select(col("p.pa").as("pa"), col("p.pb").as("pb"), col("wcount"))
+  }
+
+  /** Full pair recount of a vocabulary state — used ONCE for the initial
+    * count (and by BpeSpec's maintenance-equivalence audit); every later
+    * round maintains the count table incrementally instead. */
+  private def pairCountsOf(vocab: DataFrame): DataFrame =
+    pairExplode(vocab).groupBy("pa", "pb").agg(sum(col("wcount")).as("cnt"))
+
+  /** Conflict-graph local-maxima batch selection over a (pa, pb, cnt) pair
+    * table. Selection is join-shaped — a pair wins iff it is the (cnt
+    * DESC, pa, pb)-best pair touching EACH of its CLOSED symbols {left,
+    * right, left∥right} — which is provably the "no higher-ranked
+    * conflicting pair" rule (if some conflicting b outranks a at shared
+    * symbol s, then best(s) ≤ b < a, so a loses at s; conversely a
+    * non-best a at s loses to best(s), which conflicts via s). The merged
+    * OUTPUT is a conflict symbol too: without it, (a, b) and (x, ab)
+    * would co-select and the batch counts would lie (BpeSpec pins exactly
+    * that exclusion). No global window anywhere: one per-symbol argmin
+    * aggregate plus a TakeOrdered LIMIT `batch`. */
+  private[graft] def selectBatch(pairs: DataFrame, batch: Int): Seq[(String, String, Long)] = {
+    // per-symbol best under the (cnt DESC, pa, pb) order, as an orderable
+    // struct key (negated count makes MIN the argmax of cnt)
+    val key = struct((-col("cnt")).as("nc"), col("pa"), col("pb"))
+    val bySym = pairs
+      .select(col("pa"), col("pb"), col("cnt"),
+        explode(array(col("pa"), col("pb"),
+          concat(col("pa"), col("pb")))).as("s"))
+      .withColumn("k", key)
+    val best = bySym.groupBy("s").agg(min(col("k")).as("bk"))
+    bySym.join(best, Seq("s"))
+      .filter(col("k") === col("bk"))
+      // a pair explodes into exactly 3 symbol rows ((a,a) into two equal
+      // input rows + the output); winning ALL of them is the
+      // local-maximum criterion
+      .groupBy("pa", "pb", "cnt")
+      .agg(count(lit(1)).as("nwin"))
+      .filter(col("nwin") === 3)
+      .orderBy(col("cnt").desc, col("pa"), col("pb"))
+      .limit(batch)
+      .collect()
+      .map(r => (r.getString(0), r.getString(1), r.getAs[Long]("cnt"))).toSeq
+  }
+
+  /** The batched trainer with INCREMENTAL pair-count maintenance
+    * (round-12 queue #5): the pair table is built from the corpus
+    * vocabulary exactly ONCE; each round selects its batch from the
+    * MAINTAINED table, then updates it with a delta computed only over
+    * the words a selected pattern actually touched — subtract those
+    * words' old pair occurrences, add their post-replace occurrences, and
+    * drop keys that reach zero. Exact by construction: a word with no
+    * selected pattern keeps its symbol string, hence its pair multiset,
+    * so the untouched remainder of the table is already correct, and the
+    * integer delta makes maintained == recounted per round (BpeSpec
+    * audits the equality round by round via `auditMaintenance`). At a
+    * 32K-merge production vocabulary this converts each round's full
+    * vocabulary explode+shuffle into one filtered explode over the
+    * touched words (typically a small fraction once the common pairs are
+    * merged) plus the selection aggregate over the maintained
+    * pair table. Superseded checkpoints are released in-loop (the
+    * [[Similarity.simKmeansConverged]] discipline). */
   private[graft] def trainMergesBatched(spark: SparkSession, dir: String,
-      rounds: Int, batch: Int): Seq[(Int, String, String, Long)] = {
+      rounds: Int, batch: Int, auditMaintenance: Boolean = false): Seq[(Int, String, String, Long)] = {
     val merges = Seq.newBuilder[(Int, String, String, Long)]
     var vocab = bpeVocab0(spark, dir).localCheckpoint(true)
+    var pairCounts = pairCountsOf(vocab).localCheckpoint(true)
     var round = 0
     while (round < rounds) {
-      val withL = vocab.select(col("wcount"),
-        split(col("syms").substr(lit(2), length(col("syms")) - 2), "><").as("l"))
-      val pairs = withL.select(col("wcount"), explode(
-        zip_with(
-          slice(col("l"), lit(1), size(col("l")) - 1),
-          slice(col("l"), lit(2), size(col("l")) - 1),
-          (a, b) => struct(a.as("pa"), b.as("pb")))).as("p"))
-        .groupBy(col("p.pa").as("pa"), col("p.pb").as("pb"))
-        .agg(sum(col("wcount")).as("cnt"))
-      // per-symbol best under the (cnt DESC, pa, pb) order, as an orderable
-      // struct key (negated count makes MIN the argmax of cnt)
-      val key = struct((-col("cnt")).as("nc"), col("pa"), col("pb"))
-      // the CLOSED symbol set {left, right, left∥right}: the merged output
-      // is a conflict symbol too (see the object Scaladoc — without it,
-      // (a,b) and (x,ab) would co-select and the batch counts would lie)
-      val bySym = pairs
-        .select(col("pa"), col("pb"), col("cnt"),
-          explode(array(col("pa"), col("pb"),
-            concat(col("pa"), col("pb")))).as("s"))
-        .withColumn("k", key)
-      val best = bySym.groupBy("s").agg(min(col("k")).as("bk"))
-      val sel = bySym.join(best, Seq("s"))
-        .filter(col("k") === col("bk"))
-        // a pair explodes into exactly 3 symbol rows ((a,a) into two equal
-        // input rows + the output); winning ALL of them is the
-        // local-maximum criterion
-        .groupBy("pa", "pb", "cnt")
-        .agg(count(lit(1)).as("nwin"))
-        .filter(col("nwin") === 3)
-        .orderBy(col("cnt").desc, col("pa"), col("pb"))
-        .limit(batch)
-        .collect()
+      val sel = selectBatch(pairCounts, batch)
       // the fixture corpus has far more than the budget's distinct adjacent
       // pairs; an exhausted vocabulary would silently desync the unrolled
       // oracle, so fail loudly instead (the global top-1 is always a local
       // maximum, so sel is empty only when NO pairs remain)
       require(sel.nonEmpty, s"BPE corpus exhausted at round ${round + 1}/$rounds")
-      val batchMerges = sel.map(r =>
-        (round + 1, r.getString(0), r.getString(1), r.getAs[Long]("cnt"))).toSeq
+      val batchMerges = sel.map { case (pa, pb, cnt) => (round + 1, pa, pb, cnt) }
       merges ++= batchMerges
+      // only words holding a selected pattern change their pair multiset —
+      // the incremental-maintenance footprint
+      val touched = sel.map { case (pa, pb, _) =>
+        col("syms").contains(s"<$pa><$pb>") }.reduce(_ || _)
+      val changedOld = vocab.filter(touched)
       // non-interacting ⇒ the chained replaces are confluent; rank order is
       // pinned anyway so both engines apply the identical chain
-      val next = batchMerges.foldLeft(vocab) { case (df, (_, pa, pb, _)) =>
-        df.withColumn("syms",
-          replace(col("syms"), lit(s"<$pa><$pb>"), lit(s"<$pa$pb>")))
-      }.localCheckpoint(true)
+      def applyBatch(df: DataFrame): DataFrame =
+        sel.foldLeft(df) { case (d, (pa, pb, _)) =>
+          d.withColumn("syms",
+            replace(col("syms"), lit(s"<$pa><$pb>"), lit(s"<$pa$pb>")))
+        }
+      val delta = pairExplode(changedOld)
+        .select(col("pa"), col("pb"), (-col("wcount")).as("w"))
+        .unionAll(pairExplode(applyBatch(changedOld))
+          .select(col("pa"), col("pb"), col("wcount").as("w")))
+      val nextPairs = pairCounts
+        .select(col("pa"), col("pb"), col("cnt").as("w"))
+        .unionAll(delta)
+        .groupBy("pa", "pb").agg(sum(col("w")).as("cnt"))
+        .filter(col("cnt") =!= 0L)
+        .localCheckpoint(true)
+      val next = applyBatch(vocab).localCheckpoint(true)
+      if (auditMaintenance) {
+        // the maintenance invariant, checked the expensive way: the
+        // maintained table must equal a from-scratch recount of the new
+        // vocabulary state, key for key
+        val diff = nextPairs.select(col("pa"), col("pb"), col("cnt").as("w"))
+          .unionAll(pairCountsOf(next)
+            .select(col("pa"), col("pb"), (-col("cnt")).as("w")))
+          .groupBy("pa", "pb").agg(sum(col("w")).as("d"))
+          .filter(col("d") =!= 0L).count()
+        require(diff == 0L,
+          s"incremental pair counts diverged from recount at round ${round + 1}: $diff keys")
+      }
       vocab.unpersist(false)
+      pairCounts.unpersist(false)
       vocab = next
+      pairCounts = nextPairs
       round += 1
     }
     vocab.unpersist(false)
+    pairCounts.unpersist(false)
     merges.result()
   }
 

@@ -49,6 +49,43 @@ class BpeSpec extends SparkSpec {
     assert(batched === sequential)
   }
 
+  test("trainer: incrementally maintained pair counts equal a full recount every round") {
+    // round-12 queue #5's Done bar: the delta-maintained pair table must be
+    // key-for-key identical to recounting the whole vocabulary state after
+    // each round — auditMaintenance=true makes the trainer itself verify
+    // the equality (a loud require) at every round boundary, over MORE
+    // rounds than the gate budget so the maintenance survives deep chains
+    val audited = Bpe.trainMergesBatched(spark, sfDir, rounds = 6, batch = 3,
+      auditMaintenance = true)
+    assert(audited.nonEmpty)
+    // and the maintained trainer's selection stream is byte-identical to
+    // the gate's memoized table on the shared (rounds, batch) prefix
+    val gate = Bpe.trainMergesR(spark, sfDir)
+    assert(audited.take(gate.length) === gate)
+  }
+
+  test("trainer: a pair whose input equals another's merged output is excluded from the batch") {
+    // the closed-set conflict rule's regression fixture (round-12 ADVICE):
+    // (a, b) at count 10 outranks (x, ab) at count 6 — and (x, ab)'s INPUT
+    // symbol 'ab' equals (a, b)'s OUTPUT, so co-selecting them would let
+    // (a, b)'s replace manufacture fresh '<ab>' symbols that (x, ab)'s
+    // pattern then matches, making its reported count a lie. The
+    // lower-ranked pair must lose; the symbol-disjoint (c, d) must still
+    // fill the batch
+    val s2 = spark; import s2.implicits._
+    val pairs = Seq(("a", "b", 10L), ("x", "ab", 6L), ("c", "d", 5L))
+      .toDF("pa", "pb", "cnt")
+    val sel = Bpe.selectBatch(pairs, batch = 3)
+    assert(sel === Seq(("a", "b", 10L), ("c", "d", 5L)))
+    // the mirror case: the higher-ranked pair's INPUT equals the lower's
+    // OUTPUT — (ab, z) outranks (a, b); (a, b) must be excluded because
+    // applying it would destroy/alter occurrences feeding (ab, z)
+    val pairs2 = Seq(("ab", "z", 10L), ("a", "b", 6L), ("c", "d", 5L))
+      .toDF("pa", "pb", "cnt")
+    val sel2 = Bpe.selectBatch(pairs2, batch = 3)
+    assert(sel2 === Seq(("ab", "z", 10L), ("c", "d", 5L)))
+  }
+
   test("trainer: learned table is hierarchical — later merges consume earlier ones") {
     val rows = Bpe.bpeTrain.run(spark, sfDir).collect()
     val merged = rows.map(_.getAs[String]("merged_sym")).toSet
