@@ -190,7 +190,14 @@ object Bench {
       val vals = qlist.map { case (name, _) =>
         timings.get(name).map(v => math.round(v * 10).toString).getOrElse("-1")
       }.mkString("[", ",", "]")
-      s"""{"metric":"total","value":${rnd(total, 1)},"unit":"sec","unit_q":"ds","qorder":"sorted-name","nq":${qlist.size},"qv":$vals$errPart$host,"sf":"$sfName"}"""
+      // the positional contract only holds when qlist IS the full sorted
+      // registry: under a SPARK_GRAFT_ONLY filter, say so in qorder, or a
+      // consumer would positionally join a filtered array against the full
+      // CORRECTNESS key list and misattribute every timing (round-13
+      // review; the driver never sets the filter, so its artifact always
+      // carries the plain contract)
+      val qorder = if (only.isDefined) "sorted-name-filtered" else "sorted-name"
+      s"""{"metric":"total","value":${rnd(total, 1)},"unit":"sec","unit_q":"ds","qorder":"$qorder","nq":${qlist.size},"qv":$vals$errPart$host,"sf":"$sfName"}"""
     }
     // fallback if the registry ever outgrows the tail window at ds
     // precision: whole-second per-query values (no "unit_q" key)

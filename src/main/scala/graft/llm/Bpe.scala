@@ -124,9 +124,14 @@ object Bpe {
     * monotonicity that survives batching). */
   private[graft] def trainMergesR(spark: SparkSession, dir: String): Seq[(Int, String, String, Long)] = {
     val key = s"$dir@${core.sourceSig(spark, dir, "documents")}"
-    mergeMemo.synchronized {
-      mergeMemo.computeIfAbsent(spark, _ => scala.collection.mutable.Map())
-        .getOrElseUpdate(key, trainMergesBatched(spark, dir, BpeRounds, BpeBatch))
+    // train OUTSIDE the memo lock (the Similarity.memoBook discipline):
+    // a lost race retrains the same deterministic table and keeps the first
+    def map = mergeMemo.computeIfAbsent(spark, _ => scala.collection.mutable.Map())
+    mergeMemo.synchronized(map.get(key)) match {
+      case Some(v) => v
+      case None =>
+        val v = trainMergesBatched(spark, dir, BpeRounds, BpeBatch)
+        mergeMemo.synchronized(map.getOrElseUpdate(key, v))
     }
   }
 

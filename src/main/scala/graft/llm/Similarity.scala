@@ -1094,10 +1094,16 @@ object Similarity {
     * 100 TB: one broadcast-argmin map pass over (vec, subspace) rows plus
     * one (m, cell, pos) integer-partial recompute; no vector in any
     * shuffle; superseded book checkpoints released in-loop. */
-  private def trainSubspaceBook(spark: SparkSession, sub0: DataFrame,
-      seed: DataFrame): Seq[(Int, Long, Seq[Double], Long, Long)] = {
-    val sub = sub0.localCheckpoint(true)
-    val best = expr(s"""
+  /** THE best-codeword argmin over a folded `book` array column of
+    * struct(bm, code, cv), against the row's (m, sv) subvector: squared-L2
+    * sequential fold (exact IEEE, index order) + the suite's 1e-12·code
+    * tie bias, `named_struct('d', …, 'code', …)` so field access is
+    * stable. One definition — the training loop, the distortion meter,
+    * and every IVFADC/encode consumer share it, so the bias and cast
+    * discipline cannot drift between copies (the CASTs are no-ops on
+    * DOUBLE subvectors, which lets raw-float and residual-double streams
+    * use the same expression). */
+  private val pqBookBest: Column = expr(s"""
       array_min(transform(
         filter(book, c -> c.bm = m),
         c -> named_struct(
@@ -1106,11 +1112,18 @@ object Similarity {
                          * (CAST(x AS DOUBLE) - CAST(y AS DOUBLE))),
                0D, (acc, v) -> acc + v) + 1e-12 * c.code,
           'code', c.code)))""")
-    def packed(book: DataFrame): DataFrame = book
-      .agg(collect_list(struct(col("m").as("bm"), col("code"), col("cv"))).as("book"))
+
+  /** A (m, code, cv) book folded into the one-row broadcastable `book`
+    * array [[pqBookBest]] scans. */
+  private def pqBookRow(book: DataFrame): DataFrame = book
+    .agg(collect_list(struct(col("m").as("bm"), col("code"), col("cv"))).as("book"))
+
+  private def trainSubspaceBook(spark: SparkSession, sub0: DataFrame,
+      seed: DataFrame): Seq[(Int, Long, Seq[Double], Long, Long)] = {
+    val sub = sub0.localCheckpoint(true)
     def assign(book: DataFrame): DataFrame = sub
-      .crossJoin(broadcast(packed(book)))
-      .withColumn("b", best)
+      .crossJoin(broadcast(pqBookRow(book)))
+      .withColumn("b", pqBookBest)
       .select(col("vec_id"), col("m"), col("sv"),
         col("b")("code").as("cell"), col("b")("d").as("d"))
     def recompute(a: DataFrame): DataFrame = a
@@ -1127,15 +1140,21 @@ object Similarity {
     var prevSig: (Long, Long, Long) = null
     var prevCkpt: DataFrame = null
     var iters = 0
-    var fixed = false
-    while (iters < PqTrainRounds && !fixed) {
-      val a = assign(book)
+    // the assignment of the FINAL book, when the loop already computed it
+    // (fixpoint exit): reused for the membership/inertia ledger so the
+    // broadcast-argmin corpus pass is never run twice for the same book
+    var finAssign: DataFrame = null
+    while (iters < PqTrainRounds && finAssign == null) {
+      // lazy checkpoint: the signature action below materializes `a` once;
+      // the recompute then reads the cached rows instead of re-running the
+      // whole broadcast-argmin pass (the round-13 review finding)
+      val a = assign(book).localCheckpoint(false)
       val row = a.agg(count(lit(1)),
         sum(hash(col("vec_id"), col("m"), col("cell")).cast(LongType)),
         call_function("bit_xor", xxhash64(col("vec_id"), col("m"), col("cell")))).head()
       def at(i: Int) = if (row.isNullAt(i)) 0L else row.getLong(i)
       val sig = (row.getLong(0), at(1), at(2))
-      if (sig == prevSig) fixed = true
+      if (sig == prevSig) finAssign = a
       else {
         val next = recompute(a).localCheckpoint(true)
         if (prevCkpt != null) prevCkpt.unpersist(false)
@@ -1143,9 +1162,12 @@ object Similarity {
         book = next
         prevSig = sig
         iters += 1
+        a.unpersist(false)
       }
     }
-    val fin = assign(book)
+    val finA = if (finAssign != null) finAssign
+      else assign(book).localCheckpoint(false)
+    val fin = finA
       .select(col("m"), col("cell"),
         floor(col("d") * 10000000.0).cast(LongType).as("dist_q"))
       .groupBy("m", "cell")
@@ -1159,6 +1181,7 @@ object Similarity {
         r.getAs[scala.collection.Seq[Double]]("cv").toSeq,
         r.getAs[Long]("n_members"), r.getAs[Long]("inertia_q")))
       .toSeq.sortBy(r => (r._1, r._2))
+    finA.unpersist(false)
     sub.unpersist(false)
     if (prevCkpt != null) prevCkpt.unpersist(false)
     out
@@ -1171,19 +1194,8 @@ object Similarity {
     * seed book): one broadcast-argmin pass, only (micro) longs past it. */
   private[graft] def bookDistortionMicro(spark: SparkSession, sub: DataFrame,
       book: DataFrame): Long = {
-    val best = expr(s"""
-      array_min(transform(
-        filter(book, c -> c.bm = m),
-        c -> named_struct(
-          'd', aggregate(zip_with(sv, c.cv,
-                 (x, y) -> (CAST(x AS DOUBLE) - CAST(y AS DOUBLE))
-                         * (CAST(x AS DOUBLE) - CAST(y AS DOUBLE))),
-               0D, (acc, v) -> acc + v) + 1e-12 * c.code,
-          'code', c.code)))""")
-    val packed = book
-      .agg(collect_list(struct(col("m").as("bm"), col("code"), col("cv"))).as("book"))
-    val r = sub.crossJoin(broadcast(packed))
-      .select(floor(best("d") * 1000000.0).cast(LongType).as("micro"))
+    val r = sub.crossJoin(broadcast(pqBookRow(book)))
+      .select(floor(pqBookBest("d") * 1000000.0).cast(LongType).as("micro"))
       .agg(sum(col("micro"))).head()
     if (r.isNullAt(0)) 0L else r.getLong(0)
   }
@@ -1198,12 +1210,22 @@ object Similarity {
   private val bookMemo =
     new java.util.WeakHashMap[SparkSession, scala.collection.mutable.Map[String, Seq[(Int, Long, Seq[Double], Long, Long)]]]()
 
+  /** Training runs OUTSIDE the memo lock (round-13 review): holding the
+    * global monitor through a multi-round Spark job would serialize every
+    * concurrent variant behind whichever got the lock first. A lost race
+    * just trains the same deterministic book twice and keeps the first —
+    * idempotent, so no per-key latch is needed. */
   private def memoBook(spark: SparkSession, dir: String, variant: String)(
-      train: => Seq[(Int, Long, Seq[Double], Long, Long)]): Seq[(Int, Long, Seq[Double], Long, Long)] =
-    bookMemo.synchronized {
-      bookMemo.computeIfAbsent(spark, _ => scala.collection.mutable.Map())
-        .getOrElseUpdate(s"$variant:$dir@${core.sourceSig(spark, dir, "embeddings")}", train)
+      train: => Seq[(Int, Long, Seq[Double], Long, Long)]): Seq[(Int, Long, Seq[Double], Long, Long)] = {
+    val key = s"$variant:$dir@${core.sourceSig(spark, dir, "embeddings")}"
+    def map = bookMemo.computeIfAbsent(spark, _ => scala.collection.mutable.Map())
+    bookMemo.synchronized(map.get(key)) match {
+      case Some(v) => v
+      case None =>
+        val v = train
+        bookMemo.synchronized(map.getOrElseUpdate(key, v))
     }
+  }
 
   /** The (vec_id, m, sv) subvector stream of the raw corpus. */
   private[graft] def rawSub(spark: SparkSession, dir: String): DataFrame = {
@@ -1250,7 +1272,7 @@ object Similarity {
 
   /** A memoized book as a (m, code, cv) DataFrame — a literal local
     * relation, broadcastable by construction. */
-  private def bookDf(spark: SparkSession,
+  private[graft] def bookDf(spark: SparkSession,
       recs: Seq[(Int, Long, Seq[Double], Long, Long)]): DataFrame = {
     val s2 = spark
     import s2.implicits._
@@ -1420,20 +1442,9 @@ object Similarity {
       // same value by construction (the round-12 double-training finding
       // cannot recur: there is no training subtree left in this plan)
       val book = bookDf(spark, convergedRawBook(spark, dir))
-      val bookRow = book
-        .agg(collect_list(struct(col("m").as("bm"), col("code"), col("cv"))).as("book"))
-      val best = expr(s"""
-        array_min(transform(
-          filter(book, c -> c.bm = m),
-          c -> named_struct(
-            'd', aggregate(zip_with(sv, c.cv,
-                   (x, y) -> (CAST(x AS DOUBLE) - CAST(y AS DOUBLE))
-                           * (CAST(x AS DOUBLE) - CAST(y AS DOUBLE))),
-                 0D, (acc, v) -> acc + v) + 1e-12 * c.code,
-            'code', c.code)))""")
-      val enc = cand.crossJoin(broadcast(bookRow))
+      val enc = cand.crossJoin(broadcast(pqBookRow(book)))
         .select(col("vec_id"), col("label"), col("cell"), col("m"),
-          best("code").as("code"))
+          pqBookBest("code").as("code"))
       // the query's 32-entry LUT: subspace distance to every trained codeword
       val qRow = emb(spark, dir).filter(col("vec_id") === 17)
         .select(col("embedding").as("qv"))
@@ -1559,21 +1570,14 @@ object Similarity {
       SELECT vec_id, label, cell, round(qd0 + qd1 + qd2 + qd3, 6) AS adc_r
       FROM adc ORDER BY qd0 + qd1 + qd2 + qd3, vec_id LIMIT 10
     """)) { (spark, dir) =>
-      // residuals feed the candidate-encode path; the CONVERGED residual
-      // book arrives as a memoized ≤ 32-row literal (the fixpoint loop
-      // ran once per session/snapshot inside convergedResidualBook, which
-      // checkpoints its own residual frame) — checkpoint this one so the
-      // LUT and candidate consumers share one subtraction pass
-      val res = ivfResiduals(spark, dir).localCheckpoint(true)
+      // the CONVERGED residual book arrives as a memoized ≤ 32-row literal
+      // (the fixpoint loop ran once per session/snapshot inside
+      // convergedResidualBook, which checkpoints its own residual frame);
+      // res here has ONE consumer — the candidate encode — so no
+      // checkpoint (the round-13 review dropped the stale two-consumer one)
+      val res = ivfResiduals(spark, dir)
       val subs = (0 until PqM).map(m => struct(lit(m).as("m"),
         slice(col("rv"), m * PqSub + 1, PqSub).as("sv")))
-      val best = expr(s"""
-        array_min(transform(
-          filter(book, c -> c.bm = m),
-          c -> named_struct(
-            'd', aggregate(zip_with(sv, c.cv, (x, y) -> (x - y) * (x - y)),
-                 0D, (acc, v) -> acc + v) + 1e-12 * c.code,
-            'code', c.code)))""")
       val book = bookDf(spark, convergedResidualBook(spark, dir))
         .withColumnRenamed("cv", "bv")
       // per-probed-cell query residual → the 96-row (cell, m, code) LUT
@@ -1594,8 +1598,6 @@ object Similarity {
           aggregate(zip_with(col("qsv"), col("bv"), (x, y) => (x - y) * (x - y)),
             lit(0.0), (acc, v) => acc + v).as("qd"))
       // candidates: probed cells' members only — then encode + ADC
-      val bookRow = book.agg(collect_list(struct(col("m").as("bm"),
-        col("code"), col("bv").as("cv"))).as("book"))
       val cand = res
         .join(broadcast(qprobe.select(col("qcells"))),
           array_contains(col("qcells"), col("cell")))
@@ -1603,9 +1605,10 @@ object Similarity {
           explode(array(subs: _*)).as("x"))
         .select(col("vec_id"), col("label"), col("cell"),
           col("x.m").as("m"), col("x.sv").as("sv"))
-      val enc = cand.crossJoin(broadcast(bookRow))
+      val enc = cand.crossJoin(broadcast(pqBookRow(
+          book.withColumnRenamed("bv", "cv"))))
         .select(col("vec_id"), col("label"), col("cell"), col("m"),
-          best("code").as("code"))
+          pqBookBest("code").as("code"))
       val aggs = (0 until PqM).map(m =>
         max(when(col("m") === m, col("qd"))).as(s"qd$m"))
       val adc = enc.join(broadcast(lut), Seq("cell", "m", "code"))
@@ -1873,7 +1876,12 @@ object Similarity {
         .withColumn("rn", row_number().over(wq.orderBy(col("s").desc, col("vec_id"))))
         .filter(col("rn") <= 10).select("qid", "vec_id")
         .localCheckpoint(true)
-      val assigned = ivfAssigned(spark, dir)
+      // the corpus assignment feeds FOUR consumers (both probe rungs and
+      // both ADC candidate sets) — lazily checkpoint so the crossJoin
+      // argmax pass runs once, not four times (round-13 review; at 100 TB
+      // a deployment reads the materialized sim_ivf_layout table here
+      // instead of assigning in-query at all)
+      val assigned = ivfAssigned(spark, dir).localCheckpoint(false)
       val qprobe = qs.crossJoin(broadcast(ivfCentroids(spark, dir)))
         .select(col("qid"), col("qv"), explode(col("cents")).as("c"))
         .select(col("qid"), col("qv"), col("c.cent_id").as("cell"), col("c.cv").as("ccv"),
@@ -1888,22 +1896,11 @@ object Similarity {
           dot(col("embedding"), col("pqv")).as("s"))
         .withColumn("rr", row_number().over(wq.orderBy(col("s").desc, col("vec_id"))))
         .filter(col("rr") <= 10).select("qid", "vec_id")
-      val best = expr(s"""
-        array_min(transform(
-          filter(book, c -> c.bm = m),
-          c -> named_struct(
-            'd', aggregate(zip_with(sv, c.cv,
-                   (x, y) -> (CAST(x AS DOUBLE) - CAST(y AS DOUBLE))
-                           * (CAST(x AS DOUBLE) - CAST(y AS DOUBLE))),
-                 0D, (acc, v) -> acc + v) + 1e-12 * c.code,
-            'code', c.code)))""")
       def encWide(sub: DataFrame, book: DataFrame): DataFrame = {
-        val bookRow = book
-          .agg(collect_list(struct(col("m").as("bm"), col("code"), col("cv"))).as("book"))
         val aggs = (0 until PqM).map(m =>
           max(when(col("m") === m, col("code"))).as(s"code$m"))
-        sub.crossJoin(broadcast(bookRow))
-          .select(col("vec_id"), col("m"), best("code").as("code"))
+        sub.crossJoin(broadcast(pqBookRow(book)))
+          .select(col("vec_id"), col("m"), pqBookBest("code").as("code"))
           .groupBy("vec_id").agg(aggs.head, aggs.tail: _*)
       }
       def adcTop(cand: DataFrame, enc: DataFrame, lut: DataFrame,
@@ -1932,11 +1929,13 @@ object Similarity {
           aggregate(zip_with(col("qsv"), col("cv"),
             (x, y) => (x.cast(DoubleType) - y) * (x.cast(DoubleType) - y)),
             lit(0.0), (acc, v) => acc + v).as("qd"))
+      // (qid, vec_id, cell) scalars only, read by both ADC rungs
       val candR = assigned
         .join(broadcast(qprobe.filter(col("rn") <= 3)
           .select(col("qid").as("cqid"), col("cell").as("pcell"))),
           col("cell") === col("pcell"))
         .select(col("cqid").as("qid"), col("vec_id"), col("cell"))
+        .localCheckpoint(false)
       val ar = adcTop(candR.select("qid", "vec_id"), encRaw, lutRaw, Seq("qid"))
       val res = ivfResiduals(spark, dir)
       val rsub = res.select(col("vec_id"), explode(array((0 until PqM).map(m =>
@@ -2303,9 +2302,15 @@ object Similarity {
           .select(col("vec_id").as("code"), explode(array(subs: _*)).as("x"))
           .select(col("x.m").as("m"), col("code").cast(LongType).as("code"),
             col("x.sv").cast(ArrayType(DoubleType)).as("cv"))
-        val recs = memoBook(spark, dir, s"opq_$label") {
-          trainSubspaceBook(spark, sub, seed)
-        }
+        // the identity layout's (pe, sub, seed) are value-identical to the
+        // raw corpus frames convergedRawBook trains on — reuse that memo
+        // instead of training a duplicate book under a second key
+        // (round-13 review)
+        val recs =
+          if (label == "identity") convergedRawBook(spark, dir)
+          else memoBook(spark, dir, s"opq_$label") {
+            trainSubspaceBook(spark, sub, seed)
+          }
         val total = bookDistortionMicro(spark, sub, bookDf(spark, recs))
         (label, n, layoutSpreadQ(perm, varqMap), total)
       }

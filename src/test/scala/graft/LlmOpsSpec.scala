@@ -129,16 +129,18 @@ class LlmOpsSpec extends SparkSpec {
     // must partition the corpus per subspace like the one-round gate does
     val sub = Similarity.rawSub(spark, sfDir)
     val recs = Similarity.convergedRawBook(spark, sfDir)
-    val convDf = {
-      val s2 = spark; import s2.implicits._
-      recs.map(r => (r._1, r._2, r._3)).toDF("m", "code", "cv")
-    }
-    val dConv = Similarity.bookDistortionMicro(spark, sub, convDf)
+    val dConv = Similarity.bookDistortionMicro(spark, sub,
+      Similarity.bookDf(spark, recs))
     val dOne = Similarity.bookDistortionMicro(spark, sub,
       Similarity.pqTrainedBook(spark, sfDir))
-    assert(dConv <= dOne,
-      s"converged book distortion $dConv exceeds one-round book's $dOne")
     val n = core.tbl(spark, sfDir, "embeddings").count()
+    // per-(vec, subspace) floor quantization + 1e-7 fixed-point means give
+    // each of the 4n rows up to one micro-unit of slop either way, so the
+    // Lloyd monotonicity of the TRUE sums is asserted up to that bound
+    // (near-converged seeds could otherwise flip the inequality by floors
+    // alone — round-13 review)
+    assert(dConv <= dOne + 4 * n,
+      s"converged book distortion $dConv exceeds one-round book's $dOne beyond floor slop")
     recs.groupBy(_._1).foreach { case (m, rs) =>
       assert(rs.map(_._4).sum === n, s"subspace $m inertia ledger incomplete")
       assert(rs.forall(_._5 >= 0L))
