@@ -2032,6 +2032,152 @@ object Similarity {
       .orderBy("cell")
   }
 
+  /** Pinned 2-means budget for the hot-cell split — the oracle unrolls
+    * exactly this many recomputes; the Spark loop exits earlier at the
+    * assignment fixpoint (provable no-ops thereafter). */
+  private[graft] val IvfSplitRounds = 3
+
+  /** sim16b — IVF INDEX MAINTENANCE, the hot-cell SPLIT: the operation
+    * [[simIvfLayout]]'s per-cell statistics exist to trigger. A hot cell
+    * is a hot partition — every probe of it scans its whole membership —
+    * and the standing fix is to split it: take the fullest cell
+    * (deterministic argmax: count DESC, cell ASC), train 2-means over
+    * ONLY its members (seeds = the two lowest-id members; Lloyd to the
+    * [[IvfSplitRounds]] budget with the [[simKmeansConverged]] fixpoint
+    * early-exit, squared-L2 via the ‖c‖²−2x·c expansion, 1e-7 fixed-point
+    * recomputes), and emit the rebalanced layout: every untouched cell's
+    * stats verbatim plus the two child cells (`<hot>a`/`<hot>b`) with
+    * their memberships and corpus shares. LlmOpsSpec asserts the
+    * operation's contract: children partition the hot cell exactly, both
+    * are non-empty, and the layout's max share strictly decreases. Shape
+    * at 100 TB: the split trains over ONE cell's members (the unit of
+    * maintenance work — ~1/K of the corpus), each round one
+    * broadcast-argmin map pass + one (sub, pos) integer-partial
+    * recompute; the untouched cells are never rescanned past the
+    * already-needed stats pass. */
+  val simIvfSplit: QueryDef = {
+    def sround(r: Int): String = {
+      val sc = s"${dotSql("c.cv", "c.cv")} - 2 * ${dotSql("m.embedding", "c.cv")} + 1e-12 * c.cent_id"
+      s"""sa$r AS (
+        SELECT m.vec_id, m.embedding,
+               arg_min(c.cent_id, $sc) AS sub
+        FROM mem m, s${r - 1} c GROUP BY m.vec_id, m.embedding),
+      sper$r AS (
+        SELECT sub, pos,
+               CAST(sum(CAST(floor(CAST(v AS DOUBLE) * 10000000.0) AS BIGINT)) AS BIGINT) AS s,
+               count(*) AS n
+        FROM (SELECT sub, unnest(range(0, len(embedding))) AS pos, unnest(embedding) AS v FROM sa$r)
+        GROUP BY 1, 2),
+      s$r AS (
+        SELECT sub AS cent_id,
+               list(CAST(s AS DOUBLE) / CAST(n AS DOUBLE) / 10000000.0 ORDER BY pos) AS cv
+        FROM sper$r GROUP BY sub)"""
+    }
+    QueryDef(
+      "sim_ivf_split",
+      Some(s"""
+      WITH cents AS (SELECT vec_id AS cent_id, embedding AS cv FROM embeddings WHERE vec_id < 8),
+      assigned AS (
+        SELECT e.vec_id, e.embedding,
+               arg_max(c.cent_id, ${dotSql("e.embedding", "c.cv")} - 1e-12 * c.cent_id) AS cell
+        FROM embeddings e, cents c GROUP BY e.vec_id, e.embedding),
+      stats AS (SELECT cell, CAST(count(*) AS BIGINT) AS n FROM assigned GROUP BY cell),
+      tot AS (SELECT CAST(count(*) AS BIGINT) AS n FROM assigned),
+      hot AS (SELECT cell FROM stats ORDER BY n DESC, cell LIMIT 1),
+      mem AS (SELECT a.vec_id, a.embedding FROM assigned a, hot h WHERE a.cell = h.cell),
+      s0 AS (
+        SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INTEGER) AS cent_id,
+               list_transform(embedding, x -> CAST(x AS DOUBLE)) AS cv
+        FROM (SELECT vec_id, embedding FROM mem ORDER BY vec_id LIMIT 2)),
+      ${(1 to IvfSplitRounds).map(sround).mkString(",\n      ")},
+      saf AS (
+        SELECT m.vec_id,
+               arg_min(c.cent_id, ${dotSql("c.cv", "c.cv")} - 2 * ${dotSql("m.embedding", "c.cv")} + 1e-12 * c.cent_id) AS sub
+        FROM mem m, s$IvfSplitRounds c GROUP BY m.vec_id, m.embedding),
+      fin AS (SELECT sub, CAST(count(*) AS BIGINT) AS n FROM saf GROUP BY sub)
+      SELECT cell_label, n_vectors, round(CAST(n_vectors AS DOUBLE) / CAST(t.n AS DOUBLE), 6) AS share_r
+      FROM (
+        SELECT CAST(s.cell AS VARCHAR) AS cell_label, s.n AS n_vectors
+        FROM stats s, hot h WHERE s.cell <> h.cell
+        UNION ALL
+        SELECT CAST(h.cell AS VARCHAR) || CASE WHEN f.sub = 0 THEN 'a' ELSE 'b' END, f.n
+        FROM fin f, hot h) x, tot t
+      ORDER BY cell_label
+    """)) { (spark, dir) =>
+      val s2 = spark
+      import s2.implicits._
+      import org.apache.spark.sql.expressions.Window
+      val assigned = ivfAssigned(spark, dir).localCheckpoint(false)
+      val statRows = assigned.groupBy("cell").agg(count(lit(1)).as("n"))
+        .collect().map(r => (r.getAs[Long]("cell"), r.getAs[Long]("n")))
+      val total = statRows.map(_._2).sum
+      val hot = statRows.sortBy { case (cell, n) => (-n, cell) }.head._1
+      // the unit of maintenance work: ONE cell's members
+      val mem = assigned.filter(col("cell") === hot)
+        .select(col("vec_id"), col("embedding")).localCheckpoint(true)
+      def assign(cents: DataFrame): DataFrame = {
+        val packed = cents
+          .withColumn("cc", dot(col("cv"), col("cv")))
+          .agg(collect_list(struct(col("cent_id"), col("cv"), col("cc"))).as("cents"))
+        val bestC = array_min(transform(col("cents"), c => struct(
+          (c("cc") - lit(2.0) * dot(col("embedding"), c("cv"))
+            + lit(1e-12) * c("cent_id")).as("score"),
+          c("cent_id").as("cent_id"))))
+        mem.crossJoin(broadcast(packed))
+          .select(col("vec_id"), col("embedding"), bestC("cent_id").as("sub"))
+      }
+      def recompute(a: DataFrame): DataFrame = a
+        .select(col("sub"), posexplode(col("embedding")).as(Seq("pos", "v")))
+        .groupBy("sub", "pos")
+        .agg(sum(floor(col("v").cast(DoubleType) * 10000000.0).cast(LongType)).as("s"),
+          count(lit(1)).as("n"))
+        .select(col("sub"), col("pos"),
+          (col("s").cast(DoubleType) / col("n").cast(DoubleType) / 10000000.0).as("c"))
+        .groupBy(col("sub").as("cent_id"))
+        .agg(transform(array_sort(collect_list(struct(col("pos"), col("c")))), s => s("c"))
+          .as("cv"))
+      // seeds: the two lowest-id members (2-row frame → the id window is
+      // bounded by construction)
+      var cents = mem.orderBy("vec_id").limit(2).localCheckpoint(true)
+        .withColumn("cent_id",
+          (row_number().over(Window.orderBy("vec_id")) - 1).cast(IntegerType))
+        .select(col("cent_id"), col("embedding").cast(ArrayType(DoubleType)).as("cv"))
+      var prevSig: (Long, Long, Long) = null
+      var prevCkpt: DataFrame = null
+      var finAssign: DataFrame = null
+      var iters = 0
+      while (iters < IvfSplitRounds && finAssign == null) {
+        val a = assign(cents).localCheckpoint(false)
+        val row = a.agg(count(lit(1)),
+          sum(hash(col("vec_id"), col("sub")).cast(LongType)),
+          call_function("bit_xor", xxhash64(col("vec_id"), col("sub")))).head()
+        def at(i: Int) = if (row.isNullAt(i)) 0L else row.getLong(i)
+        val sig = (row.getLong(0), at(1), at(2))
+        if (sig == prevSig) finAssign = a
+        else {
+          val next = recompute(a).localCheckpoint(true)
+          if (prevCkpt != null) prevCkpt.unpersist(false)
+          prevCkpt = next
+          cents = next
+          prevSig = sig
+          iters += 1
+          a.unpersist(false)
+        }
+      }
+      val finA = if (finAssign != null) finAssign else assign(cents)
+      val finCounts = finA.groupBy("sub").agg(count(lit(1)).as("n"))
+        .collect().map(r => (r.getAs[Int]("sub"), r.getAs[Long]("n")))
+      val rows =
+        statRows.filter(_._1 != hot).map { case (c, n) => (c.toString, n) } ++
+          finCounts.map { case (sub, n) =>
+            (s"$hot${if (sub == 0) "a" else "b"}", n) }
+      rows.toSeq.toDF("cell_label", "n_vectors")
+        .select(col("cell_label"), col("n_vectors"),
+          round(col("n_vectors").cast(DoubleType) / lit(total.toDouble), 6).as("share_r"))
+        .orderBy("cell_label")
+    }
+  }
+
   /** sim17 — PQ SUBSPACE-LAYOUT distortion audit: which coordinates share
     * a subspace is a free parameter of product quantization, and choosing
     * it well is the entire subject of OPQ (Ge et al., "Optimized Product
@@ -2328,6 +2474,6 @@ object Similarity {
     simTopKBrute, simLshPairs, simIvfProbe, simIvfMultiprobe, ddEmbeddingCosine,
     simQuantizeInt8, simCentroids, simKmeans, simKmeansConverged, simSemanticDedup,
     simPqEncode, simPqSearch, simPqTrain, simPqTrainConverged, simIvfAdc,
-    simIvfAdcResidual, simAnnRecall, simAnnRecallSet, simIvfLayout, simPqDimLayout,
-    simOpqLearned)
+    simIvfAdcResidual, simAnnRecall, simAnnRecallSet, simIvfLayout, simIvfSplit,
+    simPqDimLayout, simOpqLearned)
 }

@@ -229,6 +229,23 @@ class LlmOpsSpec extends SparkSpec {
     assert(byMethod.values.forall(h => h >= 0L && h <= 80L))
   }
 
+  test("hot-cell split: children partition the hot cell and the max share strictly drops") {
+    // the index-maintenance contract: the split must conserve membership
+    // (children sum to the hot cell, corpus total unchanged), produce two
+    // real sub-cells, and actually fix the hotness it was triggered by
+    val before = Similarity.simIvfLayout.run(spark, sfDir).collect()
+      .map(r => r.getAs[Long]("cell").toString -> r.getAs[Long]("n_vectors")).toMap
+    val after = Similarity.simIvfSplit.run(spark, sfDir).collect()
+      .map(r => r.getAs[String]("cell_label") -> r.getAs[Long]("n_vectors")).toMap
+    val hot = before.maxBy { case (c, n) => (n, -c.toLong) }._1
+    assert(after.keySet === before.keySet - hot + s"${hot}a" + s"${hot}b")
+    assert(after(s"${hot}a") > 0 && after(s"${hot}b") > 0, "degenerate split")
+    assert(after(s"${hot}a") + after(s"${hot}b") === before(hot), "membership not conserved")
+    (before.keySet - hot).foreach(c => assert(after(c) === before(c), s"cell $c touched"))
+    assert(after.values.max < before.values.max,
+      s"split did not reduce the max cell (${after.values.max} vs ${before.values.max})")
+  }
+
   test("semantic dedup drops exactly the planted near-copies, each kept by its source") {
     val rows = Similarity.simSemanticDedup.run(spark, sfDir).collect()
     val planted = core.tbl(spark, sfDir, "embeddings")
