@@ -229,6 +229,34 @@ class LlmOpsSpec extends SparkSpec {
     assert(byMethod.values.forall(h => h >= 0L && h <= 80L))
   }
 
+  test("ADC re-rank: beam recall dominates the pure ADC ranking, scores agree with exact") {
+    // the structural law of two-stage retrieval: the re-ranked top-10 is
+    // the TRUE-score optimum of a beam that CONTAINS the ADC top-10, so
+    // every exact-top-10 member the ADC rung finds, the re-rank keeps —
+    // recall@10(rerank) >= recall@10(adc), by construction, not luck
+    val s2 = spark; import s2.implicits._
+    val q = core.tbl(spark, sfDir, "embeddings").filter(col("vec_id") === 17)
+      .select(col("embedding").as("qv"))
+    val exact = core.tbl(spark, sfDir, "embeddings").crossJoin(broadcast(q))
+      .select(col("vec_id"),
+        call_function("graft_dot", col("embedding"), col("qv")).as("s"))
+      .orderBy(col("s").desc, col("vec_id")).limit(10)
+      .collect().map(_.getAs[Long]("vec_id")).toSet
+    val adcTop = Similarity.simIvfAdc.run(spark, sfDir).collect()
+      .map(_.getAs[Long]("vec_id")).toSet
+    val rerank = Similarity.simAdcRerank.run(spark, sfDir).collect()
+    val rerankTop = rerank.map(_.getAs[Long]("vec_id")).toSet
+    assert(rerankTop.size === 10 && adcTop.size === 10)
+    assert((rerankTop & exact).size >= (adcTop & exact).size,
+      s"re-rank recall ${(rerankTop & exact).size} below ADC's ${(adcTop & exact).size}")
+    // the query retrieves itself first under exact re-scoring
+    assert(rerank.head.getAs[Long]("vec_id") === 17L)
+    assert(rerank.head.getAs[Double]("score_r") > 0.999)
+    // exact scores are presented in descending order
+    val ss = rerank.map(_.getAs[Double]("score_r")).toSeq
+    assert(ss === ss.sorted.reverse)
+  }
+
   test("hot-cell split: children partition the hot cell and the max share strictly drops") {
     // the index-maintenance contract: the split must conserve membership
     // (children sum to the hot cell, corpus total unchanged), produce two
