@@ -55,6 +55,15 @@ class PlanSpec extends SparkSpec {
       "docs⋈rates degenerated to a sort-merge shuffle join")
   }
 
+  test("ADC re-rank fetches beam vectors via broadcast — the corpus never shuffles") {
+    // stage 2's whole scale story: 50 beam ids broadcast against one
+    // corpus scan; a sort-merge here would shuffle every vector
+    val plan = finalPlan(llm.Similarity.simAdcRerank.run(spark, sfDir))
+    assert(plan.contains("BroadcastHashJoin"))
+    assert(!plan.contains("SortMergeJoin"),
+      "beam⋈corpus vector fetch degenerated to a sort-merge shuffle join")
+  }
+
   test("q2's customer dimension joins as broadcast — the fact side never sort-merges") {
     val plan = finalPlan(analytics.Analytics.q2CustomerSegmentation.run(spark, sfDir))
     assert(plan.contains("BroadcastHashJoin"))
