@@ -153,6 +153,86 @@ object Temporal {
       .orderBy("user_id", "purchase_ts")
   }
 
+  /** NEAREST as-of join — the third member of the as-of family: each
+    * purchase matched to the user's temporally CLOSEST click in EITHER
+    * direction (pandas `merge_asof(direction='nearest')`; sensor/trade
+    * alignment when the enriching stream can lag or lead). Composition,
+    * not a new shuffle: ONE tagged union ordered by (t, side) carries
+    * BOTH directions over the same window spec — `last(ignoreNulls)` over
+    * (-∞, 0] is the at-or-before click ([[jAsofEvent]]'s carry),
+    * `first(ignoreNulls)` over [0, +∞) the strictly-after click (an
+    * equal-timestamp click sorts before the purchase, so the forward arm
+    * is strict — which can never change the nearest answer, since the
+    * backward arm already holds that zero-gap click). The two frames
+    * share one hash shuffle and one per-user sort; ties in distance break
+    * toward the BACKWARD click (deterministic, and the convention that
+    * degrades to plain as-of when gaps are equal). The oracle runs
+    * DuckDB's native backward and strict-forward ASOF joins and the same
+    * tie CASE. */
+  val jAsofNearest: QueryDef = QueryDef(
+    "j_asof_nearest",
+    Some("""
+      WITH p AS (SELECT user_id, ts, value FROM events WHERE event_type = 'purchase'),
+      c AS (SELECT user_id, ts FROM events WHERE event_type = 'click'),
+      b AS (
+        SELECT p.user_id, p.ts, p.value, c.ts AS bts
+        FROM p ASOF LEFT JOIN c ON p.user_id = c.user_id AND p.ts >= c.ts),
+      f AS (
+        SELECT p.user_id, p.ts, c.ts AS fts
+        FROM p ASOF LEFT JOIN c ON p.user_id = c.user_id AND p.ts < c.ts),
+      j AS (
+        SELECT b.user_id, b.ts, b.value, b.bts, f.fts,
+               date_diff('microseconds', b.bts, b.ts) AS du,
+               date_diff('microseconds', b.ts, f.fts) AS dv
+        FROM b JOIN f ON b.user_id = f.user_id AND b.ts = f.ts)
+      SELECT user_id, ts AS purchase_ts, value,
+             CASE WHEN bts IS NULL THEN fts WHEN fts IS NULL THEN bts
+                  WHEN du <= dv THEN bts ELSE fts END AS nearest_click_ts,
+             CAST(CASE WHEN bts IS NULL THEN dv WHEN fts IS NULL THEN du
+                  WHEN du <= dv THEN du ELSE dv END AS BIGINT) AS us_gap,
+             CASE WHEN bts IS NULL AND fts IS NULL THEN NULL
+                  WHEN fts IS NULL OR (bts IS NOT NULL AND du <= dv) THEN 'back'
+                  ELSE 'fwd' END AS dir
+      FROM j ORDER BY user_id, purchase_ts
+    """)) { (spark, dir) =>
+    val ev = events(spark, dir)
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("user_id"), col("ts").as("t"), lit(0).as("side"),
+        col("ts").as("click_ts"), lit(null).cast(DoubleType).as("value"))
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("ts").as("t"), lit(1).as("side"),
+        lit(null).cast(TimestampNTZType).as("click_ts"), col("value"))
+    val ord = Window.partitionBy("user_id").orderBy("t", "side")
+    val back = last("click_ts", ignoreNulls = true)
+      .over(ord.rowsBetween(Window.unboundedPreceding, 0))
+    val fwd = first("click_ts", ignoreNulls = true)
+      .over(ord.rowsBetween(0, Window.unboundedFollowing))
+    val du = unix_micros(col("t").cast(TimestampType)) -
+      unix_micros(col("bts").cast(TimestampType))
+    val dv = unix_micros(col("fts").cast(TimestampType)) -
+      unix_micros(col("t").cast(TimestampType))
+    clicks.unionByName(purchases)
+      .withColumn("bts", back)
+      .withColumn("fts", fwd)
+      .filter(col("side") === 1)
+      .withColumn("du", du)
+      .withColumn("dv", dv)
+      .select(col("user_id"), col("t").as("purchase_ts"), col("value"),
+        when(col("bts").isNull, col("fts"))
+          .when(col("fts").isNull, col("bts"))
+          .when(col("du") <= col("dv"), col("bts"))
+          .otherwise(col("fts")).as("nearest_click_ts"),
+        when(col("bts").isNull, col("dv"))
+          .when(col("fts").isNull, col("du"))
+          .when(col("du") <= col("dv"), col("du"))
+          .otherwise(col("dv")).cast(LongType).as("us_gap"),
+        when(col("bts").isNull && col("fts").isNull, lit(null).cast(StringType))
+          .when(col("fts").isNull || (col("bts").isNotNull && col("du") <= col("dv")),
+            lit("back"))
+          .otherwise(lit("fwd")).as("dir"))
+      .orderBy("user_id", "purchase_ts")
+  }
+
   /** INTERVAL-OVERLAP self join — the interval×interval member of the
     * temporal family ([[jRangeWindows]] is point×interval): find every
     * pair of 7-day order-fulfillment windows of the SAME customer that
@@ -212,5 +292,5 @@ object Temporal {
   }
 
   val all: Seq[QueryDef] = Seq(jAsofEvent, jRangeWindows, jAsofForward,
-    jIntervalOverlap)
+    jAsofNearest, jIntervalOverlap)
 }

@@ -848,10 +848,76 @@ object Quality {
       .orderBy("rule_id")
   }
 
+  /** ROBUST anomaly detection via median absolute deviation — the
+    * outlier-resistant companion to `q5_daily_anomaly`'s mean/stddev
+    * bands: a handful of extreme days inflates a standard deviation until
+    * it masks the very outliers it should flag (the classic masking
+    * failure); the median and MAD have 50% breakdown, so the flagged set
+    * is stable under contamination. Both order statistics use the
+    * LOWER-MIDDLE rank ((n+1) div 2 under the (value, day) total order) —
+    * exact DECIMAL arithmetic end to end, no interpolation, no float
+    * accumulation; the only doubles are the final score division and the
+    * 3·MAD threshold compare (identical IEEE ops both engines). Scale
+    * shape: one column-pruned scan to the daily rollup; everything after
+    * operates on the CALENDAR-BOUNDED daily frame (the adjudicated
+    * aggregate-scale posture — the two rank windows are partition-less
+    * over days-in-span, never corpus rows), checkpointed once for its
+    * three consumers. */
+  val qAnomalyMad: QueryDef = QueryDef(
+    "q_anomaly_mad",
+    Some("""
+      WITH daily AS (
+        SELECT CAST(o_orderdate AS DATE) AS d,
+               CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS rev
+        FROM orders GROUP BY 1),
+      st AS (SELECT CAST(count(*) AS BIGINT) AS n FROM daily),
+      med AS (
+        SELECT rev AS med FROM (
+          SELECT rev, d, row_number() OVER (ORDER BY rev, d) AS rk FROM daily), st
+        WHERE rk = (st.n + 1) // 2),
+      dev AS (SELECT d, rev, med.med, abs(rev - med.med) AS ad FROM daily, med),
+      mad AS (
+        SELECT ad AS mad FROM (
+          SELECT ad, d, row_number() OVER (ORDER BY ad, d) AS rk FROM dev), st
+        WHERE rk = (st.n + 1) // 2)
+      SELECT CAST(v.d AS TIMESTAMP) AS day, CAST(v.rev AS DOUBLE) AS revenue,
+             CAST(v.med AS DOUBLE) AS med, CAST(x.mad AS DOUBLE) AS mad,
+             round(CAST(v.ad AS DOUBLE) / CAST(x.mad AS DOUBLE), 6) AS score_r
+      FROM dev v, mad x
+      WHERE CAST(v.ad AS DOUBLE) > 3.0 * CAST(x.mad AS DOUBLE)
+      ORDER BY day
+    """)) { (spark, dir) =>
+    import org.apache.spark.sql.expressions.Window
+    val daily = tbl(spark, dir, "orders")
+      .groupBy(to_date(col("o_orderdate")).as("d"))
+      .agg(sum(col("o_totalprice").cast(DecimalType(18, 2)))
+        .cast(DecimalType(18, 2)).as("rev"))
+      .localCheckpoint(true)
+    val st = daily.agg(count(lit(1)).as("n"))
+    def lowerMiddle(df: DataFrame, v: String, out: String): DataFrame = df
+      .withColumn("rk", row_number().over(Window.orderBy(v, "d")))
+      .crossJoin(broadcast(st))
+      .filter(col("rk") === expr("(n + 1) div 2"))
+      .select(col(v).as(out))
+    val med = lowerMiddle(daily, "rev", "med")
+    val dev = daily.crossJoin(broadcast(med))
+      .select(col("d"), col("rev"), col("med"), abs(col("rev") - col("med")).as("ad"))
+      .localCheckpoint(true)
+    val mad = lowerMiddle(dev, "ad", "mad")
+    dev.crossJoin(broadcast(mad))
+      .filter(col("ad").cast(DoubleType) > lit(3.0) * col("mad").cast(DoubleType))
+      .select(col("d").cast(TimestampType).as("day"),
+        col("rev").cast(DoubleType).as("revenue"),
+        col("med").cast(DoubleType).as("med"),
+        col("mad").cast(DoubleType).as("mad"),
+        round(col("ad").cast(DoubleType) / col("mad").cast(DoubleType), 6).as("score_r"))
+      .orderBy("day")
+  }
+
   val all: Seq[QueryDef] = Seq(
     q4NonEmptyNullSk, q5UniqueNotNull, q6NoNegativeAmounts,
     q7DateKeyValidity, s11AuditLog, qMartQuality, qProfileTable,
     qSnapshotDiff, qHeavyHitters, qProfileDrift, qSourceFreshness,
     qAcceptedValues, qKAnonymity, qLDiversity, qObserveMetrics,
-    qExpectationSuite)
+    qExpectationSuite, qAnomalyMad)
 }

@@ -80,6 +80,21 @@ class QualitySpec extends SparkSpec {
     assert(row.getAs[String]("run_status") === "SUCCESS_WITH_REJECTS")
   }
 
+  test("MAD anomaly: flagged days exceed 3 MADs, constants are frame-wide, scores check out") {
+    val rows = graft.quality.Quality.qAnomalyMad.run(spark, sfDir).collect()
+    assert(rows.nonEmpty, "no anomalous days flagged — fixture drifted")
+    val meds = rows.map(_.getAs[Double]("med")).distinct
+    val mads = rows.map(_.getAs[Double]("mad")).distinct
+    assert(meds.length === 1 && mads.length === 1, "median/MAD must be frame constants")
+    assert(mads.head > 0.0)
+    rows.foreach { r =>
+      val dev = math.abs(r.getAs[Double]("revenue") - meds.head)
+      assert(dev > 3.0 * mads.head, s"day ${r.getAs[java.time.Instant]("day")} under threshold")
+      assert(math.abs(r.getAs[Double]("score_r") - dev / mads.head) < 1e-4)
+      assert(r.getAs[Double]("score_r") > 3.0)
+    }
+  }
+
   test("pipeline_e2e summary is internally consistent end-to-end") {
     val row = pipeline.Pipeline.pipelineE2e.run(spark, sfDir).head()
     val e = row.getAs[Long]("records_extracted")

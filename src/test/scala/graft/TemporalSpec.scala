@@ -1,5 +1,6 @@
 package graft
 
+import graft.operators.Temporal
 import org.apache.spark.sql.functions._
 
 /** Temporal join semantics on hand-built frames (exact expected matches,
@@ -47,6 +48,34 @@ class TemporalSpec extends SparkSpec {
       .map(r => r.getLong(0) -> Option(r.get(1))).toMap
     assert(out(7L).isDefined, "same-instant click must match (>=, not >)")
     assert(out(8L).isEmpty, "user with no prior click gets NULL")
+  }
+
+  test("nearest as-of: gap is the minimum of the backward and forward as-of gaps") {
+    // the defining law of direction='nearest': joined against the two
+    // one-directional gates on (user, purchase), the nearest gap equals
+    // min(backward gap, forward gap) wherever both exist, never exceeds
+    // either where one exists, and dir names the winning side
+    def keyed(rows: Array[org.apache.spark.sql.Row], gapCol: String) =
+      rows.map(r => (r.getAs[Long]("user_id"),
+        r.getAs[java.time.LocalDateTime]("purchase_ts")) ->
+        Option(r.getAs[java.lang.Long](gapCol)).map(_.toLong)).toMap
+    val back = keyed(Temporal.jAsofEvent.run(spark, sfDir).collect(), "us_since_click")
+    val fwd = keyed(Temporal.jAsofForward.run(spark, sfDir).collect(), "us_until_click")
+    val near = Temporal.jAsofNearest.run(spark, sfDir).collect()
+    assert(near.nonEmpty)
+    near.foreach { r =>
+      val k = (r.getAs[Long]("user_id"), r.getAs[java.time.LocalDateTime]("purchase_ts"))
+      val g = Option(r.getAs[java.lang.Long]("us_gap")).map(_.toLong)
+      val (b, f) = (back(k), fwd(k))
+      // the forward GATE is at-or-after while the nearest arm is strictly
+      // after; a zero forward gap coincides with a zero backward gap, so
+      // min() is unaffected
+      val expected = (b.toList ++ f.toList).reduceOption((x: Long, y: Long) => math.min(x, y))
+      assert(g === expected, s"gap $g != min($b, $f) at $k")
+      val dir = r.getAs[String]("dir")
+      if (b.isEmpty && f.isEmpty) assert(dir == null)
+      else if (g == b && b.exists(bb => f.forall(bb <= _))) assert(dir === "back")
+    }
   }
 
   test("range join preserves empty windows and counts overlaps twice") {
