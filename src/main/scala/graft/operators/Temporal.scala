@@ -2,7 +2,7 @@ package graft.operators
 
 import graft.{QueryDef, core}
 import graft.core._
-import org.apache.spark.sql.Column
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
@@ -22,6 +22,22 @@ import org.apache.spark.sql.types._
   *    keeps exact interval semantics.
   */
 object Temporal {
+
+  /** The tagged click/purchase frames every as-of gate unions — ONE
+    * definition of the family invariant (column set, ts-as-t, null casts,
+    * side tags), so a schema change to `events` cannot desync the three
+    * gates. `clickSide` 0 makes an equal-timestamp click sort before the
+    * purchase (at-or-before semantics); 1 makes it sort after
+    * (at-or-after). */
+  private def taggedClickPurchase(ev: DataFrame, clickSide: Int): (DataFrame, DataFrame) = {
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("user_id"), col("ts").as("t"), lit(clickSide).as("side"),
+        col("ts").as("click_ts"), lit(null).cast(DoubleType).as("value"))
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("ts").as("t"), lit(1 - clickSide).as("side"),
+        lit(null).cast(TimestampNTZType).as("click_ts"), col("value"))
+    (clicks, purchases)
+  }
 
   /** As-of join: each `purchase` event matched to the user's most recent
     * `click` at-or-before it (the trade⋈quote shape: enrich a fact stream
@@ -48,13 +64,7 @@ object Temporal {
         ON p.user_id = c.user_id AND p.ts >= c.ts
       ORDER BY p.user_id, purchase_ts
     """)) { (spark, dir) =>
-    val ev = events(spark, dir)
-    val clicks = ev.filter(col("event_type") === "click")
-      .select(col("user_id"), col("ts").as("t"), lit(0).as("side"),
-        col("ts").as("click_ts"), lit(null).cast(DoubleType).as("value"))
-    val purchases = ev.filter(col("event_type") === "purchase")
-      .select(col("user_id"), col("ts").as("t"), lit(1).as("side"),
-        lit(null).cast(TimestampNTZType).as("click_ts"), col("value"))
+    val (clicks, purchases) = taggedClickPurchase(events(spark, dir), clickSide = 0)
     val carry = Window.partitionBy("user_id").orderBy("t", "side")
       .rowsBetween(Window.unboundedPreceding, 0)
     clicks.unionByName(purchases)
@@ -134,13 +144,7 @@ object Temporal {
         ON p.user_id = c.user_id AND p.ts <= c.ts
       ORDER BY p.user_id, purchase_ts
     """)) { (spark, dir) =>
-    val ev = events(spark, dir)
-    val purchases = ev.filter(col("event_type") === "purchase")
-      .select(col("user_id"), col("ts").as("t"), lit(0).as("side"),
-        lit(null).cast(TimestampNTZType).as("click_ts"), col("value"))
-    val clicks = ev.filter(col("event_type") === "click")
-      .select(col("user_id"), col("ts").as("t"), lit(1).as("side"),
-        col("ts").as("click_ts"), lit(null).cast(DoubleType).as("value"))
+    val (clicks, purchases) = taggedClickPurchase(events(spark, dir), clickSide = 1)
     val carry = Window.partitionBy("user_id").orderBy("t", "side")
       .rowsBetween(0, Window.unboundedFollowing)
     purchases.unionByName(clicks)
@@ -195,13 +199,7 @@ object Temporal {
                   ELSE 'fwd' END AS dir
       FROM j ORDER BY user_id, purchase_ts
     """)) { (spark, dir) =>
-    val ev = events(spark, dir)
-    val clicks = ev.filter(col("event_type") === "click")
-      .select(col("user_id"), col("ts").as("t"), lit(0).as("side"),
-        col("ts").as("click_ts"), lit(null).cast(DoubleType).as("value"))
-    val purchases = ev.filter(col("event_type") === "purchase")
-      .select(col("user_id"), col("ts").as("t"), lit(1).as("side"),
-        lit(null).cast(TimestampNTZType).as("click_ts"), col("value"))
+    val (clicks, purchases) = taggedClickPurchase(events(spark, dir), clickSide = 0)
     val ord = Window.partitionBy("user_id").orderBy("t", "side")
     val back = last("click_ts", ignoreNulls = true)
       .over(ord.rowsBetween(Window.unboundedPreceding, 0))

@@ -903,7 +903,14 @@ object Quality {
     val dev = daily.crossJoin(broadcast(med))
       .select(col("d"), col("rev"), col("med"), abs(col("rev") - col("med")).as("ad"))
       .localCheckpoint(true)
-    val mad = lowerMiddle(dev, "ad", "mad")
+    val mad = lowerMiddle(dev, "ad", "mad").localCheckpoint(true)
+    // degenerate-MAD guard (counter-scale, the Morton-guard convention):
+    // a zero MAD makes the 3·MAD band vacuous and the score division
+    // engine-dependent (Spark Infinity vs DuckDB's setting-dependent
+    // division-by-zero) — fail loudly instead of hash-diverging
+    val madV = mad.head().getDecimal(0)
+    require(madV.signum > 0,
+      s"MAD is $madV — the daily metric is majority-constant; MAD bands are undefined")
     dev.crossJoin(broadcast(mad))
       .filter(col("ad").cast(DoubleType) > lit(3.0) * col("mad").cast(DoubleType))
       .select(col("d").cast(TimestampType).as("day"),

@@ -72,9 +72,15 @@ class TemporalSpec extends SparkSpec {
       // min() is unaffected
       val expected = (b.toList ++ f.toList).reduceOption((x: Long, y: Long) => math.min(x, y))
       assert(g === expected, s"gap $g != min($b, $f) at $k")
+      // dir is asserted EXHAUSTIVELY (a forward winner labeled 'back'
+      // must fail here, not surface as an opaque hash mismatch)
       val dir = r.getAs[String]("dir")
-      if (b.isEmpty && f.isEmpty) assert(dir == null)
-      else if (g == b && b.exists(bb => f.forall(bb <= _))) assert(dir === "back")
+      (b, f) match {
+        case (None, None)         => assert(dir == null)
+        case (Some(_), None)      => assert(dir === "back")
+        case (None, Some(_))      => assert(dir === "fwd")
+        case (Some(bb), Some(ff)) => assert(dir === (if (bb <= ff) "back" else "fwd"))
+      }
     }
   }
 
