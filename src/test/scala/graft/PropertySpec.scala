@@ -190,6 +190,28 @@ class PropertySpec extends SparkSpec {
       got == expect
     })
 
+  check("golden-record merge is permutation-invariant over generated clusters")(
+    Prop.forAll(
+      Gen.zip(
+        Gen.nonEmptyListOf(Gen.zip(
+          Gen.chooseNum(0, 3),                        // cluster
+          Gen.chooseNum(-500, 500),                   // balance (ties likely)
+          Gen.oneOf("AUTOMOBILE", "BUILDING", "MACHINERY"))),
+        Gen.long)) { case (rows0, seed) =>
+      // distinct keys per member (survivorship presumes resolved entities);
+      // balances and segments collide freely to exercise every tie-break
+      val members = rows0.zipWithIndex.map { case ((cl, bal, seg), i) =>
+        (cl.toLong * 100, 1000L + i, s"Customer#${1000 + i}", i % 7, bal.toDouble, seg)
+      }
+      val perm = new scala.util.Random(seed).shuffle(members)
+      def runOn(rs: Seq[(Long, Long, String, Int, Double, String)]) =
+        graft.operators.Linkage.goldenMerge(
+          rs.toDF("cluster_id", "c_custkey", "c_name", "c_nationkey",
+            "c_acctbal", "c_mktsegment"))
+          .collect().map(_.toString).toSeq
+      runOn(members) == runOn(perm)
+    })
+
   check("int8 quantization: codes bounded, max lane saturates, reconstruction within half a step")(
     Prop.forAll(Gen.nonEmptyListOf(Gen.chooseNum(-1e3f, 1e3f))) { xs =>
       val row = llm.Similarity.quantizeInt8(Seq(xs.toArray).toDF("v"), col("v"))
