@@ -1795,7 +1795,11 @@ object Similarity {
     * 16..23: 0..7 are coarse centroids, 8..15 residual-PQ seeds), with
     * the two composed IVFADC read paths as rungs so raw-vs-residual
     * coding is COMPUTED on identical candidates (probe-3 members, only
-    * the coding differs). Measured verdict this harness settles for this
+    * the coding differs), plus the [[simAdcRerank]] two-stage rung (the
+    * per-query ADC beam re-scored exactly — its recall dominates the raw
+    * rung structurally, since the beam contains the ADC top-10; the
+    * harness measures by HOW MUCH the beam knob buys recall back).
+    * Measured verdict this harness settles for this
     * corpus: the residual rung LOSES to raw ADC at every scale rung
     * (mean recall ~0.06-0.13 vs 0.20-0.25) — the driver's embeddings are
     * near-uniform on the sphere, so query·centroid ≈ 0.3 and residual
@@ -1879,18 +1883,26 @@ object Similarity {
         FROM qs q, pb$PqTrainRounds b),
       candr AS (
         SELECT p.qid, a.vec_id FROM assigned a JOIN qprobe p ON a.cell = p.cell AND p.rn <= 3),
-      ar AS (
+      ars AS (
+        SELECT c.qid, c.vec_id,
+               row_number() OVER (PARTITION BY c.qid
+                 ORDER BY q0.qd + q1.qd + q2.qd + q3.qd, c.vec_id) AS rr
+        FROM candr c
+        JOIN enc_raw e ON e.vec_id = c.vec_id
+        JOIN lut_raw q0 ON q0.qid = c.qid AND q0.m = 0 AND q0.code = e.code0
+        JOIN lut_raw q1 ON q1.qid = c.qid AND q1.m = 1 AND q1.code = e.code1
+        JOIN lut_raw q2 ON q2.qid = c.qid AND q2.m = 2 AND q2.code = e.code2
+        JOIN lut_raw q3 ON q3.qid = c.qid AND q3.m = 3 AND q3.code = e.code3),
+      ar AS (SELECT qid, vec_id FROM ars WHERE rr <= 10),
+      rkb AS (
         SELECT qid, vec_id FROM (
-          SELECT c.qid, c.vec_id,
-                 row_number() OVER (PARTITION BY c.qid
-                   ORDER BY q0.qd + q1.qd + q2.qd + q3.qd, c.vec_id) AS rr
-          FROM candr c
-          JOIN enc_raw e ON e.vec_id = c.vec_id
-          JOIN lut_raw q0 ON q0.qid = c.qid AND q0.m = 0 AND q0.code = e.code0
-          JOIN lut_raw q1 ON q1.qid = c.qid AND q1.m = 1 AND q1.code = e.code1
-          JOIN lut_raw q2 ON q2.qid = c.qid AND q2.m = 2 AND q2.code = e.code2
-          JOIN lut_raw q3 ON q3.qid = c.qid AND q3.m = 3 AND q3.code = e.code3)
-        WHERE rr <= 10),
+          SELECT b.qid, b.vec_id,
+                 row_number() OVER (PARTITION BY b.qid
+                   ORDER BY ${dotSql("e.embedding", "q.qv")} DESC, b.vec_id) AS rr2
+          FROM (SELECT qid, vec_id FROM ars WHERE rr <= $RerankBeam) b
+          JOIN embeddings e USING (vec_id)
+          JOIN qs q ON q.qid = b.qid)
+        WHERE rr2 <= 10),
       res AS (
         SELECT a.vec_id, a.cell,
                list_transform(range(1, 65),
@@ -1929,6 +1941,8 @@ object Similarity {
         SELECT 'ivf_probe3', (SELECT count(*) FROM m3 JOIN ex USING (qid, vec_id))
         UNION ALL
         SELECT 'ivfadc_raw', (SELECT count(*) FROM ar JOIN ex USING (qid, vec_id))
+        UNION ALL
+        SELECT 'ivfadc_rerank', (SELECT count(*) FROM rkb JOIN ex USING (qid, vec_id))
         UNION ALL
         SELECT 'ivfadc_residual', (SELECT count(*) FROM rr JOIN ex USING (qid, vec_id)))
       SELECT method, CAST(8 AS BIGINT) AS n_queries, CAST(10 AS BIGINT) AS k,
@@ -1974,7 +1988,7 @@ object Similarity {
           .select(col("vec_id"), col("m"), pqBookBest("code").as("code"))
           .groupBy("vec_id").agg(aggs.head, aggs.tail: _*)
       }
-      def adcTop(cand: DataFrame, enc: DataFrame, lut: DataFrame,
+      def adcScored(cand: DataFrame, enc: DataFrame, lut: DataFrame,
           lutKeys: Seq[String]): DataFrame = {
         val joined = (0 until PqM).foldLeft(cand.join(enc, "vec_id")) { (df, m) =>
           val l = lut.filter(col("m") === m)
@@ -1987,8 +2001,11 @@ object Similarity {
         val score = (0 until PqM).map(m => col(s"qd$m")).reduce(_ + _)
         joined.select(col("qid"), col("vec_id"), score.as("adc"))
           .withColumn("rr", row_number().over(wq.orderBy(col("adc"), col("vec_id"))))
-          .filter(col("rr") <= 10).select("qid", "vec_id")
       }
+      def adcTop(cand: DataFrame, enc: DataFrame, lut: DataFrame,
+          lutKeys: Seq[String]): DataFrame =
+        adcScored(cand, enc, lut, lutKeys)
+          .filter(col("rr") <= 10).select("qid", "vec_id")
       val rawBook = bookDf(spark, convergedRawBook(spark, dir))
       val resBook = bookDf(spark, convergedResidualBook(spark, dir))
       val encRaw = encWide(rawSub(spark, dir), rawBook)
@@ -2007,7 +2024,20 @@ object Similarity {
           col("cell") === col("pcell"))
         .select(col("cqid").as("qid"), col("vec_id"), col("cell"))
         .localCheckpoint(false)
-      val ar = adcTop(candR.select("qid", "vec_id"), encRaw, lutRaw, Seq("qid"))
+      // the raw-ADC scored frame feeds two rungs (the direct top-10 and
+      // the re-rank beam) — lazily checkpoint it once
+      val arS = adcScored(candR.select("qid", "vec_id"), encRaw, lutRaw, Seq("qid"))
+        .localCheckpoint(false)
+      val ar = arS.filter(col("rr") <= 10).select("qid", "vec_id")
+      // two-stage rung: the per-qid ADC beam re-scored exactly (the
+      // simAdcRerank read path, measured in the harness; its dominance
+      // over ivfadc_raw is structural — the beam contains the ADC top-10)
+      val rkb = arS.filter(col("rr") <= RerankBeam).select("qid", "vec_id")
+        .join(emb(spark, dir).select(col("vec_id"), col("embedding")), "vec_id")
+        .join(broadcast(qs), "qid")
+        .select(col("qid"), col("vec_id"), dot(col("embedding"), col("qv")).as("s"))
+        .withColumn("rr2", row_number().over(wq.orderBy(col("s").desc, col("vec_id"))))
+        .filter(col("rr2") <= 10).select("qid", "vec_id")
       val res = ivfResiduals(spark, dir)
       val rsub = res.select(col("vec_id"), explode(array((0 until PqM).map(m =>
         struct(lit(m).as("m"), slice(col("rv"), m * PqSub + 1, PqSub).as("sv"))): _*)).as("x"))
@@ -2034,6 +2064,7 @@ object Similarity {
       recallOf("ivf_probe1", probedTop(1))
         .unionAll(recallOf("ivf_probe3", probedTop(3)))
         .unionAll(recallOf("ivfadc_raw", ar))
+        .unionAll(recallOf("ivfadc_rerank", rkb))
         .unionAll(recallOf("ivfadc_residual", rrTop))
         .orderBy("method")
     }

@@ -218,7 +218,7 @@ class LlmOpsSpec extends SparkSpec {
     val rows = Similarity.simAnnRecallSet.run(spark, sfDir).collect()
     val byMethod = rows.map(r => r.getAs[String]("method") -> r.getAs[Long]("hits")).toMap
     assert(byMethod.keySet ===
-      Set("ivf_probe1", "ivf_probe3", "ivfadc_raw", "ivfadc_residual"))
+      Set("ivf_probe1", "ivf_probe3", "ivfadc_raw", "ivfadc_rerank", "ivfadc_residual"))
     assert(rows.forall(r => r.getAs[Long]("n_queries") === 8L && r.getAs[Long]("k") === 10L))
     // widening the probe set can only add candidates → monotone recall
     assert(byMethod("ivf_probe3") >= byMethod("ivf_probe1"))
@@ -226,6 +226,9 @@ class LlmOpsSpec extends SparkSpec {
     assert(byMethod("ivf_probe1") >= 8L)
     // both ADC rungs rank real candidates: 0 < hits <= k * |Q|
     assert(byMethod("ivfadc_raw") >= 1L)
+    // the structural two-stage law: the exact re-rank of a beam that
+    // CONTAINS the ADC top-10 can never lose recall to the ADC ranking
+    assert(byMethod("ivfadc_rerank") >= byMethod("ivfadc_raw"))
     assert(byMethod.values.forall(h => h >= 0L && h <= 80L))
   }
 
