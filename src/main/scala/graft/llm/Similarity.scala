@@ -2240,7 +2240,8 @@ object Similarity {
           .as("cv"))
       // seeds: the two lowest-id members (2-row frame → the id window is
       // bounded by construction)
-      var cents = mem.orderBy("vec_id").limit(2).localCheckpoint(true)
+      val seedCkpt = mem.orderBy("vec_id").limit(2).localCheckpoint(true)
+      var cents = seedCkpt
         .withColumn("cent_id",
           (row_number().over(Window.orderBy("vec_id")) - 1).cast(IntegerType))
         .select(col("cent_id"), col("embedding").cast(ArrayType(DoubleType)).as("cv"))
@@ -2269,6 +2270,14 @@ object Similarity {
       val finA = if (finAssign != null) finAssign else assign(cents)
       val finCounts = finA.groupBy("sub").agg(count(lit(1)).as("n"))
         .collect().map(r => (r.getAs[Int]("sub"), r.getAs[Long]("n")))
+      // release every checkpoint taken above, [[trainSubspaceBook]]'s
+      // discipline — the driver-side collects are done, so nothing may
+      // accumulate until releaseSessionState (the r13 ADVICE leak finding)
+      if (finAssign != null) finAssign.unpersist(false)
+      if (prevCkpt != null) prevCkpt.unpersist(false)
+      seedCkpt.unpersist(false)
+      mem.unpersist(false)
+      assigned.unpersist(false)
       val rows =
         statRows.filter(_._1 != hot).map { case (c, n) => (c.toString, n) } ++
           finCounts.map { case (sub, n) =>

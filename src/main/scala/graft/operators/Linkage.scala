@@ -211,7 +211,11 @@ object Linkage {
     * closes into one component (any two of its members differ in one of
     * the last two key digits along some chain), so the gate exercises
     * non-trivial clusters: the master record is genuinely argmax-selected
-    * and the modal segment genuinely contested. The oracle replays the
+    * and the modal segment genuinely contested. Coverage is TOTAL:
+    * customers with no match pair are unioned back as single-member
+    * clusters (cluster_id = own key) on both engine sides, so "one golden
+    * record per entity" holds for every source entity, matched or not
+    * (the r13 ADVICE scope finding). The oracle replays the
     * identical arc — blocked pairs, a recursive-CTE closure ground to the
     * same min-label canonical, and the same tie-broken windows. Shape at
     * 100 TB: pair volume is Σ|block|² with the block bound; CC shuffles
@@ -233,9 +237,14 @@ object Linkage {
         UNION
         SELECT e.v, r.lbl FROM reach r JOIN eu e ON e.u = r.id),
       cc AS (SELECT id, min(lbl) AS cluster_id FROM reach GROUP BY id),
+      cc2 AS (
+        SELECT id, cluster_id FROM cc
+        UNION ALL
+        SELECT c.c_custkey AS id, c.c_custkey AS cluster_id
+        FROM c ANTI JOIN cc ON c.c_custkey = cc.id),
       member AS (
-        SELECT cc.cluster_id, c.c_custkey, c.c_name, c.c_nationkey, c.c_acctbal, c.c_mktsegment
-        FROM cc JOIN c ON cc.id = c.c_custkey),
+        SELECT cc2.cluster_id, c.c_custkey, c.c_name, c.c_nationkey, c.c_acctbal, c.c_mktsegment
+        FROM cc2 JOIN c ON cc2.id = c.c_custkey),
       best AS (
         SELECT cluster_id, c_name AS golden_name, CAST(c_nationkey AS BIGINT) AS golden_nation
         FROM (SELECT cluster_id, c_name, c_nationkey,
@@ -267,7 +276,14 @@ object Linkage {
       .filter(levenshtein(col("a.c_name"), col("b.c_name"), 1) =!= -1)
       .select(col("a.c_custkey").as("a_id"), col("b.c_custkey").as("b_id"))
     val labels = graft.llm.Cluster.components(pairs)
-    val member = labels.join(c, col("id") === col("c_custkey"))
+    // singletons: customers with no match pair become single-member
+    // clusters (cluster_id = own key) so the golden output covers EVERY
+    // entity, not just matched ones (the r13 ADVICE scope finding) — a
+    // left-anti on the counter-scale label frame, no extra pass over pairs
+    val singles = c.join(labels, col("c_custkey") === col("id"), "left_anti")
+      .select(col("c_custkey").as("id"), col("c_custkey").as("label"))
+    val member = labels.unionByName(singles)
+      .join(c, col("id") === col("c_custkey"))
       .select(col("label").as("cluster_id"), col("c_custkey"), col("c_name"),
         col("c_nationkey"), col("c_acctbal"), col("c_mktsegment"))
     goldenMerge(member)

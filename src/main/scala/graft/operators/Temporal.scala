@@ -171,24 +171,28 @@ object Temporal {
     * share one hash shuffle and one per-user sort; ties in distance break
     * toward the BACKWARD click (deterministic, and the convention that
     * degrades to plain as-of when gaps are equal). The oracle runs
-    * DuckDB's native backward and strict-forward ASOF joins and the same
-    * tie CASE. */
+    * DuckDB's native backward and strict-forward ASOF joins and rejoins
+    * the two arms on a per-row identity (`rid`) rather than (user_id, ts)
+    * — two purchases by one user at the same timestamp would otherwise
+    * fan the arm join out 4-ways while the Spark tagged union emits one
+    * row per event (the r13 ADVICE latent-fanout finding). */
   val jAsofNearest: QueryDef = QueryDef(
     "j_asof_nearest",
     Some("""
-      WITH p AS (SELECT user_id, ts, value FROM events WHERE event_type = 'purchase'),
+      WITH p AS (SELECT row_number() OVER (ORDER BY user_id, ts, value) AS rid,
+                        user_id, ts, value FROM events WHERE event_type = 'purchase'),
       c AS (SELECT user_id, ts FROM events WHERE event_type = 'click'),
       b AS (
-        SELECT p.user_id, p.ts, p.value, c.ts AS bts
+        SELECT p.rid, p.user_id, p.ts, p.value, c.ts AS bts
         FROM p ASOF LEFT JOIN c ON p.user_id = c.user_id AND p.ts >= c.ts),
       f AS (
-        SELECT p.user_id, p.ts, c.ts AS fts
+        SELECT p.rid, c.ts AS fts
         FROM p ASOF LEFT JOIN c ON p.user_id = c.user_id AND p.ts < c.ts),
       j AS (
         SELECT b.user_id, b.ts, b.value, b.bts, f.fts,
                date_diff('microseconds', b.bts, b.ts) AS du,
                date_diff('microseconds', b.ts, f.fts) AS dv
-        FROM b JOIN f ON b.user_id = f.user_id AND b.ts = f.ts)
+        FROM b JOIN f ON b.rid = f.rid)
       SELECT user_id, ts AS purchase_ts, value,
              CASE WHEN bts IS NULL THEN fts WHEN fts IS NULL THEN bts
                   WHEN du <= dv THEN bts ELSE fts END AS nearest_click_ts,
@@ -197,7 +201,7 @@ object Temporal {
              CASE WHEN bts IS NULL AND fts IS NULL THEN NULL
                   WHEN fts IS NULL OR (bts IS NOT NULL AND du <= dv) THEN 'back'
                   ELSE 'fwd' END AS dir
-      FROM j ORDER BY user_id, purchase_ts
+      FROM j ORDER BY user_id, purchase_ts, value
     """)) { (spark, dir) =>
     val (clicks, purchases) = taggedClickPurchase(events(spark, dir), clickSide = 0)
     val ord = Window.partitionBy("user_id").orderBy("t", "side")
@@ -228,7 +232,7 @@ object Temporal {
           .when(col("fts").isNull || (col("bts").isNotNull && col("du") <= col("dv")),
             lit("back"))
           .otherwise(lit("fwd")).as("dir"))
-      .orderBy("user_id", "purchase_ts")
+      .orderBy("user_id", "purchase_ts", "value")
   }
 
   /** INTERVAL-OVERLAP self join — the interval×interval member of the

@@ -134,13 +134,18 @@ class LlmOpsSpec extends SparkSpec {
     val dOne = Similarity.bookDistortionMicro(spark, sub,
       Similarity.pqTrainedBook(spark, sfDir))
     val n = core.tbl(spark, sfDir, "embeddings").count()
-    // per-(vec, subspace) floor quantization + 1e-7 fixed-point means give
-    // each of the 4n rows up to one micro-unit of slop either way, so the
-    // Lloyd monotonicity of the TRUE sums is asserted up to that bound
-    // (near-converged seeds could otherwise flip the inequality by floors
-    // alone — round-13 review)
-    assert(dConv <= dOne + 4 * n,
-      s"converged book distortion $dConv exceeds one-round book's $dOne beyond floor slop")
+    // two slop sources per (vec, subspace) row (4n rows total), so the
+    // Lloyd monotonicity of the TRUE sums is asserted up to their sum
+    // (near-converged seeds could otherwise flip the inequality —
+    // round-13 review, widened per the r13 ADVICE flake finding):
+    //  (a) floor quantization of the per-row distortion: ≤ 1 micro/row;
+    //  (b) the 1e-7 fixed-point centroid displacement δ perturbs a row's
+    //      squared distance by ≤ Σ_pos (2·|x_p−c_p|·δ + δ²) — with
+    //      unit-norm vectors (coords in [−1,1], |x−c| ≤ 2) and 16
+    //      positions per subspace that is ≤ 16·(2·2·1e-7) + 16·1e-14
+    //      ≈ 6.4e-6 = 6.4 micro/row; bound it by 9 micro/row.
+    assert(dConv <= dOne + 10 * 4 * n,
+      s"converged book distortion $dConv exceeds one-round book's $dOne beyond quantization slop")
     recs.groupBy(_._1).foreach { case (m, rs) =>
       assert(rs.map(_._4).sum === n, s"subspace $m inertia ledger incomplete")
       assert(rs.forall(_._5 >= 0L))
