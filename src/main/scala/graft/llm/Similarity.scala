@@ -1484,24 +1484,49 @@ object Similarity {
     adc.select(col("vec_id"), col("label"), col("cell"), score.as("adc"))
   }
 
-  /** Re-rank beam width: candidates kept from the ADC stage for exact
-    * scoring — the recall/IO knob of two-stage retrieval. */
-  private[graft] val RerankBeam = 50
+  /** Re-rank beam FLOOR: the minimum candidates kept from the ADC stage
+    * for exact scoring. The operative width is [[rerankBeamWidth]] —
+    * DERIVED from k and the measured candidate-pool size (round-13 queue
+    * #7), with this constant as the floor. */
+  private[graft] val RerankBeamFloor = 50
+
+  /** Final top-k of the two-stage read path. */
+  private[graft] val RerankK = 10
+
+  /** The beam SIZING RULE: beam = min(C, max(floor, k · bitlen(C))) for a
+    * candidate pool of C vectors — the beam grows LOGARITHMICALLY with
+    * the probed pool (the ADC ranking's inversion tail widens with pool
+    * size, but score concentration makes log growth sufficient — the
+    * IVFADC+refine convention of a small multiple of k, scaled by pool
+    * magnitude), the floor keeps small pools exactly re-ranked, and the
+    * min clamp makes beam ⊆ candidate set BY CONSTRUCTION. bitlen(C) =
+    * `length(bin(C))` in the oracle = 64 − nlz(C) here — exact integers
+    * on both engines, no transcendental log. */
+  private[graft] def rerankBeamWidth(candidates: Long): Int = {
+    val bits = 64 - java.lang.Long.numberOfLeadingZeros(candidates)
+    math.min(candidates,
+      math.max(RerankBeamFloor.toLong, RerankK.toLong * bits)).toInt
+  }
 
   /** sim13b — TWO-STAGE RETRIEVAL (ADC beam → exact re-rank): the
     * production read path on top of [[simIvfAdc]] — compressed codes give
-    * a cheap approximate ranking, the top-[[RerankBeam]] beam is
+    * a cheap approximate ranking, a beam of [[rerankBeamWidth]] ids is
     * re-scored against the TRUE vectors, and only the re-ranked top-10
     * leaves the engine (Jégou §V-D's reranking stage; every serving
-    * stack — IVFADC+refine, DiskANN, ScaNN — ships this shape). The
-    * recall law is structural, and LlmOpsSpec asserts it: the re-ranked
-    * top-10 is the TRUE-score optimum of a beam that contains the ADC
-    * top-10, so its recall@10 can never be below the ADC rung's. Shape
-    * at 100 TB: stage 1 is the whole IVFADC read path (codes + scalars
-    * only); stage 2 fetches full vectors for just [[RerankBeam]] ids —
-    * the join is a broadcast of 50 keys against the corpus scan, the
-    * one place the read path touches raw vectors, sized by the beam knob
-    * and not the corpus. */
+    * stack — IVFADC+refine, DiskANN, ScaNN — ships this shape). The beam
+    * is DERIVED, not pinned: min(C, max(floor 50, k·bitlen(C))) over the
+    * measured candidate-pool size C (a counter-scale count of the probed
+    * cells' members), so it widens logarithmically as probes cover more
+    * corpus and is a subset of the candidates by construction — the
+    * oracle replays the same integer rule via `length(bin(C))` inside
+    * its LIMIT. The recall law is structural, and LlmOpsSpec asserts it:
+    * the re-ranked top-10 is the TRUE-score optimum of a beam that
+    * contains the ADC top-10 (beam ≥ floor ≥ k), so its recall@10 can
+    * never be below the ADC rung's. Shape at 100 TB: stage 1 is the
+    * whole IVFADC read path (codes + scalars only); stage 2 fetches full
+    * vectors for just the beam ids — the join is a broadcast of O(k log
+    * C) keys against the corpus scan, the one place the read path
+    * touches raw vectors, sized by the rule and not the corpus. */
   val simAdcRerank: QueryDef = QueryDef(
     "sim_adc_rerank",
     Some(s"""
@@ -1510,7 +1535,10 @@ object Similarity {
         SELECT vec_id, label, qd0 + qd1 + qd2 + qd3 AS adc
         FROM adc
         ORDER BY qd0 + qd1 + qd2 + qd3, vec_id
-        LIMIT $RerankBeam),
+        LIMIT (SELECT least(CAST(count(*) AS BIGINT),
+                            greatest($RerankBeamFloor,
+                                     $RerankK * length(bin(CAST(count(*) AS BIGINT)))))
+               FROM adc)),
       rr AS (
         SELECT t.vec_id, t.label, t.adc,
                ${dotSql("e.embedding", "q.qv")} AS s
@@ -1518,14 +1546,26 @@ object Similarity {
       SELECT vec_id, label, round(adc, 6) AS adc_r, round(s, 6) AS score_r
       FROM rr ORDER BY s DESC, vec_id LIMIT 10
     """)) { (spark, dir) =>
-    val beam = ivfAdcScores(spark, dir)
+    // the candidate pool is consumed twice (the sizing count + the beam
+    // sort) — checkpoint once; the beam itself is collected to the driver
+    // (counter-scale: O(k log C) rows of (id, label, scalar)) so the
+    // checkpoint can be released before the frame leaves the gate
+    val scores = ivfAdcScores(spark, dir).localCheckpoint(true)
+    val nCand = scores.count()
+    val beamW = rerankBeamWidth(nCand)
+    val beamFrame = scores
       .orderBy(col("adc"), col("vec_id"))
-      .limit(RerankBeam)
+      .limit(beamW)
       .select(col("vec_id"), col("label"), col("adc"))
+    val beamSchema = beamFrame.schema
+    val beamRows = beamFrame.collect()
+    scores.unpersist(false)
+    val beam = spark.createDataFrame(
+      java.util.Arrays.asList(beamRows: _*), beamSchema)
     val q = emb(spark, dir).filter(col("vec_id") === 17)
       .select(col("embedding").as("qv"))
-    // beam side broadcasts (50 ids) — the corpus is scanned once for the
-    // vector fetch, never shuffled
+    // beam side broadcasts (O(k log C) ids) — the corpus is scanned once
+    // for the vector fetch, never shuffled
     emb(spark, dir).select(col("vec_id"), col("embedding"))
       .join(broadcast(beam), "vec_id")
       .crossJoin(broadcast(q))
@@ -1899,7 +1939,7 @@ object Similarity {
           SELECT b.qid, b.vec_id,
                  row_number() OVER (PARTITION BY b.qid
                    ORDER BY ${dotSql("e.embedding", "q.qv")} DESC, b.vec_id) AS rr2
-          FROM (SELECT qid, vec_id FROM ars WHERE rr <= $RerankBeam) b
+          FROM (SELECT qid, vec_id FROM ars WHERE rr <= $RerankBeamFloor) b
           JOIN embeddings e USING (vec_id)
           JOIN qs q ON q.qid = b.qid)
         WHERE rr2 <= 10),
@@ -2032,7 +2072,7 @@ object Similarity {
       // two-stage rung: the per-qid ADC beam re-scored exactly (the
       // simAdcRerank read path, measured in the harness; its dominance
       // over ivfadc_raw is structural — the beam contains the ADC top-10)
-      val rkb = arS.filter(col("rr") <= RerankBeam).select("qid", "vec_id")
+      val rkb = arS.filter(col("rr") <= RerankBeamFloor).select("qid", "vec_id")
         .join(emb(spark, dir).select(col("vec_id"), col("embedding")), "vec_id")
         .join(broadcast(qs), "qid")
         .select(col("qid"), col("vec_id"), dot(col("embedding"), col("qv")).as("s"))
@@ -2067,6 +2107,209 @@ object Similarity {
         .unionAll(recallOf("ivfadc_rerank", rkb))
         .unionAll(recallOf("ivfadc_residual", rrTop))
         .orderBy("method")
+    }
+  }
+
+  /** sim13d — the ANN RECALL-COST FRONTIER (round-13 queue #1): the
+    * measurement that turns [[simAnnRecallSet]]'s single operating point
+    * into a deployable decision. Sweep probes × beam — probes ∈ {1, 2, 4,
+    * 8 (= all cells, exhaustive)} × beam ∈ {10, 50, 200, full (= the
+    * whole probed pool)} — over the same 8 held-out queries, emitting
+    * (probes, beam, candidates, beam_rows, hits, mean_recall@10) per
+    * point: `candidates` is the ADC-scan cost (pool rows), `beam_rows`
+    * the exact-re-score cost, recall the quality axis. The evaluation
+    * leans on the re-rank LEMMA (verified empirically by the recall-set
+    * gate's rung, structural here): after exact re-ranking, recall@10 =
+    * |beam ∩ exact-top-10| — a global top-10 member in the beam can be
+    * outscored by at most 9 vectors anywhere, so it always survives the
+    * exact top-10 cut. The frontier therefore needs ADC ranks only, no
+    * per-rung re-scoring pass. Three structural laws are ENFORCED in the
+    * gate (requires over the 16-row mart): recall is monotone in beam at
+    * fixed probes (beam sets nest), monotone in probes at full beam
+    * (pools nest and the lemma counts pool ∩ exact), and the exhaustive
+    * corner (probes 8, full beam) recovers recall 1.0 — the
+    * self-validating ceiling. Everything else is MEASURED, per the
+    * suite's assert-structure/measure-data convention. MEASURED FRONTIER
+    * (driver corpora): at sf0.01 (500 vectors) probes-4/beam-200 reaches
+    * recall 0.79 — a servable knee; at sf0.1 (2 000 vectors) beam-200
+    * SATURATES near 0.51–0.54 for probes ≥ 2 while full-pool re-rank
+    * reaches 0.78 at probes-4 — i.e. the binding constraint is the ADC
+    * ranking itself: the suite's didactic 8-codeword-per-subspace book
+    * (3 bits) cannot order 2 000 vectors finely enough for a 10%-beam to
+    * capture the tail. The deployment lesson the mart encodes: grow the
+    * CODEBOOK (production PQ uses 256 codewords/subspace) before growing
+    * the beam; with the book pinned, the chosen operating point is
+    * probes-4 with beam ≈ pool (exact re-rank of the probed half of the
+    * corpus), the best recall-per-scanned-row on both corpora. Shape at
+    * 100 TB: an EVALUATION harness priced per evaluation, not per serve —
+    * the probes-8 row deliberately ADC-scans the full corpus against 8
+    * queries (codes + scalars only, the books/LUTs broadcast); the
+    * per-(probes, qid) rank windows carry (id, scalar) rows. */
+  val simAnnFrontier: QueryDef = {
+    val sq16d = (a: String, b: String) => s"""list_reduce(list_transform(range(1, ${PqSub + 1}),
+           i -> ($a[i] - $b[i]) * ($a[i] - $b[i])),
+           (x, y) -> x + y)"""
+    QueryDef(
+      "sim_ann_frontier",
+      Some(s"""
+      WITH ms AS (SELECT unnest([0, 1, 2, 3]) AS m),
+      cents AS (SELECT vec_id AS cid, embedding AS cv FROM embeddings WHERE vec_id < 8),
+      qs AS (SELECT vec_id AS qid, embedding AS qv FROM embeddings WHERE vec_id >= 16 AND vec_id < 24),
+      ex AS (
+        SELECT qid, vec_id FROM (
+          SELECT q.qid, e.vec_id,
+                 row_number() OVER (PARTITION BY q.qid
+                   ORDER BY ${dotSql("e.embedding", "q.qv")} DESC, e.vec_id) AS rn
+          FROM embeddings e, qs q)
+        WHERE rn <= 10),
+      assigned AS (
+        SELECT e.vec_id, e.embedding,
+               arg_max(c.cid, ${dotSql("e.embedding", "c.cv")} - 1e-12 * c.cid) AS cell
+        FROM embeddings e, cents c GROUP BY e.vec_id, e.embedding),
+      qprobe AS (
+        SELECT q.qid, c.cid AS cell,
+               row_number() OVER (PARTITION BY q.qid
+                 ORDER BY ${dotSql("q.qv", "c.cv")} - 1e-12 * c.cid DESC) AS rn
+        FROM qs q, cents c),
+      sub AS (
+        SELECT e.vec_id, ms.m,
+               list_slice(e.embedding, ms.m * $PqSub + 1, ms.m * $PqSub + $PqSub) AS sv
+        FROM embeddings e, ms),
+      pb0 AS (
+        SELECT ms.m, CAST(c.vec_id AS BIGINT) AS code,
+               list_transform(list_slice(c.embedding, ms.m * $PqSub + 1, ms.m * $PqSub + $PqSub),
+                 x -> CAST(x AS DOUBLE)) AS cv
+        FROM embeddings c, ms WHERE c.vec_id < 8),
+      ${pqRoundsSql("p", "sub", "pb0")},
+      enc_raw AS (
+        SELECT vec_id,
+               max(CASE WHEN m = 0 THEN code END) AS code0,
+               max(CASE WHEN m = 1 THEN code END) AS code1,
+               max(CASE WHEN m = 2 THEN code END) AS code2,
+               max(CASE WHEN m = 3 THEN code END) AS code3
+        FROM (
+          SELECT s.vec_id, s.m,
+                 arg_min(b.code, ${sq16d("list_transform(s.sv, x -> CAST(x AS DOUBLE))", "b.cv")} + 1e-12 * b.code) AS code
+          FROM sub s JOIN pb$PqTrainRounds b ON s.m = b.m
+          GROUP BY s.vec_id, s.m, s.sv)
+        GROUP BY vec_id),
+      lut_raw AS (
+        SELECT q.qid, b.m, b.code,
+               ${sq16d(s"list_transform(list_slice(q.qv, b.m * $PqSub + 1, b.m * $PqSub + $PqSub), x -> CAST(x AS DOUBLE))", "b.cv")} AS qd
+        FROM qs q, pb$PqTrainRounds b),
+      sc AS (
+        SELECT p.qid, a.vec_id, p.rn AS crank,
+               q0.qd + q1.qd + q2.qd + q3.qd AS adc
+        FROM assigned a
+        JOIN qprobe p ON a.cell = p.cell
+        JOIN enc_raw e ON e.vec_id = a.vec_id
+        JOIN lut_raw q0 ON q0.qid = p.qid AND q0.m = 0 AND q0.code = e.code0
+        JOIN lut_raw q1 ON q1.qid = p.qid AND q1.m = 1 AND q1.code = e.code1
+        JOIN lut_raw q2 ON q2.qid = p.qid AND q2.m = 2 AND q2.code = e.code2
+        JOIN lut_raw q3 ON q3.qid = p.qid AND q3.m = 3 AND q3.code = e.code3),
+      probes AS (SELECT unnest([1, 2, 4, 8]) AS p),
+      pool AS (
+        SELECT pr.p, s.qid, s.vec_id, s.adc,
+               row_number() OVER (PARTITION BY pr.p, s.qid
+                 ORDER BY s.adc, s.vec_id) AS rk
+        FROM sc s JOIN probes pr ON s.crank <= pr.p),
+      beams AS (SELECT unnest(['b010', 'b050', 'b200', 'full']) AS beam,
+                       unnest([10, 50, 200, NULL]) AS bw),
+      agg AS (
+        SELECT pl.p, b.beam,
+               CAST(count(*) AS BIGINT) AS candidates,
+               CAST(count(*) FILTER (b.bw IS NULL OR pl.rk <= b.bw) AS BIGINT) AS beam_rows,
+               CAST(count(*) FILTER ((b.bw IS NULL OR pl.rk <= b.bw) AND ex.vec_id IS NOT NULL) AS BIGINT) AS hits
+        FROM pool pl
+        CROSS JOIN beams b
+        LEFT JOIN ex ON ex.qid = pl.qid AND ex.vec_id = pl.vec_id
+        GROUP BY pl.p, b.beam)
+      SELECT CAST(p AS BIGINT) AS probes, beam, candidates, beam_rows, hits,
+             round(CAST(hits AS DOUBLE) / 80.0, 6) AS mean_recall_r
+      FROM agg ORDER BY probes, beam
+    """)) { (spark, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val wq = Window.partitionBy("qid")
+      val qs = emb(spark, dir).filter(col("vec_id") >= 16 && col("vec_id") < 24)
+        .select(col("vec_id").as("qid"), col("embedding").as("qv"))
+      val ex = emb(spark, dir).crossJoin(broadcast(qs))
+        .select(col("qid"), col("vec_id"), dot(col("embedding"), col("qv")).as("s"))
+        .withColumn("rn", row_number().over(wq.orderBy(col("s").desc, col("vec_id"))))
+        .filter(col("rn") <= 10)
+        .select(col("qid").as("xq"), col("vec_id").as("xv"))
+      val qprobe = qs.crossJoin(broadcast(ivfCentroids(spark, dir)))
+        .select(col("qid"), col("qv"), explode(col("cents")).as("c"))
+        .select(col("qid"), col("c.cent_id").as("pcell"),
+          (dot(col("qv"), col("c.cv")) - lit(1e-12) * col("c.cent_id")).as("scp"))
+        .withColumn("crank", row_number().over(wq.orderBy(col("scp").desc)))
+        .select(col("qid").as("cqid"), col("pcell"), col("crank"))
+      val rawBook = bookDf(spark, convergedRawBook(spark, dir))
+      val encRaw = rawSub(spark, dir).crossJoin(broadcast(pqBookRow(rawBook)))
+        .select(col("vec_id"), col("m"), pqBookBest("code").as("code"))
+        .groupBy("vec_id")
+        .agg((0 until PqM).map(m =>
+          max(when(col("m") === m, col("code"))).as(s"code$m")).head,
+          (1 until PqM).map(m =>
+            max(when(col("m") === m, col("code"))).as(s"code$m")): _*)
+      val qsub = qs.select(col("qid"), explode(array((0 until PqM).map(m =>
+          struct(lit(m).as("m"), slice(col("qv"), m * PqSub + 1, PqSub).as("qsv"))): _*)).as("x"))
+        .select(col("qid"), col("x.m").as("m"), col("x.qsv").as("qsv"))
+      val lutRaw = qsub.join(rawBook, Seq("m"))
+        .select(col("qid"), col("m"), col("code"),
+          aggregate(zip_with(col("qsv"), col("cv"),
+            (x, y) => (x.cast(DoubleType) - y) * (x.cast(DoubleType) - y)),
+            lit(0.0), (acc, v) => acc + v).as("qd"))
+      // every (qid, vec) pair with the vector's cell RANK for that query —
+      // the probes-8 row makes this the full corpus ×8, deliberately
+      val sc0 = ivfAssigned(spark, dir)
+        .join(broadcast(qprobe), col("cell") === col("pcell"))
+        .select(col("cqid").as("qid"), col("vec_id"), col("crank"))
+      val scored = (0 until PqM).foldLeft(sc0.join(encRaw, "vec_id")) { (df, m) =>
+        val l = lutRaw.filter(col("m") === m)
+          .select(col("qid").as(s"qid_$m"), col("code").as(s"lcode$m"),
+            col("qd").as(s"qd$m"))
+        df.join(broadcast(l),
+          col("qid") === col(s"qid_$m") && col(s"code$m") === col(s"lcode$m"))
+      }.select(col("qid"), col("vec_id"), col("crank"),
+        (0 until PqM).map(m => col(s"qd$m")).reduce(_ + _).as("adc"))
+      val s2 = spark
+      import s2.implicits._
+      val pool = scored.crossJoin(broadcast(Seq(1, 2, 4, 8).toDF("p")))
+        .filter(col("crank") <= col("p"))
+        .withColumn("rk", row_number().over(
+          Window.partitionBy("p", "qid").orderBy(col("adc"), col("vec_id"))))
+      val beams = spark.createDataFrame(
+        java.util.Arrays.asList(
+          org.apache.spark.sql.Row("b010", Integer.valueOf(10)),
+          org.apache.spark.sql.Row("b050", Integer.valueOf(50)),
+          org.apache.spark.sql.Row("b200", Integer.valueOf(200)),
+          org.apache.spark.sql.Row("full", null)),
+        StructType(Seq(StructField("beam", StringType), StructField("bw", IntegerType))))
+      val inBeam = col("bw").isNull || col("rk") <= col("bw")
+      val agg = pool.crossJoin(broadcast(beams))
+        .join(broadcast(ex), col("qid") === col("xq") && col("vec_id") === col("xv"), "left")
+        .groupBy("p", "beam")
+        .agg(count(lit(1)).as("candidates"),
+          count(when(inBeam, lit(1))).as("beam_rows"),
+          count(when(inBeam && col("xv").isNotNull, lit(1))).as("hits"))
+        .select(col("p").cast(LongType).as("probes"), col("beam"),
+          col("candidates"), col("beam_rows"), col("hits"),
+          round(col("hits").cast(DoubleType) / 80.0, 6).as("mean_recall_r"))
+        .orderBy("probes", "beam")
+      val schema = agg.schema
+      val rows = agg.collect()
+      // the three structural laws, enforced on the collected 16-row mart
+      val byPB = rows.map(r =>
+        ((r.getAs[Long]("probes"), r.getAs[String]("beam")), r.getAs[Long]("hits"))).toMap
+      for (p <- Seq(1L, 2L, 4L, 8L)) {
+        val h = Seq("b010", "b050", "b200", "full").map(b => byPB((p, b)))
+        require(h == h.sorted, s"recall not monotone in beam at probes=$p: $h")
+      }
+      val fulls = Seq(1L, 2L, 4L, 8L).map(p => byPB((p, "full")))
+      require(fulls == fulls.sorted, s"full-beam recall not monotone in probes: $fulls")
+      require(byPB((8L, "full")) == 80L,
+        s"exhaustive rung recovered ${byPB((8L, "full"))}/80 — ceiling broken")
+      spark.createDataFrame(java.util.Arrays.asList(rows: _*), schema)
     }
   }
 
@@ -2585,6 +2828,6 @@ object Similarity {
     simTopKBrute, simLshPairs, simIvfProbe, simIvfMultiprobe, ddEmbeddingCosine,
     simQuantizeInt8, simCentroids, simKmeans, simKmeansConverged, simSemanticDedup,
     simPqEncode, simPqSearch, simPqTrain, simPqTrainConverged, simIvfAdc,
-    simAdcRerank, simIvfAdcResidual, simAnnRecall, simAnnRecallSet, simIvfLayout,
-    simIvfSplit, simPqDimLayout, simOpqLearned)
+    simAdcRerank, simIvfAdcResidual, simAnnRecall, simAnnRecallSet, simAnnFrontier,
+    simIvfLayout, simIvfSplit, simPqDimLayout, simOpqLearned)
 }

@@ -81,8 +81,9 @@ object Linkage {
     * variant that doesn't touch the prefix lands in the same block (a
     * substitution keeps the length exactly; the bucket tolerates the ±1 of
     * an indel near a boundary only probabilistically — documented recall
-    * trade, as in any single-key blocking pass; production runs a second
-    * complementary key, e.g. a suffix, and unions candidates).
+    * trade, as in any single-key blocking pass; the production recipe —
+    * a second complementary key whose candidates are unioned — is
+    * [[dFuzzyDualBlock]], which asserts 100% planted recall).
     *
     * Unlike a format-derived key, a content key has NO a-priori block
     * bound — the degenerate case (every row shares a prefix) is exactly
@@ -157,6 +158,136 @@ object Linkage {
       .select(col("blk"), col("n_members"),
         coalesce(col("n_pairs"), lit(0L)).as("n_pairs"))
       .orderBy("blk")
+  }
+
+  /** er2b — DUAL-KEY blocking (round-13 queue #3): the production recipe
+    * [[dFuzzyPrefixBlock]]'s doc names for its single-key recall hole —
+    * run a COMPLEMENTARY second blocking key (the head's 12-char SUFFIX
+    * beside its 12-char prefix, both length-bucketed) and union the
+    * candidate sets. A ≤1-edit variant must leave at least one of the two
+    * keys untouched whenever the edit falls outside one key's span, so
+    * the union covers edits anywhere except the (prefix ∩ suffix) overlap
+    * — empty on these 30-char heads. The gate PROVES the recall claim on
+    * two planted families chosen to defeat each key alone: a substitution
+    * past the prefix (char 20 — inside the suffix span, so only the
+    * prefix key holds) and one inside the prefix (char 5 — only the
+    * suffix key holds); the emitted mart is the per-family × per-key
+    * recovery audit, and the gate FAILS LOUDLY unless union recall is
+    * 100% on both families (a counter-scale require over the 2-row mart).
+    * Shape at 100 TB: `keyed` is the corpus exploded ×2 (one row per
+    * key), the block cap is ENFORCED per key exactly as in er2, the
+    * within-block join shuffles on blk only, and the pair set dedups on
+    * (keyspace, a, b) longs — candidate volume Σ|block|² over BOTH key
+    * spaces, still linear with the enforced constant. */
+  val dFuzzyDualBlock: QueryDef = QueryDef(
+    "d_fuzzy_dual_block",
+    Some("""
+      WITH src AS (
+        SELECT doc_id, substr(text, 1, 30) AS h FROM documents
+        UNION ALL
+        SELECT doc_id + 1000000,
+               substr(substr(text, 1, 30), 1, 19) || '~' || substr(substr(text, 1, 30), 21)
+        FROM documents WHERE doc_id % 9 = 0
+        UNION ALL
+        SELECT doc_id + 2000000,
+               substr(substr(text, 1, 30), 1, 4) || '~' || substr(substr(text, 1, 30), 6)
+        FROM documents WHERE doc_id % 9 = 3),
+      keyed AS (
+        SELECT doc_id, h,
+               'p#' || substr(h, 1, 12) || '#' || CAST(length(h) // 4 AS VARCHAR) AS blk
+        FROM src
+        UNION ALL
+        SELECT doc_id, h,
+               's#' || substr(h, length(h) - 11, 12) || '#' || CAST(length(h) // 4 AS VARCHAR) AS blk
+        FROM src),
+      pairs AS (
+        SELECT DISTINCT substr(a.blk, 1, 1) AS ks, a.doc_id AS a_id, b.doc_id AS b_id
+        FROM keyed a JOIN keyed b ON a.blk = b.blk AND a.doc_id < b.doc_id
+        WHERE levenshtein(a.h, b.h) <= 1),
+      planted AS (
+        SELECT 'subst_past_prefix' AS family, doc_id AS src_id, doc_id + 1000000 AS var_id
+        FROM documents WHERE doc_id % 9 = 0
+        UNION ALL
+        SELECT 'subst_in_prefix', doc_id, doc_id + 2000000
+        FROM documents WHERE doc_id % 9 = 3)
+      SELECT p.family,
+             CAST(count(*) AS BIGINT) AS n_planted,
+             CAST(count(*) FILTER (pp.a_id IS NOT NULL) AS BIGINT) AS rec_prefix,
+             CAST(count(*) FILTER (ps.a_id IS NOT NULL) AS BIGINT) AS rec_suffix,
+             CAST(count(*) FILTER (pp.a_id IS NOT NULL OR ps.a_id IS NOT NULL) AS BIGINT) AS rec_union
+      FROM planted p
+      LEFT JOIN (SELECT a_id, b_id FROM pairs WHERE ks = 'p') pp
+        ON p.src_id = pp.a_id AND p.var_id = pp.b_id
+      LEFT JOIN (SELECT a_id, b_id FROM pairs WHERE ks = 's') ps
+        ON p.src_id = ps.a_id AND p.var_id = ps.b_id
+      GROUP BY p.family
+      ORDER BY p.family
+    """)) { (spark, dir) =>
+    val heads = tbl(spark, dir, "documents")
+      .select(col("doc_id"), substring(col("text"), 1, 30).as("h"))
+    val famA = heads.filter(col("doc_id") % 9 === 0)
+      .select((col("doc_id") + 1000000L).as("doc_id"),
+        concat(substring(col("h"), 1, 19), lit("~"),
+          substring(col("h"), 21, 10)).as("h"))
+    val famB = heads.filter(col("doc_id") % 9 === 3)
+      .select((col("doc_id") + 2000000L).as("doc_id"),
+        concat(substring(col("h"), 1, 4), lit("~"),
+          substring(col("h"), 6, 25)).as("h"))
+    val bucket = expr("length(h) div 4").cast("string")
+    val pk = concat(lit("p#"), substring(col("h"), 1, 12), lit("#"), bucket)
+    val sk = concat(lit("s#"), expr("substr(h, length(h) - 11, 12)"), lit("#"), bucket)
+    // keyed feeds the cap aggregate + both self-join sides: checkpoint
+    // once, same posture as er2 (the frame is (id, head, key) ×2 keys)
+    val keyed = heads.unionAll(famA).unionAll(famB)
+      .select(col("doc_id"), col("h"), explode(array(pk, sk)).as("blk"))
+      .localCheckpoint(true)
+    val mx = keyed.groupBy("blk").agg(count(lit(1)).as("n"))
+      .agg(max(col("n"))).head().getLong(0)
+    require(mx <= BlockCap,
+      s"dual block key degenerated (max block $mx > cap $BlockCap): " +
+        "lengthen the keys before running the quadratic within-block pass")
+    val pairs = keyed.as("a").join(keyed.as("b"),
+        col("a.blk") === col("b.blk") && col("a.doc_id") < col("b.doc_id"))
+      .filter(levenshtein(col("a.h"), col("b.h"), 1) =!= -1)
+      .select(substring(col("a.blk"), 1, 1).as("ks"),
+        col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"))
+      .distinct()
+      .localCheckpoint(true)
+    val planted = heads.filter(col("doc_id") % 9 === 0)
+      .select(lit("subst_past_prefix").as("family"),
+        col("doc_id").as("src_id"), (col("doc_id") + 1000000L).as("var_id"))
+      .unionAll(heads.filter(col("doc_id") % 9 === 3)
+        .select(lit("subst_in_prefix").as("family"),
+          col("doc_id").as("src_id"), (col("doc_id") + 2000000L).as("var_id")))
+    def arm(k: String) = pairs.filter(col("ks") === k)
+      .select(col("a_id").as(s"${k}a"), col("b_id").as(s"${k}b"))
+    val rec = planted
+      .join(arm("p"), col("src_id") === col("pa") && col("var_id") === col("pb"), "left")
+      .join(arm("s"), col("src_id") === col("sa") && col("var_id") === col("sb"), "left")
+      .groupBy("family")
+      .agg(count(lit(1)).as("n_planted"),
+        count(when(col("pa").isNotNull, lit(1))).as("rec_prefix"),
+        count(when(col("sa").isNotNull, lit(1))).as("rec_suffix"),
+        count(when(col("pa").isNotNull || col("sa").isNotNull, lit(1))).as("rec_union"))
+      .orderBy("family")
+    // the gate's whole point, enforced: union recall is TOTAL on both
+    // planted families (2-row counter-scale collect; the frame below is
+    // rebuilt from the collected rows so the assertion costs no re-run)
+    val rows = rec.collect()
+    keyed.unpersist(false)
+    pairs.unpersist(false)
+    rows.foreach { r =>
+      require(r.getAs[Long]("rec_union") == r.getAs[Long]("n_planted"),
+        s"family ${r.getAs[String]("family")}: union recall " +
+          s"${r.getAs[Long]("rec_union")}/${r.getAs[Long]("n_planted")} < 100%")
+    }
+    val s2 = spark
+    import s2.implicits._
+    rows.toSeq.map(r => (r.getAs[String]("family"), r.getAs[Long]("n_planted"),
+        r.getAs[Long]("rec_prefix"), r.getAs[Long]("rec_suffix"),
+        r.getAs[Long]("rec_union")))
+      .toDF("family", "n_planted", "rec_prefix", "rec_suffix", "rec_union")
+      .orderBy("family")
   }
 
   /** Deterministic survivorship merge of clustered entity members into one
@@ -289,5 +420,6 @@ object Linkage {
     goldenMerge(member)
   }
 
-  val all: Seq[QueryDef] = Seq(dFuzzyMatch, dFuzzyPrefixBlock, dEntityGolden)
+  val all: Seq[QueryDef] = Seq(dFuzzyMatch, dFuzzyPrefixBlock, dFuzzyDualBlock,
+    dEntityGolden)
 }

@@ -265,6 +265,25 @@ class LlmOpsSpec extends SparkSpec {
     assert(ss === ss.sorted.reverse)
   }
 
+  test("derived re-rank beam: subset of the pool, floor/k respected, monotone in pool size") {
+    // the sizing rule's contract (round-13 queue #7): beam ⊆ candidates
+    // by construction (min clamp), never below min(pool, floor), grows
+    // monotonically and logarithmically with the pool
+    import Similarity.{rerankBeamWidth, RerankBeamFloor, RerankK}
+    val pools = Seq(1L, 10L, 31L, 32L, 50L, 200L, 1875L, 1L << 20, 1L << 40)
+    for (c <- pools) {
+      val b = rerankBeamWidth(c)
+      assert(b <= c, s"beam $b exceeds pool $c")
+      assert(b >= math.min(c, RerankBeamFloor.toLong), s"beam $b under floor at pool $c")
+      assert(b >= math.min(c, RerankK.toLong), s"beam $b cannot hold top-k at pool $c")
+    }
+    assert(pools.map(rerankBeamWidth) === pools.map(rerankBeamWidth).sorted)
+    // spot values of the documented rule min(C, max(50, 10·bitlen(C)))
+    assert(rerankBeamWidth(1875L) === 110)  // bitlen 11
+    assert(rerankBeamWidth(200L) === 80)    // bitlen 8
+    assert(rerankBeamWidth(10L) === 10)     // clamped to the pool
+  }
+
   test("hot-cell split: children partition the hot cell and the max share strictly drops") {
     // the index-maintenance contract: the split must conserve membership
     // (children sum to the hot cell, corpus total unchanged), produce two
