@@ -2,7 +2,7 @@ package graft.operators
 
 import graft.{QueryDef, core}
 import graft.core._
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Entity resolution / record linkage: the fuzzy-matching pass a warehouse
@@ -352,9 +352,12 @@ object Linkage {
     * 100 TB: pair volume is Σ|block|² with the block bound; CC shuffles
     * (id, label) longs only, O(log diameter) rounds; the merge windows
     * partition by cluster — nothing all-pairs, nothing driver-side. */
-  val dEntityGolden: QueryDef = QueryDef(
-    "d_entity_golden",
-    Some("""
+  /** The full-rebuild golden-record SQL — the oracle of BOTH
+    * [[dEntityGolden]] (which runs the same arc on Spark) and
+    * [[dEntityIncremental]] (whose Spark side maintains the clusters
+    * incrementally; the full rebuild IS its oracle, the
+    * `w_scd2_incremental` convention). */
+  private val entityGoldenSql: String = """
       WITH RECURSIVE c AS (
         SELECT c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment,
                substr(c_name, 10, 7) AS blk FROM customer),
@@ -397,29 +400,138 @@ object Linkage {
              s.golden_segment, ag.golden_acctbal, ag.member_ids
       FROM ag JOIN best b USING (cluster_id) JOIN seg s USING (cluster_id)
       ORDER BY ag.cluster_id
-    """)) { (spark, dir) =>
-    val c = tbl(spark, dir, "customer")
+    """
+
+  /** The customer dimension with its [[dFuzzyMatch]] block key. */
+  private def custKeyed(spark: SparkSession, dir: String): DataFrame =
+    tbl(spark, dir, "customer")
       .select(col("c_custkey"), col("c_name"), col("c_nationkey"),
         col("c_acctbal"), col("c_mktsegment"),
         substring(col("c_name"), 10, 7).as("blk"))
-    val pairs = c.as("a").join(c.as("b"),
+
+  /** Blocked ≤1-edit match pairs over a keyed customer frame (a_id < b_id). */
+  private def fuzzyPairs(c: DataFrame): DataFrame =
+    c.as("a").join(c.as("b"),
         col("a.blk") === col("b.blk") && col("a.c_custkey") < col("b.c_custkey"))
       .filter(levenshtein(col("a.c_name"), col("b.c_name"), 1) =!= -1)
       .select(col("a.c_custkey").as("a_id"), col("b.c_custkey").as("b_id"))
+
+  /** (id, label) for EVERY row of `c`: matched entities carry their
+    * connected-component label, unmatched ones their own key (the r13
+    * ADVICE total-coverage fix). */
+  private def totalLabels(c: DataFrame, pairs: DataFrame): DataFrame = {
     val labels = graft.llm.Cluster.components(pairs)
-    // singletons: customers with no match pair become single-member
-    // clusters (cluster_id = own key) so the golden output covers EVERY
-    // entity, not just matched ones (the r13 ADVICE scope finding) — a
-    // left-anti on the counter-scale label frame, no extra pass over pairs
     val singles = c.join(labels, col("c_custkey") === col("id"), "left_anti")
       .select(col("c_custkey").as("id"), col("c_custkey").as("label"))
-    val member = labels.unionByName(singles)
-      .join(c, col("id") === col("c_custkey"))
+    labels.unionByName(singles)
+  }
+
+  private def memberFrame(labels: DataFrame, c: DataFrame): DataFrame =
+    labels.join(c, col("id") === col("c_custkey"))
       .select(col("label").as("cluster_id"), col("c_custkey"), col("c_name"),
         col("c_nationkey"), col("c_acctbal"), col("c_mktsegment"))
-    goldenMerge(member)
+
+  val dEntityGolden: QueryDef = QueryDef(
+    "d_entity_golden",
+    Some(entityGoldenSql)) { (spark, dir) =>
+    val c = custKeyed(spark, dir)
+    goldenMerge(memberFrame(totalLabels(c, fuzzyPairs(c)), c))
+  }
+
+  /** er4 — INCREMENTAL entity resolution (round-13 queue #4): merge a new
+    * batch's match pairs into existing golden clusters WITHOUT
+    * re-clustering the world — the repo's incremental convention
+    * (`dedup_incremental`, `w_scd2_incremental`, `t_lm_incremental`)
+    * reaching CC maintenance. The machinery:
+    *   1. bootstrap = [[dEntityGolden]]'s arc over the OLD batch only
+    *      (labels + golden mart — at 100 TB these are materialized
+    *      tables, not recomputed; here the gate simulates both sides);
+    *   2. the increment's candidate pairs are blocked NEW-side × block
+    *      members (old×old pairs never re-scored — pair work is priced
+    *      by the new batch);
+    *   3. the merge runs CC over a REDUCED graph whose nodes are old
+    *      cluster LABELS and new ids, with each new pair's endpoints
+    *      projected through the old labeling. Because an old label is
+    *      the MIN member of its cluster, the reduced component's min
+    *      node id equals the merged component's global min member — so
+    *      the composed labeling is IDENTICAL to a full rebuild's
+    *      min-label canonical form, structurally, not just on this data;
+    *   4. survivorship recomputes ONLY affected clusters (those whose
+    *      label appears in the reduced graph, plus new singletons); the
+    *      untouched bootstrap golden rows are unioned back verbatim.
+    * The ORACLE is the full rebuild ([[entityGoldenSql]]) — the gate's
+    * hash match proves incremental == full on the driver corpus, and
+    * LinkageSpec's property test proves it across random batch splits.
+    * Shape at 100 TB: the increment touches new-pair blocks, a reduced
+    * graph sized by the new batch's edges, and the affected clusters'
+    * members — never the untouched corpus. */
+  val dEntityIncremental: QueryDef = QueryDef(
+    "d_entity_incremental",
+    Some(entityGoldenSql)) { (spark, dir) =>
+    entityGoldenIncremental(spark, dir, col("c_custkey") % 7 === 0)
+  }
+
+  /** The incremental arc, parameterized by the new-batch predicate so
+    * LinkageSpec can property-test arbitrary splits. */
+  private[graft] def entityGoldenIncremental(spark: SparkSession, dir: String,
+      isNew: Column): DataFrame = {
+    val c = custKeyed(spark, dir).withColumn("is_new", isNew)
+      .localCheckpoint(true)
+    val cOld = c.filter(!col("is_new"))
+    val cNew = c.filter(col("is_new"))
+    // 1. bootstrap over the old batch (simulated here; a deployment reads
+    // these two marts instead of recomputing them)
+    val oldLabels = totalLabels(cOld, fuzzyPairs(cOld)).localCheckpoint(true)
+    val oldGolden = goldenMerge(memberFrame(oldLabels, cOld)).localCheckpoint(true)
+    // 2. the increment's pairs: blocked new-side against ALL block
+    // members (old and new) — both orientations found once via
+    // least/greatest + distinct (a new×new pair matches twice)
+    val newPairs = cNew.as("a").join(c.as("b"),
+        col("a.blk") === col("b.blk") && col("a.c_custkey") =!= col("b.c_custkey"))
+      .filter(levenshtein(col("a.c_name"), col("b.c_name"), 1) =!= -1)
+      .select(least(col("a.c_custkey"), col("b.c_custkey")).as("a_id"),
+        greatest(col("a.c_custkey"), col("b.c_custkey")).as("b_id"))
+      .distinct()
+    // 3. project endpoints through the old labeling and close over the
+    // REDUCED graph (old labels + new ids; disjoint id spaces since an
+    // old label IS an old customer's key and batches partition the keys)
+    def toLabel(side: String) = newPairs
+      .join(oldLabels.select(col("id").as(s"${side}_o"), col("label").as(s"${side}_l")),
+        col(s"${side}_id") === col(s"${side}_o"), "left")
+    val redEdges = toLabel("a")
+      .join(oldLabels.select(col("id").as("b_o"), col("label").as("b_l")),
+        col("b_id") === col("b_o"), "left")
+      .select(coalesce(col("a_l"), col("a_id")).as("ra"),
+        coalesce(col("b_l"), col("b_id")).as("rb"))
+      .filter(col("ra") =!= col("rb"))
+      .select(least(col("ra"), col("rb")).as("a_id"),
+        greatest(col("ra"), col("rb")).as("b_id"))
+      .distinct()
+    val redCC = graft.llm.Cluster.components(redEdges).localCheckpoint(true)
+    // 4. final labels for AFFECTED members only: old members via their
+    // cluster label's resolved component, new ids via their own node (or
+    // themselves when untouched — new singletons)
+    val touchedOld = oldLabels
+      .join(redCC.select(col("id").as("rid"), col("label").as("rlabel")),
+        col("label") === col("rid"))
+      .select(col("id"), col("rlabel").as("label"))
+    val newNodes = cNew.select(col("c_custkey").as("id"))
+    val touchedNew = newNodes
+      .join(redCC.select(col("id").as("rid"), col("label").as("rlabel")),
+        col("id") === col("rid"))
+      .select(col("id"), col("rlabel").as("label"))
+    val singleNew = newNodes
+      .join(redCC.select(col("id").as("rid")), col("id") === col("rid"), "left_anti")
+      .select(col("id"), col("id").as("label"))
+    val affectedLabels = touchedOld.unionByName(touchedNew).unionByName(singleNew)
+    val recomputed = goldenMerge(memberFrame(affectedLabels, c))
+    // untouched clusters keep their bootstrap golden rows verbatim (their
+    // membership cannot have changed: no reduced node names their label)
+    val untouched = oldGolden.join(redCC.select(col("id").as("rid")),
+      col("cluster_id") === col("rid"), "left_anti")
+    untouched.unionByName(recomputed).orderBy("cluster_id")
   }
 
   val all: Seq[QueryDef] = Seq(dFuzzyMatch, dFuzzyPrefixBlock, dFuzzyDualBlock,
-    dEntityGolden)
+    dEntityGolden, dEntityIncremental)
 }

@@ -2,6 +2,7 @@ package graft
 
 import graft.operators.Linkage
 import graft.sources.Ingest
+import org.apache.spark.sql.functions.{col, hash, lit, pmod}
 
 /** Invariants of the blocking/entity-resolution and z-order layout gates
   * beyond the hash oracle: the blocking bound that caps candidate pairs,
@@ -78,6 +79,26 @@ class LayoutLinkageSpec extends SparkSpec {
       val masterKey = r.getAs[String]("golden_name").drop(9).toLong
       assert(members.contains(masterKey), s"master $masterKey outside cluster")
       assert(members.min === r.getAs[Long]("cluster_id"), "canonical is not min member")
+    }
+  }
+
+  test("incremental entity resolution equals the full rebuild across batch splits") {
+    // the er4 property (round-13 queue #4's Done bar): bootstrapping on
+    // the old batch, then merging the new batch's pairs through the
+    // reduced label graph, must reproduce the full rebuild EXACTLY —
+    // same clusters, same min-label canonicals, same golden attributes —
+    // for ANY way the customer keys are split into batches
+    val full = Linkage.dEntityGolden.run(spark, sfDir).collect()
+      .map(_.toString).sorted.toSeq
+    val splits = Seq(
+      "mod7" -> (col("c_custkey") % 7 === 0),
+      "mod3" -> (col("c_custkey") % 3 === 1),
+      "hash4" -> (pmod(hash(col("c_custkey")), lit(4)) === 2),
+      "low-keys" -> (col("c_custkey") < 100))
+    for ((name, pred) <- splits) {
+      val inc = Linkage.entityGoldenIncremental(spark, sfDir, pred).collect()
+        .map(_.toString).sorted.toSeq
+      assert(inc === full, s"incremental diverges from full rebuild on split $name")
     }
   }
 
