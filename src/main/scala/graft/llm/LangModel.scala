@@ -499,6 +499,64 @@ object LangModel {
       .orderBy("doc_id")
   }
 
+  /** The head/middle/tail LABELING arc of [[lmBuckets]] as a shared SQL
+    * fragment: `$scoredSql` through the 4096-bin histogram thresholds to
+    * a CTE `lmb(doc_id, k, bucket)` (plus `tot(n_total)`), reused
+    * verbatim by the corpus DAG's LM-stage oracle
+    * (`pipeline_corpus_lm`). */
+  private[graft] val lmBucketLabeledSql: String = s"""$scoredSql,
+      sc AS (
+        SELECT doc_id, lang,
+               CASE WHEN predict_r IS NULL THEN -1
+                    ELSE CAST(floor(predict_r * 4096) AS BIGINT) END AS k
+        FROM scored),
+      hist AS (SELECT k, CAST(count(*) AS BIGINT) AS n FROM sc GROUP BY k),
+      c AS (SELECT k, CAST(sum(n) OVER (ORDER BY k DESC) AS BIGINT) AS cum FROM hist),
+      tot AS (SELECT CAST(count(*) AS BIGINT) AS n_total FROM sc),
+      th AS (
+        SELECT coalesce(min(CASE WHEN cum <= n_total // 3 THEN k END), 1073741824) AS kh,
+               coalesce(min(CASE WHEN cum <= 2 * (n_total // 3) THEN k END), 1073741824) AS kt
+        FROM c CROSS JOIN tot),
+      lmb AS (
+        SELECT s.doc_id, s.k,
+               CASE WHEN s.k >= th.kh THEN 'head'
+                    WHEN s.k >= th.kt THEN 'middle'
+                    ELSE 'tail' END AS bucket
+        FROM sc s CROSS JOIN th)"""
+
+  /** (doc_id, k, bucket) for every scored doc — the Spark twin of
+    * [[lmBucketLabeledSql]]'s `lmb` CTE, factored out of [[lmBuckets]] so
+    * the corpus DAG's `mart_corpus_lm` stage joins the SAME labeling the
+    * bucket gate rolls up. Scale shape unchanged: the histogram/threshold
+    * arc windows over ≤ 4098 (bin, count) scalars; the thresholds
+    * broadcast as one 2-column row. */
+  private[graft] def lmBucketLabels(spark: SparkSession, dir: String): DataFrame = {
+    val sc = lmScored(spark, dir)
+      .select(col("doc_id"),
+        when(col("predict_r").isNull, lit(-1L))
+          .otherwise(floor(col("predict_r") * 4096)).as("k"))
+    val hist = sc.groupBy("k").agg(count(lit(1)).as("n"))
+    // partition-less window: safe because it runs over the ≤4098-bin
+    // histogram, never the docs (see the lmBuckets Scaladoc scale argument)
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("k").desc)
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+    val cum = hist.select(col("k"), sum(col("n")).over(w).as("cum"))
+    val tot = sc.agg(count(lit(1)).as("n_total"))
+    val th = cum.crossJoin(broadcast(tot))
+      .agg(
+        coalesce(min(when(col("cum") <= expr("n_total div 3"), col("k"))),
+          lit(1073741824L)).as("kh"),
+        coalesce(min(when(col("cum") <= expr("2 * (n_total div 3)"), col("k"))),
+          lit(1073741824L)).as("kt"))
+    val bucket = when(col("k") >= col("kh"), "head")
+      .when(col("k") >= col("kt"), "middle")
+      .otherwise("tail")
+    sc.crossJoin(broadcast(th))
+      .select(col("doc_id"), col("k"), bucket.as("bucket"))
+  }
+
   /** lm6 — HEAD/MIDDLE/TAIL perplexity bucketing (the CCNet release
     * layout: Wenzek et al. 2020 §4.3 ship each language in three buckets
     * by LM score so consumers can choose their quality/volume trade-off).
@@ -517,59 +575,21 @@ object LangModel {
   val lmBuckets: QueryDef = QueryDef(
     "t_lm_buckets",
     Some(s"""
-      WITH $scoredSql,
-      sc AS (
-        SELECT doc_id, lang,
-               CASE WHEN predict_r IS NULL THEN -1
-                    ELSE CAST(floor(predict_r * 4096) AS BIGINT) END AS k
-        FROM scored),
-      hist AS (SELECT k, CAST(count(*) AS BIGINT) AS n FROM sc GROUP BY k),
-      c AS (SELECT k, CAST(sum(n) OVER (ORDER BY k DESC) AS BIGINT) AS cum FROM hist),
-      tot AS (SELECT CAST(count(*) AS BIGINT) AS n_total FROM sc),
-      th AS (
-        SELECT coalesce(min(CASE WHEN cum <= n_total // 3 THEN k END), 1073741824) AS kh,
-               coalesce(min(CASE WHEN cum <= 2 * (n_total // 3) THEN k END), 1073741824) AS kt
-        FROM c CROSS JOIN tot),
-      b AS (
-        SELECT s.doc_id, s.k,
-               CASE WHEN s.k >= th.kh THEN 'head'
-                    WHEN s.k >= th.kt THEN 'middle'
-                    ELSE 'tail' END AS bucket
-        FROM sc s CROSS JOIN th)
+      WITH $lmBucketLabeledSql
       SELECT bucket,
              CAST(count(*) AS BIGINT) AS n_docs,
              CAST(min(k) AS BIGINT) AS k_min,
              CAST(max(k) AS BIGINT) AS k_max,
              round(CAST(count(*) AS DOUBLE) / CAST(tot.n_total AS DOUBLE), 6) AS share_r,
              CAST(CAST(sum(CAST(doc_id AS DECIMAL(38, 0))) AS DECIMAL(38, 0)) AS DOUBLE) AS doc_sum
-      FROM b CROSS JOIN tot
+      FROM lmb CROSS JOIN tot
       GROUP BY bucket, tot.n_total ORDER BY bucket
     """)) { (spark, dir) =>
-    val sc = lmScored(spark, dir)
-      .select(col("doc_id"),
-        when(col("predict_r").isNull, lit(-1L))
-          .otherwise(floor(col("predict_r") * 4096)).as("k"))
-    val hist = sc.groupBy("k").agg(count(lit(1)).as("n"))
-    // partition-less window: safe because it runs over the ≤4098-bin
-    // histogram, never the docs (see the Scaladoc scale argument)
-    val w = org.apache.spark.sql.expressions.Window
-      .orderBy(col("k").desc)
-      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
-        org.apache.spark.sql.expressions.Window.currentRow)
-    val cum = hist.select(col("k"), sum(col("n")).over(w).as("cum"))
-    val tot = sc.agg(count(lit(1)).as("n_total"))
-    val th = cum.crossJoin(broadcast(tot))
-      .agg(
-        coalesce(min(when(col("cum") <= expr("n_total div 3"), col("k"))),
-          lit(1073741824L)).as("kh"),
-        coalesce(min(when(col("cum") <= expr("2 * (n_total div 3)"), col("k"))),
-          lit(1073741824L)).as("kt"))
-    val bucket = when(col("k") >= col("kh"), "head")
-      .when(col("k") >= col("kt"), "middle")
-      .otherwise("tail")
-    sc.crossJoin(broadcast(th))
-      .select(col("doc_id"), col("k"), bucket.as("bucket"))
-      .groupBy("bucket")
+    // the labeling arc lives in [[lmBucketLabels]]; a lazy checkpoint lets
+    // the rollup and the share denominator read one materialization
+    val lab = lmBucketLabels(spark, dir).localCheckpoint(false)
+    val tot = lab.agg(count(lit(1)).as("n_total"))
+    lab.groupBy("bucket")
       .agg(
         count(lit(1)).as("n_docs"),
         min(col("k")).as("k_min"),

@@ -287,7 +287,7 @@ object Pipeline {
     * duplicate set (doc_id % 7, cloned under +200000) exercises the dedup
     * stage; the dedup window partitions on `md5(ntext)` so the shuffle key
     * is a fixed-width digest, never document text. */
-  val corpusDag: ModelRegistry = new ModelRegistry(Seq(
+  private val corpusDefs: Seq[ModelDef] = Seq(
     ModelDef("stg_corpus_raw", Nil, mart = false) { (spark, dir, _) =>
       val d = tbl(spark, dir, "documents").select("doc_id", "source", "text")
       d.unionAll(d.filter(col("doc_id") % 7 === 0)
@@ -333,7 +333,28 @@ object Pipeline {
       ref("mart_packed").groupBy("shard")
         .agg(count(lit(1)).as("n_docs"), sum("n_toks").as("n_tokens"),
           (max(col("last_block")) + 1).as("n_blocks"))
-    }))
+    })
+
+  val corpusDag: ModelRegistry = new ModelRegistry(corpusDefs)
+
+  /** The corpus DAG EXTENDED with the trigram-LM quality stage (round-13
+    * queue #5): `mart_corpus_lm` labels every deduped corpus doc with its
+    * CCNet-style head/middle/tail bucket ([[graft.llm.LangModel
+    * .lmBucketLabels]] — the SAME labeling `t_lm_buckets` rolls up), so
+    * the materialized corpus mart carries the LM quality signal and a
+    * consumer picks its quality/volume cut by bucket (Wenzek et al. 2020
+    * §4.3 ship all three; dropping `tail` is the conventional train
+    * filter). A SEPARATE registry, sharing every stage definition with
+    * [[corpusDag]], so the three stageless corpus gates keep their cost
+    * while `pipeline_corpus_lm` prices the LM pass it adds. */
+  val corpusLmDag: ModelRegistry = new ModelRegistry(corpusDefs :+
+    ModelDef("mart_corpus_lm", Seq("mart_corpus"), mart = true) { (spark, dir, ref) =>
+      ref("mart_corpus").join(
+        graft.llm.LangModel.lmBucketLabels(spark, dir).select("doc_id", "bucket"),
+        Seq("doc_id"), "left")
+        .select(col("doc_id"), col("source"), col("n_toks"),
+          coalesce(col("bucket"), lit("unscored")).as("lm_bucket"))
+    })
 
   /** §3.2 on the corpus side: run the curation DAG through the registry
     * and emit the per-source mart; the oracle replays every stage
@@ -425,6 +446,72 @@ object Pipeline {
           col("stats_tokens") === col("mart_tokens")).as("stats_match"))
   }
 
+  /** §3.2 corpus DAG + LM QUALITY (round-13 queue #5): run the
+    * LM-extended curation registry ([[corpusLmDag]]) and emit the
+    * per-(source, bucket) accounting of the LABELED corpus mart — the
+    * CCNet-style signal materialized in-lineage: normalize → heuristic
+    * filter → exact dedup → trigram-LM head/middle/tail labeling, every
+    * stage replayed by the oracle ([[graft.llm.LangModel
+    * .lmBucketLabeledSql]] composed with the corpus CTEs). Two contracts
+    * are ENFORCED before the mart leaves the gate (the `q_corpus_quality`
+    * posture applied to the new stage): the labeling is TOTAL (every
+    * deduped doc carries exactly one bucket — the left join cannot drop
+    * or fan out) and the label space is the closed set
+    * {head, middle, tail, unscored}. Shape at 100 TB: the LM stage adds
+    * one scoring pass over the kept corpus (bigrams against the
+    * MartCache'd model tables) plus a counter-scale histogram — the
+    * labeling join shuffles (doc_id, bucket) scalars only. */
+  val pipelineCorpusLm: QueryDef = QueryDef(
+    "pipeline_corpus_lm",
+    Some(s"""
+      WITH ${graft.llm.LangModel.lmBucketLabeledSql},
+      src AS (
+        SELECT doc_id, source, text FROM documents
+        UNION ALL
+        SELECT doc_id + 200000, source, text FROM documents WHERE doc_id % 7 = 0),
+      norm AS (
+        SELECT doc_id, source,
+               trim(regexp_replace(text, '[ \\t\\n\\r]+', ' ', 'g')) AS ntext
+        FROM src),
+      kept AS (
+        SELECT doc_id, source, ntext,
+               CAST(len(string_split_regex(ntext, '\\s+')) AS BIGINT) AS n_toks
+        FROM norm
+        WHERE len(string_split_regex(ntext, '\\s+')) BETWEEN 20 AND 1000
+          AND CAST(length(replace(ntext, ' ', '')) AS DOUBLE)
+              / CAST(len(string_split_regex(ntext, '\\s+')) AS DOUBLE)
+              BETWEEN 2.0 AND 12.0),
+      mart AS (
+        SELECT doc_id, source, n_toks FROM (
+          SELECT doc_id, source, n_toks,
+                 doc_id = min(doc_id) OVER (PARTITION BY md5(ntext)) AS is_canon
+          FROM kept) WHERE is_canon),
+      lab AS (
+        SELECT m.source, coalesce(l.bucket, 'unscored') AS lm_bucket, m.n_toks
+        FROM mart m LEFT JOIN lmb l ON m.doc_id = l.doc_id)
+      SELECT source, lm_bucket, CAST(count(*) AS BIGINT) AS n_docs,
+             CAST(sum(n_toks) AS BIGINT) AS n_tokens
+      FROM lab GROUP BY source, lm_bucket
+      ORDER BY source, lm_bucket
+    """)) { (spark, dir) =>
+    val outs = corpusLmDag.run(spark, dir,
+      viewPrefix = "graft_corpus_", martPrefix = "corpus_marts")
+    val lm = outs("mart_corpus_lm")
+    // the stage contracts, enforced on counter-scale aggregates over the
+    // materialized marts before the rollup is emitted
+    val chk = lm.agg(count(lit(1)).as("n"), countDistinct(col("doc_id")).as("nd"),
+      sum(when(col("lm_bucket").isin("head", "middle", "tail", "unscored"), 0)
+        .otherwise(1)).as("bad")).head()
+    val nCorpus = outs("mart_corpus").count()
+    require(chk.getAs[Long]("n") == nCorpus && chk.getAs[Long]("nd") == nCorpus,
+      s"LM labeling not total/1:1: ${chk.getAs[Long]("n")} labeled rows, " +
+        s"${chk.getAs[Long]("nd")} distinct ids, $nCorpus corpus docs")
+    require(chk.getAs[Long]("bad") == 0L, "labels outside the closed bucket set")
+    lm.groupBy("source", "lm_bucket")
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_toks")).as("n_tokens"))
+      .orderBy("source", "lm_bucket")
+  }
+
   /** The corpus DAG's export tail as a gate: raw documents all the way to
     * per-shard training-data accounting (docs, tokens, 512-token blocks),
     * with every stage — normalize, filter, dedup, per-shard prefix-sum
@@ -474,5 +561,5 @@ object Pipeline {
 
   val all: Seq[QueryDef] = Seq(
     pipelineE2e, pipelineIncremental, pipelineCorpus, qCorpusQuality,
-    pipelineTrainExport)
+    pipelineCorpusLm, pipelineTrainExport)
 }
