@@ -1,0 +1,101 @@
+#!/usr/bin/env python3
+"""Per-gate bench drift report (round-13 queue #6).
+
+Compares two bench artifacts' per-query deciseconds (`qv`, positionally
+joined to the sorted gate-name list each artifact was measured against)
+and reports every gate slower than --factor (default 2x) vs the prior
+round, plus gates added/dropped between the rounds.
+
+Usage:
+  python3 tools/benchdrift.py PREV_BENCH PREV_NAMES NEW_BENCH NEW_NAMES [--factor 2.0] [--floor-ds 3]
+
+BENCH args accept either the driver's BENCH_r{N}.json (object with a
+`parsed` payload), a raw Bench stdout JSON object, or a log file whose
+last `{"metric":...}` line is the payload. NAMES args accept either a
+CORRECTNESS_r{N}.json (sorted keys = gate order) or a Verify output
+directory (sorted subdirectory names = gate order).
+
+Exit code: 0 always — this is a report, the reader adjudicates.
+"""
+import json
+import os
+import re
+import sys
+
+
+def load_bench(path):
+    raw = open(path).read()
+    try:
+        obj = json.loads(raw)
+        if isinstance(obj, dict) and "parsed" in obj:
+            obj = obj["parsed"]
+        if isinstance(obj, dict) and "qv" in obj:
+            return obj
+        if isinstance(obj, dict) and "metric" in obj:
+            sys.exit(f"benchdrift: {path} carries no per-query qv "
+                     "(pre-round-13 artifact) — nothing to diff")
+    except json.JSONDecodeError:
+        pass
+    last = None
+    for m in re.finditer(r'\{"metric".*\}', raw):
+        last = m.group(0)
+    if last is None:
+        sys.exit(f"benchdrift: no bench payload found in {path}")
+    return json.loads(last)
+
+
+def load_names(path):
+    if os.path.isdir(path):
+        return sorted(d for d in os.listdir(path)
+                      if os.path.isdir(os.path.join(path, d)))
+    return sorted(json.load(open(path)).keys())
+
+
+def main(argv):
+    args = [a for a in argv if not a.startswith("--")]
+    opts = dict(a.lstrip("-").split("=", 1) for a in argv if a.startswith("--"))
+    if len(args) != 4:
+        sys.exit(__doc__)
+    factor = float(opts.get("factor", 2.0))
+    floor = int(opts.get("floor-ds", 3))
+    prev_b, prev_n = load_bench(args[0]), load_names(args[1])
+    new_b, new_n = load_bench(args[2]), load_names(args[3])
+    for tag, b, n in (("prev", prev_b, prev_n), ("new", new_b, new_n)):
+        if len(b["qv"]) != len(n):
+            sys.exit(f"benchdrift: {tag} qv has {len(b['qv'])} entries "
+                     f"but {len(n)} gate names — wrong names source?")
+    prev = dict(zip(prev_n, prev_b["qv"]))
+    new = dict(zip(new_n, new_b["qv"]))
+    shared = sorted(set(prev) & set(new))
+    added = sorted(set(new) - set(prev))
+    dropped = sorted(set(prev) - set(new))
+    print(f"benchdrift: prev total {prev_b.get('value')}s over {len(prev)} gates, "
+          f"new total {new_b.get('value')}s over {len(new)} gates "
+          f"(factor {factor}x, floor {floor}ds)")
+    regressions = []
+    for g in shared:
+        base = max(prev[g], floor)  # floor damps noise on sub-300ms gates
+        if new[g] >= factor * base:
+            regressions.append((g, prev[g], new[g]))
+    if regressions:
+        print(f"\n{len(regressions)} gate(s) >= {factor}x slower:")
+        print(f"{'gate':44} {'prev_ds':>8} {'new_ds':>8} {'ratio':>6}")
+        for g, p, q in sorted(regressions, key=lambda r: -r[2] / max(r[1], 1)):
+            print(f"{g:44} {p:8d} {q:8d} {q / max(p, 1):6.1f}")
+    else:
+        print("\nno per-gate regressions past the factor.")
+    if added:
+        print(f"\nadded gates ({len(added)}): "
+              + ", ".join(f"{g}={new[g]}ds" for g in added))
+    if dropped:
+        print(f"\ndropped gates ({len(dropped)}): " + ", ".join(dropped))
+    imp = [(g, prev[g], new[g]) for g in shared
+           if prev[g] >= factor * max(new[g], floor)]
+    if imp:
+        print(f"\n{len(imp)} gate(s) >= {factor}x FASTER: "
+              + ", ".join(f"{g} {p}→{q}ds" for g, p, q in
+                          sorted(imp, key=lambda r: -r[1] / max(r[2], 1))[:10]))
+
+
+if __name__ == "__main__":
+    main(sys.argv[1:])
