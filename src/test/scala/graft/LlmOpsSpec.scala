@@ -265,6 +265,26 @@ class LlmOpsSpec extends SparkSpec {
     assert(ss === ss.sorted.reverse)
   }
 
+  test("learned OPQ rotation beats the permutation-only book on the planted-covariance fixture") {
+    // the round-13 queue #2 Done bar: on a covariance-structured fixture
+    // the trained book under the LEARNED ROTATION must strictly beat the
+    // permutation-only (greedy-allocation) book — a permutation can only
+    // relocate correlated dimensions, the rotation collapses them
+    val rows = Similarity.simOpqRotation.run(spark, sfDir).collect()
+    val by = rows.map(r => r.getAs[String]("variant") -> r.getAs[Long]("total_micro")).toMap
+    assert(by.keySet === Set("identity", "permuted", "rotated"))
+    assert(by("rotated") < by("permuted"),
+      s"rotated ${by("rotated")} not below permutation-only ${by("permuted")}")
+    assert(by("permuted") < by("identity"),
+      s"allocation ${by("permuted")} not below identity ${by("identity")}")
+    // unit laws of the integer Jacobi: a diagonal matrix is already
+    // optimal — zero iterations, R = identity at scale 1e6
+    val diag = Array.tabulate(4096)(k => if (k / 64 == k % 64) 123456L else 0L)
+    val (r0, it0) = Similarity.opqJacobi(diag)
+    assert(it0 === 0)
+    assert(r0.toSeq === Seq.tabulate(4096)(k => if (k / 64 == k % 64) 1000000L else 0L))
+  }
+
   test("derived re-rank beam: subset of the pool, floor/k respected, monotone in pool size") {
     // the sizing rule's contract (round-13 queue #7): beam ⊆ candidates
     // by construction (min clamp), never below min(pool, floor), grows
