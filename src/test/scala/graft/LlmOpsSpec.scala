@@ -285,6 +285,24 @@ class LlmOpsSpec extends SparkSpec {
     assert(r0.toSeq === Seq.tabulate(4096)(k => if (k / 64 == k % 64) 1000000L else 0L))
   }
 
+  test("codebook size lever: recall and trained distortion improve with k* on this corpus") {
+    // the deployment lesson sim_ann_frontier's doc names, asserted on the
+    // fixture: growing the per-subspace codebook (3 -> 5 -> 6 bits) must
+    // improve both the trained encode distortion and the beam-200
+    // recall@10 of the full-corpus ADC ranking (the gate already enforces
+    // the structural laws: seed monotonicity, trained <= seed + slop)
+    val rows = Similarity.simPqCodebookSize.run(spark, sfDir).collect()
+    assert(rows.map(_.getAs[Long]("k_codes")).toSeq === Seq(8L, 32L, 64L))
+    val trained = rows.map(_.getAs[Long]("trained_micro")).toSeq
+    assert(trained === trained.sorted.reverse, s"trained distortion not improving: $trained")
+    // recall: every larger book must beat the 3-bit baseline; the 32→64
+    // step is NOT asserted (at sf0.001 recall saturates near 1.0 and the
+    // last step can wobble by a hit or two — measured, not lawful)
+    val hits = rows.map(_.getAs[Long]("hits_b200")).toSeq
+    assert(hits(1) > hits(0) && hits(2) > hits(0),
+      s"larger codebooks do not beat the 3-bit baseline: $hits")
+  }
+
   test("derived re-rank beam: subset of the pool, floor/k respected, monotone in pool size") {
     // the sizing rule's contract (round-13 queue #7): beam ⊆ candidates
     // by construction (min clamp), never below min(pool, floor), grows
