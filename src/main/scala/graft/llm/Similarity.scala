@@ -1923,6 +1923,11 @@ object Similarity {
         FROM qs q, pb$PqTrainRounds b),
       candr AS (
         SELECT p.qid, a.vec_id FROM assigned a JOIN qprobe p ON a.cell = p.cell AND p.rn <= 3),
+      bwq AS (
+        SELECT qid, least(CAST(count(*) AS BIGINT),
+                          greatest($RerankBeamFloor,
+                                   $RerankK * length(bin(CAST(count(*) AS BIGINT))))) AS bw
+        FROM candr GROUP BY qid),
       ars AS (
         SELECT c.qid, c.vec_id,
                row_number() OVER (PARTITION BY c.qid
@@ -1939,7 +1944,8 @@ object Similarity {
           SELECT b.qid, b.vec_id,
                  row_number() OVER (PARTITION BY b.qid
                    ORDER BY ${dotSql("e.embedding", "q.qv")} DESC, b.vec_id) AS rr2
-          FROM (SELECT qid, vec_id FROM ars WHERE rr <= $RerankBeamFloor) b
+          FROM (SELECT a.qid, a.vec_id FROM ars a
+                JOIN bwq w ON a.qid = w.qid AND a.rr <= w.bw) b
           JOIN embeddings e USING (vec_id)
           JOIN qs q ON q.qid = b.qid)
         WHERE rr2 <= 10),
@@ -2069,10 +2075,18 @@ object Similarity {
       val arS = adcScored(candR.select("qid", "vec_id"), encRaw, lutRaw, Seq("qid"))
         .localCheckpoint(false)
       val ar = arS.filter(col("rr") <= 10).select("qid", "vec_id")
-      // two-stage rung: the per-qid ADC beam re-scored exactly (the
-      // simAdcRerank read path, measured in the harness; its dominance
-      // over ivfadc_raw is structural — the beam contains the ADC top-10)
-      val rkb = arS.filter(col("rr") <= RerankBeamFloor).select("qid", "vec_id")
+      // two-stage rung: the per-qid ADC beam re-scored exactly — the
+      // simAdcRerank read path INCLUDING its derived beam rule, applied
+      // per qid (min(C, max(floor, k·bitlen(C))) over that query's
+      // candidate pool; the r14 review's fixed-50 drift finding); its
+      // dominance over ivfadc_raw is structural — the beam holds the ADC
+      // top-10 since bw >= floor >= k
+      val bwq = candR.groupBy("qid").agg(count(lit(1)).as("cq"))
+        .select(col("qid"), least(col("cq"),
+          greatest(lit(RerankBeamFloor.toLong),
+            lit(RerankK.toLong) * length(bin(col("cq"))))).as("bw"))
+      val rkb = arS.join(broadcast(bwq), Seq("qid"))
+        .filter(col("rr") <= col("bw")).select("qid", "vec_id")
         .join(emb(spark, dir).select(col("vec_id"), col("embedding")), "vec_id")
         .join(broadcast(qs), "qid")
         .select(col("qid"), col("vec_id"), dot(col("embedding"), col("qv")).as("s"))
@@ -2532,6 +2546,52 @@ object Similarity {
     }
   }
 
+  /** The exact fixed-point per-dim variance + greedy balanced-variance
+    * ALLOCATION oracle chain (the [[opqGreedyPerm]] recursive-CTE replay),
+    * parameterized by the (vector column, source CTE) pair and the name of
+    * the emitted position map — ONE definition serving both
+    * [[simOpqLearned]] (raw corpus) and [[simOpqRotation]] (the mixed
+    * fixture), so the argmin/tie-break machinery can never desynchronize
+    * between the two oracles (the r14 review's duplicate-chain finding).
+    * Emits CTEs ve/mstats/varq/ord/alloc plus `$mapName(pos, dim0)`. */
+  private def varqAllocSql(vecCol: String, src: String, mapName: String): String =
+    s"""ve AS (
+        SELECT unnest(range(0, 64)) AS dim, unnest($vecCol) AS v FROM $src),
+      mstats AS (
+        SELECT dim,
+               CAST(sum(CAST(floor(CAST(v AS DOUBLE) * 10000000.0) AS BIGINT)) AS BIGINT) AS s1,
+               count(*) AS n
+        FROM ve GROUP BY dim),
+      varq AS (
+        SELECT ve.dim,
+               CAST(sum(CAST(floor(
+                 (CAST(ve.v AS DOUBLE) - CAST(st.s1 AS DOUBLE) / (CAST(st.n AS DOUBLE) * 10000000.0))
+                 * (CAST(ve.v AS DOUBLE) - CAST(st.s1 AS DOUBLE) / (CAST(st.n AS DOUBLE) * 10000000.0))
+                 * 10000000.0) AS BIGINT)) AS BIGINT) AS vq
+        FROM ve JOIN mstats st ON ve.dim = st.dim
+        GROUP BY ve.dim),
+      ord AS (
+        SELECT dim, vq, row_number() OVER (ORDER BY vq DESC, dim) - 1 AS rk FROM varq),
+      alloc AS (
+        WITH RECURSIVE g(step, sums, cnts, bins) AS (
+          SELECT 0, [CAST(0 AS BIGINT), 0, 0, 0], [0, 0, 0, 0], CAST([] AS INTEGER[])
+          UNION ALL
+          SELECT s.step + 1,
+                 list_transform(range(1, ${PqM + 1}), i -> s.sums[i] + CASE WHEN i = s.b THEN s.vq ELSE 0 END),
+                 list_transform(range(1, ${PqM + 1}), i -> s.cnts[i] + CASE WHEN i = s.b THEN 1 ELSE 0 END),
+                 list_append(s.bins, s.b)
+          FROM (
+            SELECT g.step, g.sums, g.cnts, g.bins, o.vq,
+                   CAST(list_position(
+                     list_transform(range(1, ${PqM + 1}), i -> CASE WHEN g.cnts[i] >= $PqSub THEN NULL ELSE g.sums[i] END),
+                     list_min(list_transform(range(1, ${PqM + 1}), i -> CASE WHEN g.cnts[i] >= $PqSub THEN NULL ELSE g.sums[i] END))) AS INTEGER) AS b
+            FROM g JOIN ord o ON o.rk = g.step
+            WHERE g.step < 64) s)
+        SELECT bins FROM g WHERE step = 64),
+      $mapName AS (
+        SELECT row_number() OVER (ORDER BY a.bins[o.rk + 1], o.rk) AS pos, o.dim AS dim0
+        FROM ord o, alloc a),"""
+
   /** sim17 — PQ SUBSPACE-LAYOUT distortion audit: which coordinates share
     * a subspace is a free parameter of product quantization, and choosing
     * it well is the entire subject of OPQ (Ge et al., "Optimized Product
@@ -2735,42 +2795,7 @@ object Similarity {
       "sim_opq_learned",
       Some(s"""
       WITH ms AS (SELECT unnest([0, 1, 2, 3]) AS m),
-      ve AS (
-        SELECT unnest(range(0, 64)) AS dim, unnest(embedding) AS v FROM embeddings),
-      mstats AS (
-        SELECT dim,
-               CAST(sum(CAST(floor(CAST(v AS DOUBLE) * 10000000.0) AS BIGINT)) AS BIGINT) AS s1,
-               count(*) AS n
-        FROM ve GROUP BY dim),
-      varq AS (
-        SELECT ve.dim,
-               CAST(sum(CAST(floor(
-                 (CAST(ve.v AS DOUBLE) - CAST(st.s1 AS DOUBLE) / (CAST(st.n AS DOUBLE) * 10000000.0))
-                 * (CAST(ve.v AS DOUBLE) - CAST(st.s1 AS DOUBLE) / (CAST(st.n AS DOUBLE) * 10000000.0))
-                 * 10000000.0) AS BIGINT)) AS BIGINT) AS vq
-        FROM ve JOIN mstats st ON ve.dim = st.dim
-        GROUP BY ve.dim),
-      ord AS (
-        SELECT dim, vq, row_number() OVER (ORDER BY vq DESC, dim) - 1 AS rk FROM varq),
-      alloc AS (
-        WITH RECURSIVE g(step, sums, cnts, bins) AS (
-          SELECT 0, [CAST(0 AS BIGINT), 0, 0, 0], [0, 0, 0, 0], CAST([] AS INTEGER[])
-          UNION ALL
-          SELECT s.step + 1,
-                 list_transform(range(1, ${PqM + 1}), i -> s.sums[i] + CASE WHEN i = s.b THEN s.vq ELSE 0 END),
-                 list_transform(range(1, ${PqM + 1}), i -> s.cnts[i] + CASE WHEN i = s.b THEN 1 ELSE 0 END),
-                 list_append(s.bins, s.b)
-          FROM (
-            SELECT g.step, g.sums, g.cnts, g.bins, o.vq,
-                   CAST(list_position(
-                     list_transform(range(1, ${PqM + 1}), i -> CASE WHEN g.cnts[i] >= $PqSub THEN NULL ELSE g.sums[i] END),
-                     list_min(list_transform(range(1, ${PqM + 1}), i -> CASE WHEN g.cnts[i] >= $PqSub THEN NULL ELSE g.sums[i] END))) AS INTEGER) AS b
-            FROM g JOIN ord o ON o.rk = g.step
-            WHERE g.step < 64) s)
-        SELECT bins FROM g WHERE step = 64),
-      learned_map AS (
-        SELECT row_number() OVER (ORDER BY a.bins[o.rk + 1], o.rk) AS pos, o.dim AS dim0
-        FROM ord o, alloc a),
+      ${varqAllocSql("embedding", "embeddings", "learned_map")}
       identity_map AS (SELECT unnest(range(1, 65)) AS pos, unnest(range(0, 64)) AS dim0),
       stride17_map AS (
         SELECT unnest(range(1, 65)) AS pos,
@@ -3069,42 +3094,7 @@ object Similarity {
                  CAST(list_reduce(list_transform(range(1, 65), d -> f.rl[p * 64 + d] * q.q[d]),
                         (a, b) -> a + b) AS DOUBLE) / 1000000000.0) AS pv
         FROM qz q, jfin f),
-      ve AS (
-        SELECT unnest(range(0, 64)) AS dim, unnest(pv) AS v FROM mx),
-      mstats AS (
-        SELECT dim,
-               CAST(sum(CAST(floor(CAST(v AS DOUBLE) * 10000000.0) AS BIGINT)) AS BIGINT) AS s1,
-               count(*) AS n
-        FROM ve GROUP BY dim),
-      varq AS (
-        SELECT ve.dim,
-               CAST(sum(CAST(floor(
-                 (CAST(ve.v AS DOUBLE) - CAST(st.s1 AS DOUBLE) / (CAST(st.n AS DOUBLE) * 10000000.0))
-                 * (CAST(ve.v AS DOUBLE) - CAST(st.s1 AS DOUBLE) / (CAST(st.n AS DOUBLE) * 10000000.0))
-                 * 10000000.0) AS BIGINT)) AS BIGINT) AS vq
-        FROM ve JOIN mstats st ON ve.dim = st.dim
-        GROUP BY ve.dim),
-      ord AS (
-        SELECT dim, vq, row_number() OVER (ORDER BY vq DESC, dim) - 1 AS rk FROM varq),
-      alloc AS (
-        WITH RECURSIVE g(step, sums, cnts, bins) AS (
-          SELECT 0, [CAST(0 AS BIGINT), 0, 0, 0], [0, 0, 0, 0], CAST([] AS INTEGER[])
-          UNION ALL
-          SELECT s.step + 1,
-                 list_transform(range(1, ${PqM + 1}), i -> s.sums[i] + CASE WHEN i = s.b THEN s.vq ELSE 0 END),
-                 list_transform(range(1, ${PqM + 1}), i -> s.cnts[i] + CASE WHEN i = s.b THEN 1 ELSE 0 END),
-                 list_append(s.bins, s.b)
-          FROM (
-            SELECT g.step, g.sums, g.cnts, g.bins, o.vq,
-                   CAST(list_position(
-                     list_transform(range(1, ${PqM + 1}), i -> CASE WHEN g.cnts[i] >= $PqSub THEN NULL ELSE g.sums[i] END),
-                     list_min(list_transform(range(1, ${PqM + 1}), i -> CASE WHEN g.cnts[i] >= $PqSub THEN NULL ELSE g.sums[i] END))) AS INTEGER) AS b
-            FROM g JOIN ord o ON o.rk = g.step
-            WHERE g.step < 64) s)
-        SELECT bins FROM g WHERE step = 64),
-      perm_map AS (
-        SELECT row_number() OVER (ORDER BY a.bins[o.rk + 1], o.rk) AS pos, o.dim AS dim0
-        FROM ord o, alloc a),
+      ${varqAllocSql("pv", "mx", "perm_map")}
       permlist AS (SELECT list(dim0 + 1 ORDER BY pos) AS pm FROM perm_map),
       mxp AS MATERIALIZED (
         SELECT m.vec_id, list_transform(range(1, 65), i -> m.pv[p.pm[i]]) AS pv

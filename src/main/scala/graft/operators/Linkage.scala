@@ -167,7 +167,12 @@ object Linkage {
     * candidate sets. A ≤1-edit variant must leave at least one of the two
     * keys untouched whenever the edit falls outside one key's span, so
     * the union covers edits anywhere except the (prefix ∩ suffix) overlap
-    * — empty on these 30-char heads. The gate PROVES the recall claim on
+    * — empty on these 30-char heads. Planting guards by head length
+    * (≥20 for the past-prefix family so char 20 exists and the edit is
+    * length-preserving; ≥17 for the in-prefix family so char 5 stays
+    * outside the 12-char suffix span) — on a short-text corpus the
+    * families shrink rather than turning into key-defeating indels
+    * (the r14 review's latent-abort finding). The gate PROVES the recall claim on
     * two planted families chosen to defeat each key alone: a substitution
     * past the prefix (char 20 — inside the suffix span, so only the
     * prefix key holds) and one inside the prefix (char 5 — only the
@@ -187,11 +192,11 @@ object Linkage {
         UNION ALL
         SELECT doc_id + 1000000,
                substr(substr(text, 1, 30), 1, 19) || '~' || substr(substr(text, 1, 30), 21)
-        FROM documents WHERE doc_id % 9 = 0
+        FROM documents WHERE doc_id % 9 = 0 AND length(substr(text, 1, 30)) >= 20
         UNION ALL
         SELECT doc_id + 2000000,
                substr(substr(text, 1, 30), 1, 4) || '~' || substr(substr(text, 1, 30), 6)
-        FROM documents WHERE doc_id % 9 = 3),
+        FROM documents WHERE doc_id % 9 = 3 AND length(substr(text, 1, 30)) >= 17),
       keyed AS (
         SELECT doc_id, h,
                'p#' || substr(h, 1, 12) || '#' || CAST(length(h) // 4 AS VARCHAR) AS blk
@@ -206,10 +211,10 @@ object Linkage {
         WHERE levenshtein(a.h, b.h) <= 1),
       planted AS (
         SELECT 'subst_past_prefix' AS family, doc_id AS src_id, doc_id + 1000000 AS var_id
-        FROM documents WHERE doc_id % 9 = 0
+        FROM documents WHERE doc_id % 9 = 0 AND length(substr(text, 1, 30)) >= 20
         UNION ALL
         SELECT 'subst_in_prefix', doc_id, doc_id + 2000000
-        FROM documents WHERE doc_id % 9 = 3)
+        FROM documents WHERE doc_id % 9 = 3 AND length(substr(text, 1, 30)) >= 17)
       SELECT p.family,
              CAST(count(*) AS BIGINT) AS n_planted,
              CAST(count(*) FILTER (pp.a_id IS NOT NULL) AS BIGINT) AS rec_prefix,
@@ -225,11 +230,11 @@ object Linkage {
     """)) { (spark, dir) =>
     val heads = tbl(spark, dir, "documents")
       .select(col("doc_id"), substring(col("text"), 1, 30).as("h"))
-    val famA = heads.filter(col("doc_id") % 9 === 0)
+    val famA = heads.filter(col("doc_id") % 9 === 0 && length(col("h")) >= 20)
       .select((col("doc_id") + 1000000L).as("doc_id"),
         concat(substring(col("h"), 1, 19), lit("~"),
           substring(col("h"), 21, 10)).as("h"))
-    val famB = heads.filter(col("doc_id") % 9 === 3)
+    val famB = heads.filter(col("doc_id") % 9 === 3 && length(col("h")) >= 17)
       .select((col("doc_id") + 2000000L).as("doc_id"),
         concat(substring(col("h"), 1, 4), lit("~"),
           substring(col("h"), 6, 25)).as("h"))
@@ -253,10 +258,10 @@ object Linkage {
         col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"))
       .distinct()
       .localCheckpoint(true)
-    val planted = heads.filter(col("doc_id") % 9 === 0)
+    val planted = heads.filter(col("doc_id") % 9 === 0 && length(col("h")) >= 20)
       .select(lit("subst_past_prefix").as("family"),
         col("doc_id").as("src_id"), (col("doc_id") + 1000000L).as("var_id"))
-      .unionAll(heads.filter(col("doc_id") % 9 === 3)
+      .unionAll(heads.filter(col("doc_id") % 9 === 3 && length(col("h")) >= 17)
         .select(lit("subst_in_prefix").as("family"),
           col("doc_id").as("src_id"), (col("doc_id") + 2000000L).as("var_id")))
     def arm(k: String) = pairs.filter(col("ks") === k)

@@ -356,13 +356,15 @@ object Pipeline {
           coalesce(col("bucket"), lit("unscored")).as("lm_bucket"))
     })
 
-  /** §3.2 on the corpus side: run the curation DAG through the registry
-    * and emit the per-source mart; the oracle replays every stage
-    * (normalize → keep rule → min-id dedup → rollup) in SQL. */
-  val pipelineCorpus: QueryDef = QueryDef(
-    "pipeline_corpus",
-    Some("""
-      WITH src AS (
+  /** The corpus curation chain — src (with the planted +200000 clones) →
+    * whitespace-normalize → heuristic keep rule → token count — shared
+    * VERBATIM by all four corpus-DAG oracles (`pipeline_corpus`,
+    * `q_corpus_quality`, `pipeline_corpus_lm`, `pipeline_train_export`);
+    * one definition so the keep-rule can never silently desynchronize
+    * between them (the r14 review's four-copies finding). Defined in a
+    * PLAIN string so the regex escapes stay literal when interpolated
+    * into s-string oracles ([[graft.core]] parity rules). */
+  private val corpusKeptSql: String = """src AS (
         SELECT doc_id, source, text FROM documents
         UNION ALL
         SELECT doc_id + 200000, source, text FROM documents WHERE doc_id % 7 = 0),
@@ -377,7 +379,15 @@ object Pipeline {
         WHERE len(string_split_regex(ntext, '\s+')) BETWEEN 20 AND 1000
           AND CAST(length(replace(ntext, ' ', '')) AS DOUBLE)
               / CAST(len(string_split_regex(ntext, '\s+')) AS DOUBLE)
-              BETWEEN 2.0 AND 12.0),
+              BETWEEN 2.0 AND 12.0)"""
+
+  /** §3.2 on the corpus side: run the curation DAG through the registry
+    * and emit the per-source mart; the oracle replays every stage
+    * (normalize → keep rule → min-id dedup → rollup) in SQL. */
+  val pipelineCorpus: QueryDef = QueryDef(
+    "pipeline_corpus",
+    Some(s"""
+      WITH $corpusKeptSql,
       canon AS (
         SELECT doc_id, source, n_toks,
                doc_id = min(doc_id) OVER (PARTITION BY md5(ntext)) AS is_canon
@@ -400,23 +410,8 @@ object Pipeline {
     * lineage that produced it. */
   val qCorpusQuality: QueryDef = QueryDef(
     "q_corpus_quality",
-    Some("""
-      WITH src AS (
-        SELECT doc_id, source, text FROM documents
-        UNION ALL
-        SELECT doc_id + 200000, source, text FROM documents WHERE doc_id % 7 = 0),
-      norm AS (
-        SELECT doc_id, source,
-               trim(regexp_replace(text, '[ \t\n\r]+', ' ', 'g')) AS ntext
-        FROM src),
-      kept AS (
-        SELECT doc_id, source, ntext,
-               CAST(len(string_split_regex(ntext, '\s+')) AS BIGINT) AS n_toks
-        FROM norm
-        WHERE len(string_split_regex(ntext, '\s+')) BETWEEN 20 AND 1000
-          AND CAST(length(replace(ntext, ' ', '')) AS DOUBLE)
-              / CAST(len(string_split_regex(ntext, '\s+')) AS DOUBLE)
-              BETWEEN 2.0 AND 12.0),
+    Some(s"""
+      WITH $corpusKeptSql,
       mart AS (
         SELECT doc_id, source, n_toks FROM (
           SELECT doc_id, source, n_toks,
@@ -465,22 +460,7 @@ object Pipeline {
     "pipeline_corpus_lm",
     Some(s"""
       WITH ${graft.llm.LangModel.lmBucketLabeledSql},
-      src AS (
-        SELECT doc_id, source, text FROM documents
-        UNION ALL
-        SELECT doc_id + 200000, source, text FROM documents WHERE doc_id % 7 = 0),
-      norm AS (
-        SELECT doc_id, source,
-               trim(regexp_replace(text, '[ \\t\\n\\r]+', ' ', 'g')) AS ntext
-        FROM src),
-      kept AS (
-        SELECT doc_id, source, ntext,
-               CAST(len(string_split_regex(ntext, '\\s+')) AS BIGINT) AS n_toks
-        FROM norm
-        WHERE len(string_split_regex(ntext, '\\s+')) BETWEEN 20 AND 1000
-          AND CAST(length(replace(ntext, ' ', '')) AS DOUBLE)
-              / CAST(len(string_split_regex(ntext, '\\s+')) AS DOUBLE)
-              BETWEEN 2.0 AND 12.0),
+      $corpusKeptSql,
       mart AS (
         SELECT doc_id, source, n_toks FROM (
           SELECT doc_id, source, n_toks,
@@ -521,23 +501,8 @@ object Pipeline {
     * alone. */
   val pipelineTrainExport: QueryDef = QueryDef(
     "pipeline_train_export",
-    Some("""
-      WITH src AS (
-        SELECT doc_id, source, text FROM documents
-        UNION ALL
-        SELECT doc_id + 200000, source, text FROM documents WHERE doc_id % 7 = 0),
-      norm AS (
-        SELECT doc_id, source,
-               trim(regexp_replace(text, '[ \t\n\r]+', ' ', 'g')) AS ntext
-        FROM src),
-      kept AS (
-        SELECT doc_id, source, ntext,
-               CAST(len(string_split_regex(ntext, '\s+')) AS BIGINT) AS n_toks
-        FROM norm
-        WHERE len(string_split_regex(ntext, '\s+')) BETWEEN 20 AND 1000
-          AND CAST(length(replace(ntext, ' ', '')) AS DOUBLE)
-              / CAST(len(string_split_regex(ntext, '\s+')) AS DOUBLE)
-              BETWEEN 2.0 AND 12.0),
+    Some(s"""
+      WITH $corpusKeptSql,
       mart AS (
         SELECT doc_id, n_toks FROM (
           SELECT doc_id, n_toks,

@@ -41,7 +41,11 @@ def load_bench(path):
         last = m.group(0)
     if last is None:
         sys.exit(f"benchdrift: no bench payload found in {path}")
-    return json.loads(last)
+    obj = json.loads(last)
+    if "qv" not in obj:
+        sys.exit(f"benchdrift: {path} carries no per-query qv "
+                 "(pre-round-13 artifact) — nothing to diff")
+    return obj
 
 
 def load_names(path):
@@ -52,8 +56,22 @@ def load_names(path):
 
 
 def main(argv):
-    args = [a for a in argv if not a.startswith("--")]
-    opts = dict(a.lstrip("-").split("=", 1) for a in argv if a.startswith("--"))
+    args, opts = [], {}
+    i = 0
+    while i < len(argv):
+        a = argv[i]
+        if a.startswith("--"):
+            if "=" in a:
+                k, v = a.lstrip("-").split("=", 1)
+            elif i + 1 < len(argv):
+                k, v = a.lstrip("-"), argv[i + 1]
+                i += 1
+            else:
+                sys.exit(f"benchdrift: option {a} needs a value")
+            opts[k] = v
+        else:
+            args.append(a)
+        i += 1
     if len(args) != 4:
         sys.exit(__doc__)
     factor = float(opts.get("factor", 2.0))
