@@ -479,31 +479,35 @@ object Linkage {
   /** The incremental arc, parameterized by the new-batch predicate so
     * LinkageSpec can property-test arbitrary splits. */
   private[graft] def entityGoldenIncremental(spark: SparkSession, dir: String,
-      isNew: Column): DataFrame = {
-    val c = custKeyed(spark, dir).withColumn("is_new", isNew)
-      .localCheckpoint(true)
-    val cOld = c.filter(!col("is_new"))
-    val cNew = c.filter(col("is_new"))
-    // 1. bootstrap over the old batch (simulated here; a deployment reads
-    // these two marts instead of recomputing them)
-    val oldLabels = totalLabels(cOld, fuzzyPairs(cOld)).localCheckpoint(true)
-    val oldGolden = goldenMerge(memberFrame(oldLabels, cOld)).localCheckpoint(true)
-    // 2. the increment's pairs: blocked new-side against ALL block
-    // members (old and new) — both orientations found once via
-    // least/greatest + distinct (a new×new pair matches twice)
-    val newPairs = cNew.as("a").join(c.as("b"),
+      isNew: Column): DataFrame =
+    entityGoldenBatched(spark, dir, when(isNew, 1).otherwise(0), 2)
+
+  /** One MERGE STEP of the incremental arc: fold batch `cNew` into the
+    * standing (labels, golden) state over population `cAll` (which
+    * already includes the new batch). Exactly the er4 machinery — blocked
+    * new-side pairs, reduced label graph, affected-only survivorship —
+    * factored so a SEQUENCE of batches can be folded ([[dEntityMultibatch]]):
+    * the state invariant (every label is the min member of its cluster)
+    * is re-established by each step, which is what makes the fold
+    * associative with the full rebuild. */
+  private def erMergeStep(cAll: DataFrame, cNew: DataFrame,
+      oldLabels: DataFrame, oldGolden: DataFrame): (DataFrame, DataFrame) = {
+    // the increment's pairs: blocked new-side against ALL block members —
+    // both orientations found once via least/greatest + distinct (a
+    // new×new pair matches twice)
+    val newPairs = cNew.as("a").join(cAll.as("b"),
         col("a.blk") === col("b.blk") && col("a.c_custkey") =!= col("b.c_custkey"))
       .filter(levenshtein(col("a.c_name"), col("b.c_name"), 1) =!= -1)
       .select(least(col("a.c_custkey"), col("b.c_custkey")).as("a_id"),
         greatest(col("a.c_custkey"), col("b.c_custkey")).as("b_id"))
       .distinct()
-    // 3. project endpoints through the old labeling and close over the
-    // REDUCED graph (old labels + new ids; disjoint id spaces since an
-    // old label IS an old customer's key and batches partition the keys)
-    def toLabel(side: String) = newPairs
-      .join(oldLabels.select(col("id").as(s"${side}_o"), col("label").as(s"${side}_l")),
-        col(s"${side}_id") === col(s"${side}_o"), "left")
-    val redEdges = toLabel("a")
+    // project endpoints through the standing labeling and close over the
+    // REDUCED graph (standing labels + new ids; disjoint id spaces since
+    // a standing label IS an existing customer's key and batches
+    // partition the keys)
+    val redEdges = newPairs
+      .join(oldLabels.select(col("id").as("a_o"), col("label").as("a_l")),
+        col("a_id") === col("a_o"), "left")
       .join(oldLabels.select(col("id").as("b_o"), col("label").as("b_l")),
         col("b_id") === col("b_o"), "left")
       .select(coalesce(col("a_l"), col("a_id")).as("ra"),
@@ -513,7 +517,7 @@ object Linkage {
         greatest(col("ra"), col("rb")).as("b_id"))
       .distinct()
     val redCC = graft.llm.Cluster.components(redEdges).localCheckpoint(true)
-    // 4. final labels for AFFECTED members only: old members via their
+    // final labels for AFFECTED members only: standing members via their
     // cluster label's resolved component, new ids via their own node (or
     // themselves when untouched — new singletons)
     val touchedOld = oldLabels
@@ -529,14 +533,62 @@ object Linkage {
       .join(redCC.select(col("id").as("rid")), col("id") === col("rid"), "left_anti")
       .select(col("id"), col("id").as("label"))
     val affectedLabels = touchedOld.unionByName(touchedNew).unionByName(singleNew)
-    val recomputed = goldenMerge(memberFrame(affectedLabels, c))
-    // untouched clusters keep their bootstrap golden rows verbatim (their
-    // membership cannot have changed: no reduced node names their label)
+    val recomputed = goldenMerge(memberFrame(affectedLabels, cAll))
+    // untouched clusters keep their standing golden rows AND labels
+    // verbatim (no reduced node names their label)
     val untouched = oldGolden.join(redCC.select(col("id").as("rid")),
       col("cluster_id") === col("rid"), "left_anti")
-    untouched.unionByName(recomputed).orderBy("cluster_id")
+    val keptLabels = oldLabels.join(redCC.select(col("id").as("rid")),
+      col("label") === col("rid"), "left_anti")
+    (keptLabels.unionByName(affectedLabels),
+      untouched.unionByName(recomputed))
+  }
+
+  /** The batched fold: bootstrap full ER on batch 0, then
+    * [[erMergeStep]] each later batch in order. Returns the final golden
+    * mart; with any batch assignment it must equal the full rebuild
+    * (LayoutLinkageSpec property-tests 2- and 3-batch splits; the
+    * gates' DuckDB oracle IS the full rebuild). Each intermediate state
+    * is eagerly checkpointed — the fold's working set is the standing
+    * (id, label) frame plus the standing golden mart, never the pair
+    * history. */
+  private[graft] def entityGoldenBatched(spark: SparkSession, dir: String,
+      batchOf: Column, nBatches: Int): DataFrame = {
+    val c = custKeyed(spark, dir).withColumn("b", batchOf).localCheckpoint(true)
+    val c0 = c.filter(col("b") === 0)
+    var labels = totalLabels(c0, fuzzyPairs(c0)).localCheckpoint(true)
+    var golden = goldenMerge(memberFrame(labels, c0)).localCheckpoint(true)
+    for (i <- 1 until nBatches) {
+      val (nl, ng) = erMergeStep(c.filter(col("b") <= i), c.filter(col("b") === i),
+        labels, golden)
+      val nlc = nl.localCheckpoint(true)
+      val ngc = ng.localCheckpoint(true)
+      labels.unpersist(false)
+      golden.unpersist(false)
+      labels = nlc
+      golden = ngc
+    }
+    golden.orderBy("cluster_id")
+  }
+
+  /** er5 — MULTI-BATCH incremental entity resolution: [[dEntityIncremental]]
+    * proves ONE merge step equals the full rebuild; this gate proves the
+    * step FOLDS — bootstrap on a third of the keys, then merge the second
+    * and third batches in sequence, each step working only against the
+    * standing labels/golden state. The invariant that makes the fold
+    * correct: every step re-establishes min-member-canonical labels, so
+    * step i+1's reduced graph composes exactly as step 1's did. Oracle =
+    * the same full rebuild. Shape at 100 TB: each day's batch prices as
+    * its own increment — pair work by the batch, CC by the batch's edges,
+    * survivorship by the affected clusters; state carried between days is
+    * the (id, label) mart plus the golden mart, exactly what a deployment
+    * persists. */
+  val dEntityMultibatch: QueryDef = QueryDef(
+    "d_entity_multibatch",
+    Some(entityGoldenSql)) { (spark, dir) =>
+    entityGoldenBatched(spark, dir, pmod(col("c_custkey"), lit(3)), 3)
   }
 
   val all: Seq[QueryDef] = Seq(dFuzzyMatch, dFuzzyPrefixBlock, dFuzzyDualBlock,
-    dEntityGolden, dEntityIncremental)
+    dEntityGolden, dEntityIncremental, dEntityMultibatch)
 }

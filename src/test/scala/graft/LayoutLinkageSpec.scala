@@ -100,6 +100,16 @@ class LayoutLinkageSpec extends SparkSpec {
         .map(_.toString).sorted.toSeq
       assert(inc === full, s"incremental diverges from full rebuild on split $name")
     }
+    // the merge step FOLDS: a 3-batch sequence (bootstrap + 2 increments)
+    // must also land on the full rebuild, for more than one batching
+    val seqSplits = Seq(
+      "mod3-seq" -> pmod(col("c_custkey"), lit(3)),
+      "hash3-seq" -> pmod(hash(col("c_custkey")), lit(3)))
+    for ((name, b) <- seqSplits) {
+      val seq3 = Linkage.entityGoldenBatched(spark, sfDir, b, 3).collect()
+        .map(_.toString).sorted.toSeq
+      assert(seq3 === full, s"3-batch fold diverges from full rebuild on $name")
+    }
   }
 
   test("zorder layout: interleaved buckets are tighter than natural buckets in the non-sort dimension") {
