@@ -2987,7 +2987,12 @@ object Similarity {
     * correlation that a permutation cannot (a permutation can only
     * RELOCATE correlated dims; the rotation collapses them), which is
     * precisely Ge's argument for the non-parametric solution; LlmOpsSpec
-    * asserts the strict ordering on the fixture. The ORACLE replays the
+    * asserts the strict ordering on the fixture. (The further
+    * composition — allocate over the ROTATED dims — was prototyped and
+    * measured marginal and non-robust here: ~1% better at sf0.01/sf0.1,
+    * slightly worse at sf0.001 — the Jacobi pass already balances the
+    * planted structure, so no composed rung is shipped.) The ORACLE
+    * replays the
     * entire arc: the mixing, the integer covariance, the full Jacobi
     * descent as a recursive CTE over a single-row (C, R) list state
     * (every pivot choice, candidate score, and truncating division

@@ -469,7 +469,9 @@ object Linkage {
     * LinkageSpec's property test proves it across random batch splits.
     * Shape at 100 TB: the increment touches new-pair blocks, a reduced
     * graph sized by the new batch's edges, and the affected clusters'
-    * members — never the untouched corpus. */
+    * members — never the untouched corpus. The step itself lives in
+    * [[erMergeStep]]; [[dEntityMultibatch]] proves it FOLDS over a batch
+    * sequence. */
   val dEntityIncremental: QueryDef = QueryDef(
     "d_entity_incremental",
     Some(entityGoldenSql)) { (spark, dir) =>
