@@ -491,9 +491,15 @@ object Linkage {
     * factored so a SEQUENCE of batches can be folded ([[dEntityMultibatch]]):
     * the state invariant (every label is the min member of its cluster)
     * is re-established by each step, which is what makes the fold
-    * associative with the full rebuild. */
+    * associative with the full rebuild. The step eagerly checkpoints the
+    * state it returns so the reduced-CC frame (fully consumed by both
+    * outputs) is released before returning — folding N batches must not
+    * pin N reduced graphs. `needLabels=false` (the fold's LAST step)
+    * skips materializing the labels state entirely: only a next step
+    * reads it. */
   private def erMergeStep(cAll: DataFrame, cNew: DataFrame,
-      oldLabels: DataFrame, oldGolden: DataFrame): (DataFrame, DataFrame) = {
+      oldLabels: DataFrame, oldGolden: DataFrame,
+      needLabels: Boolean): (DataFrame, DataFrame) = {
     // the increment's pairs: blocked new-side against ALL block members —
     // both orientations found once via least/greatest + distinct (a
     // new×new pair matches twice)
@@ -542,34 +548,43 @@ object Linkage {
       col("cluster_id") === col("rid"), "left_anti")
     val keptLabels = oldLabels.join(redCC.select(col("id").as("rid")),
       col("label") === col("rid"), "left_anti")
-    (keptLabels.unionByName(affectedLabels),
-      untouched.unionByName(recomputed))
+    val ngc = untouched.unionByName(recomputed).localCheckpoint(true)
+    val nlc = if (needLabels)
+      keptLabels.unionByName(affectedLabels).localCheckpoint(true) else null
+    redCC.unpersist(false)
+    (nlc, ngc)
   }
 
   /** The batched fold: bootstrap full ER on batch 0, then
     * [[erMergeStep]] each later batch in order. Returns the final golden
     * mart; with any batch assignment it must equal the full rebuild
     * (LayoutLinkageSpec property-tests 2- and 3-batch splits; the
-    * gates' DuckDB oracle IS the full rebuild). Each intermediate state
-    * is eagerly checkpointed — the fold's working set is the standing
-    * (id, label) frame plus the standing golden mart, never the pair
-    * history. */
+    * gates' DuckDB oracle IS the full rebuild). Each step's state is
+    * eagerly checkpointed inside [[erMergeStep]] and the previous state
+    * released — the fold's working set is the standing (id, label) frame
+    * plus the standing golden mart, never the pair history or the
+    * per-step reduced graphs. A batch id outside [0, nBatches) would
+    * silently drop (or, if negative, mislabel) rows, so it fails loudly
+    * up front, the BlockCap convention. */
   private[graft] def entityGoldenBatched(spark: SparkSession, dir: String,
       batchOf: Column, nBatches: Int): DataFrame = {
     val c = custKeyed(spark, dir).withColumn("b", batchOf).localCheckpoint(true)
+    val bad = c.filter(col("b") < 0 || col("b") >= nBatches).count()
+    require(bad == 0L,
+      s"entityGoldenBatched: $bad rows with batch id outside [0, $nBatches)")
     val c0 = c.filter(col("b") === 0)
     var labels = totalLabels(c0, fuzzyPairs(c0)).localCheckpoint(true)
     var golden = goldenMerge(memberFrame(labels, c0)).localCheckpoint(true)
     for (i <- 1 until nBatches) {
       val (nl, ng) = erMergeStep(c.filter(col("b") <= i), c.filter(col("b") === i),
-        labels, golden)
-      val nlc = nl.localCheckpoint(true)
-      val ngc = ng.localCheckpoint(true)
+        labels, golden, needLabels = i < nBatches - 1)
       labels.unpersist(false)
       golden.unpersist(false)
-      labels = nlc
-      golden = ngc
+      labels = nl
+      golden = ng
     }
+    if (labels != null) labels.unpersist(false)
+    c.unpersist(false)
     golden.orderBy("cluster_id")
   }
 

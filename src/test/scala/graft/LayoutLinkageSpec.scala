@@ -110,6 +110,12 @@ class LayoutLinkageSpec extends SparkSpec {
         .map(_.toString).sorted.toSeq
       assert(seq3 === full, s"3-batch fold diverges from full rebuild on $name")
     }
+    // out-of-range batch ids would silently drop (or mislabel) rows —
+    // the fold fails loudly instead of diverging opaquely from the oracle
+    val ex = intercept[IllegalArgumentException] {
+      Linkage.entityGoldenBatched(spark, sfDir, pmod(col("c_custkey"), lit(4)), 3)
+    }
+    assert(ex.getMessage.contains("batch id outside"))
   }
 
   test("zorder layout: interleaved buckets are tighter than natural buckets in the non-sort dimension") {
