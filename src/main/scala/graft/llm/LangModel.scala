@@ -655,6 +655,77 @@ object LangModel {
       .orderBy("threshold")
   }
 
+  /** lm — interpolated Kneser–Ney bigram model (Kneser & Ney 1995; the
+    * interpolated form of Chen & Goodman 1999 §2.7) with absolute
+    * discount D = 3/4 held as an exact rational:
+    *
+    *   p_KN(w2|w1) = (c(w1,w2) − D)/c(w1·) + λ(w1) · p_cont(w2)
+    *   λ(w1) = D · N1+(w1·)/c(w1·)      p_cont(w2) = N1+(·w2)/B
+    *
+    * where N1+(w1·)/N1+(·w2) are the follow/preceding TYPE counts and B
+    * the total bigram types — the continuation distribution is KN's whole
+    * point: a word that appears in many contexts ("york" appearing only
+    * after "new" gets a LOW continuation weight however frequent it is)
+    * is what the raw-count interpolations get wrong. All arithmetic is
+    * exact-integer micro-unit rendering in the suite's
+    * divide-before-scale discipline: the discounted term is
+    * ((4c−3)·10⁶) div (4·c₁), the interpolation term chains two
+    * truncating divisions — pc = (N1+(·w2)·10⁶) div B first, then
+    * (3·N1+(w1·)·pc) div (4·c₁) — so the widest intermediate is
+    * 3·N1+(w1·)·10⁶ (overflow only past a 3·10¹² vocabulary; the old
+    * common-denominator form would have overflowed at B ≈ 5.5·10⁵
+    * types). The gate enforces the conservation law the rational form
+    * guarantees — per context, Σ discounted + λ == 1 exactly, so the
+    * micro rendering must land in [10⁶ − (N1+(w1·)+1), 10⁶] (each
+    * truncation loses < 1 micro) — loudly over EVERY context, then emits
+    * the top-20 bigrams with MLE and KN micro columns side by side.
+    * Model/ctx arrive from the MartCache'd parquet marts ([[lmMarts]]);
+    * the type-count rollups are counter-scale aggregates of the model
+    * mart, so at 100 TB this prices as mart scans, not corpus passes. */
+  val lmKneserNey: QueryDef = QueryDef(
+    "t_lm_kneser_ney",
+    Some(s"""
+      WITH $bigramsSql,
+      model AS MATERIALIZED (
+        SELECT w1, w2, CAST(count(*) AS BIGINT) AS n_bg
+        FROM bg WHERE lang = 'en' GROUP BY w1, w2),
+      ctx AS (SELECT w1, CAST(sum(n_bg) AS BIGINT) AS n_ctx FROM model GROUP BY w1),
+      fol AS (SELECT w1, CAST(count(*) AS BIGINT) AS n_follow FROM model GROUP BY w1),
+      prc AS (SELECT w2, CAST(count(*) AS BIGINT) AS n_prec FROM model GROUP BY w2),
+      b AS (SELECT CAST(count(*) AS BIGINT) AS bt FROM model)
+      SELECT m.w1, m.w2, m.n_bg, c.n_ctx, f.n_follow, p.n_prec,
+             (m.n_bg * 1000000) // c.n_ctx AS p_mle_micro,
+             ((4 * m.n_bg - 3) * 1000000) // (4 * c.n_ctx)
+               + (3 * f.n_follow * ((p.n_prec * 1000000) // b.bt)) // (4 * c.n_ctx) AS p_kn_micro
+      FROM model m JOIN ctx c ON m.w1 = c.w1 JOIN fol f ON m.w1 = f.w1
+      JOIN prc p ON m.w2 = p.w2 CROSS JOIN b
+      ORDER BY m.n_bg DESC, m.w1, m.w2 LIMIT 20
+    """)) { (spark, dir) =>
+    val (model, ctxM) = lmMarts(spark, dir)
+    val fol = model.groupBy("w1").agg(count(lit(1)).cast(LongType).as("n_follow"))
+    val prc = model.groupBy("w2").agg(count(lit(1)).cast(LongType).as("n_prec"))
+    val bt = model.count()
+    val kn = model.join(ctxM, "w1").join(fol, "w1").join(prc, "w2")
+      .withColumn("p_mle_micro", expr("(n_bg * 1000000) div n_ctx"))
+      .withColumn("p_kn_micro",
+        expr(s"((4 * n_bg - 3) * 1000000) div (4 * n_ctx)" +
+          s" + (3 * n_follow * ((n_prec * 1000000) div $bt)) div (4 * n_ctx)"))
+    // conservation: per context w1, Σ discounted + λ = 1 in rationals —
+    // the micro rendering may only lose < 1 micro per truncation
+    val bad = kn.groupBy("w1")
+      .agg(sum(expr("((4 * n_bg - 3) * 1000000) div (4 * n_ctx)")).as("s1"),
+        max(expr("(3 * n_follow * 1000000) div (4 * n_ctx)")).as("lam"),
+        max(col("n_follow")).as("nf"))
+      .filter(col("s1") + col("lam") > lit(1000000L) ||
+        col("s1") + col("lam") < lit(1000000L) - (col("nf") + lit(1L)))
+      .count()
+    require(bad == 0L,
+      s"t_lm_kneser_ney: $bad contexts break discount mass conservation")
+    kn.select(col("w1"), col("w2"), col("n_bg"), col("n_ctx"),
+        col("n_follow"), col("n_prec"), col("p_mle_micro"), col("p_kn_micro"))
+      .orderBy(col("n_bg").desc, col("w1"), col("w2")).limit(20)
+  }
+
   val all: Seq[QueryDef] = Seq(lmScore, lmTopBigrams, lmFilter, lmIncremental,
-    lmTrigram, lmBuckets, lmPrune)
+    lmTrigram, lmBuckets, lmPrune, lmKneserNey)
 }

@@ -55,4 +55,27 @@ class LangModelSpec extends SparkSpec {
     assert(counts.forall(_ > 0))
     assert(counts.sliding(2).forall { case Array(a, b) => a >= b; case _ => true })
   }
+
+  test("Kneser-Ney: probabilities in range, discounting visible in both directions") {
+    // the in-gate require already enforces per-context mass conservation
+    // over EVERY context; here the mart-level shape
+    val rows = LangModel.lmKneserNey.run(spark, sfDir).collect()
+    assert(rows.length === 20)
+    val counts = rows.map(_.getAs[Long]("n_bg"))
+    assert(counts.sliding(2).forall { case Array(a, b) => a >= b; case _ => true })
+    rows.foreach { r =>
+      val (mle, kn) = (r.getAs[Long]("p_mle_micro"), r.getAs[Long]("p_kn_micro"))
+      assert(mle > 0 && mle <= 1000000L)
+      assert(kn >= 0 && kn <= 1000000L)
+      assert(r.getAs[Long]("n_follow") > 0 && r.getAs[Long]("n_prec") > 0)
+    }
+    // redistribution is real: the discount must take mass from some head
+    // bigrams AND the continuation term must give some back elsewhere
+    // (measured 300 up / 611 down among all bigrams at sf0.001; the
+    // top-20 head always contains both directions on this corpus)
+    assert(rows.exists(r => r.getAs[Long]("p_kn_micro") < r.getAs[Long]("p_mle_micro")),
+      "no bigram lost mass to the discount")
+    assert(rows.exists(r => r.getAs[Long]("p_kn_micro") > r.getAs[Long]("p_mle_micro")),
+      "no bigram gained continuation mass")
+  }
 }
