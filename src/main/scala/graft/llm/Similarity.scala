@@ -3494,8 +3494,9 @@ object Similarity {
 
   /** One NN-descent round: symmetrize, propose every
     * neighbor-of-a-common-neighbor, keep the best 10. Returns the
-    * (candidates, next-list) pair, both eagerly checkpointed — the
-    * caller counts what it needs and unpersists both. */
+    * (candidates, next-list) pair, both eagerly checkpointed — the one
+    * caller (the [[nnDag]] mart builder) counts both and unpersists
+    * both, so neither checkpoint is ever a wasted materialization. */
   private def nnStep(e: DataFrame, cur: DataFrame): (DataFrame, DataFrame) = {
     val und = cur.unionByName(cur.select(col("t").as("s"), col("s").as("t")))
       .distinct().localCheckpoint(true)
@@ -3508,6 +3509,52 @@ object Similarity {
     (cand, next)
   }
 
+  /** One NN-descent BUILD per corpus snapshot, the
+    * [[graft.pipeline.MartCache]] discipline: the mart holds every
+    * round's kept list tagged with that round's candidate volume —
+    * (round, s, t, cand_pairs) — with round 0 being the TRIMMED init
+    * (the list the trajectory audits; the chain itself grows off the
+    * untrimmed l0, exactly as the oracle's u1 does). The build is the
+    * expensive step and its output is (rounds+1)·n·K long triples, so it
+    * is paid once and BOTH consumers — the [[simNnDescent]] trajectory
+    * audit and the [[simGraphServe]] walk — read the table back; a
+    * deployment's "graph built once" story is literal here. Every
+    * per-round checkpoint is released before the builder returns (the
+    * union is first eagerly materialized so the truncated lineages are
+    * never recomputed); the one frame that outlives the builder is that
+    * union, released like every mart artifact by releaseSessionState. */
+  private val nnDag = new graft.pipeline.ModelRegistry(Seq(
+    graft.pipeline.ModelDef("mart_nn_rounds", Nil, mart = true) { (s, d, _) =>
+      val (e, n) = nnEmb(s, d)
+      val init = nnInit(s, d, e, n)
+      var cur = init
+      val kept = scala.collection.mutable.ArrayBuffer[DataFrame]()
+      var out = nnTopK(e)(init)
+        .select(lit(0L).as("round"), col("s"), col("t"), lit(0L).as("cand_pairs"))
+      for (r <- 1 to NndRounds) {
+        val (cand, next) = nnStep(e, cur)
+        out = out.unionByName(next.select(lit(r.toLong).as("round"), col("s"),
+          col("t"), lit(cand.count()).as("cand_pairs")))
+        cand.unpersist(false)
+        kept += next
+        cur = next
+      }
+      val mat = out.localCheckpoint(true)
+      init.unpersist(false)
+      kept.foreach(_.unpersist(false))
+      e.unpersist(false)
+      mat
+    }))
+
+  /** Materialize-once accessor for the per-round NN-descent mart; every
+    * call returns a fresh parquet scan. The prefix carries the corpus
+    * snapshot signature so a regenerated dataset rebuilds the graph. */
+  private def nnRoundsMart(spark: SparkSession, dir: String): DataFrame = {
+    val prefix = s"nn_marts_${core.sourceSig(spark, dir, "embeddings")}"
+    graft.pipeline.MartCache.ensure(spark, dir, nnDag, prefix, "graft_nn_")
+    spark.read.parquet(core.scratch(dir, s"$prefix/mart_nn_rounds"))
+  }
+
   val simNnDescent: QueryDef = {
     QueryDef("sim_nndescent", Some(nnDescentSql(NndRounds))) { (spark, dir) =>
       val (e, n) = nnEmb(spark, dir)
@@ -3516,22 +3563,19 @@ object Similarity {
         e.select(col("vec_id").as("s"))
           .crossJoin(broadcast(e.select(col("vec_id").as("t"))))
           .filter(col("s") =!= col("t"))).localCheckpoint(true)
-      var cur = nnInit(spark, dir, e, n)
-      val hits0 = nnTopK(e)(cur).join(exactK, Seq("s", "t")).count()
-      val stats = scala.collection.mutable.ArrayBuffer((0L, 0L, hits0))
-      for (r <- 1 to NndRounds) {
-        val (cand, next) = nnStep(e, cur)
-        stats += ((r.toLong, cand.count(), next.join(exactK, Seq("s", "t")).count()))
-        cand.unpersist(false)
-        cur.unpersist(false)
-        cur = next
-      }
-      cur.unpersist(false)
+      // counter-scale collect: NndRounds+1 stat rows off the mart
+      val stats = nnRoundsMart(spark, dir)
+        .join(exactK.select(col("s"), col("t"), lit(1L).as("hit")),
+          Seq("s", "t"), "left")
+        .groupBy("round")
+        .agg(max("cand_pairs").as("cand_pairs"),
+          sum(coalesce(col("hit"), lit(0L))).as("hits"))
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+        .toSeq.sortBy(_._1)
       exactK.unpersist(false)
       e.unpersist(false)
-      // the mart is counter-scale driver values — nothing above survives
       import spark.implicits._
-      stats.toSeq.toDF("round", "cand_pairs", "hits")
+      stats.toDF("round", "cand_pairs", "hits")
         .select(col("round"), col("cand_pairs"), col("hits"),
           lit(n * 10).as("total"),
           round(col("hits").cast(DoubleType) / lit((n * 10).toDouble), 6).as("recall_r"))
@@ -3617,14 +3661,14 @@ object Similarity {
     QueryDef("sim_graph_serve", Some(graphServeSql(NndRounds, NndServeSteps))) { (spark, dir) =>
       import org.apache.spark.sql.expressions.Window
       val (e, n) = nnEmb(spark, dir)
-      var cur = nnInit(spark, dir, e, n)
-      for (_ <- 1 to NndRounds) {
-        val (cand, next) = nnStep(e, cur)
-        cand.unpersist(false)
-        cur.unpersist(false)
-        cur = next
-      }
-      val graph = cur.toDF("gs", "gt")
+      // the gate hardcodes held-out queries vec_id 16..23 and a recall
+      // denominator of 80 — a smaller corpus would pass nnEmb's dense-id
+      // guard yet emit a silently meaningless (or empty-query) metric
+      require(n >= 24,
+        s"sim_graph_serve needs vec_id 16..23 as held-out queries (n=$n < 24)")
+      val graph = nnRoundsMart(spark, dir)
+        .filter(col("round") === NndRounds)
+        .select(col("s").as("gs"), col("t").as("gt")).localCheckpoint(true)
       val qs = e.filter(col("vec_id") >= 16 && col("vec_id") < 24)
         .select(col("vec_id").as("qid"), col("embedding").as("qv"))
       val qsc = e.crossJoin(broadcast(qs))
@@ -3660,7 +3704,7 @@ object Similarity {
       pcell.unpersist(false)
       exq.unpersist(false)
       qsc.unpersist(false)
-      cur.unpersist(false)
+      graph.unpersist(false)
       e.unpersist(false)
       import spark.implicits._
       Seq(("graph", scannedG, hitsG), ("probe1", scannedP, hitsP))

@@ -565,11 +565,14 @@ object Linkage {
     * plus the standing golden mart, never the pair history or the
     * per-step reduced graphs. A batch id outside [0, nBatches) would
     * silently drop (or, if negative, mislabel) rows, so it fails loudly
-    * up front, the BlockCap convention. */
+    * up front, the BlockCap convention — and a NULL batch id counts as
+    * bad too (a null-yielding batch expression would otherwise slip past
+    * every range predicate and vanish from all `b === i` filters). */
   private[graft] def entityGoldenBatched(spark: SparkSession, dir: String,
       batchOf: Column, nBatches: Int): DataFrame = {
     val c = custKeyed(spark, dir).withColumn("b", batchOf).localCheckpoint(true)
-    val bad = c.filter(col("b") < 0 || col("b") >= nBatches).count()
+    val bad = c.filter(
+      col("b").isNull || col("b") < 0 || col("b") >= nBatches).count()
     require(bad == 0L,
       s"entityGoldenBatched: $bad rows with batch id outside [0, $nBatches)")
     val c0 = c.filter(col("b") === 0)

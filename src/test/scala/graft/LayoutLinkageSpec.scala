@@ -2,7 +2,7 @@ package graft
 
 import graft.operators.Linkage
 import graft.sources.Ingest
-import org.apache.spark.sql.functions.{col, hash, lit, pmod}
+import org.apache.spark.sql.functions.{col, hash, lit, pmod, when}
 
 /** Invariants of the blocking/entity-resolution and z-order layout gates
   * beyond the hash oracle: the blocking bound that caps candidate pairs,
@@ -116,6 +116,13 @@ class LayoutLinkageSpec extends SparkSpec {
       Linkage.entityGoldenBatched(spark, sfDir, pmod(col("c_custkey"), lit(4)), 3)
     }
     assert(ex.getMessage.contains("batch id outside"))
+    // a NULL batch id is three-valued-logic-invisible to every range and
+    // equality predicate — it must hit the same loud guard, not vanish
+    val exNull = intercept[IllegalArgumentException] {
+      Linkage.entityGoldenBatched(spark, sfDir,
+        when(col("c_custkey") % 5 === 0, lit(null)).otherwise(lit(0)), 3)
+    }
+    assert(exNull.getMessage.contains("batch id outside"))
   }
 
   test("zorder layout: interleaved buckets are tighter than natural buckets in the non-sort dimension") {
