@@ -197,7 +197,17 @@ object Bench {
       // review; the driver never sets the filter, so its artifact always
       // carries the plain contract)
       val qorder = if (only.isDefined) "sorted-name-filtered" else "sorted-name"
-      s"""{"metric":"total","value":${rnd(total, 1)},"unit":"sec","unit_q":"ds","qorder":"$qorder","nq":${qlist.size},"qv":$vals$errPart$host,"sf":"$sfName"}"""
+      // "qsig" keys the positional join (r14 ADVICE): md5-8 of the sorted
+      // gate-name list qv is aligned to, so tools/benchdrift.py can verify
+      // a names source is THE list this artifact measured instead of
+      // trusting a length match — 18 chars buys a keyed join the 1950-char
+      // tail window could never fit as 204 literal names
+      val qsig = {
+        val md = java.security.MessageDigest.getInstance("MD5")
+        md.digest(qlist.map(_._1).mkString("\n").getBytes("UTF-8"))
+          .take(4).map("%02x".format(_)).mkString
+      }
+      s"""{"metric":"total","value":${rnd(total, 1)},"unit":"sec","unit_q":"ds","qorder":"$qorder","qsig":"$qsig","nq":${qlist.size},"qv":$vals$errPart$host,"sf":"$sfName"}"""
     }
     // fallback if the registry ever outgrows the tail window at ds
     // precision: whole-second per-query values (no "unit_q" key)

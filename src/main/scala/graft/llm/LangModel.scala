@@ -711,13 +711,16 @@ object LangModel {
         expr(s"((4 * n_bg - 3) * 1000000) div (4 * n_ctx)" +
           s" + (3 * n_follow * ((n_prec * 1000000) div $bt)) div (4 * n_ctx)"))
     // conservation: per context w1, Σ discounted + λ = 1 in rationals —
-    // the micro rendering may only lose < 1 micro per truncation
+    // each of the nf+1 truncations loses STRICTLY less than 1 micro, so
+    // the rendered mass lies in (10⁶ − (nf+1), 10⁶]: the lower bound is
+    // open (r14 ADVICE — a sum landing exactly ON 10⁶−(nf+1) is already
+    // impossible under the law, so it must flag, not pass)
     val bad = kn.groupBy("w1")
       .agg(sum(expr("((4 * n_bg - 3) * 1000000) div (4 * n_ctx)")).as("s1"),
         max(expr("(3 * n_follow * 1000000) div (4 * n_ctx)")).as("lam"),
         max(col("n_follow")).as("nf"))
       .filter(col("s1") + col("lam") > lit(1000000L) ||
-        col("s1") + col("lam") < lit(1000000L) - (col("nf") + lit(1L)))
+        col("s1") + col("lam") <= lit(1000000L) - (col("nf") + lit(1L)))
       .count()
     require(bad == 0L,
       s"t_lm_kneser_ney: $bad contexts break discount mass conservation")

@@ -82,6 +82,23 @@ def main(argv):
         if len(b["qv"]) != len(n):
             sys.exit(f"benchdrift: {tag} qv has {len(b['qv'])} entries "
                      f"but {len(n)} gate names — wrong names source?")
+        # keyed join (r14 ADVICE): artifacts since round 15 carry qsig =
+        # md5-8 of the sorted name list qv was measured against; a names
+        # source with the right LENGTH but the wrong round now fails loud
+        # instead of silently misattributing every drift number
+        if "qsig" in b:
+            import hashlib
+            sig = hashlib.md5("\n".join(n).encode()).hexdigest()[:8]
+            if sig != b["qsig"]:
+                sys.exit(f"benchdrift: {tag} names source signature {sig} "
+                         f"!= artifact qsig {b['qsig']} — wrong names source")
+        # sum(qv) must reconcile with the reported total up to per-gate
+        # decisecond rounding (covers pre-qsig artifacts too)
+        ok = [v for v in b["qv"] if v >= 0]
+        tol = 0.06 * len(ok) + 1.0
+        if abs(sum(ok) / 10.0 - float(b.get("value", 0))) > tol:
+            sys.exit(f"benchdrift: {tag} sum(qv)={sum(ok)/10.0}s does not "
+                     f"reconcile with total {b.get('value')}s (tol {tol:.1f})")
     prev = dict(zip(prev_n, prev_b["qv"]))
     new = dict(zip(new_n, new_b["qv"]))
     shared = sorted(set(prev) & set(new))
