@@ -764,6 +764,22 @@ object Similarity {
   private val PqM = 4
   private val PqSub = 16
 
+  /** Codewords per subspace of the SERVED product quantizer (6-bit codes).
+    * The value is the MEASURED optimum, not a guess: `sim_pq_codebook_size`
+    * trains the converged book at k* ∈ {8, 32, 64} and grades each by
+    * beam-200 recall@10 over the held-out query set — 0.51 → 0.78 → 0.84
+    * at sf0.1 (the 3-bit book was [[simAnnFrontier]]'s binding
+    * constraint). Round 15 adopts the measured-best size in every default
+    * read path (encode, ADC search, IVFADC raw + residual, re-rank,
+    * recall harness, frontier), per the r14 verdict's top item; the
+    * codebook-size gate keeps measuring all three rungs so a corpus where
+    * a different k* wins is caught by the same harness. Seeds = the first
+    * PqK vectors' subvectors (nested with the smaller rungs by
+    * construction). Production PQ ships k* = 256 (8-bit codes); 64 keeps
+    * the didactic oracles replayable while serving the best measured
+    * operating point on this corpus. */
+  private[graft] val PqK = 64
+
   /** DuckDB squared-L2 between subspace `m` of two array expressions —
     * same sequential fold (and the same bracketing) as the Spark twin. */
   private def pqSubSqSql(a: String, b: String, m: Int): String = {
@@ -794,6 +810,16 @@ object Similarity {
   private def pqSubSq(a: Column, b: Column, m: Int): Column =
     pqSq(slice(a, m * PqSub + 1, PqSub), slice(b, m * PqSub + 1, PqSub))
 
+  /** The SEEDED PQ codebook vectors — the first [[PqK]] corpus vectors,
+    * folded into one broadcast row of struct(cent_id, cv) exactly like
+    * [[ivfCentroids]] (which stays 8-row: coarse cells and PQ codewords
+    * are independent knobs; the codebook grew to the measured-best k*
+    * while the cell count is the partitioning choice). */
+  private def pqSeedCentroids(spark: SparkSession, dir: String): DataFrame =
+    emb(spark, dir).filter(col("vec_id") < PqK)
+      .agg(collect_list(struct(col("vec_id").as("cent_id"), col("embedding").as("cv")))
+        .as("cents"))
+
   /** Nearest codeword for subspace `m` over the broadcast `cents` row:
     * struct(d, code) argmin, ties toward the lower code via the 1e-12
     * bias the oracle replays verbatim. */
@@ -806,13 +832,13 @@ object Similarity {
     * compression layer under billion-scale ANN, and the natural companion
     * to [[simIvfProbe]]: IVF prunes which vectors to scan, PQ shrinks what
     * each scan reads). The 64-dim space splits into M=4 independent
-    * 16-dim subspaces; each subvector quantizes to its nearest of 8
-    * codewords (argmin squared L2, ties toward the lower code via the
+    * 16-dim subspaces; each subvector quantizes to its nearest of [[PqK]]
+    * = 64 codewords (argmin squared L2, ties toward the lower code via the
     * 1e-12 bias the oracle replays), so a vector stores as 4 small codes —
-    * 256 bytes of floats → 4 codes — plus one shared codebook. Codebook =
-    * the suite's deterministic seed vectors (vec_id < 8, sliced per
-    * subspace), the same stand-in [[simIvfProbe]] uses for its coarse
-    * quantizer; [[simKmeansConverged]] is the trained-codebook path.
+    * 256 bytes of floats → 4 six-bit codes — plus one shared codebook.
+    * Codebook = the suite's deterministic seed vectors (vec_id < [[PqK]],
+    * sliced per subspace — the measured-best size, see [[PqK]]);
+    * [[simKmeansConverged]] is the trained-codebook path.
     * Posture at 100 TB: the codebook folds into ONE broadcast row, encode
     * is a map-only pass (no shuffle ever carries a vector), and the
     * emitted `recon_r` (total squared distortion, the PQ training loss) is
@@ -832,7 +858,7 @@ object Similarity {
       "sim_pq_encode",
       Some(s"""
         WITH cents AS (
-          SELECT vec_id AS cid, embedding AS cv FROM embeddings WHERE vec_id < 8),
+          SELECT vec_id AS cid, embedding AS cv FROM embeddings WHERE vec_id < $PqK),
         d AS (
           SELECT e.vec_id, e.label, c.cid,
                $dCols
@@ -845,7 +871,7 @@ object Similarity {
                round(r0 + r1 + r2 + r3, 6) AS recon_r
         FROM enc ORDER BY vec_id
       """)) { (spark, dir) =>
-      emb(spark, dir).crossJoin(broadcast(ivfCentroids(spark, dir)))
+      emb(spark, dir).crossJoin(broadcast(pqSeedCentroids(spark, dir)))
         .select(Seq(col("vec_id"), col("label")) ++
           (0 until PqM).map(m => pqBest(m).as(s"b$m")): _*)
         .select(Seq(col("vec_id"), col("label")) ++
@@ -858,9 +884,9 @@ object Similarity {
 
   /** sim11 — PQ ASYMMETRIC-DISTANCE search (the payoff of
     * [[simPqEncode]]): answer a query by scanning CODES, not vectors. The
-    * query precomputes its squared distance to each of the 8 codewords per
-    * subspace — a 32-entry lookup table, here an 8-row frame with one
-    * column per subspace — and every encoded vector's approximate distance
+    * query precomputes its squared distance to each of the [[PqK]] = 64
+    * codewords per subspace — a 256-entry lookup table, here a 64-row
+    * frame with one column per subspace — and every encoded vector's approximate distance
     * is just Σ_m lut[code_m]: four broadcast joins against the tiny table,
     * zero vector arithmetic per corpus row. At 100 TB this is the design
     * point: the scan touches 4 codes/vector instead of 256 bytes of
@@ -880,7 +906,7 @@ object Similarity {
       "sim_pq_search",
       Some(s"""
         WITH cents AS (
-          SELECT vec_id AS cid, embedding AS cv FROM embeddings WHERE vec_id < 8),
+          SELECT vec_id AS cid, embedding AS cv FROM embeddings WHERE vec_id < $PqK),
         d AS (
           SELECT e.vec_id, e.label, c.cid,
                $dCols
@@ -912,15 +938,15 @@ object Similarity {
 
   /** The seeded-codebook ADC scan shared by [[simPqSearch]] and
     * [[simAnnRecall]]: every vector's 4 codes joined against query 17's
-    * 32-entry LUT, scored Σ_m lut[m, code_m] in fixed order. Returns the
-    * full (vec_id, label, adc) frame, pre-ranking. */
+    * 4·[[PqK]]-entry LUT, scored Σ_m lut[m, code_m] in fixed order.
+    * Returns the full (vec_id, label, adc) frame, pre-ranking. */
   private def seededAdcScores(spark: SparkSession, dir: String): DataFrame = {
-    val enc = emb(spark, dir).crossJoin(broadcast(ivfCentroids(spark, dir)))
+    val enc = emb(spark, dir).crossJoin(broadcast(pqSeedCentroids(spark, dir)))
       .select(Seq(col("vec_id"), col("label")) ++
         (0 until PqM).map(m => pqBest(m)("code").as(s"code$m")): _*)
     val q = emb(spark, dir).filter(col("vec_id") === 17)
       .select(col("embedding").as("qv"))
-    val qd = emb(spark, dir).filter(col("vec_id") < 8)
+    val qd = emb(spark, dir).filter(col("vec_id") < PqK)
       .select(col("vec_id").as("cid"), col("embedding").as("cv"))
       .crossJoin(broadcast(q))
       .select(Seq(col("cid")) ++
@@ -943,7 +969,7 @@ object Similarity {
     * trained codebook is bit-identical at any parallelism. Emitted as
     * exploded scalar rows (subspace, code, pos, c_r, n_members), the same
     * oracle-comparable shape as the k-means gates. Shape at 100 TB: the
-    * 32-codeword table folds into one broadcast row, assignment is a
+    * 4·[[PqK]]-codeword table folds into one broadcast row, assignment is a
     * map-only pass over (vec, subspace) rows, and the recompute shuffles
     * only (m, cell, pos) integer partials — 4× the rows of one k-means
     * round, never a vector in a shuffle. */
@@ -958,7 +984,7 @@ object Similarity {
       csub AS (
         SELECT c.vec_id AS cid, ms.m,
                list_slice(c.embedding, ms.m * $PqSub + 1, ms.m * $PqSub + $PqSub) AS cs
-        FROM embeddings c, ms WHERE c.vec_id < 8),
+        FROM embeddings c, ms WHERE c.vec_id < $PqK),
       assigned AS (
         SELECT s.vec_id, s.m, s.sv,
                arg_min(c.cid, ${pqSqSql16("s.sv", "c.cs")} + 1e-12 * c.cid) AS cell
@@ -973,15 +999,22 @@ object Similarity {
                count(*) AS n
         FROM ex GROUP BY m, cell, pos)
       SELECT CAST(m AS BIGINT) AS m, cell AS code, CAST(pos AS BIGINT) AS pos,
-             round(CAST(s AS DOUBLE) / CAST(n AS DOUBLE) / 10000000.0, 6) AS c_r,
+             -- floor-quantized display (not round): both engines floor the
+             -- bit-identical double, so a mean sitting on a 5e-7 half
+             -- boundary cannot straddle the engines' round conventions
+             -- (Spark rounds the shortest decimal repr via BigDecimal,
+             -- DuckDB rounds the scaled double — they split exactly at
+             -- halves, which the 64-code book's denser cells now hit)
+             floor(CAST(s AS DOUBLE) / CAST(n AS DOUBLE) / 10000000.0 * 1000000.0)
+               / 1000000.0 AS c_r,
              CAST(n AS BIGINT) AS n_members
       FROM per ORDER BY m, code, pos
     """)) { (spark, dir) =>
     pqTrainedElems(spark, dir)
       .select(col("m").cast(LongType).as("m"), col("cell").as("code"),
         col("pos").cast(LongType).as("pos"),
-        round(col("s").cast(DoubleType) / col("n").cast(DoubleType) / 10000000.0, 6)
-          .as("c_r"),
+        (floor(col("s").cast(DoubleType) / col("n").cast(DoubleType) / 10000000.0
+          * 1000000.0) / 1000000.0).as("c_r"),
         col("n").as("n_members"))
       .orderBy("m", "code", "pos")
   }
@@ -996,7 +1029,7 @@ object Similarity {
     val sub = emb(spark, dir)
       .select(col("vec_id"), explode(array(subs: _*)).as("x"))
       .select(col("vec_id"), col("x.m").as("m"), col("x.sv").as("sv"))
-    val cbook = emb(spark, dir).filter(col("vec_id") < 8)
+    val cbook = emb(spark, dir).filter(col("vec_id") < PqK)
       .select(col("vec_id").as("cid"), explode(array(subs: _*)).as("x"))
       .select(col("cid"), col("x.m").as("cm"), col("x.sv").as("cs"))
       .agg(collect_list(struct(col("cm"), col("cid"), col("cs"))).as("cents"))
@@ -1023,7 +1056,7 @@ object Similarity {
 
   /** The trained PQ codebook in array shape: (m, code, cv ARRAY<DOUBLE>) —
     * bit-identical doubles at any parallelism (fixed-point integer means,
-    * the [[simCentroids]] discipline). ≤ M·8 rows: folds into one
+    * the [[simCentroids]] discipline). ≤ M·[[PqK]] rows: folds into one
     * broadcast row for encode and LUT passes. */
   private[graft] def pqTrainedBook(spark: SparkSession, dir: String): DataFrame =
     pqTrainedElems(spark, dir)
@@ -1065,7 +1098,7 @@ object Similarity {
                arg_min(b.code, $sq + 1e-12 * b.code) AS cell
         FROM $sub s JOIN $prev b ON s.m = b.m
         GROUP BY s.vec_id, s.m, s.sv),
-      ${p}b$r AS (
+      ${p}b$r AS MATERIALIZED (
         SELECT m, cell AS code,
                list(CAST(s AS DOUBLE) / CAST(n AS DOUBLE) / 10000000.0 ORDER BY pos) AS cv
         FROM (
@@ -1090,7 +1123,7 @@ object Similarity {
     * codewords bit-for-bit, so the pinned-budget oracle and this loop
     * land on identical books. Returns the final per-(m, code) records —
     * codeword values, member count, 1e-7-quantized inertia — collected to
-    * the driver (≤ M·8 rows, a value, not a plan). Per-round cost at
+    * the driver (≤ M·[[PqK]] rows, a value, not a plan). Per-round cost at
     * 100 TB: one broadcast-argmin map pass over (vec, subspace) rows plus
     * one (m, cell, pos) integer-partial recompute; no vector in any
     * shuffle; superseded book checkpoints released in-loop. */
@@ -1201,7 +1234,7 @@ object Similarity {
   }
 
   /** Memoized CONVERGED books (raw + residual variants), value-memoed like
-    * [[Bpe.trainMergesR]]'s merge table: the artifact is ≤ M·8 codewords of
+    * [[Bpe.trainMergesR]]'s merge table: the artifact is ≤ M·[[PqK]] codewords of
     * [[PqSub]] doubles plus two scalars each, so the memo holds the VALUE
     * and consumers re-inject it as a literal local relation — plans stay
     * tiny, `releaseSessionState` has nothing to evict, and training runs
@@ -1237,13 +1270,15 @@ object Similarity {
   }
 
   /** Converged RAW-vector book records (m, code, cv, n_members,
-    * inertia_q); seeds = vec_id < 8 subvectors, the same seeding every PQ
-    * gate uses. */
+    * inertia_q); seeds = vec_id < [[PqK]] subvectors — the SERVED
+    * codebook size (the measured-best k* = 64, adopted round 15; the same
+    * seeding `sim_pq_codebook_size`'s winning rung trains from, so the
+    * adopted book IS the measured book). */
   private[graft] def convergedRawBook(spark: SparkSession, dir: String): Seq[(Int, Long, Seq[Double], Long, Long)] =
     memoBook(spark, dir, "raw") {
       val subs = (0 until PqM).map(m => struct(lit(m).as("m"),
         slice(col("embedding"), m * PqSub + 1, PqSub).as("sv")))
-      val seed = emb(spark, dir).filter(col("vec_id") < 8)
+      val seed = emb(spark, dir).filter(col("vec_id") < PqK)
         .select(col("vec_id").as("code"), explode(array(subs: _*)).as("x"))
         .select(col("x.m").as("m"), col("code").cast(LongType).as("code"),
           col("x.sv").cast(ArrayType(DoubleType)).as("cv"))
@@ -1252,7 +1287,10 @@ object Similarity {
 
   /** Converged RESIDUAL book records; the subvector stream and seeds are
     * the residuals [[ivfResiduals]] emits (seeds = residuals of vectors
-    * 8..15, code = vec_id − 8 — the [[simIvfAdcResidual]] convention). */
+    * 8 .. 8+[[PqK]]−1, code = vec_id − 8 — the [[simIvfAdcResidual]]
+    * convention, skipping the 8 coarse centroids whose residuals are
+    * zero; sized to [[PqK]] so the raw-vs-residual harness comparison
+    * grants both codings the same bit budget). */
   private[graft] def convergedResidualBook(spark: SparkSession, dir: String): Seq[(Int, Long, Seq[Double], Long, Long)] =
     memoBook(spark, dir, "res") {
       val res = ivfResiduals(spark, dir).localCheckpoint(true)
@@ -1261,7 +1299,7 @@ object Similarity {
       val rsub = res
         .select(col("vec_id"), explode(array(subs: _*)).as("x"))
         .select(col("vec_id"), col("x.m").as("m"), col("x.sv").as("sv"))
-      val seed = res.filter(col("vec_id") >= 8 && col("vec_id") < 16)
+      val seed = res.filter(col("vec_id") >= 8 && col("vec_id") < 8 + PqK)
         .select((col("vec_id") - 8).cast(LongType).as("code"),
           explode(array(subs: _*)).as("x"))
         .select(col("x.m").as("m"), col("code"), col("x.sv").as("cv"))
@@ -1291,7 +1329,7 @@ object Similarity {
     * book's total distortion ≤ the one-round book's; LlmOpsSpec asserts
     * exactly that against [[simPqTrain]]'s book). Shape at 100 TB: per
     * round one broadcast-argmin map pass + one integer-partial recompute;
-    * the book is a driver value after training (≤ 32 codewords), so every
+    * the book is a driver value after training (≤ M·[[PqK]] = 256 codewords), so every
     * consumer re-injects it as a literal instead of re-deriving the
     * subtree. */
   val simPqTrainConverged: QueryDef = QueryDef(
@@ -1306,7 +1344,7 @@ object Similarity {
         SELECT ms.m, CAST(c.vec_id AS BIGINT) AS code,
                list_transform(list_slice(c.embedding, ms.m * $PqSub + 1, ms.m * $PqSub + $PqSub),
                  x -> CAST(x AS DOUBLE)) AS cv
-        FROM embeddings c, ms WHERE c.vec_id < 8),
+        FROM embeddings c, ms WHERE c.vec_id < $PqK),
       ${pqRoundsSql("p", "sub", "pb0")},
       paf AS (
         SELECT s.vec_id, s.m,
@@ -1323,7 +1361,7 @@ object Similarity {
         SELECT m, code, unnest(range(0, $PqSub)) AS pos, unnest(cv) AS v
         FROM pb$PqTrainRounds)
       SELECT CAST(e.m AS BIGINT) AS m, e.code, CAST(e.pos AS BIGINT) AS pos,
-             round(e.v, 6) AS c_r,
+             floor(e.v * 1000000.0) / 1000000.0 AS c_r,
              CAST(coalesce(s.n_members, 0) AS BIGINT) AS n_members,
              CAST(coalesce(s.inertia_q, 0) AS BIGINT) AS inertia_q
       FROM exploded e LEFT JOIN sizes s ON e.m = s.m AND e.code = s.cell
@@ -1337,7 +1375,8 @@ object Similarity {
         col("n_members"), col("inertia_q"),
         posexplode(col("cv")).as(Seq("pos", "v")))
       .select(col("m"), col("code"), col("pos").cast(LongType).as("pos"),
-        round(col("v"), 6).as("c_r"), col("n_members"), col("inertia_q"))
+        (floor(col("v") * 1000000.0) / 1000000.0).as("c_r"),
+        col("n_members"), col("inertia_q"))
       .orderBy("m", "code", "pos")
   }
 
@@ -1359,7 +1398,7 @@ object Similarity {
     * against the CONVERGED codebook ([[convergedRawBook]] —
     * `sim_pq_train_converged`'s fixpoint-trained artifact; round 12 used
     * the one-round book, round 13 closed the loop), and ranking is the
-    * ADC scan: the query's 32-entry LUT of subspace distances to every
+    * ADC scan: the query's 4·[[PqK]] = 256-entry LUT of subspace distances to every
     * trained codeword, one broadcast join per subspace code, Σ_m lut[m,
     * code_m] in fixed order. Shape at 100 TB: centroids + codebook + LUT
     * each fold into one broadcast row; the only per-corpus-row work before
@@ -1398,7 +1437,7 @@ object Similarity {
         SELECT ms.m, CAST(c.vec_id AS BIGINT) AS code,
                list_transform(list_slice(c.embedding, ms.m * $PqSub + 1, ms.m * $PqSub + $PqSub),
                  x -> CAST(x AS DOUBLE)) AS cv
-        FROM embeddings c, ms WHERE c.vec_id < 8),
+        FROM embeddings c, ms WHERE c.vec_id < $PqK),
       ${pqRoundsSql("p", "sub", "pb0")},
       book AS (SELECT m, code, cv FROM pb$PqTrainRounds),
       lut AS (
@@ -1461,14 +1500,14 @@ object Similarity {
         col("x.m").as("m"), col("x.sv").as("sv"))
     // the CONVERGED codebook (round-12 queue #1): trained once per
     // (session, snapshot) by the fixpoint loop and re-injected here as a
-    // ≤ 32-row literal — the encode fold and the LUT below share the
+    // ≤ M·PqK-row literal — the encode fold and the LUT below share the
     // same value by construction (the round-12 double-training finding
     // cannot recur: there is no training subtree left in this plan)
     val book = bookDf(spark, convergedRawBook(spark, dir))
     val enc = cand.crossJoin(broadcast(pqBookRow(book)))
       .select(col("vec_id"), col("label"), col("cell"), col("m"),
         pqBookBest("code").as("code"))
-    // the query's 32-entry LUT: subspace distance to every trained codeword
+    // the query's 4·PqK-entry LUT: subspace distance to every trained codeword
     val qRow = emb(spark, dir).filter(col("vec_id") === 17)
       .select(col("embedding").as("qv"))
     val lut = book.crossJoin(broadcast(qRow))
@@ -1597,11 +1636,12 @@ object Similarity {
     * step past [[simIvfAdc]] (which PQ-codes RAW vectors). Coarse-quantize,
     * subtract the cell centroid, train a product quantizer ON THE
     * RESIDUALS to the [[PqTrainRounds]]-budgeted assignment fixpoint
-    * ([[convergedResidualBook]], seeded by the residuals of vectors 8..15;
+    * ([[convergedResidualBook]], seeded by the residuals of vectors
+    * 8 .. 8+PqK−1;
     * the same quantizer serves every cell, per the paper), and answer the
     * query per probed cell: the query's residual against THAT cell's
-    * centroid builds a per-cell LUT (3 cells × 4 subspaces × 8 codes = 96
-    * broadcast rows), candidates are only the probed cells' members, and
+    * centroid builds a per-cell LUT (3 cells × 4 subspaces × [[PqK]] = 64
+    * codes = 768 broadcast rows), candidates are only the probed cells' members, and
     * the ADC score is Σ_m lut[cell, m, code_m] in fixed order. Residuals
     * matter (on clustered corpora) because the same
     * displacement-from-centroid codebook is shared across cells —
@@ -1613,7 +1653,7 @@ object Similarity {
     * recall is below raw-ADC) — this gate pins the PIPELINE's
     * correctness; the harness decides when to deploy it.
     * Shape at 100 TB: centroids (8), the residual codebook (one folded
-    * row), and the per-cell LUT (96 rows) all broadcast; residual
+    * row), and the per-cell LUT (768 rows) all broadcast; residual
     * computation is map-side; training shuffles only (m, code, pos)
     * integer partials; candidates carry 4 codes + scalars — no vector in
     * any shuffle, candidate volume P/K of the corpus. As with
@@ -1644,7 +1684,7 @@ object Similarity {
       rb0 AS (
         SELECT ms.m, CAST(r.vec_id - 8 AS BIGINT) AS code,
                list_slice(r.rv, ms.m * $PqSub + 1, ms.m * $PqSub + $PqSub) AS cv
-        FROM res r, ms WHERE r.vec_id >= 8 AND r.vec_id < 16),
+        FROM res r, ms WHERE r.vec_id >= 8 AND r.vec_id < ${8 + PqK}),
       ${pqRoundsSql("r", "rsub", "rb0")},
       book AS (SELECT m, code, cv AS bv FROM rb$PqTrainRounds),
       q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 17),
@@ -1681,7 +1721,7 @@ object Similarity {
       SELECT vec_id, label, cell, round(qd0 + qd1 + qd2 + qd3, 6) AS adc_r
       FROM adc ORDER BY qd0 + qd1 + qd2 + qd3, vec_id LIMIT 10
     """)) { (spark, dir) =>
-      // the CONVERGED residual book arrives as a memoized ≤ 32-row literal
+      // the CONVERGED residual book arrives as a memoized ≤ M·PqK-row literal
       // (the fixpoint loop ran once per session/snapshot inside
       // convergedResidualBook, which checkpoints its own residual frame);
       // res here has ONE consumer — the candidate encode — so no
@@ -1691,7 +1731,7 @@ object Similarity {
         slice(col("rv"), m * PqSub + 1, PqSub).as("sv")))
       val book = bookDf(spark, convergedResidualBook(spark, dir))
         .withColumnRenamed("cv", "bv")
-      // per-probed-cell query residual → the 96-row (cell, m, code) LUT
+      // per-probed-cell query residual → the 768-row (cell, m, code) LUT
       val qprobe = probeQuery(spark, dir, vecId = 17, nProbe = 3)
       val qres = qprobe
         .join(broadcast(emb(spark, dir).filter(col("vec_id") < 8)
@@ -1751,6 +1791,7 @@ object Similarity {
       "sim_ann_recall",
       Some(s"""
       WITH cents AS (SELECT vec_id AS cid, embedding AS cv FROM embeddings WHERE vec_id < 8),
+      pcents AS (SELECT vec_id AS cid, embedding AS cv FROM embeddings WHERE vec_id < $PqK),
       qv AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 17),
       ex AS (
         SELECT e.vec_id FROM embeddings e, qv
@@ -1779,7 +1820,7 @@ object Similarity {
       d AS (
         SELECT e.vec_id, c.cid,
                ${(0 until PqM).map(m => s"${pqSubSqSql("e.embedding", "c.cv", m)} AS d$m").mkString(",\n               ")}
-        FROM embeddings e, cents c),
+        FROM embeddings e, pcents c),
       enc AS (
         SELECT vec_id,
                ${(0 until PqM).map(m => s"arg_min(cid, d$m + 1e-12 * cid) AS code$m").mkString(",\n               ")}
@@ -1787,7 +1828,7 @@ object Similarity {
       qd AS (
         SELECT c.cid,
                ${(0 until PqM).map(m => s"${pqSubSqSql("q.embedding", "c.cv", m)} AS qd$m").mkString(",\n               ")}
-        FROM cents c, (SELECT embedding FROM embeddings WHERE vec_id = 17) q),
+        FROM pcents c, (SELECT embedding FROM embeddings WHERE vec_id = 17) q),
       mp AS (
         SELECT e.vec_id FROM enc e
         JOIN qd q0 ON e.code0 = q0.cid JOIN qd q1 ON e.code1 = q1.cid
@@ -1832,7 +1873,11 @@ object Similarity {
   /** sim15b — ANN recall harness over a QUERY SET (round-12 queue #3):
     * [[simAnnRecall]] pins one query's ladder; this gate is the real
     * evaluation — mean recall@10 over the 8 held-out queries (vec_ids
-    * 16..23: 0..7 are coarse centroids, 8..15 residual-PQ seeds), with
+    * 16..23 — held out of every SPECIAL role that exists at 8-vector scale:
+    * 0..7 are the coarse centroids; since round 15's k* = 64 adoption the
+    * PQ seed prefixes necessarily include them as ordinary corpus members,
+    * which is how production PQ trains anyway — the codebook sees the
+    * whole corpus), with
     * the two composed IVFADC read paths as rungs so raw-vs-residual
     * coding is COMPUTED on identical candidates (probe-3 members, only
     * the coding differs), plus the [[simAdcRerank]] two-stage rung (the
@@ -1840,8 +1885,11 @@ object Similarity {
     * rung structurally, since the beam contains the ADC top-10; the
     * harness measures by HOW MUCH the beam knob buys recall back).
     * Measured verdict this harness settles for this
-    * corpus: the residual rung LOSES to raw ADC at every scale rung
-    * (mean recall ~0.06-0.13 vs 0.20-0.25) — the driver's embeddings are
+    * corpus (re-measured on the served k* = 64 book, round 15): the
+    * residual rung still LOSES to raw coding at probe-3 (sf0.1 mean
+    * recall 0.225 vs 0.325 raw / 0.55 after re-rank — every rung lifted
+    * vs the 3-bit book's 0.06-0.13 / 0.20-0.25 / 0.46-0.54, the codebook
+    * adoption's dividend) — the driver's embeddings are
     * near-uniform on the sphere, so query·centroid ≈ 0.3 and residual
     * norms ‖v−c‖² = 2−2·v·c exceed raw norms, inverting Jégou §IV's
     * premise (residuals concentrate only when the corpus is clustered).
@@ -1914,7 +1962,7 @@ object Similarity {
         SELECT ms.m, CAST(c.vec_id AS BIGINT) AS code,
                list_transform(list_slice(c.embedding, ms.m * $PqSub + 1, ms.m * $PqSub + $PqSub),
                  x -> CAST(x AS DOUBLE)) AS cv
-        FROM embeddings c, ms WHERE c.vec_id < 8),
+        FROM embeddings c, ms WHERE c.vec_id < $PqK),
       ${pqRoundsSql("p", "sub", "pb0")},
       enc_raw AS (${encWideSql(s"(SELECT vec_id, m, list_transform(sv, x -> CAST(x AS DOUBLE)) AS sv FROM sub)", s"pb$PqTrainRounds")}),
       lut_raw AS (
@@ -1960,7 +2008,7 @@ object Similarity {
       rb0 AS (
         SELECT ms.m, CAST(r.vec_id - 8 AS BIGINT) AS code,
                list_slice(r.rv, ms.m * $PqSub + 1, ms.m * $PqSub + $PqSub) AS cv
-        FROM res r, ms WHERE r.vec_id >= 8 AND r.vec_id < 16),
+        FROM res r, ms WHERE r.vec_id >= 8 AND r.vec_id < ${8 + PqK}),
       ${pqRoundsSql("r", "rsub", "rb0")},
       enc_res AS (${encWideSql("rsub", s"rb$PqTrainRounds")}),
       lut_res AS (
@@ -2144,17 +2192,19 @@ object Similarity {
     * corner (probes 8, full beam) recovers recall 1.0 — the
     * self-validating ceiling. Everything else is MEASURED, per the
     * suite's assert-structure/measure-data convention. MEASURED FRONTIER
-    * (driver corpora): at sf0.01 (500 vectors) probes-4/beam-200 reaches
-    * recall 0.79 — a servable knee; at sf0.1 (2 000 vectors) beam-200
-    * SATURATES near 0.51–0.54 for probes ≥ 2 while full-pool re-rank
-    * reaches 0.78 at probes-4 — i.e. the binding constraint is the ADC
-    * ranking itself: the suite's didactic 8-codeword-per-subspace book
-    * (3 bits) cannot order 2 000 vectors finely enough for a 10%-beam to
-    * capture the tail. The deployment lesson the mart encodes: grow the
-    * CODEBOOK (production PQ uses 256 codewords/subspace) before growing
-    * the beam; with the book pinned, the chosen operating point is
-    * probes-4 with beam ≈ pool (exact re-rank of the probed half of the
-    * corpus), the best recall-per-scanned-row on both corpora. Shape at
+    * (driver corpora, on the SERVED k* = [[PqK]] = 64 book — round 15
+    * re-measured after adopting the `sim_pq_codebook_size` winner): at
+    * sf0.1 (2 000 vectors) beam-200 now reaches 0.5375 at probes-2,
+    * 0.725 at probes-4 and 0.8375 at probes-8 (vs the 3-bit book's
+    * 0.51-0.54 SATURATION at every probe level — the adoption bought
+    * +30 recall points at the same scan cost, exactly what the size
+    * gate predicted). The binding constraint MOVED: probe-3's exact
+    * ceiling (recall of exact scoring over the probed pool) is 0.65 on
+    * this corpus, so the next lever is the COARSE quantizer — more
+    * cells (production IVF uses ~√n·c cells, not 8) or more probes; the
+    * chosen operating point on this 8-cell corpus is probes-4 with
+    * beam ≈ pool (0.775), or probes-8/beam-200 (0.8375) when the recall
+    * target beats scan cost. Shape at
     * 100 TB: an EVALUATION harness priced per evaluation, not per serve —
     * the probes-8 row deliberately ADC-scans the full corpus against 8
     * queries (codes + scalars only, the books/LUTs broadcast); the
@@ -2193,7 +2243,7 @@ object Similarity {
         SELECT ms.m, CAST(c.vec_id AS BIGINT) AS code,
                list_transform(list_slice(c.embedding, ms.m * $PqSub + 1, ms.m * $PqSub + $PqSub),
                  x -> CAST(x AS DOUBLE)) AS cv
-        FROM embeddings c, ms WHERE c.vec_id < 8),
+        FROM embeddings c, ms WHERE c.vec_id < $PqK),
       ${pqRoundsSql("p", "sub", "pb0")},
       enc_raw AS (
         SELECT vec_id,
@@ -2831,15 +2881,15 @@ object Similarity {
           .select(col("vec_id").as("code"), explode(array(subs: _*)).as("x"))
           .select(col("x.m").as("m"), col("code").cast(LongType).as("code"),
             col("x.sv").cast(ArrayType(DoubleType)).as("cv"))
-        // the identity layout's (pe, sub, seed) are value-identical to the
-        // raw corpus frames convergedRawBook trains on — reuse that memo
-        // instead of training a duplicate book under a second key
-        // (round-13 review)
-        val recs =
-          if (label == "identity") convergedRawBook(spark, dir)
-          else memoBook(spark, dir, s"opq_$label") {
-            trainSubspaceBook(spark, sub, seed)
-          }
+        // all three layout rungs train their own 8-code book under a
+        // layout-scoped memo key: the round-13 reuse of convergedRawBook
+        // for the identity rung became invalid when the served book
+        // adopted k* = PqK = 64 (round 15) — the layout comparison stays a
+        // self-contained 8-code measurement so the three rungs differ ONLY
+        // in dimension order, never in code budget
+        val recs = memoBook(spark, dir, s"opq_$label") {
+          trainSubspaceBook(spark, sub, seed)
+        }
         val total = bookDistortionMicro(spark, sub, bookDf(spark, recs))
         (label, n, layoutSpreadQ(perm, varqMap), total)
       }
@@ -3182,7 +3232,11 @@ object Similarity {
     * monotonicity, the LlmOpsSpec bound). MEASURED (sf0.1): beam-200
     * recall 0.51 → 0.775 → 0.84 as k* grows 8 → 32 → 64 — the 3-bit
     * book, not the probe count, was the frontier's binding constraint,
-    * which is why production PQ ships 256 codewords (8 bits)/subspace;
+    * which is why production PQ ships 256 codewords (8 bits)/subspace —
+    * and why round 15 ADOPTED the measured-best rung as [[PqK]]: the
+    * k* = 64 rung below IS the served book (value-identical seeds and
+    * training), so this gate now audits the production book against the
+    * smaller rungs every run;
     * LlmOpsSpec asserts every larger book beats the 3-bit baseline (the
     * 32→64 step saturates near recall 1.0 on the 500-vector corpus and
     * can wobble by a hit — measured, not asserted). Shape at
@@ -3295,7 +3349,7 @@ object Similarity {
           .select(col("x.m").as("m"), col("code").cast(LongType).as("code"),
             col("x.sv").cast(ArrayType(DoubleType)).as("cv"))
         val recs =
-          if (k == 8) convergedRawBook(spark, dir) // value-identical seeds
+          if (k == PqK) convergedRawBook(spark, dir) // value-identical seeds: the SERVED book
           else memoBook(spark, dir, s"booksize_$k") {
             trainSubspaceBook(spark, sub, seed)
           }
@@ -3351,16 +3405,43 @@ object Similarity {
     }
   }
 
-  private val NndRounds = 4
+  /** NN-descent ROUND BUDGET — the oracle unrolls exactly this many
+    * rounds; the Spark build may exit earlier at the kept-list fixpoint
+    * (an unchanged list makes every remaining round a bit-identical
+    * no-op: candidates are a function of the list, so c and l replay —
+    * the suite's pinned-budget/fixpoint-exit convention, r14 verdict
+    * queue #3 replacing the pinned 4). Raised 4 → 8 alongside
+    * [[NndK]] 10 → 20: the numpy rehearsal on the driver corpora showed
+    * K=10 PLATEAUS at recall ~0.55 at n=2000 no matter the rounds (the
+    * build degree, not the budget, was binding), while K=20 converges
+    * to ~0.93 by round 6–7 at both corpus sizes. */
+  private val NndRounds = 8
+
+  /** Build-side neighbor degree (keep-best-K of the descent). */
+  private val NndK = 20
+
+  /** Serve-side out-degree: the walk follows only each node's best
+    * [[NndServeDeg]] kept edges — the HNSW/NSW build-wide/serve-narrow
+    * split (build at 2×, serve the pruned core), which is what lets the
+    * K=20 graph serve with FEWER scanned candidates than probe-1. */
+  private val NndServeDeg = 10
+
   private val NndServeSteps = 8
+
+  /** Entry-count sweep of the multi-entry serve (r14 verdict queue #7):
+    * the walk enters at the MEDOIDS of the query's top-P coarse cells. */
+  private val NndEntryPs = Seq(1, 2, 4)
 
   /** Shared WITH-clause fragment of the NN-descent graph BUILD, used by
     * both [[simNnDescent]] and [[simGraphServe]] so the two oracles can
     * never drift: cells, the n² score table (the REFEREE may shortcut to
     * n² — the engine side must not), the seeded init l0, then `rounds`
     * unrolled rounds of symmetrize → neighbor-of-neighbor candidates →
-    * keep-best-K, each round's frames MATERIALIZED (they feed two
-    * consumers each). The final graph is CTE `l$rounds`. */
+    * keep-best-[[NndK]], each round's frames MATERIALIZED (they feed two
+    * consumers each). The final graph is CTE `l$rounds`; every l CTE
+    * carries the in-list rank `rk` so consumers can audit recall@10
+    * (rk ≤ 10) and serve the pruned core (rk ≤ [[NndServeDeg]]) without
+    * re-scoring. */
   private def nnBuildCtes(rounds: Int): String = {
     val head = s"""
       WITH e AS MATERIALIZED (SELECT vec_id, embedding FROM embeddings),
@@ -3389,34 +3470,35 @@ object Similarity {
       c$r AS MATERIALIZED (
         SELECT DISTINCT e1.t AS s, e2.t AS q FROM u$r e1 JOIN u$r e2 ON e1.s = e2.s AND e1.t <> e2.t),
       l$r AS MATERIALIZED (
-        SELECT s, t FROM (
+        SELECT s, t, rn AS rk FROM (
           SELECT p.s, p.t, row_number() OVER (PARTITION BY p.s ORDER BY sc.score DESC, p.t) AS rn
           FROM (SELECT s, t FROM $prev UNION SELECT s, q AS t FROM c$r) p
           JOIN sc ON sc.s = p.s AND sc.t = p.t) z
-        WHERE rn <= 10)"""
+        WHERE rn <= $NndK)"""
     }.mkString
     head + roundCtes
   }
 
   /** The build-trajectory oracle: shared build fragment + exact top-K +
-    * the trimmed init, then one stat row per round. */
+    * the trimmed init, then one stat row per round (recall@10 audits the
+    * rk ≤ 10 head of each round's kept-[[NndK]] list). */
   private def nnDescentSql(rounds: Int): String = {
     val audit = s""",
       exactk AS MATERIALIZED (
         SELECT s, t FROM (SELECT s, t, row_number() OVER (PARTITION BY s ORDER BY score DESC, t) AS rn FROM sc) z
         WHERE rn <= 10),
       l0k AS MATERIALIZED (
-        SELECT s, t FROM (
+        SELECT s, t, rn AS rk FROM (
           SELECT p.s, p.t, row_number() OVER (PARTITION BY p.s ORDER BY sc.score DESC, p.t) AS rn
           FROM l0 p JOIN sc ON sc.s = p.s AND sc.t = p.t) z
-        WHERE rn <= 10)"""
+        WHERE rn <= $NndK)"""
     val statRows = (0 to rounds).map { r =>
       val (lst, cp) = if (r == 0) ("l0k", "0") else (s"l$r", s"(SELECT count(*) FROM c$r)")
       s"""
       SELECT CAST($r AS BIGINT) AS round, CAST($cp AS BIGINT) AS cand_pairs,
-             CAST((SELECT count(*) FROM $lst JOIN exactk USING (s, t)) AS BIGINT) AS hits,
+             CAST((SELECT count(*) FROM (SELECT s, t FROM $lst WHERE rk <= 10) h JOIN exactk USING (s, t)) AS BIGINT) AS hits,
              CAST(ns.n * 10 AS BIGINT) AS total,
-             round(CAST((SELECT count(*) FROM $lst JOIN exactk USING (s, t)) AS DOUBLE) / (ns.n * 10), 6) AS recall_r
+             round(CAST((SELECT count(*) FROM (SELECT s, t FROM $lst WHERE rk <= 10) h JOIN exactk USING (s, t)) AS DOUBLE) / (ns.n * 10), 6) AS recall_r
       FROM ns"""
     }.mkString(" UNION ALL ")
     s"${nnBuildCtes(rounds)}$audit\nSELECT * FROM ($statRows) ORDER BY round"
@@ -3425,32 +3507,37 @@ object Similarity {
   /** sim — IVF-seeded NN-descent kNN-GRAPH construction (Dong et al.,
     * WWW 2011): start every node from its top-10 neighbors WITHIN its own
     * coarse cell (the blocking the IVF family already maintains) plus 3
-    * deterministic ring edges for cross-cell escape, then run 4 rounds of
-    * the NN-descent update — symmetrize the graph, propose every
-    * neighbor-of-a-common-neighbor as a candidate, keep the best 10 by
-    * (dot DESC, id) — and audit each round's recall@10 against the exact
-    * graph. The mart is the TRAJECTORY: (round, cand_pairs, hits, total,
-    * recall_r); measured here init 0.25 → 0.82 after 4 rounds at n=500
-    * (0.48 at n=2000 — this near-isotropic corpus has little locality for
-    * the update to exploit, so convergence is the slow uniform-data
-    * regime; on clustered real-world embeddings the same rounds close to
-    * ~0.9+, which is Dong's result, not re-asserted here). Recall is
-    * weakly non-decreasing BY CONSTRUCTION — candidates always include
-    * the current list and an eviction needs a strictly better (score, id)
-    * rank, which implies membership in the exact top-10 whenever the
-    * evictee was — and LlmOpsSpec asserts that law plus the measured
-    * final>init margin. Shape at 100 TB: per-round work is Σ_u deg(u)² ≤
-    * n·(2K)² candidate pairs — linear in n, never n² — and every shuffle
-    * carries (s, t, score) triples; vectors are touched only in the
-    * bounded candidate-scoring join (co-partitioned id fetch). The n²
-    * score pass exists ONLY in the recall audit (same evaluation-harness
-    * pricing as [[simAnnRecallSet]]) and in the REFEREE's replay, which
-    * may shortcut; a deployment builds the graph without it. Seeding from
-    * the IVF cells is what makes the rounds converge at all here — the
-    * uniform ring-only init measured 5× slower to the same recall — so
-    * the gate composes the suite's coarse quantizer with the graph build
-    * the way a production kNN-graph job (semantic dedup, graph
-    * clustering, diversity sampling) actually would. */
+    * deterministic ring edges for cross-cell escape, then run up to
+    * [[NndRounds]] = 8 rounds of the NN-descent update — symmetrize the
+    * graph, propose every neighbor-of-a-common-neighbor as a candidate,
+    * keep the best [[NndK]] = 20 by (dot DESC, id), exit early at the
+    * kept-list fixpoint — and audit each round's recall@10 (the rk ≤ 10
+    * head of the kept list) against the exact graph. Round 15 re-tuned
+    * the knobs off a numpy rehearsal of this exact algorithm on the
+    * driver corpora (r14 verdict queue #3): at the old K=10 the
+    * trajectory PLATEAUS near 0.55 at n=2000 regardless of rounds — the
+    * build degree, not the budget, binds, because a degree-10 uniform-
+    * sphere graph hasn't enough co-neighbor paths to propose the true
+    * tail — while K=20 converges to ~0.93 by round 6–7 at BOTH corpus
+    * sizes (and ~0.99 at n=500, where the fixpoint fires inside the
+    * budget). The mart is the TRAJECTORY: (round, s, t, rk, cand_pairs).
+    * Recall is weakly non-decreasing BY CONSTRUCTION — candidates always
+    * include the current list and an eviction needs a strictly better
+    * (score, id) rank, which implies membership in the exact top-10
+    * whenever the evictee was — and LlmOpsSpec asserts that law plus the
+    * measured final>init margin. Shape at 100 TB: per-round work is
+    * Σ_u deg(u)² ≤ n·(2K)² candidate pairs — linear in n, never n² — and
+    * every shuffle carries (s, t, score) triples; vectors are touched
+    * only in the bounded candidate-scoring join (co-partitioned id
+    * fetch). The n² score pass exists ONLY in the recall audit (same
+    * evaluation-harness pricing as [[simAnnRecallSet]]) and in the
+    * REFEREE's replay, which may shortcut; a deployment builds the graph
+    * without it. Seeding from the IVF cells is what makes the rounds
+    * converge at all here — the uniform ring-only init measured 5×
+    * slower to the same recall — so the gate composes the suite's coarse
+    * quantizer with the graph build the way a production kNN-graph job
+    * (semantic dedup, graph clustering, diversity sampling) actually
+    * would. */
   /** Checkpointed (vec_id, embedding) plus n, with the dense-id guard the
     * ring init depends on. Caller unpersists. */
   private def nnEmb(spark: SparkSession, dir: String): (DataFrame, Long) = {
@@ -3463,29 +3550,29 @@ object Similarity {
     (e, n)
   }
 
-  /** Score candidate (s, t) pairs against `e` — the ONLY place the build
-    * touches vectors: a co-partitioned id fetch, bounded by the
-    * candidate volume. */
-  private def nnTopK(e: DataFrame)(pairs: DataFrame): DataFrame = {
+  /** Score candidate (s, t) pairs against `e` and keep each node's best
+    * `k` with their rank — the ONLY place the build touches vectors: a
+    * co-partitioned id fetch, bounded by the candidate volume. */
+  private def nnTopK(e: DataFrame, k: Int)(pairs: DataFrame): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     pairs
       .join(e.select(col("vec_id").as("s"), col("embedding").as("es")), "s")
       .join(e.select(col("vec_id").as("t"), col("embedding").as("et")), "t")
       .select(col("s"), col("t"), dot(col("es"), col("et")).as("score"))
-      .withColumn("rn", row_number().over(
+      .withColumn("rk", row_number().over(
         Window.partitionBy("s").orderBy(col("score").desc, col("t"))))
-      .filter(col("rn") <= 10).select("s", "t")
+      .filter(col("rk") <= k).select("s", "t", "rk")
   }
 
   /** The seeded init l0 (untrimmed: best-10-in-cell ∪ 3 ring edges),
     * eagerly checkpointed. */
   private def nnInit(spark: SparkSession, dir: String, e: DataFrame, n: Long): DataFrame = {
     val cellOf = ivfAssigned(spark, dir).select(col("vec_id"), col("cell"))
-    val incell = nnTopK(e)(
+    val incell = nnTopK(e, 10)(
       cellOf.select(col("vec_id").as("s"), col("cell"))
         .join(cellOf.select(col("vec_id").as("t"), col("cell").as("tc")),
           col("cell") === col("tc") && col("s") =!= col("t"))
-        .select("s", "t"))
+        .select("s", "t")).select("s", "t")
     val ring = e.select(col("vec_id").as("s"),
         explode(array(lit(1), lit(2), lit(3))).as("j"))
       .select(col("s"), ((col("s") + col("j")) % n).as("t"))
@@ -3493,18 +3580,19 @@ object Similarity {
   }
 
   /** One NN-descent round: symmetrize, propose every
-    * neighbor-of-a-common-neighbor, keep the best 10. Returns the
+    * neighbor-of-a-common-neighbor, keep the best [[NndK]]. Returns the
     * (candidates, next-list) pair, both eagerly checkpointed — the one
     * caller (the [[nnDag]] mart builder) counts both and unpersists
     * both, so neither checkpoint is ever a wasted materialization. */
   private def nnStep(e: DataFrame, cur: DataFrame): (DataFrame, DataFrame) = {
-    val und = cur.unionByName(cur.select(col("t").as("s"), col("s").as("t")))
+    val pairs = cur.select("s", "t")
+    val und = pairs.unionByName(pairs.select(col("t").as("s"), col("s").as("t")))
       .distinct().localCheckpoint(true)
     val und2 = und.toDF("u2", "q")
     val cand = und.join(und2, col("s") === col("u2") && col("t") =!= col("q"))
       .select(col("t").as("s"), col("q").as("t"))
       .distinct().localCheckpoint(true)
-    val next = nnTopK(e)(cur.unionByName(cand).distinct()).localCheckpoint(true)
+    val next = nnTopK(e, NndK)(pairs.unionByName(cand).distinct()).localCheckpoint(true)
     und.unpersist(false)
     (cand, next)
   }
@@ -3529,13 +3617,34 @@ object Similarity {
       val init = nnInit(s, d, e, n)
       var cur = init
       val kept = scala.collection.mutable.ArrayBuffer[DataFrame]()
-      var out = nnTopK(e)(init)
-        .select(lit(0L).as("round"), col("s"), col("t"), lit(0L).as("cand_pairs"))
-      for (r <- 1 to NndRounds) {
+      var out = nnTopK(e, NndK)(init)
+        .select(lit(0L).as("round"), col("s"), col("t"), col("rk"),
+          lit(0L).as("cand_pairs"))
+      // pinned-budget loop with fixpoint early exit (the suite's
+      // convention): the oracle unrolls exactly NndRounds rounds; once a
+      // round's kept list matches the previous round's (count +
+      // commutative hash sum + xxhash XOR signature over (s, t)), every
+      // remaining round is a provable no-op — candidates are a function
+      // of the list (c_{r+1} = f(l_r) = f(l_{r-1}) = c_r), so the
+      // remaining mart rows replicate this round's list and candidate
+      // count bit-for-bit instead of re-running the join
+      var prevSig: (Long, Long, Long) = null
+      var done = false
+      for (r <- 1 to NndRounds if !done) {
         val (cand, next) = nnStep(e, cur)
-        out = out.unionByName(next.select(lit(r.toLong).as("round"), col("s"),
-          col("t"), lit(cand.count()).as("cand_pairs")))
+        val nc = cand.count()
         cand.unpersist(false)
+        val row = next.agg(count(lit(1)),
+          sum(hash(col("s"), col("t")).cast(LongType)),
+          call_function("bit_xor", xxhash64(col("s"), col("t")))).head()
+        def at(i: Int) = if (row.isNullAt(i)) 0L else row.getLong(i)
+        val sig = (row.getLong(0), at(1), at(2))
+        val last = if (sig == prevSig) NndRounds else r
+        for (rr <- r to last)
+          out = out.unionByName(next.select(lit(rr.toLong).as("round"), col("s"),
+            col("t"), col("rk"), lit(nc).as("cand_pairs")))
+        done = sig == prevSig
+        prevSig = sig
         kept += next
         cur = next
       }
@@ -3559,12 +3668,15 @@ object Similarity {
     QueryDef("sim_nndescent", Some(nnDescentSql(NndRounds))) { (spark, dir) =>
       val (e, n) = nnEmb(spark, dir)
       // exact top-K: the n² EVALUATION baseline (audit-only; see scaladoc)
-      val exactK = nnTopK(e)(
+      val exactK = nnTopK(e, 10)(
         e.select(col("vec_id").as("s"))
           .crossJoin(broadcast(e.select(col("vec_id").as("t"))))
           .filter(col("s") =!= col("t"))).localCheckpoint(true)
-      // counter-scale collect: NndRounds+1 stat rows off the mart
+      // counter-scale collect: NndRounds+1 stat rows off the mart; the
+      // recall@10 audit reads each round's rk <= 10 head (the kept list
+      // is NndK-long since the build/serve degree split)
       val stats = nnRoundsMart(spark, dir)
+        .filter(col("rk") <= 10)
         .join(exactK.select(col("s"), col("t"), lit(1L).as("hit")),
           Seq("s", "t"), "left")
         .groupBy("round")
@@ -3583,12 +3695,17 @@ object Similarity {
     }
   }
 
-  /** The serve oracle: the shared build fragment, then the per-query
-    * walk as ${NndServeSteps} unrolled visited-set steps — beam_k is
-    * top-10(visited_k) (keeping only the top-10 of the union each step
-    * cannot change the overall top-10, so the beam needs no separate
-    * state), and once the beam reaches a fixpoint the next frontier is
-    * empty, making every remaining unrolled step a no-op. */
+  /** The serve oracle: the shared build fragment, then the per-(entry
+    * variant, query) walk as ${NndServeSteps} unrolled visited-set
+    * steps — beam_k is top-10(visited_k) (keeping only the top-10 of the
+    * union each step cannot change the overall top-10, so the beam needs
+    * no separate state), and once the beam reaches a fixpoint the next
+    * frontier is empty, making every remaining unrolled step a no-op.
+    * The walk runs over the PRUNED serve graph (rk ≤ [[NndServeDeg]] of
+    * the final round's kept-[[NndK]] lists) and enters at the medoids of
+    * the query's top-P coarse cells for P ∈ [[NndEntryPs]] — the variant
+    * dimension `p` rides every walk CTE so one unrolled chain prices the
+    * whole entry sweep. */
   private def graphServeSql(rounds: Int, steps: Int): String = {
     val serveHead = s""",
       qs AS (SELECT vec_id AS qid, embedding AS qv FROM e WHERE vec_id >= 16 AND vec_id < 24),
@@ -3597,23 +3714,41 @@ object Similarity {
       exq AS (
         SELECT qid, t FROM (SELECT qid, t, row_number() OVER (PARTITION BY qid ORDER BY score DESC, t) AS rn FROM qsc) z
         WHERE rn <= 10),
-      v0 AS (SELECT q.qid, c.vec_id AS t FROM qs q CROSS JOIN e c WHERE c.vec_id < 8)"""
+      g AS MATERIALIZED (SELECT s, t FROM l$rounds WHERE rk <= $NndServeDeg),
+      med AS (
+        SELECT a.cell, arg_max(a.vec_id, ${dotSql("e2.embedding", "c.cv")} - 1e-12 * a.vec_id) AS mid
+        FROM assigned a JOIN e e2 ON e2.vec_id = a.vec_id JOIN cents c ON c.cent_id = a.cell
+        GROUP BY a.cell),
+      qrank AS (
+        SELECT q.qid, c.cent_id AS cell,
+               row_number() OVER (PARTITION BY q.qid
+                 ORDER BY ${dotSql("q.qv", "c.cv")} - 1e-12 * c.cent_id DESC) AS rn
+        FROM qs q, cents c),
+      v0 AS (
+        SELECT pv.p, qr.qid, m.mid AS t
+        FROM (SELECT unnest([${NndEntryPs.mkString(", ")}]) AS p) pv
+        JOIN qrank qr ON qr.rn <= pv.p
+        JOIN med m ON m.cell = qr.cell)"""
     val stepCtes = (1 to steps).map { k =>
       s""",
       b$k AS (
-        SELECT qid, t FROM (
-          SELECT v.qid, v.t, row_number() OVER (PARTITION BY v.qid ORDER BY s.score DESC, v.t) AS rn
+        SELECT p, qid, t FROM (
+          SELECT v.p, v.qid, v.t, row_number() OVER (PARTITION BY v.p, v.qid ORDER BY s.score DESC, v.t) AS rn
           FROM v${k - 1} v JOIN qsc s ON s.qid = v.qid AND s.t = v.t) z
         WHERE rn <= 10),
       v$k AS MATERIALIZED (
-        SELECT qid, t FROM v${k - 1} UNION SELECT b.qid, g.t FROM b$k b JOIN l$rounds g ON g.s = b.t)"""
+        SELECT p, qid, t FROM v${k - 1} UNION SELECT b.p, b.qid, g.t FROM b$k b JOIN g ON g.s = b.t)"""
     }.mkString
     val tail = s""",
       bf AS (
-        SELECT qid, t FROM (
-          SELECT v.qid, v.t, row_number() OVER (PARTITION BY v.qid ORDER BY s.score DESC, v.t) AS rn
+        SELECT p, qid, t FROM (
+          SELECT v.p, v.qid, v.t, row_number() OVER (PARTITION BY v.p, v.qid ORDER BY s.score DESC, v.t) AS rn
           FROM v$steps v JOIN qsc s ON s.qid = v.qid AND s.t = v.t) z
         WHERE rn <= 10),
+      gscan AS (SELECT p, CAST(count(*) AS BIGINT) AS scanned FROM v$steps GROUP BY p),
+      ghit AS (
+        SELECT b.p, CAST(count(*) AS BIGINT) AS hits
+        FROM bf b JOIN exq x ON x.qid = b.qid AND x.t = b.t GROUP BY b.p),
       pcell AS (
         SELECT q.qid, a.vec_id AS t FROM qs q
         JOIN assigned qa ON qa.vec_id = q.qid
@@ -3624,10 +3759,10 @@ object Similarity {
           FROM pcell p JOIN qsc s ON s.qid = p.qid AND s.t = p.t) z
         WHERE rn <= 10)
       SELECT * FROM (
-        SELECT 'graph' AS variant,
-               CAST((SELECT count(*) FROM v$steps) AS BIGINT) AS scanned,
-               CAST((SELECT count(*) FROM bf JOIN exq USING (qid, t)) AS BIGINT) AS hits,
-               round(CAST((SELECT count(*) FROM bf JOIN exq USING (qid, t)) AS DOUBLE) / 80, 6) AS recall_r
+        SELECT 'graph_m' || CAST(gs.p AS VARCHAR) AS variant, gs.scanned,
+               CAST(coalesce(gh.hits, 0) AS BIGINT) AS hits,
+               round(CAST(coalesce(gh.hits, 0) AS DOUBLE) / 80, 6) AS recall_r
+        FROM gscan gs LEFT JOIN ghit gh ON gh.p = gs.p
         UNION ALL
         SELECT 'probe1' AS variant,
                CAST((SELECT count(*) FROM pcell) AS BIGINT) AS scanned,
@@ -3639,75 +3774,122 @@ object Similarity {
 
   /** sim — GRAPH-ANN SERVING over the NN-descent graph: answer the
     * harness's 8 held-out queries (vec_id 16–23, the
-    * [[simAnnRecallSet]] set) by greedy best-first walk — enter at the 8
-    * coarse-centroid nodes, repeatedly score the current beam's
-    * neighbors and keep the global best-10 of everything visited, stop
-    * at the beam fixpoint (≤ ${NndServeSteps} steps) — and audit
-    * recall@10 and candidates-scanned against the probe-1 IVF baseline
-    * on the same queries. Measured (and spec-asserted as a
-    * strict-dominance margin): recall 0.9125 vs 0.375 at n=500 and
-    * 0.625 vs 0.375 at n=2000, with FEWER total candidates scanned than
-    * probe-1 at n=2000 (2095 vs 2160) — the walk follows the graph's
-    * gradient instead of flooding a fixed cell, which is exactly the
-    * HNSW/NSW serving argument (Malkov 2016) at layer count 1. Shape at
-    * 100 TB: serving state is (qid, visited-id) pairs — beam_k =
-    * top-10(visited_k), proved in [[graphServeSql]]'s doc, so no
-    * per-step beam bookkeeping — and each step touches beam×K graph
-    * edges per query plus one bounded score fetch; the corpus appears
-    * only through the graph (built once, n·K rows) and the per-candidate
-    * vector fetch. The per-query audit table (8×n) prices the
-    * EVALUATION, not the serve. */
+    * [[simAnnRecallSet]] set) by greedy best-first walk — MULTI-ENTRY
+    * since round 15 (r14 verdict queue #7): enter at the MEDOIDS of the
+    * query's top-P coarse cells (P swept over [[NndEntryPs]] = 1/2/4 as
+    * the gate's measured entry-count dimension; the medoid — the member
+    * nearest its centroid — is a real graph node, which is the actual
+    * NSW recipe, unlike the former 8 fixed centroid-node entries),
+    * repeatedly score the current beam's neighbors over the PRUNED
+    * serve core (each node's best [[NndServeDeg]] = 10 of its kept
+    * [[NndK]] = 20 build edges — HNSW's build-wide/serve-narrow split),
+    * keep the global best-10 of everything visited, stop at the visited
+    * fixpoint (≤ ${NndServeSteps} steps) — and audit recall@10 and
+    * candidates-scanned against the probe-1 IVF baseline on the same
+    * queries. Rehearsed at n=2000 (numpy, exact algorithm): entry-2
+    * reaches recall ~0.95 scanning ~1976 candidates vs probe-1's 0.375
+    * at 2160 — BOTH axes dominate, where the r14 single-entry walk on
+    * the K=10 graph managed 0.625; the gate re-measures on the real
+    * engines and LlmOpsSpec asserts the dominance margin per entry
+    * count. Shape at 100 TB: serving state is (p, qid, visited-id)
+    * rows — beam_k = top-10(visited_k), proved in [[graphServeSql]]'s
+    * doc, so no per-step beam bookkeeping — and each step touches
+    * beam×deg graph edges per (variant, query) plus one bounded score
+    * fetch; the corpus appears only through the graph (built once, n·K
+    * rows) and the per-candidate vector fetch. The per-query audit
+    * table (8×n) prices the EVALUATION, not the serve. */
   val simGraphServe: QueryDef = {
     QueryDef("sim_graph_serve", Some(graphServeSql(NndRounds, NndServeSteps))) { (spark, dir) =>
       import org.apache.spark.sql.expressions.Window
+      val s2 = spark
+      import s2.implicits._
       val (e, n) = nnEmb(spark, dir)
       // the gate hardcodes held-out queries vec_id 16..23 and a recall
       // denominator of 80 — a smaller corpus would pass nnEmb's dense-id
       // guard yet emit a silently meaningless (or empty-query) metric
       require(n >= 24,
         s"sim_graph_serve needs vec_id 16..23 as held-out queries (n=$n < 24)")
+      // the pruned SERVE core: each node's best NndServeDeg of the final
+      // round's kept-NndK edges (build-wide/serve-narrow, see NndServeDeg)
       val graph = nnRoundsMart(spark, dir)
-        .filter(col("round") === NndRounds)
+        .filter(col("round") === NndRounds && col("rk") <= NndServeDeg)
         .select(col("s").as("gs"), col("t").as("gt")).localCheckpoint(true)
       val qs = e.filter(col("vec_id") >= 16 && col("vec_id") < 24)
         .select(col("vec_id").as("qid"), col("embedding").as("qv"))
       val qsc = e.crossJoin(broadcast(qs))
         .select(col("qid"), col("vec_id").as("t"), dot(col("embedding"), col("qv")).as("score"))
         .localCheckpoint(true)
-      def topQ(st: DataFrame): DataFrame = st
+      def topQ(st: DataFrame, part: Seq[String]): DataFrame = st
         .join(qsc, Seq("qid", "t"))
         .withColumn("rn", row_number().over(
-          Window.partitionBy("qid").orderBy(col("score").desc, col("t"))))
-        .filter(col("rn") <= 10).select("qid", "t")
-      val exq = topQ(qsc.select("qid", "t")).localCheckpoint(true)
-      var vis = qs.select("qid")
-        .crossJoin(e.filter(col("vec_id") < 8).select(col("vec_id").as("t")))
-        .localCheckpoint(true)
-      for (_ <- 1 to NndServeSteps) {
-        val nv = vis.unionByName(
-            topQ(vis).join(graph, col("t") === col("gs"))
-              .select(col("qid"), col("gt").as("t")))
-          .distinct().localCheckpoint(true)
-        vis.unpersist(false)
-        vis = nv
-      }
-      val scannedG = vis.count()
-      val hitsG = topQ(vis).join(exq, Seq("qid", "t")).count()
+          Window.partitionBy(part.map(col): _*).orderBy(col("score").desc, col("t"))))
+        .filter(col("rn") <= 10).select(part :+ "t" map col: _*)
+      val exq = topQ(qsc.select("qid", "t"), Seq("qid")).localCheckpoint(true)
       val cellOf = ivfAssigned(spark, dir).select(col("vec_id"), col("cell"))
+      // per-cell MEDOID: the member nearest its own centroid (tie → lower
+      // id via the suite's 1e-12 bias) — the entry table is 8 rows
+      val med = ivfAssigned(spark, dir)
+        .join(broadcast(ivfCentroids(spark, dir)
+          .select(explode(col("cents")).as("c"))
+          .select(col("c.cent_id").as("mcell"), col("c.cv").as("mcv"))),
+          col("cell") === col("mcell"))
+        .select(col("cell"), col("vec_id"),
+          (dot(col("embedding"), col("mcv")) - lit(1e-12) * col("vec_id")).as("msc"))
+        .withColumn("rn", row_number().over(
+          Window.partitionBy("cell").orderBy(col("msc").desc)))
+        .filter(col("rn") === 1).select(col("cell"), col("vec_id").as("mid"))
+      // the query's coarse cells ranked (the probeQuery geometry, kept as
+      // a rank so every entry count P reads one frame)
+      val qrank2 = qs.crossJoin(broadcast(ivfCentroids(spark, dir)))
+        .select(col("qid"), col("qv"), explode(col("cents")).as("c"))
+        .select(col("qid"), col("c.cent_id").as("cell"),
+          (dot(col("qv"), col("c.cv")) - lit(1e-12) * col("c.cent_id")).as("sc"))
+        .withColumn("rn", row_number().over(
+          Window.partitionBy("qid").orderBy(col("sc").desc)))
+      // multi-entry v0: medoids of the query's top-P cells, one variant
+      // dimension p riding the whole walk (r14 verdict queue #7)
+      var vis = NndEntryPs.toDF("p")
+        .join(qrank2, col("rn") <= col("p"))
+        .join(broadcast(med), Seq("cell"))
+        .select(col("p"), col("qid"), col("mid").as("t"))
+        .distinct().localCheckpoint(true)
+      // monotone visited sets: count equality == set equality, so the
+      // walk exits as soon as a step adds nothing (the oracle's remaining
+      // unrolled steps are no-ops by the empty-frontier argument)
+      var prevCount = vis.count()
+      var fixed = false
+      for (_ <- 1 to NndServeSteps if !fixed) {
+        val nv = vis.unionByName(
+            topQ(vis, Seq("p", "qid")).join(graph, col("t") === col("gs"))
+              .select(col("p"), col("qid"), col("gt").as("t")))
+          .distinct().localCheckpoint(true)
+        val c = nv.count()
+        if (c == prevCount) { fixed = true; nv.unpersist(false) }
+        else { vis.unpersist(false); vis = nv; prevCount = c }
+      }
+      val gscan = vis.groupBy("p").agg(count(lit(1)).as("scanned"))
+      val exq2 = exq.select(col("qid").as("xq"), col("t").as("xt"))
+      val ghit2 = topQ(vis, Seq("p", "qid"))
+        .join(broadcast(exq2), col("qid") === col("xq") && col("t") === col("xt"))
+        .groupBy("p").agg(count(lit(1)).as("hits"))
+      val grows = gscan.join(ghit2, Seq("p"), "left")
+        .select(concat(lit("graph_m"), col("p").cast(StringType)).as("variant"),
+          col("scanned"), coalesce(col("hits"), lit(0L)).as("hits"))
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
       val pcell = qs.select("qid")
         .join(cellOf.toDF("qv2", "qcell"), col("qid") === col("qv2"))
         .join(cellOf.toDF("t", "tcell"), col("qcell") === col("tcell"))
         .select("qid", "t").localCheckpoint(true)
       val scannedP = pcell.count()
-      val hitsP = topQ(pcell).join(exq, Seq("qid", "t")).count()
+      val hitsP = topQ(pcell, Seq("qid"))
+        .join(broadcast(exq2), col("qid") === col("xq") && col("t") === col("xt")).count()
       vis.unpersist(false)
       pcell.unpersist(false)
       exq.unpersist(false)
       qsc.unpersist(false)
       graph.unpersist(false)
       e.unpersist(false)
-      import spark.implicits._
-      Seq(("graph", scannedG, hitsG), ("probe1", scannedP, hitsP))
+      (grows :+ (("probe1", scannedP, hitsP)))
         .toDF("variant", "scanned", "hits")
         .select(col("variant"), col("scanned"), col("hits"),
           round(col("hits").cast(DoubleType) / lit(80.0), 6).as("recall_r"))

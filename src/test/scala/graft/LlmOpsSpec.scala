@@ -80,13 +80,13 @@ class LlmOpsSpec extends SparkSpec {
     assert(rows.nonEmpty)
     rows.foreach { r =>
       (0 until 4).foreach { m =>
-        val c = r.getAs[Long](s"code$m"); assert(c >= 0 && c < 8)
+        val c = r.getAs[Long](s"code$m"); assert(c >= 0 && c < Similarity.PqK)
       }
       assert(r.getAs[Double]("recon_r") >= 0.0)
     }
     // a codebook seed's nearest codeword in every subspace is itself:
     // exact self-match, zero quantization distortion
-    rows.filter(_.getAs[Long]("vec_id") < 8).foreach { r =>
+    rows.filter(_.getAs[Long]("vec_id") < Similarity.PqK).foreach { r =>
       val id = r.getAs[Long]("vec_id")
       (0 until 4).foreach(m => assert(r.getAs[Long](s"code$m") === id))
       assert(r.getAs[Double]("recon_r") === 0.0)
@@ -110,7 +110,7 @@ class LlmOpsSpec extends SparkSpec {
       assert(m >= 0 && m < 4)
       // every (code) spans exactly 16 positions with one shared member count
       rs.groupBy(_.getAs[Long]("code")).foreach { case (code, cr) =>
-        assert(code >= 0 && code < 8)
+        assert(code >= 0 && code < Similarity.PqK)
         assert(cr.map(_.getAs[Long]("pos")).sorted.toSeq === (0L until 16L))
         assert(cr.map(_.getAs[Long]("n_members")).distinct.length === 1)
       }
@@ -683,16 +683,21 @@ class LlmOpsSpec extends SparkSpec {
 
   test("NN-descent: recall weakly non-decreasing per round, final strictly above the seeded init") {
     val rows = Similarity.simNnDescent.run(spark, sfDir).collect()
-    assert(rows.length === 5, "mart must carry rounds 0..4")
-    assert(rows.map(_.getAs[Long]("round")).toSeq === (0L to 4L), "rounds out of order")
+    assert(rows.length === 9, "mart must carry rounds 0..8 (budget 8, fixpoint rows replicated)")
+    assert(rows.map(_.getAs[Long]("round")).toSeq === (0L to 8L), "rounds out of order")
     val rec = rows.map(_.getAs[Double]("recall_r")).toSeq
     // structural law: candidates always include the current list and an
     // eviction needs a strictly better (score, id) rank — recall@10
     // against the (score, id)-exact top-10 cannot go down
     rec.sliding(2).foreach { case Seq(a, b) => assert(b >= a, s"recall regressed: $rec") }
-    // measured margin (0.25 → 0.82 at n=500): the rounds must BEAT the
-    // cell-blocked init, which is the gate's whole point
-    assert(rec.last > rec.head + 0.2, s"NN-descent rounds did not improve on the seed: $rec")
+    // measured margin (K=20 build: 0.25 → ~0.99 at n=500, ~0.93 at
+    // n=2000): the rounds must BEAT the cell-blocked init by far more
+    // than the old K=10 plateau ever allowed
+    assert(rec.last > rec.head + 0.4, s"NN-descent rounds did not improve on the seed: $rec")
+    // the r14 verdict's Done bar: trajectory reaches >= 0.7 (measured
+    // ~0.93 at n=2000, ~0.99 at n=500; generous slack for ulp-level
+    // tie flips between the rehearsal and the engines)
+    assert(rec.last >= 0.7, s"final graph recall below the round-15 bar: $rec")
     rows.foreach { r =>
       val (cp, h, tot) = (r.getAs[Long]("cand_pairs"), r.getAs[Long]("hits"), r.getAs[Long]("total"))
       assert(h >= 0 && h <= tot)
@@ -701,19 +706,26 @@ class LlmOpsSpec extends SparkSpec {
     }
   }
 
-  test("graph serve: greedy walk strictly dominates probe-1 recall on the held-out queries") {
+  test("graph serve: every multi-entry walk strictly dominates probe-1 recall on the held-out queries") {
     val rows = Similarity.simGraphServe.run(spark, sfDir).collect()
-    assert(rows.map(_.getAs[String]("variant")).toSeq === Seq("graph", "probe1"))
-    val Seq(g, p) = rows.toSeq
+    assert(rows.map(_.getAs[String]("variant")).toSeq ===
+      Seq("graph_m1", "graph_m2", "graph_m4", "probe1"))
+    val p = rows.last
     rows.foreach { r =>
       assert(r.getAs[Long]("scanned") > 0L)
       val h = r.getAs[Long]("hits")
       assert(h >= 0L && h <= 80L, "hits outside 8 queries x 10")
     }
-    // measured margin at n=500: 0.9125 vs 0.375 — the walk must beat
-    // flooding the query's cell by a wide gap, not a tie-break
-    assert(g.getAs[Double]("recall_r") > p.getAs[Double]("recall_r") + 0.2,
-      s"graph serve did not dominate probe-1: $rows")
+    // measured margins (K=20 build, deg-10 serve core, medoid entries):
+    // n=500 all entry counts reach 1.0; n=2000 0.85/0.95/0.96 — vs
+    // probe-1's 0.375. Every entry count must beat the cell flood by a
+    // wide gap, not a tie-break; the entry-count ORDERING is measured,
+    // not asserted (visited sets do not nest across P — the beam can
+    // detour differently, and P=2 measurably scans FEWER than P=1)
+    rows.init.foreach { g =>
+      assert(g.getAs[Double]("recall_r") > p.getAs[Double]("recall_r") + 0.2,
+        s"${g.getAs[String]("variant")} did not dominate probe-1: $rows")
+    }
   }
 
   test("shuffle export emits a reproducible permutation 1..n that is not the id order") {
