@@ -500,16 +500,51 @@ object LangModel {
   }
 
   /** The head/middle/tail LABELING arc of [[lmBuckets]] as a shared SQL
-    * fragment: `$scoredSql` through the 4096-bin histogram thresholds to
-    * a CTE `lmb(doc_id, k, bucket)` (plus `tot(n_total)`), reused
-    * verbatim by the corpus DAG's LM-stage oracle
-    * (`pipeline_corpus_lm`). */
+    * fragment, scored since round 15 by the INTERPOLATED KNESER–NEY mean
+    * probability mass (r14 verdict queue #5 — the buckets previously cut
+    * on the raw-count predictability ratio; KN is the better-calibrated
+    * ranking because a document full of rare-but-valid continuations
+    * collects λ·p_cont mass where the raw ratio scored it zero): per
+    * bigram position, the exact-integer micro rendering of
+    * [[lmKneserNey]]'s p_KN — seen pairs get discount + interpolation,
+    * unseen pairs under a known context get the λ·p_cont term alone
+    * (exactly KN's generalization mass), unknown contexts contribute 0 —
+    * then k = (Σ p_micro · 4096) div (n_bigrams · 10⁶), the all-integer
+    * twin of the old ⌊score·4096⌋ binning (docs with no known context
+    * keep bin −1). From there the 4096-bin histogram thresholds are
+    * unchanged, ending in CTE `lmb(doc_id, k, bucket)` (plus
+    * `tot(n_total)`), reused verbatim by the corpus DAG's LM-stage
+    * oracle (`pipeline_corpus_lm`). `j`/`scored` from `$scoredSql` go
+    * unreferenced here — DuckDB prunes unused inline CTEs; keeping the
+    * fragment shared keeps model/ctx single-sourced. */
   private[graft] val lmBucketLabeledSql: String = s"""$scoredSql,
+      fol AS (SELECT w1, CAST(count(*) AS BIGINT) AS n_follow FROM model GROUP BY w1),
+      prc AS (SELECT w2, CAST(count(*) AS BIGINT) AS n_prec FROM model GROUP BY w2),
+      b AS (SELECT CAST(count(*) AS BIGINT) AS bt FROM model),
+      knj AS (
+        SELECT g.doc_id, m.n_bg, c.n_ctx, f.n_follow, p.n_prec, b.bt
+        FROM bg g
+        LEFT JOIN model m ON g.w1 = m.w1 AND g.w2 = m.w2
+        LEFT JOIN ctx c ON g.w1 = c.w1
+        LEFT JOIN fol f ON g.w1 = f.w1
+        LEFT JOIN prc p ON g.w2 = p.w2
+        CROSS JOIN b),
+      kdoc AS (
+        SELECT doc_id,
+               CAST(count(*) AS BIGINT) AS nbg,
+               CAST(coalesce(sum(n_ctx), 0) AS BIGINT) AS cmass,
+               CAST(coalesce(sum(
+                 CASE WHEN n_ctx IS NOT NULL THEN
+                   (CASE WHEN n_bg IS NOT NULL
+                         THEN ((4 * n_bg - 3) * 1000000) // (4 * n_ctx) ELSE 0 END)
+                   + (3 * n_follow * coalesce((n_prec * 1000000) // bt, 0)) // (4 * n_ctx)
+                 END), 0) AS BIGINT) AS kmass
+        FROM knj GROUP BY doc_id),
       sc AS (
-        SELECT doc_id, lang,
-               CASE WHEN predict_r IS NULL THEN -1
-                    ELSE CAST(floor(predict_r * 4096) AS BIGINT) END AS k
-        FROM scored),
+        SELECT doc_id,
+               CASE WHEN cmass = 0 THEN -1
+                    ELSE (kmass * 4096) // (nbg * 1000000) END AS k
+        FROM kdoc),
       hist AS (SELECT k, CAST(count(*) AS BIGINT) AS n FROM sc GROUP BY k),
       c AS (SELECT k, CAST(sum(n) OVER (ORDER BY k DESC) AS BIGINT) AS cum FROM hist),
       tot AS (SELECT CAST(count(*) AS BIGINT) AS n_total FROM sc),
@@ -531,10 +566,29 @@ object LangModel {
     * arc windows over ≤ 4098 (bin, count) scalars; the thresholds
     * broadcast as one 2-column row. */
   private[graft] def lmBucketLabels(spark: SparkSession, dir: String): DataFrame = {
-    val sc = lmScored(spark, dir)
+    val (model, ctx) = lmMarts(spark, dir)
+    val fol = model.groupBy("w1").agg(count(lit(1)).cast(LongType).as("n_follow"))
+    val prc = model.groupBy("w2").agg(count(lit(1)).cast(LongType).as("n_prec"))
+    val bt = model.count()
+    // per-position interpolated-KN micro mass (see lmBucketLabeledSql):
+    // seen pair → discount + λ·p_cont; unseen pair, known context →
+    // λ·p_cont alone; unknown context → no mass
+    val pMicro = when(col("n_ctx").isNotNull,
+      when(col("n_bg").isNotNull,
+        expr("((4 * n_bg - 3) * 1000000) div (4 * n_ctx)")).otherwise(lit(0L))
+        + expr(s"(3 * n_follow * coalesce((n_prec * 1000000) div $bt, 0)) div (4 * n_ctx)"))
+    val sc = bigrams(spark, dir)
+      .join(model, Seq("w1", "w2"), "left")
+      .join(ctx, Seq("w1"), "left")
+      .join(fol, Seq("w1"), "left")
+      .join(prc, Seq("w2"), "left")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("nbg"),
+        coalesce(sum(col("n_ctx")), lit(0L)).as("cmass"),
+        coalesce(sum(pMicro), lit(0L)).as("kmass"))
       .select(col("doc_id"),
-        when(col("predict_r").isNull, lit(-1L))
-          .otherwise(floor(col("predict_r") * 4096)).as("k"))
+        when(col("cmass") === 0, lit(-1L))
+          .otherwise(expr("(kmass * 4096) div (nbg * 1000000)")).as("k"))
     val hist = sc.groupBy("k").agg(count(lit(1)).as("n"))
     // partition-less window: safe because it runs over the ≤4098-bin
     // histogram, never the docs (see the lmBuckets Scaladoc scale argument)
@@ -561,7 +615,9 @@ object LangModel {
     * layout: Wenzek et al. 2020 §4.3 ship each language in three buckets
     * by LM score so consumers can choose their quality/volume trade-off).
     * Thirds are cut with the scale-honest HISTOGRAM-QUANTILE recipe, not a
-    * global sort: per-doc predictability quantizes to k = ⌊predict_r·4096⌋
+    * global sort: the per-doc interpolated-KN mean probability mass
+    * (round 15 — see [[lmBucketLabeledSql]]; formerly the raw-count
+    * predictability ratio) quantizes to k = (kmass·4096) div (nbg·10⁶)
     * (unknown-context docs land in bin −1), one count-per-bin histogram is
     * built (≤ 4098 bins REGARDLESS of corpus size — that bound, not the
     * row count, is what the cumulative window runs over, which is why the
@@ -729,6 +785,125 @@ object LangModel {
       .orderBy(col("n_bg").desc, col("w1"), col("w2")).limit(20)
   }
 
+  /** lm — interpolated Kneser–Ney at TRIGRAM order (Chen & Goodman 1999
+    * §2.7's recursive interpolated form; the r14 verdict queue #5 — the
+    * trigram model previously stopped at stupid backoff), completing the
+    * LM family at the same exact-rational D = 3/4 discipline as
+    * [[lmKneserNey]]:
+    *
+    *   p_KN(w3|w1w2) = (c(w1w2w3) − D)/c(w1w2·) + λ(w1w2)·p_KN(w3|w2)
+    *   λ(w1w2) = D·N1+(w1w2·)/c(w1w2·)
+    *
+    * with the MIDDLE order built from CONTINUATION counts, per the full
+    * KN recursion — raw bigram counts would re-import exactly the
+    * burstiness KN exists to remove:
+    *
+    *   p_KN(w3|w2) = (N1+(·w2w3) − D)/N1+(·w2·) + λ(w2)·p_cont(w3)
+    *   λ(w2) = D·N2(w2)/N1+(·w2·)     p_cont(w3) = N1+(·w3)/B
+    *
+    * where N1+(·w2w3) = |{w1 : c(w1w2w3) > 0}| (one row per trigram TYPE,
+    * so a per-(w2,w3) row count), N1+(·w2·) its per-w2 rollup, N2(w2) the
+    * distinct-w3 type count, and N1+(·w3)/B the bigram-type continuation
+    * distribution [[lmKneserNey]] already pins. Micro rendering chains
+    * divide-before-scale truncating divisions inward-out — pc first, then
+    * the middle order, then the top — so the widest intermediate is
+    * 3·N1+(w1w2·)·p2_micro ≤ 3·(type count)·2·10⁶ (overflow only past a
+    * ~10¹² type table). The conservation law is ENFORCED at BOTH orders
+    * over EVERY context (the r14 ADVICE strict bound from round one):
+    * per (w1,w2), Σ_seen discounted + λ = 1 exactly in rationals, so the
+    * micro mass must land in (10⁶ − (nf+1), 10⁶]; same per w2 at the
+    * middle order with nf = N2(w2). Shape at 100 TB: every frame here is
+    * a rollup of the trigram/bigram MARTS (vocab-scale, not corpus) —
+    * five model-keyed joins and two counter-scale conservation
+    * aggregates; the corpus is never touched. */
+  val lmKneserNey3: QueryDef = QueryDef(
+    "t_lm_kneser_ney3",
+    Some(s"""
+      WITH $bigramsSql,
+      tg AS (
+        SELECT doc_id, lang,
+               unnest(list_transform(range(3, len(t)+1), i -> t[i-2])) AS w1,
+               unnest(list_transform(range(3, len(t)+1), i -> t[i-1])) AS w2,
+               unnest(list_transform(range(3, len(t)+1), i -> t[i])) AS w3
+        FROM d WHERE len(t) >= 3),
+      tri AS MATERIALIZED (
+        SELECT w1, w2, w3, CAST(count(*) AS BIGINT) AS n_tri
+        FROM tg WHERE lang = 'en' GROUP BY w1, w2, w3),
+      tctx AS (SELECT w1, w2, CAST(sum(n_tri) AS BIGINT) AS n_tctx FROM tri GROUP BY w1, w2),
+      nf12 AS (SELECT w1, w2, CAST(count(*) AS BIGINT) AS n_f12 FROM tri GROUP BY w1, w2),
+      cont AS MATERIALIZED (
+        SELECT w2, w3, CAST(count(*) AS BIGINT) AS c23 FROM tri GROUP BY w2, w3),
+      cwc AS (SELECT w2, CAST(sum(c23) AS BIGINT) AS cw2 FROM cont GROUP BY w2),
+      ntw AS (SELECT w2, CAST(count(*) AS BIGINT) AS n2 FROM cont GROUP BY w2),
+      model AS MATERIALIZED (
+        SELECT w1, w2, CAST(count(*) AS BIGINT) AS n_bg
+        FROM bg WHERE lang = 'en' GROUP BY w1, w2),
+      prc AS (SELECT w2, CAST(count(*) AS BIGINT) AS n_prec FROM model GROUP BY w2),
+      b AS (SELECT CAST(count(*) AS BIGINT) AS bt FROM model)
+      SELECT t.w1, t.w2, t.w3, t.n_tri, tc.n_tctx,
+             (t.n_tri * 1000000) // tc.n_tctx AS p_mle3_micro,
+             ((4 * co.c23 - 3) * 1000000) // (4 * c2.cw2)
+               + (3 * nn.n2 * ((p.n_prec * 1000000) // b.bt)) // (4 * c2.cw2) AS p_kn2_micro,
+             ((4 * t.n_tri - 3) * 1000000) // (4 * tc.n_tctx)
+               + (3 * f.n_f12 * (((4 * co.c23 - 3) * 1000000) // (4 * c2.cw2)
+                   + (3 * nn.n2 * ((p.n_prec * 1000000) // b.bt)) // (4 * c2.cw2)))
+                 // (4 * tc.n_tctx) AS p_kn3_micro
+      FROM tri t
+      JOIN tctx tc ON t.w1 = tc.w1 AND t.w2 = tc.w2
+      JOIN nf12 f ON t.w1 = f.w1 AND t.w2 = f.w2
+      JOIN cont co ON t.w2 = co.w2 AND t.w3 = co.w3
+      JOIN cwc c2 ON t.w2 = c2.w2
+      JOIN ntw nn ON t.w2 = nn.w2
+      JOIN prc p ON t.w3 = p.w2
+      CROSS JOIN b
+      ORDER BY t.n_tri DESC, t.w1, t.w2, t.w3 LIMIT 20
+    """)) { (spark, dir) =>
+    val (tri, tctx) = lmTriMarts(spark, dir)
+    val (model, _) = lmMarts(spark, dir)
+    val nf12 = tri.groupBy("w1", "w2").agg(count(lit(1)).cast(LongType).as("n_f12"))
+    val cont = tri.groupBy("w2", "w3").agg(count(lit(1)).cast(LongType).as("c23"))
+    val cwc = cont.groupBy("w2").agg(sum(col("c23")).as("cw2"))
+    val ntw = cont.groupBy("w2").agg(count(lit(1)).cast(LongType).as("n2"))
+    val prc = model.groupBy("w2").agg(count(lit(1)).cast(LongType).as("n_prec"))
+      .withColumnRenamed("w2", "w3")
+    val bt = model.count()
+    // conservation at the TOP order: per (w1, w2), Σ discounted + λ = 1
+    // exactly in rationals; the nf+1 truncations keep the micro mass in
+    // the OPEN-bottom interval (10⁶ − (nf+1), 10⁶]
+    val badTop = tri.join(tctx, Seq("w1", "w2")).groupBy("w1", "w2")
+      .agg(sum(expr("((4 * n_tri - 3) * 1000000) div (4 * n_tctx)")).as("s1"),
+        count(lit(1)).as("nf"), max(col("n_tctx")).as("nc"))
+      .filter(col("s1") + expr("(3 * nf * 1000000) div (4 * nc)") > lit(1000000L) ||
+        col("s1") + expr("(3 * nf * 1000000) div (4 * nc)") <=
+          lit(1000000L) - (col("nf") + lit(1L)))
+      .count()
+    require(badTop == 0L,
+      s"t_lm_kneser_ney3: $badTop trigram contexts break discount mass conservation")
+    // conservation at the MIDDLE order: per w2 over continuation counts
+    val badMid = cont.join(cwc, Seq("w2")).groupBy("w2")
+      .agg(sum(expr("((4 * c23 - 3) * 1000000) div (4 * cw2)")).as("s1"),
+        count(lit(1)).as("nf"), max(col("cw2")).as("nc"))
+      .filter(col("s1") + expr("(3 * nf * 1000000) div (4 * nc)") > lit(1000000L) ||
+        col("s1") + expr("(3 * nf * 1000000) div (4 * nc)") <=
+          lit(1000000L) - (col("nf") + lit(1L)))
+      .count()
+    require(badMid == 0L,
+      s"t_lm_kneser_ney3: $badMid middle-order contexts break discount mass conservation")
+    tri.join(tctx, Seq("w1", "w2")).join(nf12, Seq("w1", "w2"))
+      .join(cont, Seq("w2", "w3")).join(cwc, Seq("w2")).join(ntw, Seq("w2"))
+      .join(prc, Seq("w3"))
+      .withColumn("p_mle3_micro", expr("(n_tri * 1000000) div n_tctx"))
+      .withColumn("p_kn2_micro",
+        expr(s"((4 * c23 - 3) * 1000000) div (4 * cw2)" +
+          s" + (3 * n2 * ((n_prec * 1000000) div $bt)) div (4 * cw2)"))
+      .withColumn("p_kn3_micro",
+        expr("((4 * n_tri - 3) * 1000000) div (4 * n_tctx)" +
+          " + (3 * n_f12 * p_kn2_micro) div (4 * n_tctx)"))
+      .select(col("w1"), col("w2"), col("w3"), col("n_tri"), col("n_tctx"),
+        col("p_mle3_micro"), col("p_kn2_micro"), col("p_kn3_micro"))
+      .orderBy(col("n_tri").desc, col("w1"), col("w2"), col("w3")).limit(20)
+  }
+
   val all: Seq[QueryDef] = Seq(lmScore, lmTopBigrams, lmFilter, lmIncremental,
-    lmTrigram, lmBuckets, lmPrune, lmKneserNey)
+    lmTrigram, lmBuckets, lmPrune, lmKneserNey, lmKneserNey3)
 }

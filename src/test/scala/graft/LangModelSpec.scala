@@ -78,4 +78,29 @@ class LangModelSpec extends SparkSpec {
     assert(rows.exists(r => r.getAs[Long]("p_kn_micro") > r.getAs[Long]("p_mle_micro")),
       "no bigram gained continuation mass")
   }
+
+  test("trigram Kneser-Ney: probabilities in range, recursion grounded in the bigram continuation") {
+    // both per-context conservation laws (top order over c(w1w2.),
+    // middle order over the continuation masses) are REQUIREd in-gate
+    // across EVERY context; here the emitted head's shape
+    val rows = LangModel.lmKneserNey3.run(spark, sfDir).collect()
+    assert(rows.length === 20)
+    val counts = rows.map(_.getAs[Long]("n_tri"))
+    assert(counts.forall(_ > 0))
+    assert(counts.sliding(2).forall { case Array(a, b) => a >= b; case _ => true })
+    rows.foreach { r =>
+      val (mle, kn2, kn3) = (r.getAs[Long]("p_mle3_micro"),
+        r.getAs[Long]("p_kn2_micro"), r.getAs[Long]("p_kn3_micro"))
+      assert(mle > 0 && mle <= 1000000L)
+      // each order's rendered probability is a genuine sub-distribution
+      // member: positive (the discounted term of a SEEN type plus a
+      // non-negative interpolation) and never above full mass
+      assert(kn2 > 0 && kn2 <= 1000000L, s"middle-order mass out of range: $kn2")
+      assert(kn3 > 0 && kn3 <= 1000000L, s"top-order mass out of range: $kn3")
+      assert(r.getAs[Long]("n_tri") <= r.getAs[Long]("n_tctx"))
+    }
+    // the discount must visibly redistribute at the top order too
+    assert(rows.exists(r => r.getAs[Long]("p_kn3_micro") < r.getAs[Long]("p_mle3_micro")),
+      "no trigram lost mass to the discount")
+  }
 }
