@@ -101,7 +101,7 @@ object LangModel {
     * — one definition, so the filter can never drift from the score. */
   private val scoredSql: String = s"""
       $bigramsSql,
-      model AS (
+      model AS MATERIALIZED (
         SELECT w1, w2, CAST(count(*) AS BIGINT) AS n_bg
         FROM bg WHERE lang = 'en' GROUP BY w1, w2),
       ctx AS (
@@ -499,6 +499,41 @@ object LangModel {
       .orderBy("doc_id")
   }
 
+  /** The KN type-count rollups over the `model` CTE (follow types,
+    * preceding types, total bigram types) — ONE definition consumed by
+    * [[lmKneserNey]]'s oracle and [[lmBucketLabeledSql]] (r15 review:
+    * the bucket rendering is not covered by an in-gate conservation
+    * require, so it must be LITERALLY the covered gate's text, not a
+    * hand-kept copy). */
+  private val knTypeSql: String =
+    """fol AS (SELECT w1, CAST(count(*) AS BIGINT) AS n_follow FROM model GROUP BY w1),
+      prc AS (SELECT w2, CAST(count(*) AS BIGINT) AS n_prec FROM model GROUP BY w2),
+      b AS (SELECT CAST(count(*) AS BIGINT) AS bt FROM model)"""
+
+  /** The two per-pair KN micro terms over BARE column names (n_bg,
+    * n_ctx, n_follow, n_prec, bt) — the discounted seen-pair mass and
+    * the λ·p_cont interpolation — shared verbatim between the
+    * conservation-covered bigram gate and the bucket labeling. The
+    * coalesce is a no-op on seen pairs (a model row's w2 always has a
+    * preceding type) and supplies the zero continuation for an unseen
+    * w2 in the bucket path. */
+  private val knDiscSql: String = "((4 * n_bg - 3) * 1000000) // (4 * n_ctx)"
+  private val knContSql: String =
+    "(3 * n_follow * coalesce((n_prec * 1000000) // bt, 0)) // (4 * n_ctx)"
+
+  /** Spark twins of [[knDiscSql]]/[[knContSql]] (`div` = the same
+    * truncating BIGINT division as DuckDB `//`). */
+  private def knDisc: Column = expr("((4 * n_bg - 3) * 1000000) div (4 * n_ctx)")
+  private def knCont(bt: Long): Column =
+    expr(s"(3 * n_follow * coalesce((n_prec * 1000000) div $bt, 0)) div (4 * n_ctx)")
+
+  /** The (fol, prc, bt) type frames off the model mart — the Spark twin
+    * of [[knTypeSql]]. */
+  private def knTypeFrames(model: DataFrame): (DataFrame, DataFrame, Long) = (
+    model.groupBy("w1").agg(count(lit(1)).cast(LongType).as("n_follow")),
+    model.groupBy("w2").agg(count(lit(1)).cast(LongType).as("n_prec")),
+    model.count())
+
   /** The head/middle/tail LABELING arc of [[lmBuckets]] as a shared SQL
     * fragment, scored since round 15 by the INTERPOLATED KNESER–NEY mean
     * probability mass (r14 verdict queue #5 — the buckets previously cut
@@ -518,9 +553,7 @@ object LangModel {
     * unreferenced here — DuckDB prunes unused inline CTEs; keeping the
     * fragment shared keeps model/ctx single-sourced. */
   private[graft] val lmBucketLabeledSql: String = s"""$scoredSql,
-      fol AS (SELECT w1, CAST(count(*) AS BIGINT) AS n_follow FROM model GROUP BY w1),
-      prc AS (SELECT w2, CAST(count(*) AS BIGINT) AS n_prec FROM model GROUP BY w2),
-      b AS (SELECT CAST(count(*) AS BIGINT) AS bt FROM model),
+      $knTypeSql,
       knj AS (
         SELECT g.doc_id, m.n_bg, c.n_ctx, f.n_follow, p.n_prec, b.bt
         FROM bg g
@@ -535,9 +568,8 @@ object LangModel {
                CAST(coalesce(sum(n_ctx), 0) AS BIGINT) AS cmass,
                CAST(coalesce(sum(
                  CASE WHEN n_ctx IS NOT NULL THEN
-                   (CASE WHEN n_bg IS NOT NULL
-                         THEN ((4 * n_bg - 3) * 1000000) // (4 * n_ctx) ELSE 0 END)
-                   + (3 * n_follow * coalesce((n_prec * 1000000) // bt, 0)) // (4 * n_ctx)
+                   (CASE WHEN n_bg IS NOT NULL THEN $knDiscSql ELSE 0 END)
+                   + $knContSql
                  END), 0) AS BIGINT) AS kmass
         FROM knj GROUP BY doc_id),
       sc AS (
@@ -567,16 +599,14 @@ object LangModel {
     * broadcast as one 2-column row. */
   private[graft] def lmBucketLabels(spark: SparkSession, dir: String): DataFrame = {
     val (model, ctx) = lmMarts(spark, dir)
-    val fol = model.groupBy("w1").agg(count(lit(1)).cast(LongType).as("n_follow"))
-    val prc = model.groupBy("w2").agg(count(lit(1)).cast(LongType).as("n_prec"))
-    val bt = model.count()
+    val (fol, prc, bt) = knTypeFrames(model)
     // per-position interpolated-KN micro mass (see lmBucketLabeledSql):
     // seen pair → discount + λ·p_cont; unseen pair, known context →
-    // λ·p_cont alone; unknown context → no mass
+    // λ·p_cont alone; unknown context → no mass — the shared knDisc/
+    // knCont renderings, so this path cannot drift from the
+    // conservation-covered gate
     val pMicro = when(col("n_ctx").isNotNull,
-      when(col("n_bg").isNotNull,
-        expr("((4 * n_bg - 3) * 1000000) div (4 * n_ctx)")).otherwise(lit(0L))
-        + expr(s"(3 * n_follow * coalesce((n_prec * 1000000) div $bt, 0)) div (4 * n_ctx)"))
+      when(col("n_bg").isNotNull, knDisc).otherwise(lit(0L)) + knCont(bt))
     val sc = bigrams(spark, dir)
       .join(model, Seq("w1", "w2"), "left")
       .join(ctx, Seq("w1"), "left")
@@ -746,26 +776,22 @@ object LangModel {
         SELECT w1, w2, CAST(count(*) AS BIGINT) AS n_bg
         FROM bg WHERE lang = 'en' GROUP BY w1, w2),
       ctx AS (SELECT w1, CAST(sum(n_bg) AS BIGINT) AS n_ctx FROM model GROUP BY w1),
-      fol AS (SELECT w1, CAST(count(*) AS BIGINT) AS n_follow FROM model GROUP BY w1),
-      prc AS (SELECT w2, CAST(count(*) AS BIGINT) AS n_prec FROM model GROUP BY w2),
-      b AS (SELECT CAST(count(*) AS BIGINT) AS bt FROM model)
-      SELECT m.w1, m.w2, m.n_bg, c.n_ctx, f.n_follow, p.n_prec,
-             (m.n_bg * 1000000) // c.n_ctx AS p_mle_micro,
-             ((4 * m.n_bg - 3) * 1000000) // (4 * c.n_ctx)
-               + (3 * f.n_follow * ((p.n_prec * 1000000) // b.bt)) // (4 * c.n_ctx) AS p_kn_micro
-      FROM model m JOIN ctx c ON m.w1 = c.w1 JOIN fol f ON m.w1 = f.w1
-      JOIN prc p ON m.w2 = p.w2 CROSS JOIN b
-      ORDER BY m.n_bg DESC, m.w1, m.w2 LIMIT 20
+      $knTypeSql,
+      kj AS (
+        SELECT m.w1, m.w2, m.n_bg, c.n_ctx, f.n_follow, p.n_prec, b.bt
+        FROM model m JOIN ctx c ON m.w1 = c.w1 JOIN fol f ON m.w1 = f.w1
+        JOIN prc p ON m.w2 = p.w2 CROSS JOIN b)
+      SELECT w1, w2, n_bg, n_ctx, n_follow, n_prec,
+             (n_bg * 1000000) // n_ctx AS p_mle_micro,
+             $knDiscSql + $knContSql AS p_kn_micro
+      FROM kj
+      ORDER BY n_bg DESC, w1, w2 LIMIT 20
     """)) { (spark, dir) =>
     val (model, ctxM) = lmMarts(spark, dir)
-    val fol = model.groupBy("w1").agg(count(lit(1)).cast(LongType).as("n_follow"))
-    val prc = model.groupBy("w2").agg(count(lit(1)).cast(LongType).as("n_prec"))
-    val bt = model.count()
+    val (fol, prc, bt) = knTypeFrames(model)
     val kn = model.join(ctxM, "w1").join(fol, "w1").join(prc, "w2")
       .withColumn("p_mle_micro", expr("(n_bg * 1000000) div n_ctx"))
-      .withColumn("p_kn_micro",
-        expr(s"((4 * n_bg - 3) * 1000000) div (4 * n_ctx)" +
-          s" + (3 * n_follow * ((n_prec * 1000000) div $bt)) div (4 * n_ctx)"))
+      .withColumn("p_kn_micro", knDisc + knCont(bt))
     // conservation: per context w1, Σ discounted + λ = 1 in rationals —
     // each of the nf+1 truncations loses STRICTLY less than 1 micro, so
     // the rendered mass lies in (10⁶ − (nf+1), 10⁶]: the lower bound is
@@ -864,9 +890,8 @@ object LangModel {
     val cont = tri.groupBy("w2", "w3").agg(count(lit(1)).cast(LongType).as("c23"))
     val cwc = cont.groupBy("w2").agg(sum(col("c23")).as("cw2"))
     val ntw = cont.groupBy("w2").agg(count(lit(1)).cast(LongType).as("n2"))
-    val prc = model.groupBy("w2").agg(count(lit(1)).cast(LongType).as("n_prec"))
-      .withColumnRenamed("w2", "w3")
-    val bt = model.count()
+    val (_, prcW2, bt) = knTypeFrames(model)
+    val prc = prcW2.withColumnRenamed("w2", "w3")
     // conservation at the TOP order: per (w1, w2), Σ discounted + λ = 1
     // exactly in rationals; the nf+1 truncations keep the micro mass in
     // the OPEN-bottom interval (10⁶ − (nf+1), 10⁶]

@@ -15,7 +15,11 @@ last `{"metric":...}` line is the payload. NAMES args accept either a
 CORRECTNESS_r{N}.json (sorted keys = gate order) or a Verify output
 directory (sorted subdirectory names = gate order).
 
-Exit code: 0 always — this is a report, the reader adjudicates.
+Exit code: 0 when the report ran — drift itself never fails the run;
+the reader adjudicates. Nonzero ONLY for unusable inputs: missing/
+pre-round-13 payloads, a names/qv length mismatch, a qsig signature
+mismatch (round-15+ artifacts), or a sum(qv)-vs-total reconciliation
+failure — all cases where any drift numbers would be misattributed.
 """
 import json
 import os
