@@ -490,28 +490,106 @@ object Similarity {
       .orderBy("cluster_id", "pos")
   }
 
-  /** DuckDB CTE pair for one Lloyd's round: assignment a$r from c${r-1},
-    * fixed-point recompute c$r. Generated per round so the pinned-N oracle
-    * stays mechanical instead of hand-unrolled. */
-  private def kmRoundSql(r: Int): String = {
+  /** DuckDB CTE pair for one Lloyd's round: assignment ${p}a$r from
+    * ${p}c${r-1}, fixed-point recompute ${p}c$r. Generated per round so
+    * the pinned-N oracle stays mechanical instead of hand-unrolled; the
+    * prefix lets one oracle carry several independently-trained
+    * quantizers ([[simIvfCells]] trains two sizes side by side). */
+  private def kmRoundSql(r: Int, p: String = ""): String = {
     val sc = s"${dotSql("c.cv", "c.cv")} - 2 * ${dotSql("e.embedding", "c.cv")} + 1e-12 * c.cent_id"
-    s"""a$r AS (
+    s"""${p}a$r AS (
         SELECT e.vec_id, e.embedding,
                arg_min(c.cent_id, $sc) AS cell
-        FROM embeddings e, c${r - 1} c
+        FROM embeddings e, ${p}c${r - 1} c
         GROUP BY e.vec_id, e.embedding),
-      ex$r AS (
+      ${p}ex$r AS (
         SELECT cell, unnest(range(0, len(embedding))) AS pos, unnest(embedding) AS v
-        FROM a$r),
-      per$r AS (
+        FROM ${p}a$r),
+      ${p}per$r AS (
         SELECT cell, pos,
                CAST(sum(CAST(floor(CAST(v AS DOUBLE) * 10000000.0) AS BIGINT)) AS BIGINT) AS s,
                count(*) AS n
-        FROM ex$r GROUP BY 1, 2),
-      c$r AS (
+        FROM ${p}ex$r GROUP BY 1, 2),
+      ${p}c$r AS (
         SELECT cell AS cent_id,
                list(CAST(s AS DOUBLE) / CAST(n AS DOUBLE) / 10000000.0 ORDER BY pos) AS cv
-        FROM per$r GROUP BY cell)"""
+        FROM ${p}per$r GROUP BY cell)"""
+  }
+
+  /** One broadcast-argmin Lloyd assignment of `e`(vec_id, embedding)
+    * against a (cent_id, cv) centroid frame — min ‖x−c‖² via the
+    * ‖c‖²−2x·c expansion (centroids travel with their norms in ONE
+    * broadcast row), 1e-12·cent_id tie bias, plus the 1e-7-quantized
+    * squared distance of the chosen centroid (bias included on both
+    * engines, so the doubles are identical). Shared by
+    * [[simKmeansConverged]] and [[simIvfCells]]. */
+  private def kmAssign(e: DataFrame, cents: DataFrame): DataFrame = {
+    val packed = cents
+      .withColumn("cc", dot(col("cv"), col("cv")))
+      .agg(collect_list(struct(col("cent_id"), col("cv"), col("cc"))).as("cents"))
+    val best = array_min(transform(col("cents"), c => struct(
+      (c("cc") - lit(2.0) * dot(col("embedding"), c("cv"))
+        + lit(1e-12) * c("cent_id")).as("score"),
+      c("cent_id").as("cent_id"))))
+    e.crossJoin(broadcast(packed))
+      .withColumn("best", best)
+      .select(col("vec_id"), col("embedding"),
+        col("best")("cent_id").as("cell"),
+        floor((col("best")("score") + dot(col("embedding"), col("embedding")))
+          * lit(10000000.0)).cast(LongType).as("dist_q"))
+  }
+
+  /** The budgeted Lloyd training loop to the assignment-signature
+    * fixpoint (factored out of [[simKmeansConverged]] when
+    * [[simIvfCells]] needed a second quantizer size, r15): seeds = the
+    * first `k` vectors, up to `rounds` fixed-point recomputes, early
+    * exit when the assignment signature (count + commutative murmur3 sum
+    * + xxhash64 XOR — both folds order-free at any parallelism; equality
+    * of the triple under two distinct assignments needs a simultaneous
+    * collision of two independent hash families, the round-9 ADVICE's
+    * "practically impossible" bar — one driver scalar row per round)
+    * repeats, because an unchanged assignment makes every remaining
+    * recompute a bit-identical no-op. Returns the final (cent_id, cv)
+    * centroid frame; each superseded round's EAGER checkpoint is
+    * released as the next lands (lazy-checkpoint-then-unpersist would
+    * cut the lineage the new frame still needs — round-9 finding). */
+  private def lloydCells(e: DataFrame, k: Int, rounds: Int): DataFrame = {
+    def recompute(assigned: DataFrame): DataFrame = assigned
+      .select(col("cell"), posexplode(col("embedding")).as(Seq("pos", "v")))
+      .groupBy("cell", "pos")
+      .agg(
+        sum(floor(col("v").cast(DoubleType) * 10000000.0).cast(LongType)).as("s"),
+        count(lit(1)).as("n"))
+      .select(col("cell"), col("pos"),
+        (col("s").cast(DoubleType) / col("n").cast(DoubleType) / 10000000.0).as("c"))
+      .groupBy(col("cell").as("cent_id"))
+      .agg(transform(array_sort(collect_list(struct(col("pos"), col("c")))), s => s("c"))
+        .as("cv"))
+    var cents = e.filter(col("vec_id") < k)
+      .select(col("vec_id").cast(IntegerType).as("cent_id"),
+        col("embedding").cast(ArrayType(DoubleType)).as("cv"))
+    var prevSig: (Long, Long, Long) = null
+    var prevCkpt: DataFrame = null
+    var iters = 0
+    var fixed = false
+    while (iters < rounds && !fixed) {
+      val a = kmAssign(e, cents)
+      val row = a.agg(count(lit(1)),
+        sum(hash(col("vec_id"), col("cell")).cast(LongType)),
+        call_function("bit_xor", xxhash64(col("vec_id"), col("cell")))).head()
+      def at(i: Int) = if (row.isNullAt(i)) 0L else row.getLong(i)
+      val sig = (row.getLong(0), at(1), at(2))
+      if (sig == prevSig) fixed = true // remaining rounds are no-ops
+      else {
+        val next = recompute(a).localCheckpoint(true)
+        if (prevCkpt != null) prevCkpt.unpersist(false)
+        prevCkpt = next
+        cents = next
+        prevSig = sig
+        iters += 1
+      }
+    }
+    cents
   }
 
   /** Pinned round budget for [[simKmeansConverged]] — the oracle unrolls
@@ -548,7 +626,7 @@ object Similarity {
       WITH c0 AS (
         SELECT CAST(vec_id AS INTEGER) AS cent_id, embedding AS cv
         FROM embeddings WHERE vec_id < 8),
-      ${(1 to KmRounds).map(kmRoundSql).mkString(",\n      ")},
+      ${(1 to KmRounds).map(r => kmRoundSql(r)).mkString(",\n      ")},
       af AS (
         SELECT e.vec_id,
                arg_min(c.cent_id, $sc) AS cell,
@@ -570,72 +648,8 @@ object Similarity {
     """
     }) { (spark, dir) =>
     val e = emb(spark, dir).select(col("vec_id"), col("embedding"))
-    // assignment pass: centroids (with norms) in ONE broadcast row; also
-    // emits the 1e-7-quantized squared distance of the chosen centroid
-    // (bias included on both engines, so the doubles are identical)
-    def assign(cents: DataFrame): DataFrame = {
-      val packed = cents
-        .withColumn("cc", dot(col("cv"), col("cv")))
-        .agg(collect_list(struct(col("cent_id"), col("cv"), col("cc"))).as("cents"))
-      val best = array_min(transform(col("cents"), c => struct(
-        (c("cc") - lit(2.0) * dot(col("embedding"), c("cv"))
-          + lit(1e-12) * c("cent_id")).as("score"),
-        c("cent_id").as("cent_id"))))
-      e.crossJoin(broadcast(packed))
-        .withColumn("best", best)
-        .select(col("vec_id"), col("embedding"),
-          col("best")("cent_id").as("cell"),
-          floor((col("best")("score") + dot(col("embedding"), col("embedding")))
-            * lit(10000000.0)).cast(LongType).as("dist_q"))
-    }
-    def recompute(assigned: DataFrame): DataFrame = assigned
-      .select(col("cell"), posexplode(col("embedding")).as(Seq("pos", "v")))
-      .groupBy("cell", "pos")
-      .agg(
-        sum(floor(col("v").cast(DoubleType) * 10000000.0).cast(LongType)).as("s"),
-        count(lit(1)).as("n"))
-      .select(col("cell"), col("pos"),
-        (col("s").cast(DoubleType) / col("n").cast(DoubleType) / 10000000.0).as("c"))
-      .groupBy(col("cell").as("cent_id"))
-      .agg(transform(array_sort(collect_list(struct(col("pos"), col("c")))), s => s("c"))
-        .as("cv"))
-    var cents = e.filter(col("vec_id") < 8)
-      .select(col("vec_id").cast(IntegerType).as("cent_id"),
-        col("embedding").cast(ArrayType(DoubleType)).as("cv"))
-    // assignment signature: count + a SUM fold of the 32-bit murmur3
-    // hash (widened to long first, so the sum cannot overflow under ANSI)
-    // + an XOR fold of the 64-bit xxhash64 (XOR never overflows). Both
-    // folds are commutative (order-free at any parallelism); equality of
-    // the TRIPLE under two distinct assignments needs a simultaneous
-    // collision of two independent hash families — the round-9 ADVICE's
-    // "practically impossible" bar — while staying one driver scalar row
-    // per round.
-    var prevSig: (Long, Long, Long) = null
-    var prevCkpt: DataFrame = null
-    var iters = 0
-    var fixed = false
-    while (iters < KmRounds && !fixed) {
-      val a = assign(cents)
-      val row = a.agg(count(lit(1)),
-        sum(hash(col("vec_id"), col("cell")).cast(LongType)),
-        call_function("bit_xor", xxhash64(col("vec_id"), col("cell")))).head()
-      def at(i: Int) = if (row.isNullAt(i)) 0L else row.getLong(i)
-      val sig = (row.getLong(0), at(1), at(2))
-      if (sig == prevSig) fixed = true // remaining rounds are no-ops
-      else {
-        // EAGER checkpoint, then release the superseded round's blocks:
-        // lazy-checkpoint-then-unpersist would cut the lineage the new
-        // frame still needs, and skipping the unpersist leaked up to
-        // KmRounds tiny frames per run (round-9 "What's wrong" #1)
-        val next = recompute(a).localCheckpoint(true)
-        if (prevCkpt != null) prevCkpt.unpersist(false)
-        prevCkpt = next
-        cents = next
-        prevSig = sig
-        iters += 1
-      }
-    }
-    val fin = assign(cents)
+    val cents = lloydCells(e, 8, KmRounds)
+    val fin = kmAssign(e, cents)
     val sizes = fin.groupBy(col("cell"))
       .agg(count(lit(1)).as("n_members"), sum(col("dist_q")).as("inertia_q"))
     cents.join(sizes, col("cent_id") === col("cell"), "left")
@@ -3415,6 +3429,165 @@ object Similarity {
     * K=10 PLATEAUS at recall ~0.55 at n=2000 no matter the rounds (the
     * build degree, not the budget, was binding), while K=20 converges
     * to ~0.93 by round 6–7 at both corpus sizes. */
+  /** Pinned Lloyd budget for [[simIvfCells]]'s trained quantizers (the
+    * oracle unrolls exactly this many recomputes per size; the Spark
+    * loop exits at the assignment fixpoint). 8 rounds: the K=32 training
+    * is still descending at 4 on this corpus. */
+  private val CellRounds = 8
+
+  /** sim — the COARSE-QUANTIZER CELL-COUNT lever (round 15): after the
+    * codebook adoption, [[simAnnFrontier]]'s re-measure moved the
+    * binding constraint to the coarse quantizer — probe-3's EXACT
+    * ceiling (recall of exact scoring over the probed pool, which no
+    * coding can beat) is 0.65 on this corpus because 8 seeded cells
+    * partition a near-uniform sphere too coarsely. This gate measures
+    * the fix the way [[simPqCodebookSize]] measured the codebook: the
+    * exact ceiling of (quantizer, probes) points at MATCHED scan
+    * fractions — the served 8-cell seeded quantizer at probes {1, 3}
+    * (scan ≈ 1/8, 3/8) vs the same-size TRAINED quantizer vs a trained
+    * 32-cell quantizer at probes {4, 12} (the same fractions) — all
+    * priced by the re-rank lemma (ceiling = |pool ∩ exact top-10|, no
+    * re-scoring pass). MEASURED (sf0.1): at the 1/8 fraction the
+    * trained-32 ceiling is 0.8375 vs seeded-8's 0.375 — and it scans
+    * FEWER rows (1976 vs 2160, finer cells waste less pool) — rising to
+    * 0.9375 vs 0.65 at 3/8; training alone at 8 cells buys only
+    * 0.375 → 0.45. The deployment lesson: grow and TRAIN the coarse
+    * quantizer (production IVF sizes K ≈ c·√n) before spending anything
+    * else — the suite keeps serving the didactic 8-cell layout so every
+    * oracle stays replayable, and this mart prices exactly what the
+    * re-layout would buy. Trained quantizers run [[lloydCells]] to the
+    * [[CellRounds]] budget (fixpoint-exit, oracle-unrolled — the
+    * [[simKmeansConverged]] discipline, one chain per size via the
+    * prefixed [[kmRoundSql]]); probes rank cells by each quantizer's OWN
+    * affinity (max dot for the seeded serving layout, min L2 for the
+    * trained ones — the same metric their assignment uses). The
+    * probe-monotonicity law (pools nest ⇒ hits monotone in probes per
+    * quantizer) is ENFORCED in-gate. Shape at 100 TB: training is
+    * per-round one broadcast-argmin map pass + integer-partial
+    * recompute; every pool is (qid, vec_id) scalars; the 8×n exact
+    * baseline is the evaluation's price, not the serve's. */
+  val simIvfCells: QueryDef = {
+    val variants = Seq(
+      ("k8_seeded", "s8", 8, Seq(1, 3)),
+      ("k8_trained", "t8", 8, Seq(1, 3)),
+      ("k32_trained", "t32", 32, Seq(4, 12)))
+    val l2q = (p: String) =>
+      s"${dotSql("c.cv", "c.cv")} - 2 * ${dotSql("q.qv", "c.cv")} + 1e-12 * c.cent_id"
+    val rowsSql = variants.flatMap { case (name, p, k, ps) =>
+      ps.map { pr =>
+        s"""SELECT '$name' AS variant, CAST($k AS BIGINT) AS k_cells, CAST($pr AS BIGINT) AS probes,
+               (SELECT CAST(count(*) AS BIGINT)
+                FROM ${p}av a JOIN ${p}rk r ON a.cell = r.cell AND r.rn <= $pr) AS scanned,
+               (SELECT CAST(count(*) AS BIGINT)
+                FROM ${p}av a JOIN ${p}rk r ON a.cell = r.cell AND r.rn <= $pr
+                JOIN ex x ON x.qid = r.qid AND x.vec_id = a.vec_id) AS hits"""
+      }
+    }.mkString("\n      UNION ALL\n      ")
+    val trainedChain = (p: String, k: Int) => s"""
+      ${p}c0 AS (
+        SELECT CAST(vec_id AS INTEGER) AS cent_id, embedding AS cv
+        FROM embeddings WHERE vec_id < $k),
+      ${(1 to CellRounds).map(r => kmRoundSql(r, p)).mkString(",\n      ")},
+      ${p}av AS MATERIALIZED (
+        SELECT e.vec_id,
+               arg_min(c.cent_id, ${dotSql("c.cv", "c.cv")} - 2 * ${dotSql("e.embedding", "c.cv")} + 1e-12 * c.cent_id) AS cell
+        FROM embeddings e, ${p}c$CellRounds c GROUP BY e.vec_id, e.embedding),
+      ${p}rk AS (
+        SELECT q.qid, c.cent_id AS cell,
+               row_number() OVER (PARTITION BY q.qid ORDER BY ${l2q(p)}, c.cent_id) AS rn
+        FROM qs q, ${p}c$CellRounds c)"""
+    QueryDef(
+      "sim_ivf_cells",
+      Some(s"""
+      WITH qs AS (SELECT vec_id AS qid, embedding AS qv FROM embeddings WHERE vec_id >= 16 AND vec_id < 24),
+      ex AS MATERIALIZED (
+        SELECT qid, vec_id FROM (
+          SELECT q.qid, e.vec_id,
+                 row_number() OVER (PARTITION BY q.qid
+                   ORDER BY ${dotSql("e.embedding", "q.qv")} DESC, e.vec_id) AS rn
+          FROM embeddings e, qs q)
+        WHERE rn <= 10),
+      s8c AS (SELECT vec_id AS cent_id, embedding AS cv FROM embeddings WHERE vec_id < 8),
+      s8av AS MATERIALIZED (
+        SELECT e.vec_id, arg_max(c.cent_id, ${dotSql("e.embedding", "c.cv")} - 1e-12 * c.cent_id) AS cell
+        FROM embeddings e, s8c c GROUP BY e.vec_id, e.embedding),
+      s8rk AS (
+        SELECT q.qid, c.cent_id AS cell,
+               row_number() OVER (PARTITION BY q.qid
+                 ORDER BY ${dotSql("q.qv", "c.cv")} - 1e-12 * c.cent_id DESC) AS rn
+        FROM qs q, s8c c),
+      ${trainedChain("t8", 8)},
+      ${trainedChain("t32", 32)}
+      SELECT variant, k_cells, probes, scanned, hits,
+             round(CAST(hits AS DOUBLE) / 80.0, 6) AS ceiling_r
+      FROM (
+      $rowsSql
+      ) ORDER BY variant, probes
+    """)) { (spark, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val s2 = spark
+      import s2.implicits._
+      val wq = Window.partitionBy("qid")
+      val e = emb(spark, dir).select(col("vec_id"), col("embedding")).localCheckpoint(true)
+      val qs = e.filter(col("vec_id") >= 16 && col("vec_id") < 24)
+        .select(col("vec_id").as("qid"), col("embedding").as("qv"))
+      val ex = e.crossJoin(broadcast(qs))
+        .select(col("qid"), col("vec_id"), dot(col("embedding"), col("qv")).as("s"))
+        .withColumn("rn", row_number().over(wq.orderBy(col("s").desc, col("vec_id"))))
+        .filter(col("rn") <= 10)
+        .select(col("qid").as("xq"), col("vec_id").as("xv"))
+        .localCheckpoint(true)
+      // the served seeded-8 layout: the IVF family's own assignment + probe
+      val s8a = ivfAssigned(spark, dir).select(col("vec_id"), col("cell"))
+        .localCheckpoint(true)
+      val s8r = qs.crossJoin(broadcast(ivfCentroids(spark, dir)))
+        .select(col("qid"), col("qv"), explode(col("cents")).as("c"))
+        .select(col("qid"), col("c.cent_id").as("cell"),
+          (dot(col("qv"), col("c.cv")) - lit(1e-12) * col("c.cent_id")).as("sc"))
+        .withColumn("rn", row_number().over(wq.orderBy(col("sc").desc)))
+      def trained(k: Int): (DataFrame, DataFrame) = {
+        val cents = lloydCells(e, k, CellRounds)
+        val av = kmAssign(e, cents).select(col("vec_id"), col("cell"))
+          .localCheckpoint(true)
+        val packed = cents.withColumn("cc", dot(col("cv"), col("cv")))
+          .agg(collect_list(struct(col("cent_id"), col("cv"), col("cc"))).as("cs"))
+        val rk = qs.crossJoin(broadcast(packed))
+          .select(col("qid"), col("qv"), explode(col("cs")).as("c"))
+          .select(col("qid"), col("c.cent_id").as("cell"),
+            (col("c.cc") - lit(2.0) * dot(col("qv"), col("c.cv"))
+              + lit(1e-12) * col("c.cent_id")).as("sc"))
+          .withColumn("rn", row_number().over(wq.orderBy(col("sc"), col("cell"))))
+        (av, rk)
+      }
+      val (t8a, t8r) = trained(8)
+      val (t32a, t32r) = trained(32)
+      def point(name: String, k: Int, av: DataFrame, rk: DataFrame, pr: Int): (String, Long, Long, Long, Long) = {
+        val pool = av.join(broadcast(rk.filter(col("rn") <= pr)
+          .select(col("qid"), col("cell").as("pcell"))), col("cell") === col("pcell"))
+          .select(col("qid"), col("vec_id")).localCheckpoint(false)
+        val scanned = pool.count()
+        val hits = pool.join(broadcast(ex),
+          col("qid") === col("xq") && col("vec_id") === col("xv")).count()
+        (name, k.toLong, pr.toLong, scanned, hits)
+      }
+      val rows = Seq(
+        point("k8_seeded", 8, s8a, s8r, 1), point("k8_seeded", 8, s8a, s8r, 3),
+        point("k8_trained", 8, t8a, t8r, 1), point("k8_trained", 8, t8a, t8r, 3),
+        point("k32_trained", 32, t32a, t32r, 4), point("k32_trained", 32, t32a, t32r, 12))
+      Seq(s8a, t8a, t32a, ex, e).foreach(_.unpersist(false))
+      // probe monotonicity per quantizer: pools NEST in the probe count,
+      // so hits cannot decrease — exactly structural
+      rows.groupBy(_._1).foreach { case (v, rs) =>
+        val h = rs.sortBy(_._3).map(_._5)
+        require(h == h.sorted, s"$v ceiling not monotone in probes: $rs")
+      }
+      rows.toDF("variant", "k_cells", "probes", "scanned", "hits")
+        .select(col("variant"), col("k_cells"), col("probes"), col("scanned"),
+          col("hits"), round(col("hits").cast(DoubleType) / 80.0, 6).as("ceiling_r"))
+        .orderBy("variant", "probes")
+    }
+  }
+
   private val NndRounds = 8
 
   /** Build-side neighbor degree (keep-best-K of the descent). */
@@ -3903,5 +4076,5 @@ object Similarity {
     simPqEncode, simPqSearch, simPqTrain, simPqTrainConverged, simIvfAdc,
     simAdcRerank, simIvfAdcResidual, simAnnRecall, simAnnRecallSet, simAnnFrontier,
     simIvfLayout, simIvfSplit, simPqDimLayout, simOpqLearned, simOpqRotation,
-    simPqCodebookSize, simNnDescent, simGraphServe)
+    simPqCodebookSize, simIvfCells, simNnDescent, simGraphServe)
 }

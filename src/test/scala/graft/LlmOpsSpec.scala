@@ -303,6 +303,26 @@ class LlmOpsSpec extends SparkSpec {
       s"larger codebooks do not beat the 3-bit baseline: $hits")
   }
 
+  test("IVF cell-count lever: trained-32 dominates the served 8-cell layout at matched scan fractions") {
+    val rows = Similarity.simIvfCells.run(spark, sfDir).collect()
+    assert(rows.length === 6)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("hits") >= 0L && r.getAs[Long]("hits") <= 80L)
+      assert(r.getAs[Long]("scanned") > 0L)
+    }
+    val by = rows.map(r => (r.getAs[String]("variant"), r.getAs[Long]("probes")) ->
+      r.getAs[Long]("hits")).toMap
+    // matched scan fractions (1/8 and 3/8 of the corpus): the trained
+    // 32-cell quantizer's exact ceiling beats the served seeded-8 layout
+    // by a wide margin (measured 70 vs 29 hits at n=500, 67 vs 30 at
+    // n=2000 for the 1/8 point; 75 vs 54 / 75 vs 52 at 3/8) — the
+    // in-gate require already enforces probe monotonicity per quantizer
+    assert(by(("k32_trained", 4L)) > by(("k8_seeded", 1L)) + 16,
+      s"k32 at the 1/8 fraction did not dominate the served layout: $by")
+    assert(by(("k32_trained", 12L)) > by(("k8_seeded", 3L)) + 8,
+      s"k32 at the 3/8 fraction did not dominate the served layout: $by")
+  }
+
   test("derived re-rank beam: subset of the pool, floor/k respected, monotone in pool size") {
     // the sizing rule's contract (round-13 queue #7): beam ⊆ candidates
     // by construction (min clamp), never below min(pool, floor), grows
