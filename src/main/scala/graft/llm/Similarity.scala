@@ -3588,6 +3588,203 @@ object Similarity {
     }
   }
 
+  /** sim — the DEPLOYED read path: every lever the measurement gates
+    * priced, SERVED as one composed pipeline (round 15 — the r14 verdict
+    * demanded the measured-best codebook be the served codebook; this
+    * gate closes the same loop for the coarse layout so no measured-best
+    * operating point is left unserved): trained-32 coarse quantizer
+    * ([[simIvfCells]]'s winning rung, [[lloydCells]] to the
+    * [[CellRounds]] budget) → probe the query's top-4 cells (the matched
+    * 1/8 scan fraction, ceiling 0.8375 at sf0.1) → ADC-rank the pool
+    * against the SERVED k* = [[PqK]] = 64 codebook
+    * ([[convergedRawBook]], the adopted `sim_pq_codebook_size` winner) →
+    * derived re-rank beam (min(C, max(50, 10·bitlen(C))) per query, the
+    * [[rerankBeamWidth]] rule) → exact re-score of the beam → top-10.
+    * Emits one row per held-out query (qid, pool_rows, beam_rows, hits,
+    * recall_r). MEASURED: mean recall@10 0.7625 at sf0.1 scanning 1976
+    * pool rows + 660 beam re-scores — vs the probe-3 seeded-8 rerank
+    * rung's 0.55 at 6103 scanned ([[simAnnRecallSet]]): better recall at
+    * a THIRD of the scan, which is what the two adopted levers combined
+    * buy; 0.875 at sf0.01. Shape at 100 TB: coarse training and corpus
+    * encode are snapshot-time write paths (inline here so the oracle
+    * replays the whole arc); the read path touches the probed pool's
+    * CODES plus O(k log C) true vectors for the beam — centroids, book,
+    * and LUT all broadcast, nothing but (qid, id, scalar) past the
+    * scan. */
+  val simAnnDeployed: QueryDef = {
+    val sq16 = (a: String, b: String) => s"""list_reduce(list_transform(range(1, ${PqSub + 1}),
+           i -> (CAST($a[i] AS DOUBLE) - $b[i]) * (CAST($a[i] AS DOUBLE) - $b[i])),
+           (x, y) -> x + y)"""
+    QueryDef(
+      "sim_ann_deployed",
+      Some(s"""
+      WITH qs AS (SELECT vec_id AS qid, embedding AS qv FROM embeddings WHERE vec_id >= 16 AND vec_id < 24),
+      ex AS MATERIALIZED (
+        SELECT qid, vec_id FROM (
+          SELECT q.qid, e.vec_id,
+                 row_number() OVER (PARTITION BY q.qid
+                   ORDER BY ${dotSql("e.embedding", "q.qv")} DESC, e.vec_id) AS rn
+          FROM embeddings e, qs q)
+        WHERE rn <= 10),
+      t32c0 AS (
+        SELECT CAST(vec_id AS INTEGER) AS cent_id, embedding AS cv
+        FROM embeddings WHERE vec_id < 32),
+      ${(1 to CellRounds).map(r => kmRoundSql(r, "t32")).mkString(",\n      ")},
+      t32av AS MATERIALIZED (
+        SELECT e.vec_id,
+               arg_min(c.cent_id, ${dotSql("c.cv", "c.cv")} - 2 * ${dotSql("e.embedding", "c.cv")} + 1e-12 * c.cent_id) AS cell
+        FROM embeddings e, t32c$CellRounds c GROUP BY e.vec_id, e.embedding),
+      t32rk AS (
+        SELECT q.qid, c.cent_id AS cell,
+               row_number() OVER (PARTITION BY q.qid
+                 ORDER BY ${dotSql("c.cv", "c.cv")} - 2 * ${dotSql("q.qv", "c.cv")} + 1e-12 * c.cent_id, c.cent_id) AS rn
+        FROM qs q, t32c$CellRounds c),
+      cand AS MATERIALIZED (
+        SELECT r.qid, a.vec_id FROM t32av a JOIN t32rk r ON a.cell = r.cell AND r.rn <= 4),
+      ms AS (SELECT unnest([0, 1, 2, 3]) AS m),
+      sub AS (
+        SELECT e.vec_id, ms.m,
+               list_slice(e.embedding, ms.m * $PqSub + 1, ms.m * $PqSub + $PqSub) AS sv
+        FROM embeddings e, ms),
+      pb0 AS (
+        SELECT ms.m, CAST(c.vec_id AS BIGINT) AS code,
+               list_transform(list_slice(c.embedding, ms.m * $PqSub + 1, ms.m * $PqSub + $PqSub),
+                 x -> CAST(x AS DOUBLE)) AS cv
+        FROM embeddings c, ms WHERE c.vec_id < $PqK),
+      ${pqRoundsSql("p", "sub", "pb0")},
+      book AS (SELECT m, code, cv FROM pb$PqTrainRounds),
+      enc AS MATERIALIZED (
+        SELECT c.qid, c.vec_id, s.m,
+               arg_min(b.code, ${sq16("s.sv", "b.cv")} + 1e-12 * b.code) AS code
+        FROM cand c JOIN sub s ON s.vec_id = c.vec_id JOIN book b ON b.m = s.m
+        GROUP BY c.qid, c.vec_id, s.m, s.sv),
+      lut AS MATERIALIZED (
+        SELECT q.qid, b.m, b.code,
+               ${sq16(s"list_slice(q.qv, b.m * $PqSub + 1, b.m * $PqSub + $PqSub)", "b.cv")} AS qd
+        FROM qs q, book b),
+      adc AS (
+        SELECT e.qid, e.vec_id,
+               max(CASE WHEN e.m = 0 THEN l.qd END)
+                 + max(CASE WHEN e.m = 1 THEN l.qd END)
+                 + max(CASE WHEN e.m = 2 THEN l.qd END)
+                 + max(CASE WHEN e.m = 3 THEN l.qd END) AS score
+        FROM enc e JOIN lut l ON l.qid = e.qid AND l.m = e.m AND l.code = e.code
+        GROUP BY e.qid, e.vec_id),
+      bw AS (
+        SELECT qid, least(CAST(count(*) AS BIGINT),
+                          greatest($RerankBeamFloor,
+                                   $RerankK * length(bin(CAST(count(*) AS BIGINT))))) AS bw
+        FROM cand GROUP BY qid),
+      beam AS MATERIALIZED (
+        SELECT z.qid, z.vec_id FROM (
+          SELECT a.qid, a.vec_id,
+                 row_number() OVER (PARTITION BY a.qid ORDER BY a.score, a.vec_id) AS rk
+          FROM adc a) z
+        JOIN bw ON bw.qid = z.qid
+        WHERE z.rk <= bw.bw),
+      top AS (
+        SELECT qid, vec_id FROM (
+          SELECT b.qid, b.vec_id,
+                 row_number() OVER (PARTITION BY b.qid
+                   ORDER BY ${dotSql("e.embedding", "q.qv")} DESC, b.vec_id) AS rn
+          FROM beam b JOIN embeddings e USING (vec_id) JOIN qs q ON q.qid = b.qid)
+        WHERE rn <= 10),
+      pc AS (SELECT qid, CAST(count(*) AS BIGINT) AS pool_rows FROM cand GROUP BY qid),
+      bc AS (SELECT qid, CAST(count(*) AS BIGINT) AS beam_rows FROM beam GROUP BY qid),
+      hc AS (
+        SELECT t.qid, CAST(count(*) AS BIGINT) AS hits
+        FROM top t JOIN ex x ON x.qid = t.qid AND x.vec_id = t.vec_id GROUP BY t.qid)
+      SELECT p.qid, p.pool_rows, b.beam_rows,
+             CAST(coalesce(h.hits, 0) AS BIGINT) AS hits,
+             round(CAST(coalesce(h.hits, 0) AS DOUBLE) / 10.0, 6) AS recall_r
+      FROM pc p JOIN bc b ON b.qid = p.qid LEFT JOIN hc h ON h.qid = p.qid
+      ORDER BY p.qid
+    """)) { (spark, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val s2 = spark
+      import s2.implicits._
+      val wq = Window.partitionBy("qid")
+      val e = emb(spark, dir).select(col("vec_id"), col("embedding")).localCheckpoint(true)
+      val qs = e.filter(col("vec_id") >= 16 && col("vec_id") < 24)
+        .select(col("vec_id").as("qid"), col("embedding").as("qv"))
+      val ex = e.crossJoin(broadcast(qs))
+        .select(col("qid"), col("vec_id"), dot(col("embedding"), col("qv")).as("s"))
+        .withColumn("rn", row_number().over(wq.orderBy(col("s").desc, col("vec_id"))))
+        .filter(col("rn") <= 10)
+        .select(col("qid").as("xq"), col("vec_id").as("xv"))
+      // trained-32 coarse: assignment + per-query cell ranks (the
+      // simIvfCells winning rung)
+      val cents = lloydCells(e, 32, CellRounds)
+      val av = kmAssign(e, cents).select(col("vec_id"), col("cell"))
+      val packed = cents.withColumn("cc", dot(col("cv"), col("cv")))
+        .agg(collect_list(struct(col("cent_id"), col("cv"), col("cc"))).as("cs"))
+      val rk = qs.crossJoin(broadcast(packed))
+        .select(col("qid"), col("qv"), explode(col("cs")).as("c"))
+        .select(col("qid"), col("c.cent_id").as("cell"),
+          (col("c.cc") - lit(2.0) * dot(col("qv"), col("c.cv"))
+            + lit(1e-12) * col("c.cent_id")).as("sc"))
+        .withColumn("rn", row_number().over(wq.orderBy(col("sc"), col("cell"))))
+      // the pool feeds the sizing count, the encode, and the per-query
+      // accounting — one materialization
+      val cand = av.join(broadcast(rk.filter(col("rn") <= 4)
+          .select(col("qid"), col("cell").as("pcell"))), col("cell") === col("pcell"))
+        .select(col("qid"), col("vec_id")).localCheckpoint(true)
+      // the SERVED codebook (the adopted sim_pq_codebook_size winner)
+      val book = bookDf(spark, convergedRawBook(spark, dir))
+      val enc = cand.join(rawSub(spark, dir), Seq("vec_id"))
+        .crossJoin(broadcast(pqBookRow(book)))
+        .select(col("qid"), col("vec_id"), col("m"), pqBookBest("code").as("code"))
+      val qsub = qs.select(col("qid"), explode(array((0 until PqM).map(m =>
+          struct(lit(m).as("m"), slice(col("qv"), m * PqSub + 1, PqSub).as("qsv"))): _*)).as("x"))
+        .select(col("qid"), col("x.m").as("m"), col("x.qsv").as("qsv"))
+      val lut = qsub.join(book, Seq("m"))
+        .select(col("qid"), col("m"), col("code"),
+          aggregate(zip_with(col("qsv"), col("cv"),
+            (x, y) => (x.cast(DoubleType) - y) * (x.cast(DoubleType) - y)),
+            lit(0.0), (acc, v) => acc + v).as("qd"))
+      val aggs = (0 until PqM).map(m => max(when(col("m") === m, col("qd"))).as(s"qd$m"))
+      val adc = enc.join(broadcast(lut), Seq("qid", "m", "code"))
+        .groupBy("qid", "vec_id")
+        .agg(aggs.head, aggs.tail: _*)
+        .select(col("qid"), col("vec_id"),
+          (0 until PqM).map(m => col(s"qd$m")).reduce(_ + _).as("score"))
+      val bwq = cand.groupBy("qid").agg(count(lit(1)).as("cq"))
+        .select(col("qid"), least(col("cq"),
+          greatest(lit(RerankBeamFloor.toLong),
+            lit(RerankK.toLong) * length(bin(col("cq"))))).as("bw"))
+      val beam = adc
+        .withColumn("rk", row_number().over(wq.orderBy(col("score"), col("vec_id"))))
+        .join(broadcast(bwq), Seq("qid"))
+        .filter(col("rk") <= col("bw"))
+        .select(col("qid"), col("vec_id")).localCheckpoint(true)
+      val top = beam.join(e, Seq("vec_id")).join(broadcast(qs), Seq("qid"))
+        .select(col("qid"), col("vec_id"), dot(col("embedding"), col("qv")).as("s"))
+        .withColumn("rn", row_number().over(wq.orderBy(col("s").desc, col("vec_id"))))
+        .filter(col("rn") <= 10).select("qid", "vec_id")
+      val out = cand.groupBy("qid").agg(count(lit(1)).as("pool_rows"))
+        .join(beam.groupBy("qid").agg(count(lit(1)).as("beam_rows")), Seq("qid"))
+        .join(top.join(broadcast(ex),
+            col("qid") === col("xq") && col("vec_id") === col("xv"))
+          .groupBy("qid").agg(count(lit(1)).as("hits")), Seq("qid"), "left")
+        .select(col("qid"), col("pool_rows"), col("beam_rows"),
+          coalesce(col("hits"), lit(0L)).as("hits"),
+          round(coalesce(col("hits"), lit(0L)).cast(DoubleType) / 10.0, 6).as("recall_r"))
+        .orderBy("qid")
+      val schema = out.schema
+      val rows = out.collect()
+      cand.unpersist(false)
+      beam.unpersist(false)
+      e.unpersist(false)
+      // the structural beam law: beam ⊆ pool and at least min(pool, floor)
+      rows.foreach { r =>
+        val (p, b) = (r.getAs[Long]("pool_rows"), r.getAs[Long]("beam_rows"))
+        require(b <= p && b >= math.min(p, RerankBeamFloor.toLong),
+          s"beam sizing broke for qid ${r.getAs[Long]("qid")}: pool $p beam $b")
+      }
+      spark.createDataFrame(java.util.Arrays.asList(rows: _*), schema)
+    }
+  }
+
   private val NndRounds = 8
 
   /** Build-side neighbor degree (keep-best-K of the descent). */
@@ -4076,5 +4273,5 @@ object Similarity {
     simPqEncode, simPqSearch, simPqTrain, simPqTrainConverged, simIvfAdc,
     simAdcRerank, simIvfAdcResidual, simAnnRecall, simAnnRecallSet, simAnnFrontier,
     simIvfLayout, simIvfSplit, simPqDimLayout, simOpqLearned, simOpqRotation,
-    simPqCodebookSize, simIvfCells, simNnDescent, simGraphServe)
+    simPqCodebookSize, simIvfCells, simAnnDeployed, simNnDescent, simGraphServe)
 }

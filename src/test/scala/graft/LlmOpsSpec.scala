@@ -323,6 +323,22 @@ class LlmOpsSpec extends SparkSpec {
       s"k32 at the 3/8 fraction did not dominate the served layout: $by")
   }
 
+  test("deployed read path: composed adopted levers clear the recall bar the seeded layout never could") {
+    val rows = Similarity.simAnnDeployed.run(spark, sfDir).collect()
+    assert(rows.length === 8, "one row per held-out query")
+    rows.foreach { r =>
+      assert(r.getAs[Long]("hits") >= 0L && r.getAs[Long]("hits") <= 10L)
+      // the in-gate require already pins beam ⊆ pool and the floor rule
+      assert(r.getAs[Long]("beam_rows") <= r.getAs[Long]("pool_rows"))
+    }
+    // measured: 70/80 at n=500, 61/80 at n=2000 — vs the probe-3
+    // seeded-8 rerank rung's 44/80 at 3x the scan. Bar at 48 (0.6)
+    // leaves room for ulp-level tie flips while staying far above
+    // anything the 8-cell layout ever measured
+    val total = rows.map(_.getAs[Long]("hits")).sum
+    assert(total >= 48L, s"deployed path recall fell below the bar: $total/80")
+  }
+
   test("derived re-rank beam: subset of the pool, floor/k respected, monotone in pool size") {
     // the sizing rule's contract (round-13 queue #7): beam ⊆ candidates
     // by construction (min clamp), never below min(pool, floor), grows
