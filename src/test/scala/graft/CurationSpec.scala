@@ -67,6 +67,36 @@ class CurationSpec extends SparkSpec {
     assert(rows.map(_.getAs[Long]("n_shared")).sum === planted)
   }
 
+  test("KMV overlap sketch: exact columns reproduce the exact matrix, estimates lawful") {
+    val rows = Curation.cOverlapKmv.run(spark, sfDir).collect()
+    // 21 sources (20 + planted recrawl) -> 210 unordered pairs, always
+    assert(rows.length === 210)
+    rows.foreach { r =>
+      val (ej, eu) = (r.getAs[Double]("est_jacc"), r.getAs[Double]("est_union"))
+      assert(ej >= 0.0 && ej <= 1.0)
+      assert(eu > 0.0)
+      assert(r.getAs[Double]("est_inter") === ej * eu)
+    }
+    // cross-gate consistency: the sketch gate's EXACT side is the exact
+    // matrix gate, pair for pair (matrix emits only overlapping pairs)
+    val matrix = Curation.cOverlapMatrix.run(spark, sfDir).collect()
+      .map(r => (r.getAs[String]("source_a"), r.getAs[String]("source_b")) ->
+        r.getAs[Long]("n_shared")).toMap
+    rows.foreach { r =>
+      val key = (r.getAs[String]("source_a"), r.getAs[String]("source_b"))
+      assert(r.getAs[Long]("exact_inter") === matrix.getOrElse(key, 0L))
+    }
+    // the planted recrawl pairs carry all the overlap; the sketch must
+    // SCREEN them: mean estimated Jaccard over overlapping pairs strictly
+    // above the mean over disjoint pairs (the contamination signal)
+    val (hot, cold) = rows.partition(_.getAs[Long]("exact_inter") > 0L)
+    assert(hot.nonEmpty)
+    val mean = (rs: Array[org.apache.spark.sql.Row]) =>
+      rs.map(_.getAs[Double]("est_jacc")).sum / rs.length
+    assert(mean(hot) > mean(cold),
+      s"sketch failed to separate overlapping pairs: ${mean(hot)} vs ${mean(cold)}")
+  }
+
   test("normalize: canonicalization erases planted whitespace noise on every doc") {
     val rows = Curation.cNormalize.run(spark, sfDir).collect()
     assert(rows.nonEmpty)
