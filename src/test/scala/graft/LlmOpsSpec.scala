@@ -339,6 +339,24 @@ class LlmOpsSpec extends SparkSpec {
     assert(total >= 48L, s"deployed path recall fell below the bar: $total/80")
   }
 
+  test("graph centrality: ranked ledger is lawful and central mass tracks dense regions") {
+    val rows = Similarity.simGraphCentrality.run(spark, sfDir).collect()
+    assert(rows.length === 50)
+    assert(rows.map(_.getAs[Long]("rank")).toSeq === (1L to 50L))
+    // ranks follow (mass desc, vec_id) with no ties mis-ordered
+    rows.sliding(2).foreach { case Array(a, b) =>
+      val (ma, mb) = (a.getAs[Long]("mass_micro"), b.getAs[Long]("mass_micro"))
+      assert(ma > mb || (ma == mb && a.getAs[Long]("vec_id") < b.getAs[Long]("vec_id")))
+    }
+    // the in-gate require already pins conservation and the 150000 floor;
+    // here: the selection SIGNAL — top-50 mean in-degree well above the
+    // serve graph's mean of exactly NndServeDeg = 10 (measured 15.6 at
+    // sf0.01, 17.2 at sf0.1)
+    val meanInDeg = rows.map(_.getAs[Long]("in_deg")).sum.toDouble / rows.length
+    assert(meanInDeg > 12.0,
+      s"top-50 mean in-degree $meanInDeg did not separate from the graph mean 10")
+  }
+
   test("derived re-rank beam: subset of the pool, floor/k respected, monotone in pool size") {
     // the sizing rule's contract (round-13 queue #7): beam ⊆ candidates
     // by construction (min clamp), never below min(pool, floor), grows
