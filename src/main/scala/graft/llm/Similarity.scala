@@ -4267,6 +4267,95 @@ object Similarity {
     }
   }
 
+  /** sim — DIMENSION-TRUNCATION lever (the third axis of the measured
+    * ANN design space, after codebook size [[simPqCodebookSize]] and
+    * coarse cell count [[simIvfCells]]): rank by the dot product over
+    * only the FIRST D dims (Matryoshka-style prefix truncation,
+    * Kusupati et al. 2022) for D ∈ {8,16,32,64} and audit recall@10 of
+    * the truncated top-10 against the exact full-dim top-10 on the
+    * harness's 8 held-out queries. One structural law in-gate: the
+    * D = 64 corner IS the exact ranking, so its recall is exactly 1.0.
+    * MEASURED — and the lever loses: 0.24/0.31/0.38 at sf0.01 and
+    * 0.14/0.20/0.39 at sf0.1 for D = 8/16/32. These embeddings are
+    * near-isotropic (no energy compaction in leading dims — the same
+    * property that bounded the OPQ distortion claims in r13), so naive
+    * prefix truncation at 32 bytes/vec is dominated by LEARNED
+    * quantization at 3 bytes/vec (the served 64-code PQ book reaches
+    * 0.84 beam-200 recall, [[simPqCodebookSize]]): a 10× smaller code
+    * beats a 10× larger truncation. That comparison is the point of
+    * measuring levers before serving them — on MRL-trained embeddings
+    * the conclusion could invert, and this gate would show it. Shape at
+    * 100 TB: truncated scoring reads D floats/row (column-pruned scan
+    * of a fixed-width prefix); only (d, qid, id, score) ever shuffles. */
+  val simDimTruncation: QueryDef = {
+    val dims = Seq(8, 16, 32, 64)
+    def dotDSql(d: Any): String =
+      s"list_reduce(list_transform(range(1, $d + 1), i -> CAST(v.embedding[i] AS DOUBLE) * CAST(q.qv[i] AS DOUBLE)), (a, b) -> a + b)"
+    QueryDef(
+      "sim_dim_truncation",
+      Some(s"""
+      WITH e AS MATERIALIZED (SELECT vec_id, embedding FROM embeddings),
+      qs AS (SELECT vec_id AS qid, embedding AS qv FROM e WHERE vec_id >= 16 AND vec_id < 24),
+      sc AS MATERIALIZED (
+        SELECT q.qid, v.vec_id AS t, ${dotDSql(64)} AS score FROM e v, qs q),
+      ex AS (
+        SELECT qid, t FROM (SELECT qid, t, row_number() OVER (PARTITION BY qid ORDER BY score DESC, t) AS rn FROM sc) z
+        WHERE rn <= 10),
+      ds AS (SELECT unnest([${dims.mkString(", ")}]) AS d),
+      tsc AS MATERIALIZED (
+        SELECT ds.d, q.qid, v.vec_id AS t, ${dotDSql("ds.d")} AS score
+        FROM e v, qs q, ds),
+      tt AS (
+        SELECT d, qid, t FROM (SELECT d, qid, t, row_number() OVER (PARTITION BY d, qid ORDER BY score DESC, t) AS rn FROM tsc) z
+        WHERE rn <= 10),
+      h AS (
+        SELECT tt.d, CAST(count(*) AS BIGINT) AS hits
+        FROM tt JOIN ex ON ex.qid = tt.qid AND ex.t = tt.t GROUP BY tt.d)
+      SELECT ds.d AS dim_d, CAST(ds.d * 4 AS BIGINT) AS bytes_per_vec,
+             CAST(coalesce(h.hits, 0) AS BIGINT) AS hits, CAST(80 AS BIGINT) AS total,
+             round(CAST(coalesce(h.hits, 0) AS DOUBLE) / 80, 6) AS recall_r
+      FROM ds LEFT JOIN h ON h.d = ds.d ORDER BY ds.d
+    """)) { (spark, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val s2 = spark
+      import s2.implicits._
+      val e = emb(spark, dir).select(col("vec_id"), col("embedding")).localCheckpoint(true)
+      val qs = e.filter(col("vec_id") >= 16 && col("vec_id") < 24)
+        .select(col("vec_id").as("qid"), col("embedding").as("qv"))
+      val pairs = e.crossJoin(broadcast(qs))
+      val ex = pairs
+        .select(col("qid"), col("vec_id").as("t"), dot(col("embedding"), col("qv")).as("score"))
+        .withColumn("rn", row_number().over(
+          Window.partitionBy("qid").orderBy(col("score").desc, col("t"))))
+        .filter(col("rn") <= 10)
+        .select(col("qid").as("xq"), col("t").as("xt"))
+      // all four truncated dots in ONE pass over the pair scan
+      val tsc = pairs.select(col("qid"), col("vec_id").as("t"),
+          explode(array(dims.map(d => struct(lit(d.toLong).as("d"),
+            dot(slice(col("embedding"), 1, d), slice(col("qv"), 1, d)).as("score"))): _*)).as("x"))
+        .select(col("qid"), col("t"), col("x.d").as("d"), col("x.score").as("score"))
+      val tt = tsc
+        .withColumn("rn", row_number().over(
+          Window.partitionBy("d", "qid").orderBy(col("score").desc, col("t"))))
+        .filter(col("rn") <= 10)
+      val h = tt.join(broadcast(ex), col("qid") === col("xq") && col("t") === col("xt"))
+        .groupBy("d").agg(count(lit(1)).as("hits"))
+      val out = dims.map(_.toLong).toDF("dim_d")
+        .join(h, col("dim_d") === col("d"), "left")
+        .select(col("dim_d"), (col("dim_d") * 4).as("bytes_per_vec"),
+          coalesce(col("hits"), lit(0L)).as("hits"), lit(80L).as("total"),
+          round(coalesce(col("hits"), lit(0L)).cast(DoubleType) / 80.0, 6).as("recall_r"))
+        .orderBy("dim_d")
+      val rows = out.collect()
+      e.unpersist(false)
+      // structural corner: D = 64 is the exact ranking itself
+      val full = rows.find(_.getAs[Long]("dim_d") == 64L).get
+      require(full.getAs[Long]("hits") == 80L,
+        s"D=64 truncation must reproduce the exact top-10: ${full.getAs[Long]("hits")}/80")
+      spark.createDataFrame(java.util.Arrays.asList(rows: _*), out.schema)
+    }
+  }
+
   /** PageRank damping as an exact rational: mass_v = Base + (Num·inc)÷Den
     * in integer micro-units — α = 85/100, base = (1−α)·10⁶. */
   private val PrRounds = 8
@@ -4378,6 +4467,6 @@ object Similarity {
     simPqEncode, simPqSearch, simPqTrain, simPqTrainConverged, simIvfAdc,
     simAdcRerank, simIvfAdcResidual, simAnnRecall, simAnnRecallSet, simAnnFrontier,
     simIvfLayout, simIvfSplit, simPqDimLayout, simOpqLearned, simOpqRotation,
-    simPqCodebookSize, simIvfCells, simAnnDeployed, simNnDescent, simGraphServe,
-    simGraphCentrality)
+    simPqCodebookSize, simIvfCells, simAnnDeployed, simDimTruncation,
+    simNnDescent, simGraphServe, simGraphCentrality)
 }

@@ -339,6 +339,25 @@ class LlmOpsSpec extends SparkSpec {
     assert(total >= 48L, s"deployed path recall fell below the bar: $total/80")
   }
 
+  test("dim truncation: exact corner holds and recall rises with kept dims") {
+    val rows = Similarity.simDimTruncation.run(spark, sfDir).collect()
+      .sortBy(_.getAs[Long]("dim_d"))
+    assert(rows.map(_.getAs[Long]("dim_d")).toSeq === Seq(8L, 16L, 32L, 64L))
+    // structural corner (also required in-gate): D=64 IS the exact ranking
+    assert(rows.last.getAs[Long]("hits") === 80L)
+    // measured monotonicity: strictly increasing at all three driver
+    // corpora (0.19/0.26/0.43/1.0 at sf0.001); weak form asserted
+    rows.sliding(2).foreach { case Array(a, b) =>
+      assert(a.getAs[Long]("hits") <= b.getAs[Long]("hits"),
+        s"recall fell from D=${a.getAs[Long]("dim_d")} to D=${b.getAs[Long]("dim_d")}")
+    }
+    // the lever's verdict on THIS corpus: near-isotropic embeddings give
+    // prefix truncation no energy compaction — D=8 (32 bytes/vec) stays
+    // far below the served 3-byte PQ book's 0.84 beam-200 recall
+    assert(rows.head.getAs[Long]("hits") < 40L,
+      "D=8 truncation unexpectedly strong - re-measure the PQ comparison in the scaladoc")
+  }
+
   test("graph centrality: ranked ledger is lawful and central mass tracks dense regions") {
     val rows = Similarity.simGraphCentrality.run(spark, sfDir).collect()
     assert(rows.length === 50)
