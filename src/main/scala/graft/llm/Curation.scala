@@ -171,8 +171,9 @@ object Curation {
 
   /** KMV sketch size (k minimum hash values kept per source). 32 is the
     * measured operating point: mean relative union error 0.108 at sf0.01
-    * and 0.115 at sf0.1 (theory: ~1/sqrt(k-2) = 0.18 σ), and 32 is a
-    * power of two so est_jacc = n_both/32 is an EXACT double. */
+    * and 0.115 at sf0.1 (theory: ~1/sqrt(k-2) = 0.18 σ). The Jaccard
+    * denominator is min(k, |merged sketch|), so small-set pairs — where
+    * the sketches are the complete sets — estimate exactly. */
   private val KmvK = 32
 
   /** 2^60 — the hash space of a 15-hex-char md5 prefix. 31·2^60 and the
@@ -251,8 +252,8 @@ object Curation {
              CASE WHEN e.sk_rows < $KmvK THEN CAST(e.sk_rows AS DOUBLE)
                   ELSE CAST(${KmvK - 1} AS DOUBLE) * $KmvM
                        / ('0x' || e.tau_h)::BIGINT END AS est_union,
-             CAST(e.n_both AS DOUBLE) / $KmvK AS est_jacc,
-             CAST(e.n_both AS DOUBLE) / $KmvK
+             CAST(e.n_both AS DOUBLE) / CAST(least($KmvK, e.sk_rows) AS DOUBLE) AS est_jacc,
+             CAST(e.n_both AS DOUBLE) / CAST(least($KmvK, e.sk_rows) AS DOUBLE)
                * (CASE WHEN e.sk_rows < $KmvK THEN CAST(e.sk_rows AS DOUBLE)
                        ELSE CAST(${KmvK - 1} AS DOUBLE) * $KmvM
                             / ('0x' || e.tau_h)::BIGINT END) AS est_inter
@@ -297,7 +298,11 @@ object Curation {
     val estU = when(col("sk_rows") < KmvK, col("sk_rows").cast(DoubleType))
       .otherwise(lit((KmvK - 1).toDouble) * lit(KmvM)
         / conv(col("tau_h"), 16, 10).cast(LongType).cast(DoubleType))
-    val estJ = col("n_both").cast(DoubleType) / KmvK
+    // denominator = |merged bottom-k| = min(k, sk_rows): on small-set
+    // pairs the sketches are complete, so the Jaccard (and with law 1
+    // the intersection) is EXACT, not biased low by the fixed k
+    val estJ = col("n_both").cast(DoubleType) /
+      least(lit(KmvK.toLong), col("sk_rows")).cast(DoubleType)
     val out = est.join(ex, Seq("source_a", "source_b"))
       .select(col("source_a"), col("source_b"), col("sk_rows"), col("n_both"),
         col("exact_union"), col("exact_inter"),
@@ -306,10 +311,15 @@ object Curation {
       .orderBy("source_a", "source_b")
     val rows = out.collect()
     dd.unpersist(false)
-    // law 1: a pair whose merged sketch holds < k values is EXACT
+    // law 1: a pair whose merged sketch holds < k values is EXACT — the
+    // sketches are the full sets, so union, Jaccard, AND intersection
+    // all reproduce the exact side bit-for-bit
     rows.filter(_.getAs[Long]("sk_rows") < KmvK.toLong).foreach { r =>
+      val who = s"${r.getAs[String]("source_a")}/${r.getAs[String]("source_b")}"
       require(r.getAs[Double]("est_union") == r.getAs[Long]("exact_union").toDouble,
-        s"small-set exactness broke for ${r.getAs[String]("source_a")}/${r.getAs[String]("source_b")}")
+        s"small-set union exactness broke for $who")
+      require(r.getAs[Long]("n_both") == r.getAs[Long]("exact_inter"),
+        s"small-set intersection exactness broke for $who")
     }
     // law 2: measured accuracy — mean relative union error under 0.25
     val errs = rows.map(r => math.abs(r.getAs[Double]("est_union") -

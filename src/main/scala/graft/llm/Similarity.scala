@@ -3419,16 +3419,6 @@ object Similarity {
     }
   }
 
-  /** NN-descent ROUND BUDGET — the oracle unrolls exactly this many
-    * rounds; the Spark build may exit earlier at the kept-list fixpoint
-    * (an unchanged list makes every remaining round a bit-identical
-    * no-op: candidates are a function of the list, so c and l replay —
-    * the suite's pinned-budget/fixpoint-exit convention, r14 verdict
-    * queue #3 replacing the pinned 4). Raised 4 → 8 alongside
-    * [[NndK]] 10 → 20: the numpy rehearsal on the driver corpora showed
-    * K=10 PLATEAUS at recall ~0.55 at n=2000 no matter the rounds (the
-    * build degree, not the budget, was binding), while K=20 converges
-    * to ~0.93 by round 6–7 at both corpus sizes. */
   /** Pinned Lloyd budget for [[simIvfCells]]'s trained quantizers (the
     * oracle unrolls exactly this many recomputes per size; the Spark
     * loop exits at the assignment fixpoint). 8 rounds: the K=32 training
@@ -3466,13 +3456,87 @@ object Similarity {
     * per-round one broadcast-argmin map pass + integer-partial
     * recompute; every pool is (qid, vec_id) scalars; the 8×n exact
     * baseline is the evaluation's price, not the serve's. */
+  /** Shared SQL fragment — the recall harness's held-out queries
+    * (vec_id 16–23) and the EXACT full-dim top-10 per query. ONE
+    * definition consumed by [[simIvfCells]] and [[simAnnDeployed]] (the
+    * file's shared-fragment discipline: a tie-break or query-range edit
+    * can never desynchronize the oracles). */
+  private def qsExSql: String =
+    s"""qs AS (SELECT vec_id AS qid, embedding AS qv FROM embeddings WHERE vec_id >= 16 AND vec_id < 24),
+      ex AS MATERIALIZED (
+        SELECT qid, vec_id FROM (
+          SELECT q.qid, e.vec_id,
+                 row_number() OVER (PARTITION BY q.qid
+                   ORDER BY ${dotSql("e.embedding", "q.qv")} DESC, e.vec_id) AS rn
+          FROM embeddings e, qs q)
+        WHERE rn <= 10)"""
+
+  /** Shared SQL fragment — one TRAINED coarse-quantizer chain under
+    * prefix `p`: k seed centroids, [[CellRounds]] Lloyd recomputes,
+    * corpus assignment, per-query cell ranks (L2 + id-bias ties).
+    * Consumed by [[simIvfCells]] (t8/t32) and [[simAnnDeployed]] (t32). */
+  private def trainedChainSql(p: String, k: Int): String = s"""${p}c0 AS (
+        SELECT CAST(vec_id AS INTEGER) AS cent_id, embedding AS cv
+        FROM embeddings WHERE vec_id < $k),
+      ${(1 to CellRounds).map(r => kmRoundSql(r, p)).mkString(",\n      ")},
+      ${p}av AS MATERIALIZED (
+        SELECT e.vec_id,
+               arg_min(c.cent_id, ${dotSql("c.cv", "c.cv")} - 2 * ${dotSql("e.embedding", "c.cv")} + 1e-12 * c.cent_id) AS cell
+        FROM embeddings e, ${p}c$CellRounds c GROUP BY e.vec_id, e.embedding),
+      ${p}rk AS (
+        SELECT q.qid, c.cent_id AS cell,
+               row_number() OVER (PARTITION BY q.qid
+                 ORDER BY ${dotSql("c.cv", "c.cv")} - 2 * ${dotSql("q.qv", "c.cv")} + 1e-12 * c.cent_id, c.cent_id) AS rn
+        FROM qs q, ${p}c$CellRounds c)"""
+
+  /** Shared Spark frames for the recall harness: checkpointed corpus,
+    * held-out queries, and the EXACT top-10 as (xq, xt) — checkpointed;
+    * caller unpersists `e` and `ex`. Guards n ≥ 24: the harness
+    * hardcodes vec_id 16..23 and fixed recall denominators, and a
+    * smaller corpus would emit a silently meaningless (or empty-query)
+    * metric (the [[simGraphServe]] guard convention). */
+  private def heldOutHarness(spark: SparkSession, dir: String): (DataFrame, DataFrame, DataFrame) = {
+    import org.apache.spark.sql.expressions.Window
+    val e = emb(spark, dir).select(col("vec_id"), col("embedding")).localCheckpoint(true)
+    val n = e.count()
+    require(n >= 24,
+      s"the recall harness needs vec_id 16..23 as held-out queries (n=$n < 24)")
+    val qs = e.filter(col("vec_id") >= 16 && col("vec_id") < 24)
+      .select(col("vec_id").as("qid"), col("embedding").as("qv"))
+    val ex = e.crossJoin(broadcast(qs))
+      .select(col("qid"), col("vec_id"), dot(col("embedding"), col("qv")).as("s"))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("qid").orderBy(col("s").desc, col("vec_id"))))
+      .filter(col("rn") <= 10)
+      .select(col("qid").as("xq"), col("vec_id").as("xt"))
+      .localCheckpoint(true)
+    (e, qs, ex)
+  }
+
+  /** Shared Spark twin of [[trainedChainSql]]: Lloyd to the
+    * [[CellRounds]] budget, checkpointed corpus assignment (caller
+    * unpersists), per-query cell ranks. */
+  private def trainedCellRank(e: DataFrame, qs: DataFrame, k: Int): (DataFrame, DataFrame) = {
+    import org.apache.spark.sql.expressions.Window
+    val cents = lloydCells(e, k, CellRounds)
+    val av = kmAssign(e, cents).select(col("vec_id"), col("cell")).localCheckpoint(true)
+    val packed = cents.withColumn("cc", dot(col("cv"), col("cv")))
+      .agg(collect_list(struct(col("cent_id"), col("cv"), col("cc"))).as("cs"))
+    val rk = qs.crossJoin(broadcast(packed))
+      .select(col("qid"), col("qv"), explode(col("cs")).as("c"))
+      .select(col("qid"), col("c.cent_id").as("cell"),
+        (col("c.cc") - lit(2.0) * dot(col("qv"), col("c.cv"))
+          + lit(1e-12) * col("c.cent_id")).as("sc"))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("qid").orderBy(col("sc"), col("cell"))))
+    (av, rk)
+  }
+
   val simIvfCells: QueryDef = {
     val variants = Seq(
       ("k8_seeded", "s8", 8, Seq(1, 3)),
       ("k8_trained", "t8", 8, Seq(1, 3)),
       ("k32_trained", "t32", 32, Seq(4, 12)))
-    val l2q = (p: String) =>
-      s"${dotSql("c.cv", "c.cv")} - 2 * ${dotSql("q.qv", "c.cv")} + 1e-12 * c.cent_id"
     val rowsSql = variants.flatMap { case (name, p, k, ps) =>
       ps.map { pr =>
         s"""SELECT '$name' AS variant, CAST($k AS BIGINT) AS k_cells, CAST($pr AS BIGINT) AS probes,
@@ -3483,30 +3547,10 @@ object Similarity {
                 JOIN ex x ON x.qid = r.qid AND x.vec_id = a.vec_id) AS hits"""
       }
     }.mkString("\n      UNION ALL\n      ")
-    val trainedChain = (p: String, k: Int) => s"""
-      ${p}c0 AS (
-        SELECT CAST(vec_id AS INTEGER) AS cent_id, embedding AS cv
-        FROM embeddings WHERE vec_id < $k),
-      ${(1 to CellRounds).map(r => kmRoundSql(r, p)).mkString(",\n      ")},
-      ${p}av AS MATERIALIZED (
-        SELECT e.vec_id,
-               arg_min(c.cent_id, ${dotSql("c.cv", "c.cv")} - 2 * ${dotSql("e.embedding", "c.cv")} + 1e-12 * c.cent_id) AS cell
-        FROM embeddings e, ${p}c$CellRounds c GROUP BY e.vec_id, e.embedding),
-      ${p}rk AS (
-        SELECT q.qid, c.cent_id AS cell,
-               row_number() OVER (PARTITION BY q.qid ORDER BY ${l2q(p)}, c.cent_id) AS rn
-        FROM qs q, ${p}c$CellRounds c)"""
     QueryDef(
       "sim_ivf_cells",
       Some(s"""
-      WITH qs AS (SELECT vec_id AS qid, embedding AS qv FROM embeddings WHERE vec_id >= 16 AND vec_id < 24),
-      ex AS MATERIALIZED (
-        SELECT qid, vec_id FROM (
-          SELECT q.qid, e.vec_id,
-                 row_number() OVER (PARTITION BY q.qid
-                   ORDER BY ${dotSql("e.embedding", "q.qv")} DESC, e.vec_id) AS rn
-          FROM embeddings e, qs q)
-        WHERE rn <= 10),
+      WITH $qsExSql,
       s8c AS (SELECT vec_id AS cent_id, embedding AS cv FROM embeddings WHERE vec_id < 8),
       s8av AS MATERIALIZED (
         SELECT e.vec_id, arg_max(c.cent_id, ${dotSql("e.embedding", "c.cv")} - 1e-12 * c.cent_id) AS cell
@@ -3516,8 +3560,8 @@ object Similarity {
                row_number() OVER (PARTITION BY q.qid
                  ORDER BY ${dotSql("q.qv", "c.cv")} - 1e-12 * c.cent_id DESC) AS rn
         FROM qs q, s8c c),
-      ${trainedChain("t8", 8)},
-      ${trainedChain("t32", 32)}
+      ${trainedChainSql("t8", 8)},
+      ${trainedChainSql("t32", 32)}
       SELECT variant, k_cells, probes, scanned, hits,
              round(CAST(hits AS DOUBLE) / 80.0, 6) AS ceiling_r
       FROM (
@@ -3528,15 +3572,7 @@ object Similarity {
       val s2 = spark
       import s2.implicits._
       val wq = Window.partitionBy("qid")
-      val e = emb(spark, dir).select(col("vec_id"), col("embedding")).localCheckpoint(true)
-      val qs = e.filter(col("vec_id") >= 16 && col("vec_id") < 24)
-        .select(col("vec_id").as("qid"), col("embedding").as("qv"))
-      val ex = e.crossJoin(broadcast(qs))
-        .select(col("qid"), col("vec_id"), dot(col("embedding"), col("qv")).as("s"))
-        .withColumn("rn", row_number().over(wq.orderBy(col("s").desc, col("vec_id"))))
-        .filter(col("rn") <= 10)
-        .select(col("qid").as("xq"), col("vec_id").as("xv"))
-        .localCheckpoint(true)
+      val (e, qs, ex) = heldOutHarness(spark, dir)
       // the served seeded-8 layout: the IVF family's own assignment + probe
       val s8a = ivfAssigned(spark, dir).select(col("vec_id"), col("cell"))
         .localCheckpoint(true)
@@ -3545,29 +3581,15 @@ object Similarity {
         .select(col("qid"), col("c.cent_id").as("cell"),
           (dot(col("qv"), col("c.cv")) - lit(1e-12) * col("c.cent_id")).as("sc"))
         .withColumn("rn", row_number().over(wq.orderBy(col("sc").desc)))
-      def trained(k: Int): (DataFrame, DataFrame) = {
-        val cents = lloydCells(e, k, CellRounds)
-        val av = kmAssign(e, cents).select(col("vec_id"), col("cell"))
-          .localCheckpoint(true)
-        val packed = cents.withColumn("cc", dot(col("cv"), col("cv")))
-          .agg(collect_list(struct(col("cent_id"), col("cv"), col("cc"))).as("cs"))
-        val rk = qs.crossJoin(broadcast(packed))
-          .select(col("qid"), col("qv"), explode(col("cs")).as("c"))
-          .select(col("qid"), col("c.cent_id").as("cell"),
-            (col("c.cc") - lit(2.0) * dot(col("qv"), col("c.cv"))
-              + lit(1e-12) * col("c.cent_id")).as("sc"))
-          .withColumn("rn", row_number().over(wq.orderBy(col("sc"), col("cell"))))
-        (av, rk)
-      }
-      val (t8a, t8r) = trained(8)
-      val (t32a, t32r) = trained(32)
+      val (t8a, t8r) = trainedCellRank(e, qs, 8)
+      val (t32a, t32r) = trainedCellRank(e, qs, 32)
       def point(name: String, k: Int, av: DataFrame, rk: DataFrame, pr: Int): (String, Long, Long, Long, Long) = {
         val pool = av.join(broadcast(rk.filter(col("rn") <= pr)
           .select(col("qid"), col("cell").as("pcell"))), col("cell") === col("pcell"))
           .select(col("qid"), col("vec_id")).localCheckpoint(false)
         val scanned = pool.count()
         val hits = pool.join(broadcast(ex),
-          col("qid") === col("xq") && col("vec_id") === col("xv")).count()
+          col("qid") === col("xq") && col("vec_id") === col("xt")).count()
         (name, k.toLong, pr.toLong, scanned, hits)
       }
       val rows = Seq(
@@ -3618,27 +3640,8 @@ object Similarity {
     QueryDef(
       "sim_ann_deployed",
       Some(s"""
-      WITH qs AS (SELECT vec_id AS qid, embedding AS qv FROM embeddings WHERE vec_id >= 16 AND vec_id < 24),
-      ex AS MATERIALIZED (
-        SELECT qid, vec_id FROM (
-          SELECT q.qid, e.vec_id,
-                 row_number() OVER (PARTITION BY q.qid
-                   ORDER BY ${dotSql("e.embedding", "q.qv")} DESC, e.vec_id) AS rn
-          FROM embeddings e, qs q)
-        WHERE rn <= 10),
-      t32c0 AS (
-        SELECT CAST(vec_id AS INTEGER) AS cent_id, embedding AS cv
-        FROM embeddings WHERE vec_id < 32),
-      ${(1 to CellRounds).map(r => kmRoundSql(r, "t32")).mkString(",\n      ")},
-      t32av AS MATERIALIZED (
-        SELECT e.vec_id,
-               arg_min(c.cent_id, ${dotSql("c.cv", "c.cv")} - 2 * ${dotSql("e.embedding", "c.cv")} + 1e-12 * c.cent_id) AS cell
-        FROM embeddings e, t32c$CellRounds c GROUP BY e.vec_id, e.embedding),
-      t32rk AS (
-        SELECT q.qid, c.cent_id AS cell,
-               row_number() OVER (PARTITION BY q.qid
-                 ORDER BY ${dotSql("c.cv", "c.cv")} - 2 * ${dotSql("q.qv", "c.cv")} + 1e-12 * c.cent_id, c.cent_id) AS rn
-        FROM qs q, t32c$CellRounds c),
+      WITH $qsExSql,
+      ${trainedChainSql("t32", 32)},
       cand AS MATERIALIZED (
         SELECT r.qid, a.vec_id FROM t32av a JOIN t32rk r ON a.cell = r.cell AND r.rn <= 4),
       ms AS (SELECT unnest([0, 1, 2, 3]) AS m),
@@ -3704,26 +3707,10 @@ object Similarity {
       val s2 = spark
       import s2.implicits._
       val wq = Window.partitionBy("qid")
-      val e = emb(spark, dir).select(col("vec_id"), col("embedding")).localCheckpoint(true)
-      val qs = e.filter(col("vec_id") >= 16 && col("vec_id") < 24)
-        .select(col("vec_id").as("qid"), col("embedding").as("qv"))
-      val ex = e.crossJoin(broadcast(qs))
-        .select(col("qid"), col("vec_id"), dot(col("embedding"), col("qv")).as("s"))
-        .withColumn("rn", row_number().over(wq.orderBy(col("s").desc, col("vec_id"))))
-        .filter(col("rn") <= 10)
-        .select(col("qid").as("xq"), col("vec_id").as("xv"))
+      val (e, qs, ex) = heldOutHarness(spark, dir)
       // trained-32 coarse: assignment + per-query cell ranks (the
-      // simIvfCells winning rung)
-      val cents = lloydCells(e, 32, CellRounds)
-      val av = kmAssign(e, cents).select(col("vec_id"), col("cell"))
-      val packed = cents.withColumn("cc", dot(col("cv"), col("cv")))
-        .agg(collect_list(struct(col("cent_id"), col("cv"), col("cc"))).as("cs"))
-      val rk = qs.crossJoin(broadcast(packed))
-        .select(col("qid"), col("qv"), explode(col("cs")).as("c"))
-        .select(col("qid"), col("c.cent_id").as("cell"),
-          (col("c.cc") - lit(2.0) * dot(col("qv"), col("c.cv"))
-            + lit(1e-12) * col("c.cent_id")).as("sc"))
-        .withColumn("rn", row_number().over(wq.orderBy(col("sc"), col("cell"))))
+      // simIvfCells winning rung, shared construction)
+      val (av, rk) = trainedCellRank(e, qs, 32)
       // the pool feeds the sizing count, the encode, and the per-query
       // accounting — one materialization
       val cand = av.join(broadcast(rk.filter(col("rn") <= 4)
@@ -3764,7 +3751,7 @@ object Similarity {
       val out = cand.groupBy("qid").agg(count(lit(1)).as("pool_rows"))
         .join(beam.groupBy("qid").agg(count(lit(1)).as("beam_rows")), Seq("qid"))
         .join(top.join(broadcast(ex),
-            col("qid") === col("xq") && col("vec_id") === col("xv"))
+            col("qid") === col("xq") && col("vec_id") === col("xt"))
           .groupBy("qid").agg(count(lit(1)).as("hits")), Seq("qid"), "left")
         .select(col("qid"), col("pool_rows"), col("beam_rows"),
           coalesce(col("hits"), lit(0L)).as("hits"),
@@ -3772,9 +3759,7 @@ object Similarity {
         .orderBy("qid")
       val schema = out.schema
       val rows = out.collect()
-      cand.unpersist(false)
-      beam.unpersist(false)
-      e.unpersist(false)
+      Seq(cand, beam, av, ex, e).foreach(_.unpersist(false))
       // the structural beam law: beam ⊆ pool and at least min(pool, floor)
       rows.foreach { r =>
         val (p, b) = (r.getAs[Long]("pool_rows"), r.getAs[Long]("beam_rows"))
@@ -3785,6 +3770,16 @@ object Similarity {
     }
   }
 
+  /** NN-descent ROUND BUDGET — the oracle unrolls exactly this many
+    * rounds; the Spark build may exit earlier at the kept-list fixpoint
+    * (an unchanged list makes every remaining round a bit-identical
+    * no-op: candidates are a function of the list, so c and l replay —
+    * the suite's pinned-budget/fixpoint-exit convention, r14 verdict
+    * queue #3 replacing the pinned 4). Raised 4 → 8 alongside
+    * [[NndK]] 10 → 20: the numpy rehearsal on the driver corpora showed
+    * K=10 PLATEAUS at recall ~0.55 at n=2000 no matter the rounds (the
+    * build degree, not the budget, was binding), while K=20 converges
+    * to ~0.93 by round 6–7 at both corpus sizes. */
   private val NndRounds = 8
 
   /** Build-side neighbor degree (keep-best-K of the descent). */
@@ -4319,16 +4314,8 @@ object Similarity {
       import org.apache.spark.sql.expressions.Window
       val s2 = spark
       import s2.implicits._
-      val e = emb(spark, dir).select(col("vec_id"), col("embedding")).localCheckpoint(true)
-      val qs = e.filter(col("vec_id") >= 16 && col("vec_id") < 24)
-        .select(col("vec_id").as("qid"), col("embedding").as("qv"))
+      val (e, qs, ex) = heldOutHarness(spark, dir)
       val pairs = e.crossJoin(broadcast(qs))
-      val ex = pairs
-        .select(col("qid"), col("vec_id").as("t"), dot(col("embedding"), col("qv")).as("score"))
-        .withColumn("rn", row_number().over(
-          Window.partitionBy("qid").orderBy(col("score").desc, col("t"))))
-        .filter(col("rn") <= 10)
-        .select(col("qid").as("xq"), col("t").as("xt"))
       // all four truncated dots in ONE pass over the pair scan
       val tsc = pairs.select(col("qid"), col("vec_id").as("t"),
           explode(array(dims.map(d => struct(lit(d.toLong).as("d"),
@@ -4347,6 +4334,7 @@ object Similarity {
           round(coalesce(col("hits"), lit(0L)).cast(DoubleType) / 80.0, 6).as("recall_r"))
         .orderBy("dim_d")
       val rows = out.collect()
+      ex.unpersist(false)
       e.unpersist(false)
       // structural corner: D = 64 is the exact ranking itself
       val full = rows.find(_.getAs[Long]("dim_d") == 64L).get
