@@ -3770,6 +3770,145 @@ object Similarity {
     }
   }
 
+  /** sim — FILTERED ANN: top-10 under a metadata predicate (here
+    * "same `label` as the query", ~10% selectivity), the three
+    * production strategies priced against the FILTERED exact top-10
+    * (fx; reference repo's retrieval tests filter before ranking —
+    * tests/test_transformers.py — this gate is the index-path version):
+    *   - `prefilter`  — exact scan of the predicate slice: recall 1.0
+    *     by construction; `kept` = the slice size, which at 100 TB is
+    *     the whole label partition (cheap ONLY when the predicate is a
+    *     partition column — that's the row's message);
+    *   - `postfilter` — the unfiltered trained-32/probe-4 index pool
+    *     ([[simAnnDeployed]]'s coarse path), exact-ranked, fetch the
+    *     top `budget` = m·10 (m ∈ 1,2,4,8), THEN filter: the only
+    *     option when the predicate is not in the index, recall climbs
+    *     with the over-fetch factor;
+    *   - `infilter`   — the predicate applied INSIDE the probed pool
+    *     before any budget cut: the ceiling of every post-filter rung
+    *     (F_m ⊆ pool∩label nests), itself capped by the probe-4 cell
+    *     ceiling.
+    * Hits are counted by the re-rank lemma (|candidates ∩ fx| — an fx
+    * member has ≤ 9 better same-label rows ANYWHERE, so it survives any
+    * top-10 cut of a candidate superset), so no second ranking pass is
+    * needed. MEASURED at sf0.1: postfilter 0.20 → 0.2875 → 0.45 →
+    * 0.5875 across budgets 10..80 vs infilter 0.60 and prefilter 1.0
+    * (sf0.01: 0.2125 → 0.40 vs 0.40) — the over-fetch lever closes
+    * ~all of the gap to the in-filter ceiling by m = 8, and the
+    * remaining 0.4 gap to exact is the probe ceiling, not the filter
+    * (same 1/8 scan fraction as [[simIvfCells]]'s k32/probe-4 rung).
+    * Laws enforced in-gate: post-filter hits monotone in budget
+    * (nesting), infilter ≥ every post-filter rung, kept ≤ 8·budget, and
+    * fx is exactly 80 rows (every query's label class holds ≥ 10
+    * members — else the denominators lie). Shape at 100 TB: the pool is
+    * (qid, vec_id) scalars, predicate columns ride the existing
+    * candidate join, and only counter-scale counts reach the driver. */
+  val simAnnFiltered: QueryDef = {
+    val budgets = Seq(1, 2, 4, 8).map(_ * 10)
+    val postRowsSql = budgets.map { b =>
+      s"""SELECT 'postfilter' AS strategy, CAST($b AS BIGINT) AS budget,
+             (SELECT CAST(count(*) AS BIGINT) FROM scored WHERE rn <= $b AND lbl = qlbl) AS kept,
+             (SELECT CAST(count(*) AS BIGINT) FROM scored s JOIN fx x ON x.qid = s.qid AND x.vec_id = s.vec_id
+              WHERE s.rn <= $b AND s.lbl = s.qlbl) AS hits"""
+    }.mkString("\n      UNION ALL\n      ")
+    QueryDef(
+      "sim_ann_filtered",
+      Some(s"""
+      WITH qs AS (SELECT vec_id AS qid, embedding AS qv, label AS qlbl FROM embeddings WHERE vec_id >= 16 AND vec_id < 24),
+      fx AS MATERIALIZED (
+        SELECT qid, vec_id FROM (
+          SELECT q.qid, e.vec_id,
+                 row_number() OVER (PARTITION BY q.qid
+                   ORDER BY ${dotSql("e.embedding", "q.qv")} DESC, e.vec_id) AS rn
+          FROM embeddings e JOIN qs q ON e.label = q.qlbl)
+        WHERE rn <= 10),
+      ${trainedChainSql("t32", 32)},
+      cand AS MATERIALIZED (
+        SELECT r.qid, a.vec_id FROM t32av a JOIN t32rk r ON a.cell = r.cell AND r.rn <= 4),
+      scored AS MATERIALIZED (
+        SELECT c.qid, c.vec_id, e.label AS lbl, q.qlbl,
+               row_number() OVER (PARTITION BY c.qid
+                 ORDER BY ${dotSql("e.embedding", "q.qv")} DESC, c.vec_id) AS rn
+        FROM cand c JOIN embeddings e ON e.vec_id = c.vec_id JOIN qs q ON q.qid = c.qid)
+      SELECT strategy, budget, kept, hits,
+             round(CAST(hits AS DOUBLE) / 80.0, 6) AS recall_r
+      FROM (
+        SELECT 'prefilter' AS strategy, CAST(0 AS BIGINT) AS budget,
+               (SELECT CAST(count(*) AS BIGINT) FROM embeddings e JOIN qs q ON e.label = q.qlbl) AS kept,
+               CAST(80 AS BIGINT) AS hits
+        UNION ALL
+        SELECT 'infilter' AS strategy, CAST(0 AS BIGINT) AS budget,
+               (SELECT CAST(count(*) AS BIGINT) FROM scored WHERE lbl = qlbl) AS kept,
+               (SELECT CAST(count(*) AS BIGINT) FROM scored s JOIN fx x ON x.qid = s.qid AND x.vec_id = s.vec_id
+                WHERE s.lbl = s.qlbl) AS hits
+        UNION ALL
+        $postRowsSql
+      )
+      ORDER BY strategy, budget
+    """)) { (spark, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val s2 = spark
+      import s2.implicits._
+      val wq = Window.partitionBy("qid")
+      val e = emb(spark, dir).select(col("vec_id"), col("embedding"), col("label"))
+        .localCheckpoint(true)
+      val n = e.count()
+      require(n >= 24,
+        s"the recall harness needs vec_id 16..23 as held-out queries (n=$n < 24)")
+      val qs = e.filter(col("vec_id") >= 16 && col("vec_id") < 24)
+        .select(col("vec_id").as("qid"), col("embedding").as("qv"), col("label").as("qlbl"))
+      // filtered ground truth: exact top-10 within the query's label class
+      val fx = e.join(broadcast(qs), col("label") === col("qlbl"))
+        .select(col("qid"), col("vec_id"), dot(col("embedding"), col("qv")).as("s"))
+        .withColumn("rn", row_number().over(wq.orderBy(col("s").desc, col("vec_id"))))
+        .filter(col("rn") <= 10)
+        .select(col("qid").as("xq"), col("vec_id").as("xt"))
+        .localCheckpoint(true)
+      val fxn = fx.count()
+      require(fxn == 80L,
+        s"filtered exact top-10 must be 8 queries x 10 (a label class has < 10 members): $fxn")
+      val (av, rk) = trainedCellRank(e, qs, 32)
+      val cand = av.join(broadcast(rk.filter(col("rn") <= 4)
+          .select(col("qid"), col("cell").as("pcell"))), col("cell") === col("pcell"))
+        .select(col("qid"), col("vec_id"))
+      val scored = cand.join(e, Seq("vec_id")).join(broadcast(qs), Seq("qid"))
+        .select(col("qid"), col("vec_id"), col("label").as("lbl"), col("qlbl"),
+          dot(col("embedding"), col("qv")).as("s"))
+        .withColumn("rn", row_number().over(wq.orderBy(col("s").desc, col("vec_id"))))
+        .select("qid", "vec_id", "lbl", "qlbl", "rn")
+        .localCheckpoint(true)
+      def kh(f: DataFrame): (Long, Long) = {
+        val kept = f.count()
+        val hits = f.join(broadcast(fx),
+          col("qid") === col("xq") && col("vec_id") === col("xt")).count()
+        (kept, hits)
+      }
+      val preKept = e.join(broadcast(qs), col("label") === col("qlbl")).count()
+      val (inKept, inHits) = kh(scored.filter(col("lbl") === col("qlbl")))
+      val post = budgets.map { b =>
+        val (k0, h0) = kh(scored.filter(col("rn") <= b && col("lbl") === col("qlbl")))
+        (b.toLong, k0, h0)
+      }
+      Seq(scored, fx, av, e).foreach(_.unpersist(false))
+      // nesting laws: post-filter hits monotone in budget, capped by the
+      // in-filter ceiling, and kept never exceeds the fetch budget
+      post.sliding(2).foreach { case Seq((b1, _, h1), (b2, _, h2)) =>
+        require(h1 <= h2, s"post-filter hits not monotone: budget $b1=$h1 > $b2=$h2")
+      }
+      post.foreach { case (b, k0, h0) =>
+        require(k0 <= 8L * b, s"post-filter kept $k0 exceeds 8 queries x budget $b")
+        require(h0 <= inHits, s"post-filter budget $b hits $h0 beat the in-filter ceiling $inHits")
+      }
+      val rows: Seq[(String, Long, Long, Long)] =
+        Seq(("prefilter", 0L, preKept, 80L), ("infilter", 0L, inKept, inHits)) ++
+          post.map { case (b, k0, h0) => ("postfilter", b, k0, h0) }
+      rows.toDF("strategy", "budget", "kept", "hits")
+        .select(col("strategy"), col("budget"), col("kept"), col("hits"),
+          round(col("hits").cast(DoubleType) / 80.0, 6).as("recall_r"))
+        .orderBy("strategy", "budget")
+    }
+  }
+
   /** NN-descent ROUND BUDGET — the oracle unrolls exactly this many
     * rounds; the Spark build may exit earlier at the kept-list fixpoint
     * (an unchanged list makes every remaining round a bit-identical
@@ -4455,6 +4594,6 @@ object Similarity {
     simPqEncode, simPqSearch, simPqTrain, simPqTrainConverged, simIvfAdc,
     simAdcRerank, simIvfAdcResidual, simAnnRecall, simAnnRecallSet, simAnnFrontier,
     simIvfLayout, simIvfSplit, simPqDimLayout, simOpqLearned, simOpqRotation,
-    simPqCodebookSize, simIvfCells, simAnnDeployed, simDimTruncation,
+    simPqCodebookSize, simIvfCells, simAnnDeployed, simAnnFiltered, simDimTruncation,
     simNnDescent, simGraphServe, simGraphCentrality)
 }
