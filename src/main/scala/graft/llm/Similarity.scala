@@ -494,13 +494,18 @@ object Similarity {
     * ${p}c${r-1}, fixed-point recompute ${p}c$r. Generated per round so
     * the pinned-N oracle stays mechanical instead of hand-unrolled; the
     * prefix lets one oracle carry several independently-trained
-    * quantizers ([[simIvfCells]] trains two sizes side by side). */
-  private def kmRoundSql(r: Int, p: String = ""): String = {
+    * quantizers ([[simIvfCells]] trains two sizes side by side). The
+    * round's output centroid CTE is MATERIALIZED: without the hint
+    * DuckDB may re-inline the whole upstream chain per reference and
+    * the 8-round training goes exponential (measured 451 s → 1.0 s at
+    * sf0.01 on a filtered source — the `WITH ... AS MATERIALIZED`
+    * rule from the sim_opq_rotation oracle, applied per round). */
+  private def kmRoundSql(r: Int, p: String = "", src: String = "embeddings"): String = {
     val sc = s"${dotSql("c.cv", "c.cv")} - 2 * ${dotSql("e.embedding", "c.cv")} + 1e-12 * c.cent_id"
     s"""${p}a$r AS (
         SELECT e.vec_id, e.embedding,
                arg_min(c.cent_id, $sc) AS cell
-        FROM embeddings e, ${p}c${r - 1} c
+        FROM $src e, ${p}c${r - 1} c
         GROUP BY e.vec_id, e.embedding),
       ${p}ex$r AS (
         SELECT cell, unnest(range(0, len(embedding))) AS pos, unnest(embedding) AS v
@@ -510,7 +515,7 @@ object Similarity {
                CAST(sum(CAST(floor(CAST(v AS DOUBLE) * 10000000.0) AS BIGINT)) AS BIGINT) AS s,
                count(*) AS n
         FROM ${p}ex$r GROUP BY 1, 2),
-      ${p}c$r AS (
+      ${p}c$r AS MATERIALIZED (
         SELECT cell AS cent_id,
                list(CAST(s AS DOUBLE) / CAST(n AS DOUBLE) / 10000000.0 ORDER BY pos) AS cv
         FROM ${p}per$r GROUP BY cell)"""
@@ -552,8 +557,12 @@ object Similarity {
     * recompute a bit-identical no-op. Returns the final (cent_id, cv)
     * centroid frame; each superseded round's EAGER checkpoint is
     * released as the next lands (lazy-checkpoint-then-unpersist would
-    * cut the lineage the new frame still needs — round-9 finding). */
-  private def lloydCells(e: DataFrame, k: Int, rounds: Int): DataFrame = {
+    * cut the lineage the new frame still needs — round-9 finding).
+    * `seedFilter` overrides the default first-k-ids seed pick for
+    * sources whose ids are not dense from 0 ([[simIndexAppend]]'s
+    * base-only training). */
+  private def lloydCells(e: DataFrame, k: Int, rounds: Int,
+      seedFilter: Column = null): DataFrame = {
     def recompute(assigned: DataFrame): DataFrame = assigned
       .select(col("cell"), posexplode(col("embedding")).as(Seq("pos", "v")))
       .groupBy("cell", "pos")
@@ -565,7 +574,7 @@ object Similarity {
       .groupBy(col("cell").as("cent_id"))
       .agg(transform(array_sort(collect_list(struct(col("pos"), col("c")))), s => s("c"))
         .as("cv"))
-    var cents = e.filter(col("vec_id") < k)
+    var cents = e.filter(Option(seedFilter).getOrElse(col("vec_id") < k))
       .select(col("vec_id").cast(IntegerType).as("cent_id"),
         col("embedding").cast(ArrayType(DoubleType)).as("cv"))
     var prevSig: (Long, Long, Long) = null
@@ -3472,22 +3481,29 @@ object Similarity {
         WHERE rn <= 10)"""
 
   /** Shared SQL fragment — one TRAINED coarse-quantizer chain under
-    * prefix `p`: k seed centroids, [[CellRounds]] Lloyd recomputes,
-    * corpus assignment, per-query cell ranks (L2 + id-bias ties).
-    * Consumed by [[simIvfCells]] (t8/t32) and [[simAnnDeployed]] (t32). */
-  private def trainedChainSql(p: String, k: Int): String = s"""${p}c0 AS (
+    * prefix `p`: k seed centroids (`seedWhere` picks them — the first k
+    * ids of the source by default), [[CellRounds]] Lloyd recomputes over
+    * `src`, source assignment, per-query cell ranks (L2 + id-bias
+    * ties). Consumed by [[simIvfCells]] (t8/t32), [[simAnnDeployed]]
+    * and [[simAnnFiltered]] (t32), and [[simIndexAppend]] (base-only
+    * src — the frozen snapshot index). */
+  private def trainedChainSql(p: String, k: Int, src: String = "embeddings",
+      seedWhere: String = ""): String = {
+    val sw = if (seedWhere.isEmpty) s"vec_id < $k" else seedWhere
+    s"""${p}c0 AS (
         SELECT CAST(vec_id AS INTEGER) AS cent_id, embedding AS cv
-        FROM embeddings WHERE vec_id < $k),
-      ${(1 to CellRounds).map(r => kmRoundSql(r, p)).mkString(",\n      ")},
+        FROM $src WHERE $sw),
+      ${(1 to CellRounds).map(r => kmRoundSql(r, p, src)).mkString(",\n      ")},
       ${p}av AS MATERIALIZED (
         SELECT e.vec_id,
                arg_min(c.cent_id, ${dotSql("c.cv", "c.cv")} - 2 * ${dotSql("e.embedding", "c.cv")} + 1e-12 * c.cent_id) AS cell
-        FROM embeddings e, ${p}c$CellRounds c GROUP BY e.vec_id, e.embedding),
+        FROM $src e, ${p}c$CellRounds c GROUP BY e.vec_id, e.embedding),
       ${p}rk AS (
         SELECT q.qid, c.cent_id AS cell,
                row_number() OVER (PARTITION BY q.qid
                  ORDER BY ${dotSql("c.cv", "c.cv")} - 2 * ${dotSql("q.qv", "c.cv")} + 1e-12 * c.cent_id, c.cent_id) AS rn
         FROM qs q, ${p}c$CellRounds c)"""
+  }
 
   /** Shared Spark frames for the recall harness: checkpointed corpus,
     * held-out queries, and the EXACT top-10 as (xq, xt) — checkpointed;
@@ -3513,23 +3529,29 @@ object Similarity {
     (e, qs, ex)
   }
 
-  /** Shared Spark twin of [[trainedChainSql]]: Lloyd to the
-    * [[CellRounds]] budget, checkpointed corpus assignment (caller
-    * unpersists), per-query cell ranks. */
-  private def trainedCellRank(e: DataFrame, qs: DataFrame, k: Int): (DataFrame, DataFrame) = {
+  /** Per-query cell ranks of `qs`(qid, qv) against a (cent_id, cv)
+    * centroid frame — the L2-expansion + id-bias ranking of
+    * [[trainedChainSql]]'s `rk` CTE, centroids in ONE broadcast row. */
+  private def cellRankOf(cents: DataFrame, qs: DataFrame): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val cents = lloydCells(e, k, CellRounds)
-    val av = kmAssign(e, cents).select(col("vec_id"), col("cell")).localCheckpoint(true)
     val packed = cents.withColumn("cc", dot(col("cv"), col("cv")))
       .agg(collect_list(struct(col("cent_id"), col("cv"), col("cc"))).as("cs"))
-    val rk = qs.crossJoin(broadcast(packed))
+    qs.crossJoin(broadcast(packed))
       .select(col("qid"), col("qv"), explode(col("cs")).as("c"))
       .select(col("qid"), col("c.cent_id").as("cell"),
         (col("c.cc") - lit(2.0) * dot(col("qv"), col("c.cv"))
           + lit(1e-12) * col("c.cent_id")).as("sc"))
       .withColumn("rn", row_number().over(
         Window.partitionBy("qid").orderBy(col("sc"), col("cell"))))
-    (av, rk)
+  }
+
+  /** Shared Spark twin of [[trainedChainSql]]: Lloyd to the
+    * [[CellRounds]] budget, checkpointed corpus assignment (caller
+    * unpersists), per-query cell ranks. */
+  private def trainedCellRank(e: DataFrame, qs: DataFrame, k: Int): (DataFrame, DataFrame) = {
+    val cents = lloydCells(e, k, CellRounds)
+    val av = kmAssign(e, cents).select(col("vec_id"), col("cell")).localCheckpoint(true)
+    (av, cellRankOf(cents, qs))
   }
 
   val simIvfCells: QueryDef = {
@@ -3906,6 +3928,96 @@ object Similarity {
         .select(col("strategy"), col("budget"), col("kept"), col("hits"),
           round(col("hits").cast(DoubleType) / 80.0, 6).as("recall_r"))
         .orderBy("strategy", "budget")
+    }
+  }
+
+  /** sim — INDEX FRESHNESS: append a fresh ingest batch (every 5th
+    * vector, 20% of the corpus) to a coarse index whose centroids were
+    * trained BEFORE the batch existed (base-only Lloyd to the
+    * [[CellRounds]] budget, seeds = the first 32 base ids), vs the full
+    * retrain over base+fresh. The append write path is ONE
+    * broadcast-argmin map pass over ONLY the fresh rows against the
+    * frozen centroids — no shuffle, no training scan, the standard IVF
+    * add-vs-train recipe — which is why it's the only affordable
+    * per-batch path at 100 TB (a retrain re-scans the whole corpus per
+    * round × [[CellRounds]]). The gate prices what the cheap path
+    * costs: probe-4 recall on the held-out queries, appended-frozen
+    * 0.75 vs retrained 0.8375 at sf0.1 (0.80 vs 0.875 at sf0.01) — a
+    * ~0.08 recall tax for 20% unseen-at-training growth, the measured
+    * trigger for WHEN a periodic retrain is worth its scan. Laws
+    * enforced in-gate: row conservation (both indexes hold exactly n
+    * vectors — every fresh row lands in exactly one frozen cell),
+    * cells_used ≤ 32, and a non-empty fresh batch (n ≥ 40 so the seed
+    * window also holds 32 base rows). */
+  val simIndexAppend: QueryDef = {
+    def pointSql(name: String, av: String, rk: String): String =
+      s"""SELECT '$name' AS variant,
+             (SELECT CAST(count(*) AS BIGINT) FROM $av) AS n_rows,
+             (SELECT CAST(count(DISTINCT cell) AS BIGINT) FROM $av) AS cells_used,
+             (SELECT CAST(count(*) AS BIGINT) FROM $av a JOIN $rk r ON a.cell = r.cell AND r.rn <= 4) AS scanned,
+             (SELECT CAST(count(*) AS BIGINT) FROM $av a JOIN $rk r ON a.cell = r.cell AND r.rn <= 4
+              JOIN ex x ON x.qid = r.qid AND x.vec_id = a.vec_id) AS hits"""
+    QueryDef(
+      "sim_index_append",
+      Some(s"""
+      WITH $qsExSql,
+      base AS (SELECT * FROM embeddings WHERE vec_id % 5 < 4),
+      fresh AS (SELECT * FROM embeddings WHERE vec_id % 5 = 4),
+      ${trainedChainSql("b", 32, "base", "vec_id < 40 AND vec_id % 5 < 4")},
+      fav AS (
+        SELECT e.vec_id,
+               arg_min(c.cent_id, ${dotSql("c.cv", "c.cv")} - 2 * ${dotSql("e.embedding", "c.cv")} + 1e-12 * c.cent_id) AS cell
+        FROM fresh e, bc$CellRounds c GROUP BY e.vec_id, e.embedding),
+      aav AS MATERIALIZED (SELECT vec_id, cell FROM bav UNION ALL SELECT vec_id, cell FROM fav),
+      ${trainedChainSql("t32", 32)}
+      SELECT variant, n_rows, cells_used, scanned, hits,
+             round(CAST(hits AS DOUBLE) / 80.0, 6) AS recall_r
+      FROM (
+        ${pointSql("appended", "aav", "brk")}
+        UNION ALL
+        ${pointSql("retrained", "t32av", "t32rk")}
+      )
+      ORDER BY variant
+    """)) { (spark, dir) =>
+      val s2 = spark
+      import s2.implicits._
+      val (e, qs, ex) = heldOutHarness(spark, dir)
+      val n = e.count()
+      require(n >= 40,
+        s"index-append needs 32 base seeds inside vec_id < 40 and a non-empty fresh batch (n=$n < 40)")
+      val base = e.filter(col("vec_id") % 5 < 4)
+      val fresh = e.filter(col("vec_id") % 5 === 4)
+      // the frozen snapshot: centroids trained on base only
+      val centsB = lloydCells(base, 32, CellRounds, col("vec_id") < 40)
+      val avB = kmAssign(base, centsB).select(col("vec_id"), col("cell"))
+      // the append write path: one broadcast-argmin pass over fresh only
+      val avF = kmAssign(fresh, centsB).select(col("vec_id"), col("cell"))
+      val avApp = avB.union(avF).localCheckpoint(true)
+      val rkB = cellRankOf(centsB, qs)
+      val (avR, rkR) = trainedCellRank(e, qs, 32)
+      def point(name: String, av: DataFrame, rk: DataFrame): (String, Long, Long, Long, Long) = {
+        val nr = av.count()
+        val cu = av.select("cell").distinct().count()
+        val pool = av.join(broadcast(rk.filter(col("rn") <= 4)
+            .select(col("qid"), col("cell").as("pcell"))), col("cell") === col("pcell"))
+          .select(col("qid"), col("vec_id")).localCheckpoint(false)
+        val scanned = pool.count()
+        val hits = pool.join(broadcast(ex),
+          col("qid") === col("xq") && col("vec_id") === col("xt")).count()
+        (name, nr, cu, scanned, hits)
+      }
+      val rows = Seq(point("appended", avApp, rkB), point("retrained", avR, rkR))
+      Seq(avApp, avR, ex, e).foreach(_.unpersist(false))
+      // conservation: both indexes hold every vector exactly once, in
+      // at most the 32 trained cells
+      rows.foreach { case (v, nr, cu, _, _) =>
+        require(nr == n, s"$v index lost rows: $nr != $n")
+        require(cu <= 32L, s"$v uses $cu cells > 32")
+      }
+      rows.toDF("variant", "n_rows", "cells_used", "scanned", "hits")
+        .select(col("variant"), col("n_rows"), col("cells_used"), col("scanned"),
+          col("hits"), round(col("hits").cast(DoubleType) / 80.0, 6).as("recall_r"))
+        .orderBy("variant")
     }
   }
 
@@ -4594,6 +4706,7 @@ object Similarity {
     simPqEncode, simPqSearch, simPqTrain, simPqTrainConverged, simIvfAdc,
     simAdcRerank, simIvfAdcResidual, simAnnRecall, simAnnRecallSet, simAnnFrontier,
     simIvfLayout, simIvfSplit, simPqDimLayout, simOpqLearned, simOpqRotation,
-    simPqCodebookSize, simIvfCells, simAnnDeployed, simAnnFiltered, simDimTruncation,
+    simPqCodebookSize, simIvfCells, simAnnDeployed, simAnnFiltered, simIndexAppend,
+    simDimTruncation,
     simNnDescent, simGraphServe, simGraphCentrality)
 }
