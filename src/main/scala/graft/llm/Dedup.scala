@@ -236,6 +236,130 @@ object Dedup {
       .orderBy("a_id", "b_id")
   }
 
+  /** dd — FUZZY decontamination: flag training documents that are
+    * near-duplicates of an evaluation/benchmark doc, the companion to
+    * `t_decontaminate`'s exact 8-gram screen (TextOps.scala) — exact
+    * n-grams miss light paraphrase (a trimmed prefix, an added suffix),
+    * which is precisely how benchmark text leaks into crawled corpora.
+    * Pipeline: 3-shingles → the [[rotationSigs]] 12-rotation minhash
+    * family (ONE definition with `dedup_minhash_lsh`) → 12 bands × 1 row
+    * (the r=1 S-curve: P(candidate) = 1−(1−J)¹², chosen for RECALL at
+    * the 0.5 verify threshold where the production (4,3) curve is tuned
+    * for 0.8+ — at J 0.84 a 6×2 curve measurably missed a planted pair,
+    * r=1 misses with p ≈ 3·10⁻¹⁰) → bipartite band join (train × eval,
+    * never train × train — the eval side is benchmark-sized, BROADCAST,
+    * so the corpus stream sees one map-side join, no self-join, no
+    * shuffle of shingle sets) → exact 3-shingle Jaccard on the
+    * candidates only → threshold 0.5. Gate: eval = doc_id % 50 = 0;
+    * train = the rest + PLANTED paraphrases (first two tokens dropped,
+    * ' zzfuzz' appended, ids +600000, only docs ≥ 12 tokens so the
+    * perturbed Jaccard stays provably over threshold); 100% planted
+    * recall ENFORCED in-gate, plus a candidate-volume cap (≤ 5% of the
+    * train × eval all-pairs grid, measured ~1% at both rungs) so a
+    * degenerate banding fails loud instead of going quadratic. */
+  val ddDecontamFuzzy: QueryDef = {
+    def mh(i: Int): String =
+      s"list_min(list_transform(hs, m -> substring(m || m, ${i * 2 + 1}, 16)))"
+    val bandsSql = (0 until numBands * rowsPerBand)
+      .map(b => s"'$b:' || md5(${mh(b)})").mkString(", ")
+    QueryDef(
+      "dedup_decontam_fuzzy",
+      Some(s"""
+      WITH eval_docs AS (
+        SELECT doc_id, text FROM documents WHERE doc_id % 50 = 0),
+      planted AS (
+        SELECT doc_id + 600000 AS doc_id,
+               array_to_string(list_slice(t, 3, len(t)), ' ') || ' zzfuzz' AS text
+        FROM (SELECT doc_id, string_split_regex(text, '\\s+') AS t FROM eval_docs)
+        WHERE len(t) >= 12),
+      train AS (
+        SELECT doc_id, text FROM documents WHERE doc_id % 50 <> 0
+        UNION ALL
+        SELECT doc_id, text FROM planted),
+      tsh AS MATERIALIZED (
+        SELECT doc_id,
+               list_distinct(list_transform(range(1, len(t) - 1),
+                 i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS shingles
+        FROM (SELECT doc_id, string_split_regex(text, '\\s+') AS t FROM train)),
+      esh AS MATERIALIZED (
+        SELECT doc_id AS eval_id,
+               list_distinct(list_transform(range(1, len(t) - 1),
+                 i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS shingles
+        FROM (SELECT doc_id, string_split_regex(text, '\\s+') AS t FROM eval_docs)),
+      tdig AS MATERIALIZED (
+        SELECT doc_id, list_transform(shingles, s -> md5(s)) AS hs FROM tsh),
+      edig AS MATERIALIZED (
+        SELECT eval_id, list_transform(shingles, s -> md5(s)) AS hs FROM esh),
+      tb AS (SELECT doc_id, unnest([$bandsSql]) AS band_key FROM tdig),
+      eb AS (SELECT eval_id, unnest([$bandsSql]) AS band_key FROM edig),
+      cands AS (
+        SELECT DISTINCT t.doc_id, e.eval_id
+        FROM tb t JOIN eb e ON t.band_key = e.band_key
+        WHERE t.doc_id <> e.eval_id)
+      SELECT c.doc_id, c.eval_id, round(jaccard, 6) AS jaccard_r
+      FROM (
+        SELECT c.doc_id, c.eval_id,
+               CAST(len(list_intersect(ts.shingles, es.shingles)) AS DOUBLE)
+                 / CAST(len(list_distinct(list_concat(ts.shingles, es.shingles))) AS DOUBLE) AS jaccard
+        FROM cands c
+        JOIN tsh ts ON ts.doc_id = c.doc_id
+        JOIN esh es ON es.eval_id = c.eval_id) c
+      WHERE jaccard >= 0.5
+      ORDER BY doc_id, eval_id
+    """)) { (spark, dir) =>
+      val docs = tbl(spark, dir, "documents").select("doc_id", "text")
+        .repartition(spark.sessionState.conf.numShufflePartitions)
+      val evalDocs = docs.filter(col("doc_id") % 50 === 0)
+      val evalTok = evalDocs.select(col("doc_id"), split(col("text"), "\\s+").as("t"))
+      val planted = evalTok.filter(size(col("t")) >= 12)
+        .select((col("doc_id") + 600000L).as("doc_id"),
+          concat(array_join(slice(col("t"), lit(3), size(col("t")) - 2), " "),
+            lit(" zzfuzz")).as("text"))
+      val train = docs.filter(col("doc_id") % 50 =!= 0).unionAll(planted)
+      val tsh = train
+        .select(col("doc_id"), shingles3(split(col("text"), "\\s+")).as("shingles"))
+        .persist()
+      // the eval side is benchmark-sized: shingles AND signature both
+      // broadcast — the corpus never self-joins
+      val esh = evalDocs
+        .select(col("doc_id"), shingles3(split(col("text"), "\\s+")).as("shingles"))
+        .persist()
+      def bandFrame(sig: DataFrame): DataFrame =
+        sig.select(col("doc_id"), explode(array((0 until numBands * rowsPerBand).map(b =>
+          concat(lit(s"$b:"), md5(col(s"h$b")))): _*)).as("band_key"))
+      val tb = bandFrame(rotationSigs(tsh))
+      val eb = bandFrame(rotationSigs(esh))
+        .withColumnRenamed("doc_id", "eval_id")
+      val cands = tb.join(broadcast(eb), "band_key")
+        .filter(col("doc_id") =!= col("eval_id"))
+        .select(col("doc_id"), col("eval_id")).distinct()
+        .localCheckpoint(false)
+      val out = cands
+        .join(tsh, "doc_id")
+        .join(broadcast(esh.select(col("doc_id").as("eval_id"), col("shingles").as("esh"))), "eval_id")
+        .select(col("doc_id"), col("eval_id"),
+          (size(array_intersect(col("shingles"), col("esh"))).cast(DoubleType) /
+            size(array_distinct(concat(col("shingles"), col("esh")))).cast(DoubleType))
+            .as("jaccard"))
+        .filter(col("jaccard") >= 0.5)
+        .select(col("doc_id"), col("eval_id"), round(col("jaccard"), 6).as("jaccard_r"))
+        .orderBy("doc_id", "eval_id")
+      val rows = out.collect()
+      // candidate-volume cap: banding must stay far under all-pairs
+      val (nc, nt, ne) = (cands.count(), tsh.count(), esh.count())
+      require(nc * 20L <= nt * ne,
+        s"fuzzy-decontam banding degenerated: $nc candidates > 5% of ${nt}x$ne")
+      // planted recall: every planted paraphrase must be flagged
+      val plantedN = planted.count()
+      val flaggedPlanted = rows.map(_.getLong(0)).distinct.count(_ >= 600000L)
+      require(flaggedPlanted == plantedN,
+        s"fuzzy-decontam missed planted contamination: $flaggedPlanted of $plantedN")
+      tsh.unpersist(); esh.unpersist(); cands.unpersist(false)
+      val schema = out.schema
+      spark.createDataFrame(java.util.Arrays.asList(rows: _*), schema)
+    }
+  }
+
   // -- SimHash ------------------------------------------------------------
   // 64-bit simhash over 3-shingles: bit j of a shingle = high bit of the
   // j-th nibble of md5(salt || shingle) (hex char >= '8'), two salts giving
@@ -662,5 +786,5 @@ object Dedup {
   }
 
   val all: Seq[QueryDef] = Seq(ddExact, ddMinHashLsh, ddSimHash, ddNgramJaccard,
-    ddIncremental, ddLshTuning)
+    ddIncremental, ddLshTuning, ddDecontamFuzzy)
 }
