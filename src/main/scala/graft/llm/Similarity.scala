@@ -4513,6 +4513,212 @@ object Similarity {
     }
   }
 
+  /** The hierarchical-serve oracle: the shared build fragment, the tiny
+    * exact layer-2 graph over the 1/16 subsample (cut from the build's
+    * own `sc` score table — the REFEREE may go n², the engine side must
+    * not), an unrolled layer-2 walk from node 0, entry handoff per
+    * entry-count E, then the layer-1 walk with E riding every CTE (the
+    * [[graphServeSql]] variant-dimension pattern) plus the flat
+    * single-entry baseline walk. */
+  private def graphHierSql(rounds: Int, steps: Int): String = {
+    val head = s""",
+      qs AS (SELECT vec_id AS qid, embedding AS qv FROM e WHERE vec_id >= 16 AND vec_id < 24),
+      qsc AS MATERIALIZED (
+        SELECT q.qid, x.vec_id AS t, ${dotSql("x.embedding", "q.qv")} AS score FROM e x, qs q),
+      exq AS (
+        SELECT qid, t FROM (SELECT qid, t, row_number() OVER (PARTITION BY qid ORDER BY score DESC, t) AS rn FROM qsc) z
+        WHERE rn <= 10),
+      g AS MATERIALIZED (SELECT s, t FROM l$rounds WHERE rk <= $NndServeDeg),
+      sub AS (SELECT vec_id FROM e WHERE vec_id % 16 = 0),
+      g2 AS MATERIALIZED (
+        SELECT s, t FROM (
+          SELECT sc.s, sc.t, row_number() OVER (PARTITION BY sc.s ORDER BY sc.score DESC, sc.t) AS rn
+          FROM sc JOIN sub ss ON ss.vec_id = sc.s JOIN sub st ON st.vec_id = sc.t) z
+        WHERE rn <= $NndServeDeg),
+      w0 AS (SELECT qid, CAST(0 AS BIGINT) AS t FROM qs)"""
+    val l2Steps = (1 to steps).map { k =>
+      s""",
+      wb$k AS (
+        SELECT qid, t FROM (
+          SELECT w.qid, w.t, row_number() OVER (PARTITION BY w.qid ORDER BY s.score DESC, w.t) AS rn
+          FROM w${k - 1} w JOIN qsc s ON s.qid = w.qid AND s.t = w.t) z
+        WHERE rn <= 10),
+      w$k AS MATERIALIZED (
+        SELECT qid, t FROM w${k - 1} UNION SELECT b.qid, g2.t FROM wb$k b JOIN g2 ON g2.s = b.t)"""
+    }.mkString
+    val handoff = s""",
+      ent AS (
+        SELECT qid, t, row_number() OVER (PARTITION BY qid ORDER BY score DESC, t) AS rn
+        FROM (SELECT w.qid, w.t, s.score FROM w$steps w JOIN qsc s ON s.qid = w.qid AND s.t = w.t) z),
+      v0 AS (
+        SELECT ev.ev, en.qid, en.t
+        FROM (SELECT unnest([1, 2, 4]) AS ev) ev JOIN ent en ON en.rn <= ev.ev),
+      f0 AS (SELECT qid, CAST(0 AS BIGINT) AS t FROM qs)"""
+    val l1Steps = (1 to steps).map { k =>
+      s""",
+      b$k AS (
+        SELECT ev, qid, t FROM (
+          SELECT v.ev, v.qid, v.t, row_number() OVER (PARTITION BY v.ev, v.qid ORDER BY s.score DESC, v.t) AS rn
+          FROM v${k - 1} v JOIN qsc s ON s.qid = v.qid AND s.t = v.t) z
+        WHERE rn <= 10),
+      v$k AS MATERIALIZED (
+        SELECT ev, qid, t FROM v${k - 1} UNION SELECT b.ev, b.qid, g.t FROM b$k b JOIN g ON g.s = b.t),
+      fb$k AS (
+        SELECT qid, t FROM (
+          SELECT f.qid, f.t, row_number() OVER (PARTITION BY f.qid ORDER BY s.score DESC, f.t) AS rn
+          FROM f${k - 1} f JOIN qsc s ON s.qid = f.qid AND s.t = f.t) z
+        WHERE rn <= 10),
+      f$k AS MATERIALIZED (
+        SELECT qid, t FROM f${k - 1} UNION SELECT b.qid, g.t FROM fb$k b JOIN g ON g.s = b.t)"""
+    }.mkString
+    val tail = s""",
+      bf AS (
+        SELECT ev, qid, t FROM (
+          SELECT v.ev, v.qid, v.t, row_number() OVER (PARTITION BY v.ev, v.qid ORDER BY s.score DESC, v.t) AS rn
+          FROM v$steps v JOIN qsc s ON s.qid = v.qid AND s.t = v.t) z
+        WHERE rn <= 10),
+      ff AS (
+        SELECT qid, t FROM (
+          SELECT f.qid, f.t, row_number() OVER (PARTITION BY f.qid ORDER BY s.score DESC, f.t) AS rn
+          FROM f$steps f JOIN qsc s ON s.qid = f.qid AND s.t = f.t) z
+        WHERE rn <= 10),
+      l2n AS (SELECT CAST(count(*) AS BIGINT) AS c FROM w$steps),
+      gscan AS (
+        SELECT ev, CAST(count(*) AS BIGINT) + (SELECT c FROM l2n) AS scanned FROM v$steps GROUP BY ev),
+      ghit AS (
+        SELECT b.ev, CAST(count(*) AS BIGINT) AS hits
+        FROM bf b JOIN exq x ON x.qid = b.qid AND x.t = b.t GROUP BY b.ev)
+      SELECT * FROM (
+        SELECT 'hier_e' || CAST(gs.ev AS VARCHAR) AS variant, gs.scanned,
+               CAST(coalesce(gh.hits, 0) AS BIGINT) AS hits,
+               round(CAST(coalesce(gh.hits, 0) AS DOUBLE) / 80, 6) AS recall_r
+        FROM gscan gs LEFT JOIN ghit gh ON gh.ev = gs.ev
+        UNION ALL
+        SELECT 'flat_single' AS variant,
+               CAST((SELECT count(*) FROM f$steps) AS BIGINT) AS scanned,
+               CAST((SELECT count(*) FROM ff JOIN exq USING (qid, t)) AS BIGINT) AS hits,
+               round(CAST((SELECT count(*) FROM ff JOIN exq USING (qid, t)) AS DOUBLE) / 80, 6) AS recall_r
+      ) ORDER BY variant"""
+    nnBuildCtes(rounds) + head + l2Steps + handoff + l1Steps + tail
+  }
+
+  /** sim — HIERARCHICAL graph serving (the HNSW upper layer the r14
+    * verdict named as missing): a LAYER-2 graph over the deterministic
+    * 1/16 subsample (vec_id % 16 = 0) routes every query to good layer-1
+    * entry points, replacing [[simGraphServe]]'s coarse-quantizer
+    * medoids — the hierarchy makes the graph index SELF-CONTAINED (no
+    * IVF dependency on the serve path). Layer 2 is the exact
+    * [[NndServeDeg]]-degree kNN graph over the subsample: upper layers
+    * shrink geometrically (HNSW keeps n/M^l nodes at layer l), so the
+    * exact (n/16)² build stays under layer-1's NN-descent candidate
+    * bound at these sizes — at true scale the SAME NN-descent build
+    * ([[simNnDescent]]) applies per layer. Serve: greedy walk layer 2
+    * from node 0 (visited-fixpoint, ≤ [[NndServeSteps]] steps), hand the
+    * best E ∈ {1, 2, 4} finishers to the layer-1 walk over the pruned
+    * serve core, audit recall@10 + candidates scanned (BOTH layers'
+    * visited sets — fair accounting) against the flat single-entry walk
+    * from the same node 0. Rehearsed on the exact K=20 graph (numpy,
+    * both rungs): recall ties while hier scans ~5–12% fewer candidates.
+    * MEASURED on the real NN-descent graph: sf0.01 all variants 1.0
+    * with hier_e2 scanning 1325 vs flat's 1611 (-18%); sf0.1 hier_e2
+    * 0.95 at 2212 vs flat 0.9625 at 2345 — the hierarchy buys its scan
+    * reduction at ~1 recall point here, and widening to E = 4 HURTS
+    * both axes (0.8375 at 2035: near-mutual entry neighborhoods overlap
+    * the early beam and the walk fixpoints before exploring), so E = 2
+    * is the measured operating point. Laws in-gate: the
+    * layer-2 walk never leaves the subsample, and every variant's hits
+    * are bounded by the 80-row denominator contract (n ≥ 24 guard).
+    * Shape at 100 TB: layer 2 is n/16 rows (broadcastable at any
+    * realistic shard size), walk state is (ev, qid, visited-id) scalars,
+    * and the corpus appears only through the two graphs plus the
+    * per-candidate score fetch; the 8×n `qsc` table prices the
+    * EVALUATION, not the serve (the [[simGraphServe]] convention). */
+  val simGraphHier: QueryDef = {
+    QueryDef("sim_graph_hier", Some(graphHierSql(NndRounds, NndServeSteps))) { (spark, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val s2 = spark
+      import s2.implicits._
+      val (e, n) = nnEmb(spark, dir)
+      require(n >= 24,
+        s"sim_graph_hier needs vec_id 16..23 as held-out queries (n=$n < 24)")
+      val graph = nnRoundsMart(spark, dir)
+        .filter(col("round") === NndRounds && col("rk") <= NndServeDeg)
+        .select(col("s").as("gs"), col("t").as("gt")).localCheckpoint(true)
+      val qs = e.filter(col("vec_id") >= 16 && col("vec_id") < 24)
+        .select(col("vec_id").as("qid"), col("embedding").as("qv"))
+      val qsc = e.crossJoin(broadcast(qs))
+        .select(col("qid"), col("vec_id").as("t"), dot(col("embedding"), col("qv")).as("score"))
+        .localCheckpoint(true)
+      def topQ(st: DataFrame, part: Seq[String]): DataFrame = st
+        .join(qsc, Seq("qid", "t"))
+        .withColumn("rn", row_number().over(
+          Window.partitionBy(part.map(col): _*).orderBy(col("score").desc, col("t"))))
+        .filter(col("rn") <= 10).select(part :+ "t" map col: _*)
+      val exq = topQ(qsc.select("qid", "t"), Seq("qid"))
+        .select(col("qid").as("xq"), col("t").as("xt")).localCheckpoint(true)
+      // layer 2: exact kNN over the 1/16 subsample — (n/16)² pairs, the
+      // geometrically-shrunk upper layer, broadcast-joined
+      val sub = e.filter(col("vec_id") % 16 === 0)
+      val g2 = sub.select(col("vec_id").as("s"), col("embedding").as("es"))
+        .join(broadcast(sub.select(col("vec_id").as("t"), col("embedding").as("et"))),
+          col("s") =!= col("t"))
+        .select(col("s"), col("t"), dot(col("es"), col("et")).as("sc2"))
+        .withColumn("rn", row_number().over(
+          Window.partitionBy("s").orderBy(col("sc2").desc, col("t"))))
+        .filter(col("rn") <= NndServeDeg)
+        .select(col("s").as("gs"), col("t").as("gt"))
+      // the greedy visited-fixpoint walk (the simGraphServe machinery,
+      // factored over an arbitrary variant partition)
+      def walk(g: DataFrame, v0: DataFrame, part: Seq[String]): DataFrame = {
+        var vis = v0.distinct().localCheckpoint(true)
+        var prev = vis.count()
+        var fixed = false
+        for (_ <- 1 to NndServeSteps if !fixed) {
+          val nv = vis.unionByName(
+              topQ(vis, part).join(g, col("t") === col("gs"))
+                .select(part.map(col) :+ col("gt").as("t"): _*))
+            .distinct().localCheckpoint(true)
+          val c = nv.count()
+          if (c == prev) { fixed = true; nv.unpersist(false) }
+          else { vis.unpersist(false); vis = nv; prev = c }
+        }
+        vis
+      }
+      val g2c = g2.localCheckpoint(true)
+      val w = walk(g2c, qs.select(col("qid"), lit(0L).as("t")), Seq("qid"))
+      // law: the layer-2 walk never leaves the subsample
+      val wn = w.count()
+      val win = w.join(sub.select(col("vec_id").as("t")), Seq("t")).count()
+      require(win == wn, s"layer-2 walk escaped the subsample: $win of $wn rows in-sample")
+      // entry handoff: the best E layer-2 finishers per query
+      val ent = w.join(qsc, Seq("qid", "t"))
+        .withColumn("rn", row_number().over(
+          Window.partitionBy("qid").orderBy(col("score").desc, col("t"))))
+      val v0h = Seq(1, 2, 4).toDF("ev")
+        .join(ent, col("rn") <= col("ev"))
+        .select(col("ev"), col("qid"), col("t"))
+      val vh = walk(graph, v0h, Seq("ev", "qid"))
+      val grows = vh.groupBy("ev").agg(count(lit(1)).as("l1"))
+        .join(topQ(vh, Seq("ev", "qid"))
+          .join(broadcast(exq), col("qid") === col("xq") && col("t") === col("xt"))
+          .groupBy("ev").agg(count(lit(1)).as("hits")), Seq("ev"), "left")
+        .select(concat(lit("hier_e"), col("ev").cast(StringType)).as("variant"),
+          (col("l1") + lit(wn)).as("scanned"), coalesce(col("hits"), lit(0L)).as("hits"))
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
+      // flat baseline: single entry at node 0, no hierarchy
+      val vf = walk(graph, qs.select(col("qid"), lit(0L).as("t")), Seq("qid"))
+      val fscan = vf.count()
+      val fhits = topQ(vf, Seq("qid"))
+        .join(broadcast(exq), col("qid") === col("xq") && col("t") === col("xt")).count()
+      Seq(w, vh, vf, exq, qsc, graph, g2c, e).foreach(_.unpersist(false))
+      (grows :+ (("flat_single", fscan, fhits)))
+        .toDF("variant", "scanned", "hits")
+        .select(col("variant"), col("scanned"), col("hits"),
+          round(col("hits").cast(DoubleType) / lit(80.0), 6).as("recall_r"))
+        .orderBy("variant")
+    }
+  }
+
   /** sim — DIMENSION-TRUNCATION lever (the third axis of the measured
     * ANN design space, after codebook size [[simPqCodebookSize]] and
     * coarse cell count [[simIvfCells]]): rank by the dot product over
@@ -4708,5 +4914,5 @@ object Similarity {
     simIvfLayout, simIvfSplit, simPqDimLayout, simOpqLearned, simOpqRotation,
     simPqCodebookSize, simIvfCells, simAnnDeployed, simAnnFiltered, simIndexAppend,
     simDimTruncation,
-    simNnDescent, simGraphServe, simGraphCentrality)
+    simNnDescent, simGraphServe, simGraphHier, simGraphCentrality)
 }
