@@ -252,9 +252,12 @@ object Dedup {
     * shuffle of shingle sets) → exact 3-shingle Jaccard on the
     * candidates only → threshold 0.5. Gate: eval = doc_id % 50 = 0;
     * train = the rest + PLANTED paraphrases (first two tokens dropped,
-    * ' zzfuzz' appended, ids +600000, only docs ≥ 12 tokens so the
-    * perturbed Jaccard stays provably over threshold); 100% planted
-    * recall ENFORCED in-gate, plus a candidate-volume cap (≤ 5% of the
+    * ' zzfuzz' appended, ids +600000, only docs ≥ 12 tokens — which
+    * keeps sub-threshold plants rare, not impossible: a repetitive doc's
+    * shingle set can collapse under the perturbation); 100% recall over
+    * the EXACTLY-computed above-threshold planted pairs ENFORCED
+    * in-gate (measured: every plant clears at all three rungs, min
+    * planted J = 0.75), plus a candidate-volume cap (≤ 5% of the
     * train × eval all-pairs grid, measured ~1% at both rungs) so a
     * degenerate banding fails loud instead of going quadratic. */
   val ddDecontamFuzzy: QueryDef = {
@@ -349,11 +352,28 @@ object Dedup {
       val (nc, nt, ne) = (cands.count(), tsh.count(), esh.count())
       require(nc * 20L <= nt * ne,
         s"fuzzy-decontam banding degenerated: $nc candidates > 5% of ${nt}x$ne")
-      // planted recall: every planted paraphrase must be flagged
-      val plantedN = planted.count()
-      val flaggedPlanted = rows.map(_.getLong(0)).distinct.count(_ >= 600000L)
-      require(flaggedPlanted == plantedN,
-        s"fuzzy-decontam missed planted contamination: $flaggedPlanted of $plantedN")
+      // planted recall: every planted pair whose TRUE Jaccard clears the
+      // verify threshold must be flagged against its own source. Pairs
+      // below threshold are legitimately not contamination at 0.5 — the
+      // >= 12-token guard keeps them rare, NOT impossible (a repetitive
+      // doc's shingle set can collapse under the perturbation), so the
+      // law is stated over the exactly-computed 1:1 planted Jaccards
+      // instead of assuming every plant clears.
+      val pj = planted
+        .select((col("doc_id") - 600000L).as("eval_id"),
+          shingles3(split(col("text"), "\\s+")).as("psh"))
+        .join(broadcast(esh.select(col("doc_id").as("eval_id"), col("shingles").as("es2"))),
+          "eval_id")
+        .select(col("eval_id"),
+          (size(array_intersect(col("psh"), col("es2"))).cast(DoubleType) /
+            size(array_distinct(concat(col("psh"), col("es2")))).cast(DoubleType)).as("j"))
+      val plantedAbove = pj.filter(col("j") >= 0.5).count()
+      require(plantedAbove > 0L,
+        "no planted pair clears the verify threshold — the recall law is vacuous")
+      val flaggedPlanted = rows.count(r =>
+        r.getLong(0) >= 600000L && r.getLong(1) == r.getLong(0) - 600000L)
+      require(flaggedPlanted == plantedAbove,
+        s"fuzzy-decontam missed planted contamination: $flaggedPlanted of $plantedAbove above-threshold pairs")
       tsh.unpersist(); esh.unpersist(); cands.unpersist(false)
       val schema = out.schema
       spark.createDataFrame(java.util.Arrays.asList(rows: _*), schema)

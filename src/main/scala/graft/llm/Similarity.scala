@@ -3511,7 +3511,7 @@ object Similarity {
     * hardcodes vec_id 16..23 and fixed recall denominators, and a
     * smaller corpus would emit a silently meaningless (or empty-query)
     * metric (the [[simGraphServe]] guard convention). */
-  private def heldOutHarness(spark: SparkSession, dir: String): (DataFrame, DataFrame, DataFrame) = {
+  private def heldOutHarness(spark: SparkSession, dir: String): (DataFrame, DataFrame, DataFrame, Long) = {
     import org.apache.spark.sql.expressions.Window
     val e = emb(spark, dir).select(col("vec_id"), col("embedding")).localCheckpoint(true)
     val n = e.count()
@@ -3526,7 +3526,7 @@ object Similarity {
       .filter(col("rn") <= 10)
       .select(col("qid").as("xq"), col("vec_id").as("xt"))
       .localCheckpoint(true)
-    (e, qs, ex)
+    (e, qs, ex, n)
   }
 
   /** Per-query cell ranks of `qs`(qid, qv) against a (cent_id, cv)
@@ -3594,7 +3594,7 @@ object Similarity {
       val s2 = spark
       import s2.implicits._
       val wq = Window.partitionBy("qid")
-      val (e, qs, ex) = heldOutHarness(spark, dir)
+      val (e, qs, ex, _) = heldOutHarness(spark, dir)
       // the served seeded-8 layout: the IVF family's own assignment + probe
       val s8a = ivfAssigned(spark, dir).select(col("vec_id"), col("cell"))
         .localCheckpoint(true)
@@ -3612,6 +3612,7 @@ object Similarity {
         val scanned = pool.count()
         val hits = pool.join(broadcast(ex),
           col("qid") === col("xq") && col("vec_id") === col("xt")).count()
+        pool.unpersist(false)
         (name, k.toLong, pr.toLong, scanned, hits)
       }
       val rows = Seq(
@@ -3729,7 +3730,7 @@ object Similarity {
       val s2 = spark
       import s2.implicits._
       val wq = Window.partitionBy("qid")
-      val (e, qs, ex) = heldOutHarness(spark, dir)
+      val (e, qs, ex, _) = heldOutHarness(spark, dir)
       // trained-32 coarse: assignment + per-query cell ranks (the
       // simIvfCells winning rung, shared construction)
       val (av, rk) = trainedCellRank(e, qs, 32)
@@ -3981,8 +3982,7 @@ object Similarity {
     """)) { (spark, dir) =>
       val s2 = spark
       import s2.implicits._
-      val (e, qs, ex) = heldOutHarness(spark, dir)
-      val n = e.count()
+      val (e, qs, ex, n) = heldOutHarness(spark, dir)
       require(n >= 40,
         s"index-append needs 32 base seeds inside vec_id < 40 and a non-empty fresh batch (n=$n < 40)")
       val base = e.filter(col("vec_id") % 5 < 4)
@@ -4004,6 +4004,7 @@ object Similarity {
         val scanned = pool.count()
         val hits = pool.join(broadcast(ex),
           col("qid") === col("xq") && col("vec_id") === col("xt")).count()
+        pool.unpersist(false)
         (name, nr, cu, scanned, hits)
       }
       val rows = Seq(point("appended", avApp, rkB), point("retrained", avR, rkR))
@@ -4322,15 +4323,22 @@ object Similarity {
     * the query's top-P coarse cells for P ∈ [[NndEntryPs]] — the variant
     * dimension `p` rides every walk CTE so one unrolled chain prices the
     * whole entry sweep. */
-  private def graphServeSql(rounds: Int, steps: Int): String = {
-    val serveHead = s""",
+  /** Shared WITH-clause fragment of every graph-SERVE oracle
+    * ([[graphServeSql]], [[graphHierSql]] — one definition so a
+    * tie-break or query-range edit can never desynchronize them): the
+    * held-out queries, the MATERIALIZED 8×n audit score table, the
+    * exact top-10, and the pruned serve core of round `rounds`. */
+  private def nnServeCommonSql(rounds: Int): String = s""",
       qs AS (SELECT vec_id AS qid, embedding AS qv FROM e WHERE vec_id >= 16 AND vec_id < 24),
       qsc AS MATERIALIZED (
         SELECT q.qid, x.vec_id AS t, ${dotSql("x.embedding", "q.qv")} AS score FROM e x, qs q),
       exq AS (
         SELECT qid, t FROM (SELECT qid, t, row_number() OVER (PARTITION BY qid ORDER BY score DESC, t) AS rn FROM qsc) z
         WHERE rn <= 10),
-      g AS MATERIALIZED (SELECT s, t FROM l$rounds WHERE rk <= $NndServeDeg),
+      g AS MATERIALIZED (SELECT s, t FROM l$rounds WHERE rk <= $NndServeDeg)"""
+
+  private def graphServeSql(rounds: Int, steps: Int): String = {
+    val serveHead = s""",
       med AS (
         SELECT a.cell, arg_max(a.vec_id, ${dotSql("e2.embedding", "c.cv")} - 1e-12 * a.vec_id) AS mid
         FROM assigned a JOIN e e2 ON e2.vec_id = a.vec_id JOIN cents c ON c.cent_id = a.cell
@@ -4385,7 +4393,7 @@ object Similarity {
                CAST((SELECT count(*) FROM p1 JOIN exq USING (qid, t)) AS BIGINT) AS hits,
                round(CAST((SELECT count(*) FROM p1 JOIN exq USING (qid, t)) AS DOUBLE) / 80, 6) AS recall_r
       ) ORDER BY variant"""
-    nnBuildCtes(rounds) + serveHead + stepCtes + tail
+    nnBuildCtes(rounds) + nnServeCommonSql(rounds) + serveHead + stepCtes + tail
   }
 
   /** sim — GRAPH-ANN SERVING over the NN-descent graph: answer the
@@ -4414,6 +4422,58 @@ object Similarity {
     * fetch; the corpus appears only through the graph (built once, n·K
     * rows) and the per-candidate vector fetch. The per-query audit
     * table (8×n) prices the EVALUATION, not the serve. */
+  /** Shared Spark serve-harness over the NN-descent corpus (the
+    * [[nnServeCommonSql]] twin — ONE definition for [[simGraphServe]]
+    * and [[simGraphHier]]): held-out queries, the checkpointed 8×n
+    * audit score table, and the exact top-10 as (xq, xt) — one window
+    * straight over qsc, no self-join. Caller unpersists qsc and exq. */
+  private def nnServeHarness(e: DataFrame): (DataFrame, DataFrame, DataFrame) = {
+    import org.apache.spark.sql.expressions.Window
+    val qs = e.filter(col("vec_id") >= 16 && col("vec_id") < 24)
+      .select(col("vec_id").as("qid"), col("embedding").as("qv"))
+    val qsc = e.crossJoin(broadcast(qs))
+      .select(col("qid"), col("vec_id").as("t"), dot(col("embedding"), col("qv")).as("score"))
+      .localCheckpoint(true)
+    val exq = qsc.withColumn("rn", row_number().over(
+        Window.partitionBy("qid").orderBy(col("score").desc, col("t"))))
+      .filter(col("rn") <= 10)
+      .select(col("qid").as("xq"), col("t").as("xt")).localCheckpoint(true)
+    (qs, qsc, exq)
+  }
+
+  /** Top-10 of a visited/candidate set per `part` by audit score. */
+  private def topVisited(qsc: DataFrame, st: DataFrame, part: Seq[String]): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    st.join(qsc, Seq("qid", "t"))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(part.map(col): _*).orderBy(col("score").desc, col("t"))))
+      .filter(col("rn") <= 10).select(part :+ "t" map col: _*)
+  }
+
+  /** The greedy visited-fixpoint walk shared by [[simGraphServe]] and
+    * [[simGraphHier]]: expand the per-`part` top-10 beam's neighbors in
+    * graph `g`(gs, gt), union, stop once a step adds nothing (monotone
+    * visited sets: count equality == set equality, so the oracle's
+    * remaining unrolled steps are no-ops by the empty-frontier
+    * argument). Returns the checkpointed visited set; caller
+    * unpersists. */
+  private def greedyWalk(qsc: DataFrame, g: DataFrame, v0: DataFrame,
+      part: Seq[String]): DataFrame = {
+    var vis = v0.distinct().localCheckpoint(true)
+    var prev = vis.count()
+    var fixed = false
+    for (_ <- 1 to NndServeSteps if !fixed) {
+      val nv = vis.unionByName(
+          topVisited(qsc, vis, part).join(g, col("t") === col("gs"))
+            .select(part.map(col) :+ col("gt").as("t"): _*))
+        .distinct().localCheckpoint(true)
+      val c = nv.count()
+      if (c == prev) { fixed = true; nv.unpersist(false) }
+      else { vis.unpersist(false); vis = nv; prev = c }
+    }
+    vis
+  }
+
   val simGraphServe: QueryDef = {
     QueryDef("sim_graph_serve", Some(graphServeSql(NndRounds, NndServeSteps))) { (spark, dir) =>
       import org.apache.spark.sql.expressions.Window
@@ -4430,17 +4490,7 @@ object Similarity {
       val graph = nnRoundsMart(spark, dir)
         .filter(col("round") === NndRounds && col("rk") <= NndServeDeg)
         .select(col("s").as("gs"), col("t").as("gt")).localCheckpoint(true)
-      val qs = e.filter(col("vec_id") >= 16 && col("vec_id") < 24)
-        .select(col("vec_id").as("qid"), col("embedding").as("qv"))
-      val qsc = e.crossJoin(broadcast(qs))
-        .select(col("qid"), col("vec_id").as("t"), dot(col("embedding"), col("qv")).as("score"))
-        .localCheckpoint(true)
-      def topQ(st: DataFrame, part: Seq[String]): DataFrame = st
-        .join(qsc, Seq("qid", "t"))
-        .withColumn("rn", row_number().over(
-          Window.partitionBy(part.map(col): _*).orderBy(col("score").desc, col("t"))))
-        .filter(col("rn") <= 10).select(part :+ "t" map col: _*)
-      val exq = topQ(qsc.select("qid", "t"), Seq("qid")).localCheckpoint(true)
+      val (qs, qsc, exq) = nnServeHarness(e)
       val cellOf = ivfAssigned(spark, dir).select(col("vec_id"), col("cell"))
       // per-cell MEDOID: the member nearest its own centroid (tie → lower
       // id via the suite's 1e-12 bias) — the entry table is 8 rows
@@ -4464,29 +4514,15 @@ object Similarity {
           Window.partitionBy("qid").orderBy(col("sc").desc)))
       // multi-entry v0: medoids of the query's top-P cells, one variant
       // dimension p riding the whole walk (r14 verdict queue #7)
-      var vis = NndEntryPs.toDF("p")
-        .join(qrank2, col("rn") <= col("p"))
-        .join(broadcast(med), Seq("cell"))
-        .select(col("p"), col("qid"), col("mid").as("t"))
-        .distinct().localCheckpoint(true)
-      // monotone visited sets: count equality == set equality, so the
-      // walk exits as soon as a step adds nothing (the oracle's remaining
-      // unrolled steps are no-ops by the empty-frontier argument)
-      var prevCount = vis.count()
-      var fixed = false
-      for (_ <- 1 to NndServeSteps if !fixed) {
-        val nv = vis.unionByName(
-            topQ(vis, Seq("p", "qid")).join(graph, col("t") === col("gs"))
-              .select(col("p"), col("qid"), col("gt").as("t")))
-          .distinct().localCheckpoint(true)
-        val c = nv.count()
-        if (c == prevCount) { fixed = true; nv.unpersist(false) }
-        else { vis.unpersist(false); vis = nv; prevCount = c }
-      }
+      val vis = greedyWalk(qsc, graph,
+        NndEntryPs.toDF("p")
+          .join(qrank2, col("rn") <= col("p"))
+          .join(broadcast(med), Seq("cell"))
+          .select(col("p"), col("qid"), col("mid").as("t")),
+        Seq("p", "qid"))
       val gscan = vis.groupBy("p").agg(count(lit(1)).as("scanned"))
-      val exq2 = exq.select(col("qid").as("xq"), col("t").as("xt"))
-      val ghit2 = topQ(vis, Seq("p", "qid"))
-        .join(broadcast(exq2), col("qid") === col("xq") && col("t") === col("xt"))
+      val ghit2 = topVisited(qsc, vis, Seq("p", "qid"))
+        .join(broadcast(exq), col("qid") === col("xq") && col("t") === col("xt"))
         .groupBy("p").agg(count(lit(1)).as("hits"))
       val grows = gscan.join(ghit2, Seq("p"), "left")
         .select(concat(lit("graph_m"), col("p").cast(StringType)).as("variant"),
@@ -4497,8 +4533,8 @@ object Similarity {
         .join(cellOf.toDF("t", "tcell"), col("qcell") === col("tcell"))
         .select("qid", "t").localCheckpoint(true)
       val scannedP = pcell.count()
-      val hitsP = topQ(pcell, Seq("qid"))
-        .join(broadcast(exq2), col("qid") === col("xq") && col("t") === col("xt")).count()
+      val hitsP = topVisited(qsc, pcell, Seq("qid"))
+        .join(broadcast(exq), col("qid") === col("xq") && col("t") === col("xt")).count()
       vis.unpersist(false)
       pcell.unpersist(false)
       exq.unpersist(false)
@@ -4522,13 +4558,6 @@ object Similarity {
     * single-entry baseline walk. */
   private def graphHierSql(rounds: Int, steps: Int): String = {
     val head = s""",
-      qs AS (SELECT vec_id AS qid, embedding AS qv FROM e WHERE vec_id >= 16 AND vec_id < 24),
-      qsc AS MATERIALIZED (
-        SELECT q.qid, x.vec_id AS t, ${dotSql("x.embedding", "q.qv")} AS score FROM e x, qs q),
-      exq AS (
-        SELECT qid, t FROM (SELECT qid, t, row_number() OVER (PARTITION BY qid ORDER BY score DESC, t) AS rn FROM qsc) z
-        WHERE rn <= 10),
-      g AS MATERIALIZED (SELECT s, t FROM l$rounds WHERE rk <= $NndServeDeg),
       sub AS (SELECT vec_id FROM e WHERE vec_id % 16 = 0),
       g2 AS MATERIALIZED (
         SELECT s, t FROM (
@@ -4599,7 +4628,7 @@ object Similarity {
                CAST((SELECT count(*) FROM ff JOIN exq USING (qid, t)) AS BIGINT) AS hits,
                round(CAST((SELECT count(*) FROM ff JOIN exq USING (qid, t)) AS DOUBLE) / 80, 6) AS recall_r
       ) ORDER BY variant"""
-    nnBuildCtes(rounds) + head + l2Steps + handoff + l1Steps + tail
+    nnBuildCtes(rounds) + nnServeCommonSql(rounds) + head + l2Steps + handoff + l1Steps + tail
   }
 
   /** sim — HIERARCHICAL graph serving (the HNSW upper layer the r14
@@ -4644,18 +4673,7 @@ object Similarity {
       val graph = nnRoundsMart(spark, dir)
         .filter(col("round") === NndRounds && col("rk") <= NndServeDeg)
         .select(col("s").as("gs"), col("t").as("gt")).localCheckpoint(true)
-      val qs = e.filter(col("vec_id") >= 16 && col("vec_id") < 24)
-        .select(col("vec_id").as("qid"), col("embedding").as("qv"))
-      val qsc = e.crossJoin(broadcast(qs))
-        .select(col("qid"), col("vec_id").as("t"), dot(col("embedding"), col("qv")).as("score"))
-        .localCheckpoint(true)
-      def topQ(st: DataFrame, part: Seq[String]): DataFrame = st
-        .join(qsc, Seq("qid", "t"))
-        .withColumn("rn", row_number().over(
-          Window.partitionBy(part.map(col): _*).orderBy(col("score").desc, col("t"))))
-        .filter(col("rn") <= 10).select(part :+ "t" map col: _*)
-      val exq = topQ(qsc.select("qid", "t"), Seq("qid"))
-        .select(col("qid").as("xq"), col("t").as("xt")).localCheckpoint(true)
+      val (qs, qsc, exq) = nnServeHarness(e)
       // layer 2: exact kNN over the 1/16 subsample — (n/16)² pairs, the
       // geometrically-shrunk upper layer, broadcast-joined
       val sub = e.filter(col("vec_id") % 16 === 0)
@@ -4667,25 +4685,8 @@ object Similarity {
           Window.partitionBy("s").orderBy(col("sc2").desc, col("t"))))
         .filter(col("rn") <= NndServeDeg)
         .select(col("s").as("gs"), col("t").as("gt"))
-      // the greedy visited-fixpoint walk (the simGraphServe machinery,
-      // factored over an arbitrary variant partition)
-      def walk(g: DataFrame, v0: DataFrame, part: Seq[String]): DataFrame = {
-        var vis = v0.distinct().localCheckpoint(true)
-        var prev = vis.count()
-        var fixed = false
-        for (_ <- 1 to NndServeSteps if !fixed) {
-          val nv = vis.unionByName(
-              topQ(vis, part).join(g, col("t") === col("gs"))
-                .select(part.map(col) :+ col("gt").as("t"): _*))
-            .distinct().localCheckpoint(true)
-          val c = nv.count()
-          if (c == prev) { fixed = true; nv.unpersist(false) }
-          else { vis.unpersist(false); vis = nv; prev = c }
-        }
-        vis
-      }
       val g2c = g2.localCheckpoint(true)
-      val w = walk(g2c, qs.select(col("qid"), lit(0L).as("t")), Seq("qid"))
+      val w = greedyWalk(qsc, g2c, qs.select(col("qid"), lit(0L).as("t")), Seq("qid"))
       // law: the layer-2 walk never leaves the subsample
       val wn = w.count()
       val win = w.join(sub.select(col("vec_id").as("t")), Seq("t")).count()
@@ -4697,18 +4698,18 @@ object Similarity {
       val v0h = Seq(1, 2, 4).toDF("ev")
         .join(ent, col("rn") <= col("ev"))
         .select(col("ev"), col("qid"), col("t"))
-      val vh = walk(graph, v0h, Seq("ev", "qid"))
+      val vh = greedyWalk(qsc, graph, v0h, Seq("ev", "qid"))
       val grows = vh.groupBy("ev").agg(count(lit(1)).as("l1"))
-        .join(topQ(vh, Seq("ev", "qid"))
+        .join(topVisited(qsc, vh, Seq("ev", "qid"))
           .join(broadcast(exq), col("qid") === col("xq") && col("t") === col("xt"))
           .groupBy("ev").agg(count(lit(1)).as("hits")), Seq("ev"), "left")
         .select(concat(lit("hier_e"), col("ev").cast(StringType)).as("variant"),
           (col("l1") + lit(wn)).as("scanned"), coalesce(col("hits"), lit(0L)).as("hits"))
         .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
       // flat baseline: single entry at node 0, no hierarchy
-      val vf = walk(graph, qs.select(col("qid"), lit(0L).as("t")), Seq("qid"))
+      val vf = greedyWalk(qsc, graph, qs.select(col("qid"), lit(0L).as("t")), Seq("qid"))
       val fscan = vf.count()
-      val fhits = topQ(vf, Seq("qid"))
+      val fhits = topVisited(qsc, vf, Seq("qid"))
         .join(broadcast(exq), col("qid") === col("xq") && col("t") === col("xt")).count()
       Seq(w, vh, vf, exq, qsc, graph, g2c, e).foreach(_.unpersist(false))
       (grows :+ (("flat_single", fscan, fhits)))
@@ -4771,7 +4772,7 @@ object Similarity {
       import org.apache.spark.sql.expressions.Window
       val s2 = spark
       import s2.implicits._
-      val (e, qs, ex) = heldOutHarness(spark, dir)
+      val (e, qs, ex, _) = heldOutHarness(spark, dir)
       val pairs = e.crossJoin(broadcast(qs))
       // all four truncated dots in ONE pass over the pair scan
       val tsc = pairs.select(col("qid"), col("vec_id").as("t"),
