@@ -4581,8 +4581,9 @@ object Similarity {
         FROM (SELECT w.qid, w.t, s.score FROM w$steps w JOIN qsc s ON s.qid = w.qid AND s.t = w.t) z),
       v0 AS (
         SELECT ev.ev, en.qid, en.t
-        FROM (SELECT unnest([1, 2, 4]) AS ev) ev JOIN ent en ON en.rn <= ev.ev),
-      f0 AS (SELECT qid, CAST(0 AS BIGINT) AS t FROM qs)"""
+        FROM (SELECT unnest([1, 2, 4]) AS ev) ev JOIN ent en ON en.rn <= ev.ev
+        UNION ALL
+        SELECT 0 AS ev, qid, CAST(0 AS BIGINT) AS t FROM qs)"""
     val l1Steps = (1 to steps).map { k =>
       s""",
       b$k AS (
@@ -4591,14 +4592,7 @@ object Similarity {
           FROM v${k - 1} v JOIN qsc s ON s.qid = v.qid AND s.t = v.t) z
         WHERE rn <= 10),
       v$k AS MATERIALIZED (
-        SELECT ev, qid, t FROM v${k - 1} UNION SELECT b.ev, b.qid, g.t FROM b$k b JOIN g ON g.s = b.t),
-      fb$k AS (
-        SELECT qid, t FROM (
-          SELECT f.qid, f.t, row_number() OVER (PARTITION BY f.qid ORDER BY s.score DESC, f.t) AS rn
-          FROM f${k - 1} f JOIN qsc s ON s.qid = f.qid AND s.t = f.t) z
-        WHERE rn <= 10),
-      f$k AS MATERIALIZED (
-        SELECT qid, t FROM f${k - 1} UNION SELECT b.qid, g.t FROM fb$k b JOIN g ON g.s = b.t)"""
+        SELECT ev, qid, t FROM v${k - 1} UNION SELECT b.ev, b.qid, g.t FROM b$k b JOIN g ON g.s = b.t)"""
     }.mkString
     val tail = s""",
       bf AS (
@@ -4606,28 +4600,20 @@ object Similarity {
           SELECT v.ev, v.qid, v.t, row_number() OVER (PARTITION BY v.ev, v.qid ORDER BY s.score DESC, v.t) AS rn
           FROM v$steps v JOIN qsc s ON s.qid = v.qid AND s.t = v.t) z
         WHERE rn <= 10),
-      ff AS (
-        SELECT qid, t FROM (
-          SELECT f.qid, f.t, row_number() OVER (PARTITION BY f.qid ORDER BY s.score DESC, f.t) AS rn
-          FROM f$steps f JOIN qsc s ON s.qid = f.qid AND s.t = f.t) z
-        WHERE rn <= 10),
       l2n AS (SELECT CAST(count(*) AS BIGINT) AS c FROM w$steps),
       gscan AS (
-        SELECT ev, CAST(count(*) AS BIGINT) + (SELECT c FROM l2n) AS scanned FROM v$steps GROUP BY ev),
+        SELECT ev, CAST(count(*) AS BIGINT)
+                 + CASE WHEN ev = 0 THEN 0 ELSE (SELECT c FROM l2n) END AS scanned
+        FROM v$steps GROUP BY ev),
       ghit AS (
         SELECT b.ev, CAST(count(*) AS BIGINT) AS hits
         FROM bf b JOIN exq x ON x.qid = b.qid AND x.t = b.t GROUP BY b.ev)
-      SELECT * FROM (
-        SELECT 'hier_e' || CAST(gs.ev AS VARCHAR) AS variant, gs.scanned,
-               CAST(coalesce(gh.hits, 0) AS BIGINT) AS hits,
-               round(CAST(coalesce(gh.hits, 0) AS DOUBLE) / 80, 6) AS recall_r
-        FROM gscan gs LEFT JOIN ghit gh ON gh.ev = gs.ev
-        UNION ALL
-        SELECT 'flat_single' AS variant,
-               CAST((SELECT count(*) FROM f$steps) AS BIGINT) AS scanned,
-               CAST((SELECT count(*) FROM ff JOIN exq USING (qid, t)) AS BIGINT) AS hits,
-               round(CAST((SELECT count(*) FROM ff JOIN exq USING (qid, t)) AS DOUBLE) / 80, 6) AS recall_r
-      ) ORDER BY variant"""
+      SELECT CASE WHEN gs.ev = 0 THEN 'flat_single' ELSE 'hier_e' || CAST(gs.ev AS VARCHAR) END AS variant,
+             gs.scanned,
+             CAST(coalesce(gh.hits, 0) AS BIGINT) AS hits,
+             round(CAST(coalesce(gh.hits, 0) AS DOUBLE) / 80, 6) AS recall_r
+      FROM gscan gs LEFT JOIN ghit gh ON gh.ev = gs.ev
+      ORDER BY variant"""
     nnBuildCtes(rounds) + nnServeCommonSql(rounds) + head + l2Steps + handoff + l1Steps + tail
   }
 
@@ -4695,24 +4681,26 @@ object Similarity {
       val ent = w.join(qsc, Seq("qid", "t"))
         .withColumn("rn", row_number().over(
           Window.partitionBy("qid").orderBy(col("score").desc, col("t"))))
+      // the flat single-entry baseline rides the SAME walk as ev = 0
+      // (entry at node 0, no hierarchy) — one variant frame, one walk,
+      // instead of a second full walk for the baseline
       val v0h = Seq(1, 2, 4).toDF("ev")
         .join(ent, col("rn") <= col("ev"))
         .select(col("ev"), col("qid"), col("t"))
+        .unionByName(qs.select(lit(0).as("ev"), col("qid"), lit(0L).as("t")))
       val vh = greedyWalk(qsc, graph, v0h, Seq("ev", "qid"))
-      val grows = vh.groupBy("ev").agg(count(lit(1)).as("l1"))
+      val rows = vh.groupBy("ev").agg(count(lit(1)).as("l1"))
         .join(topVisited(qsc, vh, Seq("ev", "qid"))
           .join(broadcast(exq), col("qid") === col("xq") && col("t") === col("xt"))
           .groupBy("ev").agg(count(lit(1)).as("hits")), Seq("ev"), "left")
-        .select(concat(lit("hier_e"), col("ev").cast(StringType)).as("variant"),
-          (col("l1") + lit(wn)).as("scanned"), coalesce(col("hits"), lit(0L)).as("hits"))
+        .select(
+          when(col("ev") === 0, lit("flat_single"))
+            .otherwise(concat(lit("hier_e"), col("ev").cast(StringType))).as("variant"),
+          (col("l1") + when(col("ev") === 0, lit(0L)).otherwise(lit(wn))).as("scanned"),
+          coalesce(col("hits"), lit(0L)).as("hits"))
         .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
-      // flat baseline: single entry at node 0, no hierarchy
-      val vf = greedyWalk(qsc, graph, qs.select(col("qid"), lit(0L).as("t")), Seq("qid"))
-      val fscan = vf.count()
-      val fhits = topVisited(qsc, vf, Seq("qid"))
-        .join(broadcast(exq), col("qid") === col("xq") && col("t") === col("xt")).count()
-      Seq(w, vh, vf, exq, qsc, graph, g2c, e).foreach(_.unpersist(false))
-      (grows :+ (("flat_single", fscan, fhits)))
+      Seq(w, vh, exq, qsc, graph, g2c, e).foreach(_.unpersist(false))
+      rows
         .toDF("variant", "scanned", "hits")
         .select(col("variant"), col("scanned"), col("hits"),
           round(col("hits").cast(DoubleType) / lit(80.0), 6).as("recall_r"))
