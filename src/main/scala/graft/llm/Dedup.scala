@@ -359,9 +359,8 @@ object Dedup {
       // doc's shingle set can collapse under the perturbation), so the
       // law is stated over the exactly-computed 1:1 planted Jaccards
       // instead of assuming every plant clears.
-      val pj = planted
-        .select((col("doc_id") - 600000L).as("eval_id"),
-          shingles3(split(col("text"), "\\s+")).as("psh"))
+      val pj = tsh.filter(col("doc_id") >= 600000L)
+        .select((col("doc_id") - 600000L).as("eval_id"), col("shingles").as("psh"))
         .join(broadcast(esh.select(col("doc_id").as("eval_id"), col("shingles").as("es2"))),
           "eval_id")
         .select(col("eval_id"),

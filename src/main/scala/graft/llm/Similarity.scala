@@ -4328,6 +4328,12 @@ object Similarity {
     * tie-break or query-range edit can never desynchronize them): the
     * held-out queries, the MATERIALIZED 8×n audit score table, the
     * exact top-10, and the pruned serve core of round `rounds`. */
+  /** The pruned serve-core CTE alone — shared by the two walk oracles
+    * (via [[nnServeCommonSql]]) AND [[graphCentralitySql]], which needs
+    * the graph but not the query harness. */
+  private def nnServeCoreSql(rounds: Int): String =
+    s"""g AS MATERIALIZED (SELECT s, t FROM l$rounds WHERE rk <= $NndServeDeg)"""
+
   private def nnServeCommonSql(rounds: Int): String = s""",
       qs AS (SELECT vec_id AS qid, embedding AS qv FROM e WHERE vec_id >= 16 AND vec_id < 24),
       qsc AS MATERIALIZED (
@@ -4335,7 +4341,7 @@ object Similarity {
       exq AS (
         SELECT qid, t FROM (SELECT qid, t, row_number() OVER (PARTITION BY qid ORDER BY score DESC, t) AS rn FROM qsc) z
         WHERE rn <= 10),
-      g AS MATERIALIZED (SELECT s, t FROM l$rounds WHERE rk <= $NndServeDeg)"""
+      ${nnServeCoreSql(rounds)}"""
 
   private def graphServeSql(rounds: Int, steps: Int): String = {
     val serveHead = s""",
@@ -4422,6 +4428,15 @@ object Similarity {
     * fetch; the corpus appears only through the graph (built once, n·K
     * rows) and the per-candidate vector fetch. The per-query audit
     * table (8×n) prices the EVALUATION, not the serve. */
+  /** The pruned serve core off the NN-descent mart (rk ≤
+    * [[NndServeDeg]] of round [[NndRounds]]), checkpointed — the Spark
+    * twin of [[nnServeCoreSql]], ONE definition for [[simGraphServe]],
+    * [[simGraphHier]] and [[simGraphCentrality]]. Caller unpersists. */
+  private def serveCore(spark: SparkSession, dir: String): DataFrame =
+    nnRoundsMart(spark, dir)
+      .filter(col("round") === NndRounds && col("rk") <= NndServeDeg)
+      .select(col("s"), col("t")).localCheckpoint(true)
+
   /** Shared Spark serve-harness over the NN-descent corpus (the
     * [[nnServeCommonSql]] twin — ONE definition for [[simGraphServe]]
     * and [[simGraphHier]]): held-out queries, the checkpointed 8×n
@@ -4458,11 +4473,11 @@ object Similarity {
     * argument). Returns the checkpointed visited set; caller
     * unpersists. */
   private def greedyWalk(qsc: DataFrame, g: DataFrame, v0: DataFrame,
-      part: Seq[String]): DataFrame = {
+      part: Seq[String], steps: Int = NndServeSteps): DataFrame = {
     var vis = v0.distinct().localCheckpoint(true)
     var prev = vis.count()
     var fixed = false
-    for (_ <- 1 to NndServeSteps if !fixed) {
+    for (_ <- 1 to steps if !fixed) {
       val nv = vis.unionByName(
           topVisited(qsc, vis, part).join(g, col("t") === col("gs"))
             .select(part.map(col) :+ col("gt").as("t"): _*))
@@ -4487,9 +4502,8 @@ object Similarity {
         s"sim_graph_serve needs vec_id 16..23 as held-out queries (n=$n < 24)")
       // the pruned SERVE core: each node's best NndServeDeg of the final
       // round's kept-NndK edges (build-wide/serve-narrow, see NndServeDeg)
-      val graph = nnRoundsMart(spark, dir)
-        .filter(col("round") === NndRounds && col("rk") <= NndServeDeg)
-        .select(col("s").as("gs"), col("t").as("gt")).localCheckpoint(true)
+      val gcore = serveCore(spark, dir)
+      val graph = gcore.select(col("s").as("gs"), col("t").as("gt"))
       val (qs, qsc, exq) = nnServeHarness(e)
       val cellOf = ivfAssigned(spark, dir).select(col("vec_id"), col("cell"))
       // per-cell MEDOID: the member nearest its own centroid (tie → lower
@@ -4539,7 +4553,7 @@ object Similarity {
       pcell.unpersist(false)
       exq.unpersist(false)
       qsc.unpersist(false)
-      graph.unpersist(false)
+      gcore.unpersist(false)
       e.unpersist(false)
       (grows :+ (("probe1", scannedP, hitsP)))
         .toDF("variant", "scanned", "hits")
@@ -4656,9 +4670,8 @@ object Similarity {
       val (e, n) = nnEmb(spark, dir)
       require(n >= 24,
         s"sim_graph_hier needs vec_id 16..23 as held-out queries (n=$n < 24)")
-      val graph = nnRoundsMart(spark, dir)
-        .filter(col("round") === NndRounds && col("rk") <= NndServeDeg)
-        .select(col("s").as("gs"), col("t").as("gt")).localCheckpoint(true)
+      val gcore = serveCore(spark, dir)
+      val graph = gcore.select(col("s").as("gs"), col("t").as("gt"))
       val (qs, qsc, exq) = nnServeHarness(e)
       // layer 2: exact kNN over the 1/16 subsample — (n/16)² pairs, the
       // geometrically-shrunk upper layer, broadcast-joined
@@ -4699,7 +4712,7 @@ object Similarity {
           (col("l1") + when(col("ev") === 0, lit(0L)).otherwise(lit(wn))).as("scanned"),
           coalesce(col("hits"), lit(0L)).as("hits"))
         .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
-      Seq(w, vh, exq, qsc, graph, g2c, e).foreach(_.unpersist(false))
+      Seq(w, vh, exq, qsc, gcore, g2c, e).foreach(_.unpersist(false))
       rows
         .toDF("variant", "scanned", "hits")
         .select(col("variant"), col("scanned"), col("hits"),
@@ -4803,7 +4816,7 @@ object Similarity {
     * identical mass ledger. */
   private def graphCentralitySql(rounds: Int): String = {
     val head = s""",
-      g AS MATERIALIZED (SELECT s, t FROM l$rounds WHERE rk <= $NndServeDeg),
+      ${nnServeCoreSql(rounds)},
       nodes AS (SELECT DISTINCT s AS v FROM g),
       deg AS (SELECT s, CAST(count(*) AS BIGINT) AS d FROM g GROUP BY s),
       pr0 AS (SELECT v, CAST(1000000 AS BIGINT) AS m FROM nodes)"""
@@ -4848,9 +4861,7 @@ object Similarity {
     * triples, vectors never touched; state is one (v, mass) frame. */
   val simGraphCentrality: QueryDef = {
     QueryDef("sim_graph_centrality", Some(graphCentralitySql(NndRounds))) { (spark, dir) =>
-      val graph = nnRoundsMart(spark, dir)
-        .filter(col("round") === NndRounds && col("rk") <= NndServeDeg)
-        .select(col("s"), col("t")).localCheckpoint(true)
+      val graph = serveCore(spark, dir)
       val nodes = graph.select(col("s").as("v")).distinct().localCheckpoint(true)
       val deg = graph.groupBy("s").agg(count(lit(1)).as("d"))
       val gd = graph.join(deg, Seq("s")).localCheckpoint(true)
