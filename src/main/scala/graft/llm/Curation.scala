@@ -721,8 +721,80 @@ object Curation {
       .orderBy("metric_id")
   }
 
+  /** c — corpus SNAPSHOT DIFF: the per-source delta datasheet between
+    * two corpus versions (v1 = the standing snapshot, v2 = v1 + an
+    * ingest batch — here doc_id % 7 = 6, ~14% spread across every
+    * source since 7 is coprime to the 20-source id cycle). The ops
+    * question every corpus release answers: what arrived, where, and
+    * how much of each source's doc/token mass is new — the diff a
+    * release review or a mixture-rebalance decision reads before
+    * retraining. FULL OUTER join of the two per-source rollups (so a
+    * source present in only one version still reports), exact integer
+    * doc/token counts, one final exact division for the added
+    * fraction. Laws in-gate: v1 ⊆ v2 here, so per-source
+    * docs_v2 = docs_v1 + docs_added with docs_added ≥ 0, and the
+    * global doc delta equals the fresh-batch row count — conservation
+    * the construction must reproduce or the rollup lost rows. Shape at
+    * 100 TB: two map-side token-count passes + a per-source (≤ 20-key)
+    * aggregate; nothing but the counter-scale rollup leaves the
+    * executors. */
+  val cCorpusDiff: QueryDef = QueryDef(
+    "t_corpus_diff",
+    Some("""
+      WITH v1 AS (SELECT * FROM documents WHERE doc_id % 7 < 6),
+      t1 AS (SELECT source, CAST(count(*) AS BIGINT) AS docs_v1,
+                    CAST(sum(len(string_split_regex(text, '\s+'))) AS BIGINT) AS toks_v1
+             FROM v1 GROUP BY source),
+      t2 AS (SELECT source, CAST(count(*) AS BIGINT) AS docs_v2,
+                    CAST(sum(len(string_split_regex(text, '\s+'))) AS BIGINT) AS toks_v2
+             FROM documents GROUP BY source)
+      SELECT coalesce(t2.source, t1.source) AS source,
+             coalesce(docs_v1, 0) AS docs_v1, coalesce(docs_v2, 0) AS docs_v2,
+             coalesce(docs_v2, 0) - coalesce(docs_v1, 0) AS docs_added,
+             coalesce(toks_v1, 0) AS toks_v1, coalesce(toks_v2, 0) AS toks_v2,
+             coalesce(toks_v2, 0) - coalesce(toks_v1, 0) AS toks_added,
+             round(CAST(coalesce(docs_v2, 0) - coalesce(docs_v1, 0) AS DOUBLE)
+               / CAST(coalesce(docs_v2, 0) AS DOUBLE), 6) AS added_frac_r
+      FROM t2 FULL OUTER JOIN t1 ON t1.source = t2.source
+      ORDER BY source
+    """)) { (spark, dir) =>
+    val docs = tbl(spark, dir, "documents")
+      .select(col("doc_id"), col("source"), size(split(col("text"), "\\s+")).cast(LongType).as("nt"))
+      .repartition(spark.sessionState.conf.numShufflePartitions)
+      .localCheckpoint(true)
+    def roll(df: DataFrame, d: String, t: String): DataFrame = df.groupBy("source")
+      .agg(count(lit(1)).as(d), sum(col("nt")).as(t))
+    val t1 = roll(docs.filter(col("doc_id") % 7 < 6), "docs_v1", "toks_v1")
+    val t2 = roll(docs, "docs_v2", "toks_v2")
+    val out = t2.join(t1, Seq("source"), "full_outer")
+      .select(col("source"),
+        coalesce(col("docs_v1"), lit(0L)).as("docs_v1"),
+        coalesce(col("docs_v2"), lit(0L)).as("docs_v2"),
+        (coalesce(col("docs_v2"), lit(0L)) - coalesce(col("docs_v1"), lit(0L))).as("docs_added"),
+        coalesce(col("toks_v1"), lit(0L)).as("toks_v1"),
+        coalesce(col("toks_v2"), lit(0L)).as("toks_v2"),
+        (coalesce(col("toks_v2"), lit(0L)) - coalesce(col("toks_v1"), lit(0L))).as("toks_added"),
+        round((coalesce(col("docs_v2"), lit(0L)) - coalesce(col("docs_v1"), lit(0L))).cast(DoubleType)
+          / coalesce(col("docs_v2"), lit(0L)).cast(DoubleType), 6).as("added_frac_r"))
+      .orderBy("source")
+    val rows = out.collect()
+    // conservation: v1 ⊆ v2 by construction, so the per-source ledger
+    // must balance and the global delta must equal the fresh-batch size
+    rows.foreach { r =>
+      require(r.getAs[Long]("docs_v2") == r.getAs[Long]("docs_v1") + r.getAs[Long]("docs_added")
+        && r.getAs[Long]("docs_added") >= 0L,
+        s"corpus-diff ledger broke for ${r.getAs[String]("source")}")
+    }
+    val freshN = docs.filter(col("doc_id") % 7 === 6).count()
+    val addedN = rows.map(_.getAs[Long]("docs_added")).sum
+    require(addedN == freshN, s"corpus-diff lost rows: added $addedN != fresh $freshN")
+    docs.unpersist(false)
+    val schema = out.schema
+    spark.createDataFrame(java.util.Arrays.asList(rows: _*), schema)
+  }
+
   val all: Seq[QueryDef] = Seq(
     cDomainFilter, cTokenBudget, cOverlapMatrix, cOverlapKmv, cNormalize,
     cSubstringDups, cTrainSplit, cQualityLogit, cBudgetSubword, cDsirWeight,
-    cDatasetCard)
+    cDatasetCard, cCorpusDiff)
 }
