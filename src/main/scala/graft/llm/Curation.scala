@@ -754,7 +754,7 @@ object Curation {
              coalesce(toks_v1, 0) AS toks_v1, coalesce(toks_v2, 0) AS toks_v2,
              coalesce(toks_v2, 0) - coalesce(toks_v1, 0) AS toks_added,
              round(CAST(coalesce(docs_v2, 0) - coalesce(docs_v1, 0) AS DOUBLE)
-               / CAST(coalesce(docs_v2, 0) AS DOUBLE), 6) AS added_frac_r
+               / CAST(NULLIF(coalesce(docs_v2, 0), 0) AS DOUBLE), 6) AS added_frac_r
       FROM t2 FULL OUTER JOIN t1 ON t1.source = t2.source
       ORDER BY source
     """)) { (spark, dir) =>
@@ -774,8 +774,13 @@ object Curation {
         coalesce(col("toks_v1"), lit(0L)).as("toks_v1"),
         coalesce(col("toks_v2"), lit(0L)).as("toks_v2"),
         (coalesce(col("toks_v2"), lit(0L)) - coalesce(col("toks_v1"), lit(0L))).as("toks_added"),
+        // NULLIF-guarded denominator (round-15 ADVICE): the FULL OUTER
+        // shape admits a v1-only source in the general datasheet, where a
+        // bare division would be engine-divergent (DuckDB inf vs Spark
+        // null) — both twins now emit NULL for an empty-v2 source
         round((coalesce(col("docs_v2"), lit(0L)) - coalesce(col("docs_v1"), lit(0L))).cast(DoubleType)
-          / coalesce(col("docs_v2"), lit(0L)).cast(DoubleType), 6).as("added_frac_r"))
+          / when(coalesce(col("docs_v2"), lit(0L)) > 0L,
+              coalesce(col("docs_v2"), lit(0L))).cast(DoubleType), 6).as("added_frac_r"))
       .orderBy("source")
     val rows = out.collect()
     // conservation: v1 ⊆ v2 by construction, so no source may shrink

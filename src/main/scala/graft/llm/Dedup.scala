@@ -350,7 +350,11 @@ object Dedup {
       val rows = out.collect()
       // candidate-volume cap: banding must stay far under all-pairs
       val (nc, nt, ne) = (cands.count(), tsh.count(), esh.count())
-      require(nc * 20L <= nt * ne,
+      // BigInt arithmetic (round-15 ADVICE): at the 100 TB posture
+      // nt * ne (corpus rows x eval rows) overflows Long, which would
+      // make the law meaningless or spuriously firing — the cap must
+      // survive large-count arithmetic to mean anything at scale
+      require(BigInt(nc) * 20 <= BigInt(nt) * BigInt(ne),
         s"fuzzy-decontam banding degenerated: $nc candidates > 5% of ${nt}x$ne")
       // planted recall: every planted pair whose TRUE Jaccard clears the
       // verify threshold must be flagged against its own source. Pairs

@@ -1900,7 +1900,15 @@ object Similarity {
     * 0..7 are the coarse centroids; since round 15's k* = 64 adoption the
     * PQ seed prefixes necessarily include them as ordinary corpus members,
     * which is how production PQ trains anyway — the codebook sees the
-    * whole corpus), with
+    * whole corpus. CAVEAT (round-15 ADVICE): because the queries sit
+    * inside the seed prefix (vec_id < [[PqK]]) and the residual seed range
+    * (8..8+[[PqK]]−1), the trained books start with codewords AT the
+    * query vectors, so the queries' own codes carry below-average
+    * distortion even after convergence — every ADC-rung recall here and
+    * in the downstream deployed/filtered gates is therefore MILDLY
+    * OPTIMISTIC versus truly-unseen queries; the structural laws and the
+    * rung ORDERINGS the suite adopts from are unaffected, since every
+    * rung shares the same queries and the same books), with
     * the two composed IVFADC read paths as rungs so raw-vs-residual
     * coding is COMPUTED on identical candidates (probe-3 members, only
     * the coding differs), plus the [[simAdcRerank]] two-stage rung (the

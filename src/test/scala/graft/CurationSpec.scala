@@ -75,7 +75,10 @@ class CurationSpec extends SparkSpec {
       val (ej, eu) = (r.getAs[Double]("est_jacc"), r.getAs[Double]("est_union"))
       assert(ej >= 0.0 && ej <= 1.0)
       assert(eu > 0.0)
-      assert(r.getAs[Double]("est_inter") === ej * eu)
+      // ulp-tolerant (round-15 ADVICE): exact equality held only because
+      // the projection computed est_inter from the identical column
+      // expressions — a plan/expression reorder must not flake the law
+      assert(math.abs(r.getAs[Double]("est_inter") - ej * eu) <= 1e-9 * math.max(1.0, ej * eu))
     }
     // cross-gate consistency: the sketch gate's EXACT side is the exact
     // matrix gate, pair for pair (matrix emits only overlapping pairs)
