@@ -3562,6 +3562,45 @@ object Similarity {
     (av, cellRankOf(cents, qs))
   }
 
+  /** Every vector's residual against its TRAINED-32 cell centroid —
+    * the [[ivfResiduals]] construction pointed at the served coarse
+    * quantizer instead of the seeded-8 layout: (vec_id, cell, rv), rv
+    * born as exact doubles (float→double exact, one IEEE subtraction per
+    * element, centroid values already double from the fixed-point
+    * means). */
+  private def res32Frame(spark: SparkSession, dir: String,
+      cents: DataFrame, assign: DataFrame): DataFrame =
+    emb(spark, dir).join(assign, Seq("vec_id"))
+      .join(broadcast(cents.select(col("cent_id").as("cell"), col("cv").as("ccv"))),
+        Seq("cell"))
+      .select(col("vec_id"), col("cell"),
+        zip_with(col("embedding"), col("ccv"),
+          (x, y) => x.cast(DoubleType) - y).as("rv"))
+
+  /** Converged residual-vs-trained-32 book records (the [[memoBook]]
+    * `res32` variant): the subvector stream and seeds come from
+    * [[res32Frame]]'s residuals, seeds = residuals of vec_id < [[PqK]]
+    * with code = vec_id (no id shift — unlike the seeded-8 residual book,
+    * no corpus vector IS a trained centroid, so every seed residual is
+    * non-zero). Same held-out-query seed-prefix caveat as
+    * [[simAnnRecallSet]]'s scaladoc. */
+  private[graft] def convergedRes32Book(spark: SparkSession, dir: String,
+      cents: DataFrame, assign: DataFrame): Seq[(Int, Long, Seq[Double], Long, Long)] =
+    memoBook(spark, dir, "res32") {
+      val res = res32Frame(spark, dir, cents, assign).localCheckpoint(true)
+      val subs = (0 until PqM).map(m => struct(lit(m).as("m"),
+        slice(col("rv"), m * PqSub + 1, PqSub).as("sv")))
+      val rsub = res.select(col("vec_id"), explode(array(subs: _*)).as("x"))
+        .select(col("vec_id"), col("x.m").as("m"), col("x.sv").as("sv"))
+      val seed = res.filter(col("vec_id") < PqK)
+        .select(col("vec_id").cast(LongType).as("code"),
+          explode(array(subs: _*)).as("x"))
+        .select(col("x.m").as("m"), col("code"), col("x.sv").as("cv"))
+      val out = trainSubspaceBook(spark, rsub, seed)
+      res.unpersist(false)
+      out
+    }
+
   /** The PERSISTED trained-ANN-index artifact family (round 16 — the r15
     * verdict's top lever): a deployed ANN index is a snapshot-time WRITE
     * artifact served by many reads, so the trained-32 coarse quantizer
@@ -3611,6 +3650,31 @@ object Similarity {
         .crossJoin(broadcast(pqBookRow(
           built("mart_ann_book64").select(col("m"), col("code"), col("cv")))))
         .select(col("vec_id"), col("m"), pqBookBest("code").as("code"))
+    },
+    graft.pipeline.ModelDef("mart_ann_book64r",
+        Seq("mart_ann_cents32", "mart_ann_assign32"), mart = true) { (s, d, built) =>
+      val s2 = s
+      import s2.implicits._
+      // the residual-vs-TRAINED-32 codebook (round 16): residuals against
+      // a trained quantizer DO concentrate (unlike the seeded-8 residuals
+      // simAnnRecallSet measured losing), and sim_deployed_levers measures
+      // this book reaching the probe-4 ceiling at the x1 beam
+      convergedRes32Book(s, d, built("mart_ann_cents32"),
+        built("mart_ann_assign32")).toDF("m", "code", "cv", "n_members", "inertia_q")
+    },
+    graft.pipeline.ModelDef("mart_ann_codes64r",
+        Seq("mart_ann_book64r", "mart_ann_cents32", "mart_ann_assign32"),
+        mart = true) { (s, d, built) =>
+      // residual code table, cell carried so serve-side LUT joins need no
+      // second assignment lookup: (vec_id, cell, m, code)
+      val res = res32Frame(s, d, built("mart_ann_cents32"), built("mart_ann_assign32"))
+      val subs = (0 until PqM).map(m => struct(lit(m).as("m"),
+        slice(col("rv"), m * PqSub + 1, PqSub).as("sv")))
+      res.select(col("vec_id"), col("cell"), explode(array(subs: _*)).as("x"))
+        .select(col("vec_id"), col("cell"), col("x.m").as("m"), col("x.sv").as("sv"))
+        .crossJoin(broadcast(pqBookRow(
+          built("mart_ann_book64r").select(col("m"), col("code"), col("cv")))))
+        .select(col("vec_id"), col("cell"), col("m"), pqBookBest("code").as("code"))
     }))
 
   /** Materialize-once accessor for one trained-index mart table; the
@@ -3631,6 +3695,78 @@ object Similarity {
       qs: DataFrame): (DataFrame, DataFrame) =
     (annIndexMart(spark, dir, "mart_ann_assign32"),
       cellRankOf(annIndexMart(spark, dir, "mart_ann_cents32"), qs))
+
+  /** Squared L2 over [[PqSub]]-long list slices (CAST-to-double on the
+    * left leg, no-op on double inputs) — the oracle fragment every
+    * ADC/encode CTE shares. */
+  private def sqSubSql(a: String, b: String): String =
+    s"""list_reduce(list_transform(range(1, ${PqSub + 1}),
+           i -> (CAST($a[i] AS DOUBLE) - $b[i]) * (CAST($a[i] AS DOUBLE) - $b[i])),
+           (x, y) -> x + y)"""
+
+  /** Shared oracle fragment — the residual-vs-trained-32 book chain:
+    * residual stream `res`, subvector stream `rsub`, seed `rb0`
+    * (vec_id < [[PqK]], code = vec_id), [[PqTrainRounds]] training
+    * rounds under prefix `r`, final book `rbook`, and the per-(query,
+    * cell) LUT `rlut`. Requires `ms`, `qs`, `t32av`, `t32c$CellRounds`
+    * CTEs in scope ([[trainedChainSql]]("t32", 32)). ONE definition for
+    * [[simDeployedLevers]], [[simAnnDeployed]] and [[simGraphDeployed]]
+    * so the coding can never drift between the oracles. */
+  private def res32ChainSql: String = s"""res AS MATERIALIZED (
+        SELECT e.vec_id, a.cell,
+               list_transform(range(1, 65), i -> CAST(e.embedding[i] AS DOUBLE) - c.cv[i]) AS rv
+        FROM embeddings e JOIN t32av a ON a.vec_id = e.vec_id
+        JOIN t32c$CellRounds c ON c.cent_id = a.cell),
+      rsub AS (
+        SELECT r.vec_id, ms.m, list_slice(r.rv, ms.m * $PqSub + 1, ms.m * $PqSub + $PqSub) AS sv
+        FROM res r, ms),
+      rb0 AS (
+        SELECT ms.m, CAST(r.vec_id AS BIGINT) AS code,
+               list_slice(r.rv, ms.m * $PqSub + 1, ms.m * $PqSub + $PqSub) AS cv
+        FROM res r, ms WHERE r.vec_id < $PqK),
+      ${pqRoundsSql("r", "rsub", "rb0")},
+      rbook AS (SELECT m, code, cv FROM rb$PqTrainRounds),
+      qres AS (
+        SELECT q.qid, t.cent_id AS cell,
+               list_transform(range(1, 65), i -> CAST(q.qv[i] AS DOUBLE) - t.cv[i]) AS rqv
+        FROM qs q, t32c$CellRounds t),
+      rlut AS MATERIALIZED (
+        SELECT r.qid, r.cell, b.m, b.code,
+               ${sqSubSql(s"list_slice(r.rqv, b.m * $PqSub + 1, b.m * $PqSub + $PqSub)", "b.cv")} AS qd
+        FROM qres r, rbook b)"""
+
+  /** Per-(qid, cell) residual-ADC LUT rows off the served residual book —
+    * the Spark twin of [[res32ChainSql]]'s `rlut`: (qid, cell, m, code,
+    * qd), counter-scale (|Q| · 32 cells · M · [[PqK]] rows), always
+    * broadcast by consumers. */
+  private def resLut(qs: DataFrame, cents: DataFrame, book: DataFrame): DataFrame = {
+    val qres = qs.crossJoin(broadcast(
+        cents.select(col("cent_id").as("cell"), col("cv").as("ccv"))))
+      .select(col("qid"), col("cell"),
+        zip_with(col("qv"), col("ccv"), (x, y) => x.cast(DoubleType) - y).as("rqv"))
+    val qsub = qres.select(col("qid"), col("cell"),
+        explode(array((0 until PqM).map(m => struct(lit(m).as("m"),
+          slice(col("rqv"), m * PqSub + 1, PqSub).as("qsv"))): _*)).as("x"))
+      .select(col("qid"), col("cell"), col("x.m").as("m"), col("x.qsv").as("qsv"))
+    qsub.join(book, Seq("m"))
+      .select(col("qid"), col("cell"), col("m"), col("code"),
+        aggregate(zip_with(col("qsv"), col("cv"),
+          (x, y) => (x.cast(DoubleType) - y) * (x.cast(DoubleType) - y)),
+          lit(0.0), (acc, v) => acc + v).as("qd"))
+  }
+
+  /** ADC score per (qid, vec_id) — the per-subspace LUT lookups summed in
+    * fixed order (the max-per-m pivot both engines replay): `enc` carries
+    * (qid, vec_id, m, code [, cell]), `lut` is joined broadcast on
+    * `joinKey` (must include m and code). */
+  private def adcSum(enc: DataFrame, lut: DataFrame, joinKey: Seq[String]): DataFrame = {
+    val aggs = (0 until PqM).map(m => max(when(col("m") === m, col("qd"))).as(s"qd$m"))
+    enc.join(broadcast(lut), joinKey)
+      .groupBy("qid", "vec_id")
+      .agg(aggs.head, aggs.tail: _*)
+      .select(col("qid"), col("vec_id"),
+        (0 until PqM).map(m => col(s"qd$m")).reduce(_ + _).as("score"))
+  }
 
   val simIvfCells: QueryDef = {
     val variants = Seq(
@@ -3719,16 +3855,20 @@ object Similarity {
     * ([[simIvfCells]]'s winning rung, [[lloydCells]] to the
     * [[CellRounds]] budget) → probe the query's top-4 cells (the matched
     * 1/8 scan fraction, ceiling 0.8375 at sf0.1) → ADC-rank the pool
-    * against the SERVED k* = [[PqK]] = 64 codebook
-    * ([[convergedRawBook]], the adopted `sim_pq_codebook_size` winner) →
+    * against the SERVED k* = [[PqK]] = 64 RESIDUAL codebook
+    * ([[convergedRes32Book]] — the `sim_deployed_levers` winner, adopted
+    * round 16: residuals against the TRAINED quantizer concentrate, and
+    * the residual ADC reaches the pool's exact ceiling at the ×1 beam
+    * where the raw book left 0.075 recall on the table) →
     * derived re-rank beam (min(C, max(50, 10·bitlen(C))) per query, the
     * [[rerankBeamWidth]] rule) → exact re-score of the beam → top-10.
     * Emits one row per held-out query (qid, pool_rows, beam_rows, hits,
-    * recall_r). MEASURED: mean recall@10 0.7625 at sf0.1 scanning 1976
-    * pool rows + 660 beam re-scores — vs the probe-3 seeded-8 rerank
-    * rung's 0.55 at 6103 scanned ([[simAnnRecallSet]]): better recall at
-    * a THIRD of the scan, which is what the two adopted levers combined
-    * buy; 0.875 at sf0.01. Shape at 100 TB: coarse training and corpus
+    * recall_r). MEASURED: mean recall@10 0.8375 at sf0.1 (the probe-4
+    * ceiling itself — zero coding loss) scanning 1976 pool rows + 660
+    * beam re-scores, up from the raw book's 0.7625 at identical touches
+    * — vs the probe-3 seeded-8 rerank rung's 0.55 at 6103 scanned
+    * ([[simAnnRecallSet]]); 0.875 at sf0.01 (pool-saturated, every
+    * coding reads the ceiling there). Shape at 100 TB: coarse training and corpus
     * encode are snapshot-time write paths — since round 16 they ARE
     * writes, the [[annDag]] index marts this gate reads back (the oracle
     * still replays the whole arc inline — referee pricing); the read
@@ -3736,44 +3876,27 @@ object Similarity {
     * for the beam — centroids, book, and LUT all broadcast, nothing but
     * (qid, id, scalar) past the scan. */
   val simAnnDeployed: QueryDef = {
-    val sq16 = (a: String, b: String) => s"""list_reduce(list_transform(range(1, ${PqSub + 1}),
-           i -> (CAST($a[i] AS DOUBLE) - $b[i]) * (CAST($a[i] AS DOUBLE) - $b[i])),
-           (x, y) -> x + y)"""
     QueryDef(
       "sim_ann_deployed",
       Some(s"""
       WITH $qsExSql,
       ${trainedChainSql("t32", 32)},
       cand AS MATERIALIZED (
-        SELECT r.qid, a.vec_id FROM t32av a JOIN t32rk r ON a.cell = r.cell AND r.rn <= 4),
+        SELECT r.qid, a.vec_id, a.cell FROM t32av a JOIN t32rk r ON a.cell = r.cell AND r.rn <= 4),
       ms AS (SELECT unnest([0, 1, 2, 3]) AS m),
-      sub AS (
-        SELECT e.vec_id, ms.m,
-               list_slice(e.embedding, ms.m * $PqSub + 1, ms.m * $PqSub + $PqSub) AS sv
-        FROM embeddings e, ms),
-      pb0 AS (
-        SELECT ms.m, CAST(c.vec_id AS BIGINT) AS code,
-               list_transform(list_slice(c.embedding, ms.m * $PqSub + 1, ms.m * $PqSub + $PqSub),
-                 x -> CAST(x AS DOUBLE)) AS cv
-        FROM embeddings c, ms WHERE c.vec_id < $PqK),
-      ${pqRoundsSql("p", "sub", "pb0")},
-      book AS (SELECT m, code, cv FROM pb$PqTrainRounds),
+      ${res32ChainSql},
       enc AS MATERIALIZED (
-        SELECT c.qid, c.vec_id, s.m,
-               arg_min(b.code, ${sq16("s.sv", "b.cv")} + 1e-12 * b.code) AS code
-        FROM cand c JOIN sub s ON s.vec_id = c.vec_id JOIN book b ON b.m = s.m
-        GROUP BY c.qid, c.vec_id, s.m, s.sv),
-      lut AS MATERIALIZED (
-        SELECT q.qid, b.m, b.code,
-               ${sq16(s"list_slice(q.qv, b.m * $PqSub + 1, b.m * $PqSub + $PqSub)", "b.cv")} AS qd
-        FROM qs q, book b),
+        SELECT c.qid, c.vec_id, c.cell, s.m,
+               arg_min(b.code, ${sqSubSql("s.sv", "b.cv")} + 1e-12 * b.code) AS code
+        FROM cand c JOIN rsub s ON s.vec_id = c.vec_id JOIN rbook b ON b.m = s.m
+        GROUP BY c.qid, c.vec_id, c.cell, s.m, s.sv),
       adc AS (
         SELECT e.qid, e.vec_id,
                max(CASE WHEN e.m = 0 THEN l.qd END)
                  + max(CASE WHEN e.m = 1 THEN l.qd END)
                  + max(CASE WHEN e.m = 2 THEN l.qd END)
                  + max(CASE WHEN e.m = 3 THEN l.qd END) AS score
-        FROM enc e JOIN lut l ON l.qid = e.qid AND l.m = e.m AND l.code = e.code
+        FROM enc e JOIN rlut l ON l.qid = e.qid AND l.cell = e.cell AND l.m = e.m AND l.code = e.code
         GROUP BY e.qid, e.vec_id),
       bw AS (
         SELECT qid, least(CAST(count(*) AS BIGINT),
@@ -3819,27 +3942,16 @@ object Similarity {
       val cand = av.join(broadcast(rk.filter(col("rn") <= 4)
           .select(col("qid"), col("cell").as("pcell"))), col("cell") === col("pcell"))
         .select(col("qid"), col("vec_id")).localCheckpoint(true)
-      // the SERVED codebook + the persisted code table (the index's
-      // snapshot-time encode; restricting it to the pool is bit-identical
-      // to encoding the pool inline — argmin is per-row)
-      val book = annIndexMart(spark, dir, "mart_ann_book64")
-        .select(col("m"), col("code"), col("cv"))
-      val enc = cand.join(annIndexMart(spark, dir, "mart_ann_codes64"), Seq("vec_id"))
-        .select(col("qid"), col("vec_id"), col("m"), col("code"))
-      val qsub = qs.select(col("qid"), explode(array((0 until PqM).map(m =>
-          struct(lit(m).as("m"), slice(col("qv"), m * PqSub + 1, PqSub).as("qsv"))): _*)).as("x"))
-        .select(col("qid"), col("x.m").as("m"), col("x.qsv").as("qsv"))
-      val lut = qsub.join(book, Seq("m"))
-        .select(col("qid"), col("m"), col("code"),
-          aggregate(zip_with(col("qsv"), col("cv"),
-            (x, y) => (x.cast(DoubleType) - y) * (x.cast(DoubleType) - y)),
-            lit(0.0), (acc, v) => acc + v).as("qd"))
-      val aggs = (0 until PqM).map(m => max(when(col("m") === m, col("qd"))).as(s"qd$m"))
-      val adc = enc.join(broadcast(lut), Seq("qid", "m", "code"))
-        .groupBy("qid", "vec_id")
-        .agg(aggs.head, aggs.tail: _*)
-        .select(col("qid"), col("vec_id"),
-          (0 until PqM).map(m => col(s"qd$m")).reduce(_ + _).as("score"))
+      // the SERVED residual coding off the persisted index (the
+      // sim_deployed_levers winner): the code table carries each row's
+      // cell, so the per-(query, cell) LUT join needs no second
+      // assignment lookup; restricting the snapshot-time encode to the
+      // pool is bit-identical to encoding the pool inline (per-row argmin)
+      val enc = cand.join(annIndexMart(spark, dir, "mart_ann_codes64r"), Seq("vec_id"))
+        .select(col("qid"), col("vec_id"), col("cell"), col("m"), col("code"))
+      val lut = resLut(qs, annIndexMart(spark, dir, "mart_ann_cents32"),
+        annIndexMart(spark, dir, "mart_ann_book64r").select("m", "code", "cv"))
+      val adc = adcSum(enc, lut, Seq("qid", "cell", "m", "code"))
       val bwq = cand.groupBy("qid").agg(count(lit(1)).as("cq"))
         .select(col("qid"), least(col("cq"),
           greatest(lit(RerankBeamFloor.toLong),
@@ -3873,6 +3985,172 @@ object Similarity {
       }
       spark.createDataFrame(java.util.Arrays.asList(rows: _*), schema)
     }
+  }
+
+  /** sim — the DEPLOYED read path's LEVERS, measured ON the deployed gate
+    * (round 16 — r15 verdict #3: the deployed path read 0.7625 against
+    * its own probe-4 ceiling of 0.8375, the residual being ADC ranking
+    * error; this gate prices the levers that close it, all on the
+    * IDENTICAL trained-32/probe-4 pool, hits by the re-rank lemma):
+    *   - `raw_m1`   — the served raw-book ADC at the ×1 derived beam
+    *     (what [[simAnnDeployed]] served through round 15);
+    *   - `raw_m2`   — the same ranking, beam ×2 (twice the true-vector
+    *     re-rank touches);
+    *   - `res_m1`   — ADC under the residual-vs-TRAINED-32 book
+    *     ([[convergedRes32Book]]) at the ×1 beam: same touches as raw_m1,
+    *     finer coding;
+    *   - `ceiling`  — the exact-scored pool (no coding can beat it).
+    * MEASURED at sf0.1: raw_m1 0.7625 < raw_m2 = res_m1 = ceiling =
+    * 0.8375 — BOTH levers close the entire ADC gap, but the residual
+    * book does it at the ×1 beam (660 re-rank rows) where the beam lever
+    * pays ×2 (1320): the measured winner is CODING, not beam, and
+    * [[simAnnDeployed]] now serves it. At sf0.01 the pool saturates the
+    * beam floor (489 pool / 483 beam) and every rung reads the ceiling
+    * 0.875 — the lever only matters once pools outgrow the re-rank
+    * floor, exactly the 100 TB regime. The residual result REVERSES
+    * [[simAnnRecallSet]]'s seeded-8 negative: residuals against a
+    * TRAINED quantizer concentrate (Jégou §IV's premise restored once
+    * the coarse layout is learned), which is why the lever had to be
+    * re-measured after the quantizer upgrade instead of trusting the
+    * old verdict. Laws in-gate: nested beams are hit-monotone
+    * (raw_m1 ≤ raw_m2 ≤ ceiling), res_m1 ≤ ceiling, and the matched ×1
+    * beam widths are identical across codings. Shape at 100 TB: both
+    * codings read the persisted [[annDag]] code tables (map-side join
+    * against the pool), LUTs broadcast, beams are (qid, id) scalars;
+    * the ceiling row is the evaluation's price, not the serve's. */
+  val simDeployedLevers: QueryDef = QueryDef(
+    "sim_deployed_levers",
+    Some(s"""
+      WITH $qsExSql,
+      ${trainedChainSql("t32", 32)},
+      cand AS MATERIALIZED (
+        SELECT r.qid, a.vec_id, a.cell FROM t32av a JOIN t32rk r ON a.cell = r.cell AND r.rn <= 4),
+      ms AS (SELECT unnest([0, 1, 2, 3]) AS m),
+      sub AS (
+        SELECT e.vec_id, ms.m,
+               list_slice(e.embedding, ms.m * $PqSub + 1, ms.m * $PqSub + $PqSub) AS sv
+        FROM embeddings e, ms),
+      pb0 AS (
+        SELECT ms.m, CAST(c.vec_id AS BIGINT) AS code,
+               list_transform(list_slice(c.embedding, ms.m * $PqSub + 1, ms.m * $PqSub + $PqSub),
+                 x -> CAST(x AS DOUBLE)) AS cv
+        FROM embeddings c, ms WHERE c.vec_id < $PqK),
+      ${pqRoundsSql("p", "sub", "pb0")},
+      book AS (SELECT m, code, cv FROM pb$PqTrainRounds),
+      ${res32ChainSql},
+      enc AS MATERIALIZED (
+        SELECT c.qid, c.vec_id, s.m,
+               arg_min(b.code, ${sqSubSql("s.sv", "b.cv")} + 1e-12 * b.code) AS code
+        FROM cand c JOIN sub s ON s.vec_id = c.vec_id JOIN book b ON b.m = s.m
+        GROUP BY c.qid, c.vec_id, s.m, s.sv),
+      lut AS MATERIALIZED (
+        SELECT q.qid, b.m, b.code,
+               ${sqSubSql(s"list_slice(q.qv, b.m * $PqSub + 1, b.m * $PqSub + $PqSub)", "b.cv")} AS qd
+        FROM qs q, book b),
+      adc AS MATERIALIZED (
+        SELECT e.qid, e.vec_id,
+               max(CASE WHEN e.m = 0 THEN l.qd END) + max(CASE WHEN e.m = 1 THEN l.qd END)
+             + max(CASE WHEN e.m = 2 THEN l.qd END) + max(CASE WHEN e.m = 3 THEN l.qd END) AS score
+        FROM enc e JOIN lut l ON l.qid = e.qid AND l.m = e.m AND l.code = e.code
+        GROUP BY e.qid, e.vec_id),
+      renc AS MATERIALIZED (
+        SELECT c.qid, c.vec_id, s.m,
+               arg_min(b.code, ${sqSubSql("s.sv", "b.cv")} + 1e-12 * b.code) AS code
+        FROM cand c JOIN rsub s ON s.vec_id = c.vec_id JOIN rbook b ON b.m = s.m
+        GROUP BY c.qid, c.vec_id, s.m, s.sv),
+      radc AS MATERIALIZED (
+        SELECT e.qid, e.vec_id,
+               max(CASE WHEN e.m = 0 THEN l.qd END) + max(CASE WHEN e.m = 1 THEN l.qd END)
+             + max(CASE WHEN e.m = 2 THEN l.qd END) + max(CASE WHEN e.m = 3 THEN l.qd END) AS score
+        FROM renc e JOIN cand c ON c.qid = e.qid AND c.vec_id = e.vec_id
+        JOIN rlut l ON l.qid = e.qid AND l.cell = c.cell AND l.m = e.m AND l.code = e.code
+        GROUP BY e.qid, e.vec_id),
+      bw AS (
+        SELECT qid, CAST(count(*) AS BIGINT) AS cq,
+               greatest($RerankBeamFloor, $RerankK * length(bin(CAST(count(*) AS BIGINT)))) AS bw1
+        FROM cand GROUP BY qid),
+      rawrk AS (SELECT qid, vec_id, row_number() OVER (PARTITION BY qid ORDER BY score, vec_id) AS rk FROM adc),
+      resrk AS (SELECT qid, vec_id, row_number() OVER (PARTITION BY qid ORDER BY score, vec_id) AS rk FROM radc),
+      rows_out AS (
+        SELECT 'raw_m1' AS variant,
+               (SELECT CAST(sum(least(cq, bw1)) AS BIGINT) FROM bw) AS beam_rows,
+               (SELECT CAST(count(*) AS BIGINT) FROM rawrk r JOIN bw ON bw.qid = r.qid
+                JOIN ex x ON x.qid = r.qid AND x.vec_id = r.vec_id WHERE r.rk <= least(bw.cq, bw.bw1)) AS hits
+        UNION ALL
+        SELECT 'raw_m2',
+               (SELECT CAST(sum(least(cq, 2 * bw1)) AS BIGINT) FROM bw),
+               (SELECT CAST(count(*) AS BIGINT) FROM rawrk r JOIN bw ON bw.qid = r.qid
+                JOIN ex x ON x.qid = r.qid AND x.vec_id = r.vec_id WHERE r.rk <= least(bw.cq, 2 * bw.bw1))
+        UNION ALL
+        SELECT 'res_m1',
+               (SELECT CAST(sum(least(cq, bw1)) AS BIGINT) FROM bw),
+               (SELECT CAST(count(*) AS BIGINT) FROM resrk r JOIN bw ON bw.qid = r.qid
+                JOIN ex x ON x.qid = r.qid AND x.vec_id = r.vec_id WHERE r.rk <= least(bw.cq, bw.bw1))
+        UNION ALL
+        SELECT 'ceiling',
+               (SELECT CAST(count(*) AS BIGINT) FROM cand),
+               (SELECT CAST(count(*) AS BIGINT) FROM cand c JOIN ex x ON x.qid = c.qid AND x.vec_id = c.vec_id))
+      SELECT variant, beam_rows, hits, round(CAST(hits AS DOUBLE) / 80.0, 6) AS recall_r
+      FROM rows_out ORDER BY variant
+    """)) { (spark, dir) =>
+    import org.apache.spark.sql.expressions.Window
+    val s2 = spark
+    import s2.implicits._
+    val wq = Window.partitionBy("qid")
+    val (e, qs, ex, _) = heldOutHarness(spark, dir)
+    val (av, rk) = servedCellRank32(spark, dir, qs)
+    val cand = av.join(broadcast(rk.filter(col("rn") <= 4)
+        .select(col("qid"), col("cell").as("pcell"))), col("cell") === col("pcell"))
+      .select(col("qid"), col("vec_id")).localCheckpoint(true)
+    val book = annIndexMart(spark, dir, "mart_ann_book64").select("m", "code", "cv")
+    val encRaw = cand.join(annIndexMart(spark, dir, "mart_ann_codes64"), Seq("vec_id"))
+      .select(col("qid"), col("vec_id"), col("m"), col("code"))
+    val qsub = qs.select(col("qid"), explode(array((0 until PqM).map(m =>
+        struct(lit(m).as("m"), slice(col("qv"), m * PqSub + 1, PqSub).as("qsv"))): _*)).as("x"))
+      .select(col("qid"), col("x.m").as("m"), col("x.qsv").as("qsv"))
+    val lutRaw = qsub.join(book, Seq("m"))
+      .select(col("qid"), col("m"), col("code"),
+        aggregate(zip_with(col("qsv"), col("cv"),
+          (x, y) => (x.cast(DoubleType) - y) * (x.cast(DoubleType) - y)),
+          lit(0.0), (acc, v) => acc + v).as("qd"))
+    val adcRaw = adcSum(encRaw, lutRaw, Seq("qid", "m", "code"))
+    val encRes = cand.join(annIndexMart(spark, dir, "mart_ann_codes64r"), Seq("vec_id"))
+      .select(col("qid"), col("vec_id"), col("cell"), col("m"), col("code"))
+    val lutRes = resLut(qs, annIndexMart(spark, dir, "mart_ann_cents32"),
+      annIndexMart(spark, dir, "mart_ann_book64r").select("m", "code", "cv"))
+    val adcRes = adcSum(encRes, lutRes, Seq("qid", "cell", "m", "code"))
+    val bwq = cand.groupBy("qid").agg(count(lit(1)).as("cq"))
+      .select(col("qid"), col("cq"), greatest(lit(RerankBeamFloor.toLong),
+        lit(RerankK.toLong) * length(bin(col("cq")))).as("bw1"))
+    def beamStat(adc: DataFrame, mult: Int): (Long, Long) = {
+      val beam = adc
+        .withColumn("rk", row_number().over(wq.orderBy(col("score"), col("vec_id"))))
+        .join(broadcast(bwq), Seq("qid"))
+        .filter(col("rk") <= least(col("cq"), lit(mult.toLong) * col("bw1")))
+        .select("qid", "vec_id").localCheckpoint(false)
+      val n = beam.count()
+      val h = beam.join(broadcast(ex),
+        col("qid") === col("xq") && col("vec_id") === col("xt")).count()
+      beam.unpersist(false)
+      (n, h)
+    }
+    val (b1, h1) = beamStat(adcRaw, 1)
+    val (b2, h2) = beamStat(adcRaw, 2)
+    val (br, hr) = beamStat(adcRes, 1)
+    val cn = cand.count()
+    val ch = cand.join(broadcast(ex),
+      col("qid") === col("xq") && col("vec_id") === col("xt")).count()
+    Seq(cand, ex, e).foreach(_.unpersist(false))
+    // laws: nested beams are hit-monotone; no rung beats its pool ceiling;
+    // the matched x1 beam widths are identical across codings
+    require(h1 <= h2 && h2 <= ch, s"beam nesting broke: $h1 / $h2 / ceiling $ch")
+    require(hr <= ch, s"residual rung beat its own pool ceiling: $hr > $ch")
+    require(b1 == br, s"matched beam widths diverged: raw $b1 vs res $br")
+    Seq(("ceiling", cn, ch), ("raw_m1", b1, h1), ("raw_m2", b2, h2), ("res_m1", br, hr))
+      .toDF("variant", "beam_rows", "hits")
+      .select(col("variant"), col("beam_rows"), col("hits"),
+        round(col("hits").cast(DoubleType) / 80.0, 6).as("recall_r"))
+      .orderBy("variant")
   }
 
   /** sim — FILTERED ANN: top-10 under a metadata predicate (here
@@ -4994,7 +5272,7 @@ object Similarity {
     simPqEncode, simPqSearch, simPqTrain, simPqTrainConverged, simIvfAdc,
     simAdcRerank, simIvfAdcResidual, simAnnRecall, simAnnRecallSet, simAnnFrontier,
     simIvfLayout, simIvfSplit, simPqDimLayout, simOpqLearned, simOpqRotation,
-    simPqCodebookSize, simIvfCells, simAnnDeployed, simAnnFiltered, simIndexAppend,
-    simDimTruncation,
+    simPqCodebookSize, simIvfCells, simAnnDeployed, simDeployedLevers,
+    simAnnFiltered, simIndexAppend, simDimTruncation,
     simNnDescent, simGraphServe, simGraphHier, simGraphCentrality)
 }

@@ -331,12 +331,30 @@ class LlmOpsSpec extends SparkSpec {
       // the in-gate require already pins beam ⊆ pool and the floor rule
       assert(r.getAs[Long]("beam_rows") <= r.getAs[Long]("pool_rows"))
     }
-    // measured: 70/80 at n=500, 61/80 at n=2000 — vs the probe-3
-    // seeded-8 rerank rung's 44/80 at 3x the scan. Bar at 48 (0.6)
-    // leaves room for ulp-level tie flips while staying far above
-    // anything the 8-cell layout ever measured
+    // measured: 70/80 at n=500, 67/80 at n=2000 (the residual-book
+    // adoption lifted n=2000 from 61 to the probe-4 ceiling, round 16) —
+    // vs the probe-3 seeded-8 rerank rung's 44/80 at 3x the scan. Bar at
+    // 48 (0.6) leaves room for ulp-level tie flips while staying far
+    // above anything the 8-cell layout ever measured
     val total = rows.map(_.getAs[Long]("hits")).sum
     assert(total >= 48L, s"deployed path recall fell below the bar: $total/80")
+  }
+
+  test("deployed levers: residual coding reaches the pool ceiling the raw book leaves open") {
+    val rows = Similarity.simDeployedLevers.run(spark, sfDir).collect()
+    assert(rows.length === 4)
+    val by = rows.map(r => r.getAs[String]("variant") ->
+      (r.getAs[Long]("beam_rows"), r.getAs[Long]("hits"))).toMap
+    // structural (also required in-gate): nested beams hit-monotone,
+    // ceiling caps every rung, matched x1 widths identical
+    assert(by("raw_m1")._2 <= by("raw_m2")._2)
+    assert(by("raw_m2")._2 <= by("ceiling")._2 && by("res_m1")._2 <= by("ceiling")._2)
+    assert(by("raw_m1")._1 === by("res_m1")._1)
+    // measured at every driver corpus: the residual rung never falls
+    // below the raw rung at the same beam (equal when the pool saturates
+    // the beam floor, strictly better at n=2000 where 61 < 67)
+    assert(by("res_m1")._2 >= by("raw_m1")._2,
+      s"residual coding lost to the raw book: ${by("res_m1")} vs ${by("raw_m1")}")
   }
 
   test("dim truncation: exact corner holds and recall rises with kept dims") {
