@@ -819,6 +819,31 @@ class LlmOpsSpec extends SparkSpec {
     }
   }
 
+  test("graph-deployed: HNSW-over-PQ touches fewer true vectors than every exact-scored walk") {
+    val rows = Similarity.simGraphDeployed.run(spark, sfDir).collect()
+    assert(rows.map(_.getAs[String]("variant")).toSeq === Seq("hier_e1", "hier_e2"))
+    rows.foreach { r =>
+      assert(r.getAs[Long]("beam_rows") <= r.getAs[Long]("scanned"))
+      val h = r.getAs[Long]("hits")
+      assert(h >= 0L && h <= 80L, "hits outside 8 queries x 10")
+    }
+    // the composed path's whole point: true-vector touches (the re-rank
+    // beam) stay below what EVERY exact-scored walk variant scans in
+    // full vectors — the graph+codes memory posture
+    val serve = Similarity.simGraphServe.run(spark, sfDir).collect()
+      .filter(_.getAs[String]("variant").startsWith("graph_"))
+    val minServeScan = serve.map(_.getAs[Long]("scanned")).min
+    rows.foreach { r =>
+      assert(r.getAs[Long]("beam_rows") < minServeScan,
+        s"${r.getAs[String]("variant")} touched ${r.getAs[Long]("beam_rows")} vectors, " +
+          s"not under the exact walks' min scan $minServeScan")
+    }
+    // measured: 0.9875/1.0 at n=500, 0.95/0.85 at n=2000 — the best
+    // entry count stays far above a 0.75 floor at every driver corpus
+    assert(rows.map(_.getAs[Long]("hits")).max >= 60L,
+      s"graph-deployed recall collapsed: ${rows.mkString(", ")}")
+  }
+
   test("shuffle export emits a reproducible permutation 1..n that is not the id order") {
     def run() = TextOps.tShuffleExport.run(spark, sfDir).collect()
       .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("shuffle_pos"))
