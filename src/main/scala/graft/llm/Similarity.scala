@@ -5081,6 +5081,202 @@ object Similarity {
     }
   }
 
+  /** Append-pass round budget for [[simGraphAppend]]: the measured knee —
+    * round 1 recovers most of the frozen gap, round 2 lands within ~0.05
+    * of the full rebuild (numpy rehearsal and both engine rungs agree);
+    * round 3 approaches parity but pays another full co-neighbor pass. */
+  private val NndAppendRounds = 2
+
+  /** Prefixed NN-descent round CTEs over a shared `sc` score table —
+    * the [[nnBuildCtes]] round shape factored so the append oracle can
+    * run the base chain and the union chain off ONE n² referee table
+    * instead of three. */
+  private def nnRoundCtesSql(prefix: String, init: String, rounds: Int): String =
+    (1 to rounds).map { r =>
+      val prev = if (r == 1) init else s"${prefix}l${r - 1}"
+      s""",
+      ${prefix}u$r AS (SELECT s, t FROM $prev UNION SELECT t AS s, s AS t FROM $prev),
+      ${prefix}c$r AS MATERIALIZED (
+        SELECT DISTINCT e1.t AS s, e2.t AS q FROM ${prefix}u$r e1 JOIN ${prefix}u$r e2 ON e1.s = e2.s AND e1.t <> e2.t),
+      ${prefix}l$r AS MATERIALIZED (
+        SELECT s, t, rn AS rk FROM (
+          SELECT p.s, p.t, row_number() OVER (PARTITION BY p.s ORDER BY sc.score DESC, p.t) AS rn
+          FROM (SELECT s, t FROM $prev UNION SELECT s, q AS t FROM ${prefix}c$r) p
+          JOIN sc ON sc.s = p.s AND sc.t = p.t) z
+        WHERE rn <= $NndK)"""
+    }.mkString
+
+  /** The graph-append oracle: the shared full-corpus build fragment (the
+    * REBUILT arm and the one n² `sc` referee table), the frozen-base
+    * chain (in-cell-among-base init + closed-form rank ring over the
+    * base id lattice: rank(v) = (v÷5)·4 + v mod 5, id(r) = (r÷4)·5 +
+    * r mod 4 — exact integer forms both engines replay, no window), the
+    * fresh-seed handoff, [[NndAppendRounds]] unrolled union rounds, and
+    * one stat row per arm audited against the exact top-10. */
+  private def graphAppendSql(rounds: Int, appendRounds: Int): String = {
+    val head = s""",
+      base AS (SELECT vec_id FROM e WHERE vec_id % 5 < 4),
+      fresh AS (SELECT vec_id FROM e WHERE vec_id % 5 = 4),
+      nb AS (SELECT CAST(count(*) AS BIGINT) AS c FROM base),
+      bincell AS (
+        SELECT s, t FROM (
+          SELECT sc.s, sc.t, row_number() OVER (PARTITION BY sc.s ORDER BY sc.score DESC, sc.t) AS rn
+          FROM sc JOIN base bs ON bs.vec_id = sc.s JOIN base bt ON bt.vec_id = sc.t
+          JOIN assigned sa ON sa.vec_id = sc.s JOIN assigned ta ON ta.vec_id = sc.t
+          WHERE sa.cell = ta.cell) z
+        WHERE rn <= 10),
+      bring AS (
+        SELECT b.vec_id AS s,
+               (((((b.vec_id // 5) * 4 + (b.vec_id % 5)) + j.j) % nb.c) // 4) * 5
+                 + ((((b.vec_id // 5) * 4 + (b.vec_id % 5)) + j.j) % nb.c) % 4 AS t
+        FROM base b CROSS JOIN nb CROSS JOIN (SELECT unnest([1, 2, 3]) AS j) j),
+      bl0 AS MATERIALIZED (SELECT DISTINCT s, t FROM (SELECT s, t FROM bincell UNION ALL SELECT s, t FROM bring) bu0)"""
+    val handoff = s""",
+      fseed AS (
+        SELECT s, t FROM (
+          SELECT f.vec_id AS s, sc.t, row_number() OVER (PARTITION BY f.vec_id ORDER BY sc.score DESC, sc.t) AS rn
+          FROM fresh f JOIN sc ON sc.s = f.vec_id
+          JOIN base bt ON bt.vec_id = sc.t
+          JOIN assigned fa ON fa.vec_id = f.vec_id JOIN assigned ta ON ta.vec_id = sc.t
+          WHERE fa.cell = ta.cell) z
+        WHERE rn <= 10),
+      ul0 AS MATERIALIZED (SELECT s, t FROM bl$rounds UNION ALL SELECT s, t FROM fseed)"""
+    def statRow(name: String, lst: String): String = s"""
+      SELECT '$name' AS variant,
+             CAST((SELECT count(DISTINCT s) FROM $lst) AS BIGINT) AS n_nodes,
+             CAST((SELECT count(*) FROM $lst) AS BIGINT) AS edges,
+             CAST((SELECT count(*) FROM (SELECT s, t FROM $lst WHERE rk <= 10) h JOIN exactk USING (s, t)) AS BIGINT) AS hits,
+             CAST(ns.n * 10 AS BIGINT) AS total,
+             round(CAST((SELECT count(*) FROM (SELECT s, t FROM $lst WHERE rk <= 10) h JOIN exactk USING (s, t)) AS DOUBLE) / (ns.n * 10), 6) AS recall_r
+      FROM ns"""
+    val tail = s""",
+      exactk AS MATERIALIZED (
+        SELECT s, t FROM (SELECT s, t, row_number() OVER (PARTITION BY s ORDER BY score DESC, t) AS rn FROM sc) z
+        WHERE rn <= 10)
+      SELECT * FROM (
+      ${(1 to appendRounds).map(r => statRow(s"appended_r$r", s"ul$r")).mkString(" UNION ALL ")}
+      UNION ALL
+      ${statRow("rebuilt", s"l$rounds")}
+      ) ORDER BY variant"""
+    nnBuildCtes(rounds) + head + nnRoundCtesSql("b", "bl0", rounds) +
+      handoff + nnRoundCtesSql("u", "ul0", appendRounds) + tail
+  }
+
+  /** sim — GRAPH-INDEX FRESHNESS (round 16 — r15 verdict #4, mirroring
+    * [[simIndexAppend]] for the kNN graph): append a fresh ingest batch
+    * (every 5th vector, 20% of the corpus) to a kNN graph that was
+    * NN-descent-built BEFORE the batch existed, via warm-start — seed
+    * each fresh node's list with its top-10 among the base members of
+    * its own coarse cell (one blocked scoring pass, the same cell
+    * blocking the build init uses), union with the FROZEN base graph's
+    * kept lists, then run [[NndAppendRounds]] = 2 NN-descent update
+    * rounds on the union — priced against the full rebuild (the
+    * [[nnRoundsMart]] graph). The frozen base build inits from
+    * in-cell-among-base top-10 plus closed-form rank-ring edges over the
+    * base id lattice (rank(v) = (v÷5)·4 + v mod 5 — exact integer
+    * arithmetic, no global window even at 100 TB). MEASURED at sf0.1:
+    * recall@10 vs the exact graph 0.7778 after round 1 → 0.8817 after
+    * round 2 vs the rebuild's 0.9291 — a ~0.05 recall tax for 20%
+    * unseen-at-build growth at a fraction of the rebuild's candidate
+    * volume (warm-started rounds propose from an already-converged
+    * base, so update work concentrates around the fresh nodes); sf0.01
+    * reads 0.88 → 0.9802 vs 0.9932. Together with [[simIndexAppend]]
+    * this completes the which-index-survives-growth story: BOTH index
+    * families now have a priced append path and a measured
+    * retrain/rebuild trigger. Laws in-gate: conservation (every arm
+    * covers all n nodes), the [[NndK]] degree cap, and append-round
+    * recall monotonicity (kept lists only improve — an eviction needs a
+    * strictly better (score, id), the [[simNnDescent]] argument).
+    * Shape at 100 TB: the warm rounds are the same Σ deg² candidate
+    * bound as the build, the fresh-seed pass is cell-blocked (never
+    * corpus×batch), and the n² referee/audit table prices the
+    * EVALUATION only (the [[simNnDescent]] convention). */
+  val simGraphAppend: QueryDef = {
+    QueryDef("sim_graph_append", Some(graphAppendSql(NndRounds, NndAppendRounds))) { (spark, dir) =>
+      val s2 = spark
+      import s2.implicits._
+      val (e, n) = nnEmb(spark, dir)
+      val eB = e.filter(col("vec_id") % 5 < 4)
+      val cellOf = ivfAssigned(spark, dir).select(col("vec_id"), col("cell"))
+      val cellB = cellOf.filter(col("vec_id") % 5 < 4)
+      val nb = eB.count()
+      // frozen-base init: in-cell top-10 among base + closed-form ring
+      val bincell = nnTopK(eB, 10)(
+        cellB.select(col("vec_id").as("s"), col("cell"))
+          .join(cellB.select(col("vec_id").as("t"), col("cell").as("tc")),
+            col("cell") === col("tc") && col("s") =!= col("t"))
+          .select("s", "t")).select("s", "t")
+      val bring = eB.select(col("vec_id").as("s"),
+          explode(array(lit(1L), lit(2L), lit(3L))).as("j"))
+        .select(col("s"), ((expr("s div 5") * 4 + col("s") % 5 + col("j")) % nb).as("r"))
+        .select(col("s"), (expr("r div 4") * 5 + col("r") % 4).as("t"))
+      val init = bincell.unionByName(bring).distinct().localCheckpoint(true)
+      // the frozen base build: pinned budget + fixpoint exit (the nnDag
+      // loop, rebuilt inline because the artifact is gate-local — the
+      // graph that existed BEFORE the batch)
+      var cur: DataFrame = init
+      val kept = scala.collection.mutable.ArrayBuffer[DataFrame]()
+      var prevSig: (Long, Long, Long) = null
+      var fixed = false
+      for (_ <- 1 to NndRounds if !fixed) {
+        val (cand, next) = nnStep(eB, cur)
+        cand.unpersist(false)
+        val row = next.agg(count(lit(1)),
+          sum(hash(col("s"), col("t")).cast(LongType)),
+          call_function("bit_xor", xxhash64(col("s"), col("t")))).head()
+        def at(i: Int) = if (row.isNullAt(i)) 0L else row.getLong(i)
+        val sig = (row.getLong(0), at(1), at(2))
+        if (sig == prevSig) { next.unpersist(false); fixed = true }
+        else { kept += next; cur = next; prevSig = sig }
+      }
+      val baseG = cur.select("s", "t")
+      // fresh seeds: top-10 among the base members of the node's own cell
+      val fseed = nnTopK(e, 10)(
+        cellOf.filter(col("vec_id") % 5 === 4).select(col("vec_id").as("s"), col("cell"))
+          .join(cellB.select(col("vec_id").as("t"), col("cell").as("tc")),
+            col("cell") === col("tc"))
+          .select("s", "t")).select("s", "t")
+      // the n² audit (evaluation pricing, the simNnDescent convention)
+      val exactK = nnTopK(e, 10)(
+        e.select(col("vec_id").as("s"))
+          .crossJoin(broadcast(e.select(col("vec_id").as("t"))))
+          .filter(col("s") =!= col("t"))).localCheckpoint(true)
+      def stat(name: String, lst: DataFrame): (String, Long, Long, Long) = {
+        val nn = lst.select("s").distinct().count()
+        val ed = lst.count()
+        val h = lst.filter(col("rk") <= 10).join(exactK, Seq("s", "t")).count()
+        (name, nn, ed, h)
+      }
+      // warm-start append rounds over the union, one stat row per round
+      var ucur: DataFrame = baseG.unionByName(fseed)
+      val rows = scala.collection.mutable.ArrayBuffer[(String, Long, Long, Long)]()
+      for (r <- 1 to NndAppendRounds) {
+        val (cand, next) = nnStep(e, ucur)
+        cand.unpersist(false)
+        rows += stat(s"appended_r$r", next)
+        kept += next
+        ucur = next
+      }
+      rows += stat("rebuilt",
+        nnRoundsMart(spark, dir).filter(col("round") === NndRounds)
+          .select("s", "t", "rk"))
+      (kept :+ init :+ exactK :+ e).foreach(_.unpersist(false))
+      // conservation + degree cap + append-round monotonicity
+      rows.foreach { case (v, nn, ed, _) =>
+        require(nn == n, s"$v graph lost nodes: $nn != $n")
+        require(ed <= n * NndK, s"$v graph exceeds the degree cap: $ed > ${n * NndK}")
+      }
+      val appHits = rows.filter(_._1.startsWith("appended")).map(_._4)
+      require(appHits == appHits.sorted,
+        s"append-round recall not monotone: $appHits")
+      rows.toSeq.toDF("variant", "n_nodes", "edges", "hits")
+        .select(col("variant"), col("n_nodes"), col("edges"), col("hits"),
+          lit(n * 10).as("total"),
+          round(col("hits").cast(DoubleType) / lit((n * 10).toDouble), 6).as("recall_r"))
+        .orderBy("variant")
+    }
+  }
+
   /** The graph-DEPLOYED oracle: the shared build fragment + serve
     * harness, the trained-32 chain + residual book/LUT (the
     * [[res32ChainSql]] fragment — the SAME coding [[simAnnDeployed]]
@@ -5469,5 +5665,6 @@ object Similarity {
     simIvfLayout, simIvfSplit, simPqDimLayout, simOpqLearned, simOpqRotation,
     simPqCodebookSize, simIvfCells, simAnnDeployed, simDeployedLevers,
     simAnnFiltered, simIndexAppend, simDimTruncation,
-    simNnDescent, simGraphServe, simGraphHier, simGraphDeployed, simGraphCentrality)
+    simNnDescent, simGraphServe, simGraphHier, simGraphDeployed, simGraphAppend,
+    simGraphCentrality)
 }

@@ -844,6 +844,20 @@ class LlmOpsSpec extends SparkSpec {
       s"graph-deployed recall collapsed: ${rows.mkString(", ")}")
   }
 
+  test("graph append: two warm-start rounds land within a bounded tax of the full rebuild") {
+    val rows = Similarity.simGraphAppend.run(spark, sfDir).collect()
+    assert(rows.map(_.getAs[String]("variant")).toSeq ===
+      Seq("appended_r1", "appended_r2", "rebuilt"))
+    // conservation + degree cap + round monotonicity are required in-gate;
+    // here the measured claim: the round-2 warm append stays within 0.1
+    // recall of the rebuild (measured gaps 0.013 at n=500, 0.047 at
+    // n=2000 — the priced retrain trigger)
+    val by = rows.map(r => r.getAs[String]("variant") -> r.getAs[Long]("hits")).toMap
+    val n = rows.head.getAs[Long]("total") / 10
+    assert(by("appended_r2") >= by("rebuilt") - n,
+      s"warm-start append tax exceeded 0.1 recall: $by")
+  }
+
   test("shuffle export emits a reproducible permutation 1..n that is not the id order") {
     def run() = TextOps.tShuffleExport.run(spark, sfDir).collect()
       .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("shuffle_pos"))
