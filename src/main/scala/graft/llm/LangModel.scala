@@ -535,41 +535,65 @@ object LangModel {
     model.count())
 
   /** The head/middle/tail LABELING arc of [[lmBuckets]] as a shared SQL
-    * fragment, scored since round 15 by the INTERPOLATED KNESER–NEY mean
-    * probability mass (r14 verdict queue #5 — the buckets previously cut
-    * on the raw-count predictability ratio; KN is the better-calibrated
-    * ranking because a document full of rare-but-valid continuations
-    * collects λ·p_cont mass where the raw ratio scored it zero): per
-    * bigram position, the exact-integer micro rendering of
-    * [[lmKneserNey]]'s p_KN — seen pairs get discount + interpolation,
-    * unseen pairs under a known context get the λ·p_cont term alone
-    * (exactly KN's generalization mass), unknown contexts contribute 0 —
-    * then k = (Σ p_micro · 4096) div (n_bigrams · 10⁶), the all-integer
-    * twin of the old ⌊score·4096⌋ binning (docs with no known context
-    * keep bin −1). From there the 4096-bin histogram thresholds are
+    * fragment, scored since round 16 by the TRIGRAM interpolated
+    * KNESER–NEY mean probability mass (r15 verdict queue #7 — round 15
+    * moved the cut from the raw-count ratio to bigram KN; this round
+    * re-derives it on [[lmKneserNey3]]'s better-calibrated full
+    * recursion, so the filter the corpus DAG materializes scores with
+    * the BEST model the suite trains): per trigram position, the
+    * exact-integer micro rendering of p_KN3 — a seen trigram gets
+    * discount + λ₁₂·p_KN2(w3|w2), an unseen trigram under a KNOWN
+    * (w1,w2) context gets the λ₁₂·p_KN2 generalization mass alone
+    * (p_KN2 itself interpolating continuation counts down to
+    * N1+(·w3)/B, zero only at an OOV w3), and unknown contexts
+    * contribute 0 — then k = (Σ p_micro · 4096) div (n_positions · 10⁶)
+    * (docs with no known context, or under 3 tokens, keep bin −1 /
+    * `unscored`). From there the 4096-bin histogram thresholds are
     * unchanged, ending in CTE `lmb(doc_id, k, bucket)` (plus
     * `tot(n_total)`), reused verbatim by the corpus DAG's LM-stage
-    * oracle (`pipeline_corpus_lm`). `j`/`scored` from `$scoredSql` go
-    * unreferenced here — DuckDB prunes unused inline CTEs; keeping the
-    * fragment shared keeps model/ctx single-sourced. */
+    * oracle (`pipeline_corpus_lm`). `j`/`scored`/`fol` from the shared
+    * prefixes go unreferenced here — DuckDB prunes unused inline CTEs;
+    * keeping the fragments shared keeps model/ctx/prc/b
+    * single-sourced. */
   private[graft] val lmBucketLabeledSql: String = s"""$scoredSql,
       $knTypeSql,
+      tg3 AS (
+        SELECT doc_id, lang,
+               unnest(list_transform(range(3, len(t)+1), i -> t[i-2])) AS w1,
+               unnest(list_transform(range(3, len(t)+1), i -> t[i-1])) AS w2,
+               unnest(list_transform(range(3, len(t)+1), i -> t[i])) AS w3
+        FROM d WHERE len(t) >= 3),
+      tri AS MATERIALIZED (
+        SELECT w1, w2, w3, CAST(count(*) AS BIGINT) AS n_tri
+        FROM tg3 WHERE lang = 'en' GROUP BY w1, w2, w3),
+      tctx AS (SELECT w1, w2, CAST(sum(n_tri) AS BIGINT) AS n_tctx FROM tri GROUP BY w1, w2),
+      nf12 AS (SELECT w1, w2, CAST(count(*) AS BIGINT) AS n_f12 FROM tri GROUP BY w1, w2),
+      cont3 AS MATERIALIZED (
+        SELECT w2, w3, CAST(count(*) AS BIGINT) AS c23 FROM tri GROUP BY w2, w3),
+      cwc AS (SELECT w2, CAST(sum(c23) AS BIGINT) AS cw2 FROM cont3 GROUP BY w2),
+      ntw AS (SELECT w2, CAST(count(*) AS BIGINT) AS n2 FROM cont3 GROUP BY w2),
       knj AS (
-        SELECT g.doc_id, m.n_bg, c.n_ctx, f.n_follow, p.n_prec, b.bt
-        FROM bg g
-        LEFT JOIN model m ON g.w1 = m.w1 AND g.w2 = m.w2
-        LEFT JOIN ctx c ON g.w1 = c.w1
-        LEFT JOIN fol f ON g.w1 = f.w1
-        LEFT JOIN prc p ON g.w2 = p.w2
+        SELECT g.doc_id, t.n_tri, tc.n_tctx, f.n_f12, co.c23, c2.cw2, nn.n2, p.n_prec, b.bt
+        FROM tg3 g
+        LEFT JOIN tri t ON g.w1 = t.w1 AND g.w2 = t.w2 AND g.w3 = t.w3
+        LEFT JOIN tctx tc ON g.w1 = tc.w1 AND g.w2 = tc.w2
+        LEFT JOIN nf12 f ON g.w1 = f.w1 AND g.w2 = f.w2
+        LEFT JOIN cont3 co ON g.w2 = co.w2 AND g.w3 = co.w3
+        LEFT JOIN cwc c2 ON g.w2 = c2.w2
+        LEFT JOIN ntw nn ON g.w2 = nn.w2
+        LEFT JOIN prc p ON g.w3 = p.w2
         CROSS JOIN b),
       kdoc AS (
         SELECT doc_id,
                CAST(count(*) AS BIGINT) AS nbg,
-               CAST(coalesce(sum(n_ctx), 0) AS BIGINT) AS cmass,
+               CAST(coalesce(sum(n_tctx), 0) AS BIGINT) AS cmass,
                CAST(coalesce(sum(
-                 CASE WHEN n_ctx IS NOT NULL THEN
-                   (CASE WHEN n_bg IS NOT NULL THEN $knDiscSql ELSE 0 END)
-                   + $knContSql
+                 CASE WHEN n_tctx IS NOT NULL THEN
+                   (CASE WHEN n_tri IS NOT NULL THEN ((4 * n_tri - 3) * 1000000) // (4 * n_tctx) ELSE 0 END)
+                   + (3 * n_f12 * (
+                       (CASE WHEN c23 IS NOT NULL THEN ((4 * c23 - 3) * 1000000) // (4 * cw2) ELSE 0 END)
+                       + (CASE WHEN cw2 IS NOT NULL THEN (3 * n2 * coalesce((n_prec * 1000000) // bt, 0)) // (4 * cw2) ELSE 0 END)
+                     )) // (4 * n_tctx)
                  END), 0) AS BIGINT) AS kmass
         FROM knj GROUP BY doc_id),
       sc AS (
@@ -598,23 +622,39 @@ object LangModel {
     * arc windows over ≤ 4098 (bin, count) scalars; the thresholds
     * broadcast as one 2-column row. */
   private[graft] def lmBucketLabels(spark: SparkSession, dir: String): DataFrame = {
-    val (model, ctx) = lmMarts(spark, dir)
-    val (fol, prc, bt) = knTypeFrames(model)
-    // per-position interpolated-KN micro mass (see lmBucketLabeledSql):
-    // seen pair → discount + λ·p_cont; unseen pair, known context →
-    // λ·p_cont alone; unknown context → no mass — the shared knDisc/
-    // knCont renderings, so this path cannot drift from the
-    // conservation-covered gate
-    val pMicro = when(col("n_ctx").isNotNull,
-      when(col("n_bg").isNotNull, knDisc).otherwise(lit(0L)) + knCont(bt))
-    val sc = bigrams(spark, dir)
-      .join(model, Seq("w1", "w2"), "left")
-      .join(ctx, Seq("w1"), "left")
-      .join(fol, Seq("w1"), "left")
-      .join(prc, Seq("w2"), "left")
+    val (model, _) = lmMarts(spark, dir)
+    val (tri, tctx) = lmTriMarts(spark, dir)
+    // the lmKneserNey3 model-side rollups (vocab-scale frames off the
+    // trigram mart), plus the bigram-type continuation tail
+    val nf12 = tri.groupBy("w1", "w2").agg(count(lit(1)).cast(LongType).as("n_f12"))
+    val cont = tri.groupBy("w2", "w3").agg(count(lit(1)).cast(LongType).as("c23"))
+    val cwc = cont.groupBy("w2").agg(sum(col("c23")).as("cw2"))
+    val ntw = cont.groupBy("w2").agg(count(lit(1)).cast(LongType).as("n2"))
+    val (_, prcW2, bt) = knTypeFrames(model)
+    val prc = prcW2.withColumnRenamed("w2", "w3")
+    // per-position interpolated-KN3 micro mass (see lmBucketLabeledSql):
+    // seen trigram → discount + λ₁₂·p_KN2; unseen trigram, known (w1,w2)
+    // context → λ₁₂·p_KN2 alone; unknown context → no mass — the same
+    // truncating-division chains the conservation-covered lmKneserNey3
+    // gate renders, so this path cannot drift from it
+    val pMicro = expr(s"""CASE WHEN n_tctx IS NOT NULL THEN
+        (CASE WHEN n_tri IS NOT NULL THEN ((4 * n_tri - 3) * 1000000) div (4 * n_tctx) ELSE 0 END)
+        + (3 * n_f12 * (
+            (CASE WHEN c23 IS NOT NULL THEN ((4 * c23 - 3) * 1000000) div (4 * cw2) ELSE 0 END)
+            + (CASE WHEN cw2 IS NOT NULL THEN (3 * n2 * coalesce((n_prec * 1000000) div $bt, 0)) div (4 * cw2) ELSE 0 END)
+          )) div (4 * n_tctx)
+      END""")
+    val sc = trigrams(spark, dir).drop("lang")
+      .join(tri, Seq("w1", "w2", "w3"), "left")
+      .join(tctx, Seq("w1", "w2"), "left")
+      .join(nf12, Seq("w1", "w2"), "left")
+      .join(cont, Seq("w2", "w3"), "left")
+      .join(cwc, Seq("w2"), "left")
+      .join(ntw, Seq("w2"), "left")
+      .join(prc, Seq("w3"), "left")
       .groupBy("doc_id")
       .agg(count(lit(1)).as("nbg"),
-        coalesce(sum(col("n_ctx")), lit(0L)).as("cmass"),
+        coalesce(sum(col("n_tctx")), lit(0L)).as("cmass"),
         coalesce(sum(pMicro), lit(0L)).as("kmass"))
       .select(col("doc_id"),
         when(col("cmass") === 0, lit(-1L))
@@ -645,9 +685,11 @@ object LangModel {
     * layout: Wenzek et al. 2020 §4.3 ship each language in three buckets
     * by LM score so consumers can choose their quality/volume trade-off).
     * Thirds are cut with the scale-honest HISTOGRAM-QUANTILE recipe, not a
-    * global sort: the per-doc interpolated-KN mean probability mass
-    * (round 15 — see [[lmBucketLabeledSql]]; formerly the raw-count
-    * predictability ratio) quantizes to k = (kmass·4096) div (nbg·10⁶)
+    * global sort: the per-doc interpolated TRIGRAM-KN mean probability
+    * mass (round 16 — see [[lmBucketLabeledSql]]; round 15 cut on bigram
+    * KN, before that the raw-count predictability ratio — each move
+    * re-pointing the filter at the best-calibrated model the suite
+    * trains) quantizes to k = (kmass·4096) div (nbg·10⁶)
     * (unknown-context docs land in bin −1), one count-per-bin histogram is
     * built (≤ 4098 bins REGARDLESS of corpus size — that bound, not the
     * row count, is what the cumulative window runs over, which is why the

@@ -452,10 +452,15 @@ object Pipeline {
     * posture applied to the new stage): the labeling is TOTAL (every
     * deduped doc carries exactly one bucket — the left join cannot drop
     * or fan out) and the label space is the closed set
-    * {head, middle, tail, unscored}. Shape at 100 TB: the LM stage adds
-    * one scoring pass over the kept corpus (bigrams against the
-    * MartCache'd model tables) plus a counter-scale histogram — the
-    * labeling join shuffles (doc_id, bucket) scalars only. */
+    * {head, middle, tail, unscored}. Scoring is the interpolated
+    * TRIGRAM-KN mass since round 16 (r15 verdict #7 — the filter now
+    * derives from `t_lm_kneser_ney3`'s full recursion; sub-3-token or
+    * unknown-context docs land `unscored`); measured sf0.01 funnel:
+    * 149/157/151 head/middle/tail docs at ~8.4–9.2k tokens each. Shape
+    * at 100 TB: the LM stage adds one scoring pass over the kept corpus
+    * (trigram positions against the MartCache'd tri/bigram model marts)
+    * plus a counter-scale histogram — the labeling join shuffles
+    * (doc_id, bucket) scalars only. */
   val pipelineCorpusLm: QueryDef = QueryDef(
     "pipeline_corpus_lm",
     Some(s"""
