@@ -534,6 +534,45 @@ object LangModel {
     model.groupBy("w2").agg(count(lit(1)).cast(LongType).as("n_prec")),
     model.count())
 
+  /** The KN3 model-side rollups off the trigram mart — [[knTypeFrames]]
+    * one order up: (nf12, cont, cwc, ntw), shared by [[lmKneserNey3]]
+    * and [[lmBucketLabels]] so the filter's frames can never drift from
+    * the conservation-covered gate's (round-16 review). */
+  private def kn3TypeFrames(tri: DataFrame): (DataFrame, DataFrame, DataFrame, DataFrame) = {
+    val nf12 = tri.groupBy("w1", "w2").agg(count(lit(1)).cast(LongType).as("n_f12"))
+    val cont = tri.groupBy("w2", "w3").agg(count(lit(1)).cast(LongType).as("c23"))
+    (nf12, cont,
+      cont.groupBy("w2").agg(sum(col("c23")).as("cw2")),
+      cont.groupBy("w2").agg(count(lit(1)).cast(LongType).as("n2")))
+  }
+
+  /** The interpolated-KN3 micro rendering, SINGLE-SOURCED (round-16
+    * review — the bucket labeling is not conservation-covered, so its
+    * arithmetic must be literally the covered gate's text, the
+    * [[knDiscSql]] discipline one order up). `idiv` is the engine's
+    * truncating integer division ("//" DuckDB, "div" Spark — identical
+    * on the non-negative operands here). [[kn3P2Sql]] is the middle
+    * order p_KN2(w3|w2) over continuation counts; [[kn3TopSql]] the full
+    * p_KN3 with `p2` injected (a column name or the inlined fragment).
+    * `guarded = true` NULL-guards each term for the doc-scoring stream
+    * (unseen trigram/pair contributes only the lower-order mass; callers
+    * guard the unknown-(w1,w2)-context case outside); `guarded = false`
+    * is the model-row form where every join key matched — the coalesce
+    * on the OOV-w3 continuation term is shared by both (a no-op on
+    * model rows). */
+  private def kn3P2Sql(idiv: String, guarded: Boolean, bt: String): String = {
+    val disc = s"((4 * c23 - 3) * 1000000) $idiv (4 * cw2)"
+    val lam = s"(3 * n2 * coalesce((n_prec * 1000000) $idiv $bt, 0)) $idiv (4 * cw2)"
+    if (guarded)
+      s"(CASE WHEN c23 IS NOT NULL THEN $disc ELSE 0 END) + (CASE WHEN cw2 IS NOT NULL THEN $lam ELSE 0 END)"
+    else s"$disc + $lam"
+  }
+  private def kn3TopSql(idiv: String, p2: String, guarded: Boolean): String = {
+    val disc = s"((4 * n_tri - 3) * 1000000) $idiv (4 * n_tctx)"
+    val head = if (guarded) s"(CASE WHEN n_tri IS NOT NULL THEN $disc ELSE 0 END)" else disc
+    s"$head + (3 * n_f12 * ($p2)) $idiv (4 * n_tctx)"
+  }
+
   /** The head/middle/tail LABELING arc of [[lmBuckets]] as a shared SQL
     * fragment, scored since round 16 by the TRIGRAM interpolated
     * KNESER–NEY mean probability mass (r15 verdict queue #7 — round 15
@@ -546,9 +585,14 @@ object LangModel {
     * (w1,w2) context gets the λ₁₂·p_KN2 generalization mass alone
     * (p_KN2 itself interpolating continuation counts down to
     * N1+(·w3)/B, zero only at an OOV w3), and unknown contexts
-    * contribute 0 — then k = (Σ p_micro · 4096) div (n_positions · 10⁶)
-    * (docs with no known context, or under 3 tokens, keep bin −1 /
-    * `unscored`). From there the 4096-bin histogram thresholds are
+    * contribute 0 — then k = (Σ p_micro · 4096) div (n_positions · 10⁶).
+    * A doc with ≥ 3 tokens but NO known context keeps bin −1 and labels
+    * through the thresholds like any other bin (landing `tail` on any
+    * ordinary histogram); only sub-3-token docs — absent from the
+    * trigram stream entirely — fall out of `lmb` and surface as
+    * `unscored` through the corpus DAG's left-join coalesce (round-16
+    * review: the two cases are distinct and must not be conflated).
+    * From there the 4096-bin histogram thresholds are
     * unchanged, ending in CTE `lmb(doc_id, k, bucket)` (plus
     * `tot(n_total)`), reused verbatim by the corpus DAG's LM-stage
     * oracle (`pipeline_corpus_lm`). `j`/`scored`/`fol` from the shared
@@ -589,11 +633,7 @@ object LangModel {
                CAST(coalesce(sum(n_tctx), 0) AS BIGINT) AS cmass,
                CAST(coalesce(sum(
                  CASE WHEN n_tctx IS NOT NULL THEN
-                   (CASE WHEN n_tri IS NOT NULL THEN ((4 * n_tri - 3) * 1000000) // (4 * n_tctx) ELSE 0 END)
-                   + (3 * n_f12 * (
-                       (CASE WHEN c23 IS NOT NULL THEN ((4 * c23 - 3) * 1000000) // (4 * cw2) ELSE 0 END)
-                       + (CASE WHEN cw2 IS NOT NULL THEN (3 * n2 * coalesce((n_prec * 1000000) // bt, 0)) // (4 * cw2) ELSE 0 END)
-                     )) // (4 * n_tctx)
+                   ${kn3TopSql("//", kn3P2Sql("//", guarded = true, "bt"), guarded = true)}
                  END), 0) AS BIGINT) AS kmass
         FROM knj GROUP BY doc_id),
       sc AS (
@@ -624,25 +664,18 @@ object LangModel {
   private[graft] def lmBucketLabels(spark: SparkSession, dir: String): DataFrame = {
     val (model, _) = lmMarts(spark, dir)
     val (tri, tctx) = lmTriMarts(spark, dir)
-    // the lmKneserNey3 model-side rollups (vocab-scale frames off the
-    // trigram mart), plus the bigram-type continuation tail
-    val nf12 = tri.groupBy("w1", "w2").agg(count(lit(1)).cast(LongType).as("n_f12"))
-    val cont = tri.groupBy("w2", "w3").agg(count(lit(1)).cast(LongType).as("c23"))
-    val cwc = cont.groupBy("w2").agg(sum(col("c23")).as("cw2"))
-    val ntw = cont.groupBy("w2").agg(count(lit(1)).cast(LongType).as("n2"))
+    // the lmKneserNey3 model-side rollups — the SHARED kn3TypeFrames,
+    // plus the bigram-type continuation tail
+    val (nf12, cont, cwc, ntw) = kn3TypeFrames(tri)
     val (_, prcW2, bt) = knTypeFrames(model)
     val prc = prcW2.withColumnRenamed("w2", "w3")
     // per-position interpolated-KN3 micro mass (see lmBucketLabeledSql):
     // seen trigram → discount + λ₁₂·p_KN2; unseen trigram, known (w1,w2)
-    // context → λ₁₂·p_KN2 alone; unknown context → no mass — the same
-    // truncating-division chains the conservation-covered lmKneserNey3
-    // gate renders, so this path cannot drift from it
+    // context → λ₁₂·p_KN2 alone; unknown context → no mass — LITERALLY
+    // the shared kn3TopSql/kn3P2Sql fragments the conservation-covered
+    // lmKneserNey3 gate renders, so this path cannot drift from it
     val pMicro = expr(s"""CASE WHEN n_tctx IS NOT NULL THEN
-        (CASE WHEN n_tri IS NOT NULL THEN ((4 * n_tri - 3) * 1000000) div (4 * n_tctx) ELSE 0 END)
-        + (3 * n_f12 * (
-            (CASE WHEN c23 IS NOT NULL THEN ((4 * c23 - 3) * 1000000) div (4 * cw2) ELSE 0 END)
-            + (CASE WHEN cw2 IS NOT NULL THEN (3 * n2 * coalesce((n_prec * 1000000) div $bt, 0)) div (4 * cw2) ELSE 0 END)
-          )) div (4 * n_tctx)
+        ${kn3TopSql("div", kn3P2Sql("div", guarded = true, bt.toString), guarded = true)}
       END""")
     val sc = trigrams(spark, dir).drop("lang")
       .join(tri, Seq("w1", "w2", "w3"), "left")
@@ -907,31 +940,28 @@ object LangModel {
         SELECT w1, w2, CAST(count(*) AS BIGINT) AS n_bg
         FROM bg WHERE lang = 'en' GROUP BY w1, w2),
       prc AS (SELECT w2, CAST(count(*) AS BIGINT) AS n_prec FROM model GROUP BY w2),
-      b AS (SELECT CAST(count(*) AS BIGINT) AS bt FROM model)
-      SELECT t.w1, t.w2, t.w3, t.n_tri, tc.n_tctx,
-             (t.n_tri * 1000000) // tc.n_tctx AS p_mle3_micro,
-             ((4 * co.c23 - 3) * 1000000) // (4 * c2.cw2)
-               + (3 * nn.n2 * ((p.n_prec * 1000000) // b.bt)) // (4 * c2.cw2) AS p_kn2_micro,
-             ((4 * t.n_tri - 3) * 1000000) // (4 * tc.n_tctx)
-               + (3 * f.n_f12 * (((4 * co.c23 - 3) * 1000000) // (4 * c2.cw2)
-                   + (3 * nn.n2 * ((p.n_prec * 1000000) // b.bt)) // (4 * c2.cw2)))
-                 // (4 * tc.n_tctx) AS p_kn3_micro
-      FROM tri t
-      JOIN tctx tc ON t.w1 = tc.w1 AND t.w2 = tc.w2
-      JOIN nf12 f ON t.w1 = f.w1 AND t.w2 = f.w2
-      JOIN cont co ON t.w2 = co.w2 AND t.w3 = co.w3
-      JOIN cwc c2 ON t.w2 = c2.w2
-      JOIN ntw nn ON t.w2 = nn.w2
-      JOIN prc p ON t.w3 = p.w2
-      CROSS JOIN b
-      ORDER BY t.n_tri DESC, t.w1, t.w2, t.w3 LIMIT 20
+      b AS (SELECT CAST(count(*) AS BIGINT) AS bt FROM model),
+      kj3 AS (
+        SELECT t.w1, t.w2, t.w3, t.n_tri, tc.n_tctx, f.n_f12, co.c23,
+               c2.cw2, nn.n2, p.n_prec, b.bt
+        FROM tri t
+        JOIN tctx tc ON t.w1 = tc.w1 AND t.w2 = tc.w2
+        JOIN nf12 f ON t.w1 = f.w1 AND t.w2 = f.w2
+        JOIN cont co ON t.w2 = co.w2 AND t.w3 = co.w3
+        JOIN cwc c2 ON t.w2 = c2.w2
+        JOIN ntw nn ON t.w2 = nn.w2
+        JOIN prc p ON t.w3 = p.w2
+        CROSS JOIN b)
+      SELECT w1, w2, w3, n_tri, n_tctx,
+             (n_tri * 1000000) // n_tctx AS p_mle3_micro,
+             ${kn3P2Sql("//", guarded = false, "bt")} AS p_kn2_micro,
+             ${kn3TopSql("//", kn3P2Sql("//", guarded = false, "bt"), guarded = false)} AS p_kn3_micro
+      FROM kj3
+      ORDER BY n_tri DESC, w1, w2, w3 LIMIT 20
     """)) { (spark, dir) =>
     val (tri, tctx) = lmTriMarts(spark, dir)
     val (model, _) = lmMarts(spark, dir)
-    val nf12 = tri.groupBy("w1", "w2").agg(count(lit(1)).cast(LongType).as("n_f12"))
-    val cont = tri.groupBy("w2", "w3").agg(count(lit(1)).cast(LongType).as("c23"))
-    val cwc = cont.groupBy("w2").agg(sum(col("c23")).as("cw2"))
-    val ntw = cont.groupBy("w2").agg(count(lit(1)).cast(LongType).as("n2"))
+    val (nf12, cont, cwc, ntw) = kn3TypeFrames(tri)
     val (_, prcW2, bt) = knTypeFrames(model)
     val prc = prcW2.withColumnRenamed("w2", "w3")
     // conservation at the TOP order: per (w1, w2), Σ discounted + λ = 1
@@ -960,12 +990,8 @@ object LangModel {
       .join(cont, Seq("w2", "w3")).join(cwc, Seq("w2")).join(ntw, Seq("w2"))
       .join(prc, Seq("w3"))
       .withColumn("p_mle3_micro", expr("(n_tri * 1000000) div n_tctx"))
-      .withColumn("p_kn2_micro",
-        expr(s"((4 * c23 - 3) * 1000000) div (4 * cw2)" +
-          s" + (3 * n2 * ((n_prec * 1000000) div $bt)) div (4 * cw2)"))
-      .withColumn("p_kn3_micro",
-        expr("((4 * n_tri - 3) * 1000000) div (4 * n_tctx)" +
-          " + (3 * n_f12 * p_kn2_micro) div (4 * n_tctx)"))
+      .withColumn("p_kn2_micro", expr(kn3P2Sql("div", guarded = false, bt.toString)))
+      .withColumn("p_kn3_micro", expr(kn3TopSql("div", "p_kn2_micro", guarded = false)))
       .select(col("w1"), col("w2"), col("w3"), col("n_tri"), col("n_tctx"),
         col("p_mle3_micro"), col("p_kn2_micro"), col("p_kn3_micro"))
       .orderBy(col("n_tri").desc, col("w1"), col("w2"), col("w3")).limit(20)

@@ -4113,7 +4113,10 @@ object Similarity {
         aggregate(zip_with(col("qsv"), col("cv"),
           (x, y) => (x.cast(DoubleType) - y) * (x.cast(DoubleType) - y)),
           lit(0.0), (acc, v) => acc + v).as("qd"))
-    val adcRaw = adcSum(encRaw, lutRaw, Seq("qid", "m", "code"))
+    // lazily checkpointed: beamStat reads the SAME raw ranking at both
+    // beam widths — without it each width re-runs the encode-join-LUT-
+    // window pipeline from scratch (round-16 review)
+    val adcRaw = adcSum(encRaw, lutRaw, Seq("qid", "m", "code")).localCheckpoint(false)
     val encRes = cand.join(annIndexMart(spark, dir, "mart_ann_codes64r"), Seq("vec_id"))
       .select(col("qid"), col("vec_id"), col("cell"), col("m"), col("code"))
     val lutRes = resLut(qs, annIndexMart(spark, dir, "mart_ann_cents32"),
@@ -4140,7 +4143,7 @@ object Similarity {
     val cn = cand.count()
     val ch = cand.join(broadcast(ex),
       col("qid") === col("xq") && col("vec_id") === col("xt")).count()
-    Seq(cand, ex, e).foreach(_.unpersist(false))
+    Seq(adcRaw, cand, ex, e).foreach(_.unpersist(false))
     // laws: nested beams are hit-monotone; no rung beats its pool ceiling;
     // the matched x1 beam widths are identical across codings
     require(h1 <= h2 && h2 <= ch, s"beam nesting broke: $h1 / $h2 / ceiling $ch")
@@ -4703,6 +4706,57 @@ object Similarity {
         WHERE rn <= 10),
       ${nnServeCoreSql(rounds)}"""
 
+  /** One unrolled greedy-walk CTE chain — ONE definition for the serve,
+    * hier, and deployed oracles (round-16 review: the walks differed
+    * only in score table, partition columns, and CTE names, and three
+    * hand-kept copies is how a tie-break or step-count edit
+    * desynchronizes them): per step k, `$bName$k` ranks the visited set
+    * per `part` by `$score`.score DESC (ties by t) keeping the top-10
+    * beam, and `$vName$k` unions in the beam's `$graph` neighbors. */
+  private def walkStepsSql(bName: String, vName: String, steps: Int,
+      score: String, graph: String, part: Seq[String]): String = {
+    val pc = part.mkString(", ")
+    val pv = part.map(c => s"v.$c").mkString(", ")
+    val pb = part.map(c => s"b.$c").mkString(", ")
+    (1 to steps).map { k =>
+      s""",
+      $bName$k AS (
+        SELECT $pc, t FROM (
+          SELECT $pv, v.t, row_number() OVER (PARTITION BY $pv ORDER BY s.score DESC, v.t) AS rn
+          FROM $vName${k - 1} v JOIN $score s ON s.qid = v.qid AND s.t = v.t) z
+        WHERE rn <= 10),
+      $vName$k AS MATERIALIZED (
+        SELECT $pc, t FROM $vName${k - 1} UNION SELECT $pb, $graph.t FROM $bName$k b JOIN $graph ON $graph.s = b.t)"""
+    }.mkString
+  }
+
+  /** The layer-2 subsample + its exact serve-degree graph as a shared
+    * CTE fragment (cut from the build's own `sc` table — the REFEREE may
+    * go n², the engine side must not); ONE definition for the hier and
+    * deployed oracles. */
+  private def layer2Sql: String = s"""sub AS (SELECT vec_id FROM e WHERE vec_id % 16 = 0),
+      g2 AS MATERIALIZED (
+        SELECT s, t FROM (
+          SELECT sc.s, sc.t, row_number() OVER (PARTITION BY sc.s ORDER BY sc.score DESC, sc.t) AS rn
+          FROM sc JOIN sub ss ON ss.vec_id = sc.s JOIN sub st ON st.vec_id = sc.t) z
+        WHERE rn <= $NndServeDeg)"""
+
+  /** The exact layer-2 kNN graph over the 1/16 subsample, checkpointed
+    * as (gs, gt) — the Spark twin of [[layer2Sql]], ONE definition for
+    * [[simGraphHier]] and [[simGraphDeployed]]. Caller unpersists. */
+  private def layer2Graph(sub: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    sub.select(col("vec_id").as("s"), col("embedding").as("es"))
+      .join(broadcast(sub.select(col("vec_id").as("t"), col("embedding").as("et"))),
+        col("s") =!= col("t"))
+      .select(col("s"), col("t"), dot(col("es"), col("et")).as("sc2"))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("s").orderBy(col("sc2").desc, col("t"))))
+      .filter(col("rn") <= NndServeDeg)
+      .select(col("s").as("gs"), col("t").as("gt"))
+      .localCheckpoint(true)
+  }
+
   private def graphServeSql(rounds: Int, steps: Int): String = {
     val serveHead = s""",
       med AS (
@@ -4719,16 +4773,7 @@ object Similarity {
         FROM (SELECT unnest([${NndEntryPs.mkString(", ")}]) AS p) pv
         JOIN qrank qr ON qr.rn <= pv.p
         JOIN med m ON m.cell = qr.cell)"""
-    val stepCtes = (1 to steps).map { k =>
-      s""",
-      b$k AS (
-        SELECT p, qid, t FROM (
-          SELECT v.p, v.qid, v.t, row_number() OVER (PARTITION BY v.p, v.qid ORDER BY s.score DESC, v.t) AS rn
-          FROM v${k - 1} v JOIN qsc s ON s.qid = v.qid AND s.t = v.t) z
-        WHERE rn <= 10),
-      v$k AS MATERIALIZED (
-        SELECT p, qid, t FROM v${k - 1} UNION SELECT b.p, b.qid, g.t FROM b$k b JOIN g ON g.s = b.t)"""
-    }.mkString
+    val stepCtes = walkStepsSql("b", "v", steps, "qsc", "g", Seq("p", "qid"))
     val tail = s""",
       bf AS (
         SELECT p, qid, t FROM (
@@ -4932,23 +4977,9 @@ object Similarity {
     * single-entry baseline walk. */
   private def graphHierSql(rounds: Int, steps: Int): String = {
     val head = s""",
-      sub AS (SELECT vec_id FROM e WHERE vec_id % 16 = 0),
-      g2 AS MATERIALIZED (
-        SELECT s, t FROM (
-          SELECT sc.s, sc.t, row_number() OVER (PARTITION BY sc.s ORDER BY sc.score DESC, sc.t) AS rn
-          FROM sc JOIN sub ss ON ss.vec_id = sc.s JOIN sub st ON st.vec_id = sc.t) z
-        WHERE rn <= $NndServeDeg),
+      ${layer2Sql},
       w0 AS (SELECT qid, CAST(0 AS BIGINT) AS t FROM qs)"""
-    val l2Steps = (1 to steps).map { k =>
-      s""",
-      wb$k AS (
-        SELECT qid, t FROM (
-          SELECT w.qid, w.t, row_number() OVER (PARTITION BY w.qid ORDER BY s.score DESC, w.t) AS rn
-          FROM w${k - 1} w JOIN qsc s ON s.qid = w.qid AND s.t = w.t) z
-        WHERE rn <= 10),
-      w$k AS MATERIALIZED (
-        SELECT qid, t FROM w${k - 1} UNION SELECT b.qid, g2.t FROM wb$k b JOIN g2 ON g2.s = b.t)"""
-    }.mkString
+    val l2Steps = walkStepsSql("wb", "w", steps, "qsc", "g2", Seq("qid"))
     val handoff = s""",
       ent AS (
         SELECT qid, t, row_number() OVER (PARTITION BY qid ORDER BY score DESC, t) AS rn
@@ -4958,16 +4989,7 @@ object Similarity {
         FROM (SELECT unnest([1, 2, 4]) AS ev) ev JOIN ent en ON en.rn <= ev.ev
         UNION ALL
         SELECT 0 AS ev, qid, CAST(0 AS BIGINT) AS t FROM qs)"""
-    val l1Steps = (1 to steps).map { k =>
-      s""",
-      b$k AS (
-        SELECT ev, qid, t FROM (
-          SELECT v.ev, v.qid, v.t, row_number() OVER (PARTITION BY v.ev, v.qid ORDER BY s.score DESC, v.t) AS rn
-          FROM v${k - 1} v JOIN qsc s ON s.qid = v.qid AND s.t = v.t) z
-        WHERE rn <= 10),
-      v$k AS MATERIALIZED (
-        SELECT ev, qid, t FROM v${k - 1} UNION SELECT b.ev, b.qid, g.t FROM b$k b JOIN g ON g.s = b.t)"""
-    }.mkString
+    val l1Steps = walkStepsSql("b", "v", steps, "qsc", "g", Seq("ev", "qid"))
     val tail = s""",
       bf AS (
         SELECT ev, qid, t FROM (
@@ -5034,17 +5056,10 @@ object Similarity {
       val graph = gcore.select(col("s").as("gs"), col("t").as("gt"))
       val (qs, qsc, exq) = nnServeHarness(e)
       // layer 2: exact kNN over the 1/16 subsample — (n/16)² pairs, the
-      // geometrically-shrunk upper layer, broadcast-joined
+      // geometrically-shrunk upper layer, broadcast-joined (shared
+      // builder with simGraphDeployed)
       val sub = e.filter(col("vec_id") % 16 === 0)
-      val g2 = sub.select(col("vec_id").as("s"), col("embedding").as("es"))
-        .join(broadcast(sub.select(col("vec_id").as("t"), col("embedding").as("et"))),
-          col("s") =!= col("t"))
-        .select(col("s"), col("t"), dot(col("es"), col("et")).as("sc2"))
-        .withColumn("rn", row_number().over(
-          Window.partitionBy("s").orderBy(col("sc2").desc, col("t"))))
-        .filter(col("rn") <= NndServeDeg)
-        .select(col("s").as("gs"), col("t").as("gt"))
-      val g2c = g2.localCheckpoint(true)
+      val g2c = layer2Graph(sub)
       val w = greedyWalk(qsc, g2c, qs.select(col("qid"), lit(0L).as("t")), Seq("qid"))
       // law: the layer-2 walk never leaves the subsample
       val wn = w.count()
@@ -5086,6 +5101,63 @@ object Similarity {
     * of the full rebuild (numpy rehearsal and both engine rungs agree);
     * round 3 approaches parity but pays another full co-neighbor pass. */
   private val NndAppendRounds = 2
+
+  /** The FROZEN base graph as its own mart (a SECOND registry over the
+    * same machinery — the corpusLmDag pattern, so the full-graph gates
+    * never pay for the base build): the NN-descent kept lists over the
+    * vec_id % 5 < 4 slice, built before the fresh batch "exists". This
+    * is not a bench convenience — the premise of [[simGraphAppend]] is
+    * that the pre-batch graph is a standing snapshot artifact, so it IS
+    * persisted, exactly like the full graph's [[nnRoundsMart]]. Init =
+    * in-cell-among-base top-10 plus closed-form rank-ring edges over the
+    * base id lattice (rank(v) = (v÷5)·4 + v mod 5 — exact integer
+    * arithmetic, no global window even at 100 TB). */
+  private val nnBaseDag = new graft.pipeline.ModelRegistry(Seq(
+    graft.pipeline.ModelDef("mart_nn_base", Nil, mart = true) { (s, d, _) =>
+      val (e, _) = nnEmb(s, d)
+      val eB = e.filter(col("vec_id") % 5 < 4)
+      val cellB = ivfAssigned(s, d).select(col("vec_id"), col("cell"))
+        .filter(col("vec_id") % 5 < 4)
+      val nb = eB.count()
+      val bincell = nnTopK(eB, 10)(
+        cellB.select(col("vec_id").as("s"), col("cell"))
+          .join(cellB.select(col("vec_id").as("t"), col("cell").as("tc")),
+            col("cell") === col("tc") && col("s") =!= col("t"))
+          .select("s", "t")).select("s", "t")
+      val bring = eB.select(col("vec_id").as("s"),
+          explode(array(lit(1L), lit(2L), lit(3L))).as("j"))
+        .select(col("s"), ((expr("s div 5") * 4 + col("s") % 5 + col("j")) % nb).as("r"))
+        .select(col("s"), (expr("r div 4") * 5 + col("r") % 4).as("t"))
+      val init = bincell.unionByName(bring).distinct().localCheckpoint(true)
+      // pinned budget + fixpoint exit (the nnDag loop)
+      var cur: DataFrame = init
+      val kept = scala.collection.mutable.ArrayBuffer[DataFrame]()
+      var prevSig: (Long, Long, Long) = null
+      var fixed = false
+      for (_ <- 1 to NndRounds if !fixed) {
+        val (cand, next) = nnStep(eB, cur)
+        cand.unpersist(false)
+        val row = next.agg(count(lit(1)),
+          sum(hash(col("s"), col("t")).cast(LongType)),
+          call_function("bit_xor", xxhash64(col("s"), col("t")))).head()
+        def at(i: Int) = if (row.isNullAt(i)) 0L else row.getLong(i)
+        val sig = (row.getLong(0), at(1), at(2))
+        if (sig == prevSig) { next.unpersist(false); fixed = true }
+        else { kept += next; cur = next; prevSig = sig }
+      }
+      // mat is materialized BEFORE the kept checkpoints release (cur is
+      // the last kept entry — truncated lineage can't recompute)
+      val mat = cur.select("s", "t", "rk").localCheckpoint(true)
+      (kept :+ init :+ e).foreach(_.unpersist(false))
+      mat
+    }))
+
+  /** Materialize-once accessor for the frozen-base graph mart. */
+  private def nnBaseMart(spark: SparkSession, dir: String): DataFrame = {
+    val prefix = s"nnb_marts_${core.sourceSig(spark, dir, "embeddings")}"
+    graft.pipeline.MartCache.ensure(spark, dir, nnBaseDag, prefix, "graft_nnb_")
+    spark.read.parquet(core.scratch(dir, s"$prefix/mart_nn_base"))
+  }
 
   /** Prefixed NN-descent round CTEs over a shared `sc` score table —
     * the [[nnBuildCtes]] round shape factored so the append oracle can
@@ -5171,10 +5243,10 @@ object Similarity {
     * blocking the build init uses), union with the FROZEN base graph's
     * kept lists, then run [[NndAppendRounds]] = 2 NN-descent update
     * rounds on the union — priced against the full rebuild (the
-    * [[nnRoundsMart]] graph). The frozen base build inits from
-    * in-cell-among-base top-10 plus closed-form rank-ring edges over the
-    * base id lattice (rank(v) = (v÷5)·4 + v mod 5 — exact integer
-    * arithmetic, no global window even at 100 TB). MEASURED at sf0.1:
+    * [[nnRoundsMart]] graph). The frozen base graph is itself a
+    * PERSISTED snapshot artifact ([[nnBaseMart]] — the pre-batch index a
+    * deployment would be serving, built once per corpus snapshot; see
+    * the builder's doc for the init recipe). MEASURED at sf0.1:
     * recall@10 vs the exact graph 0.7778 after round 1 → 0.8817 after
     * round 2 vs the rebuild's 0.9291 — a ~0.05 recall tax for 20%
     * unseen-at-build growth at a fraction of the rebuild's candidate
@@ -5196,40 +5268,12 @@ object Similarity {
       val s2 = spark
       import s2.implicits._
       val (e, n) = nnEmb(spark, dir)
-      val eB = e.filter(col("vec_id") % 5 < 4)
       val cellOf = ivfAssigned(spark, dir).select(col("vec_id"), col("cell"))
       val cellB = cellOf.filter(col("vec_id") % 5 < 4)
-      val nb = eB.count()
-      // frozen-base init: in-cell top-10 among base + closed-form ring
-      val bincell = nnTopK(eB, 10)(
-        cellB.select(col("vec_id").as("s"), col("cell"))
-          .join(cellB.select(col("vec_id").as("t"), col("cell").as("tc")),
-            col("cell") === col("tc") && col("s") =!= col("t"))
-          .select("s", "t")).select("s", "t")
-      val bring = eB.select(col("vec_id").as("s"),
-          explode(array(lit(1L), lit(2L), lit(3L))).as("j"))
-        .select(col("s"), ((expr("s div 5") * 4 + col("s") % 5 + col("j")) % nb).as("r"))
-        .select(col("s"), (expr("r div 4") * 5 + col("r") % 4).as("t"))
-      val init = bincell.unionByName(bring).distinct().localCheckpoint(true)
-      // the frozen base build: pinned budget + fixpoint exit (the nnDag
-      // loop, rebuilt inline because the artifact is gate-local — the
-      // graph that existed BEFORE the batch)
-      var cur: DataFrame = init
       val kept = scala.collection.mutable.ArrayBuffer[DataFrame]()
-      var prevSig: (Long, Long, Long) = null
-      var fixed = false
-      for (_ <- 1 to NndRounds if !fixed) {
-        val (cand, next) = nnStep(eB, cur)
-        cand.unpersist(false)
-        val row = next.agg(count(lit(1)),
-          sum(hash(col("s"), col("t")).cast(LongType)),
-          call_function("bit_xor", xxhash64(col("s"), col("t")))).head()
-        def at(i: Int) = if (row.isNullAt(i)) 0L else row.getLong(i)
-        val sig = (row.getLong(0), at(1), at(2))
-        if (sig == prevSig) { next.unpersist(false); fixed = true }
-        else { kept += next; cur = next; prevSig = sig }
-      }
-      val baseG = cur.select("s", "t")
+      // the frozen base graph IS a persisted snapshot artifact (the
+      // nnBaseMart — built once per corpus snapshot, read back here)
+      val baseG = nnBaseMart(spark, dir).select("s", "t")
       // fresh seeds: top-10 among the base members of the node's own cell
       val fseed = nnTopK(e, 10)(
         cellOf.filter(col("vec_id") % 5 === 4).select(col("vec_id").as("s"), col("cell"))
@@ -5260,7 +5304,7 @@ object Similarity {
       rows += stat("rebuilt",
         nnRoundsMart(spark, dir).filter(col("round") === NndRounds)
           .select("s", "t", "rk"))
-      (kept :+ init :+ exactK :+ e).foreach(_.unpersist(false))
+      (kept :+ exactK :+ e).foreach(_.unpersist(false))
       // conservation + degree cap + append-round monotonicity
       rows.foreach { case (v, nn, ed, _) =>
         require(nn == n, s"$v graph lost nodes: $nn != $n")
@@ -5303,23 +5347,9 @@ object Similarity {
                  + max(CASE WHEN e.m = 2 THEN l.qd END) + max(CASE WHEN e.m = 3 THEN l.qd END)) AS score
         FROM renc e JOIN rlut l ON l.cell = e.cell AND l.m = e.m AND l.code = e.code
         GROUP BY l.qid, e.vec_id),
-      sub AS (SELECT vec_id FROM e WHERE vec_id % 16 = 0),
-      g2 AS MATERIALIZED (
-        SELECT s, t FROM (
-          SELECT sc.s, sc.t, row_number() OVER (PARTITION BY sc.s ORDER BY sc.score DESC, sc.t) AS rn
-          FROM sc JOIN sub ss ON ss.vec_id = sc.s JOIN sub st ON st.vec_id = sc.t) z
-        WHERE rn <= $NndServeDeg),
+      ${layer2Sql},
       w0 AS (SELECT qid, CAST(0 AS BIGINT) AS t FROM qs)"""
-    val l2Steps = (1 to steps).map { k =>
-      s""",
-      wb$k AS (
-        SELECT qid, t FROM (
-          SELECT w.qid, w.t, row_number() OVER (PARTITION BY w.qid ORDER BY s.score DESC, w.t) AS rn
-          FROM w${k - 1} w JOIN aq s ON s.qid = w.qid AND s.t = w.t) z
-        WHERE rn <= 10),
-      w$k AS MATERIALIZED (
-        SELECT qid, t FROM w${k - 1} UNION SELECT b.qid, g2.t FROM wb$k b JOIN g2 ON g2.s = b.t)"""
-    }.mkString
+    val l2Steps = walkStepsSql("wb", "w", steps, "aq", "g2", Seq("qid"))
     val handoff = s""",
       ent AS (
         SELECT qid, t, row_number() OVER (PARTITION BY qid ORDER BY score DESC, t) AS rn
@@ -5327,16 +5357,7 @@ object Similarity {
       v0 AS (
         SELECT ev.ev, en.qid, en.t
         FROM (SELECT unnest([1, 2]) AS ev) ev JOIN ent en ON en.rn <= ev.ev)"""
-    val l1Steps = (1 to steps).map { k =>
-      s""",
-      b$k AS (
-        SELECT ev, qid, t FROM (
-          SELECT v.ev, v.qid, v.t, row_number() OVER (PARTITION BY v.ev, v.qid ORDER BY s.score DESC, v.t) AS rn
-          FROM v${k - 1} v JOIN aq s ON s.qid = v.qid AND s.t = v.t) z
-        WHERE rn <= 10),
-      v$k AS MATERIALIZED (
-        SELECT ev, qid, t FROM v${k - 1} UNION SELECT b.ev, b.qid, g.t FROM b$k b JOIN g ON g.s = b.t)"""
-    }.mkString
+    val l1Steps = walkStepsSql("b", "v", steps, "aq", "g", Seq("ev", "qid"))
     val tail = s""",
       bwc AS (SELECT ev, qid, CAST(count(*) AS BIGINT) AS c FROM v$steps GROUP BY ev, qid),
       bf AS MATERIALIZED (
@@ -5414,17 +5435,9 @@ object Similarity {
           Seq("cell", "m", "code"))
         .select(col("qid"), col("vec_id").as("t"), negate(col("score")).as("score"))
         .localCheckpoint(true)
-      // layer 2: the exact subsample graph (the simGraphHier layer)
+      // layer 2: the exact subsample graph (the shared simGraphHier layer)
       val sub = e.filter(col("vec_id") % 16 === 0)
-      val g2c = sub.select(col("vec_id").as("s"), col("embedding").as("es"))
-        .join(broadcast(sub.select(col("vec_id").as("t"), col("embedding").as("et"))),
-          col("s") =!= col("t"))
-        .select(col("s"), col("t"), dot(col("es"), col("et")).as("sc2"))
-        .withColumn("rn", row_number().over(
-          Window.partitionBy("s").orderBy(col("sc2").desc, col("t"))))
-        .filter(col("rn") <= NndServeDeg)
-        .select(col("s").as("gs"), col("t").as("gt"))
-        .localCheckpoint(true)
+      val g2c = layer2Graph(sub)
       val w = greedyWalk(aq, g2c, qs.select(col("qid"), lit(0L).as("t")), Seq("qid"))
       val wn = w.count()
       // law: the layer-2 walk never leaves the subsample

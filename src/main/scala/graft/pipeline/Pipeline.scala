@@ -454,8 +454,10 @@ object Pipeline {
     * or fan out) and the label space is the closed set
     * {head, middle, tail, unscored}. Scoring is the interpolated
     * TRIGRAM-KN mass since round 16 (r15 verdict #7 — the filter now
-    * derives from `t_lm_kneser_ney3`'s full recursion; sub-3-token or
-    * unknown-context docs land `unscored`); measured sf0.01 funnel:
+    * derives from `t_lm_kneser_ney3`'s full recursion; sub-3-token docs
+    * are absent from the trigram stream and land `unscored`, while a
+    * ≥3-token doc with no known context keeps bin −1 and buckets
+    * through the thresholds like any other bin); measured sf0.01 funnel:
     * 149/157/151 head/middle/tail docs at ~8.4–9.2k tokens each. Shape
     * at 100 TB: the LM stage adds one scoring pass over the kept corpus
     * (trigram positions against the MartCache'd tri/bigram model marts)

@@ -111,8 +111,16 @@ def main(argv):
         if abs(sum(ok) / 10.0 - float(b.get("value", 0))) > tol:
             sys.exit(f"benchdrift: {tag} sum(qv)={sum(ok)/10.0}s does not "
                      f"reconcile with total {b.get('value')}s (tol {tol:.1f})")
-    prev = dict(zip(prev_n, prev_b["qv"]))
-    new = dict(zip(new_n, new_b["qv"]))
+    # errored gates (negative qv sentinels) are EXCLUDED from the join:
+    # keeping them would render a broken gate as a dramatic ">= 2x FASTER"
+    # row (prev=120ds, new=-1ds) or mask a real regression — they are
+    # reported separately instead (round-16 review)
+    prev = {n: v for n, v in zip(prev_n, prev_b["qv"]) if v >= 0}
+    new = {n: v for n, v in zip(new_n, new_b["qv"]) if v >= 0}
+    err_prev = sorted(n for n, v in zip(prev_n, prev_b["qv"]) if v < 0)
+    err_new = sorted(n for n, v in zip(new_n, new_b["qv"]) if v < 0)
+    if err_prev or err_new:
+        print(f"errored gates excluded from the diff: prev={err_prev} new={err_new}")
     shared = sorted(set(prev) & set(new))
     added = sorted(set(new) - set(prev))
     dropped = sorted(set(prev) - set(new))
