@@ -3502,10 +3502,7 @@ object Similarity {
         SELECT CAST(vec_id AS INTEGER) AS cent_id, embedding AS cv
         FROM $src WHERE $sw),
       ${(1 to CellRounds).map(r => kmRoundSql(r, p, src)).mkString(",\n      ")},
-      ${p}av AS MATERIALIZED (
-        SELECT e.vec_id,
-               arg_min(c.cent_id, ${dotSql("c.cv", "c.cv")} - 2 * ${dotSql("e.embedding", "c.cv")} + 1e-12 * c.cent_id) AS cell
-        FROM $src e, ${p}c$CellRounds c GROUP BY e.vec_id, e.embedding),
+      ${p}av AS MATERIALIZED (${assignSql(src, s"${p}c$CellRounds")}),
       ${p}rk AS (
         SELECT q.qid, c.cent_id AS cell,
                row_number() OVER (PARTITION BY q.qid
@@ -3576,6 +3573,51 @@ object Similarity {
       .select(col("vec_id"), col("cell"),
         zip_with(col("embedding"), col("ccv"),
           (x, y) => x.cast(DoubleType) - y).as("rv"))
+
+  /** Derived re-rank width as a SQL aggregate expression over count(*) —
+    * ONE text for every beam-carrying oracle (round-16 review: the
+    * greatest/bin rule had grown 8 hand-kept copies). */
+  private def bwAggSql: String =
+    s"greatest($RerankBeamFloor, $RerankK * length(bin(CAST(count(*) AS BIGINT))))"
+
+  /** The ADC max-per-m pivot CTE body — ONE text for every oracle (the
+    * fixed-order sum both engines replay). `from` is the full FROM/JOIN
+    * clause; the enc alias must be `e`, the LUT alias `l`. */
+  private def adcPivotSql(from: String): String = s"""
+        SELECT e.qid, e.vec_id,
+               ${(0 until PqM).map(m => s"max(CASE WHEN e.m = $m THEN l.qd END)").mkString("\n             + ")} AS score
+        FROM $from
+        GROUP BY e.qid, e.vec_id"""
+
+  /** One broadcast-argmin assignment CTE body — every `src` row to its
+    * nearest `cents` centroid (THE L2-expansion + id-bias assignment
+    * expression, one text; round-16 review: a tie-bias tweak applied to
+    * one hand-written copy would silently desynchronize the engines on
+    * tie-heavy corpora). */
+  private def assignSql(src: String, cents: String): String = s"""
+        SELECT e.vec_id,
+               arg_min(c.cent_id, ${dotSql("c.cv", "c.cv")} - 2 * ${dotSql("e.embedding", "c.cv")} + 1e-12 * c.cent_id) AS cell
+        FROM $src e, $cents c GROUP BY e.vec_id, e.embedding"""
+
+  /** Per-query derived-beam widths of a (qid, …) pool: (qid, cq, bw1) —
+    * the Spark twin of [[bwAggSql]], ONE definition for every
+    * beam-carrying gate. */
+  private def beamWidths(cand: DataFrame): DataFrame =
+    cand.groupBy("qid").agg(count(lit(1)).as("cq"))
+      .select(col("qid"), col("cq"), greatest(lit(RerankBeamFloor.toLong),
+        lit(RerankK.toLong) * length(bin(col("cq")))).as("bw1"))
+
+  /** The ADC-ranked derived beam: rank `adc`(qid, vec_id, score)
+    * ascending per query, keep rk ≤ min(cq, mult·bw1) against the
+    * broadcast [[beamWidths]] frame. */
+  private def derivedBeam(adc: DataFrame, bwq: DataFrame, mult: Int = 1): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    adc.withColumn("rk", row_number().over(
+        Window.partitionBy("qid").orderBy(col("score"), col("vec_id"))))
+      .join(broadcast(bwq), Seq("qid"))
+      .filter(col("rk") <= least(col("cq"), lit(mult.toLong) * col("bw1")))
+      .select("qid", "vec_id")
+  }
 
   /** Residual code table under an arbitrary book — (vec_id, cell, m,
     * code), cell carried so serve-side LUT joins need no second
@@ -3983,18 +4025,10 @@ object Similarity {
                arg_min(b.code, ${sqSubSql("s.sv", "b.cv")} + 1e-12 * b.code) AS code
         FROM cand c JOIN rsub s ON s.vec_id = c.vec_id JOIN rbook b ON b.m = s.m
         GROUP BY c.qid, c.vec_id, c.cell, s.m, s.sv),
-      adc AS (
-        SELECT e.qid, e.vec_id,
-               max(CASE WHEN e.m = 0 THEN l.qd END)
-                 + max(CASE WHEN e.m = 1 THEN l.qd END)
-                 + max(CASE WHEN e.m = 2 THEN l.qd END)
-                 + max(CASE WHEN e.m = 3 THEN l.qd END) AS score
-        FROM enc e JOIN rlut l ON l.qid = e.qid AND l.cell = e.cell AND l.m = e.m AND l.code = e.code
-        GROUP BY e.qid, e.vec_id),
+      adc AS (${adcPivotSql(
+        "enc e JOIN rlut l ON l.qid = e.qid AND l.cell = e.cell AND l.m = e.m AND l.code = e.code")}),
       bw AS (
-        SELECT qid, least(CAST(count(*) AS BIGINT),
-                          greatest($RerankBeamFloor,
-                                   $RerankK * length(bin(CAST(count(*) AS BIGINT))))) AS bw
+        SELECT qid, least(CAST(count(*) AS BIGINT), $bwAggSql) AS bw
         FROM cand GROUP BY qid),
       beam AS MATERIALIZED (
         SELECT z.qid, z.vec_id FROM (
@@ -4045,15 +4079,7 @@ object Similarity {
       val lut = resLut(qs, annIndexMart(spark, dir, "mart_ann_cents32"),
         annIndexMart(spark, dir, "mart_ann_book64r").select("m", "code", "cv"))
       val adc = adcSum(enc, lut, Seq("qid", "cell", "m", "code"))
-      val bwq = cand.groupBy("qid").agg(count(lit(1)).as("cq"))
-        .select(col("qid"), least(col("cq"),
-          greatest(lit(RerankBeamFloor.toLong),
-            lit(RerankK.toLong) * length(bin(col("cq"))))).as("bw"))
-      val beam = adc
-        .withColumn("rk", row_number().over(wq.orderBy(col("score"), col("vec_id"))))
-        .join(broadcast(bwq), Seq("qid"))
-        .filter(col("rk") <= col("bw"))
-        .select(col("qid"), col("vec_id")).localCheckpoint(true)
+      val beam = derivedBeam(adc, beamWidths(cand)).localCheckpoint(true)
       val top = beam.join(e, Seq("vec_id")).join(broadcast(qs), Seq("qid"))
         .select(col("qid"), col("vec_id"), dot(col("embedding"), col("qv")).as("s"))
         .withColumn("rn", row_number().over(wq.orderBy(col("s").desc, col("vec_id"))))
@@ -4140,27 +4166,18 @@ object Similarity {
         SELECT q.qid, b.m, b.code,
                ${sqSubSql(s"list_slice(q.qv, b.m * $PqSub + 1, b.m * $PqSub + $PqSub)", "b.cv")} AS qd
         FROM qs q, book b),
-      adc AS MATERIALIZED (
-        SELECT e.qid, e.vec_id,
-               max(CASE WHEN e.m = 0 THEN l.qd END) + max(CASE WHEN e.m = 1 THEN l.qd END)
-             + max(CASE WHEN e.m = 2 THEN l.qd END) + max(CASE WHEN e.m = 3 THEN l.qd END) AS score
-        FROM enc e JOIN lut l ON l.qid = e.qid AND l.m = e.m AND l.code = e.code
-        GROUP BY e.qid, e.vec_id),
+      adc AS MATERIALIZED (${adcPivotSql(
+        "enc e JOIN lut l ON l.qid = e.qid AND l.m = e.m AND l.code = e.code")}),
       renc AS MATERIALIZED (
         SELECT c.qid, c.vec_id, s.m,
                arg_min(b.code, ${sqSubSql("s.sv", "b.cv")} + 1e-12 * b.code) AS code
         FROM cand c JOIN rsub s ON s.vec_id = c.vec_id JOIN rbook b ON b.m = s.m
         GROUP BY c.qid, c.vec_id, s.m, s.sv),
-      radc AS MATERIALIZED (
-        SELECT e.qid, e.vec_id,
-               max(CASE WHEN e.m = 0 THEN l.qd END) + max(CASE WHEN e.m = 1 THEN l.qd END)
-             + max(CASE WHEN e.m = 2 THEN l.qd END) + max(CASE WHEN e.m = 3 THEN l.qd END) AS score
-        FROM renc e JOIN cand c ON c.qid = e.qid AND c.vec_id = e.vec_id
-        JOIN rlut l ON l.qid = e.qid AND l.cell = c.cell AND l.m = e.m AND l.code = e.code
-        GROUP BY e.qid, e.vec_id),
+      radc AS MATERIALIZED (${adcPivotSql(
+        """renc e JOIN cand c ON c.qid = e.qid AND c.vec_id = e.vec_id
+        JOIN rlut l ON l.qid = e.qid AND l.cell = c.cell AND l.m = e.m AND l.code = e.code""")}),
       bw AS (
-        SELECT qid, CAST(count(*) AS BIGINT) AS cq,
-               greatest($RerankBeamFloor, $RerankK * length(bin(CAST(count(*) AS BIGINT)))) AS bw1
+        SELECT qid, CAST(count(*) AS BIGINT) AS cq, $bwAggSql AS bw1
         FROM cand GROUP BY qid),
       rawrk AS (SELECT qid, vec_id, row_number() OVER (PARTITION BY qid ORDER BY score, vec_id) AS rk FROM adc),
       resrk AS (SELECT qid, vec_id, row_number() OVER (PARTITION BY qid ORDER BY score, vec_id) AS rk FROM radc),
@@ -4215,15 +4232,9 @@ object Similarity {
     val lutRes = resLut(qs, annIndexMart(spark, dir, "mart_ann_cents32"),
       annIndexMart(spark, dir, "mart_ann_book64r").select("m", "code", "cv"))
     val adcRes = adcSum(encRes, lutRes, Seq("qid", "cell", "m", "code"))
-    val bwq = cand.groupBy("qid").agg(count(lit(1)).as("cq"))
-      .select(col("qid"), col("cq"), greatest(lit(RerankBeamFloor.toLong),
-        lit(RerankK.toLong) * length(bin(col("cq")))).as("bw1"))
+    val bwq = beamWidths(cand)
     def beamStat(adc: DataFrame, mult: Int): (Long, Long) = {
-      val beam = adc
-        .withColumn("rk", row_number().over(wq.orderBy(col("score"), col("vec_id"))))
-        .join(broadcast(bwq), Seq("qid"))
-        .filter(col("rk") <= least(col("cq"), lit(mult.toLong) * col("bw1")))
-        .select("qid", "vec_id").localCheckpoint(false)
+      val beam = derivedBeam(adc, bwq, mult).localCheckpoint(false)
       val n = beam.count()
       val h = beam.join(broadcast(ex),
         col("qid") === col("xq") && col("vec_id") === col("xt")).count()
@@ -4301,8 +4312,7 @@ object Similarity {
       pool AS MATERIALIZED (
         SELECT pv.p, a.qid, a.vec_id, a.score FROM adc a JOIN pv ON a.crn <= pv.p),
       bw AS (
-        SELECT p, qid, CAST(count(*) AS BIGINT) AS cq,
-               greatest($RerankBeamFloor, $RerankK * length(bin(CAST(count(*) AS BIGINT)))) AS bw1
+        SELECT p, qid, CAST(count(*) AS BIGINT) AS cq, $bwAggSql AS bw1
         FROM pool GROUP BY p, qid),
       prk AS (
         SELECT p, qid, vec_id, row_number() OVER (PARTITION BY p, qid ORDER BY score, vec_id) AS rk
@@ -4344,15 +4354,7 @@ object Similarity {
         .join(cand, Seq("qid", "vec_id")).localCheckpoint(true)
       def stat(p: Int): (Long, Long, Long, Long, Long) = {
         val pool = adc.filter(col("crn") <= p)
-        val bwq = pool.groupBy("qid").agg(count(lit(1)).as("cq"))
-          .select(col("qid"), col("cq"), greatest(lit(RerankBeamFloor.toLong),
-            lit(RerankK.toLong) * length(bin(col("cq")))).as("bw1"))
-        val beam = pool
-          .withColumn("rk", row_number().over(
-            Window.partitionBy("qid").orderBy(col("score"), col("vec_id"))))
-          .join(broadcast(bwq), Seq("qid"))
-          .filter(col("rk") <= least(col("cq"), col("bw1")))
-          .select("qid", "vec_id").localCheckpoint(false)
+        val beam = derivedBeam(pool, beamWidths(pool)).localCheckpoint(false)
         val scanned = pool.count()
         val beamRows = beam.count()
         val hits = beam.join(broadcast(ex),
@@ -4554,10 +4556,7 @@ object Similarity {
       base AS (SELECT * FROM embeddings WHERE vec_id % 5 < 4),
       fresh AS (SELECT * FROM embeddings WHERE vec_id % 5 = 4),
       ${trainedChainSql("b", 32, "base", "vec_id < 40 AND vec_id % 5 < 4")},
-      fav AS (
-        SELECT e.vec_id,
-               arg_min(c.cent_id, ${dotSql("c.cv", "c.cv")} - 2 * ${dotSql("e.embedding", "c.cv")} + 1e-12 * c.cent_id) AS cell
-        FROM fresh e, bc$CellRounds c GROUP BY e.vec_id, e.embedding),
+      fav AS (${assignSql("fresh", s"bc$CellRounds")}),
       aav AS MATERIALIZED (SELECT vec_id, cell FROM bav UNION ALL SELECT vec_id, cell FROM fav),
       ${trainedChainSql("t32", 32)}
       SELECT variant, n_rows, cells_used, scanned, hits,
@@ -4574,14 +4573,13 @@ object Similarity {
       val (e, qs, ex, n) = heldOutHarness(spark, dir)
       require(n >= 40,
         s"index-append needs 32 base seeds inside vec_id < 40 and a non-empty fresh batch (n=$n < 40)")
-      val base = e.filter(col("vec_id") % 5 < 4)
-      val fresh = e.filter(col("vec_id") % 5 === 4)
-      // the frozen snapshot: centroids trained on base only
-      val centsB = lloydCells(base, 32, CellRounds, col("vec_id") < 40)
-      val avB = kmAssign(base, centsB).select(col("vec_id"), col("cell"))
-      // the append write path: one broadcast-argmin pass over fresh only
-      val avF = kmAssign(fresh, centsB).select(col("vec_id"), col("cell"))
-      val avApp = avB.union(avF).localCheckpoint(true)
+      // the frozen snapshot + appended assignment are PERSISTED artifacts
+      // since round 16 (the [[annBaseDag]] marts, shared with
+      // simBookAppend — one per-row argmin over all vectors equals the
+      // base-at-snapshot ∪ fresh-append union this gate used to build
+      // inline, bit for bit)
+      val centsB = annBaseMart(spark, dir, "mart_annb_cents32")
+      val avApp = annBaseMart(spark, dir, "mart_annb_assign")
       val rkB = cellRankOf(centsB, qs)
       val (avR, rkR) = servedCellRank32(spark, dir, qs)
       def point(name: String, av: DataFrame, rk: DataFrame): (String, Long, Long, Long, Long) = {
@@ -5351,12 +5349,6 @@ object Similarity {
     * middle arm's re-encode — deliberately, because that map pass IS the
     * measured write path. */
   val simBookAppend: QueryDef = {
-    val adcPivot = (enc: String, lut: String) => s"""
-        SELECT e.qid, e.vec_id,
-               max(CASE WHEN e.m = 0 THEN l.qd END) + max(CASE WHEN e.m = 1 THEN l.qd END)
-             + max(CASE WHEN e.m = 2 THEN l.qd END) + max(CASE WHEN e.m = 3 THEN l.qd END) AS score
-        FROM $enc e JOIN $lut l ON l.qid = e.qid AND l.cell = e.cell AND l.m = e.m AND l.code = e.code
-        GROUP BY e.qid, e.vec_id"""
     def armSql(tag: String, av: String, rk: String, sub: String,
         book: String, lut: String): String = s"""${tag}cand AS MATERIALIZED (
         SELECT r.qid, a.vec_id, a.cell FROM $av a JOIN $rk r ON a.cell = r.cell AND r.rn <= 4),
@@ -5365,10 +5357,10 @@ object Similarity {
                arg_min(b.code, ${sqSubSql("s.sv", "b.cv")} + 1e-12 * b.code) AS code
         FROM ${tag}cand c JOIN $sub s ON s.vec_id = c.vec_id JOIN $book b ON b.m = s.m
         GROUP BY c.qid, c.vec_id, c.cell, s.m, s.sv),
-      ${tag}adc AS (${adcPivot(s"${tag}enc", lut)}),
+      ${tag}adc AS (${adcPivotSql(
+        s"${tag}enc e JOIN $lut l ON l.qid = e.qid AND l.cell = e.cell AND l.m = e.m AND l.code = e.code")}),
       ${tag}bw AS (
-        SELECT qid, CAST(count(*) AS BIGINT) AS cq,
-               greatest($RerankBeamFloor, $RerankK * length(bin(CAST(count(*) AS BIGINT)))) AS bw1
+        SELECT qid, CAST(count(*) AS BIGINT) AS cq, $bwAggSql AS bw1
         FROM ${tag}cand GROUP BY qid),
       ${tag}rk2 AS (
         SELECT qid, vec_id, row_number() OVER (PARTITION BY qid ORDER BY score, vec_id) AS rk
@@ -5386,10 +5378,7 @@ object Similarity {
       WITH $qsExSql,
       base AS (SELECT * FROM embeddings WHERE vec_id % 5 < 4),
       ${trainedChainSql("b", 32, "base", "vec_id < 40 AND vec_id % 5 < 4")},
-      aav AS MATERIALIZED (
-        SELECT e.vec_id,
-               arg_min(c.cent_id, ${dotSql("c.cv", "c.cv")} - 2 * ${dotSql("e.embedding", "c.cv")} + 1e-12 * c.cent_id) AS cell
-        FROM embeddings e, bc$CellRounds c GROUP BY e.vec_id, e.embedding),
+      aav AS MATERIALIZED (${assignSql("embeddings", s"bc$CellRounds")}),
       ms AS (SELECT unnest([0, 1, 2, 3]) AS m),
       ${trainedChainSql("t32", 32)},
       ${res32ChainSql},
@@ -5429,14 +5418,7 @@ object Similarity {
         val enc = cand.join(codes, Seq("vec_id"))
           .select(col("qid"), col("vec_id"), col("cell"), col("m"), col("code"))
         val adc = adcSum(enc, resLut(qs, cents, book), Seq("qid", "cell", "m", "code"))
-        val bwq = cand.groupBy("qid").agg(count(lit(1)).as("cq"))
-          .select(col("qid"), col("cq"), greatest(lit(RerankBeamFloor.toLong),
-            lit(RerankK.toLong) * length(bin(col("cq")))).as("bw1"))
-        val beam = adc
-          .withColumn("rk", row_number().over(wq.orderBy(col("score"), col("vec_id"))))
-          .join(broadcast(bwq), Seq("qid"))
-          .filter(col("rk") <= least(col("cq"), col("bw1")))
-          .select("qid", "vec_id").localCheckpoint(false)
+        val beam = derivedBeam(adc, beamWidths(cand)).localCheckpoint(false)
         val (pr, br) = (cand.count(), beam.count())
         val h = beam.join(broadcast(ex),
           col("qid") === col("xq") && col("vec_id") === col("xt")).count()

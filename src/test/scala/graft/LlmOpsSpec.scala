@@ -850,9 +850,12 @@ class LlmOpsSpec extends SparkSpec {
     assert(rows.map(_.getAs[Long]("probes")).toSeq === Seq(2L, 4L, 8L, 12L))
     // scanned/ceiling monotonicity and hits <= ceiling are required
     // in-gate; here the measured shape: recall never falls as the scan
-    // widens (derived beams grow with the pool) at every driver corpus
+    // widens. 1-hit slack per step (round-16 review): the log-growth
+    // beam is NOT mathematically monotone against a linear pool — a
+    // regenerated corpus could push one exact member past the cutoff —
+    // so the spec flags only a real collapse, not a tie-level wobble
     rows.sliding(2).foreach { case Array(a, b) =>
-      assert(a.getAs[Long]("hits") <= b.getAs[Long]("hits"),
+      assert(a.getAs[Long]("hits") <= b.getAs[Long]("hits") + 1L,
         s"frontier recall fell from probe ${a.getAs[Long]("probes")} to ${b.getAs[Long]("probes")}")
     }
   }
