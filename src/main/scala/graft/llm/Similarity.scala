@@ -18,6 +18,28 @@ import org.apache.spark.sql.types._
   */
 object Similarity {
 
+  /** Held-out query window [QLo, QHi) — the 8 evaluation queries every
+    * recall gate in the file scores against, plus [[Q1]], the single
+    * query the didactic ladder gates pin. DISJOINT BY CONSTRUCTION from
+    * every seed/training id-range in the file: the coarse layouts seed
+    * from [0, 8) and [0, 32), the PQ codebook from [0, [[PqK]]), the
+    * residual book from [8, 8 + [[PqK]]). Round-17 (r16 verdict #1): the
+    * previous window 16..23 sat INSIDE the PQ and residual seed
+    * prefixes, so the trained books started with codewords AT the query
+    * vectors and carried below-average distortion on exactly the vectors
+    * being scored — every prior ADC recall headline was a mild upper
+    * bound. The static require next to [[PqK]] (where both values are
+    * initialized) makes the disjointness fail-loud at object init:
+    * any future seed-range growth past QLo trips it. Defined at the top
+    * of the object so every earlier-initialized val sees the real value
+    * (a mid-file definition left lines above it reading 0 — caught by
+    * the compiler's uninitialized-reference warning). */
+  private[graft] val QLo = 72
+  private[graft] val QHi = 80
+
+  /** The single-query ladder's query id — inside the held-out window. */
+  private[graft] val Q1 = QLo + 5
+
   /** embeddings.parquet is one small file → one input partition, which
     * would serialize every interpreted dot-product pass onto a single core;
     * spread the rows across the session's parallelism first. */
@@ -153,7 +175,7 @@ object Similarity {
                arg_max(c.cent_id, ${dotSql("e.embedding", "c.cv")} - 1e-12 * c.cent_id) AS cell
         FROM embeddings e, cents c
         GROUP BY e.vec_id, e.label, e.embedding),
-      q AS (SELECT embedding AS qv, cell AS qcell FROM assigned WHERE vec_id = 17)
+      q AS (SELECT embedding AS qv, cell AS qcell FROM assigned WHERE vec_id = $Q1)
       SELECT a.vec_id, a.label, a.cell,
              round(${dotSql("a.embedding", "q.qv")}, 6) AS score_r
       FROM assigned a, q
@@ -162,7 +184,7 @@ object Similarity {
       LIMIT 5
     """)) { (spark, dir) =>
     val assigned = ivfAssigned(spark, dir)
-    val q = assigned.filter(col("vec_id") === 17)
+    val q = assigned.filter(col("vec_id") === Q1)
       .select(col("embedding").as("qv"), col("cell").as("qcell"))
     assigned.join(broadcast(q), col("cell") === col("qcell"))
       .select(col("vec_id"), col("label"), col("cell"),
@@ -216,7 +238,7 @@ object Similarity {
                arg_max(c.cent_id, ${dotSql("e.embedding", "c.cv")} - 1e-12 * c.cent_id) AS cell
         FROM embeddings e, cents c
         GROUP BY e.vec_id, e.label, e.embedding),
-      q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 17),
+      q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = $Q1),
       qc AS (
         SELECT c.cent_id AS cell
         FROM cents c, q
@@ -230,7 +252,7 @@ object Similarity {
       LIMIT 10
     """)) { (spark, dir) =>
     val assigned = ivfAssigned(spark, dir)
-    val q = probeQuery(spark, dir, vecId = 17, nProbe = 3)
+    val q = probeQuery(spark, dir, vecId = Q1, nProbe = 3)
     assigned.join(broadcast(q), array_contains(col("qcells"), col("cell")))
       .select(col("vec_id"), col("label"), col("cell"),
         dot(col("embedding"), col("qv")).as("score"))
@@ -803,6 +825,13 @@ object Similarity {
     * operating point on this corpus. */
   private[graft] val PqK = 64
 
+  // The held-out-window disjointness invariant — asserted HERE, after
+  // both PqK and the window constants are initialized (see the QLo
+  // scaladoc at the top of the object).
+  require(QLo >= 8 + PqK && QLo >= 32 && QHi > QLo && Q1 >= QLo && Q1 < QHi,
+    s"held-out query window [$QLo, $QHi) must sit above every seed range " +
+      s"(coarse [0,32), PQ [0,$PqK), residual [8,${8 + PqK}))")
+
   /** DuckDB squared-L2 between subspace `m` of two array expressions —
     * same sequential fold (and the same bracketing) as the Spark twin. */
   private def pqSubSqSql(a: String, b: String, m: Int): String = {
@@ -941,7 +970,7 @@ object Similarity {
         qd AS (
           SELECT c.cid,
                $qdCols
-          FROM cents c, (SELECT embedding FROM embeddings WHERE vec_id = 17) q)
+          FROM cents c, (SELECT embedding FROM embeddings WHERE vec_id = $Q1) q)
         SELECT e.vec_id, e.label,
                round(q0.qd0 + q1.qd1 + q2.qd2 + q3.qd3, 6) AS adc_r
         FROM enc e
@@ -967,7 +996,7 @@ object Similarity {
     val enc = emb(spark, dir).crossJoin(broadcast(pqSeedCentroids(spark, dir)))
       .select(Seq(col("vec_id"), col("label")) ++
         (0 until PqM).map(m => pqBest(m)("code").as(s"code$m")): _*)
-    val q = emb(spark, dir).filter(col("vec_id") === 17)
+    val q = emb(spark, dir).filter(col("vec_id") === Q1)
       .select(col("embedding").as("qv"))
     val qd = emb(spark, dir).filter(col("vec_id") < PqK)
       .select(col("vec_id").as("cid"), col("embedding").as("cv"))
@@ -1409,7 +1438,7 @@ object Similarity {
     * the gate and the spec so the assertion tests the real read path. */
   private[graft] def ivfAdcCandidates(spark: SparkSession, dir: String): DataFrame =
     ivfAssigned(spark, dir)
-      .join(broadcast(probeQuery(spark, dir, vecId = 17, nProbe = 3)),
+      .join(broadcast(probeQuery(spark, dir, vecId = Q1, nProbe = 3)),
         array_contains(col("qcells"), col("cell")))
 
   /** sim13 — IVFADC: the composed billion-scale ANN read path (Jégou et
@@ -1447,7 +1476,7 @@ object Similarity {
                arg_max(c.cent_id, ${dotSql("e.embedding", "c.cv")} - 1e-12 * c.cent_id) AS cell
         FROM embeddings e, cents c
         GROUP BY e.vec_id, e.label, e.embedding),
-      q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 17),
+      q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = $Q1),
       qc AS (
         SELECT c.cent_id AS cell FROM cents c, q
         ORDER BY ${dotSql("q.qv", "c.cv")} - 1e-12 * c.cent_id DESC
@@ -1531,7 +1560,7 @@ object Similarity {
       .select(col("vec_id"), col("label"), col("cell"), col("m"),
         pqBookBest("code").as("code"))
     // the query's 4·PqK-entry LUT: subspace distance to every trained codeword
-    val qRow = emb(spark, dir).filter(col("vec_id") === 17)
+    val qRow = emb(spark, dir).filter(col("vec_id") === Q1)
       .select(col("embedding").as("qv"))
     val lut = book.crossJoin(broadcast(qRow))
       .select(col("m"), col("code"),
@@ -1624,7 +1653,7 @@ object Similarity {
     scores.unpersist(false)
     val beam = spark.createDataFrame(
       java.util.Arrays.asList(beamRows: _*), beamSchema)
-    val q = emb(spark, dir).filter(col("vec_id") === 17)
+    val q = emb(spark, dir).filter(col("vec_id") === Q1)
       .select(col("embedding").as("qv"))
     // beam side broadcasts (O(k log C) ids) — the corpus is scanned once
     // for the vector fetch, never shuffled
@@ -1710,7 +1739,7 @@ object Similarity {
         FROM res r, ms WHERE r.vec_id >= 8 AND r.vec_id < ${8 + PqK}),
       ${pqRoundsSql("r", "rsub", "rb0")},
       book AS (SELECT m, code, cv AS bv FROM rb$PqTrainRounds),
-      q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 17),
+      q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = $Q1),
       qc AS (
         SELECT c.cent_id AS cell, c.cv FROM cents c, q
         ORDER BY ${dotSql("q.qv", "c.cv")} - 1e-12 * c.cent_id DESC LIMIT 3),
@@ -1755,7 +1784,7 @@ object Similarity {
       val book = bookDf(spark, convergedResidualBook(spark, dir))
         .withColumnRenamed("cv", "bv")
       // per-probed-cell query residual → the 768-row (cell, m, code) LUT
-      val qprobe = probeQuery(spark, dir, vecId = 17, nProbe = 3)
+      val qprobe = probeQuery(spark, dir, vecId = Q1, nProbe = 3)
       val qres = qprobe
         .join(broadcast(emb(spark, dir).filter(col("vec_id") < 8)
           .select(col("vec_id").as("cell"), col("embedding").as("ccv"))),
@@ -1815,7 +1844,7 @@ object Similarity {
       Some(s"""
       WITH cents AS (SELECT vec_id AS cid, embedding AS cv FROM embeddings WHERE vec_id < 8),
       pcents AS (SELECT vec_id AS cid, embedding AS cv FROM embeddings WHERE vec_id < $PqK),
-      qv AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 17),
+      qv AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = $Q1),
       ex AS (
         SELECT e.vec_id FROM embeddings e, qv
         ORDER BY ${dotSql("e.embedding", "qv.qv")} DESC, e.vec_id LIMIT 10),
@@ -1851,7 +1880,7 @@ object Similarity {
       qd AS (
         SELECT c.cid,
                ${(0 until PqM).map(m => s"${pqSubSqSql("q.embedding", "c.cv", m)} AS qd$m").mkString(",\n               ")}
-        FROM pcents c, (SELECT embedding FROM embeddings WHERE vec_id = 17) q),
+        FROM pcents c, (SELECT embedding FROM embeddings WHERE vec_id = $Q1) q),
       mp AS (
         SELECT e.vec_id FROM enc e
         JOIN qd q0 ON e.code0 = q0.cid JOIN qd q1 ON e.code1 = q1.cid
@@ -1867,14 +1896,14 @@ object Similarity {
              round(CAST(hits AS DOUBLE) / 10.0, 6) AS recall_r
       FROM r ORDER BY method
     """)) { (spark, dir) =>
-      val q = emb(spark, dir).filter(col("vec_id") === 17)
+      val q = emb(spark, dir).filter(col("vec_id") === Q1)
         .select(col("embedding").as("qv"))
       val ex = emb(spark, dir).crossJoin(broadcast(q))
         .select(col("vec_id"), dot(col("embedding"), col("qv")).as("s"))
         .orderBy(col("s").desc, col("vec_id")).limit(10).select("vec_id")
       val assigned = ivfAssigned(spark, dir)
       def probed(nProbe: Int): DataFrame = assigned
-        .join(broadcast(probeQuery(spark, dir, vecId = 17, nProbe = nProbe)),
+        .join(broadcast(probeQuery(spark, dir, vecId = Q1, nProbe = nProbe)),
           array_contains(col("qcells"), col("cell")))
         .select(col("vec_id"), dot(col("embedding"), col("qv")).as("s"))
         .orderBy(col("s").desc, col("vec_id")).limit(10).select("vec_id")
@@ -1896,19 +1925,16 @@ object Similarity {
   /** sim15b — ANN recall harness over a QUERY SET (round-12 queue #3):
     * [[simAnnRecall]] pins one query's ladder; this gate is the real
     * evaluation — mean recall@10 over the 8 held-out queries (vec_ids
-    * 16..23 — held out of every SPECIAL role that exists at 8-vector scale:
-    * 0..7 are the coarse centroids; since round 15's k* = 64 adoption the
-    * PQ seed prefixes necessarily include them as ordinary corpus members,
-    * which is how production PQ trains anyway — the codebook sees the
-    * whole corpus. CAVEAT (round-15 ADVICE): because the queries sit
-    * inside the seed prefix (vec_id < [[PqK]]) and the residual seed range
-    * (8..8+[[PqK]]−1), the trained books start with codewords AT the
-    * query vectors, so the queries' own codes carry below-average
-    * distortion even after convergence — every ADC-rung recall here and
-    * in the downstream deployed/filtered gates is therefore MILDLY
-    * OPTIMISTIC versus truly-unseen queries; the structural laws and the
-    * rung ORDERINGS the suite adopts from are unaffected, since every
-    * rung shares the same queries and the same books), with
+    * [[QLo]]..[[QHi]]−1, a window PROVABLY DISJOINT from every seed and
+    * training id-range: the coarse layouts seed from [0, 32), the PQ
+    * codebook from [0, [[PqK]]), the residual book from [8, 8+[[PqK]]) —
+    * the static require at the window's definition enforces it. Round 17
+    * moved the window here from 16..23, which sat inside both PQ seed
+    * prefixes: the trained books started with codewords AT the query
+    * vectors, so every prior ADC recall headline was a mild upper bound
+    * (r15 ADVICE, r16 verdict #1). The queries remain ordinary corpus
+    * members — production PQ trains on the whole corpus — but no
+    * codeword is initialized at a query anymore), with
     * the two composed IVFADC read paths as rungs so raw-vs-residual
     * coding is COMPUTED on identical candidates (probe-3 members, only
     * the coding differs), plus the [[simAdcRerank]] two-stage rung (the
@@ -1954,7 +1980,7 @@ object Similarity {
       Some(s"""
       WITH ms AS (SELECT unnest([0, 1, 2, 3]) AS m),
       cents AS (SELECT vec_id AS cid, embedding AS cv FROM embeddings WHERE vec_id < 8),
-      qs AS (SELECT vec_id AS qid, embedding AS qv FROM embeddings WHERE vec_id >= 16 AND vec_id < 24),
+      qs AS (SELECT vec_id AS qid, embedding AS qv FROM embeddings WHERE vec_id >= $QLo AND vec_id < $QHi),
       ex AS (
         SELECT qid, vec_id FROM (
           SELECT q.qid, e.vec_id,
@@ -2077,7 +2103,7 @@ object Similarity {
     """)) { (spark, dir) =>
       import org.apache.spark.sql.expressions.Window
       val wq = Window.partitionBy("qid")
-      val qs = emb(spark, dir).filter(col("vec_id") >= 16 && col("vec_id") < 24)
+      val qs = emb(spark, dir).filter(col("vec_id") >= QLo && col("vec_id") < QHi)
         .select(col("vec_id").as("qid"), col("embedding").as("qv"))
       // 80 (qid, vec_id) rows consumed by all four rungs — checkpoint so
       // the exact corpus pass runs once, not four times
@@ -2249,7 +2275,7 @@ object Similarity {
       Some(s"""
       WITH ms AS (SELECT unnest([0, 1, 2, 3]) AS m),
       cents AS (SELECT vec_id AS cid, embedding AS cv FROM embeddings WHERE vec_id < 8),
-      qs AS (SELECT vec_id AS qid, embedding AS qv FROM embeddings WHERE vec_id >= 16 AND vec_id < 24),
+      qs AS (SELECT vec_id AS qid, embedding AS qv FROM embeddings WHERE vec_id >= $QLo AND vec_id < $QHi),
       ex AS (
         SELECT qid, vec_id FROM (
           SELECT q.qid, e.vec_id,
@@ -2325,7 +2351,7 @@ object Similarity {
     """)) { (spark, dir) =>
       import org.apache.spark.sql.expressions.Window
       val wq = Window.partitionBy("qid")
-      val qs = emb(spark, dir).filter(col("vec_id") >= 16 && col("vec_id") < 24)
+      val qs = emb(spark, dir).filter(col("vec_id") >= QLo && col("vec_id") < QHi)
         .select(col("vec_id").as("qid"), col("embedding").as("qv"))
       val ex = emb(spark, dir).crossJoin(broadcast(qs))
         .select(col("qid"), col("vec_id"), dot(col("embedding"), col("qv")).as("s"))
@@ -3330,7 +3356,7 @@ object Similarity {
       "sim_pq_codebook_size",
       Some(s"""
       WITH ms AS (SELECT unnest([0, 1, 2, 3]) AS m),
-      qs AS (SELECT vec_id AS qid, embedding AS qv FROM embeddings WHERE vec_id >= 16 AND vec_id < 24),
+      qs AS (SELECT vec_id AS qid, embedding AS qv FROM embeddings WHERE vec_id >= $QLo AND vec_id < $QHi),
       ex AS MATERIALIZED (
         SELECT qid, vec_id FROM (
           SELECT q.qid, e.vec_id,
@@ -3361,7 +3387,7 @@ object Similarity {
       // pass across all three sizes — checkpoint once, release at the end
       val sub = rawSub(spark, dir).localCheckpoint(true)
       val n = emb(spark, dir).count()
-      val qs = emb(spark, dir).filter(col("vec_id") >= 16 && col("vec_id") < 24)
+      val qs = emb(spark, dir).filter(col("vec_id") >= QLo && col("vec_id") < QHi)
         .select(col("vec_id").as("qid"), col("embedding").as("qv"))
       val ex = emb(spark, dir).crossJoin(broadcast(qs))
         .select(col("qid"), col("vec_id"), dot(col("embedding"), col("qv")).as("s"))
@@ -3474,12 +3500,12 @@ object Similarity {
     * recompute; every pool is (qid, vec_id) scalars; the 8×n exact
     * baseline is the evaluation's price, not the serve's. */
   /** Shared SQL fragment — the recall harness's held-out queries
-    * (vec_id 16–23) and the EXACT full-dim top-10 per query. ONE
+    * ([[QLo]]..[[QHi]]−1) and the EXACT full-dim top-10 per query. ONE
     * definition consumed by [[simIvfCells]] and [[simAnnDeployed]] (the
     * file's shared-fragment discipline: a tie-break or query-range edit
     * can never desynchronize the oracles). */
   private def qsExSql: String =
-    s"""qs AS (SELECT vec_id AS qid, embedding AS qv FROM embeddings WHERE vec_id >= 16 AND vec_id < 24),
+    s"""qs AS (SELECT vec_id AS qid, embedding AS qv FROM embeddings WHERE vec_id >= $QLo AND vec_id < $QHi),
       ex AS MATERIALIZED (
         SELECT qid, vec_id FROM (
           SELECT q.qid, e.vec_id,
@@ -3513,16 +3539,16 @@ object Similarity {
   /** Shared Spark frames for the recall harness: checkpointed corpus,
     * held-out queries, and the EXACT top-10 as (xq, xt) — checkpointed;
     * caller unpersists `e` and `ex`. Guards n ≥ 24: the harness
-    * hardcodes vec_id 16..23 and fixed recall denominators, and a
+    * hardcodes the [[QLo]]..[[QHi]]-1 window and fixed recall denominators, and a
     * smaller corpus would emit a silently meaningless (or empty-query)
     * metric (the [[simGraphServe]] guard convention). */
   private def heldOutHarness(spark: SparkSession, dir: String): (DataFrame, DataFrame, DataFrame, Long) = {
     import org.apache.spark.sql.expressions.Window
     val e = emb(spark, dir).select(col("vec_id"), col("embedding")).localCheckpoint(true)
     val n = e.count()
-    require(n >= 24,
-      s"the recall harness needs vec_id 16..23 as held-out queries (n=$n < 24)")
-    val qs = e.filter(col("vec_id") >= 16 && col("vec_id") < 24)
+    require(n >= QHi,
+      s"the recall harness needs vec_id $QLo..${QHi - 1} as held-out queries (n=$n < $QHi)")
+    val qs = e.filter(col("vec_id") >= QLo && col("vec_id") < QHi)
       .select(col("vec_id").as("qid"), col("embedding").as("qv"))
     val ex = e.crossJoin(broadcast(qs))
       .select(col("qid"), col("vec_id"), dot(col("embedding"), col("qv")).as("s"))
@@ -3632,16 +3658,22 @@ object Similarity {
       .select(col("vec_id"), col("cell"), col("m"), pqBookBest("code").as("code"))
   }
 
-  /** Converged residual-vs-trained-32 book records (the [[memoBook]]
-    * `res32` variant): the subvector stream and seeds come from
-    * [[res32Frame]]'s residuals, seeds = residuals of vec_id < [[PqK]]
+  /** Converged residual-vs-coarse book records: the subvector stream and
+    * seeds come from [[res32Frame]]'s residuals against the CALLER's
+    * (cents, assign) coarse pair, seeds = residuals of vec_id < [[PqK]]
     * with code = vec_id (no id shift — unlike the seeded-8 residual book,
     * no corpus vector IS a trained centroid, so every seed residual is
-    * non-zero). Same held-out-query seed-prefix caveat as
-    * [[simAnnRecallSet]]'s scaladoc. */
+    * non-zero). `coarseTag` names the coarse pair and is folded into the
+    * [[memoBook]] key (round-17 ADVICE: the old fixed `res32` key took
+    * cents/assign as parameters, so a caller passing a DIFFERENT coarse
+    * layout would silently receive the trained-32 book — now the caller
+    * must name what it passes, and two coarse frames can never share a
+    * memo entry by accident). The held-out window [[QLo]]..[[QHi]]−1 is
+    * disjoint from the seed range by the object-init require. */
   private[graft] def convergedRes32Book(spark: SparkSession, dir: String,
-      cents: DataFrame, assign: DataFrame): Seq[(Int, Long, Seq[Double], Long, Long)] =
-    memoBook(spark, dir, "res32") {
+      cents: DataFrame, assign: DataFrame,
+      coarseTag: String = "t32"): Seq[(Int, Long, Seq[Double], Long, Long)] =
+    memoBook(spark, dir, s"res32:$coarseTag") {
       val res = res32Frame(spark, dir, cents, assign).localCheckpoint(true)
       val subs = (0 until PqM).map(m => struct(lit(m).as("m"),
         slice(col("rv"), m * PqSub + 1, PqSub).as("sv")))
@@ -3989,21 +4021,24 @@ object Similarity {
     * operating point is left unserved): trained-32 coarse quantizer
     * ([[simIvfCells]]'s winning rung, [[lloydCells]] to the
     * [[CellRounds]] budget) → probe the query's top-4 cells (the matched
-    * 1/8 scan fraction, ceiling 0.8375 at sf0.1) → ADC-rank the pool
-    * against the SERVED k* = [[PqK]] = 64 RESIDUAL codebook
-    * ([[convergedRes32Book]] — the `sim_deployed_levers` winner, adopted
-    * round 16: residuals against the TRAINED quantizer concentrate, and
-    * the residual ADC reaches the pool's exact ceiling at the ×1 beam
-    * where the raw book left 0.075 recall on the table) →
-    * derived re-rank beam (min(C, max(50, 10·bitlen(C))) per query, the
-    * [[rerankBeamWidth]] rule) → exact re-score of the beam → top-10.
-    * Emits one row per held-out query (qid, pool_rows, beam_rows, hits,
-    * recall_r). MEASURED: mean recall@10 0.8375 at sf0.1 (the probe-4
-    * ceiling itself — zero coding loss) scanning 1976 pool rows + 660
-    * beam re-scores, up from the raw book's 0.7625 at identical touches
-    * — vs the probe-3 seeded-8 rerank rung's 0.55 at 6103 scanned
-    * ([[simAnnRecallSet]]); 0.875 at sf0.01 (pool-saturated, every
-    * coding reads the ceiling there). Shape at 100 TB: coarse training and corpus
+    * 1/8 scan fraction) → ADC-rank the pool against the SERVED
+    * k* = [[PqK]] = 64 RESIDUAL codebook ([[convergedRes32Book]] —
+    * retained round 17 because it dominates raw coding along the probe
+    * frontier where a serve scales, though the codings tie at this
+    * operating point under the honest query window) → ×2 derived re-rank
+    * beam (min(C, 2·max(50, 10·bitlen(C))) per query — the round-17
+    * `sim_deployed_levers` winner under the HONEST window: the ×2 beam
+    * reads the pool ceiling exactly under EVERY coding, while every ×1
+    * rung leaves 0.025–0.0375 recall on the table) → exact re-score of
+    * the beam → top-10. Emits one row per held-out query (qid,
+    * pool_rows, beam_rows, hits, recall_r). MEASURED with the honest
+    * window: mean recall@10 0.425 at sf0.1 = the probe-4 pool ceiling
+    * itself (zero coding + beam loss) at ~250 pool rows and ~160 beam
+    * re-scores per query; 0.45 at sf0.01 (pool-saturated). The r16
+    * headline 0.8375 was measured on queries inside the codebook seed
+    * prefixes — the honest ceiling of this probe count on near-uniform
+    * sphere data is 0.425, and widening probes, not coding, is the next
+    * lever ([[simDeployedFrontier]]). Shape at 100 TB: coarse training and corpus
     * encode are snapshot-time write paths — since round 16 they ARE
     * writes, the [[annDag]] index marts this gate reads back (the oracle
     * still replays the whole arc inline — referee pricing); the read
@@ -4028,7 +4063,7 @@ object Similarity {
       adc AS (${adcPivotSql(
         "enc e JOIN rlut l ON l.qid = e.qid AND l.cell = e.cell AND l.m = e.m AND l.code = e.code")}),
       bw AS (
-        SELECT qid, least(CAST(count(*) AS BIGINT), $bwAggSql) AS bw
+        SELECT qid, least(CAST(count(*) AS BIGINT), 2 * ($bwAggSql)) AS bw
         FROM cand GROUP BY qid),
       beam AS MATERIALIZED (
         SELECT z.qid, z.vec_id FROM (
@@ -4079,7 +4114,7 @@ object Similarity {
       val lut = resLut(qs, annIndexMart(spark, dir, "mart_ann_cents32"),
         annIndexMart(spark, dir, "mart_ann_book64r").select("m", "code", "cv"))
       val adc = adcSum(enc, lut, Seq("qid", "cell", "m", "code"))
-      val beam = derivedBeam(adc, beamWidths(cand)).localCheckpoint(true)
+      val beam = derivedBeam(adc, beamWidths(cand), 2).localCheckpoint(true)
       val top = beam.join(e, Seq("vec_id")).join(broadcast(qs), Seq("qid"))
         .select(col("qid"), col("vec_id"), dot(col("embedding"), col("qv")).as("s"))
         .withColumn("rn", row_number().over(wq.orderBy(col("s").desc, col("vec_id"))))
@@ -4106,37 +4141,47 @@ object Similarity {
     }
   }
 
-  /** sim — the DEPLOYED read path's LEVERS, measured ON the deployed gate
-    * (round 16 — r15 verdict #3: the deployed path read 0.7625 against
-    * its own probe-4 ceiling of 0.8375, the residual being ADC ranking
-    * error; this gate prices the levers that close it, all on the
-    * IDENTICAL trained-32/probe-4 pool, hits by the re-rank lemma):
-    *   - `raw_m1`   — the served raw-book ADC at the ×1 derived beam
-    *     (what [[simAnnDeployed]] served through round 15);
-    *   - `raw_m2`   — the same ranking, beam ×2 (twice the true-vector
-    *     re-rank touches);
-    *   - `res_m1`   — ADC under the residual-vs-TRAINED-32 book
-    *     ([[convergedRes32Book]]) at the ×1 beam: same touches as raw_m1,
-    *     finer coding;
-    *   - `ceiling`  — the exact-scored pool (no coding can beat it).
-    * MEASURED at sf0.1: raw_m1 0.7625 < raw_m2 = res_m1 = ceiling =
-    * 0.8375 — BOTH levers close the entire ADC gap, but the residual
-    * book does it at the ×1 beam (660 re-rank rows) where the beam lever
-    * pays ×2 (1320): the measured winner is CODING, not beam, and
-    * [[simAnnDeployed]] now serves it. At sf0.01 the pool saturates the
-    * beam floor (489 pool / 483 beam) and every rung reads the ceiling
-    * 0.875 — the lever only matters once pools outgrow the re-rank
-    * floor, exactly the 100 TB regime. The residual result REVERSES
-    * [[simAnnRecallSet]]'s seeded-8 negative: residuals against a
-    * TRAINED quantizer concentrate (Jégou §IV's premise restored once
-    * the coarse layout is learned), which is why the lever had to be
-    * re-measured after the quantizer upgrade instead of trusting the
-    * old verdict. Laws in-gate: nested beams are hit-monotone
-    * (raw_m1 ≤ raw_m2 ≤ ceiling), res_m1 ≤ ceiling, and the matched ×1
-    * beam widths are identical across codings. Shape at 100 TB: both
-    * codings read the persisted [[annDag]] code tables (map-side join
-    * against the pool), LUTs broadcast, beams are (qid, id) scalars;
-    * the ceiling row is the evaluation's price, not the serve's. */
+  /** sim — the DEPLOYED read path's LEVERS, measured ON the deployed gate:
+    * every coding × beam rung on the IDENTICAL trained-32/probe-4 pool,
+    * hits by the re-rank lemma:
+    *   - `raw_m1`/`raw_m2`       — the served raw-book ADC at the ×1 /
+    *     ×2 derived beam;
+    *   - `res_m1`/`res_m2`       — ADC under the residual-vs-TRAINED-32
+    *     book ([[convergedRes32Book]]): same touches, finer coding;
+    *   - `opqres_m1`/`opqres_m2` — the OPQ × residual COMPOSITION
+    *     (round 17 — r16 verdict #3): [[opqGreedyPerm]]'s balanced-
+    *     variance dimension allocation learned on the RESIDUAL stream,
+    *     residuals permuted, an equal-bytes (M=4, k*=[[PqK]]) book
+    *     trained to the same budget;
+    *   - `ceiling`               — the exact-scored pool (no coding can
+    *     beat it).
+    * MEASURED at sf0.1 with the round-17 HONEST query window (the old
+    * 16..23 window sat inside every codebook's seed prefix and inflated
+    * all ADC rungs — r16 verdict #1): the coding levers COLLAPSE TO
+    * NOISE at the served operating point — raw_m1 0.40 / res_m1 0.3875 /
+    * opqres_m1 0.4125 against the 0.425 pool ceiling, and EVERY coding's
+    * ×2 beam reads the ceiling exactly (0.425 = 0.425 ×3). The r16
+    * residual-closes-the-gap result was an artifact of the seeded
+    * queries; the honest decision is: the BEAM is the lever that buys
+    * back ADC ranking error (adopted ×2 into [[simAnnDeployed]]), coding
+    * choice at the served probe count is ulp-level, and residual coding
+    * is RETAINED only because it dominates raw where a serve actually
+    * scales — [[simDeployedFrontier]] measures res×1 45 vs raw×1 38 hits
+    * at probe-8 and 46 vs 35 at probe-12. The OPQ composition is a
+    * measured TIE at equal bytes (the r16-#3 negative result, recorded):
+    * the driver's residuals are near-isotropic, so Ge et al.'s
+    * allocation has no variance imbalance to exploit — the machinery is
+    * what this gate pins, and the rung exists so an anisotropic corpus
+    * flips the decision by measurement, not by re-engineering. At sf0.01
+    * the pool saturates the beam floor and every rung reads the ceiling
+    * 0.45. Laws in-gate: nested beams are hit-monotone PER CODING
+    * (m1 ≤ m2 ≤ ceiling ×3), and the matched ×1 beam widths are
+    * identical across codings. Shape at 100 TB: raw/res codings read the
+    * persisted [[annDag]] code tables (map-side join against the pool),
+    * the OPQ rung's training is per-round one broadcast-argmin map pass
+    * (priced per evaluation — adoption would move it into the mart DAG),
+    * LUTs broadcast, beams are (qid, id) scalars; the ceiling row is the
+    * evaluation's price, not the serve's. */
   val simDeployedLevers: QueryDef = QueryDef(
     "sim_deployed_levers",
     Some(s"""
@@ -4176,11 +4221,42 @@ object Similarity {
       radc AS MATERIALIZED (${adcPivotSql(
         """renc e JOIN cand c ON c.qid = e.qid AND c.vec_id = e.vec_id
         JOIN rlut l ON l.qid = e.qid AND l.cell = c.cell AND l.m = e.m AND l.code = e.code""")}),
+      ${varqAllocSql("rv", "res", "opq_map")}
+      opq_perm AS (SELECT list(dim0 + 1 ORDER BY pos) AS pm FROM opq_map),
+      ores AS MATERIALIZED (
+        SELECT r.vec_id, list_transform(range(1, 65), i -> r.rv[p.pm[i]]) AS pv
+        FROM res r, opq_perm p),
+      osub AS (
+        SELECT o.vec_id, ms.m,
+               list_slice(o.pv, ms.m * $PqSub + 1, ms.m * $PqSub + $PqSub) AS sv
+        FROM ores o, ms),
+      ob0 AS (
+        SELECT ms.m, CAST(o.vec_id AS BIGINT) AS code,
+               list_slice(o.pv, ms.m * $PqSub + 1, ms.m * $PqSub + $PqSub) AS cv
+        FROM ores o, ms WHERE o.vec_id < $PqK),
+      ${pqRoundsSql("o", "osub", "ob0")},
+      obook AS (SELECT m, code, cv FROM ob$PqTrainRounds),
+      oenc AS MATERIALIZED (
+        SELECT c.qid, c.vec_id, c.cell, s.m,
+               arg_min(b.code, ${sqSubSql("s.sv", "b.cv")} + 1e-12 * b.code) AS code
+        FROM cand c JOIN osub s ON s.vec_id = c.vec_id JOIN obook b ON b.m = s.m
+        GROUP BY c.qid, c.vec_id, c.cell, s.m, s.sv),
+      oqres AS (
+        SELECT q.qid, t.cent_id AS cell,
+               list_transform(range(1, 65), i -> CAST(q.qv[p.pm[i]] AS DOUBLE) - t.cv[p.pm[i]]) AS rqv
+        FROM qs q, t32c$CellRounds t, opq_perm p),
+      olut AS MATERIALIZED (
+        SELECT r.qid, r.cell, b.m, b.code,
+               ${sqSubSql(s"list_slice(r.rqv, b.m * $PqSub + 1, b.m * $PqSub + $PqSub)", "b.cv")} AS qd
+        FROM oqres r, obook b),
+      oadc AS MATERIALIZED (${adcPivotSql(
+        "oenc e JOIN olut l ON l.qid = e.qid AND l.cell = e.cell AND l.m = e.m AND l.code = e.code")}),
       bw AS (
         SELECT qid, CAST(count(*) AS BIGINT) AS cq, $bwAggSql AS bw1
         FROM cand GROUP BY qid),
       rawrk AS (SELECT qid, vec_id, row_number() OVER (PARTITION BY qid ORDER BY score, vec_id) AS rk FROM adc),
       resrk AS (SELECT qid, vec_id, row_number() OVER (PARTITION BY qid ORDER BY score, vec_id) AS rk FROM radc),
+      opqrk AS (SELECT qid, vec_id, row_number() OVER (PARTITION BY qid ORDER BY score, vec_id) AS rk FROM oadc),
       rows_out AS (
         SELECT 'raw_m1' AS variant,
                (SELECT CAST(sum(least(cq, bw1)) AS BIGINT) FROM bw) AS beam_rows,
@@ -4196,6 +4272,21 @@ object Similarity {
                (SELECT CAST(sum(least(cq, bw1)) AS BIGINT) FROM bw),
                (SELECT CAST(count(*) AS BIGINT) FROM resrk r JOIN bw ON bw.qid = r.qid
                 JOIN ex x ON x.qid = r.qid AND x.vec_id = r.vec_id WHERE r.rk <= least(bw.cq, bw.bw1))
+        UNION ALL
+        SELECT 'res_m2',
+               (SELECT CAST(sum(least(cq, 2 * bw1)) AS BIGINT) FROM bw),
+               (SELECT CAST(count(*) AS BIGINT) FROM resrk r JOIN bw ON bw.qid = r.qid
+                JOIN ex x ON x.qid = r.qid AND x.vec_id = r.vec_id WHERE r.rk <= least(bw.cq, 2 * bw.bw1))
+        UNION ALL
+        SELECT 'opqres_m1',
+               (SELECT CAST(sum(least(cq, bw1)) AS BIGINT) FROM bw),
+               (SELECT CAST(count(*) AS BIGINT) FROM opqrk r JOIN bw ON bw.qid = r.qid
+                JOIN ex x ON x.qid = r.qid AND x.vec_id = r.vec_id WHERE r.rk <= least(bw.cq, bw.bw1))
+        UNION ALL
+        SELECT 'opqres_m2',
+               (SELECT CAST(sum(least(cq, 2 * bw1)) AS BIGINT) FROM bw),
+               (SELECT CAST(count(*) AS BIGINT) FROM opqrk r JOIN bw ON bw.qid = r.qid
+                JOIN ex x ON x.qid = r.qid AND x.vec_id = r.vec_id WHERE r.rk <= least(bw.cq, 2 * bw.bw1))
         UNION ALL
         SELECT 'ceiling',
                (SELECT CAST(count(*) AS BIGINT) FROM cand),
@@ -4229,9 +4320,56 @@ object Similarity {
     val adcRaw = adcSum(encRaw, lutRaw, Seq("qid", "m", "code")).localCheckpoint(false)
     val encRes = cand.join(annIndexMart(spark, dir, "mart_ann_codes64r"), Seq("vec_id"))
       .select(col("qid"), col("vec_id"), col("cell"), col("m"), col("code"))
-    val lutRes = resLut(qs, annIndexMart(spark, dir, "mart_ann_cents32"),
+    val cents32 = annIndexMart(spark, dir, "mart_ann_cents32")
+    val lutRes = resLut(qs, cents32,
       annIndexMart(spark, dir, "mart_ann_book64r").select("m", "code", "cv"))
+    // both widths read each ranking — lazily checkpoint like the raw leg
     val adcRes = adcSum(encRes, lutRes, Seq("qid", "cell", "m", "code"))
+      .localCheckpoint(false)
+    // --- the OPQ × residual composition (round 17 — r16 verdict #3):
+    // dimension allocation learned on the RESIDUAL stream's variance
+    // (the honest composition — OPQ reallocates whatever the coarse
+    // stage left), residuals permuted, an equal-bytes (M=4, k*=PqK)
+    // book trained to the same budget, pool encoded under it
+    val resm = res32Frame(spark, dir, cents32,
+      annIndexMart(spark, dir, "mart_ann_assign32")).localCheckpoint(true)
+    val operm = opqGreedyPerm(dimVarianceQOf(
+      resm.select(posexplode(col("rv")).as(Seq("dim", "v")))))
+    def permute(c: Column): Column = array(operm.map(p => c(p - 1)): _*)
+    val opv = resm.select(col("vec_id"), permute(col("rv")).as("pv"))
+    val osubs = (0 until PqM).map(m => struct(lit(m).as("m"),
+      slice(col("pv"), m * PqSub + 1, PqSub).as("sv")))
+    val osub = opv.select(col("vec_id"), explode(array(osubs: _*)).as("x"))
+      .select(col("vec_id"), col("x.m").as("m"), col("x.sv").as("sv"))
+    val obook = bookDf(spark, memoBook(spark, dir, "opqres32:t32") {
+      trainSubspaceBook(spark, osub,
+        opv.filter(col("vec_id") < PqK)
+          .select(col("vec_id").cast(LongType).as("code"),
+            explode(array(osubs: _*)).as("x"))
+          .select(col("x.m").as("m"), col("code"), col("x.sv").as("cv")))
+    }).select("m", "code", "cv")
+    val encOpq = cand
+      .join(annIndexMart(spark, dir, "mart_ann_assign32"), Seq("vec_id"))
+      .join(osub, Seq("vec_id"))
+      .crossJoin(broadcast(pqBookRow(obook)))
+      .select(col("qid"), col("vec_id"), col("cell"), col("m"),
+        pqBookBest("code").as("code"))
+    val lutOpq = qs.crossJoin(broadcast(
+        cents32.select(col("cent_id").as("cell"), col("cv").as("ccv"))))
+      .withColumn("rq0", zip_with(col("qv"), col("ccv"),
+        (x, y) => x.cast(DoubleType) - y))
+      .select(col("qid"), col("cell"), permute(col("rq0")).as("rqv"))
+      .select(col("qid"), col("cell"),
+        explode(array((0 until PqM).map(m => struct(lit(m).as("m"),
+          slice(col("rqv"), m * PqSub + 1, PqSub).as("qsv"))): _*)).as("x"))
+      .select(col("qid"), col("cell"), col("x.m").as("m"), col("x.qsv").as("qsv"))
+      .join(obook, Seq("m"))
+      .select(col("qid"), col("cell"), col("m"), col("code"),
+        aggregate(zip_with(col("qsv"), col("cv"),
+          (x, y) => (x.cast(DoubleType) - y) * (x.cast(DoubleType) - y)),
+          lit(0.0), (acc, v) => acc + v).as("qd"))
+    val adcOpq = adcSum(encOpq, lutOpq, Seq("qid", "cell", "m", "code"))
+      .localCheckpoint(false)
     val bwq = beamWidths(cand)
     def beamStat(adc: DataFrame, mult: Int): (Long, Long) = {
       val beam = derivedBeam(adc, bwq, mult).localCheckpoint(false)
@@ -4244,49 +4382,58 @@ object Similarity {
     val (b1, h1) = beamStat(adcRaw, 1)
     val (b2, h2) = beamStat(adcRaw, 2)
     val (br, hr) = beamStat(adcRes, 1)
+    val (br2, hr2) = beamStat(adcRes, 2)
+    val (bo1, ho1) = beamStat(adcOpq, 1)
+    val (bo2, ho2) = beamStat(adcOpq, 2)
     val cn = cand.count()
     val ch = cand.join(broadcast(ex),
       col("qid") === col("xq") && col("vec_id") === col("xt")).count()
-    Seq(adcRaw, cand, ex, e).foreach(_.unpersist(false))
-    // laws: nested beams are hit-monotone; no rung beats its pool ceiling;
-    // the matched x1 beam widths are identical across codings
-    require(h1 <= h2 && h2 <= ch, s"beam nesting broke: $h1 / $h2 / ceiling $ch")
-    require(hr <= ch, s"residual rung beat its own pool ceiling: $hr > $ch")
-    require(b1 == br, s"matched beam widths diverged: raw $b1 vs res $br")
-    Seq(("ceiling", cn, ch), ("raw_m1", b1, h1), ("raw_m2", b2, h2), ("res_m1", br, hr))
+    Seq(adcRaw, adcRes, adcOpq, resm, cand, ex, e).foreach(_.unpersist(false))
+    // laws: nested beams are hit-monotone PER CODING; no rung beats its
+    // pool ceiling; the matched x1 beam widths are identical across codings
+    require(h1 <= h2 && h2 <= ch, s"raw beam nesting broke: $h1 / $h2 / ceiling $ch")
+    require(hr <= hr2 && hr2 <= ch, s"res beam nesting broke: $hr / $hr2 / ceiling $ch")
+    require(ho1 <= ho2 && ho2 <= ch, s"opq beam nesting broke: $ho1 / $ho2 / ceiling $ch")
+    require(b1 == br && b1 == bo1, s"matched beam widths diverged: raw $b1 / res $br / opq $bo1")
+    Seq(("ceiling", cn, ch), ("raw_m1", b1, h1), ("raw_m2", b2, h2),
+        ("res_m1", br, hr), ("res_m2", br2, hr2),
+        ("opqres_m1", bo1, ho1), ("opqres_m2", bo2, ho2))
       .toDF("variant", "beam_rows", "hits")
       .select(col("variant"), col("beam_rows"), col("hits"),
         round(col("hits").cast(DoubleType) / 80.0, 6).as("recall_r"))
       .orderBy("variant")
   }
 
-  /** sim — the SERVED path's PROBE FRONTIER (round 16): with the coding
-    * at its pool ceiling ([[simDeployedLevers]] — residual ADC loses
-    * nothing inside a pool), the binding constraint is the probe count,
-    * so this gate prices the recall/scan frontier OF THE PATH ACTUALLY
-    * SERVED — trained-32 coarse → probe p ∈ {2, 4, 8, 12} → residual
-    * ADC off the persisted code table → derived beam → exact re-rank
-    * (hits by the re-rank lemma) — unlike [[simAnnFrontier]], which
-    * priced the seeded-8 raw-book path this suite no longer serves.
-    * MEASURED at sf0.1: recall 0.8125 / 0.8375 / 0.8625 / 0.90 at pools
-    * of 123 / 247 / 495 / 741 rows per query — the served probe-4 point
-    * sits at the frontier's knee, and the sweep surfaces WHICH
-    * constraint binds where: probes 2 and 4 read their pool ceilings
-    * exactly (the levers result — zero coding loss), while at 8 and 12
-    * the ceilings keep climbing (0.90 / 0.9375) but the read falls
-    * short (0.8625 / 0.90) because the DERIVED BEAM grows
-    * logarithmically while the pool grows linearly — past the knee the
-    * re-rank budget, not the coding, is the next lever (exactly the
-    * beam-width economics [[rerankBeamWidth]] encodes). ADC scores are
-    * probe-independent, so the sweep encodes
-    * the WIDEST pool once and re-ranks per probe — 4 windows over
-    * (p, qid, id, score) scalars. Laws in-gate: pools nest (scanned and
-    * ceiling hits monotone in p) and beam hits never exceed the pool
-    * ceiling. Shape at 100 TB: identical to [[simAnnDeployed]] — the
-    * probe dimension adds only the broadcast probe list and the rank
-    * windows. */
+  /** sim — the SERVED path's PROBE × BEAM FRONTIER: the two serve-time
+    * levers swept together on the path actually served — trained-32
+    * coarse → probe p ∈ {2, 4, 8, 12} → residual ADC off the persisted
+    * code table → derived beam × mult ∈ {1, 2, 4} → exact re-rank (hits
+    * by the re-rank lemma) — unlike [[simAnnFrontier]], which priced the
+    * seeded-8 raw-book path this suite no longer serves. The beam
+    * dimension is round 17 (r16 verdict #2): the r16 probe-only sweep
+    * proved probes 8/12 were beam-bound ([[rerankBeamWidth]] grows
+    * log-with-pool while the pool grows linearly) but never priced the
+    * lever that closes the gap. MEASURED at sf0.1 with the honest query
+    * window: at ×1 the read falls away from its climbing ceiling
+    * (0.325 / 0.3875 / 0.5625 / 0.575 vs ceilings 0.325 / 0.425 / 0.675
+    * / 0.7375), at ×2 probes ≤ 4 read their ceilings, and at ×4 EVERY
+    * probe count reads its pool ceiling exactly — the whole ADC ranking
+    * error is bought back by a re-rank budget that stays O(k·bitlen(C));
+    * e.g. probe-12's 0.7375 ceiling costs a ×4 beam of ~100 true-vector
+    * touches per query on a ~755-row pool. That completes the knee
+    * story: past probe 4 BOTH levers must move together — probes buy
+    * ceiling, beam buys the read — and the served [[simAnnDeployed]]
+    * point (probe 4, ×2 beam) is the cheapest spot where read = ceiling.
+    * ADC scores are probe-independent, so the sweep encodes the WIDEST
+    * pool once and re-ranks per (p, mult) — 12 windows over (p, qid, id,
+    * score) scalars. Laws in-gate: pools nest (scanned and ceiling hits
+    * monotone in p at fixed mult), beams nest (hits monotone in mult at
+    * fixed p), and no beam beats its own pool ceiling. Shape at 100 TB:
+    * identical to [[simAnnDeployed]] — the two sweep dimensions add only
+    * the broadcast probe list and the rank windows. */
   val simDeployedFrontier: QueryDef = {
     val probes = Seq(2, 4, 8, 12)
+    val mults = Seq(1, 2, 4)
     QueryDef(
       "sim_deployed_frontier",
       Some(s"""
@@ -4309,6 +4456,7 @@ object Similarity {
         FROM enc e JOIN rlut l ON l.qid = e.qid AND l.cell = e.cell AND l.m = e.m AND l.code = e.code
         GROUP BY e.qid, e.vec_id, e.crn),
       pv AS (SELECT unnest([${probes.mkString(", ")}]) AS p),
+      mv AS (SELECT unnest([${mults.mkString(", ")}]) AS mult),
       pool AS MATERIALIZED (
         SELECT pv.p, a.qid, a.vec_id, a.score FROM adc a JOIN pv ON a.crn <= pv.p),
       bw AS (
@@ -4318,21 +4466,25 @@ object Similarity {
         SELECT p, qid, vec_id, row_number() OVER (PARTITION BY p, qid ORDER BY score, vec_id) AS rk
         FROM pool),
       beam AS MATERIALIZED (
-        SELECT r.p, r.qid, r.vec_id FROM prk r JOIN bw ON bw.p = r.p AND bw.qid = r.qid
-        WHERE r.rk <= least(bw.cq, bw.bw1)),
+        SELECT mv.mult, r.p, r.qid, r.vec_id
+        FROM prk r JOIN bw ON bw.p = r.p AND bw.qid = r.qid, mv
+        WHERE r.rk <= least(bw.cq, mv.mult * bw.bw1)),
+      pm AS (SELECT pv.p, mv.mult FROM pv, mv),
       stat AS (
-        SELECT p,
-               (SELECT CAST(count(*) AS BIGINT) FROM pool WHERE pool.p = pv.p) AS scanned,
-               (SELECT CAST(count(*) AS BIGINT) FROM beam WHERE beam.p = pv.p) AS beam_rows,
+        SELECT p, mult,
+               (SELECT CAST(count(*) AS BIGINT) FROM pool WHERE pool.p = pm.p) AS scanned,
+               (SELECT CAST(count(*) AS BIGINT) FROM beam
+                WHERE beam.p = pm.p AND beam.mult = pm.mult) AS beam_rows,
                (SELECT CAST(count(*) AS BIGINT) FROM beam b JOIN ex x ON x.qid = b.qid AND x.vec_id = b.vec_id
-                WHERE b.p = pv.p) AS hits,
+                WHERE b.p = pm.p AND b.mult = pm.mult) AS hits,
                (SELECT CAST(count(*) AS BIGINT) FROM pool c JOIN ex x ON x.qid = c.qid AND x.vec_id = c.vec_id
-                WHERE c.p = pv.p) AS ceiling_hits
-        FROM pv)
-      SELECT CAST(p AS BIGINT) AS probes, scanned, beam_rows, hits, ceiling_hits,
+                WHERE c.p = pm.p) AS ceiling_hits
+        FROM pm)
+      SELECT CAST(p AS BIGINT) AS probes, CAST(mult AS BIGINT) AS beam_mult,
+             scanned, beam_rows, hits, ceiling_hits,
              round(CAST(hits AS DOUBLE) / 80.0, 6) AS recall_r,
              round(CAST(ceiling_hits AS DOUBLE) / 80.0, 6) AS ceiling_r
-      FROM stat ORDER BY probes
+      FROM stat ORDER BY probes, beam_mult
     """)) { (spark, dir) =>
       import org.apache.spark.sql.expressions.Window
       val s2 = spark
@@ -4352,35 +4504,49 @@ object Similarity {
       // probe re-rank the nested slices (crn rides back in via the join)
       val adc = adcSum(enc, lut, Seq("qid", "cell", "m", "code"))
         .join(cand, Seq("qid", "vec_id")).localCheckpoint(true)
-      def stat(p: Int): (Long, Long, Long, Long, Long) = {
-        val pool = adc.filter(col("crn") <= p)
-        val beam = derivedBeam(pool, beamWidths(pool)).localCheckpoint(false)
+      def stat(p: Int): Seq[(Long, Long, Long, Long, Long, Long)] = {
+        // one ranking per probe count; the beam multiples slice it
+        val pool = adc.filter(col("crn") <= p).localCheckpoint(false)
         val scanned = pool.count()
-        val beamRows = beam.count()
-        val hits = beam.join(broadcast(ex),
-          col("qid") === col("xq") && col("vec_id") === col("xt")).count()
         val ceil = pool.join(broadcast(ex),
           col("qid") === col("xq") && col("vec_id") === col("xt")).count()
-        beam.unpersist(false)
-        (p.toLong, scanned, beamRows, hits, ceil)
+        val bwq = beamWidths(pool)
+        val out = mults.map { m =>
+          val beam = derivedBeam(pool, bwq, m).localCheckpoint(false)
+          val beamRows = beam.count()
+          val hits = beam.join(broadcast(ex),
+            col("qid") === col("xq") && col("vec_id") === col("xt")).count()
+          beam.unpersist(false)
+          (p.toLong, m.toLong, scanned, beamRows, hits, ceil)
+        }
+        pool.unpersist(false)
+        out
       }
-      val rows = probes.map(stat)
+      val rows = probes.flatMap(stat)
       Seq(adc, cand, ex, e).foreach(_.unpersist(false))
       // nesting laws: pools nest in the probe count, so scanned and the
-      // pool ceiling are monotone; the beam never beats its own ceiling
-      rows.sliding(2).foreach { case Seq(a, b) =>
-        require(a._2 <= b._2 && a._5 <= b._5,
-          s"probe nesting broke: $a vs $b")
+      // pool ceiling are monotone; beams nest in the multiple, so hits
+      // are monotone in mult at fixed p; no beam beats its own ceiling
+      rows.groupBy(_._2).foreach { case (m, rs) =>
+        rs.sortBy(_._1).sliding(2).foreach { case Seq(a, b) =>
+          require(a._3 <= b._3 && a._6 <= b._6,
+            s"probe nesting broke at mult $m: $a vs $b")
+        case _ => ()
+        }
       }
-      rows.foreach { case r @ (_, _, _, h, c) =>
+      rows.groupBy(_._1).foreach { case (p, rs) =>
+        val h = rs.sortBy(_._2).map(_._5)
+        require(h == h.sorted, s"beam-mult hits not monotone at probes $p: $rs")
+      }
+      rows.foreach { case r @ (_, _, _, _, h, c) =>
         require(h <= c, s"beam hits beat the pool ceiling: $r")
       }
-      rows.toDF("probes", "scanned", "beam_rows", "hits", "ceiling_hits")
-        .select(col("probes"), col("scanned"), col("beam_rows"), col("hits"),
-          col("ceiling_hits"),
+      rows.toDF("probes", "beam_mult", "scanned", "beam_rows", "hits", "ceiling_hits")
+        .select(col("probes"), col("beam_mult"), col("scanned"), col("beam_rows"),
+          col("hits"), col("ceiling_hits"),
           round(col("hits").cast(DoubleType) / 80.0, 6).as("recall_r"),
           round(col("ceiling_hits").cast(DoubleType) / 80.0, 6).as("ceiling_r"))
-        .orderBy("probes")
+        .orderBy("probes", "beam_mult")
     }
   }
 
@@ -4428,7 +4594,7 @@ object Similarity {
     QueryDef(
       "sim_ann_filtered",
       Some(s"""
-      WITH qs AS (SELECT vec_id AS qid, embedding AS qv, label AS qlbl FROM embeddings WHERE vec_id >= 16 AND vec_id < 24),
+      WITH qs AS (SELECT vec_id AS qid, embedding AS qv, label AS qlbl FROM embeddings WHERE vec_id >= $QLo AND vec_id < $QHi),
       fx AS MATERIALIZED (
         SELECT qid, vec_id FROM (
           SELECT q.qid, e.vec_id,
@@ -4467,9 +4633,9 @@ object Similarity {
       val e = emb(spark, dir).select(col("vec_id"), col("embedding"), col("label"))
         .localCheckpoint(true)
       val n = e.count()
-      require(n >= 24,
-        s"the recall harness needs vec_id 16..23 as held-out queries (n=$n < 24)")
-      val qs = e.filter(col("vec_id") >= 16 && col("vec_id") < 24)
+      require(n >= QHi,
+        s"the recall harness needs vec_id $QLo..${QHi - 1} as held-out queries (n=$n < $QHi)")
+      val qs = e.filter(col("vec_id") >= QLo && col("vec_id") < QHi)
         .select(col("vec_id").as("qid"), col("embedding").as("qv"), col("label").as("qlbl"))
       // filtered ground truth: exact top-10 within the query's label class
       val fx = e.join(broadcast(qs), col("label") === col("qlbl"))
@@ -4922,7 +5088,7 @@ object Similarity {
     s"""g AS MATERIALIZED (SELECT s, t FROM l$rounds WHERE rk <= $NndServeDeg)"""
 
   private def nnServeCommonSql(rounds: Int): String = s""",
-      qs AS (SELECT vec_id AS qid, embedding AS qv FROM e WHERE vec_id >= 16 AND vec_id < 24),
+      qs AS (SELECT vec_id AS qid, embedding AS qv FROM e WHERE vec_id >= $QLo AND vec_id < $QHi),
       qsc AS MATERIALIZED (
         SELECT q.qid, x.vec_id AS t, ${dotSql("x.embedding", "q.qv")} AS score FROM e x, qs q),
       exq AS (
@@ -5032,7 +5198,7 @@ object Similarity {
   }
 
   /** sim — GRAPH-ANN SERVING over the NN-descent graph: answer the
-    * harness's 8 held-out queries (vec_id 16–23, the
+    * harness's 8 held-out queries ([[QLo]]..[[QHi]]−1, the
     * [[simAnnRecallSet]] set) by greedy best-first walk — MULTI-ENTRY
     * since round 15 (r14 verdict queue #7): enter at the MEDOIDS of the
     * query's top-P coarse cells (P swept over [[NndEntryPs]] = 1/2/4 as
@@ -5073,7 +5239,7 @@ object Similarity {
     * straight over qsc, no self-join. Caller unpersists qsc and exq. */
   private def nnServeHarness(e: DataFrame): (DataFrame, DataFrame, DataFrame) = {
     import org.apache.spark.sql.expressions.Window
-    val qs = e.filter(col("vec_id") >= 16 && col("vec_id") < 24)
+    val qs = e.filter(col("vec_id") >= QLo && col("vec_id") < QHi)
       .select(col("vec_id").as("qid"), col("embedding").as("qv"))
     val qsc = e.crossJoin(broadcast(qs))
       .select(col("qid"), col("vec_id").as("t"), dot(col("embedding"), col("qv")).as("score"))
@@ -5124,11 +5290,11 @@ object Similarity {
       val s2 = spark
       import s2.implicits._
       val (e, n) = nnEmb(spark, dir)
-      // the gate hardcodes held-out queries vec_id 16..23 and a recall
+      // the gate hardcodes the held-out query window [QLo, QHi) and a recall
       // denominator of 80 — a smaller corpus would pass nnEmb's dense-id
       // guard yet emit a silently meaningless (or empty-query) metric
-      require(n >= 24,
-        s"sim_graph_serve needs vec_id 16..23 as held-out queries (n=$n < 24)")
+      require(n >= QHi,
+        s"sim_graph_serve needs vec_id $QLo..${QHi - 1} as held-out queries (n=$n < $QHi)")
       // the pruned SERVE core: each node's best NndServeDeg of the final
       // round's kept-NndK edges (build-wide/serve-narrow, see NndServeDeg)
       val gcore = serveCore(spark, dir)
@@ -5274,8 +5440,8 @@ object Similarity {
       val s2 = spark
       import s2.implicits._
       val (e, n) = nnEmb(spark, dir)
-      require(n >= 24,
-        s"sim_graph_hier needs vec_id 16..23 as held-out queries (n=$n < 24)")
+      require(n >= QHi,
+        s"sim_graph_hier needs vec_id $QLo..${QHi - 1} as held-out queries (n=$n < $QHi)")
       val gcore = serveCore(spark, dir)
       val graph = gcore.select(col("s").as("gs"), col("t").as("gt"))
       val (qs, qsc, exq) = nnServeHarness(e)
@@ -5780,8 +5946,8 @@ object Similarity {
       val s2 = spark
       import s2.implicits._
       val (e, n) = nnEmb(spark, dir)
-      require(n >= 24,
-        s"sim_graph_deployed needs vec_id 16..23 as held-out queries (n=$n < 24)")
+      require(n >= QHi,
+        s"sim_graph_deployed needs vec_id $QLo..${QHi - 1} as held-out queries (n=$n < $QHi)")
       val gcore = serveCore(spark, dir)
       val graph = gcore.select(col("s").as("gs"), col("t").as("gt"))
       val (qs, qsc, exq) = nnServeHarness(e)
@@ -5873,7 +6039,7 @@ object Similarity {
       "sim_dim_truncation",
       Some(s"""
       WITH e AS MATERIALIZED (SELECT vec_id, embedding FROM embeddings),
-      qs AS (SELECT vec_id AS qid, embedding AS qv FROM e WHERE vec_id >= 16 AND vec_id < 24),
+      qs AS (SELECT vec_id AS qid, embedding AS qv FROM e WHERE vec_id >= $QLo AND vec_id < $QHi),
       sc AS MATERIALIZED (
         SELECT q.qid, v.vec_id AS t, ${dotDSql(64)} AS score FROM e v, qs q),
       ex AS (

@@ -53,17 +53,17 @@ class LlmOpsSpec extends SparkSpec {
     val rows = Similarity.simIvfProbe.run(spark, sfDir).collect()
     assert(rows.nonEmpty)
     assert(rows.map(_.getAs[Long]("cell")).distinct.length === 1) // single-cell probe
-    assert(rows.head.getAs[Long]("vec_id") === 17L) // self top-1
+    assert(rows.head.getAs[Long]("vec_id") === Similarity.Q1.toLong) // self top-1
   }
 
   test("IVF multi-probe: ≤3 cells probed, self top-1, recall ≥ single-probe vs exact") {
     val multi = Similarity.simIvfMultiprobe.run(spark, sfDir).collect()
     assert(multi.nonEmpty)
     assert(multi.map(_.getAs[Long]("cell")).distinct.length <= 3)
-    assert(multi.head.getAs[Long]("vec_id") === 17L) // self top-1
+    assert(multi.head.getAs[Long]("vec_id") === Similarity.Q1.toLong) // self top-1
     // exact top-5 for the same query, brute force — the recall yardstick
     val e = core.tbl(spark, sfDir, "embeddings")
-    val q = e.filter(col("vec_id") === 17).select(col("embedding").as("qv"))
+    val q = e.filter(col("vec_id") === Similarity.Q1).select(col("embedding").as("qv"))
     val exact = e.crossJoin(broadcast(q))
       .select(col("vec_id"),
         call_function("graft_dot", col("embedding"), col("qv")).as("s"))
@@ -96,7 +96,7 @@ class LlmOpsSpec extends SparkSpec {
   test("PQ search: ADC over codes still self-retrieves first, distances non-decreasing") {
     val rows = Similarity.simPqSearch.run(spark, sfDir).collect()
     assert(rows.length === 10)
-    assert(rows.head.getAs[Long]("vec_id") === 17L) // self top-1 despite quantization
+    assert(rows.head.getAs[Long]("vec_id") === Similarity.Q1.toLong) // self top-1 despite quantization
     val ds = rows.map(_.getAs[Double]("adc_r"))
     assert(ds.forall(_ >= 0.0))
     assert(ds.sliding(2).forall { case Array(a, b) => a <= b; case _ => true })
@@ -187,7 +187,7 @@ class LlmOpsSpec extends SparkSpec {
     val rows = Similarity.simIvfAdc.run(spark, sfDir).collect()
     assert(rows.length === 10)
     assert(rows.map(_.getAs[Long]("cell")).distinct.length <= 3) // ≤ P cells
-    assert(rows.head.getAs[Long]("vec_id") === 17L) // self top-1 on trained book
+    assert(rows.head.getAs[Long]("vec_id") === Similarity.Q1.toLong) // self top-1 on trained book
     // ADC distances non-decreasing down the ranking
     val ds = rows.map(_.getAs[Double]("adc_r"))
     assert(ds.forall(_ >= 0.0))
@@ -243,7 +243,7 @@ class LlmOpsSpec extends SparkSpec {
     // every exact-top-10 member the ADC rung finds, the re-rank keeps —
     // recall@10(rerank) >= recall@10(adc), by construction, not luck
     val s2 = spark; import s2.implicits._
-    val q = core.tbl(spark, sfDir, "embeddings").filter(col("vec_id") === 17)
+    val q = core.tbl(spark, sfDir, "embeddings").filter(col("vec_id") === Similarity.Q1)
       .select(col("embedding").as("qv"))
     val exact = core.tbl(spark, sfDir, "embeddings").crossJoin(broadcast(q))
       .select(col("vec_id"),
@@ -258,7 +258,7 @@ class LlmOpsSpec extends SparkSpec {
     assert((rerankTop & exact).size >= (adcTop & exact).size,
       s"re-rank recall ${(rerankTop & exact).size} below ADC's ${(adcTop & exact).size}")
     // the query retrieves itself first under exact re-scoring
-    assert(rerank.head.getAs[Long]("vec_id") === 17L)
+    assert(rerank.head.getAs[Long]("vec_id") === Similarity.Q1.toLong)
     assert(rerank.head.getAs[Double]("score_r") > 0.999)
     // exact scores are presented in descending order
     val ss = rerank.map(_.getAs[Double]("score_r")).toSeq
@@ -331,30 +331,41 @@ class LlmOpsSpec extends SparkSpec {
       // the in-gate require already pins beam ⊆ pool and the floor rule
       assert(r.getAs[Long]("beam_rows") <= r.getAs[Long]("pool_rows"))
     }
-    // measured: 70/80 at n=500, 67/80 at n=2000 (the residual-book
-    // adoption lifted n=2000 from 61 to the probe-4 ceiling, round 16) —
-    // vs the probe-3 seeded-8 rerank rung's 44/80 at 3x the scan. Bar at
-    // 48 (0.6) leaves room for ulp-level tie flips while staying far
-    // above anything the 8-cell layout ever measured
+    // measured with the round-17 HONEST query window (disjoint from
+    // every codebook seed range — the old 16..23 window inflated these):
+    // 47/80 at sf0.001, 36/80 at sf0.01, 34/80 at sf0.1 — each EXACTLY
+    // its probe-4 pool ceiling (the x2 beam buys back the whole ADC
+    // ranking error). Bar at 30 (0.375) flags a real collapse while
+    // leaving room for tie-level wobble across corpus regenerations
     val total = rows.map(_.getAs[Long]("hits")).sum
-    assert(total >= 48L, s"deployed path recall fell below the bar: $total/80")
+    assert(total >= 30L, s"deployed path recall fell below the bar: $total/80")
   }
 
-  test("deployed levers: residual coding reaches the pool ceiling the raw book leaves open") {
+  test("deployed levers: every coding's x2 beam reads the pool ceiling; codings tie at x1") {
     val rows = Similarity.simDeployedLevers.run(spark, sfDir).collect()
-    assert(rows.length === 4)
+    assert(rows.length === 7)
     val by = rows.map(r => r.getAs[String]("variant") ->
       (r.getAs[Long]("beam_rows"), r.getAs[Long]("hits"))).toMap
-    // structural (also required in-gate): nested beams hit-monotone,
-    // ceiling caps every rung, matched x1 widths identical
-    assert(by("raw_m1")._2 <= by("raw_m2")._2)
-    assert(by("raw_m2")._2 <= by("ceiling")._2 && by("res_m1")._2 <= by("ceiling")._2)
-    assert(by("raw_m1")._1 === by("res_m1")._1)
-    // measured at every driver corpus: the residual rung never falls
-    // below the raw rung at the same beam (equal when the pool saturates
-    // the beam floor, strictly better at n=2000 where 61 < 67)
-    assert(by("res_m1")._2 >= by("raw_m1")._2,
-      s"residual coding lost to the raw book: ${by("res_m1")} vs ${by("raw_m1")}")
+    val ceil = by("ceiling")._2
+    // structural (also required in-gate): nested beams hit-monotone PER
+    // CODING, ceiling caps every rung, matched x1 widths identical
+    for (c <- Seq("raw", "res", "opqres")) {
+      assert(by(s"${c}_m1")._2 <= by(s"${c}_m2")._2)
+      assert(by(s"${c}_m2")._2 <= ceil)
+    }
+    assert(by("raw_m1")._1 === by("res_m1")._1 &&
+      by("raw_m1")._1 === by("opqres_m1")._1)
+    // measured at every driver corpus under the honest window: the x2
+    // beam reads the pool ceiling under EVERY coding (47/36/34 = ceiling
+    // at sf0.001/0.01/0.1) — asserted with 1-hit slack so a regenerated
+    // corpus flags only a real gap, not a tie flip. The x1 codings
+    // differ by at most 2 hits (noise), so no coding-ordering claim is
+    // asserted — the r16 residual-wins result did not survive the
+    // honest window, and the OPQ composition ties (near-isotropic
+    // residuals give the allocation nothing to exploit)
+    for (c <- Seq("raw", "res", "opqres"))
+      assert(by(s"${c}_m2")._2 >= ceil - 1L,
+        s"the x2 beam stopped reading the pool ceiling for $c: ${by(s"${c}_m2")._2} vs $ceil")
   }
 
   test("dim truncation: exact corner holds and recall rises with kept dims") {
@@ -363,10 +374,13 @@ class LlmOpsSpec extends SparkSpec {
     assert(rows.map(_.getAs[Long]("dim_d")).toSeq === Seq(8L, 16L, 32L, 64L))
     // structural corner (also required in-gate): D=64 IS the exact ranking
     assert(rows.last.getAs[Long]("hits") === 80L)
-    // measured monotonicity: strictly increasing at all three driver
-    // corpora (0.19/0.26/0.43/1.0 at sf0.001); weak form asserted
+    // measured shape: rising overall (0.225/0.2125/0.4125/1.0 at
+    // sf0.001 under the honest query window) but NOT mathematically
+    // monotone — truncated rankings aren't nested, and on near-isotropic
+    // data adjacent D rungs can wobble by a tie-level hit (D=8 18 vs
+    // D=16 17 at sf0.001) — so 1-hit slack flags only a real collapse
     rows.sliding(2).foreach { case Array(a, b) =>
-      assert(a.getAs[Long]("hits") <= b.getAs[Long]("hits"),
+      assert(a.getAs[Long]("hits") <= b.getAs[Long]("hits") + 1L,
         s"recall fell from D=${a.getAs[Long]("dim_d")} to D=${b.getAs[Long]("dim_d")}")
     }
     // the lever's verdict on THIS corpus: near-isotropic embeddings give
@@ -844,19 +858,30 @@ class LlmOpsSpec extends SparkSpec {
       s"graph-deployed recall collapsed: ${rows.mkString(", ")}")
   }
 
-  test("deployed frontier: nesting laws hold and the knee sits at the served probe-4 point") {
+  test("deployed frontier: nesting laws hold and the x4 beam reads every pool ceiling") {
     val rows = Similarity.simDeployedFrontier.run(spark, sfDir).collect()
-      .sortBy(_.getAs[Long]("probes"))
-    assert(rows.map(_.getAs[Long]("probes")).toSeq === Seq(2L, 4L, 8L, 12L))
-    // scanned/ceiling monotonicity and hits <= ceiling are required
-    // in-gate; here the measured shape: recall never falls as the scan
-    // widens. 1-hit slack per step (round-16 review): the log-growth
-    // beam is NOT mathematically monotone against a linear pool — a
-    // regenerated corpus could push one exact member past the cutoff —
-    // so the spec flags only a real collapse, not a tie-level wobble
-    rows.sliding(2).foreach { case Array(a, b) =>
-      assert(a.getAs[Long]("hits") <= b.getAs[Long]("hits") + 1L,
-        s"frontier recall fell from probe ${a.getAs[Long]("probes")} to ${b.getAs[Long]("probes")}")
+    assert(rows.length === 12, "probes {2,4,8,12} x beam mults {1,2,4}")
+    val grid = rows.map(r => (r.getAs[Long]("probes"), r.getAs[Long]("beam_mult")) ->
+      (r.getAs[Long]("hits"), r.getAs[Long]("ceiling_hits"))).toMap
+    assert(grid.keySet === (for (p <- Seq(2L, 4L, 8L, 12L); m <- Seq(1L, 2L, 4L)) yield (p, m)).toSet)
+    // in-gate requires pin pool nesting in p, beam nesting in mult, and
+    // hits <= ceiling; here the measured shapes. At fixed mult, recall
+    // never falls as the scan widens (1-hit slack, round-16 review: the
+    // log-growth beam is NOT mathematically monotone against a linear
+    // pool)
+    for (m <- Seq(1L, 2L, 4L))
+      Seq(2L, 4L, 8L, 12L).sliding(2).foreach { case Seq(a, b) =>
+        assert(grid((a, m))._1 <= grid((b, m))._1 + 1L,
+          s"frontier recall fell from probe $a to $b at mult $m")
+      case _ => ()
+      }
+    // the round-17 headline (r16 verdict #2): the x4 beam buys back the
+    // ENTIRE ADC ranking error at every probe count — measured equal to
+    // the pool ceiling at all three driver corpora; 1-hit slack so a
+    // regenerated corpus flags a real gap, not a tie flip
+    for (p <- Seq(2L, 4L, 8L, 12L)) {
+      val (h, c) = grid((p, 4L))
+      assert(h >= c - 1L, s"the x4 beam stopped reading the ceiling at probe $p: $h vs $c")
     }
   }
 
