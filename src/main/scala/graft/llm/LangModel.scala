@@ -660,8 +660,15 @@ object LangModel {
     * the corpus DAG's `mart_corpus_lm` stage joins the SAME labeling the
     * bucket gate rolls up. Scale shape unchanged: the histogram/threshold
     * arc windows over ≤ 4098 (bin, count) scalars; the thresholds
-    * broadcast as one 2-column row. */
-  private[graft] def lmBucketLabels(spark: SparkSession, dir: String): DataFrame = {
+    * broadcast as one 2-column row. Round 17 (r16 verdict #6): the
+    * labeling is itself a per-corpus-snapshot artifact — integer bins and
+    * closed-set strings, parquet-exact — so it joins the MartCache
+    * family ([[lmLabelMart]]) and BOTH consumers (`t_lm_buckets`,
+    * `mart_corpus_lm`) read the label table back instead of re-running
+    * the corpus-scale 7-join scoring pass per gate per bench pass; this
+    * inline builder runs once per snapshot. The oracles keep replaying
+    * the whole scoring arc (referee pricing). */
+  private def lmBucketLabelsInline(spark: SparkSession, dir: String): DataFrame = {
     val (model, _) = lmMarts(spark, dir)
     val (tri, tctx) = lmTriMarts(spark, dir)
     // the lmKneserNey3 model-side rollups — the SHARED kn3TypeFrames,
@@ -712,6 +719,21 @@ object LangModel {
       .otherwise("tail")
     sc.crossJoin(broadcast(th))
       .select(col("doc_id"), col("k"), bucket.as("bucket"))
+  }
+
+  /** The persisted label artifact's one-model DAG. */
+  private val lmLabelDag = new graft.pipeline.ModelRegistry(Seq(
+    graft.pipeline.ModelDef("mart_lm_labels", Nil, mart = true) { (s, d, _) =>
+      lmBucketLabelsInline(s, d)
+    }))
+
+  /** Materialize-once accessor for the (doc_id, k, bucket) label mart —
+    * the prefix carries the corpus snapshot signature so regenerated
+    * documents retrain (the index-mart convention). */
+  private[graft] def lmBucketLabels(spark: SparkSession, dir: String): DataFrame = {
+    val prefix = s"lml_marts_${graft.core.sourceSig(spark, dir, "documents")}"
+    graft.pipeline.MartCache.ensure(spark, dir, lmLabelDag, prefix, "graft_lml_")
+    spark.read.parquet(graft.core.scratch(dir, s"$prefix/mart_lm_labels"))
   }
 
   /** lm6 — HEAD/MIDDLE/TAIL perplexity bucketing (the CCNet release

@@ -812,9 +812,12 @@ object Similarity {
   /** Codewords per subspace of the SERVED product quantizer (6-bit codes).
     * The value is the MEASURED optimum, not a guess: `sim_pq_codebook_size`
     * trains the converged book at k* ∈ {8, 32, 64} and grades each by
-    * beam-200 recall@10 over the held-out query set — 0.51 → 0.78 → 0.84
-    * at sf0.1 (the 3-bit book was [[simAnnFrontier]]'s binding
-    * constraint). Round 15 adopts the measured-best size in every default
+    * beam-200 recall@10 over the held-out query set — 0.5625 → 0.5875 →
+    * 0.625 at sf0.1 under the round-17 honest query window (the seeded
+    * window read 0.51 → 0.78 → 0.84: most of the apparent 32→64 jump was
+    * the queries sitting inside the larger seed prefix, but the ordering
+    * that drove the adoption holds — recall still rises with k*, and
+    * trained distortion falls strictly). Round 15 adopts the measured-best size in every default
     * read path (encode, ADC search, IVFADC raw + residual, re-rank,
     * recall harness, frontier), per the r14 verdict's top item; the
     * codebook-size gate keeps measuring all three rungs so a corpus where
@@ -1942,11 +1945,12 @@ object Similarity {
     * rung structurally, since the beam contains the ADC top-10; the
     * harness measures by HOW MUCH the beam knob buys recall back).
     * Measured verdict this harness settles for this
-    * corpus (re-measured on the served k* = 64 book, round 15): the
-    * residual rung still LOSES to raw coding at probe-3 (sf0.1 mean
-    * recall 0.225 vs 0.325 raw / 0.55 after re-rank — every rung lifted
-    * vs the 3-bit book's 0.06-0.13 / 0.20-0.25 / 0.46-0.54, the codebook
-    * adoption's dividend) — the driver's embeddings are
+    * corpus (re-measured round 17 on the HONEST window — the old seeded
+    * queries read 0.225/0.325/0.55 here, all upper bounds): the residual
+    * rung still LOSES to raw coding at probe-3 against the SEEDED-8
+    * layout (sf0.1 mean recall 0.15 vs 0.1875 raw / 0.4125 after
+    * re-rank; probe1/probe3 exact ceilings 0.3625/0.6125) — the
+    * driver's embeddings are
     * near-uniform on the sphere, so query·centroid ≈ 0.3 and residual
     * norms ‖v−c‖² = 2−2·v·c exceed raw norms, inverting Jégou §IV's
     * premise (residuals concentrate only when the corpus is clustered).
@@ -2249,19 +2253,17 @@ object Similarity {
     * corner (probes 8, full beam) recovers recall 1.0 — the
     * self-validating ceiling. Everything else is MEASURED, per the
     * suite's assert-structure/measure-data convention. MEASURED FRONTIER
-    * (driver corpora, on the SERVED k* = [[PqK]] = 64 book — round 15
-    * re-measured after adopting the `sim_pq_codebook_size` winner): at
-    * sf0.1 (2 000 vectors) beam-200 now reaches 0.5375 at probes-2,
-    * 0.725 at probes-4 and 0.8375 at probes-8 (vs the 3-bit book's
-    * 0.51-0.54 SATURATION at every probe level — the adoption bought
-    * +30 recall points at the same scan cost, exactly what the size
-    * gate predicted). The binding constraint MOVED: probe-3's exact
-    * ceiling (recall of exact scoring over the probed pool) is 0.65 on
-    * this corpus, so the next lever is the COARSE quantizer — more
-    * cells (production IVF uses ~√n·c cells, not 8) or more probes; the
-    * chosen operating point on this 8-cell corpus is probes-4 with
-    * beam ≈ pool (0.775), or probes-8/beam-200 (0.8375) when the recall
-    * target beats scan cost. Shape at
+    * (driver corpora, on the SERVED k* = [[PqK]] = 64 book, round-17
+    * honest query window): at sf0.1 (2 000 vectors) beam-200 reaches
+    * 0.475 at probes-2, 0.6125 at probes-4 and 0.625 at probes-8
+    * (full-pool ceilings 0.4875 / 0.7375 / 1.0 — the old seeded queries
+    * read 0.54/0.725/0.84 here, inflated by their codebook-seed
+    * membership). The binding constraint still MOVES with probes: by
+    * probes-8 the fixed beam-200, not the pool, binds (0.625 read vs a
+    * 1.0 ceiling), so the next lever is the COARSE quantizer — more
+    * cells (production IVF uses ~√n·c cells, not 8) or more probes —
+    * and past that the beam (the [[simDeployedFrontier]] sweep prices
+    * exactly that trade on the served trained-32 path). Shape at
     * 100 TB: an EVALUATION harness priced per evaluation, not per serve —
     * the probes-8 row deliberately ADC-scans the full corpus against 8
     * queries (codes + scalars only, the books/LUTs broadcast); the
@@ -3286,10 +3288,13 @@ object Similarity {
     * (EXACTLY structural — nested seed sets give per-row min over a
     * superset, and floor is monotone) and each trained book beats its own
     * seed up to the suite's 10-micro/row quantization slop (Lloyd
-    * monotonicity, the LlmOpsSpec bound). MEASURED (sf0.1): beam-200
-    * recall 0.51 → 0.775 → 0.84 as k* grows 8 → 32 → 64 — the 3-bit
-    * book, not the probe count, was the frontier's binding constraint,
-    * which is why production PQ ships 256 codewords (8 bits)/subspace —
+    * monotonicity, the LlmOpsSpec bound). MEASURED (sf0.1, round-17
+    * honest window): beam-200 recall 0.5625 → 0.5875 → 0.625 as k*
+    * grows 8 → 32 → 64, with trained distortion falling strictly
+    * (0.84 → 0.70 → 0.62 mean) — the seeded window read 0.51 → 0.775 →
+    * 0.84 here, most of the jump being the queries' own seed
+    * membership; the honest ordering still rises with k*, which is why
+    * production PQ ships 256 codewords (8 bits)/subspace —
     * and why round 15 ADOPTED the measured-best rung as [[PqK]]: the
     * k* = 64 rung below IS the served book (value-identical seeds and
     * training), so this gate now audits the production book against the
@@ -3480,11 +3485,14 @@ object Similarity {
     * (scan ≈ 1/8, 3/8) vs the same-size TRAINED quantizer vs a trained
     * 32-cell quantizer at probes {4, 12} (the same fractions) — all
     * priced by the re-rank lemma (ceiling = |pool ∩ exact top-10|, no
-    * re-scoring pass). MEASURED (sf0.1): at the 1/8 fraction the
-    * trained-32 ceiling is 0.8375 vs seeded-8's 0.375 — and it scans
-    * FEWER rows (1976 vs 2160, finer cells waste less pool) — rising to
-    * 0.9375 vs 0.65 at 3/8; training alone at 8 cells buys only
-    * 0.375 → 0.45. The deployment lesson: grow and TRAIN the coarse
+    * re-scoring pass). MEASURED (sf0.1, round-17 honest window): at the
+    * 1/8 fraction the trained-32 ceiling is 0.425 vs seeded-8's 0.3625
+    * at near-equal scan (1999 vs 1916 rows), rising to 0.7375 vs 0.6125
+    * at 3/8; training alone at 8 cells buys 0.3625 → 0.4125. The old
+    * seeded queries read 0.8375-vs-0.375 here — the finer TRAINED
+    * layout's dominance survives the honest window, but most of its
+    * apparent margin was seed-membership optimism (the trained-32 seeds
+    * included the queries). The deployment lesson: grow and TRAIN the coarse
     * quantizer (production IVF sizes K ≈ c·√n) before spending anything
     * else — the suite keeps serving the didactic 8-cell layout so every
     * oracle stays replayable, and this mart prices exactly what the
@@ -3742,10 +3750,10 @@ object Similarity {
         Seq("mart_ann_cents32", "mart_ann_assign32"), mart = true) { (s, d, built) =>
       val s2 = s
       import s2.implicits._
-      // the residual-vs-TRAINED-32 codebook (round 16): residuals against
-      // a trained quantizer DO concentrate (unlike the seeded-8 residuals
-      // simAnnRecallSet measured losing), and sim_deployed_levers measures
-      // this book reaching the probe-4 ceiling at the x1 beam
+      // the residual-vs-TRAINED-32 codebook (round 16; retained under the
+      // round-17 honest window because it dominates raw coding along the
+      // probe frontier — sim_deployed_frontier — while the codings tie at
+      // the served probe-4 point under the x2 beam)
       convergedRes32Book(s, d, built("mart_ann_cents32"),
         built("mart_ann_assign32")).toDF("m", "code", "cv", "n_members", "inertia_q")
     },
@@ -4571,12 +4579,13 @@ object Similarity {
     * Hits are counted by the re-rank lemma (|candidates ∩ fx| — an fx
     * member has ≤ 9 better same-label rows ANYWHERE, so it survives any
     * top-10 cut of a candidate superset), so no second ranking pass is
-    * needed. MEASURED at sf0.1: postfilter 0.20 → 0.2875 → 0.45 →
-    * 0.5875 across budgets 10..80 vs infilter 0.60 and prefilter 1.0
-    * (sf0.01: 0.2125 → 0.40 vs 0.40) — the over-fetch lever closes
-    * ~all of the gap to the in-filter ceiling by m = 8, and the
-    * remaining 0.4 gap to exact is the probe ceiling, not the filter
-    * (same 1/8 scan fraction as [[simIvfCells]]'s k32/probe-4 rung).
+    * needed. MEASURED at sf0.1 (round-17 honest window): postfilter
+    * 0.20 → 0.275 → 0.375 → 0.3875 across budgets 10..80 vs infilter
+    * 0.3875 and prefilter 1.0 (sf0.01: 0.2125 → 0.3375 vs 0.3375) —
+    * the over-fetch lever closes the WHOLE gap to the in-filter ceiling
+    * by m = 8, and the remaining gap to exact is the probe ceiling, not
+    * the filter (same 1/8 scan fraction as [[simIvfCells]]'s
+    * k32/probe-4 rung).
     * Laws enforced in-gate: post-filter hits monotone in budget
     * (nesting), infilter ≥ every post-filter rung, kept ≤ 8·budget, and
     * fx is exactly 80 rows (every query's label class holds ≥ 10
@@ -4700,9 +4709,11 @@ object Similarity {
     * per-batch path at 100 TB (a retrain re-scans the whole corpus per
     * round × [[CellRounds]]). The gate prices what the cheap path
     * costs: probe-4 recall on the held-out queries, appended-frozen
-    * 0.75 vs retrained 0.8375 at sf0.1 (0.80 vs 0.875 at sf0.01) — a
-    * ~0.08 recall tax for 20% unseen-at-training growth, the measured
-    * trigger for WHEN a periodic retrain is worth its scan. Laws
+    * 0.3875 vs retrained 0.425 at sf0.1 (0.4375 vs 0.45 at sf0.01,
+    * round-17 honest window — the old seeded queries read 0.75 vs
+    * 0.8375) — a ~0.01–0.04 recall tax for 20% unseen-at-training
+    * growth, the measured trigger for WHEN a periodic retrain is worth
+    * its scan. Laws
     * enforced in-gate: row conservation (both indexes hold exactly n
     * vectors — every fresh row lands in exactly one frozen cell),
     * cells_used ≤ 32, and a non-empty fresh batch (n ≥ 40 so the seed
@@ -5211,9 +5222,10 @@ object Similarity {
     * keep the global best-10 of everything visited, stop at the visited
     * fixpoint (≤ ${NndServeSteps} steps) — and audit recall@10 and
     * candidates-scanned against the probe-1 IVF baseline on the same
-    * queries. Rehearsed at n=2000 (numpy, exact algorithm): entry-2
-    * reaches recall ~0.95 scanning ~1976 candidates vs probe-1's 0.375
-    * at 2160 — BOTH axes dominate, where the r14 single-entry walk on
+    * queries. MEASURED at sf0.1 (round-17 honest window): entry-2
+    * reaches recall 0.9625 scanning ~1974 candidates vs probe-1's
+    * 0.3625 at 1916 — recall dominates by ~0.6 at near-equal scan,
+    * where the r14 single-entry walk on
     * the K=10 graph managed 0.625; the gate re-measures on the real
     * engines and LlmOpsSpec asserts the dominance margin per entry
     * count. Shape at 100 TB: serving state is (p, qid, visited-id)
@@ -5420,13 +5432,13 @@ object Similarity {
     * visited sets — fair accounting) against the flat single-entry walk
     * from the same node 0. Rehearsed on the exact K=20 graph (numpy,
     * both rungs): recall ties while hier scans ~5–12% fewer candidates.
-    * MEASURED on the real NN-descent graph: sf0.01 all variants 1.0
-    * with hier_e2 scanning 1325 vs flat's 1611 (-18%); sf0.1 hier_e2
-    * 0.95 at 2212 vs flat 0.9625 at 2345 — the hierarchy buys its scan
-    * reduction at ~1 recall point here, and widening to E = 4 HURTS
-    * both axes (0.8375 at 2035: near-mutual entry neighborhoods overlap
-    * the early beam and the walk fixpoints before exploring), so E = 2
-    * is the measured operating point. Laws in-gate: the
+    * MEASURED on the real NN-descent graph (round-17 honest window):
+    * sf0.01 flat/e1 read 1.0 with e2/e4 at 0.975 on ~5–10% fewer scans;
+    * sf0.1 hier_e2 TIES flat exactly (0.9625 = 0.9625) at fewer scans
+    * (2216 vs 2288), e1 pays 0.875, and E = 4 no longer hurts (0.9625 —
+    * the old seeded queries read its early-fixpoint penalty at 0.8375),
+    * so E = 2 remains the measured operating point: the hierarchy's
+    * scan cut is free at equal recall. Laws in-gate: the
     * layer-2 walk never leaves the subsample, and every variant's hits
     * are bounded by the 80-row denominator contract (n ≥ 24 guard).
     * Shape at 100 TB: layer 2 is n/16 rows (broadcastable at any
@@ -5501,14 +5513,16 @@ object Similarity {
     *     RE-ENCODED under the FROZEN base book (one map pass — no book
     *     training);
     *   - `retrained_both`  — the served index marts wholesale.
-    * MEASURED at sf0.1: 0.75 / 0.8375 / 0.8375 (sf0.01: 0.80 / 0.875 /
-    * 0.875) — the sharp ops rule this gate exists to establish: the
-    * CODEBOOK FREEZE IS FREE (retrain_coarse ties retrained_both
-    * exactly — a 256-codeword displacement dictionary generalizes to
-    * unseen data), while the coarse freeze carries the ENTIRE ~0.09
-    * recall tax (the same ~0.08 [[simIndexAppend]] measured on the
-    * ceiling). On growth: retrain the coarse layout and re-encode (map
-    * passes over codes); never pay the book's training scan. Laws
+    * MEASURED at sf0.1 (round-17 honest window): 0.375 / 0.4125 /
+    * 0.3875 (sf0.01: 0.4375 / 0.45 / 0.45; the old seeded queries read
+    * 0.75 / 0.8375 / 0.8375) — the sharp ops rule SURVIVES the window
+    * shift: the CODEBOOK FREEZE IS FREE (retrain_coarse matches
+    * retrained_both within one tie-level hit — at sf0.1 the frozen book
+    * actually reads one hit HIGHER, noise around equality — a
+    * 256-codeword displacement dictionary generalizes to unseen data),
+    * while the coarse freeze carries the whole remaining tax. On
+    * growth: retrain the coarse layout and re-encode (map passes over
+    * codes); never pay the book's training scan. Laws
     * in-gate: the appended assignment covers every vector (conservation)
     * and every arm's beam ⊆ pool with hits ≤ 80. Shape at 100 TB: all
     * three arms read persisted artifacts; the one inline compute is the
@@ -5711,10 +5725,15 @@ object Similarity {
     * r mod 4 — exact integer forms both engines replay, no window), the
     * fresh-seed handoff, [[NndAppendRounds]] unrolled union rounds, and
     * one stat row per arm audited against the exact top-10. */
-  private def graphAppendSql(rounds: Int, appendRounds: Int): String = {
-    val head = s""",
+  /** The FROZEN-BASE graph chain as oracle text — base slice (every id
+    * with vec_id % 5 < 4), in-cell-among-base init + closed-form rank
+    * ring over the base id lattice, then `rounds` NN-descent rounds →
+    * `bl$rounds` (the [[nnBaseMart]] replay). ONE text shared by
+    * [[simGraphAppend]] and [[streamIndexAppend]] so the two append
+    * oracles can never drift from the persisted artifact's recipe.
+    * Requires [[nnBuildCtes]]'s e/ns/assigned/sc CTEs in scope. */
+  private def nnFrozenBaseSql(rounds: Int): String = s""",
       base AS (SELECT vec_id FROM e WHERE vec_id % 5 < 4),
-      fresh AS (SELECT vec_id FROM e WHERE vec_id % 5 = 4),
       nb AS (SELECT CAST(count(*) AS BIGINT) AS c FROM base),
       bincell AS (
         SELECT s, t FROM (
@@ -5728,7 +5747,12 @@ object Similarity {
                (((((b.vec_id // 5) * 4 + (b.vec_id % 5)) + j.j) % nb.c) // 4) * 5
                  + ((((b.vec_id // 5) * 4 + (b.vec_id % 5)) + j.j) % nb.c) % 4 AS t
         FROM base b CROSS JOIN nb CROSS JOIN (SELECT unnest([1, 2, 3]) AS j) j),
-      bl0 AS MATERIALIZED (SELECT DISTINCT s, t FROM (SELECT s, t FROM bincell UNION ALL SELECT s, t FROM bring) bu0)"""
+      bl0 AS MATERIALIZED (SELECT DISTINCT s, t FROM (SELECT s, t FROM bincell UNION ALL SELECT s, t FROM bring) bu0)""" +
+    nnRoundCtesSql("b", "bl0", rounds)
+
+  private def graphAppendSql(rounds: Int, appendRounds: Int): String = {
+    val head = s""",
+      fresh AS (SELECT vec_id FROM e WHERE vec_id % 5 = 4)"""
     val handoff = s""",
       fseed AS (
         SELECT s, t FROM (
@@ -5756,7 +5780,7 @@ object Similarity {
       UNION ALL
       ${statRow("rebuilt", s"l$rounds")}
       ) ORDER BY variant"""
-    nnBuildCtes(rounds) + head + nnRoundCtesSql("b", "bl0", rounds) +
+    nnBuildCtes(rounds) + nnFrozenBaseSql(rounds) + head +
       handoff + nnRoundCtesSql("u", "ul0", appendRounds) + tail
   }
 
@@ -5847,6 +5871,337 @@ object Similarity {
     }
   }
 
+  /** The streaming-append oracle: the shared build fragment (rebuilt arm
+    * + the one n² `sc` referee), the frozen-base chain, then the TWO
+    * pinned batch folds replayed exactly as the `foreachBatch` sink runs
+    * them — per fold, cell-blocked seeds among the CURRENT members, union
+    * with the current graph, ONE NN-descent round — each fold audited
+    * against the exact top-10 AMONG THE MEMBERS PRESENT at that fold
+    * (the honest mid-feed denominator). */
+  private def streamIndexAppendSql(rounds: Int): String = {
+    val folds = s""",
+      f1 AS (SELECT vec_id FROM e WHERE vec_id % 10 = 4),
+      f2 AS (SELECT vec_id FROM e WHERE vec_id % 10 = 9),
+      m1 AS MATERIALIZED (SELECT vec_id FROM base UNION ALL SELECT vec_id FROM f1),
+      n1 AS (SELECT CAST(count(*) AS BIGINT) AS c FROM m1),
+      s1seed AS (
+        SELECT s, t FROM (
+          SELECT f.vec_id AS s, sc.t, row_number() OVER (PARTITION BY f.vec_id ORDER BY sc.score DESC, sc.t) AS rn
+          FROM f1 f JOIN sc ON sc.s = f.vec_id
+          JOIN base bt ON bt.vec_id = sc.t
+          JOIN assigned fa ON fa.vec_id = f.vec_id JOIN assigned ta ON ta.vec_id = sc.t
+          WHERE fa.cell = ta.cell) z
+        WHERE rn <= 10),
+      y1l0 AS MATERIALIZED (SELECT s, t FROM bl$rounds UNION ALL SELECT s, t FROM s1seed)""" +
+      nnRoundCtesSql("y1", "y1l0", 1) + s""",
+      s2seed AS (
+        SELECT s, t FROM (
+          SELECT f.vec_id AS s, sc.t, row_number() OVER (PARTITION BY f.vec_id ORDER BY sc.score DESC, sc.t) AS rn
+          FROM f2 f JOIN sc ON sc.s = f.vec_id
+          JOIN m1 mt ON mt.vec_id = sc.t
+          JOIN assigned fa ON fa.vec_id = f.vec_id JOIN assigned ta ON ta.vec_id = sc.t
+          WHERE fa.cell = ta.cell) z
+        WHERE rn <= 10),
+      y2l0 AS MATERIALIZED (SELECT s, t FROM y1l1 UNION ALL SELECT s, t FROM s2seed)""" +
+      nnRoundCtesSql("y2", "y2l0", 1)
+    val tail = s""",
+      ex1 AS MATERIALIZED (
+        SELECT s, t FROM (
+          SELECT sc.s, sc.t, row_number() OVER (PARTITION BY sc.s ORDER BY sc.score DESC, sc.t) AS rn
+          FROM sc JOIN m1 a ON a.vec_id = sc.s JOIN m1 b ON b.vec_id = sc.t) z
+        WHERE rn <= 10),
+      exactk AS MATERIALIZED (
+        SELECT s, t FROM (SELECT s, t, row_number() OVER (PARTITION BY s ORDER BY score DESC, t) AS rn FROM sc) z
+        WHERE rn <= 10)
+      SELECT * FROM (
+      SELECT 'batch_1' AS variant,
+             CAST((SELECT count(DISTINCT s) FROM y1l1) AS BIGINT) AS n_nodes,
+             CAST((SELECT count(*) FROM y1l1) AS BIGINT) AS edges,
+             CAST((SELECT count(*) FROM (SELECT s, t FROM y1l1 WHERE rk <= 10) h JOIN ex1 USING (s, t)) AS BIGINT) AS hits,
+             CAST(n1.c * 10 AS BIGINT) AS total,
+             round(CAST((SELECT count(*) FROM (SELECT s, t FROM y1l1 WHERE rk <= 10) h JOIN ex1 USING (s, t)) AS DOUBLE) / (n1.c * 10), 6) AS recall_r
+      FROM n1
+      UNION ALL
+      SELECT 'batch_2',
+             CAST((SELECT count(DISTINCT s) FROM y2l1) AS BIGINT),
+             CAST((SELECT count(*) FROM y2l1) AS BIGINT),
+             CAST((SELECT count(*) FROM (SELECT s, t FROM y2l1 WHERE rk <= 10) h JOIN exactk USING (s, t)) AS BIGINT),
+             CAST(ns.n * 10 AS BIGINT),
+             round(CAST((SELECT count(*) FROM (SELECT s, t FROM y2l1 WHERE rk <= 10) h JOIN exactk USING (s, t)) AS DOUBLE) / (ns.n * 10), 6)
+      FROM ns
+      UNION ALL
+      SELECT 'rebuilt',
+             CAST((SELECT count(DISTINCT s) FROM l$rounds) AS BIGINT),
+             CAST((SELECT count(*) FROM l$rounds) AS BIGINT),
+             CAST((SELECT count(*) FROM (SELECT s, t FROM l$rounds WHERE rk <= 10) h JOIN exactk USING (s, t)) AS BIGINT),
+             CAST(ns.n * 10 AS BIGINT),
+             round(CAST((SELECT count(*) FROM (SELECT s, t FROM l$rounds WHERE rk <= 10) h JOIN exactk USING (s, t)) AS DOUBLE) / (ns.n * 10), 6)
+      FROM ns
+      ) ORDER BY variant"""
+    nnBuildCtes(rounds) + nnFrozenBaseSql(rounds) + folds + tail
+  }
+
+  /** st — THE INDEX UNDER A LIVE FEED (round 17 — r16 verdict #4: the
+    * streaming surface landed batches and the append gates priced batch
+    * folds, but nothing composed them): a REAL Structured Streaming
+    * query — `readStream` over a staged landing, `maxFilesPerTrigger=1`,
+    * `Trigger.AvailableNow`, a `foreachBatch` sink — drives the
+    * warm-start graph-freshness machinery of [[simGraphAppend]], one
+    * fold per micro-batch. The fresh 20% of the corpus (vec_id % 5 = 4)
+    * is staged as TWO single-file batches with PINNED file names and
+    * modification times (batch-0 = vec_id % 10 = 4, batch-1 =
+    * vec_id % 10 = 9; the file source orders by (mtime, path), so the
+    * fold order — and therefore the result — is deterministic even
+    * though a generic file feed makes no order promise; the NN-descent
+    * fold is NOT batch-order-insensitive, which is exactly why a
+    * deployment pins ingest order with a durable queue). Each fold:
+    * cell-blocked seeds for the arriving nodes against the CURRENT
+    * members (base ∪ earlier batches — the [[simGraphAppend]] handoff
+    * generalized to a growing member set), union with the current graph,
+    * ONE NN-descent round (a live feed amortizes rounds across batches:
+    * every batch's round also refines earlier arrivals), then the new
+    * graph is persisted as that fold's index artifact (the
+    * `foreachBatch` parquet-swap posture of `st_foreach_batch_upsert`).
+    * Output: one row per fold audited against the exact top-10 AMONG THE
+    * MEMBERS PRESENT at that fold (denominator 10·|members| — the honest
+    * mid-feed recall), plus the full-rebuild row (the retrain trigger).
+    * MEASURED at sf0.1: batch_1 0.852 (over the 1800 members present)
+    * → batch_2 0.827 (over all 2000) vs the rebuilt 0.929 (sf0.01:
+    * 0.934/0.934 vs 0.993) — the streamed path pays ~0.10 vs the
+    * rebuild where [[simGraphAppend]]'s bulk two-round fold pays ~0.05:
+    * freshness CADENCE costs accuracy (each batch gets one round before
+    * the next arrives), which is the real ops trade this gate prices —
+    * a deployment under a live feed schedules periodic consolidation
+    * rounds (the bulk gate's shape) on top of per-batch folds. Laws
+    * in-gate: exactly
+    * 2 micro-batches fire; per fold, conservation (the graph covers
+    * every member present) and the [[NndK]] degree cap; hits ≤ total.
+    * Shape at 100 TB: each fold's work is the batch-cell-blocked seed
+    * pass + one Σ deg² update round — never corpus × batch; the n²
+    * referee tables price the EVALUATION only (the [[simNnDescent]]
+    * convention); the landing stage and per-fold artifacts are the
+    * deployment's durable queue and index snapshots. */
+  val streamIndexAppend: QueryDef = {
+    QueryDef("st_index_append", Some(streamIndexAppendSql(NndRounds))) { (spark, dir) =>
+      import org.apache.spark.sql.streaming.Trigger
+      val s2 = spark
+      import s2.implicits._
+      val (e, n) = nnEmb(spark, dir)
+      val cellOf = ivfAssigned(spark, dir).select(col("vec_id"), col("cell"))
+        .localCheckpoint(true)
+      val fs = new org.apache.hadoop.fs.Path(dir)
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      // stage the feed ONCE per corpus snapshot: two single-file batches,
+      // deterministic names + pinned mtimes so the file source's
+      // (mtime, path) order can never reorder the folds
+      val landing = core.scratch(dir,
+        s"st_annfeed_landing_v1_${core.sourceSig(spark, dir, "embeddings")}")
+      val marker = new org.apache.hadoop.fs.Path(landing, "_SUCCESS")
+      if (!fs.exists(marker)) {
+        val tmp = landing + "_stage"
+        fs.delete(new org.apache.hadoop.fs.Path(landing), true)
+        fs.mkdirs(new org.apache.hadoop.fs.Path(landing))
+        Seq(4L, 9L).zipWithIndex.foreach { case (residue, i) =>
+          fs.delete(new org.apache.hadoop.fs.Path(tmp), true)
+          e.filter(col("vec_id") % 10 === residue).coalesce(1)
+            .write.mode("overwrite").parquet(tmp)
+          val part = fs.listStatus(new org.apache.hadoop.fs.Path(tmp))
+            .map(_.getPath).filter(_.getName.endsWith(".parquet")).head
+          val dest = new org.apache.hadoop.fs.Path(landing, s"batch-$i.parquet")
+          fs.rename(part, dest)
+          fs.setTimes(dest, 1000000L * (i + 1), -1)
+        }
+        fs.delete(new org.apache.hadoop.fs.Path(tmp), true)
+        fs.create(marker).close()
+      }
+      // per-run index-state artifacts (the sink IS the op, rebuilt per run)
+      val stateDir = core.scratch(dir, "st_annidx_run")
+      fs.delete(new org.apache.hadoop.fs.Path(stateDir), true)
+      val schema = spark.read.parquet(landing).schema
+      val kept = scala.collection.mutable.ArrayBuffer[DataFrame]()
+      var curG: DataFrame = nnBaseMart(spark, dir).select("s", "t")
+      var nFolds = 0
+      val q = spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1).parquet(landing)
+        .writeStream
+        .foreachBatch { (batch: DataFrame, bid: Long) =>
+          val fresh = batch.select("vec_id").distinct()
+          val members = curG.select(col("s").as("vec_id")).distinct()
+          val fseed = nnTopK(e, 10)(
+            fresh.join(cellOf, Seq("vec_id"))
+              .select(col("vec_id").as("s"), col("cell"))
+              .join(members.join(cellOf, Seq("vec_id"))
+                .select(col("vec_id").as("t"), col("cell").as("tc")),
+                col("cell") === col("tc"))
+              .select("s", "t")).select("s", "t")
+          val (cand, next) = nnStep(e, curG.unionByName(fseed))
+          cand.unpersist(false)
+          // the fold's persisted index snapshot — what a serve would read
+          next.write.mode("overwrite").parquet(s"$stateDir/fold_$bid")
+          kept += next
+          curG = next.select("s", "t")
+          nFolds += 1
+          ()
+        }
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      require(nFolds == 2, s"the pinned landing must fold in exactly 2 batches, got $nFolds")
+      // audits: exact top-10 among the members PRESENT at each fold
+      val m1 = e.select("vec_id").filter(col("vec_id") % 5 < 4 || col("vec_id") % 10 === 4)
+        .localCheckpoint(true)
+      val n1 = m1.count()
+      val ex1 = nnTopK(e, 10)(
+        m1.select(col("vec_id").as("s"))
+          .crossJoin(broadcast(m1.select(col("vec_id").as("t"))))
+          .filter(col("s") =!= col("t"))).localCheckpoint(true)
+      val exAll = nnTopK(e, 10)(
+        e.select(col("vec_id").as("s"))
+          .crossJoin(broadcast(e.select(col("vec_id").as("t"))))
+          .filter(col("s") =!= col("t"))).localCheckpoint(true)
+      def stat(name: String, g: DataFrame, ex: DataFrame, members: Long): (String, Long, Long, Long, Long) = {
+        val nn = g.select("s").distinct().count()
+        val ed = g.count()
+        val h = g.filter(col("rk") <= 10).join(ex, Seq("s", "t")).count()
+        (name, nn, ed, h, members * 10)
+      }
+      val fold0 = spark.read.parquet(s"$stateDir/fold_0")
+      val fold1 = spark.read.parquet(s"$stateDir/fold_1")
+      val rows = Seq(
+        stat("batch_1", fold0, ex1, n1),
+        stat("batch_2", fold1, exAll, n),
+        stat("rebuilt",
+          nnRoundsMart(spark, dir).filter(col("round") === NndRounds)
+            .select("s", "t", "rk"), exAll, n))
+      (kept :+ ex1 :+ exAll :+ m1 :+ cellOf :+ e).foreach(_.unpersist(false))
+      // conservation per fold (the graph covers every member present),
+      // the degree cap, and the denominator contract
+      require(rows(0)._2 == n1, s"batch_1 graph lost members: ${rows(0)._2} != $n1")
+      require(rows(1)._2 == n, s"batch_2 graph lost members: ${rows(1)._2} != $n")
+      rows.foreach { case (v, nn, ed, h, tot) =>
+        require(ed <= nn * NndK, s"$v graph exceeds the degree cap: $ed > ${nn * NndK}")
+        require(h <= tot, s"$v hits above the denominator: $h > $tot")
+      }
+      rows.toDF("variant", "n_nodes", "edges", "hits", "total")
+        .select(col("variant"), col("n_nodes"), col("edges"), col("hits"),
+          col("total"),
+          round(col("hits").cast(DoubleType) / col("total").cast(DoubleType), 6).as("recall_r"))
+        .orderBy("variant")
+    }
+  }
+
+  /** q — PERSISTED-INDEX QUALITY AUDIT (round 17 — r16 verdict #5: the
+    * warehouse marts get `q_mart_quality`, but the ANN index artifacts
+    * were validated only by `require`s inside consumer gates): the
+    * dbt-generic-test posture applied to the [[annDag]] / [[nnBaseMart]]
+    * / [[nnRoundsMart]] artifact families — one row per (table, check)
+    * with observed row counts, violation counts, and the verdict. The
+    * ORACLE is the artifact CONTRACT in closed form over the corpus
+    * counts (n, |base|): centroid count, 64-dim centroids, assignment
+    * completeness/uniqueness/domain, book cardinality M·[[PqK]] with
+    * in-domain codes and membership conservation (Σ n_members = n per
+    * subspace), code-table cardinality M·n with in-domain codes, the
+    * residual code table's cell agreeing with the assignment mart row
+    * by row, graph node conservation, the [[NndK]] degree cap, and
+    * in-domain kept-ranks. The ENGINE brings the observation from the
+    * marts on disk — any artifact drift (a truncated write, a stale
+    * snapshot, a corrupted code) breaks the hash compare instead of
+    * surfacing deep inside a consumer's require. Shape at 100 TB: every
+    * check is one aggregate over a mart scan (counters out), exactly the
+    * nightly artifact-audit a deployment schedules after index builds. */
+  val qIndexQuality: QueryDef = QueryDef(
+    "q_index_quality",
+    Some(s"""
+      WITH ns AS (SELECT CAST(count(*) AS BIGINT) AS n FROM embeddings),
+      nb AS (SELECT CAST(count(*) AS BIGINT) AS c FROM embeddings WHERE vec_id % 5 < 4)
+      SELECT * FROM (
+        SELECT 'mart_ann_assign32' AS table_name, 'cell_domain' AS check_name,
+               n AS n_rows, CAST(0 AS BIGINT) AS violations, TRUE AS passed FROM ns
+        UNION ALL SELECT 'mart_ann_assign32', 'key_unique_complete', n, 0, TRUE FROM ns
+        UNION ALL SELECT 'mart_ann_book64', 'code_domain', ${PqM * PqK}, 0, TRUE FROM ns
+        UNION ALL SELECT 'mart_ann_book64', 'members_conserve', ${PqM * PqK}, 0, TRUE FROM ns
+        UNION ALL SELECT 'mart_ann_book64r', 'code_domain', ${PqM * PqK}, 0, TRUE FROM ns
+        UNION ALL SELECT 'mart_ann_book64r', 'members_conserve', ${PqM * PqK}, 0, TRUE FROM ns
+        UNION ALL SELECT 'mart_ann_cents32', 'cell_count', 32, 0, TRUE FROM ns
+        UNION ALL SELECT 'mart_ann_cents32', 'dim_64', 32, 0, TRUE FROM ns
+        UNION ALL SELECT 'mart_ann_codes64', 'code_domain', $PqM * n, 0, TRUE FROM ns
+        UNION ALL SELECT 'mart_ann_codes64', 'one_code_per_subspace', $PqM * n, 0, TRUE FROM ns
+        UNION ALL SELECT 'mart_ann_codes64r', 'cell_consistent', $PqM * n, 0, TRUE FROM ns
+        UNION ALL SELECT 'mart_ann_codes64r', 'code_domain', $PqM * n, 0, TRUE FROM ns
+        UNION ALL SELECT 'mart_nn_base', 'degree_cap_rk_domain', nb.c, 0, TRUE FROM ns, nb
+        UNION ALL SELECT 'mart_nn_base', 'node_complete', nb.c, 0, TRUE FROM ns, nb
+        UNION ALL SELECT 'mart_nn_rounds', 'degree_cap_rk_domain', ${NndRounds + 1} * n, 0, TRUE FROM ns
+        UNION ALL SELECT 'mart_nn_rounds', 'trajectory_complete', ${NndRounds + 1} * n, 0, TRUE FROM ns)
+      ORDER BY table_name, check_name
+    """)) { (spark, dir) =>
+    val s2 = spark
+    import s2.implicits._
+    val e = emb(spark, dir).select("vec_id").localCheckpoint(true)
+    val n = e.count()
+    val nb = e.filter(col("vec_id") % 5 < 4).count()
+    val cents = annIndexMart(spark, dir, "mart_ann_cents32")
+    val assign = annIndexMart(spark, dir, "mart_ann_assign32")
+    def bookChecks(name: String): Seq[(String, String, Long, Long)] = {
+      val b = annIndexMart(spark, dir, name)
+      val rows = b.count()
+      val badCode = b.filter(col("code") < 0 || col("code") >= PqK).count()
+      val memberSum = b.agg(sum("n_members")).head().getLong(0)
+      Seq(
+        (name, "code_domain", rows, badCode + (if (rows == PqM.toLong * PqK) 0L else 1L)),
+        (name, "members_conserve", rows, math.abs(memberSum - PqM.toLong * n)))
+    }
+    def codeChecks(name: String): Seq[(String, String, Long, Long)] = {
+      val c = annIndexMart(spark, dir, name)
+      val rows = c.count()
+      val badCode = c.filter(col("code") < 0 || col("code") >= PqK).count()
+      val multi = rows - c.select("vec_id", "m").distinct().count()
+      Seq(
+        (name, "code_domain", rows, badCode),
+        (name, "one_code_per_subspace", rows,
+          multi + math.abs(rows - PqM.toLong * n)))
+    }
+    def graphChecks(name: String, g: DataFrame, nodes: Long,
+        nodeKey: Seq[String], completeCheck: String): Seq[(String, String, Long, Long)] = {
+      val distinctNodes = g.select(nodeKey.map(col): _*).distinct().count()
+      val overCap = g.groupBy(nodeKey.map(col): _*).agg(count(lit(1)).as("d"))
+        .filter(col("d") > NndK).count()
+      val badRk = g.filter(col("rk") < 1 || col("rk") > NndK).count()
+      Seq(
+        (name, completeCheck, distinctNodes, math.abs(distinctNodes - nodes)),
+        (name, "degree_cap_rk_domain", distinctNodes, overCap + badRk))
+    }
+    val centRows = cents.count()
+    val badDim = cents.filter(size(col("cv")) =!= 64).count()
+    val assignRows = assign.count()
+    val assignedOnce = e.join(assign.select("vec_id", "cell"), Seq("vec_id"))
+      .select("vec_id").distinct().count()
+    val badCell = assign.filter(col("cell") < 0 || col("cell") >= 32).count()
+    val cellMismatch = annIndexMart(spark, dir, "mart_ann_codes64r")
+      .select(col("vec_id"), col("cell").as("ccell"))
+      .join(assign.select("vec_id", "cell"), Seq("vec_id"))
+      .filter(col("ccell") =!= col("cell")).count()
+    val rows: Seq[(String, String, Long, Long)] = Seq(
+      ("mart_ann_cents32", "cell_count", centRows, math.abs(centRows - 32L)),
+      ("mart_ann_cents32", "dim_64", centRows, badDim),
+      ("mart_ann_assign32", "key_unique_complete", assignRows,
+        math.abs(assignRows - n) + (n - assignedOnce)),
+      ("mart_ann_assign32", "cell_domain", assignRows, badCell)) ++
+      bookChecks("mart_ann_book64") ++ bookChecks("mart_ann_book64r") ++
+      codeChecks("mart_ann_codes64") ++
+      (codeChecks("mart_ann_codes64r").filter(_._2 == "code_domain") :+
+        ("mart_ann_codes64r", "cell_consistent",
+          PqM.toLong * n, cellMismatch)) ++
+      graphChecks("mart_nn_base", nnBaseMart(spark, dir), nb, Seq("s"),
+        "node_complete") ++
+      graphChecks("mart_nn_rounds",
+        nnRoundsMart(spark, dir).select("round", "s", "t", "rk"),
+        (NndRounds + 1).toLong * n, Seq("round", "s"), "trajectory_complete")
+    e.unpersist(false)
+    rows.toDF("table_name", "check_name", "n_rows", "violations")
+      .select(col("table_name"), col("check_name"), col("n_rows"),
+        col("violations"), (col("violations") === 0L).as("passed"))
+      .orderBy("table_name", "check_name")
+  }
+
   /** The graph-DEPLOYED oracle: the shared build fragment + serve
     * harness, the trained-32 chain + residual book/LUT (the
     * [[res32ChainSql]] fragment — the SAME coding [[simAnnDeployed]]
@@ -5920,18 +6275,21 @@ object Similarity {
     * corpus' TRUE vectors are touched only by the final exact re-rank of
     * the derived beam (min(C, max(50, 10·bitlen(C))), the
     * [[rerankBeamWidth]] rule; hits priced by the re-rank lemma).
-    * MEASURED at sf0.1: hier_e1 recall 0.95 at 620 true-vector touches
-    * (2173 codes scanned) — vs [[simAnnDeployed]]'s 0.8375 at 660 beam
-    * re-scores, and vs [[simGraphServe]]'s exact-scored 0.95 at 2212
-    * FULL-VECTOR scans: the composed path MATCHES the full-vector walk's
-    * recall at a 3.5× cut in vectors touched and beats the IVF product
-    * outright at equal touches — exactly the HNSW-over-PQ operating
-    * point (high recall, tiny resident memory: graph + codes only).
-    * Single-entry wins under ADC scoring (e2 reads 0.85: near-mutual
-    * entry neighborhoods overlap the early beam under the coarser
-    * ranking and the walk fixpoints before exploring — the
-    * [[simGraphHier]] E=4 effect arriving one entry earlier). At sf0.01
-    * hier_e1/e2 read 0.9875/1.0 at ~620 touches. Laws in-gate: the layer-2 walk never
+    * MEASURED at sf0.1 (round-17 honest window): hier_e1 recall 0.85 at
+    * 650 true-vector touches (2546 codes scanned) — vs
+    * [[simAnnDeployed]]'s 0.425 at ~1340 beam re-scores, and vs
+    * [[simGraphServe]]'s exact-scored 0.9625 at ~1974 FULL-VECTOR scans:
+    * the composed path concedes ~0.11 recall to the full-vector walk at
+    * a 3× cut in vectors touched and DOUBLES the IVF product's recall
+    * at half the touches — exactly the HNSW-over-PQ operating point
+    * (high recall, tiny resident memory: graph + codes only; the old
+    * seeded queries read 0.95-at-a-3.5×-cut, equal-recall — the honest
+    * window prices the ADC walk's real concession). Single-entry wins
+    * under ADC scoring (e2 reads 0.7375: near-mutual entry
+    * neighborhoods overlap the early beam under the coarser ranking and
+    * the walk fixpoints before exploring — the [[simGraphHier]] E=4
+    * effect arriving one entry earlier). At sf0.01 hier_e1/e2 read
+    * 0.9625/0.975 at ~630 touches. Laws in-gate: the layer-2 walk never
     * leaves the subsample; beam_rows ≤ scanned per variant; hits ≤ 80
     * (denominator contract, n ≥ 24 guard). Shape at 100 TB: resident
     * state is the serve graph (10n edges) + code table (4n bytes-ish
@@ -6019,13 +6377,15 @@ object Similarity {
     * the truncated top-10 against the exact full-dim top-10 on the
     * harness's 8 held-out queries. One structural law in-gate: the
     * D = 64 corner IS the exact ranking, so its recall is exactly 1.0.
-    * MEASURED — and the lever loses: 0.24/0.31/0.38 at sf0.01 and
-    * 0.14/0.20/0.39 at sf0.1 for D = 8/16/32. These embeddings are
+    * MEASURED — and the lever loses (round-17 honest window):
+    * 0.225/0.2125/0.4125 at sf0.001 for D = 8/16/32 (adjacent rungs can
+    * wobble a tie-level hit — truncated rankings are not nested). These
+    * embeddings are
     * near-isotropic (no energy compaction in leading dims — the same
     * property that bounded the OPQ distortion claims in r13), so naive
     * prefix truncation at 32 bytes/vec is dominated by LEARNED
     * quantization at 3 bytes/vec (the served 64-code PQ book reaches
-    * 0.84 beam-200 recall, [[simPqCodebookSize]]): a 10× smaller code
+    * 0.625 beam-200 recall, [[simPqCodebookSize]]): a 10× smaller code
     * beats a 10× larger truncation. That comparison is the point of
     * measuring levers before serving them — on MRL-trained embeddings
     * the conclusion could invert, and this gate would show it. Shape at
@@ -6206,5 +6566,6 @@ object Similarity {
     simDeployedFrontier, simAnnFiltered, simIndexAppend, simBookAppend,
     simDimTruncation,
     simNnDescent, simGraphServe, simGraphHier, simGraphDeployed, simGraphAppend,
+    streamIndexAppend, qIndexQuality,
     simGraphCentrality)
 }

@@ -821,9 +821,10 @@ class LlmOpsSpec extends SparkSpec {
       val h = r.getAs[Long]("hits")
       assert(h >= 0L && h <= 80L, "hits outside 8 queries x 10")
     }
-    // measured margins (K=20 build, deg-10 serve core, medoid entries):
-    // n=500 all entry counts reach 1.0; n=2000 0.85/0.95/0.96 — vs
-    // probe-1's 0.375. Every entry count must beat the cell flood by a
+    // measured margins (K=20 build, deg-10 serve core, medoid entries,
+    // round-17 honest window): n=500 entry counts read 0.9875+;
+    // n=2000 0.8375/0.9625/0.95 — vs probe-1's 0.275–0.3625. Every
+    // entry count must beat the cell flood by a
     // wide gap, not a tie-break; the entry-count ORDERING is measured,
     // not asserted (visited sets do not nest across P — the beam can
     // detour differently, and P=2 measurably scans FEWER than P=1)
@@ -843,17 +844,21 @@ class LlmOpsSpec extends SparkSpec {
     }
     // the composed path's whole point: true-vector touches (the re-rank
     // beam) stay below what EVERY exact-scored walk variant scans in
-    // full vectors — the graph+codes memory posture
-    val serve = Similarity.simGraphServe.run(spark, sfDir).collect()
-      .filter(_.getAs[String]("variant").startsWith("graph_"))
-    val minServeScan = serve.map(_.getAs[Long]("scanned")).min
+    // full vectors — the graph+codes memory posture. Asserted against a
+    // fixed conservative floor instead of re-running sim_graph_serve
+    // inside the test (round-17 ADVICE: the re-run doubled this test's
+    // wall time and coupled its meaning to another gate's measurements):
+    // the exact walks' measured min scan is 1370 at n=500 and 1960 at
+    // n=2000, while the derived beam stays ~620–650 at both — 1300 flags
+    // a real posture inversion with margin at every driver corpus
+    val serveScanFloor = 1300L
     rows.foreach { r =>
-      assert(r.getAs[Long]("beam_rows") < minServeScan,
+      assert(r.getAs[Long]("beam_rows") < serveScanFloor,
         s"${r.getAs[String]("variant")} touched ${r.getAs[Long]("beam_rows")} vectors, " +
-          s"not under the exact walks' min scan $minServeScan")
+          s"not under the exact walks' documented min scan $serveScanFloor")
     }
-    // measured: 0.9875/1.0 at n=500, 0.95/0.85 at n=2000 — the best
-    // entry count stays far above a 0.75 floor at every driver corpus
+    // measured with the honest query window: 0.975/0.9625 best-entry at
+    // n=500, 0.85 at n=2000 — the best entry count stays above 0.75
     assert(rows.map(_.getAs[Long]("hits")).max >= 60L,
       s"graph-deployed recall collapsed: ${rows.mkString(", ")}")
   }
@@ -914,6 +919,35 @@ class LlmOpsSpec extends SparkSpec {
     val n = rows.head.getAs[Long]("total") / 10
     assert(by("appended_r2") >= by("rebuilt") - n,
       s"warm-start append tax exceeded 0.1 recall: $by")
+  }
+
+  test("streaming index append: two pinned micro-batch folds keep the index near the rebuild") {
+    val rows = Similarity.streamIndexAppend.run(spark, sfDir).collect()
+    assert(rows.map(_.getAs[String]("variant")).toSeq ===
+      Seq("batch_1", "batch_2", "rebuilt"))
+    val by = rows.map(r => r.getAs[String]("variant") -> r).toMap
+    // exactly-2-folds, per-fold conservation, the degree cap, and the
+    // denominator contract are required in-gate; here the measured
+    // trade: the per-batch single-round cadence pays more than the bulk
+    // two-round append (gaps 0.066 at n=500, 0.102 at n=2000 vs the
+    // bulk gate's 0.013/0.047) but stays within 0.15 of the rebuild —
+    // the priced consolidation trigger for an index under a live feed
+    val tax = by("rebuilt").getAs[Double]("recall_r") -
+      by("batch_2").getAs[Double]("recall_r")
+    assert(tax <= 0.15, s"streamed index fell too far behind the rebuild: $tax")
+    // and each fold's graph is a genuinely useful index, not a husk
+    assert(by("batch_1").getAs[Double]("recall_r") >= 0.7)
+    assert(by("batch_2").getAs[Double]("recall_r") >= 0.7)
+  }
+
+  test("index quality audit: every persisted index artifact honors its contract") {
+    val rows = Similarity.qIndexQuality.run(spark, sfDir).collect()
+    assert(rows.length === 16, "one row per (artifact, check)")
+    rows.foreach { r =>
+      assert(r.getAs[Long]("violations") === 0L,
+        s"index artifact violated its contract: $r")
+      assert(r.getAs[Boolean]("passed"), s"index artifact check failed: $r")
+    }
   }
 
   test("shuffle export emits a reproducible permutation 1..n that is not the id order") {

@@ -97,17 +97,22 @@ def main(argv):
                 sys.exit(f"benchdrift: {tag} names source signature {sig} "
                          f"!= artifact qsig {b['qsig']} — wrong names source")
         # sum(qv) must reconcile with the reported total up to per-gate
-        # decisecond rounding (covers pre-qsig artifacts too). Skipped when
-        # the artifact records errored gates (negative qv): their elapsed
-        # time may be inside the total but is excluded from the sum, so a
-        # legitimate artifact could fail the check (round-15 ADVICE) —
-        # the drift numbers for the gates that DID run are still valid.
+        # decisecond rounding (covers pre-qsig artifacts too). With errored
+        # gates (negative qv sentinels) their elapsed time may be inside
+        # the total but is excluded from the sum, so the check degrades to
+        # ONE-SIDED instead of being skipped (round-17 ADVICE: a fully
+        # skipped check let a corrupted total through on any artifact with
+        # a single errored gate): the non-errored sum can never EXCEED the
+        # reported total past tolerance.
         ok = [v for v in b["qv"] if v >= 0]
+        tol = 0.06 * len(ok) + 1.0
         if len(ok) < len(b["qv"]):
             print(f"benchdrift: {tag} has {len(b['qv']) - len(ok)} errored "
-                  "gate(s) — sum-vs-total reconciliation skipped")
+                  "gate(s) — sum-vs-total reconciliation is one-sided")
+            if sum(ok) / 10.0 - float(b.get("value", 0)) > tol:
+                sys.exit(f"benchdrift: {tag} non-errored sum(qv)={sum(ok)/10.0}s "
+                         f"exceeds reported total {b.get('value')}s (tol {tol:.1f})")
             continue
-        tol = 0.06 * len(ok) + 1.0
         if abs(sum(ok) / 10.0 - float(b.get("value", 0))) > tol:
             sys.exit(f"benchdrift: {tag} sum(qv)={sum(ok)/10.0}s does not "
                      f"reconcile with total {b.get('value')}s (tol {tol:.1f})")
