@@ -294,11 +294,9 @@ object Cluster {
     * expensive step, its output is tiny (two bigints per clustered doc),
     * so it is paid once per corpus snapshot, never once per consumer;
     * every call returns a fresh parquet scan of the mart. */
-  private[graft] def clusterLabels(spark: SparkSession, dir: String): DataFrame = {
-    val prefix = s"cluster_marts_${core.sourceSig(spark, dir, "documents")}"
-    graft.pipeline.MartCache.ensure(spark, dir, clusterDag, prefix, "graft_cluster_")
-    spark.read.parquet(core.scratch(dir, s"$prefix/mart_cluster_labels"))
-  }
+  private[graft] def clusterLabels(spark: SparkSession, dir: String): DataFrame =
+    graft.pipeline.MartCache.read(spark, dir, clusterDag, "cluster_marts",
+      "graft_cluster_", Seq("documents"), "mart_cluster_labels").head
 
   /** dd5 — dup-cluster resolution: near-dup edges → connected components →
     * (doc, canonical, cluster size). The planted chains make base and v2

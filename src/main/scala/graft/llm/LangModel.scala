@@ -173,10 +173,9 @@ object LangModel {
     * [[graft.pipeline.MartCache]] discipline (one shared implementation
     * of the marker/staleness/locking rules; see its Scaladoc). */
   private[graft] def lmMarts(spark: SparkSession, dir: String): (DataFrame, DataFrame) = {
-    val prefix = s"lm_marts_${core.sourceSig(spark, dir, "documents")}"
-    graft.pipeline.MartCache.ensure(spark, dir, lmDag, prefix, "graft_lm_")
-    (spark.read.parquet(core.scratch(dir, s"$prefix/mart_lm_model")),
-      spark.read.parquet(core.scratch(dir, s"$prefix/mart_lm_ctx")))
+    val Seq(model, ctx) = graft.pipeline.MartCache.read(spark, dir, lmDag,
+      "lm_marts", "graft_lm_", Seq("documents"), "mart_lm_model", "mart_lm_ctx")
+    (model, ctx)
   }
 
   /** Spark twin of the `scored` CTE (shared by both gates): ONE corpus pass
@@ -355,10 +354,9 @@ object LangModel {
     }))
 
   private def lmTriMarts(spark: SparkSession, dir: String): (DataFrame, DataFrame) = {
-    val prefix = s"lm3_marts_${core.sourceSig(spark, dir, "documents")}"
-    graft.pipeline.MartCache.ensure(spark, dir, lmTriDag, prefix, "graft_lm3_")
-    (spark.read.parquet(core.scratch(dir, s"$prefix/mart_lm_tri")),
-      spark.read.parquet(core.scratch(dir, s"$prefix/mart_lm_tri_ctx")))
+    val Seq(tri, ctx) = graft.pipeline.MartCache.read(spark, dir, lmTriDag,
+      "lm3_marts", "graft_lm3_", Seq("documents"), "mart_lm_tri", "mart_lm_tri_ctx")
+    (tri, ctx)
   }
 
   /** lm5 — TRIGRAM scoring with STUPID BACKOFF (Brants et al., "Large
@@ -730,11 +728,9 @@ object LangModel {
   /** Materialize-once accessor for the (doc_id, k, bucket) label mart —
     * the prefix carries the corpus snapshot signature so regenerated
     * documents retrain (the index-mart convention). */
-  private[graft] def lmBucketLabels(spark: SparkSession, dir: String): DataFrame = {
-    val prefix = s"lml_marts_${graft.core.sourceSig(spark, dir, "documents")}"
-    graft.pipeline.MartCache.ensure(spark, dir, lmLabelDag, prefix, "graft_lml_")
-    spark.read.parquet(graft.core.scratch(dir, s"$prefix/mart_lm_labels"))
-  }
+  private[graft] def lmBucketLabels(spark: SparkSession, dir: String): DataFrame =
+    graft.pipeline.MartCache.read(spark, dir, lmLabelDag, "lml_marts",
+      "graft_lml_", Seq("documents"), "mart_lm_labels").head
 
   /** lm6 — HEAD/MIDDLE/TAIL perplexity bucketing (the CCNet release
     * layout: Wenzek et al. 2020 §4.3 ship each language in three buckets

@@ -22,20 +22,27 @@ object Similarity {
     * recall gate in the file scores against, plus [[Q1]], the single
     * query the didactic ladder gates pin. DISJOINT BY CONSTRUCTION from
     * every seed/training id-range in the file: the coarse layouts seed
-    * from [0, 8) and [0, 32), the PQ codebook from [0, [[PqK]]), the
-    * residual book from [8, 8 + [[PqK]]). Round-17 (r16 verdict #1): the
-    * previous window 16..23 sat INSIDE the PQ and residual seed
-    * prefixes, so the trained books started with codewords AT the query
-    * vectors and carried below-average distortion on exactly the vectors
-    * being scored — every prior ADC recall headline was a mild upper
-    * bound. The static require next to [[PqK]] (where both values are
+    * from [0, 8) and [0, 32) (and the frozen-BASE coarse from base ranks
+    * 0..31 = ids < 39), the PQ codebook from [0, [[PqK]]), the residual
+    * book from [8, 8 + [[PqK]]), the trained-32 residual book from
+    * [0, [[PqK]]), and the frozen-base residual book from the first
+    * [[PqK]] BASE rows — ids < [[PqK]]/4·5 = 80, the WIDEST seed range
+    * in the file. Round-17 (r16 verdict #1): the original window 16..23
+    * sat inside the PQ and residual seed prefixes, so the trained books
+    * started with codewords AT the query vectors and carried
+    * below-average distortion on exactly the vectors being scored —
+    * every prior ADC recall headline was a mild upper bound; the
+    * round's first shift to 72..79 still overlapped the frozen-base
+    * book's seed lattice (caught in review — base ranks 58..63 are ids
+    * 72..78), which would have left `sim_book_append`'s frozen arms
+    * biased. The static require next to [[PqK]] (where both values are
     * initialized) makes the disjointness fail-loud at object init:
     * any future seed-range growth past QLo trips it. Defined at the top
     * of the object so every earlier-initialized val sees the real value
     * (a mid-file definition left lines above it reading 0 — caught by
     * the compiler's uninitialized-reference warning). */
-  private[graft] val QLo = 72
-  private[graft] val QHi = 80
+  private[graft] val QLo = 80
+  private[graft] val QHi = 88
 
   /** The single-query ladder's query id — inside the held-out window. */
   private[graft] val Q1 = QLo + 5
@@ -830,10 +837,14 @@ object Similarity {
 
   // The held-out-window disjointness invariant — asserted HERE, after
   // both PqK and the window constants are initialized (see the QLo
-  // scaladoc at the top of the object).
-  require(QLo >= 8 + PqK && QLo >= 32 && QHi > QLo && Q1 >= QLo && Q1 < QHi,
+  // scaladoc at the top of the object). PqK/4*5 is the frozen-base
+  // residual book's seed bound (first PqK base rows of the %5<4
+  // lattice — convergedResBaseBook), the widest seed range in the file.
+  require(QLo >= 8 + PqK && QLo >= PqK / 4 * 5 && QLo >= 32 &&
+    QHi > QLo && Q1 >= QLo && Q1 < QHi,
     s"held-out query window [$QLo, $QHi) must sit above every seed range " +
-      s"(coarse [0,32), PQ [0,$PqK), residual [8,${8 + PqK}))")
+      s"(coarse [0,32), PQ [0,$PqK), residual [8,${8 + PqK}), " +
+      s"frozen-base residual [0,${PqK / 4 * 5}))")
 
   /** DuckDB squared-L2 between subspace `m` of two array expressions —
     * same sequential fold (and the same bracketing) as the Spark twin. */
@@ -3680,7 +3691,7 @@ object Similarity {
     * disjoint from the seed range by the object-init require. */
   private[graft] def convergedRes32Book(spark: SparkSession, dir: String,
       cents: DataFrame, assign: DataFrame,
-      coarseTag: String = "t32"): Seq[(Int, Long, Seq[Double], Long, Long)] =
+      coarseTag: String): Seq[(Int, Long, Seq[Double], Long, Long)] =
     memoBook(spark, dir, s"res32:$coarseTag") {
       val res = res32Frame(spark, dir, cents, assign).localCheckpoint(true)
       val subs = (0 until PqM).map(m => struct(lit(m).as("m"),
@@ -3755,7 +3766,8 @@ object Similarity {
       // probe frontier — sim_deployed_frontier — while the codings tie at
       // the served probe-4 point under the x2 beam)
       convergedRes32Book(s, d, built("mart_ann_cents32"),
-        built("mart_ann_assign32")).toDF("m", "code", "cv", "n_members", "inertia_q")
+        built("mart_ann_assign32"), coarseTag = "t32")
+        .toDF("m", "code", "cv", "n_members", "inertia_q")
     },
     graft.pipeline.ModelDef("mart_ann_codes64r",
         Seq("mart_ann_book64r", "mart_ann_cents32", "mart_ann_assign32"),
@@ -3767,11 +3779,9 @@ object Similarity {
   /** Materialize-once accessor for one trained-index mart table; the
     * prefix carries the corpus snapshot signature so a regenerated
     * dataset retrains (the [[nnRoundsMart]] convention). */
-  private def annIndexMart(spark: SparkSession, dir: String, name: String): DataFrame = {
-    val prefix = s"ann_marts_${core.sourceSig(spark, dir, "embeddings")}"
-    graft.pipeline.MartCache.ensure(spark, dir, annDag, prefix, "graft_ann_")
-    spark.read.parquet(core.scratch(dir, s"$prefix/$name"))
-  }
+  private def annIndexMart(spark: SparkSession, dir: String, name: String): DataFrame =
+    graft.pipeline.MartCache.read(spark, dir, annDag, "ann_marts", "graft_ann_",
+      Seq("embeddings"), name).head
 
   /** The SERVED trained-32 coarse read path off the index marts —
     * (corpus assignment, per-query cell ranks), the mart-backed twin of
@@ -3816,14 +3826,31 @@ object Similarity {
         FROM ${p}res r, ms WHERE $seedWhere),
       ${pqRoundsSql(s"${p}r", s"${p}rtsub", s"${p}rb0")},
       ${p}rbook AS (SELECT m, code, cv FROM ${p}rb$PqTrainRounds),
-      ${p}qres AS (
+      ${qresLutSql(s"${p}qres", s"${p}rlut", cents, s"${p}rbook", None)}"""
+
+  /** The per-(query, cell) residual-LUT CTE pair — ONE text for every
+    * residual-coding oracle (round-17 review: the levers gate's OPQ rung
+    * had hand-copied it): query residuals against every `cents` row,
+    * optionally re-laid-out through a 1-based permutation-list table
+    * (`permTable` — the element indexing becomes `pm[i]`, matching a
+    * book trained on permuted corpus residuals), then the per-(qid,
+    * cell, m, code) squared-distance LUT against `book`. Requires `qs`
+    * in scope. */
+  private def qresLutSql(qresName: String, lutName: String, cents: String,
+      book: String, permTable: Option[String]): String = {
+    val (fromPerm, idx) = permTable match {
+      case Some(pt) => (s", $pt p", "p.pm[i]")
+      case None => ("", "i")
+    }
+    s"""$qresName AS (
         SELECT q.qid, t.cent_id AS cell,
-               list_transform(range(1, 65), i -> CAST(q.qv[i] AS DOUBLE) - t.cv[i]) AS rqv
-        FROM qs q, $cents t),
-      ${p}rlut AS MATERIALIZED (
+               list_transform(range(1, 65), i -> CAST(q.qv[$idx] AS DOUBLE) - t.cv[$idx]) AS rqv
+        FROM qs q, $cents t$fromPerm),
+      $lutName AS MATERIALIZED (
         SELECT r.qid, r.cell, b.m, b.code,
                ${sqSubSql(s"list_slice(r.rqv, b.m * $PqSub + 1, b.m * $PqSub + $PqSub)", "b.cv")} AS qd
-        FROM ${p}qres r, ${p}rbook b)"""
+        FROM $qresName r, $book b)"""
+  }
 
   /** The SERVED residual chain — [[resChainSql]] instantiated at the
     * trained-32 coarse pair with whole-corpus training and the
@@ -3839,11 +3866,18 @@ object Similarity {
     * the Spark twin of [[res32ChainSql]]'s `rlut`: (qid, cell, m, code,
     * qd), counter-scale (|Q| · 32 cells · M · [[PqK]] rows), always
     * broadcast by consumers. */
-  private def resLut(qs: DataFrame, cents: DataFrame, book: DataFrame): DataFrame = {
+  private def resLut(qs: DataFrame, cents: DataFrame, book: DataFrame,
+      perm: Option[Seq[Int]] = None): DataFrame = {
+    // optional OPQ layout: the query residual is permuted AFTER the
+    // subtract, exactly like the corpus residuals the book trained on
+    // (round-17 review: the OPQ rung's LUT had copy-pasted this builder)
+    def layout(c: Column): Column =
+      perm.map(p => array(p.map(i => c(i - 1)): _*)).getOrElse(c)
     val qres = qs.crossJoin(broadcast(
         cents.select(col("cent_id").as("cell"), col("cv").as("ccv"))))
-      .select(col("qid"), col("cell"),
-        zip_with(col("qv"), col("ccv"), (x, y) => x.cast(DoubleType) - y).as("rqv"))
+      .withColumn("rq0",
+        zip_with(col("qv"), col("ccv"), (x, y) => x.cast(DoubleType) - y))
+      .select(col("qid"), col("cell"), layout(col("rq0")).as("rqv"))
     val qsub = qres.select(col("qid"), col("cell"),
         explode(array((0 until PqM).map(m => struct(lit(m).as("m"),
           slice(col("rqv"), m * PqSub + 1, PqSub).as("qsv"))): _*)).as("x"))
@@ -3937,11 +3971,9 @@ object Similarity {
     }))
 
   /** Materialize-once accessor for one frozen-base index mart table. */
-  private def annBaseMart(spark: SparkSession, dir: String, name: String): DataFrame = {
-    val prefix = s"annb_marts_${core.sourceSig(spark, dir, "embeddings")}"
-    graft.pipeline.MartCache.ensure(spark, dir, annBaseDag, prefix, "graft_annb_")
-    spark.read.parquet(core.scratch(dir, s"$prefix/$name"))
-  }
+  private def annBaseMart(spark: SparkSession, dir: String, name: String): DataFrame =
+    graft.pipeline.MartCache.read(spark, dir, annBaseDag, "annb_marts", "graft_annb_",
+      Seq("embeddings"), name).head
 
   val simIvfCells: QueryDef = {
     val variants = Seq(
@@ -4249,14 +4281,7 @@ object Similarity {
                arg_min(b.code, ${sqSubSql("s.sv", "b.cv")} + 1e-12 * b.code) AS code
         FROM cand c JOIN osub s ON s.vec_id = c.vec_id JOIN obook b ON b.m = s.m
         GROUP BY c.qid, c.vec_id, c.cell, s.m, s.sv),
-      oqres AS (
-        SELECT q.qid, t.cent_id AS cell,
-               list_transform(range(1, 65), i -> CAST(q.qv[p.pm[i]] AS DOUBLE) - t.cv[p.pm[i]]) AS rqv
-        FROM qs q, t32c$CellRounds t, opq_perm p),
-      olut AS MATERIALIZED (
-        SELECT r.qid, r.cell, b.m, b.code,
-               ${sqSubSql(s"list_slice(r.rqv, b.m * $PqSub + 1, b.m * $PqSub + $PqSub)", "b.cv")} AS qd
-        FROM oqres r, obook b),
+      ${qresLutSql("oqres", "olut", s"t32c$CellRounds", "obook", Some("opq_perm"))},
       oadc AS MATERIALIZED (${adcPivotSql(
         "oenc e JOIN olut l ON l.qid = e.qid AND l.cell = e.cell AND l.m = e.m AND l.code = e.code")}),
       bw AS (
@@ -4362,20 +4387,7 @@ object Similarity {
       .crossJoin(broadcast(pqBookRow(obook)))
       .select(col("qid"), col("vec_id"), col("cell"), col("m"),
         pqBookBest("code").as("code"))
-    val lutOpq = qs.crossJoin(broadcast(
-        cents32.select(col("cent_id").as("cell"), col("cv").as("ccv"))))
-      .withColumn("rq0", zip_with(col("qv"), col("ccv"),
-        (x, y) => x.cast(DoubleType) - y))
-      .select(col("qid"), col("cell"), permute(col("rq0")).as("rqv"))
-      .select(col("qid"), col("cell"),
-        explode(array((0 until PqM).map(m => struct(lit(m).as("m"),
-          slice(col("rqv"), m * PqSub + 1, PqSub).as("qsv"))): _*)).as("x"))
-      .select(col("qid"), col("cell"), col("x.m").as("m"), col("x.qsv").as("qsv"))
-      .join(obook, Seq("m"))
-      .select(col("qid"), col("cell"), col("m"), col("code"),
-        aggregate(zip_with(col("qsv"), col("cv"),
-          (x, y) => (x.cast(DoubleType) - y) * (x.cast(DoubleType) - y)),
-          lit(0.0), (acc, v) => acc + v).as("qd"))
+    val lutOpq = resLut(qs, cents32, obook, Some(operm))
     val adcOpq = adcSum(encOpq, lutOpq, Seq("qid", "cell", "m", "code"))
       .localCheckpoint(false)
     val bwq = beamWidths(cand)
@@ -5039,11 +5051,9 @@ object Similarity {
   /** Materialize-once accessor for the per-round NN-descent mart; every
     * call returns a fresh parquet scan. The prefix carries the corpus
     * snapshot signature so a regenerated dataset rebuilds the graph. */
-  private def nnRoundsMart(spark: SparkSession, dir: String): DataFrame = {
-    val prefix = s"nn_marts_${core.sourceSig(spark, dir, "embeddings")}"
-    graft.pipeline.MartCache.ensure(spark, dir, nnDag, prefix, "graft_nn_")
-    spark.read.parquet(core.scratch(dir, s"$prefix/mart_nn_rounds"))
-  }
+  private def nnRoundsMart(spark: SparkSession, dir: String): DataFrame =
+    graft.pipeline.MartCache.read(spark, dir, nnDag, "nn_marts", "graft_nn_",
+      Seq("embeddings"), "mart_nn_rounds").head
 
   val simNnDescent: QueryDef = {
     QueryDef("sim_nndescent", Some(nnDescentSql(NndRounds))) { (spark, dir) =>
@@ -5693,11 +5703,9 @@ object Similarity {
     }))
 
   /** Materialize-once accessor for the frozen-base graph mart. */
-  private def nnBaseMart(spark: SparkSession, dir: String): DataFrame = {
-    val prefix = s"nnb_marts_${core.sourceSig(spark, dir, "embeddings")}"
-    graft.pipeline.MartCache.ensure(spark, dir, nnBaseDag, prefix, "graft_nnb_")
-    spark.read.parquet(core.scratch(dir, s"$prefix/mart_nn_base"))
-  }
+  private def nnBaseMart(spark: SparkSession, dir: String): DataFrame =
+    graft.pipeline.MartCache.read(spark, dir, nnBaseDag, "nnb_marts", "graft_nnb_",
+      Seq("embeddings"), "mart_nn_base").head
 
   /** Prefixed NN-descent round CTEs over a shared `sc` score table —
     * the [[nnBuildCtes]] round shape factored so the append oracle can

@@ -442,11 +442,9 @@ object Linkage {
 
   /** Materialize-once accessor for the match-pair mart; snapshot-signed
     * so a regenerated customer dimension re-scores. */
-  private def erPairsMart(spark: SparkSession, dir: String): DataFrame = {
-    val prefix = s"er_marts_${core.sourceSig(spark, dir, "customer")}"
-    graft.pipeline.MartCache.ensure(spark, dir, erDag, prefix, "graft_er_")
-    spark.read.parquet(core.scratch(dir, s"$prefix/mart_er_pairs"))
-  }
+  private def erPairsMart(spark: SparkSession, dir: String): DataFrame =
+    graft.pipeline.MartCache.read(spark, dir, erDag, "er_marts", "graft_er_",
+      Seq("customer"), "mart_er_pairs").head
 
   /** (id, label) for EVERY row of `c`: matched entities carry their
     * connected-component label, unmatched ones their own key (the r13

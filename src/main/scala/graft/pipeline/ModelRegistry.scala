@@ -62,6 +62,21 @@ object MartCache {
         dirs += key
       }
     }
+
+  /** THE ensure-then-read accessor every mart family uses (round-17
+    * review: nine hand-kept copies of the same prefix/ensure/read
+    * pattern had accumulated): the mart prefix is `<tag>_<sourceSig>` —
+    * the signature of `sigSources` keys the artifact to the corpus
+    * snapshot, so a dataset regenerated IN PLACE rebuilds instead of
+    * serving a stale mart — and `names` are read back from scratch
+    * parquet after one `ensure`. */
+  def read(spark: SparkSession, dir: String, dag: ModelRegistry,
+      prefixTag: String, viewPrefix: String, sigSources: Seq[String],
+      names: String*): Seq[org.apache.spark.sql.DataFrame] = {
+    val prefix = s"${prefixTag}_${graft.core.sourceSig(spark, dir, sigSources: _*)}"
+    ensure(spark, dir, dag, prefix, viewPrefix)
+    names.map(n => spark.read.parquet(graft.core.scratch(dir, s"$prefix/$n")))
+  }
 }
 
 final class ModelRegistry(models: Seq[ModelDef]) {

@@ -848,10 +848,13 @@ class LlmOpsSpec extends SparkSpec {
     // fixed conservative floor instead of re-running sim_graph_serve
     // inside the test (round-17 ADVICE: the re-run doubled this test's
     // wall time and coupled its meaning to another gate's measurements):
-    // the exact walks' measured min scan is 1370 at n=500 and 1960 at
-    // n=2000, while the derived beam stays ~620–650 at both — 1300 flags
-    // a real posture inversion with margin at every driver corpus
-    val serveScanFloor = 1300L
+    // the exact walks' measured min scan is ~1370 at n=500 and ~1960 at
+    // n=2000, while the derived beam stays ~620–650 at both — 1000 sits
+    // well under the walks' scans AND well above the beam, flagging a
+    // real posture inversion with two-sided margin at every driver
+    // corpus; re-derive it from sim_graph_serve's `scanned` column if
+    // the serve core or walk budget ever changes
+    val serveScanFloor = 1000L
     rows.foreach { r =>
       assert(r.getAs[Long]("beam_rows") < serveScanFloor,
         s"${r.getAs[String]("variant")} touched ${r.getAs[Long]("beam_rows")} vectors, " +
