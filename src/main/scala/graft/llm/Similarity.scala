@@ -5886,8 +5886,15 @@ object Similarity {
     * with the current graph, ONE NN-descent round — each fold audited
     * against the exact top-10 AMONG THE MEMBERS PRESENT at that fold
     * (the honest mid-feed denominator). */
-  private def streamIndexAppendSql(rounds: Int): String = {
-    val folds = s""",
+  /** The two pinned batch folds as oracle text — batch slices (f1 =
+    * vec_id % 10 = 4, f2 = % 10 = 9), the mid-feed member set m1, the
+    * cell-blocked seeds among the members PRESENT at each fold, and the
+    * two one-round fold chains → `y1l1` (after batch 1) and `y2l1`
+    * (after batch 2). ONE text shared by [[streamIndexAppendSql]] and
+    * [[indexPolicySql]] so the policy oracle can never drift from the
+    * streamed fold's recipe. Requires [[nnBuildCtes]]'s e/assigned/sc
+    * and [[nnFrozenBaseSql]]'s base/bl$rounds CTEs in scope. */
+  private def batchFoldCtesSql(rounds: Int): String = s""",
       f1 AS (SELECT vec_id FROM e WHERE vec_id % 10 = 4),
       f2 AS (SELECT vec_id FROM e WHERE vec_id % 10 = 9),
       m1 AS MATERIALIZED (SELECT vec_id FROM base UNION ALL SELECT vec_id FROM f1),
@@ -5901,7 +5908,7 @@ object Similarity {
           WHERE fa.cell = ta.cell) z
         WHERE rn <= 10),
       y1l0 AS MATERIALIZED (SELECT s, t FROM bl$rounds UNION ALL SELECT s, t FROM s1seed)""" +
-      nnRoundCtesSql("y1", "y1l0", 1) + s""",
+    nnRoundCtesSql("y1", "y1l0", 1) + s""",
       s2seed AS (
         SELECT s, t FROM (
           SELECT f.vec_id AS s, sc.t, row_number() OVER (PARTITION BY f.vec_id ORDER BY sc.score DESC, sc.t) AS rn
@@ -5911,7 +5918,10 @@ object Similarity {
           WHERE fa.cell = ta.cell) z
         WHERE rn <= 10),
       y2l0 AS MATERIALIZED (SELECT s, t FROM y1l1 UNION ALL SELECT s, t FROM s2seed)""" +
-      nnRoundCtesSql("y2", "y2l0", 1)
+    nnRoundCtesSql("y2", "y2l0", 1)
+
+  private def streamIndexAppendSql(rounds: Int): String = {
+    val folds = batchFoldCtesSql(rounds)
     val tail = s""",
       ex1 AS MATERIALIZED (
         SELECT s, t FROM (
@@ -6018,12 +6028,24 @@ object Similarity {
           val dest = new org.apache.hadoop.fs.Path(landing, s"batch-$i.parquet")
           fs.rename(part, dest)
           fs.setTimes(dest, 1000000L * (i + 1), -1)
+          // the fold order RIDES on these mtimes (the file source orders
+          // by (mtime, path)) — fail loud if the filesystem ignored
+          // setTimes instead of silently falling back to the path
+          // tiebreak (r17 advice: that fallback is an unasserted
+          // coincidence of the current batch names)
+          require(fs.getFileStatus(dest).getModificationTime == 1000000L * (i + 1),
+            s"setTimes not honored on $dest — fold order would be unpinned")
         }
         fs.delete(new org.apache.hadoop.fs.Path(tmp), true)
         fs.create(marker).close()
       }
-      // per-run index-state artifacts (the sink IS the op, rebuilt per run)
-      val stateDir = core.scratch(dir, "st_annidx_run")
+      // per-run index-state artifacts (the sink IS the op, rebuilt per
+      // run) — scoped by a unique run id so concurrent executions over
+      // the same dataset dir (spec suite beside verify/bench) can never
+      // interleave writes and audit reads (r17 advice), deleted after
+      // the audits complete
+      val stateDir = core.scratch(dir,
+        s"st_annidx_run_${java.util.UUID.randomUUID().toString.take(8)}")
       fs.delete(new org.apache.hadoop.fs.Path(stateDir), true)
       val schema = spark.read.parquet(landing).schema
       val kept = scala.collection.mutable.ArrayBuffer[DataFrame]()
@@ -6081,6 +6103,9 @@ object Similarity {
           nnRoundsMart(spark, dir).filter(col("round") === NndRounds)
             .select("s", "t", "rk"), exAll, n))
       (kept :+ ex1 :+ exAll :+ m1 :+ cellOf :+ e).foreach(_.unpersist(false))
+      // the audits above are eager (stat() counts) — the per-run fold
+      // snapshots are consumed, release the scratch
+      fs.delete(new org.apache.hadoop.fs.Path(stateDir), true)
       // conservation per fold (the graph covers every member present),
       // the degree cap, and the denominator contract
       require(rows(0)._2 == n1, s"batch_1 graph lost members: ${rows(0)._2} != $n1")
@@ -6092,6 +6117,178 @@ object Similarity {
       rows.toDF("variant", "n_nodes", "edges", "hits", "total")
         .select(col("variant"), col("n_nodes"), col("edges"), col("hits"),
           col("total"),
+          round(col("hits").cast(DoubleType) / col("total").cast(DoubleType), 6).as("recall_r"))
+        .orderBy("variant")
+    }
+  }
+
+  /** The consolidation-policy oracle: the shared build fragment (rebuilt
+    * arm + the one n² `sc` referee), the frozen-base chain, the two
+    * pinned batch folds ([[batchFoldCtesSql]] — LITERALLY the streamed
+    * gate's text), then the three policy trajectories: θ=30 never
+    * consolidates (final graph `y2l1`), θ=20 consolidates once after
+    * batch 2 (`p` chain = [[NndAppendRounds]] rounds off y2l1), θ=10
+    * consolidates after EVERY batch (`g` chain off y1l1, re-fold batch 2
+    * off the consolidated graph via the SAME s2seed — seeds depend only
+    * on the member set, which consolidation never changes — then the `i`
+    * chain), each audited against the exact top-10 over the full corpus. */
+  private def indexPolicySql(rounds: Int): String = {
+    val chains = nnRoundCtesSql("p", "y2l1", NndAppendRounds) +
+      nnRoundCtesSql("g", "y1l1", NndAppendRounds) + s""",
+      h0 AS MATERIALIZED (SELECT s, t FROM gl$NndAppendRounds UNION ALL SELECT s, t FROM s2seed)""" +
+      nnRoundCtesSql("h", "h0", 1) +
+      nnRoundCtesSql("i", "hl1", NndAppendRounds)
+    def statRow(name: String, tpct: Int, consol: Int, cost: Int, lst: String): String = s"""
+      SELECT '$name' AS variant, CAST($tpct AS BIGINT) AS trigger_pct,
+             CAST($consol AS BIGINT) AS consolidations,
+             CAST($cost AS BIGINT) AS rounds_cost,
+             CAST((SELECT count(*) FROM (SELECT s, t FROM $lst WHERE rk <= 10) h JOIN exactk USING (s, t)) AS BIGINT) AS hits,
+             CAST(ns.n * 10 AS BIGINT) AS total,
+             round(CAST((SELECT count(*) FROM (SELECT s, t FROM $lst WHERE rk <= 10) h JOIN exactk USING (s, t)) AS DOUBLE) / (ns.n * 10), 6) AS recall_r
+      FROM ns"""
+    val tail = s""",
+      exactk AS MATERIALIZED (
+        SELECT s, t FROM (SELECT s, t, row_number() OVER (PARTITION BY s ORDER BY score DESC, t) AS rn FROM sc) z
+        WHERE rn <= 10)
+      SELECT * FROM (
+      ${statRow("p10_consolidate_each", 10, 2, 2 + 2 * NndAppendRounds, s"il$NndAppendRounds")}
+      UNION ALL ${statRow("p20_consolidate_end", 20, 1, 2 + NndAppendRounds, s"pl$NndAppendRounds")}
+      UNION ALL ${statRow("p30_fold_only", 30, 0, 2, "y2l1")}
+      UNION ALL ${statRow("rebuilt", 0, 0, rounds, s"l$rounds")}
+      ) ORDER BY variant"""
+    nnBuildCtes(rounds) + nnFrozenBaseSql(rounds) + batchFoldCtesSql(rounds) +
+      chains + tail
+  }
+
+  /** sim — STREAMING-INDEX CONSOLIDATION POLICY (round 18 — r17 verdict
+    * queue #6: [[streamIndexAppend]] measured per-batch folds at a ~0.10
+    * recall tax vs the bulk fold's ~0.05 vs the rebuild; this gate turns
+    * that into a PRICED POLICY): over the same two-batch feed, run the
+    * mechanical trigger rule — after each batch fold, consolidate (the
+    * bulk gate's [[NndAppendRounds]]-round shape) iff
+    * 100·growthSinceConsolidation ≥ θ·membersAtLastConsolidation, in
+    * exact integers — at θ ∈ {10, 20, 30}, which lands the three
+    * regimes a deployment chooses between: θ=10 consolidates after
+    * every batch, θ=20 once at +20% cumulative growth, θ=30 never
+    * (per-batch folds only), anchored by the full-rebuild row. Output:
+    * one row per policy with the trigger, the consolidation count, the
+    * ROUNDS COST (folds + consolidation rounds — the compute a cluster
+    * pays, each round the same Σ deg² candidate bound), and recall vs
+    * the exact top-10 — the tax-vs-cost FRONTIER. MEASURED at sf0.1:
+    * cost 2 → 0.8269 (fold only), cost 4 → 0.9224 (consolidate at the
+    * end — recovering ~0.10 of the streamed tax for 2 extra rounds),
+    * cost 6 → 0.9265 (consolidating every batch buys only +0.004 more), cost 8
+    * → 0.9291 (rebuild); sf0.01 reads 0.9338 / 0.9904 / 0.9902 / 0.9932
+    * — past the first consolidation the frontier is FLAT (at n=500 the
+    * per-batch policy even measures 1 hit BELOW consolidate-at-end —
+    * trajectory, not refinement, noise), so the policy answer this gate
+    * prices is: schedule ONE consolidation per ~20% growth and let
+    * per-batch folds carry freshness between them. Laws in-gate: the
+    * executed schedule per θ equals the integer trigger rule's replay
+    * (2/1/0 consolidations — the POLICY law), conservation (every final
+    * graph covers all n nodes), the [[NndK]] degree cap, and
+    * consolidate_end ≥ fold_only hits (extra rounds on the SAME
+    * trajectory only improve — the [[simNnDescent]] eviction argument;
+    * no cross-trajectory ordering is asserted, the n=500 inversion is
+    * why). Shape at 100 TB: the policy layer is pure integer accounting
+    * over counter-scale growth stats; each fold/consolidation round is
+    * the same bounded candidate work the append gates price; the n²
+    * referee prices the EVALUATION only (the [[simNnDescent]]
+    * convention). */
+  val simIndexPolicy: QueryDef = {
+    QueryDef("sim_index_policy", Some(indexPolicySql(NndRounds))) { (spark, dir) =>
+      val s2 = spark
+      import s2.implicits._
+      val (e, n) = nnEmb(spark, dir)
+      val cellOf = ivfAssigned(spark, dir).select(col("vec_id"), col("cell"))
+        .localCheckpoint(true)
+      val kept = scala.collection.mutable.ArrayBuffer[DataFrame]()
+      def fold(curG: DataFrame, residue: Long, members: DataFrame): DataFrame = {
+        val fseed = nnTopK(e, 10)(
+          e.filter(col("vec_id") % 10 === residue)
+            .join(cellOf, Seq("vec_id")).select(col("vec_id").as("s"), col("cell"))
+            .join(members.join(cellOf, Seq("vec_id"))
+              .select(col("vec_id").as("t"), col("cell").as("tc")),
+              col("cell") === col("tc"))
+            .select("s", "t")).select("s", "t")
+        val (cand, next) = nnStep(e, curG.select("s", "t").unionByName(fseed))
+        cand.unpersist(false)
+        kept += next
+        next.select("s", "t", "rk")
+      }
+      def consolidate(g: DataFrame): DataFrame =
+        (1 to NndAppendRounds).foldLeft(g) { (cur, _) =>
+          val (cand, next) = nnStep(e, cur.select("s", "t"))
+          cand.unpersist(false)
+          kept += next
+          next.select("s", "t", "rk")
+        }
+      // the policy law: the trigger rule replayed in exact integers —
+      // the executed schedule below MUST be what this accounting says
+      val nBase = e.filter(col("vec_id") % 5 < 4).count()
+      val batchSizes = Seq(e.filter(col("vec_id") % 10 === 4).count(),
+        e.filter(col("vec_id") % 10 === 9).count())
+      def schedule(thetaPct: Long): Seq[Boolean] = {
+        var membersAtConsol = nBase
+        var growth = 0L
+        batchSizes.map { b =>
+          growth += b
+          val fire = growth * 100L >= thetaPct * membersAtConsol
+          if (fire) { membersAtConsol += growth; growth = 0L }
+          fire
+        }
+      }
+      val expected = Map(10L -> Seq(true, true), 20L -> Seq(false, true),
+        30L -> Seq(false, false))
+      expected.foreach { case (theta, sched) =>
+        require(schedule(theta) == sched,
+          s"trigger rule at theta=$theta fired ${schedule(theta)}, executed $sched")
+      }
+      val baseMembers = e.select("vec_id").filter(col("vec_id") % 5 < 4)
+      val m1 = e.select("vec_id")
+        .filter(col("vec_id") % 5 < 4 || col("vec_id") % 10 === 4)
+        .localCheckpoint(true)
+      // the θ-independent first fold (no policy consolidates pre-batch-1)
+      val y1 = fold(nnBaseMart(spark, dir).select("s", "t"), 4L, baseMembers)
+      // θ=30 (never) and θ=20 (once, at the end) share the batch-2 fold
+      val y2 = fold(y1, 9L, m1)
+      val p2 = consolidate(y2)
+      // θ=10: consolidate after batch 1, re-fold batch 2, consolidate
+      val i2 = consolidate(fold(consolidate(y1), 9L, m1))
+      val exactK = nnTopK(e, 10)(
+        e.select(col("vec_id").as("s"))
+          .crossJoin(broadcast(e.select(col("vec_id").as("t"))))
+          .filter(col("s") =!= col("t"))).localCheckpoint(true)
+      def stat(name: String, tpct: Long, consol: Long, g: DataFrame) = {
+        val nn = g.select("s").distinct().count()
+        val ed = g.count()
+        val h = g.filter(col("rk") <= 10).join(exactK, Seq("s", "t")).count()
+        (name, tpct, consol, 2L + consol * NndAppendRounds, nn, ed, h)
+      }
+      val rows = Seq(
+        stat("p10_consolidate_each", 10L, 2L, i2),
+        stat("p20_consolidate_end", 20L, 1L, p2),
+        stat("p30_fold_only", 30L, 0L, y2),
+        stat("rebuilt", 0L, 0L,
+          nnRoundsMart(spark, dir).filter(col("round") === NndRounds)
+            .select("s", "t", "rk"))
+          .copy(_4 = NndRounds.toLong))
+      (kept :+ exactK :+ m1 :+ cellOf :+ e).foreach(_.unpersist(false))
+      rows.take(3).foreach { case (v, tpct, consol, _, _, _, _) =>
+        require(consol == expected(tpct).count(identity),
+          s"$v executed $consol consolidations, the trigger rule says ${expected(tpct).count(identity)}")
+      }
+      rows.foreach { case (v, _, _, _, nn, ed, h) =>
+        require(nn == n, s"$v graph lost nodes: $nn != $n")
+        require(ed <= n * NndK, s"$v graph exceeds the degree cap: $ed > ${n * NndK}")
+        require(h <= n * 10, s"$v hits above the denominator")
+      }
+      require(rows(1)._7 >= rows(2)._7,
+        s"consolidation hurt the shared trajectory: ${rows(1)._7} < ${rows(2)._7}")
+      rows.map { case (v, tpct, consol, cost, _, _, h) => (v, tpct, consol, cost, h, n * 10) }
+        .toDF("variant", "trigger_pct", "consolidations", "rounds_cost", "hits", "total")
+        .select(col("variant"), col("trigger_pct"), col("consolidations"),
+          col("rounds_cost"), col("hits"), col("total"),
           round(col("hits").cast(DoubleType) / col("total").cast(DoubleType), 6).as("recall_r"))
         .orderBy("variant")
     }
@@ -6574,6 +6771,6 @@ object Similarity {
     simDeployedFrontier, simAnnFiltered, simIndexAppend, simBookAppend,
     simDimTruncation,
     simNnDescent, simGraphServe, simGraphHier, simGraphDeployed, simGraphAppend,
-    streamIndexAppend, qIndexQuality,
+    streamIndexAppend, simIndexPolicy, qIndexQuality,
     simGraphCentrality)
 }

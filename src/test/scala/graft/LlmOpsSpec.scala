@@ -388,6 +388,65 @@ class LlmOpsSpec extends SparkSpec {
     // far below the served 3-byte PQ book's 0.84 beam-200 recall
     assert(rows.head.getAs[Long]("hits") < 40L,
       "D=8 truncation unexpectedly strong - re-measure the PQ comparison in the scaladoc")
+    // endpoint pin (r17 advice: per-rung slack alone would let recall
+    // decline 3 hits across the whole ladder): the overall rise is
+    // strict from D=8 to D=32, independent of adjacent-rung wobble
+    assert(rows(2).getAs[Long]("hits") > rows.head.getAs[Long]("hits"),
+      "recall at D=32 must sit strictly above D=8 - the ladder's rise collapsed")
+  }
+
+  test("residual book memo: distinct coarse inputs return distinct books") {
+    // r17 advice regression: the old fixed 'res32' memo key ignored the
+    // cents/assign parameters, so a second caller passing a DIFFERENT
+    // coarse layout would silently receive the first caller's trained
+    // book; coarseTag now names the coarse pair inside the memo key
+    val e = spark.read.parquet(s"$sfDir/embeddings.parquet")
+      .select("vec_id", "embedding")
+    def coarsePair(lo: Int): (org.apache.spark.sql.DataFrame, org.apache.spark.sql.DataFrame) = {
+      val cents = e.filter(col("vec_id") >= lo && col("vec_id") < lo + 8)
+        .select((col("vec_id") - lo).as("cent_id"), col("embedding").as("cv"))
+      val packed = cents.groupBy().agg(
+        collect_list(struct(col("cent_id"), col("cv"))).as("cs"))
+      val best = array_max(transform(col("cs"), c => struct(
+        (call_function("graft_dot", col("embedding"), c("cv"))
+          - lit(1e-12) * c("cent_id")).as("score"),
+        c("cent_id").as("cent_id"))))
+      val assign = e.crossJoin(broadcast(packed))
+        .select(col("vec_id"), best("cent_id").as("cell"))
+      (cents, assign)
+    }
+    val (cA, aA) = coarsePair(0)
+    val (cB, aB) = coarsePair(100)
+    val bookA = Similarity.convergedRes32Book(spark, sfDir, cA, aA, coarseTag = "specA")
+    val bookB = Similarity.convergedRes32Book(spark, sfDir, cB, aB, coarseTag = "specB")
+    assert(bookA != bookB,
+      "residual books trained against distinct coarse layouts must differ - the memo key collapsed them")
+    // and the memo is a hit on the same (tag, corpus): identical value back
+    val bookA2 = Similarity.convergedRes32Book(spark, sfDir, cA, aA, coarseTag = "specA")
+    assert(bookA2 == bookA)
+  }
+
+  test("index policy: frontier is priced lawfully and consolidation recovers the streamed tax") {
+    val rows = Similarity.simIndexPolicy.run(spark, sfDir).collect()
+    assert(rows.map(_.getAs[String]("variant")).toSeq ===
+      Seq("p10_consolidate_each", "p20_consolidate_end", "p30_fold_only", "rebuilt"))
+    val by = rows.map(r => r.getAs[String]("variant") ->
+      (r.getAs[Long]("rounds_cost"), r.getAs[Long]("hits"), r.getAs[Long]("total"))).toMap
+    // the frontier's cost axis: fold-only < consolidate-at-end <
+    // consolidate-each < full rebuild, and the trigger/consolidation
+    // columns carry the integer rule's schedule (also required in-gate)
+    assert(by("p30_fold_only")._1 < by("p20_consolidate_end")._1)
+    assert(by("p20_consolidate_end")._1 < by("p10_consolidate_each")._1)
+    assert(by("p10_consolidate_each")._1 < by("rebuilt")._1)
+    // measured at sf0.001: one end-consolidation recovers the bulk of the
+    // per-batch fold's recall tax (4639 -> 4959 of 5000) — assert a real
+    // margin, not the in-gate weak inequality
+    assert(by("p20_consolidate_end")._2 > by("p30_fold_only")._2 + 100L,
+      s"end consolidation no longer recovers the streamed tax: ${by("p20_consolidate_end")._2} vs ${by("p30_fold_only")._2}")
+    rows.foreach { r =>
+      val rec = r.getAs[Double]("recall_r")
+      assert(rec >= 0.0 && rec <= 1.0)
+    }
   }
 
   test("graph centrality: ranked ledger is lawful and central mass tracks dense regions") {
@@ -855,6 +914,15 @@ class LlmOpsSpec extends SparkSpec {
     // corpus; re-derive it from sim_graph_serve's `scanned` column if
     // the serve core or walk budget ever changes
     val serveScanFloor = 1000L
+    // guard the constant itself (r17 advice: a corpus or serve-budget
+    // change could silently turn the floor vacuous): the deployed walk
+    // shares the exact walks' step/degree budget, so its own measured
+    // `scanned` column carries the walk-scan order of magnitude
+    // (1499–1659 at n=500, larger at n=2000) — the floor must stay
+    // below it to keep discriminating
+    val minScanned = rows.map(_.getAs[Long]("scanned")).min
+    assert(serveScanFloor <= minScanned,
+      s"serveScanFloor $serveScanFloor no longer sits under the walk-scan order ($minScanned) - re-derive it from sim_graph_serve's scanned column")
     rows.foreach { r =>
       assert(r.getAs[Long]("beam_rows") < serveScanFloor,
         s"${r.getAs[String]("variant")} touched ${r.getAs[Long]("beam_rows")} vectors, " +

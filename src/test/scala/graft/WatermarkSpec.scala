@@ -49,6 +49,28 @@ class WatermarkSpec extends SparkSpec {
     assert(sources.Ingest.jdbcCustomersPast(spark, sfDir, wm).count() === 0L)
   }
 
+  test("live JDBC upsert: conflicts carry day-2 values with the date bump, day-1 rows untouched") {
+    val rows = sources.Ingest.sJdbcUpsert.run(spark, sfDir).collect()
+    val cust = core.tbl(spark, sfDir, "customer")
+    val nEven = cust.filter(col("c_custkey") % 2 === 0).count()
+    val nDay1Odd = cust.filter(col("c_custkey") % 2 =!= 0
+      && col("c_custkey") % 3 =!= 1).count()
+    // final state = every change-batch key + the day-1 keys it never touched
+    assert(rows.length.toLong === nEven + nDay1Odd)
+    val (d2, d1) = rows.partition(
+      _.getAs[java.sql.Timestamp]("updated_at").toString.startsWith("2026-02-02"))
+    // every conflict/insert row carries day 2's bump AND day 2's values
+    // (the uppercased name); every untouched row keeps day 1's exactly
+    assert(d2.length.toLong === nEven)
+    assert(d2.forall(r => r.getAs[Long]("customer_id") % 2 == 0))
+    assert(d2.forall(r =>
+      r.getAs[String]("full_name") == r.getAs[String]("full_name").toUpperCase))
+    assert(d1.forall(r => r.getAs[Long]("customer_id") % 2 != 0
+      && r.getAs[Long]("customer_id") % 3 != 1))
+    assert(d1.forall(r =>
+      r.getAs[String]("full_name") != r.getAs[String]("full_name").toUpperCase))
+  }
+
   test("CSV landing accounts every planted malformed row, drops none silently") {
     val r = sources.Ingest.sCsvRejects.run(spark, sfDir).head()
     val expectedBad = core.tbl(spark, sfDir, "orders")
