@@ -6047,78 +6047,84 @@ object Similarity {
       val stateDir = core.scratch(dir,
         s"st_annidx_run_${java.util.UUID.randomUUID().toString.take(8)}")
       fs.delete(new org.apache.hadoop.fs.Path(stateDir), true)
-      val schema = spark.read.parquet(landing).schema
-      val kept = scala.collection.mutable.ArrayBuffer[DataFrame]()
-      var curG: DataFrame = nnBaseMart(spark, dir).select("s", "t")
-      var nFolds = 0
-      val q = spark.readStream.schema(schema)
-        .option("maxFilesPerTrigger", 1).parquet(landing)
-        .writeStream
-        .foreachBatch { (batch: DataFrame, bid: Long) =>
-          val fresh = batch.select("vec_id").distinct()
-          val members = curG.select(col("s").as("vec_id")).distinct()
-          val fseed = nnTopK(e, 10)(
-            fresh.join(cellOf, Seq("vec_id"))
-              .select(col("vec_id").as("s"), col("cell"))
-              .join(members.join(cellOf, Seq("vec_id"))
-                .select(col("vec_id").as("t"), col("cell").as("tc")),
-                col("cell") === col("tc"))
-              .select("s", "t")).select("s", "t")
-          val (cand, next) = nnStep(e, curG.unionByName(fseed))
-          cand.unpersist(false)
-          // the fold's persisted index snapshot — what a serve would read
-          next.write.mode("overwrite").parquet(s"$stateDir/fold_$bid")
-          kept += next
-          curG = next.select("s", "t")
-          nFolds += 1
-          ()
+      try {
+        val schema = spark.read.parquet(landing).schema
+        val kept = scala.collection.mutable.ArrayBuffer[DataFrame]()
+        var curG: DataFrame = nnBaseMart(spark, dir).select("s", "t")
+        var nFolds = 0
+        val q = spark.readStream.schema(schema)
+          .option("maxFilesPerTrigger", 1).parquet(landing)
+          .writeStream
+          .foreachBatch { (batch: DataFrame, bid: Long) =>
+            val fresh = batch.select("vec_id").distinct()
+            val members = curG.select(col("s").as("vec_id")).distinct()
+            val fseed = nnTopK(e, 10)(
+              fresh.join(cellOf, Seq("vec_id"))
+                .select(col("vec_id").as("s"), col("cell"))
+                .join(members.join(cellOf, Seq("vec_id"))
+                  .select(col("vec_id").as("t"), col("cell").as("tc")),
+                  col("cell") === col("tc"))
+                .select("s", "t")).select("s", "t")
+            val (cand, next) = nnStep(e, curG.unionByName(fseed))
+            cand.unpersist(false)
+            // the fold's persisted index snapshot — what a serve would read
+            next.write.mode("overwrite").parquet(s"$stateDir/fold_$bid")
+            kept += next
+            curG = next.select("s", "t")
+            nFolds += 1
+            ()
+          }
+          .trigger(Trigger.AvailableNow()).start()
+        q.awaitTermination()
+        require(nFolds == 2, s"the pinned landing must fold in exactly 2 batches, got $nFolds")
+        // audits: exact top-10 among the members PRESENT at each fold
+        val m1 = e.select("vec_id").filter(col("vec_id") % 5 < 4 || col("vec_id") % 10 === 4)
+          .localCheckpoint(true)
+        val n1 = m1.count()
+        val ex1 = nnTopK(e, 10)(
+          m1.select(col("vec_id").as("s"))
+            .crossJoin(broadcast(m1.select(col("vec_id").as("t"))))
+            .filter(col("s") =!= col("t"))).localCheckpoint(true)
+        val exAll = nnTopK(e, 10)(
+          e.select(col("vec_id").as("s"))
+            .crossJoin(broadcast(e.select(col("vec_id").as("t"))))
+            .filter(col("s") =!= col("t"))).localCheckpoint(true)
+        def stat(name: String, g: DataFrame, ex: DataFrame, members: Long): (String, Long, Long, Long, Long) = {
+          val nn = g.select("s").distinct().count()
+          val ed = g.count()
+          val h = g.filter(col("rk") <= 10).join(ex, Seq("s", "t")).count()
+          (name, nn, ed, h, members * 10)
         }
-        .trigger(Trigger.AvailableNow()).start()
-      q.awaitTermination()
-      require(nFolds == 2, s"the pinned landing must fold in exactly 2 batches, got $nFolds")
-      // audits: exact top-10 among the members PRESENT at each fold
-      val m1 = e.select("vec_id").filter(col("vec_id") % 5 < 4 || col("vec_id") % 10 === 4)
-        .localCheckpoint(true)
-      val n1 = m1.count()
-      val ex1 = nnTopK(e, 10)(
-        m1.select(col("vec_id").as("s"))
-          .crossJoin(broadcast(m1.select(col("vec_id").as("t"))))
-          .filter(col("s") =!= col("t"))).localCheckpoint(true)
-      val exAll = nnTopK(e, 10)(
-        e.select(col("vec_id").as("s"))
-          .crossJoin(broadcast(e.select(col("vec_id").as("t"))))
-          .filter(col("s") =!= col("t"))).localCheckpoint(true)
-      def stat(name: String, g: DataFrame, ex: DataFrame, members: Long): (String, Long, Long, Long, Long) = {
-        val nn = g.select("s").distinct().count()
-        val ed = g.count()
-        val h = g.filter(col("rk") <= 10).join(ex, Seq("s", "t")).count()
-        (name, nn, ed, h, members * 10)
+        val fold0 = spark.read.parquet(s"$stateDir/fold_0")
+        val fold1 = spark.read.parquet(s"$stateDir/fold_1")
+        val rows = Seq(
+          stat("batch_1", fold0, ex1, n1),
+          stat("batch_2", fold1, exAll, n),
+          stat("rebuilt",
+            nnRoundsMart(spark, dir).filter(col("round") === NndRounds)
+              .select("s", "t", "rk"), exAll, n))
+        (kept :+ ex1 :+ exAll :+ m1 :+ cellOf :+ e).foreach(_.unpersist(false))
+        // conservation per fold (the graph covers every member present),
+        // the degree cap, and the denominator contract
+        require(rows(0)._2 == n1, s"batch_1 graph lost members: ${rows(0)._2} != $n1")
+        require(rows(1)._2 == n, s"batch_2 graph lost members: ${rows(1)._2} != $n")
+        rows.foreach { case (v, nn, ed, h, tot) =>
+          require(ed <= nn * NndK, s"$v graph exceeds the degree cap: $ed > ${nn * NndK}")
+          require(h <= tot, s"$v hits above the denominator: $h > $tot")
+        }
+        rows.toDF("variant", "n_nodes", "edges", "hits", "total")
+          .select(col("variant"), col("n_nodes"), col("edges"), col("hits"),
+            col("total"),
+            round(col("hits").cast(DoubleType) / col("total").cast(DoubleType), 6).as("recall_r"))
+          .orderBy("variant")
+      } finally {
+        // the audits are eager (stat() counts) and the result frame is
+        // built from driver tuples — on EVERY exit, success or mid-audit
+        // throw, the per-run scratch is consumed and reclaimable (r18
+        // advice: a throw between fold writes and this delete leaked the
+        // uniquely-named dir permanently, since no later run shares it)
+        fs.delete(new org.apache.hadoop.fs.Path(stateDir), true)
       }
-      val fold0 = spark.read.parquet(s"$stateDir/fold_0")
-      val fold1 = spark.read.parquet(s"$stateDir/fold_1")
-      val rows = Seq(
-        stat("batch_1", fold0, ex1, n1),
-        stat("batch_2", fold1, exAll, n),
-        stat("rebuilt",
-          nnRoundsMart(spark, dir).filter(col("round") === NndRounds)
-            .select("s", "t", "rk"), exAll, n))
-      (kept :+ ex1 :+ exAll :+ m1 :+ cellOf :+ e).foreach(_.unpersist(false))
-      // the audits above are eager (stat() counts) — the per-run fold
-      // snapshots are consumed, release the scratch
-      fs.delete(new org.apache.hadoop.fs.Path(stateDir), true)
-      // conservation per fold (the graph covers every member present),
-      // the degree cap, and the denominator contract
-      require(rows(0)._2 == n1, s"batch_1 graph lost members: ${rows(0)._2} != $n1")
-      require(rows(1)._2 == n, s"batch_2 graph lost members: ${rows(1)._2} != $n")
-      rows.foreach { case (v, nn, ed, h, tot) =>
-        require(ed <= nn * NndK, s"$v graph exceeds the degree cap: $ed > ${nn * NndK}")
-        require(h <= tot, s"$v hits above the denominator: $h > $tot")
-      }
-      rows.toDF("variant", "n_nodes", "edges", "hits", "total")
-        .select(col("variant"), col("n_nodes"), col("edges"), col("hits"),
-          col("total"),
-          round(col("hits").cast(DoubleType) / col("total").cast(DoubleType), 6).as("recall_r"))
-        .orderBy("variant")
     }
   }
 

@@ -110,6 +110,32 @@ object Ingest {
     sys.props.getOrElseUpdate("derby.stream.error.file",
       s"${sys.props("user.dir")}/target/derby.log")
 
+  /** JVM-wide build-once guard for staged side artifacts (Derby loads and
+    * merges): the bare marker check-then-act is not atomic, so two
+    * concurrent executions in one JVM (the spec suite beside verify/bench)
+    * could both see a missing marker and interleave their staging writes
+    * against the shared database (r18 advice — cross-JVM Derby's
+    * single-booter lock fails loud, in-process it does not). One lock
+    * object per marker path serializes builders; the loser re-checks the
+    * marker under the lock and skips. */
+  private val stageLocks =
+    new java.util.concurrent.ConcurrentHashMap[String, Object]()
+  private def stagedOnce(marker: java.io.File)(build: => Unit): Unit = {
+    val lock = stageLocks.computeIfAbsent(marker.getPath, _ => new Object)
+    lock.synchronized {
+      if (!marker.exists()) { build; marker.createNewFile(); () }
+    }
+  }
+
+  /** JDBC partition upper bound derived from the corpus (r18 advice: the
+    * fixed `1 << 22` bound lands every key above it in the last partition
+    * at large scale factors — bounds shape the read strides only, never
+    * filter, so this is a balance fix, not a correctness one): one cheap
+    * max over the parquet original's key column. */
+  private def keyUpperBound(spark: SparkSession, dir: String,
+      table: String, key: String): Long =
+    tbl(spark, dir, table).agg(max(col(key))).head().getLong(0) + 1L
+
   /** Embedded-Derby JDBC URL for a mirror of the `orders` table, loaded
     * once per source content signature (a regenerated source gets a fresh
     * database — same staleness defense as the landing zones). The load
@@ -119,8 +145,7 @@ object Ingest {
     derbyQuiet()
     val dbDir = scratch(dir, s"derby_orders_${sourceSig(spark, dir, "orders")}")
     val url = s"jdbc:derby:$dbDir;create=true"
-    val marker = new java.io.File(dbDir, "_graft_loaded")
-    if (!marker.exists()) {
+    stagedOnce(new java.io.File(dbDir, "_graft_loaded")) {
       tbl(spark, dir, "orders")
         .select("o_orderkey", "o_custkey", "o_orderdate", "o_totalprice")
         .coalesce(4) // embedded DB: a few writers beat 32 contending ones
@@ -130,7 +155,6 @@ object Ingest {
         .option("driver", "org.apache.derby.jdbc.EmbeddedDriver")
         .option("batchsize", "10000")
         .mode("overwrite").save()
-      marker.createNewFile()
     }
     url
   }
@@ -160,7 +184,7 @@ object Ingest {
       .option("driver", "org.apache.derby.jdbc.EmbeddedDriver")
       .option("partitionColumn", "o_orderkey")
       .option("lowerBound", "1")
-      .option("upperBound", (1L << 22).toString)
+      .option("upperBound", keyUpperBound(spark, dir, "orders", "o_orderkey").toString)
       .option("numPartitions", "8")
       .load()
       .filter(col("o_orderdate") >= lit("1997-01-01").cast(DateType))
@@ -181,8 +205,7 @@ object Ingest {
     derbyQuiet()
     val dbDir = scratch(dir, s"derby_customers_${sourceSig(spark, dir, "customer")}")
     val url = s"jdbc:derby:$dbDir;create=true"
-    val marker = new java.io.File(dbDir, "_graft_loaded")
-    if (!marker.exists()) {
+    stagedOnce(new java.io.File(dbDir, "_graft_loaded")) {
       tbl(spark, dir, "customer")
         .select(col("c_custkey").as("customer_id"), col("c_name").as("full_name"),
           col("c_acctbal").as("balance"), col("c_mktsegment").as("segment"))
@@ -194,7 +217,6 @@ object Ingest {
         .option("createTableColumnTypes", "full_name VARCHAR(64), segment VARCHAR(16)")
         .option("batchsize", "10000")
         .mode("overwrite").save()
-      marker.createNewFile()
     }
     url
   }
@@ -210,7 +232,7 @@ object Ingest {
       .option("driver", "org.apache.derby.jdbc.EmbeddedDriver")
       .option("partitionColumn", "customer_id")
       .option("lowerBound", "1")
-      .option("upperBound", (1L << 22).toString)
+      .option("upperBound", keyUpperBound(spark, dir, "customer", "c_custkey").toString)
       .option("numPartitions", "8")
       .load()
       .filter(col("customer_id") > past)
@@ -268,32 +290,16 @@ object Ingest {
     * parquet original. Shape at 100 TB: the stage write is
     * partition-parallel, the MERGE is one set-based statement inside
     * the warehouse (where it is itself distributed), and the merge
-    * cardinality is asserted (= the change-batch size, fail-loud). */
-  val sJdbcUpsert: QueryDef = QueryDef(
-    "s_jdbc_upsert",
-    Some("""
-      WITH b2 AS (
-        SELECT c_custkey AS customer_id, upper(c_name) AS full_name,
-               CAST(c_acctbal + 100.0 AS DOUBLE) AS balance,
-               c_mktsegment AS segment,
-               TIMESTAMP '2026-02-02 00:00:00' AS updated_at
-        FROM customer WHERE c_custkey % 2 = 0),
-      b1 AS (
-        SELECT c_custkey AS customer_id, c_name AS full_name,
-               CAST(c_acctbal AS DOUBLE) AS balance,
-               c_mktsegment AS segment,
-               TIMESTAMP '2026-02-01 00:00:00' AS updated_at
-        FROM customer WHERE c_custkey % 3 <> 1)
-      SELECT * FROM b2
-      UNION ALL
-      SELECT * FROM b1 WHERE customer_id NOT IN (SELECT customer_id FROM b2)
-      ORDER BY customer_id
-    """)) { (spark, dir) =>
+    * cardinality is asserted (= the change-batch size, fail-loud).
+    *
+    * Factored as an ensure-once builder so the live-warehouse QUALITY
+    * audit and the watermark-delta composition gate can read the same
+    * maintained state without re-staging it. Returns the database URL. */
+  private[graft] def dimCustomersUrl(spark: SparkSession, dir: String): String = {
     derbyQuiet()
     val dbDir = scratch(dir, s"derby_dim_${sourceSig(spark, dir, "customer")}")
     val url = s"jdbc:derby:$dbDir;create=true"
-    val marker = new java.io.File(dbDir, "_graft_merged")
-    if (!marker.exists()) {
+    stagedOnce(new java.io.File(dbDir, "_graft_merged")) {
       val cust = tbl(spark, dir, "customer")
       def writeJdbc(df: DataFrame, table: String): Unit =
         df.coalesce(4) // embedded DB: a few writers beat 32 contending ones
@@ -338,20 +344,46 @@ object Ingest {
         require(merged == nChanges,
           s"MERGE touched $merged rows, the change batch carried $nChanges")
       } finally conn.close()
-      marker.createNewFile()
     }
+    url
+  }
+
+  /** Partitioned JDBC read of the maintained live dimension — the final
+    * warehouse state, strided over key ranges derived from the corpus. */
+  private[graft] def dimCustomersState(spark: SparkSession, dir: String): DataFrame =
     spark.read.format("jdbc")
-      .option("url", url)
+      .option("url", dimCustomersUrl(spark, dir))
       .option("dbtable", "dim_customers")
       .option("driver", "org.apache.derby.jdbc.EmbeddedDriver")
       .option("partitionColumn", "customer_id")
       .option("lowerBound", "1")
-      .option("upperBound", (1L << 22).toString)
+      .option("upperBound", keyUpperBound(spark, dir, "customer", "c_custkey").toString)
       .option("numPartitions", "8")
       .load()
       .select(col("customer_id"), col("full_name"), col("balance"),
         col("segment"), col("updated_at").cast(TimestampType).as("updated_at"))
-      .orderBy("customer_id")
+
+  val sJdbcUpsert: QueryDef = QueryDef(
+    "s_jdbc_upsert",
+    Some("""
+      WITH b2 AS (
+        SELECT c_custkey AS customer_id, upper(c_name) AS full_name,
+               CAST(c_acctbal + 100.0 AS DOUBLE) AS balance,
+               c_mktsegment AS segment,
+               TIMESTAMP '2026-02-02 00:00:00' AS updated_at
+        FROM customer WHERE c_custkey % 2 = 0),
+      b1 AS (
+        SELECT c_custkey AS customer_id, c_name AS full_name,
+               CAST(c_acctbal AS DOUBLE) AS balance,
+               c_mktsegment AS segment,
+               TIMESTAMP '2026-02-01 00:00:00' AS updated_at
+        FROM customer WHERE c_custkey % 3 <> 1)
+      SELECT * FROM b2
+      UNION ALL
+      SELECT * FROM b1 WHERE customer_id NOT IN (SELECT customer_id FROM b2)
+      ORDER BY customer_id
+    """)) { (spark, dir) =>
+    dimCustomersState(spark, dir).orderBy("customer_id")
   }
 
   /** CSV landing with MALFORMED-ROW accounting: the third wire format a

@@ -63,12 +63,16 @@ class WatermarkSpec extends SparkSpec {
     // (the uppercased name); every untouched row keeps day 1's exactly
     assert(d2.length.toLong === nEven)
     assert(d2.forall(r => r.getAs[Long]("customer_id") % 2 == 0))
-    assert(d2.forall(r =>
-      r.getAs[String]("full_name") == r.getAs[String]("full_name").toUpperCase))
+    // compare against the SOURCE rows directly (not the case shape of the
+    // generated names, which a generator change could silently invalidate)
+    val nameOf = cust.select(col("c_custkey"), col("c_name")).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(d2.forall(r => r.getAs[String]("full_name")
+      === nameOf(r.getAs[Long]("customer_id")).toUpperCase))
     assert(d1.forall(r => r.getAs[Long]("customer_id") % 2 != 0
       && r.getAs[Long]("customer_id") % 3 != 1))
-    assert(d1.forall(r =>
-      r.getAs[String]("full_name") != r.getAs[String]("full_name").toUpperCase))
+    assert(d1.forall(r => r.getAs[String]("full_name")
+      === nameOf(r.getAs[Long]("customer_id"))))
   }
 
   test("CSV landing accounts every planted malformed row, drops none silently") {
