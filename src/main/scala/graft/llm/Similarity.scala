@@ -4948,6 +4948,12 @@ object Similarity {
     * co-partitioned id fetch, bounded by the candidate volume. */
   private def nnTopK(e: DataFrame, k: Int)(pairs: DataFrame): DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    // no join hints here: e is a checkpointed frame with unknown stats, so
+    // the static plan is sort-merge — but AQE measures e's shuffle at
+    // runtime (tiny at every member count these gates index) and converts
+    // both fetches to broadcast joins, skipping the candidate-side
+    // shuffles entirely; forcing shuffle_hash was measured 1.5× SLOWER at
+    // sf0.1 because it pins the Σ deg² side to a shuffle AQE would elide
     pairs
       .join(e.select(col("vec_id").as("s"), col("embedding").as("es")), "s")
       .join(e.select(col("vec_id").as("t"), col("embedding").as("et")), "t")
@@ -4988,6 +4994,27 @@ object Similarity {
     val next = nnTopK(e, NndK)(pairs.unionByName(cand).distinct()).localCheckpoint(true)
     und.unpersist(false)
     (cand, next)
+  }
+
+  /** [[nnStep]] for consumers that never COUNT the candidate set (the
+    * append folds, consolidation rounds, and fold-mart builders — only
+    * the round-mart builders price `cand_pairs`): identical values, but
+    * the candidate table flows straight into the kept-list scoring
+    * instead of being eagerly checkpointed first — one full
+    * materialize-and-write pass of the Σ deg² table saved per round,
+    * which is the dominant per-round cost everywhere the referee tables
+    * are already marted. Returns the checkpointed next kept list. */
+  private def nnStepNext(e: DataFrame, cur: DataFrame): DataFrame = {
+    val pairs = cur.select("s", "t")
+    val und = pairs.unionByName(pairs.select(col("t").as("s"), col("s").as("t")))
+      .distinct().localCheckpoint(true)
+    val und2 = und.toDF("u2", "q")
+    val cand = und.join(und2, col("s") === col("u2") && col("t") =!= col("q"))
+      .select(col("t").as("s"), col("q").as("t"))
+      .distinct()
+    val next = nnTopK(e, NndK)(pairs.unionByName(cand).distinct()).localCheckpoint(true)
+    und.unpersist(false)
+    next
   }
 
   /** One NN-descent BUILD per corpus snapshot, the
@@ -5058,11 +5085,9 @@ object Similarity {
   val simNnDescent: QueryDef = {
     QueryDef("sim_nndescent", Some(nnDescentSql(NndRounds))) { (spark, dir) =>
       val (e, n) = nnEmb(spark, dir)
-      // exact top-K: the n² EVALUATION baseline (audit-only; see scaladoc)
-      val exactK = nnTopK(e, 10)(
-        e.select(col("vec_id").as("s"))
-          .crossJoin(broadcast(e.select(col("vec_id").as("t"))))
-          .filter(col("s") =!= col("t"))).localCheckpoint(true)
+      // exact top-K: the n² EVALUATION baseline (audit-only; a standing
+      // corpus artifact read from the eval mart — see its scaladoc)
+      val exactK = nnExactKMart(spark, dir)
       // counter-scale collect: NndRounds+1 stat rows off the mart; the
       // recall@10 audit reads each round's rk <= 10 head (the kept list
       // is NndK-long since the build/serve degree split)
@@ -5075,7 +5100,6 @@ object Similarity {
           sum(coalesce(col("hit"), lit(0L))).as("hits"))
         .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
         .toSeq.sortBy(_._1)
-      exactK.unpersist(false)
       e.unpersist(false)
       import spark.implicits._
       stats.toDF("round", "cand_pairs", "hits")
@@ -5685,8 +5709,7 @@ object Similarity {
       var prevSig: (Long, Long, Long) = null
       var fixed = false
       for (_ <- 1 to NndRounds if !fixed) {
-        val (cand, next) = nnStep(eB, cur)
-        cand.unpersist(false)
+        val next = nnStepNext(eB, cur)
         val row = next.agg(count(lit(1)),
           sum(hash(col("s"), col("t")).cast(LongType)),
           call_function("bit_xor", xxhash64(col("s"), col("t")))).head()
@@ -5706,6 +5729,124 @@ object Similarity {
   private def nnBaseMart(spark: SparkSession, dir: String): DataFrame =
     graft.pipeline.MartCache.read(spark, dir, nnBaseDag, "nnb_marts", "graft_nnb_",
       Seq("embeddings"), "mart_nn_base").head
+
+  /** Cell-blocked arrival seeds for the batch `vec_id % 10 = residue`
+    * against the CURRENT member set — the fold-seed recipe shared by the
+    * streamed append sink, the policy gate, and the fold-mart builders.
+    * Seeds are a function of (member set, frozen cell assignment) only —
+    * never of the graph — which is why a consolidated and an
+    * unconsolidated trajectory may reuse the same seed artifact. */
+  private def foldSeed(spark: SparkSession, dir: String, e: DataFrame,
+      residue: Long, members: DataFrame): DataFrame = {
+    val cellOf = ivfAssigned(spark, dir).select(col("vec_id"), col("cell"))
+    nnTopK(e, 10)(
+      e.filter(col("vec_id") % 10 === residue)
+        .join(cellOf, Seq("vec_id")).select(col("vec_id").as("s"), col("cell"))
+        .join(members.join(cellOf, Seq("vec_id"))
+          .select(col("vec_id").as("t"), col("cell").as("tc")),
+          col("cell") === col("tc"))
+        .select("s", "t")).select("s", "t")
+  }
+
+  /** The SHARED two-batch fold snapshots as marts (round 19 — r18 verdict
+    * queue #2: the streamed append persisted per-run fold artifacts while
+    * the policy gate recomputed the IDENTICAL folds every pass, making it
+    * the most expensive gate in the bench at 2× the runner-up): per
+    * batch, the arrival seeds and the one-round fold graph, standing
+    * artifacts of the (frozen base, pinned batch) pair exactly like
+    * [[nnBaseMart]]. fold1 = one NN-descent round over base ∪ seed1
+    * (members = base ∪ batch `%10=4`); fold2 = one round over fold1 ∪
+    * seed2 (members ∪ batch `%10=9`). The ORACLE keeps replaying both
+    * folds inline ([[batchFoldCtesSql]] — the referee convention), so any
+    * drift in these artifacts breaks the hash gate; the streamed gate
+    * also keeps computing its folds live (the stream IS its op) and its
+    * results are asserted against the same oracle text. */
+  private val nnFoldDag = new graft.pipeline.ModelRegistry(Seq(
+    graft.pipeline.ModelDef("mart_nn_seed1", Nil, mart = true) { (s, d, _) =>
+      val (e, _) = nnEmb(s, d)
+      val out = foldSeed(s, d, e, 4L,
+        e.select("vec_id").filter(col("vec_id") % 5 < 4)).localCheckpoint(true)
+      e.unpersist(false)
+      out
+    },
+    graft.pipeline.ModelDef("mart_nn_fold1", Seq("mart_nn_seed1"), mart = true) { (s, d, res) =>
+      val (e, _) = nnEmb(s, d)
+      val next = nnStepNext(e,
+        nnBaseMart(s, d).select("s", "t").unionByName(res("mart_nn_seed1")))
+      e.unpersist(false)
+      next.select("s", "t", "rk")
+    },
+    graft.pipeline.ModelDef("mart_nn_seed2", Nil, mart = true) { (s, d, _) =>
+      val (e, _) = nnEmb(s, d)
+      val out = foldSeed(s, d, e, 9L,
+        e.select("vec_id")
+          .filter(col("vec_id") % 5 < 4 || col("vec_id") % 10 === 4))
+        .localCheckpoint(true)
+      e.unpersist(false)
+      out
+    },
+    graft.pipeline.ModelDef("mart_nn_fold2", Seq("mart_nn_fold1", "mart_nn_seed2"),
+      mart = true) { (s, d, res) =>
+      val (e, _) = nnEmb(s, d)
+      val next = nnStepNext(e,
+        res("mart_nn_fold1").select("s", "t").unionByName(res("mart_nn_seed2")))
+      e.unpersist(false)
+      next.select("s", "t", "rk")
+    }))
+
+  /** Materialize-once accessor for the batch-fold marts:
+    * (fold1, fold2, seed2) — seed1 is consumed only inside the dag. */
+  private def nnFoldMarts(spark: SparkSession, dir: String): (DataFrame, DataFrame, DataFrame) = {
+    val Seq(f1, f2, s2) = graft.pipeline.MartCache.read(spark, dir, nnFoldDag,
+      "nnf_marts", "graft_nnf_", Seq("embeddings"),
+      "mart_nn_fold1", "mart_nn_fold2", "mart_nn_seed2")
+    (f1, f2, s2)
+  }
+
+  /** The n² EVALUATION referees as marts (round 19, same verdict item):
+    * the exact top-10 ground truth is a standing property of the corpus
+    * snapshot, yet four gates were re-paying the n² scoring pass every
+    * bench pass. `mart_nn_exactk` = exact top-10 over all members;
+    * `mart_nn_exact_m1` = exact top-10 among the mid-feed member set
+    * (base ∪ batch `%10=4`), the streamed gate's honest fold-1
+    * denominator. Audit-only artifacts (the [[simNnDescent]] referee
+    * convention — every ORACLE still prices its referee inline as one n²
+    * `sc` table); integer (s, t, rk) triples, so the parquet round-trip
+    * is exact. */
+  private val nnEvalDag = new graft.pipeline.ModelRegistry(Seq(
+    graft.pipeline.ModelDef("mart_nn_exactk", Nil, mart = true) { (s, d, _) =>
+      val (e, _) = nnEmb(s, d)
+      val out = nnTopK(e, 10)(
+        e.select(col("vec_id").as("s"))
+          .crossJoin(broadcast(e.select(col("vec_id").as("t"))))
+          .filter(col("s") =!= col("t"))).localCheckpoint(true)
+      e.unpersist(false)
+      out
+    },
+    graft.pipeline.ModelDef("mart_nn_exact_m1", Nil, mart = true) { (s, d, _) =>
+      val (e, _) = nnEmb(s, d)
+      val m1 = e.select("vec_id")
+        .filter(col("vec_id") % 5 < 4 || col("vec_id") % 10 === 4)
+        .localCheckpoint(true)
+      val out = nnTopK(e, 10)(
+        m1.select(col("vec_id").as("s"))
+          .crossJoin(broadcast(m1.select(col("vec_id").as("t"))))
+          .filter(col("s") =!= col("t"))).localCheckpoint(true)
+      m1.unpersist(false)
+      e.unpersist(false)
+      out
+    }))
+
+  /** Exact top-10 over the full corpus, as (s, t) pairs ready for the
+    * hit joins. */
+  private def nnExactKMart(spark: SparkSession, dir: String): DataFrame =
+    graft.pipeline.MartCache.read(spark, dir, nnEvalDag, "nne_marts", "graft_nne_",
+      Seq("embeddings"), "mart_nn_exactk").head.select("s", "t")
+
+  /** Exact top-10 among the mid-feed member set, as (s, t) pairs. */
+  private def nnExactM1Mart(spark: SparkSession, dir: String): DataFrame =
+    graft.pipeline.MartCache.read(spark, dir, nnEvalDag, "nne_marts", "graft_nne_",
+      Seq("embeddings"), "mart_nn_exact_m1").head.select("s", "t")
 
   /** Prefixed NN-descent round CTEs over a shared `sc` score table —
     * the [[nnBuildCtes]] round shape factored so the append oracle can
@@ -5838,11 +5979,9 @@ object Similarity {
           .join(cellB.select(col("vec_id").as("t"), col("cell").as("tc")),
             col("cell") === col("tc"))
           .select("s", "t")).select("s", "t")
-      // the n² audit (evaluation pricing, the simNnDescent convention)
-      val exactK = nnTopK(e, 10)(
-        e.select(col("vec_id").as("s"))
-          .crossJoin(broadcast(e.select(col("vec_id").as("t"))))
-          .filter(col("s") =!= col("t"))).localCheckpoint(true)
+      // the n² audit (evaluation pricing, the simNnDescent convention),
+      // read from the standing eval mart
+      val exactK = nnExactKMart(spark, dir)
       def stat(name: String, lst: DataFrame): (String, Long, Long, Long) = {
         val nn = lst.select("s").distinct().count()
         val ed = lst.count()
@@ -5853,8 +5992,7 @@ object Similarity {
       var ucur: DataFrame = baseG.unionByName(fseed)
       val rows = scala.collection.mutable.ArrayBuffer[(String, Long, Long, Long)]()
       for (r <- 1 to NndAppendRounds) {
-        val (cand, next) = nnStep(e, ucur)
-        cand.unpersist(false)
+        val next = nnStepNext(e, ucur)
         rows += stat(s"appended_r$r", next)
         kept += next
         ucur = next
@@ -5862,7 +6000,7 @@ object Similarity {
       rows += stat("rebuilt",
         nnRoundsMart(spark, dir).filter(col("round") === NndRounds)
           .select("s", "t", "rk"))
-      (kept :+ exactK :+ e).foreach(_.unpersist(false))
+      (kept :+ e).foreach(_.unpersist(false))
       // conservation + degree cap + append-round monotonicity
       rows.foreach { case (v, nn, ed, _) =>
         require(nn == n, s"$v graph lost nodes: $nn != $n")
@@ -6065,8 +6203,7 @@ object Similarity {
                   .select(col("vec_id").as("t"), col("cell").as("tc")),
                   col("cell") === col("tc"))
                 .select("s", "t")).select("s", "t")
-            val (cand, next) = nnStep(e, curG.unionByName(fseed))
-            cand.unpersist(false)
+            val next = nnStepNext(e, curG.unionByName(fseed))
             // the fold's persisted index snapshot — what a serve would read
             next.write.mode("overwrite").parquet(s"$stateDir/fold_$bid")
             kept += next
@@ -6077,18 +6214,12 @@ object Similarity {
           .trigger(Trigger.AvailableNow()).start()
         q.awaitTermination()
         require(nFolds == 2, s"the pinned landing must fold in exactly 2 batches, got $nFolds")
-        // audits: exact top-10 among the members PRESENT at each fold
-        val m1 = e.select("vec_id").filter(col("vec_id") % 5 < 4 || col("vec_id") % 10 === 4)
-          .localCheckpoint(true)
-        val n1 = m1.count()
-        val ex1 = nnTopK(e, 10)(
-          m1.select(col("vec_id").as("s"))
-            .crossJoin(broadcast(m1.select(col("vec_id").as("t"))))
-            .filter(col("s") =!= col("t"))).localCheckpoint(true)
-        val exAll = nnTopK(e, 10)(
-          e.select(col("vec_id").as("s"))
-            .crossJoin(broadcast(e.select(col("vec_id").as("t"))))
-            .filter(col("s") =!= col("t"))).localCheckpoint(true)
+        // audits: exact top-10 among the members PRESENT at each fold —
+        // standing corpus artifacts, read from the eval marts
+        val n1 = e.select("vec_id")
+          .filter(col("vec_id") % 5 < 4 || col("vec_id") % 10 === 4).count()
+        val ex1 = nnExactM1Mart(spark, dir)
+        val exAll = nnExactKMart(spark, dir)
         def stat(name: String, g: DataFrame, ex: DataFrame, members: Long): (String, Long, Long, Long, Long) = {
           val nn = g.select("s").distinct().count()
           val ed = g.count()
@@ -6103,7 +6234,7 @@ object Similarity {
           stat("rebuilt",
             nnRoundsMart(spark, dir).filter(col("round") === NndRounds)
               .select("s", "t", "rk"), exAll, n))
-        (kept :+ ex1 :+ exAll :+ m1 :+ cellOf :+ e).foreach(_.unpersist(false))
+        (kept :+ cellOf :+ e).foreach(_.unpersist(false))
         // conservation per fold (the graph covers every member present),
         // the degree cap, and the denominator contract
         require(rows(0)._2 == n1, s"batch_1 graph lost members: ${rows(0)._2} != $n1")
@@ -6205,35 +6336,27 @@ object Similarity {
     QueryDef("sim_index_policy", Some(indexPolicySql(NndRounds))) { (spark, dir) =>
       val s2 = spark
       import s2.implicits._
+      import scala.concurrent.{Await, Future}
+      import scala.concurrent.duration.Duration
+      import scala.concurrent.ExecutionContext.Implicits.global
       val (e, n) = nnEmb(spark, dir)
-      val cellOf = ivfAssigned(spark, dir).select(col("vec_id"), col("cell"))
-        .localCheckpoint(true)
       val kept = scala.collection.mutable.ArrayBuffer[DataFrame]()
-      def fold(curG: DataFrame, residue: Long, members: DataFrame): DataFrame = {
-        val fseed = nnTopK(e, 10)(
-          e.filter(col("vec_id") % 10 === residue)
-            .join(cellOf, Seq("vec_id")).select(col("vec_id").as("s"), col("cell"))
-            .join(members.join(cellOf, Seq("vec_id"))
-              .select(col("vec_id").as("t"), col("cell").as("tc")),
-              col("cell") === col("tc"))
-            .select("s", "t")).select("s", "t")
-        val (cand, next) = nnStep(e, curG.select("s", "t").unionByName(fseed))
-        cand.unpersist(false)
-        kept += next
-        next.select("s", "t", "rk")
-      }
+      def keep(df: DataFrame): Unit = kept.synchronized { kept += df; () }
       def consolidate(g: DataFrame): DataFrame =
         (1 to NndAppendRounds).foldLeft(g) { (cur, _) =>
-          val (cand, next) = nnStep(e, cur.select("s", "t"))
-          cand.unpersist(false)
-          kept += next
+          val next = nnStepNext(e, cur.select("s", "t"))
+          keep(next)
           next.select("s", "t", "rk")
         }
       // the policy law: the trigger rule replayed in exact integers —
       // the executed schedule below MUST be what this accounting says
-      val nBase = e.filter(col("vec_id") % 5 < 4).count()
-      val batchSizes = Seq(e.filter(col("vec_id") % 10 === 4).count(),
-        e.filter(col("vec_id") % 10 === 9).count())
+      // (one aggregate job for all three counter-scale growth stats)
+      val cnt = e.agg(
+        sum(when(col("vec_id") % 5 < 4, 1L).otherwise(0L)),
+        sum(when(col("vec_id") % 10 === 4, 1L).otherwise(0L)),
+        sum(when(col("vec_id") % 10 === 9, 1L).otherwise(0L))).head()
+      val nBase = cnt.getLong(0)
+      val batchSizes = Seq(cnt.getLong(1), cnt.getLong(2))
       def schedule(thetaPct: Long): Seq[Boolean] = {
         var membersAtConsol = nBase
         var growth = 0L
@@ -6250,36 +6373,47 @@ object Similarity {
         require(schedule(theta) == sched,
           s"trigger rule at theta=$theta fired ${schedule(theta)}, executed $sched")
       }
-      val baseMembers = e.select("vec_id").filter(col("vec_id") % 5 < 4)
-      val m1 = e.select("vec_id")
-        .filter(col("vec_id") % 5 < 4 || col("vec_id") % 10 === 4)
-        .localCheckpoint(true)
-      // the θ-independent first fold (no policy consolidates pre-batch-1)
-      val y1 = fold(nnBaseMart(spark, dir).select("s", "t"), 4L, baseMembers)
-      // θ=30 (never) and θ=20 (once, at the end) share the batch-2 fold
-      val y2 = fold(y1, 9L, m1)
-      val p2 = consolidate(y2)
-      // θ=10: consolidate after batch 1, re-fold batch 2, consolidate
-      val i2 = consolidate(fold(consolidate(y1), 9L, m1))
-      val exactK = nnTopK(e, 10)(
-        e.select(col("vec_id").as("s"))
-          .crossJoin(broadcast(e.select(col("vec_id").as("t"))))
-          .filter(col("s") =!= col("t"))).localCheckpoint(true)
-      def stat(name: String, tpct: Long, consol: Long, g: DataFrame) = {
+      // the θ-independent first fold and the shared batch-2 fold are
+      // standing snapshot artifacts (the fold marts — the streamed gate's
+      // per-fold persists, built once per corpus; their oracle replays
+      // the folds inline): y1 = after batch 1 (no policy consolidates
+      // pre-batch-1), y2 = after batch 2 (shared by θ=30 never / θ=20 at
+      // the end)
+      val (y1, y2, seed2) = nnFoldMarts(spark, dir)
+      // the two policy trajectories are INDEPENDENT index lineages off the
+      // shared fold snapshots — price them concurrently (two driver
+      // threads submitting jobs; the scheduler interleaves their stages,
+      // exactly as a deployment prices variants side by side)
+      val p2F = Future(consolidate(y2))
+      val i2F = Future {
+        // θ=10: consolidate after batch 1, re-fold batch 2 off the
+        // consolidated graph (the marted seed2 — seeds depend only on the
+        // member set, which consolidation never changes), consolidate
+        val next = nnStepNext(e,
+          consolidate(y1).select("s", "t").unionByName(seed2))
+        keep(next)
+        consolidate(next.select("s", "t", "rk"))
+      }
+      val p2 = Await.result(p2F, Duration.Inf)
+      val i2 = Await.result(i2F, Duration.Inf)
+      val exactK = nnExactKMart(spark, dir)
+      def stat(name: String, tpct: Long, consol: Long, g: DataFrame) = Future {
         val nn = g.select("s").distinct().count()
         val ed = g.count()
         val h = g.filter(col("rk") <= 10).join(exactK, Seq("s", "t")).count()
         (name, tpct, consol, 2L + consol * NndAppendRounds, nn, ed, h)
       }
-      val rows = Seq(
+      // audit counts for the four variants run concurrently too — twelve
+      // independent counter jobs, no cross-dependency
+      val rows = Await.result(Future.sequence(Seq(
         stat("p10_consolidate_each", 10L, 2L, i2),
         stat("p20_consolidate_end", 20L, 1L, p2),
         stat("p30_fold_only", 30L, 0L, y2),
         stat("rebuilt", 0L, 0L,
           nnRoundsMart(spark, dir).filter(col("round") === NndRounds)
             .select("s", "t", "rk"))
-          .copy(_4 = NndRounds.toLong))
-      (kept :+ exactK :+ m1 :+ cellOf :+ e).foreach(_.unpersist(false))
+          .map(_.copy(_4 = NndRounds.toLong)))), Duration.Inf)
+      (kept :+ e).foreach(_.unpersist(false))
       rows.take(3).foreach { case (v, tpct, consol, _, _, _, _) =>
         require(consol == expected(tpct).count(identity),
           s"$v executed $consol consolidations, the trigger rule says ${expected(tpct).count(identity)}")
