@@ -921,10 +921,78 @@ object Quality {
       .orderBy("day")
   }
 
+  /** Q — LIVE-WAREHOUSE QUALITY AUDIT (round 19 — r18 verdict queue #3:
+    * the dbt-posture checks covered parquet marts via `q_mart_quality`,
+    * but the LIVE Derby `dim_customers` the JDBC upsert maintains was
+    * validated only by the merge-cardinality require): the generic-test
+    * suite run against the live warehouse state read over partitioned
+    * JDBC — matching the reference's quality DAG, which audits the live
+    * PostgreSQL warehouse after loads (reference
+    * `data_quality_check.py:42–138`), never the staging files. One row
+    * per check with the observed row count, the violation count, and the
+    * verdict: key uniqueness, not-null across every column, the segment
+    * domain contained in the SOURCE system's domain, the `updated_at`
+    * day-partition law (exactly the change keys carry the day-2 bump),
+    * and row-count completeness against the closed-form key coverage.
+    * The ORACLE is the warehouse CONTRACT over the parquet original —
+    * any merge defect (dup keys, dropped rows, nulls, an out-of-domain
+    * segment, a mis-bumped date) surfaces as a non-zero violation count
+    * and breaks the hash compare. Shape at 100 TB: every check is one
+    * aggregate over the warehouse read (counters out); the domain check
+    * broadcasts the distinct source domain (a handful of values). */
+  val qLiveWarehouse: QueryDef = QueryDef(
+    "q_live_warehouse",
+    Some("""
+      WITH d AS (SELECT c_custkey AS k FROM customer
+                 WHERE c_custkey % 2 = 0 OR c_custkey % 3 <> 1),
+      n AS (SELECT CAST(count(*) AS BIGINT) AS c FROM d)
+      SELECT * FROM (
+        SELECT 'dim_customers' AS table_name,
+               'accepted_segment_domain' AS check_name,
+               n.c AS n_rows, CAST(0 AS BIGINT) AS violations, TRUE AS passed
+        FROM n
+        UNION ALL SELECT 'dim_customers', 'key_unique', n.c, 0, TRUE FROM n
+        UNION ALL SELECT 'dim_customers', 'not_null_all_columns', n.c, 0, TRUE FROM n
+        UNION ALL SELECT 'dim_customers', 'row_count_complete', n.c, 0, TRUE FROM n
+        UNION ALL SELECT 'dim_customers', 'updated_at_day_partition', n.c, 0, TRUE FROM n
+      ) ORDER BY check_name
+    """)) { (spark, dir) =>
+    val s2 = spark
+    import s2.implicits._
+    val dim = graft.sources.Ingest.dimCustomersState(spark, dir).persist()
+    val nRows = dim.count()
+    val dupKeys = dim.groupBy("customer_id").agg(count(lit(1)).as("c"))
+      .filter(col("c") > 1).count()
+    val nulls = dim.filter(col("customer_id").isNull || col("full_name").isNull
+      || col("balance").isNull || col("segment").isNull
+      || col("updated_at").isNull).count()
+    val srcDomain = tbl(spark, dir, "customer")
+      .select(col("c_mktsegment").as("segment")).distinct()
+    val badSegment = dim.join(broadcast(srcDomain), Seq("segment"), "left_anti").count()
+    val d1 = lit("2026-02-01").cast(TimestampType)
+    val d2 = lit("2026-02-02").cast(TimestampType)
+    val badDate = dim.filter(
+      (col("updated_at") =!= d1 && col("updated_at") =!= d2)
+        || ((col("updated_at") === d2) =!= (col("customer_id") % 2 === 0))).count()
+    val expectedRows = tbl(spark, dir, "customer")
+      .filter(col("c_custkey") % 2 === 0 || col("c_custkey") % 3 =!= 1).count()
+    dim.unpersist()
+    Seq(
+      ("dim_customers", "accepted_segment_domain", badSegment),
+      ("dim_customers", "key_unique", dupKeys),
+      ("dim_customers", "not_null_all_columns", nulls),
+      ("dim_customers", "row_count_complete", math.abs(nRows - expectedRows)),
+      ("dim_customers", "updated_at_day_partition", badDate))
+      .toDF("table_name", "check_name", "violations")
+      .select(col("table_name"), col("check_name"), lit(nRows).as("n_rows"),
+        col("violations"), (col("violations") === 0L).as("passed"))
+      .orderBy("check_name")
+  }
+
   val all: Seq[QueryDef] = Seq(
     q4NonEmptyNullSk, q5UniqueNotNull, q6NoNegativeAmounts,
     q7DateKeyValidity, s11AuditLog, qMartQuality, qProfileTable,
     qSnapshotDiff, qHeavyHitters, qProfileDrift, qSourceFreshness,
     qAcceptedValues, qKAnonymity, qLDiversity, qObserveMetrics,
-    qExpectationSuite, qAnomalyMad)
+    qExpectationSuite, qAnomalyMad, qLiveWarehouse)
 }

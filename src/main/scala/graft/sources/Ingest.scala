@@ -363,9 +363,12 @@ object Ingest {
       .select(col("customer_id"), col("full_name"), col("balance"),
         col("segment"), col("updated_at").cast(TimestampType).as("updated_at"))
 
-  val sJdbcUpsert: QueryDef = QueryDef(
-    "s_jdbc_upsert",
-    Some("""
+  /** The upserted dimension's FINAL STATE as a closed-form set expression
+    * over the parquet original — ONE text shared by [[sJdbcUpsert]] and
+    * [[sJdbcUpsertIncremental]] (the single-source oracle-fragment rule):
+    * both warehouses must land on exactly this state, each proven
+    * independently against it. */
+  private val upsertFinalStateSql = """
       WITH b2 AS (
         SELECT c_custkey AS customer_id, upper(c_name) AS full_name,
                CAST(c_acctbal + 100.0 AS DOUBLE) AS balance,
@@ -382,8 +385,149 @@ object Ingest {
       UNION ALL
       SELECT * FROM b1 WHERE customer_id NOT IN (SELECT customer_id FROM b2)
       ORDER BY customer_id
-    """)) { (spark, dir) =>
+    """
+
+  val sJdbcUpsert: QueryDef = QueryDef(
+    "s_jdbc_upsert", Some(upsertFinalStateSql)) { (spark, dir) =>
     dimCustomersState(spark, dir).orderBy("customer_id")
+  }
+
+  /** Partitioned JDBC extract of the mod-dated live source past a date
+    * watermark — the predicate runs INSIDE the database; 8 key-range
+    * partitions extract in parallel. Package-visible for WatermarkSpec. */
+  private[graft] def srcCustomersPast(spark: SparkSession, dir: String,
+      url: String, past: java.time.LocalDate): DataFrame =
+    spark.read.format("jdbc")
+      .option("url", url)
+      .option("dbtable", "src_customers")
+      .option("driver", "org.apache.derby.jdbc.EmbeddedDriver")
+      .option("partitionColumn", "customer_id")
+      .option("lowerBound", "1")
+      .option("upperBound", keyUpperBound(spark, dir, "customer", "c_custkey").toString)
+      .option("numPartitions", "8")
+      .load()
+      .filter(col("mod_date") > lit(past.toString).cast(DateType))
+
+  /** S8/§2.10 COMPOSITION — WATERMARK-DELTA LIVE UPSERT (round 19 — r18
+    * verdict queue #4: the watermark store and the live MERGE both
+    * existed but never composed; the reference's actual daily loop is
+    * extract-incremental → upsert, `airflow/dags/etl_daily_pipeline.py:
+    * 81–151` → `loaders/warehouse_loader.py:49–83`): a SECOND live
+    * warehouse carries a `src_customers` source whose every row has a
+    * modification date (every even key modified on day 2 — uppercased
+    * name, rebalanced; all others untouched since day 1) and a day-1
+    * `dim_customers` snapshot (2 of every 3 keys, pre-change values).
+    * The staged-once build runs the loop FOR REAL against the
+    * [[Watermark]] store (tag `dimw`): seed day 1 → extract the rows
+    * with `mod_date` PAST the stored watermark over JDBC (the predicate
+    * runs inside the database) → bulk-stage the delta → ONE set-based
+    * MERGE with the `updated_at` bump → advance the checkpoint to the
+    * batch max. Every gate run then re-exercises the read-only half of
+    * the cycle — reset/seed → delta extract counted against the
+    * closed-form change-key rule → advance → provably-EMPTY second
+    * extract (daily-job idempotence) — and proves the headline law: the
+    * watermark-delta warehouse's final state is row-identical to
+    * [[sJdbcUpsert]]'s full-modulus-batch warehouse (anti-joins in both
+    * directions are empty) — the incremental loop loses nothing and
+    * invents nothing. Output = the final live state over partitioned
+    * JDBC; the oracle is the SAME closed-form set expression
+    * ([[upsertFinalStateSql]]), so both warehouses are proven against it
+    * independently. Shape at 100 TB: the delta never rescans the source
+    * (the watermark predicate bounds the wire bytes to the change set),
+    * the stage write is partition-parallel, and the MERGE is one
+    * set-based statement inside the warehouse. */
+  val sJdbcUpsertIncremental: QueryDef = QueryDef(
+    "s_jdbc_upsert_incremental", Some(upsertFinalStateSql)) { (spark, dir) =>
+    derbyQuiet()
+    val day1 = java.time.LocalDate.parse("2026-02-01")
+    val dbDir = scratch(dir, s"derby_dimw_${sourceSig(spark, dir, "customer")}")
+    val url = s"jdbc:derby:$dbDir;create=true"
+    stagedOnce(new java.io.File(dbDir, "_graft_merged")) {
+      val cust = tbl(spark, dir, "customer")
+      def writeJdbc(df: DataFrame, table: String): Unit =
+        df.coalesce(4) // embedded DB: a few writers beat 32 contending ones
+          .write.format("jdbc")
+          .option("url", url)
+          .option("dbtable", table)
+          .option("driver", "org.apache.derby.jdbc.EmbeddedDriver")
+          .option("createTableColumnTypes",
+            "full_name VARCHAR(64), segment VARCHAR(16)")
+          .option("batchsize", "10000")
+          .mode("overwrite").save()
+      val isChanged = col("c_custkey") % 2 === 0
+      // the live source system: every row carries its modification date
+      writeJdbc(cust.select(col("c_custkey").as("customer_id"),
+        when(isChanged, upper(col("c_name"))).otherwise(col("c_name")).as("full_name"),
+        when(isChanged, col("c_acctbal") + lit(100.0)).otherwise(col("c_acctbal")).as("balance"),
+        col("c_mktsegment").as("segment"),
+        when(isChanged, lit("2026-02-02")).otherwise(lit("2026-02-01"))
+          .cast(DateType).as("mod_date")), "src_customers")
+      // the day-1 dimension snapshot: pre-change values, 2 of every 3 keys
+      writeJdbc(cust.filter(col("c_custkey") % 3 =!= 1)
+        .select(col("c_custkey").as("customer_id"), col("c_name").as("full_name"),
+          col("c_acctbal").as("balance"), col("c_mktsegment").as("segment"),
+          lit(day1.toString).cast(DateType).as("updated_at")), "dim_customers")
+      // the daily loop, driven by the REAL checkpoint store: extract the
+      // delta past the seeded watermark, stage it, merge it, advance
+      Watermark.reset(spark, dir, "customer", tag = "dimw")
+      val wm0 = Watermark.read(spark, dir, "customer", day1, tag = "dimw")
+      val delta = srcCustomersPast(spark, dir, url, wm0)
+      writeJdbc(delta.select("customer_id", "full_name", "balance", "segment"),
+        "stage_customers")
+      val agg = delta.agg(count(lit(1)), max(col("mod_date"))).head()
+      val nDelta = agg.getLong(0)
+      val conn = java.sql.DriverManager.getConnection(url)
+      try {
+        val merged = conn.createStatement().executeUpdate("""
+          MERGE INTO dim_customers t
+          USING stage_customers s
+          ON t."customer_id" = s."customer_id"
+          WHEN MATCHED THEN UPDATE SET
+            "full_name" = s."full_name", "balance" = s."balance",
+            "segment" = s."segment", "updated_at" = DATE('2026-02-02')
+          WHEN NOT MATCHED THEN INSERT
+            ("customer_id", "full_name", "balance", "segment", "updated_at")
+            VALUES (s."customer_id", s."full_name", s."balance", s."segment",
+                    DATE('2026-02-02'))""")
+        require(merged == nDelta,
+          s"MERGE touched $merged rows, the watermark delta carried $nDelta")
+      } finally conn.close()
+      Watermark.advance(spark, dir, "customer",
+        Watermark.asLocalDate(agg.get(1)), tag = "dimw")
+    }
+    // every run replays the read-only half of the cycle deterministically
+    Watermark.reset(spark, dir, "customer", tag = "dimw")
+    val wm0 = Watermark.read(spark, dir, "customer", day1, tag = "dimw")
+    val delta = srcCustomersPast(spark, dir, url, wm0)
+    val agg = delta.agg(count(lit(1)), max(col("mod_date"))).head()
+    val expectedDelta = tbl(spark, dir, "customer")
+      .filter(col("c_custkey") % 2 === 0).count()
+    require(agg.getLong(0) == expectedDelta,
+      s"watermark delta carried ${agg.getLong(0)} rows, the change rule says $expectedDelta")
+    val wm1 = Watermark.advance(spark, dir, "customer",
+      Watermark.asLocalDate(agg.get(1)), tag = "dimw")
+    require(srcCustomersPast(spark, dir, url, wm1).count() == 0L,
+      "second extract past the advanced watermark must be empty")
+    val finalState = spark.read.format("jdbc")
+      .option("url", url)
+      .option("dbtable", "dim_customers")
+      .option("driver", "org.apache.derby.jdbc.EmbeddedDriver")
+      .option("partitionColumn", "customer_id")
+      .option("lowerBound", "1")
+      .option("upperBound", keyUpperBound(spark, dir, "customer", "c_custkey").toString)
+      .option("numPartitions", "8")
+      .load()
+      .select(col("customer_id"), col("full_name"), col("balance"),
+        col("segment"), col("updated_at").cast(TimestampType).as("updated_at"))
+    // the headline law: watermark-delta upsert ≡ full-batch upsert on
+    // final state (both live warehouses, row-identical)
+    val fullBatch = dimCustomersState(spark, dir)
+    val cols = finalState.columns.toSeq
+    require(finalState.join(fullBatch, cols, "left_anti").count() == 0L,
+      "watermark-delta warehouse carries rows the full-batch warehouse lacks")
+    require(fullBatch.join(finalState, cols, "left_anti").count() == 0L,
+      "full-batch warehouse carries rows the watermark-delta warehouse lacks")
+    finalState.orderBy("customer_id")
   }
 
   /** CSV landing with MALFORMED-ROW accounting: the third wire format a
@@ -787,7 +931,7 @@ object Ingest {
 
   val all: Seq[QueryDef] = Seq(
     s5DocIngest, s7ParquetRoundtrip, sPartitionPruning, sJdbcSource,
-    sJdbcCustomers, sJdbcUpsert, sCsvRejects, sSchemaEvolution, sOrcRoundtrip,
-    sJsonlRoundtrip, sSortedSkipping, sCompactSmallFiles, sZorderLayout,
-    sManifestSkipping)
+    sJdbcCustomers, sJdbcUpsert, sJdbcUpsertIncremental, sCsvRejects,
+    sSchemaEvolution, sOrcRoundtrip, sJsonlRoundtrip, sSortedSkipping,
+    sCompactSmallFiles, sZorderLayout, sManifestSkipping)
 }

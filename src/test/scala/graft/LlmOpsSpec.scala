@@ -1011,6 +1011,28 @@ class LlmOpsSpec extends SparkSpec {
     assert(by("batch_2").getAs[Double]("recall_r") >= 0.7)
   }
 
+  test("streamed index policy: the θ=20 trigger fires mid-stream and consolidation recovers the drift") {
+    val rows = Similarity.streamIndexPolicy.run(spark, sfDir).collect()
+    assert(rows.map(_.getAs[String]("variant")).toSeq ===
+      Seq("consolidate_2", "fold_1", "fold_2", "fold_3", "rebuilt"))
+    val by = rows.map(r => r.getAs[String]("variant") -> r).toMap
+    // executed-schedule ≡ trigger-replay, conservation, the degree cap,
+    // and consolidate_2 ≥ fold_2 are required in-gate; here the measured
+    // claims: the mid-stream consolidation recovers to within 0.05 of the
+    // rebuild on the same member set (gaps 0.003 at n=500, 0.004 at
+    // n=2000)...
+    assert(by("consolidate_2").getAs[Double]("recall_r") >=
+      by("rebuilt").getAs[Double]("recall_r") - 0.05,
+      s"mid-stream consolidation no longer recovers the drift: $by")
+    // ...and the post-consolidation fold keeps the LIVE index within 0.1
+    // of the rebuild (0.911 vs 0.929 at n=2000, where the unconsolidated
+    // 2-batch feed of st_index_append reads 0.827) — the deployed
+    // policy's whole value
+    assert(by("fold_3").getAs[Double]("recall_r") >=
+      by("rebuilt").getAs[Double]("recall_r") - 0.1,
+      s"post-consolidation fold fell behind the rebuild: $by")
+  }
+
   test("index quality audit: every persisted index artifact honors its contract") {
     val rows = Similarity.qIndexQuality.run(spark, sfDir).collect()
     assert(rows.length === 16, "one row per (artifact, check)")

@@ -105,4 +105,17 @@ class QualitySpec extends SparkSpec {
     assert(row.getAs[Double]("total_revenue") > 0.0)
     assert(row.getAs[String]("run_status") === "SUCCESS_WITH_REJECTS")
   }
+
+  test("live-warehouse audit: the maintained dimension passes every dbt-posture check") {
+    val rows = Quality.qLiveWarehouse.run(spark, sfDir).collect()
+    assert(rows.length === 5)
+    val expected = core.tbl(spark, sfDir, "customer")
+      .filter(col("c_custkey") % 2 === 0 || col("c_custkey") % 3 =!= 1).count()
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_rows") === expected,
+        s"warehouse row count drifted from the key-coverage contract: $r")
+      assert(r.getAs[Long]("violations") === 0L, s"live warehouse check failed: $r")
+      assert(r.getAs[Boolean]("passed"))
+    }
+  }
 }

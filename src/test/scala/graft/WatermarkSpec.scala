@@ -75,6 +75,18 @@ class WatermarkSpec extends SparkSpec {
       === nameOf(r.getAs[Long]("customer_id"))))
   }
 
+  test("watermark-delta upsert lands the same final state as the full-batch upsert") {
+    val inc = sources.Ingest.sJdbcUpsertIncremental.run(spark, sfDir).collect()
+    val full = sources.Ingest.sJdbcUpsert.run(spark, sfDir).collect()
+    // both gates order by customer_id — row-identical end to end (the
+    // gate also anti-join-proves this in-gate before returning)
+    assert(inc.length === full.length)
+    inc.zip(full).foreach { case (a, b) => assert(a === b) }
+    // the staged loop left the checkpoint at the batch max — day 2
+    assert(Watermark.read(spark, sfDir, "customer", default, tag = "dimw")
+      === LocalDate.parse("2026-02-02"))
+  }
+
   test("CSV landing accounts every planted malformed row, drops none silently") {
     val r = sources.Ingest.sCsvRejects.run(spark, sfDir).head()
     val expectedBad = core.tbl(spark, sfDir, "orders")
