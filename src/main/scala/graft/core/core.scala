@@ -66,6 +66,21 @@ object core {
     * collide across dirs, and `math.abs(Int.MinValue)` is negative). */
   def dirTag(dir: String): String = dir.replaceAll("[^A-Za-z0-9]", "_")
 
+  /** JVM-wide named locks for staged side artifacts and shared checkpoint
+    * cycles: a bare marker check-then-act is not atomic, so two concurrent
+    * executions in one JVM (the spec suite beside verify/bench) could
+    * interleave staging writes or watermark read-modify-write cycles. One
+    * lock object per key serializes them; [[buildOnce]] is the marker
+    * idiom (the loser re-checks under the lock and skips). */
+  private val namedLocks =
+    new java.util.concurrent.ConcurrentHashMap[String, Object]()
+  def withLock[T](key: String)(body: => T): T = {
+    val lock = namedLocks.computeIfAbsent(key, _ => new Object)
+    lock.synchronized(body)
+  }
+  def buildOnce(key: String)(alreadyBuilt: => Boolean)(build: => Unit): Unit =
+    withLock(key) { if (!alreadyBuilt) build }
+
   /** Scratch dir for landing zones / stage handoffs, keyed by the input dir
     * so different scale factors never collide. Rooted at the process working
     * directory (overridable via `graft.scratch.dir`) rather than a hardcoded

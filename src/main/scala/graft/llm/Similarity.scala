@@ -4943,6 +4943,16 @@ object Similarity {
     (e, n)
   }
 
+  /** `n` with the dense-id guard and NO vector checkpoint — for gates
+    * that need only the count (their referees and graphs are marts). */
+  private def nnCount(spark: SparkSession, dir: String): Long = {
+    val r = emb(spark, dir).agg(count(lit(1)).as("n"), max("vec_id").as("mx")).head()
+    val (n, mx) = (r.getLong(0), r.getLong(1))
+    require(mx == n - 1 && n > 10,
+      s"NN-descent ring init needs dense ids 0..n-1 (n=$n, max=$mx)")
+    n
+  }
+
   /** Score candidate (s, t) pairs against `e` and keep each node's best
     * `k` with their rank — the ONLY place the build touches vectors: a
     * co-partitioned id fetch, bounded by the candidate volume. */
@@ -5084,7 +5094,7 @@ object Similarity {
 
   val simNnDescent: QueryDef = {
     QueryDef("sim_nndescent", Some(nnDescentSql(NndRounds))) { (spark, dir) =>
-      val (e, n) = nnEmb(spark, dir)
+      val n = nnCount(spark, dir)
       // exact top-K: the n² EVALUATION baseline (audit-only; a standing
       // corpus artifact read from the eval mart — see its scaladoc)
       val exactK = nnExactKMart(spark, dir)
@@ -5100,7 +5110,6 @@ object Similarity {
           sum(coalesce(col("hit"), lit(0L))).as("hits"))
         .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
         .toSeq.sortBy(_._1)
-      e.unpersist(false)
       import spark.implicits._
       stats.toDF("round", "cand_pairs", "hits")
         .select(col("round"), col("cand_pairs"), col("hits"),
@@ -5812,8 +5821,9 @@ object Similarity {
     * denominator. Audit-only artifacts (the [[simNnDescent]] referee
     * convention — every ORACLE still prices its referee inline as one n²
     * `sc` table); integer (s, t, rk) triples, so the parquet round-trip
-    * is exact. */
-  private val nnEvalDag = new graft.pipeline.ModelRegistry(Seq(
+    * is exact. One single-model registry per referee, so a consumer
+    * builds only the member set it audits (r19 review). */
+  private val nnExactKDag = new graft.pipeline.ModelRegistry(Seq(
     graft.pipeline.ModelDef("mart_nn_exactk", Nil, mart = true) { (s, d, _) =>
       val (e, _) = nnEmb(s, d)
       val out = nnTopK(e, 10)(
@@ -5822,7 +5832,9 @@ object Similarity {
           .filter(col("s") =!= col("t"))).localCheckpoint(true)
       e.unpersist(false)
       out
-    },
+    }))
+
+  private val nnExactM1Dag = new graft.pipeline.ModelRegistry(Seq(
     graft.pipeline.ModelDef("mart_nn_exact_m1", Nil, mart = true) { (s, d, _) =>
       val (e, _) = nnEmb(s, d)
       val m1 = e.select("vec_id")
@@ -5835,7 +5847,9 @@ object Similarity {
       m1.unpersist(false)
       e.unpersist(false)
       out
-    },
+    }))
+
+  private val nnExactPm2Dag = new graft.pipeline.ModelRegistry(Seq(
     graft.pipeline.ModelDef("mart_nn_exact_pm2", Nil, mart = true) { (s, d, _) =>
       val (e, _) = nnEmb(s, d)
       // the streamed-policy feed's post-batch-2 member set: base ∪ batch 1
@@ -5856,19 +5870,19 @@ object Similarity {
   /** Exact top-10 over the full corpus, as (s, t) pairs ready for the
     * hit joins. */
   private def nnExactKMart(spark: SparkSession, dir: String): DataFrame =
-    graft.pipeline.MartCache.read(spark, dir, nnEvalDag, "nne_marts", "graft_nne_",
-      Seq("embeddings"), "mart_nn_exactk").head.select("s", "t")
+    graft.pipeline.MartCache.read(spark, dir, nnExactKDag, "nnek_marts",
+      "graft_nnek_", Seq("embeddings"), "mart_nn_exactk").head.select("s", "t")
 
   /** Exact top-10 among the mid-feed member set, as (s, t) pairs. */
   private def nnExactM1Mart(spark: SparkSession, dir: String): DataFrame =
-    graft.pipeline.MartCache.read(spark, dir, nnEvalDag, "nne_marts", "graft_nne_",
-      Seq("embeddings"), "mart_nn_exact_m1").head.select("s", "t")
+    graft.pipeline.MartCache.read(spark, dir, nnExactM1Dag, "nnem1_marts",
+      "graft_nnem1_", Seq("embeddings"), "mart_nn_exact_m1").head.select("s", "t")
 
   /** Exact top-10 among the streamed-policy feed's post-batch-2 member
     * set, as (s, t) pairs. */
   private def nnExactPm2Mart(spark: SparkSession, dir: String): DataFrame =
-    graft.pipeline.MartCache.read(spark, dir, nnEvalDag, "nne_marts", "graft_nne_",
-      Seq("embeddings"), "mart_nn_exact_pm2").head.select("s", "t")
+    graft.pipeline.MartCache.read(spark, dir, nnExactPm2Dag, "nnep2_marts",
+      "graft_nnep2_", Seq("embeddings"), "mart_nn_exact_pm2").head.select("s", "t")
 
   /** Prefixed NN-descent round CTEs over a shared `sc` score table —
     * the [[nnBuildCtes]] round shape factored so the append oracle can
@@ -6175,7 +6189,10 @@ object Similarity {
       val landing = core.scratch(dir,
         s"st_annfeed_landing_v1_${core.sourceSig(spark, dir, "embeddings")}")
       val marker = new org.apache.hadoop.fs.Path(landing, "_SUCCESS")
-      if (!fs.exists(marker)) {
+      // serialized build-once (the Ingest.stagedOnce discipline): a bare
+      // marker check-then-act would let two in-JVM executions interleave
+      // the landing writes and pin a corrupted feed behind the marker
+      core.buildOnce(landing)(fs.exists(marker)) {
         val tmp = landing + "_stage"
         fs.delete(new org.apache.hadoop.fs.Path(landing), true)
         fs.mkdirs(new org.apache.hadoop.fs.Path(landing))
@@ -6572,7 +6589,9 @@ object Similarity {
       val landing = core.scratch(dir,
         s"st_annpol_landing_v1_${core.sourceSig(spark, dir, "embeddings")}")
       val marker = new org.apache.hadoop.fs.Path(landing, "_SUCCESS")
-      if (!fs.exists(marker)) {
+      // serialized build-once (the Ingest.stagedOnce discipline — see the
+      // streamIndexAppend landing note)
+      core.buildOnce(landing)(fs.exists(marker)) {
         val tmp = landing + "_stage"
         fs.delete(new org.apache.hadoop.fs.Path(landing), true)
         fs.mkdirs(new org.apache.hadoop.fs.Path(landing))

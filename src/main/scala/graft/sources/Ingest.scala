@@ -116,25 +116,45 @@ object Ingest {
     * could both see a missing marker and interleave their staging writes
     * against the shared database (r18 advice — cross-JVM Derby's
     * single-booter lock fails loud, in-process it does not). One lock
-    * object per marker path serializes builders; the loser re-checks the
-    * marker under the lock and skips. */
-  private val stageLocks =
-    new java.util.concurrent.ConcurrentHashMap[String, Object]()
-  private def stagedOnce(marker: java.io.File)(build: => Unit): Unit = {
-    val lock = stageLocks.computeIfAbsent(marker.getPath, _ => new Object)
-    lock.synchronized {
-      if (!marker.exists()) { build; marker.createNewFile(); () }
+    * per marker path ([[core.buildOnce]]) serializes builders; the loser
+    * re-checks the marker under the lock and skips. */
+  private def stagedOnce(marker: java.io.File)(build: => Unit): Unit =
+    core.buildOnce(marker.getPath)(marker.exists()) {
+      build
+      marker.createNewFile()
+      ()
     }
-  }
 
   /** JDBC partition upper bound derived from the corpus (r18 advice: the
     * fixed `1 << 22` bound lands every key above it in the last partition
     * at large scale factors — bounds shape the read strides only, never
-    * filter, so this is a balance fix, not a correctness one): one cheap
-    * max over the parquet original's key column. */
+    * filter, so this is a balance fix, not a correctness one): one max
+    * over the parquet original's key column, MEMOIZED per (dir, table,
+    * key, content signature) so the many per-gate partitioned reads
+    * share one scan instead of re-running it. */
+  private val keyBoundMemo =
+    new java.util.concurrent.ConcurrentHashMap[String, java.lang.Long]()
   private def keyUpperBound(spark: SparkSession, dir: String,
       table: String, key: String): Long =
-    tbl(spark, dir, table).agg(max(col(key))).head().getLong(0) + 1L
+    keyBoundMemo.computeIfAbsent(
+      s"$dir/$table/$key/${sourceSig(spark, dir, table)}",
+      _ => tbl(spark, dir, table).agg(max(col(key))).head().getLong(0) + 1L)
+
+  /** The one partitioned key-strided Derby read every live-source gate
+    * uses: 8 key-range partitions extracting in parallel, bounds derived
+    * from the corpus ([[keyUpperBound]]). */
+  private def jdbcKeyedRead(spark: SparkSession, dir: String, url: String,
+      table: String, partCol: String, boundTable: String,
+      boundKey: String): DataFrame =
+    spark.read.format("jdbc")
+      .option("url", url)
+      .option("dbtable", table)
+      .option("driver", "org.apache.derby.jdbc.EmbeddedDriver")
+      .option("partitionColumn", partCol)
+      .option("lowerBound", "1")
+      .option("upperBound", keyUpperBound(spark, dir, boundTable, boundKey).toString)
+      .option("numPartitions", "8")
+      .load()
 
   /** Embedded-Derby JDBC URL for a mirror of the `orders` table, loaded
     * once per source content signature (a regenerated source gets a fresh
@@ -178,15 +198,7 @@ object Ingest {
       ORDER BY o_orderkey
     """)) { (spark, dir) =>
     val url = ordersJdbcUrl(spark, dir)
-    spark.read.format("jdbc")
-      .option("url", url)
-      .option("dbtable", "orders_src")
-      .option("driver", "org.apache.derby.jdbc.EmbeddedDriver")
-      .option("partitionColumn", "o_orderkey")
-      .option("lowerBound", "1")
-      .option("upperBound", keyUpperBound(spark, dir, "orders", "o_orderkey").toString)
-      .option("numPartitions", "8")
-      .load()
+    jdbcKeyedRead(spark, dir, url, "orders_src", "o_orderkey", "orders", "o_orderkey")
       .filter(col("o_orderdate") >= lit("1997-01-01").cast(DateType))
       .select(col("o_orderkey"), col("o_custkey"),
         col("o_orderdate").cast(TimestampType).as("o_orderdate"),
@@ -226,15 +238,8 @@ object Ingest {
     * so the spec can drive the full checkpoint cycle. */
   private[graft] def jdbcCustomersPast(spark: SparkSession, dir: String,
       past: Long): org.apache.spark.sql.DataFrame =
-    spark.read.format("jdbc")
-      .option("url", customersJdbcUrl(spark, dir))
-      .option("dbtable", "customers_src")
-      .option("driver", "org.apache.derby.jdbc.EmbeddedDriver")
-      .option("partitionColumn", "customer_id")
-      .option("lowerBound", "1")
-      .option("upperBound", keyUpperBound(spark, dir, "customer", "c_custkey").toString)
-      .option("numPartitions", "8")
-      .load()
+    jdbcKeyedRead(spark, dir, customersJdbcUrl(spark, dir), "customers_src",
+      "customer_id", "customer", "c_custkey")
       .filter(col("customer_id") > past)
 
   /** S3/S4 second live source — the customers mirror extracted
@@ -350,18 +355,14 @@ object Ingest {
 
   /** Partitioned JDBC read of the maintained live dimension — the final
     * warehouse state, strided over key ranges derived from the corpus. */
-  private[graft] def dimCustomersState(spark: SparkSession, dir: String): DataFrame =
-    spark.read.format("jdbc")
-      .option("url", dimCustomersUrl(spark, dir))
-      .option("dbtable", "dim_customers")
-      .option("driver", "org.apache.derby.jdbc.EmbeddedDriver")
-      .option("partitionColumn", "customer_id")
-      .option("lowerBound", "1")
-      .option("upperBound", keyUpperBound(spark, dir, "customer", "c_custkey").toString)
-      .option("numPartitions", "8")
-      .load()
+  private def dimStateRead(spark: SparkSession, dir: String, url: String): DataFrame =
+    jdbcKeyedRead(spark, dir, url, "dim_customers",
+      "customer_id", "customer", "c_custkey")
       .select(col("customer_id"), col("full_name"), col("balance"),
         col("segment"), col("updated_at").cast(TimestampType).as("updated_at"))
+
+  private[graft] def dimCustomersState(spark: SparkSession, dir: String): DataFrame =
+    dimStateRead(spark, dir, dimCustomersUrl(spark, dir))
 
   /** The upserted dimension's FINAL STATE as a closed-form set expression
     * over the parquet original — ONE text shared by [[sJdbcUpsert]] and
@@ -397,15 +398,8 @@ object Ingest {
     * partitions extract in parallel. Package-visible for WatermarkSpec. */
   private[graft] def srcCustomersPast(spark: SparkSession, dir: String,
       url: String, past: java.time.LocalDate): DataFrame =
-    spark.read.format("jdbc")
-      .option("url", url)
-      .option("dbtable", "src_customers")
-      .option("driver", "org.apache.derby.jdbc.EmbeddedDriver")
-      .option("partitionColumn", "customer_id")
-      .option("lowerBound", "1")
-      .option("upperBound", keyUpperBound(spark, dir, "customer", "c_custkey").toString)
-      .option("numPartitions", "8")
-      .load()
+    jdbcKeyedRead(spark, dir, url, "src_customers",
+      "customer_id", "customer", "c_custkey")
       .filter(col("mod_date") > lit(past.toString).cast(DateType))
 
   /** S8/§2.10 COMPOSITION — WATERMARK-DELTA LIVE UPSERT (round 19 — r18
@@ -495,30 +489,26 @@ object Ingest {
       Watermark.advance(spark, dir, "customer",
         Watermark.asLocalDate(agg.get(1)), tag = "dimw")
     }
-    // every run replays the read-only half of the cycle deterministically
-    Watermark.reset(spark, dir, "customer", tag = "dimw")
-    val wm0 = Watermark.read(spark, dir, "customer", day1, tag = "dimw")
-    val delta = srcCustomersPast(spark, dir, url, wm0)
-    val agg = delta.agg(count(lit(1)), max(col("mod_date"))).head()
-    val expectedDelta = tbl(spark, dir, "customer")
-      .filter(col("c_custkey") % 2 === 0).count()
-    require(agg.getLong(0) == expectedDelta,
-      s"watermark delta carried ${agg.getLong(0)} rows, the change rule says $expectedDelta")
-    val wm1 = Watermark.advance(spark, dir, "customer",
-      Watermark.asLocalDate(agg.get(1)), tag = "dimw")
-    require(srcCustomersPast(spark, dir, url, wm1).count() == 0L,
-      "second extract past the advanced watermark must be empty")
-    val finalState = spark.read.format("jdbc")
-      .option("url", url)
-      .option("dbtable", "dim_customers")
-      .option("driver", "org.apache.derby.jdbc.EmbeddedDriver")
-      .option("partitionColumn", "customer_id")
-      .option("lowerBound", "1")
-      .option("upperBound", keyUpperBound(spark, dir, "customer", "c_custkey").toString)
-      .option("numPartitions", "8")
-      .load()
-      .select(col("customer_id"), col("full_name"), col("balance"),
-        col("segment"), col("updated_at").cast(TimestampType).as("updated_at"))
+    // every run replays the read-only-against-the-DB half of the cycle
+    // deterministically; the cycle itself is a read-modify-write of the
+    // SHARED checkpoint file, so it is serialized under a JVM lock — a
+    // concurrent run's advance landing between this run's reset and read
+    // would otherwise empty the delta spuriously (r19 review)
+    core.withLock(s"$dbDir#wmcycle") {
+      Watermark.reset(spark, dir, "customer", tag = "dimw")
+      val wm0 = Watermark.read(spark, dir, "customer", day1, tag = "dimw")
+      val delta = srcCustomersPast(spark, dir, url, wm0)
+      val agg = delta.agg(count(lit(1)), max(col("mod_date"))).head()
+      val expectedDelta = tbl(spark, dir, "customer")
+        .filter(col("c_custkey") % 2 === 0).count()
+      require(agg.getLong(0) == expectedDelta,
+        s"watermark delta carried ${agg.getLong(0)} rows, the change rule says $expectedDelta")
+      val wm1 = Watermark.advance(spark, dir, "customer",
+        Watermark.asLocalDate(agg.get(1)), tag = "dimw")
+      require(srcCustomersPast(spark, dir, url, wm1).count() == 0L,
+        "second extract past the advanced watermark must be empty")
+    }
+    val finalState = dimStateRead(spark, dir, url)
     // the headline law: watermark-delta upsert ≡ full-batch upsert on
     // final state (both live warehouses, row-identical)
     val fullBatch = dimCustomersState(spark, dir)
