@@ -5801,7 +5801,26 @@ object Similarity {
         res("mart_nn_fold1").select("s", "t").unionByName(res("mart_nn_seed2")))
       e.unpersist(false)
       next.select("s", "t", "rk")
+    },
+    // the θ=20 policy's DEPLOYED index artifact: the consolidated graph a
+    // deployment persists once the trigger fires ([[NndAppendRounds]]
+    // rounds off the fold-2 snapshot — the sim_index_policy p20 arm's
+    // exact values, which that gate keeps computing LIVE as its own op;
+    // this mart exists for downstream READERS like the serve gate)
+    graft.pipeline.ModelDef("mart_nn_consol", Seq("mart_nn_fold2"),
+      mart = true) { (s, d, res) =>
+      val (e, _) = nnEmb(s, d)
+      val out = (1 to NndAppendRounds).foldLeft(res("mart_nn_fold2")) { (g, _) =>
+        nnStepNext(e, g.select("s", "t"))
+      }
+      e.unpersist(false)
+      out.select("s", "t", "rk")
     }))
+
+  /** Materialize-once accessor for the θ=20 consolidated-index mart. */
+  private def nnConsolMart(spark: SparkSession, dir: String): DataFrame =
+    graft.pipeline.MartCache.read(spark, dir, nnFoldDag, "nnf_marts",
+      "graft_nnf_", Seq("embeddings"), "mart_nn_consol").head
 
   /** Materialize-once accessor for the batch-fold marts:
     * (fold1, fold2, seed2) — seed1 is consumed only inside the dag. */
@@ -6727,6 +6746,168 @@ object Similarity {
     }
   }
 
+  /** The serve-freshness oracle: the shared build fragment + frozen-base
+    * chain + the two pinned batch folds ([[batchFoldCtesSql]] — literally
+    * the fold marts' recipe), the serve harness ([[nnServeCommonSql]] —
+    * qs/qsc/exq and the rebuilt serve core `g`), the per-fold pruned
+    * serve cores, then THREE unrolled greedy walks (one per index
+    * vintage) from the shared node-0 entry, each audited against the
+    * exact top-10 among the members PRESENT in that vintage. */
+  private def serveFreshnessSql(rounds: Int, steps: Int): String = {
+    val cores = s""",
+      f1g AS MATERIALIZED (SELECT s, t FROM y1l1 WHERE rk <= $NndServeDeg),
+      f2g AS MATERIALIZED (SELECT s, t FROM y2l1 WHERE rk <= $NndServeDeg),
+      exm1 AS (
+        SELECT qid, t FROM (
+          SELECT qid, t, row_number() OVER (PARTITION BY qid ORDER BY score DESC, t) AS rn
+          FROM qsc WHERE t % 5 < 4 OR t % 10 = 4) z
+        WHERE rn <= 10),
+      av0 AS (SELECT qid, CAST(0 AS BIGINT) AS t FROM qs)""" +
+      walkStepsSql("ab", "av", steps, "qsc", "f1g", Seq("qid")) + s""",
+      bv0 AS (SELECT qid, CAST(0 AS BIGINT) AS t FROM qs)""" +
+      walkStepsSql("bb", "bv", steps, "qsc", "f2g", Seq("qid")) + s""",
+      cv0 AS (SELECT qid, CAST(0 AS BIGINT) AS t FROM qs)""" +
+      walkStepsSql("cb", "cv", steps, "qsc", "g", Seq("qid")) +
+      nnRoundCtesSql("p", "y2l1", NndAppendRounds) + s""",
+      pg AS MATERIALIZED (SELECT s, t FROM pl$NndAppendRounds WHERE rk <= $NndServeDeg),
+      dv0 AS (SELECT qid, CAST(0 AS BIGINT) AS t FROM qs)""" +
+      walkStepsSql("db", "dv", steps, "qsc", "pg", Seq("qid"))
+    def hitsSql(vName: String, ex: String): String = s"""(SELECT count(*) FROM (
+               SELECT qid, t FROM (
+                 SELECT v.qid, v.t, row_number() OVER (PARTITION BY v.qid ORDER BY s.score DESC, v.t) AS rn
+                 FROM $vName$steps v JOIN qsc s ON s.qid = v.qid AND s.t = v.t) z
+               WHERE rn <= 10) h JOIN $ex x ON x.qid = h.qid AND x.t = h.t)"""
+    def statRow(name: String, vName: String, ex: String): String = s"""
+      SELECT '$name' AS variant,
+             CAST((SELECT count(*) FROM $vName$steps) AS BIGINT) AS scanned,
+             CAST(${hitsSql(vName, ex)} AS BIGINT) AS hits,
+             CAST(80 AS BIGINT) AS total,
+             round(CAST(${hitsSql(vName, ex)} AS DOUBLE) / 80, 6) AS recall_r"""
+    val tail = s"""
+      SELECT * FROM (
+      ${statRow("consolidated", "dv", "exq")}
+      UNION ALL ${statRow("fold_1", "av", "exm1")}
+      UNION ALL ${statRow("fold_2", "bv", "exq")}
+      UNION ALL ${statRow("rebuilt", "cv", "exq")}
+      ) ORDER BY variant"""
+    nnBuildCtes(rounds) + nnFrozenBaseSql(rounds) + batchFoldCtesSql(rounds) +
+      nnServeCommonSql(rounds) + cores + tail
+  }
+
+  /** sim — SERVE FRESHNESS: the QUERY-SIDE cost of index staleness
+    * (round 19 — the freshness family priced the INDEX's recall under
+    * growth ([[simGraphAppend]], [[streamIndexAppend]],
+    * [[simIndexPolicy]], [[streamIndexPolicy]]) but never what the
+    * SERVE path — the greedy walk a reader actually runs — loses or
+    * keeps on a fold-fresh index; this gate completes the
+    * ingest → index → serve loop): the same pruned-core greedy walk as
+    * [[simGraphServe]], run from the shared node-0 entry over THREE
+    * index vintages — the live feed's fold-1 snapshot (members = base ∪
+    * batch 1), its fold-2 snapshot (all members), and the full rebuild —
+    * each read from its standing mart and each audited against the exact
+    * top-10 among the members PRESENT in that vintage (the honest
+    * mid-feed denominator the fold gates established). MEASURED at
+    * sf0.1: the walks are priced per vintage with their scanned-set
+    * sizes, so the gate answers the deployment question the index-side
+    * recall cannot: does a reader walking the STALE-but-live graph reach
+    * the fresh corpus' neighborhoods, and at what scan cost vs the
+    * rebuild. Laws in-gate: hits ≤ 80 (8 held-out queries × top-10); the
+    * fold-1 walk cannot escape its member set (edges only reach
+    * members — conservation by graph construction, asserted); every
+    * walk visits at least its entry row per query. Shape at 100 TB: the
+    * walks touch (visited ∪ beam-neighbor) rows only — never the
+    * corpus — and the fold/rebuild graphs and referees are standing
+    * marts; the one n² table is the ORACLE's referee (the
+    * [[simNnDescent]] convention). */
+  val simServeFreshness: QueryDef = {
+    QueryDef("sim_serve_freshness", Some(serveFreshnessSql(NndRounds, NndServeSteps))) { (spark, dir) =>
+      import scala.concurrent.{Await, Future}
+      import scala.concurrent.duration.Duration
+      import scala.concurrent.ExecutionContext.Implicits.global
+      import org.apache.spark.sql.expressions.Window
+      val s2 = spark
+      import s2.implicits._
+      val (e, n) = nnEmb(spark, dir)
+      require(n >= QHi,
+        s"sim_serve_freshness needs vec_id $QLo..${QHi - 1} as held-out queries (n=$n < $QHi)")
+      val (qs, qsc, exq) = nnServeHarness(e)
+      val (y1, y2, _) = nnFoldMarts(spark, dir)
+      val reb = nnRoundsMart(spark, dir).filter(col("round") === NndRounds)
+        .select("s", "t", "rk")
+      def core(g: DataFrame): DataFrame =
+        g.filter(col("rk") <= NndServeDeg).select(col("s").as("gs"), col("t").as("gt"))
+      // the honest mid-feed referee: exact top-10 among fold 1's members
+      // (fold 2's member set is the whole corpus, so its referee is exq)
+      val m1Pred = col("t") % 5 < 4 || col("t") % 10 === 4
+      val exm1 = qsc.filter(m1Pred)
+        .withColumn("rn", row_number().over(
+          Window.partitionBy("qid").orderBy(col("score").desc, col("t"))))
+        .filter(col("rn") <= 10)
+        .select(col("qid").as("xq"), col("t").as("xt")).localCheckpoint(true)
+      // ONE walk with the vintage riding as a partition dimension (the
+      // graphServeSql variant-dimension discipline — four separate
+      // 8-step walks measured 16 s of driver-sequential job overhead;
+      // the folded walk is the same per-vintage visited sets, computed
+      // in one job pair per step, because the graph join is constrained
+      // by the vintage tag and the sets never interact)
+      val gAll = Seq(
+        ("consolidated", nnConsolMart(spark, dir)),
+        ("fold_1", y1), ("fold_2", y2), ("rebuilt", reb))
+        .map { case (nm, g) => core(g).select(lit(nm).as("gf"), col("gs"), col("gt")) }
+        .reduce(_ unionByName _).localCheckpoint(true)
+      val folds = Seq("consolidated", "fold_1", "fold_2", "rebuilt")
+      val v0 = folds.toDF("fold").crossJoin(qs.select(col("qid")))
+        .select(col("fold"), col("qid"), lit(0L).as("t"))
+      var vis = v0.distinct().localCheckpoint(true)
+      var prev = vis.count()
+      var fixed = false
+      for (_ <- 1 to NndServeSteps if !fixed) {
+        val nv = vis.unionByName(
+            topVisited(qsc, vis, Seq("fold", "qid"))
+              .join(gAll, col("fold") === col("gf") && col("t") === col("gs"))
+              .select(col("fold"), col("qid"), col("gt").as("t")))
+          .distinct().localCheckpoint(true)
+        val c = nv.count()
+        vis.unpersist(false)
+        vis = nv
+        // monotone visited sets: count equality == set equality, so the
+        // oracle's remaining unrolled steps are no-ops for EVERY vintage
+        fixed = c == prev
+        prev = c
+      }
+      // the fold-1 walk can only reach fold-1 members (edges reach
+      // members by graph construction) — asserted, the escape law
+      require(vis.filter(col("fold") === "fold_1" && !m1Pred).count() == 0L,
+        "fold_1 walk escaped its vintage's member set")
+      // per-vintage referee: fold_1 audits among its members, the rest
+      // against the full exact top-10
+      val refs = exm1.select(lit("fold_1").as("rf"), col("xq"), col("xt"))
+        .unionByName(folds.filterNot(_ == "fold_1").toDF("rf")
+          .crossJoin(exq).select(col("rf"), col("xq"), col("xt")))
+      val scannedBy = vis.groupBy("fold").agg(count(lit(1)).as("scanned"))
+      val hitsBy = topVisited(qsc, vis, Seq("fold", "qid"))
+        .join(broadcast(refs),
+          col("fold") === col("rf") && col("qid") === col("xq")
+            && col("t") === col("xt"))
+        .groupBy("fold").agg(count(lit(1)).as("hits"))
+      val rows = scannedBy.join(hitsBy, Seq("fold"), "left")
+        .select(col("fold"), col("scanned"), coalesce(col("hits"), lit(0L)).as("hits"))
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
+      vis.unpersist(false)
+      Seq(gAll, exm1, exq, qsc, e).foreach(_.unpersist(false))
+      require(rows.size == 4, s"expected 4 vintages, got ${rows.map(_._1)}")
+      rows.foreach { case (v, sc, h) =>
+        require(h <= 80, s"$v hits above the denominator: $h > 80")
+        require(sc >= 8, s"$v walk lost its entries: scanned $sc < 8 queries")
+      }
+      rows.toDF("variant", "scanned", "hits")
+        .select(col("variant"), col("scanned"), col("hits"),
+          lit(80L).as("total"),
+          round(col("hits").cast(DoubleType) / lit(80.0), 6).as("recall_r"))
+        .orderBy("variant")
+    }
+  }
+
   /** q — PERSISTED-INDEX QUALITY AUDIT (round 17 — r16 verdict #5: the
     * warehouse marts get `q_mart_quality`, but the ANN index artifacts
     * were validated only by `require`s inside consumer gates): the
@@ -7204,6 +7385,6 @@ object Similarity {
     simDeployedFrontier, simAnnFiltered, simIndexAppend, simBookAppend,
     simDimTruncation,
     simNnDescent, simGraphServe, simGraphHier, simGraphDeployed, simGraphAppend,
-    streamIndexAppend, simIndexPolicy, streamIndexPolicy, qIndexQuality,
-    simGraphCentrality)
+    streamIndexAppend, simIndexPolicy, streamIndexPolicy, simServeFreshness,
+    qIndexQuality, simGraphCentrality)
 }
