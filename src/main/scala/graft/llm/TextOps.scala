@@ -1525,6 +1525,152 @@ object TextOps {
       .orderBy("bucket")
   }
 
+  /** t29 — HYBRID RETRIEVAL with reciprocal-rank fusion (the standard
+    * two-tower read path of a RAG / decontamination / topical-lookup
+    * stack: a lexical BM25 arm catches exact-term matches the embedding
+    * misses, the semantic arm catches paraphrases the lexicon misses,
+    * and RRF fuses the two WITHOUT score calibration — ranks are
+    * comparable where raw scores never are). The query is document
+    * [[Similarity.Q1]] itself ("find documents related to this one" —
+    * the same query both arms can serve):
+    *   - LEXICAL arm: the query doc's 5 most DISTINCTIVE terms (lowest
+    *     document frequency with df ≥ 2 so each term has at least one
+    *     match beyond the query; ties on the term), BM25-scored with
+    *     [[tBm25Rank]]'s exact discipline — rational un-logged RSJ idf,
+    *     k1=1.2 / b=0.75 saturation, per-(doc, term) contribution
+    *     quantized to 1e-6 fixed-point so per-doc sums are exact
+    *     integers — query doc excluded, top-20 by (score, doc_id).
+    *   - SEMANTIC arm: exact cosine against the query doc's embedding
+    *     (vec_id ≡ doc_id in the corpus), self excluded, top-20 by
+    *     (dot, vec_id) — the sequential IEEE fold both engines share.
+    *   - FUSION: RRF with the canonical k=60, fixed-point
+    *     `floor(1e12 / (60 + rank))` per list so the fused score is an
+    *     exact integer sum; docs in one list only keep their single
+    *     rank's share; final top-10 by (rrf_fp, doc_id). A lexical hit with no
+    *     embedding row fuses on its lexical rank alone (at sf0.1 docs
+    *     outnumber embeddings — exactly the partially-embedded corpus a
+    *     live pipeline serves mid-backfill).
+    *
+    * Shape at 100 TB: the lexical arm is [[tBm25Rank]]'s one
+    * (term, doc) shuffle with the 5-term query and 1-row stats
+    * broadcast; the semantic arm is one broadcast query against a
+    * map-parallel scan (scalar (id, score) rows only — at corpus scale
+    * the candidate generator is the deployed ANN read path instead,
+    * same fused contract); fusion itself joins two 20-row frames. */
+  val tHybridRrf: QueryDef = QueryDef(
+    "t_hybrid_rrf",
+    Some(s"""
+      WITH tok AS (
+        SELECT doc_id, unnest(string_split_regex(text, '\\s+')) AS term FROM documents),
+      tf AS (
+        SELECT term, doc_id, CAST(count(*) AS BIGINT) AS tf FROM tok GROUP BY term, doc_id),
+      dl AS (
+        SELECT doc_id, CAST(count(*) AS BIGINT) AS dl FROM tok GROUP BY doc_id),
+      stats AS (
+        SELECT CAST(sum(dl) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS avgdl,
+               CAST(count(*) AS DOUBLE) AS n FROM dl),
+      q AS (
+        SELECT f.term, f.df FROM
+          (SELECT term, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY term) f
+          JOIN (SELECT DISTINCT term FROM tok WHERE doc_id = ${Similarity.Q1}) qt USING (term)
+        WHERE f.df >= 2 ORDER BY f.df ASC, f.term LIMIT 5),
+      hits AS (
+        SELECT t.doc_id,
+               CAST(floor(((s.n - CAST(q.df AS DOUBLE) + 0.5) / (CAST(q.df AS DOUBLE) + 0.5))
+                 * ((CAST(t.tf AS DOUBLE) * 2.2)
+                    / (CAST(t.tf AS DOUBLE)
+                       + 1.2 * (0.25 + 0.75 * (CAST(d.dl AS DOUBLE) / s.avgdl))))
+                 * 1000000.0) AS BIGINT) AS contrib_fp
+        FROM tf t JOIN q USING (term) JOIN dl d USING (doc_id) CROSS JOIN stats s
+        WHERE t.doc_id <> ${Similarity.Q1}),
+      lex AS (
+        SELECT doc_id, rn AS lex_rk FROM (
+          SELECT doc_id, row_number() OVER (ORDER BY score_fp DESC, doc_id) AS rn
+          FROM (SELECT doc_id, CAST(sum(contrib_fp) AS BIGINT) AS score_fp
+                FROM hits GROUP BY doc_id))
+        WHERE rn <= 20),
+      sem AS (
+        SELECT doc_id, rn AS sem_rk FROM (
+          SELECT e.vec_id AS doc_id,
+                 row_number() OVER (ORDER BY ${Similarity.dotSql("e.embedding", "qe.qv")} DESC, e.vec_id) AS rn
+          FROM embeddings e,
+               (SELECT embedding AS qv FROM embeddings WHERE vec_id = ${Similarity.Q1}) qe
+          WHERE e.vec_id <> ${Similarity.Q1})
+        WHERE rn <= 20)
+      SELECT coalesce(l.doc_id, s.doc_id) AS doc_id, l.lex_rk, s.sem_rk,
+             coalesce(CAST(floor(1000000000000.0 / (60.0 + l.lex_rk)) AS BIGINT), 0)
+               + coalesce(CAST(floor(1000000000000.0 / (60.0 + s.sem_rk)) AS BIGINT), 0)
+               AS rrf_fp
+      FROM lex l FULL OUTER JOIN sem s ON l.doc_id = s.doc_id
+      ORDER BY rrf_fp DESC, doc_id LIMIT 10
+    """)) { (spark, dir) =>
+    val qDoc = lit(Similarity.Q1.toLong)
+    val tok = tbl(spark, dir, "documents")
+      // single-file source → spread the token explode across cores
+      .repartition(spark.sessionState.conf.numShufflePartitions)
+      .select(col("doc_id"), explode(toks(col("text"))).as("term"))
+      .persist() // feeds tf, dl, and the query-term pick; released by core.releaseSessionState
+    val tf = tok.groupBy("term", "doc_id").agg(count(lit(1)).as("tf"))
+    val dl = tok.groupBy("doc_id").agg(count(lit(1)).as("dl"))
+    val stats = dl.agg(
+      (sum(col("dl")).cast(DoubleType) / count(lit(1)).cast(DoubleType)).as("avgdl"),
+      count(lit(1)).cast(DoubleType).as("n"))
+    // the query doc's 5 most distinctive matchable terms
+    val q = tf.groupBy("term").agg(count(lit(1)).as("df"))
+      .join(tok.filter(col("doc_id") === qDoc).select("term").distinct(), Seq("term"))
+      .filter(col("df") >= 2)
+      .orderBy(col("df").asc, col("term")).limit(5)
+    // association order mirrors the oracle token-for-token (tBm25Rank's
+    // fixed IEEE chain), then exact integer sums
+    val idf = (col("n") - col("df").cast(DoubleType) + lit(0.5)) /
+      (col("df").cast(DoubleType) + lit(0.5))
+    val satur = (col("tf").cast(DoubleType) * lit(2.2)) /
+      (col("tf").cast(DoubleType) +
+        lit(1.2) * (lit(0.25) + lit(0.75) * (col("dl").cast(DoubleType) / col("avgdl"))))
+    // each arm is a TakeOrdered of scalar rows (never a global window —
+    // at corpus scale that single-partitions the rank); ranks over the
+    // bounded 20-row lists and the 20∪20 fusion are driver arithmetic,
+    // the simGraphCentrality convention
+    val lex20 = tf.filter(col("doc_id") =!= qDoc)
+      .join(broadcast(q), Seq("term"))
+      .join(dl, Seq("doc_id"))
+      .crossJoin(broadcast(stats))
+      .select(col("doc_id"),
+        floor(idf * satur * lit(1000000.0)).cast(LongType).as("contrib_fp"))
+      .groupBy("doc_id").agg(sum(col("contrib_fp")).as("score_fp"))
+      .orderBy(col("score_fp").desc, col("doc_id")).limit(20)
+      .select("doc_id").collect().map(_.getLong(0))
+    val embAll = tbl(spark, dir, "embeddings")
+      .repartition(spark.sessionState.conf.numShufflePartitions)
+    val qv = embAll.filter(col("vec_id") === qDoc).select(col("embedding").as("qv"))
+    val sem20 = embAll.filter(col("vec_id") =!= qDoc).crossJoin(broadcast(qv))
+      .select(col("vec_id").as("doc_id"),
+        Similarity.dot(col("embedding"), col("qv")).as("s"))
+      .orderBy(col("s").desc, col("doc_id")).limit(20)
+      .select("doc_id").collect().map(_.getLong(0))
+    tok.unpersist(false)
+    val lexRk = lex20.zipWithIndex.map { case (d, i) => d -> (i + 1L) }.toMap
+    val semRk = sem20.zipWithIndex.map { case (d, i) => d -> (i + 1L) }.toMap
+    def rrf(rk: Option[Long]): Long =
+      rk.fold(0L)(r => math.floor(1000000000000.0 / (60.0 + r)).toLong)
+    val fused = (lexRk.keySet ++ semRk.keySet).toSeq
+      .map { d =>
+        val (l, s) = (lexRk.get(d), semRk.get(d))
+        (d, l, s, rrf(l) + rrf(s))
+      }
+      .sortBy { case (d, _, _, fp) => (-fp, d) }
+      .take(10)
+      .map { case (d, l, s, fp) =>
+        org.apache.spark.sql.Row(d, l.map(Long.box).orNull, s.map(Long.box).orNull, fp)
+      }
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType, nullable = false),
+      StructField("lex_rk", LongType, nullable = true),
+      StructField("sem_rk", LongType, nullable = true),
+      StructField("rrf_fp", LongType, nullable = false)))
+    spark.createDataFrame(java.util.Arrays.asList(fused: _*), schema)
+  }
+
   val all: Seq[QueryDef] = Seq(
     tTokenStats, tQualityScore, tLangId, tFingerprint, tMultimodalMeta,
     tMultimodalDecode, tMultimodalFrames, tMultimodalResize, tStratifiedSample,
@@ -1532,5 +1678,5 @@ object TextOps {
     tMixtureEpochs,
     tRepetitionStats, tSalientTerms, tChunkWindows, tPiiRedact, tDecontaminate,
     tShuffleExport, tRarityScore, tTokenSubword, tPackSubword, tInvertedPostings,
-    tBm25Rank, tTokenizerEval, tLengthBuckets)
+    tBm25Rank, tTokenizerEval, tLengthBuckets, tHybridRrf)
 }

@@ -1075,4 +1075,76 @@ class LlmOpsSpec extends SparkSpec {
       .map(p => p._1 -> p._2), "shuffle left ids in original order")
     assert(run().toMap === a.toMap, "shuffle not reproducible across runs")
   }
+
+  test("hard negatives: label-split mining laws and the margin arithmetic hold") {
+    val rows = Similarity.simHardNegatives.run(spark, sfDir).collect()
+    assert(rows.length === 40, "8 held-out queries x 5 negatives")
+    val labelOf = core.tbl(spark, sfDir, "embeddings")
+      .select("vec_id", "label").collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    rows.groupBy(_.getAs[Long]("qid")).foreach { case (q, rs) =>
+      val sorted = rs.sortBy(_.getAs[Long]("neg_rank"))
+      // negatives come back hardest-first and never share the query label;
+      // the positive really is same-label and not the query itself
+      val negScores = sorted.map(_.getAs[Double]("neg_r"))
+      assert(negScores.zip(negScores.tail).forall { case (a, b) => a >= b },
+        s"negatives out of hardness order for qid $q")
+      sorted.foreach { r =>
+        assert(labelOf(r.getAs[Long]("neg_id")) === r.getAs[Int]("neg_label"))
+        assert(r.getAs[Int]("neg_label") !== r.getAs[Int]("q_label"))
+        val p = r.getAs[Long]("pos_id")
+        assert(p != q && labelOf(p) == r.getAs[Int]("q_label"),
+          s"positive $p is not a same-label non-self neighbor of $q")
+        // margin is the rounded difference of the unrounded scores — the
+        // rounded-operand difference can only drift by the rounding grain
+        assert(math.abs(r.getAs[Double]("margin_r") -
+          (r.getAs[Double]("pos_r") - r.getAs[Double]("neg_r"))) < 2e-6)
+      }
+    }
+  }
+
+  test("deployed negative mining: recall is bounded by the pool and softening is one-sided") {
+    val rows = Similarity.simAnnNegatives.run(spark, sfDir).collect()
+    assert(rows.length === 8, "one row per held-out query")
+    rows.foreach { r =>
+      assert(r.getAs[Long]("pool_neg_rows") <= r.getAs[Long]("pool_rows"))
+      val h = r.getAs[Long]("hits")
+      assert(h >= 0L && h <= 5L)
+      assert(r.getAs[Double]("recall_r") === h / 5.0)
+      // a subset's hardest negative can never beat the corpus' hardest,
+      // so the mined margin is never tighter than the true margin
+      assert(r.getAs[Long]("soft_bias_fp") >= 0L)
+      assert(r.getAs[Long]("margin_mined_fp") >=
+        r.getAs[Long]("margin_true_fp"))
+      // full mining recall forces zero softening (top-1 recovered ⇒
+      // identical hardest negative ⇒ identical margin)
+      if (h == 5L) assert(r.getAs[Long]("soft_bias_fp") === 0L)
+    }
+    // the probe-4 pool must surface at least SOME true hard negatives
+    // across the window — a zero total would mean the index is useless
+    // for mining, which the deployed-recall gates already refute
+    assert(rows.map(_.getAs[Long]("hits")).sum > 0L)
+  }
+
+  test("hybrid rrf: fused ranks reconstruct the fixed-point scores and self is excluded") {
+    val rows = TextOps.tHybridRrf.run(spark, sfDir).collect()
+    assert(rows.length === 10)
+    def share(rk: Any): Long = rk match {
+      case null => 0L
+      case r: Long => math.floor(1000000000000.0 / (60.0 + r)).toLong
+    }
+    val fps = rows.map(_.getAs[Long]("rrf_fp"))
+    assert(fps.zip(fps.tail).forall { case (a, b) => a >= b }, "fusion not rank-ordered")
+    rows.foreach { r =>
+      assert(r.getAs[Long]("doc_id") !== Similarity.Q1.toLong, "query doc retrieved itself")
+      val (l, s) = (r.get(r.fieldIndex("lex_rk")), r.get(r.fieldIndex("sem_rk")))
+      assert(l != null || s != null, "a fused doc appeared in neither arm")
+      assert(r.getAs[Long]("rrf_fp") === share(l) + share(s),
+        s"rrf share arithmetic broke: $r")
+    }
+    // on this corpus text and embeddings are independent, so both arms
+    // must contribute to the fused head (neither arm dominates)
+    assert(rows.exists(_.get(rows.head.fieldIndex("lex_rk")) != null))
+    assert(rows.exists(_.get(rows.head.fieldIndex("sem_rk")) != null))
+  }
 }
