@@ -7611,6 +7611,125 @@ object Similarity {
     spark.createDataFrame(java.util.Arrays.asList(rows: _*), schema)
   }
 
+  /** sim — TRIPLET-EXPORT accounting off the persisted kNN graph (the
+    * all-anchors big sibling of the query-window mining gates: a
+    * contrastive fine-tune wants one (anchor, positive, hard-negative)
+    * triplet per CORPUS row, and mining them exactly would be the n²
+    * pass the suite never ships — but the [[nnRoundsMart]] graph already
+    * holds every anchor's best-[[NndK]] neighborhood, so triplet
+    * assembly is a label split of a standing mart). Per anchor: the
+    * POSITIVE is its best-ranked same-label graph neighbor, the
+    * NEGATIVE its best-ranked wrong-label one; anchors whose
+    * neighborhood holds only one side emit no triplet and are accounted
+    * as the drop (at 10 labels on near-uniform data a degree-20 list
+    * misses same-label ~12% of the time — the drop rate is itself a
+    * label-density signal). The margin each triplet feeds the loss
+    * (`dot(a,pos) − dot(a,neg)`, 1e-6 fixed point) is summed exactly
+    * per export shard, and the classic kNN label-consistency statistic
+    * (is the rank-1 neighbor same-label?) rides along — the quality
+    * probe a curator reads before trusting graph-mined labels. Output:
+    * one accounting row per `anchor % 8` shard.
+    *
+    * Shape at 100 TB: the graph mart is read back, labels join
+    * co-partitioned on id (never broadcast — at corpus scale the label
+    * table IS the corpus), the two per-anchor picks are
+    * WindowGroupLimit over the mart's O(n·K) scalar rows, margins touch
+    * vectors only in a bounded 3-way id fetch (one row per anchor), and
+    * the output is 8 counter rows. The ORACLE replays the graph build
+    * inline and prices margins off its all-pairs referee table (the
+    * [[simNnDescent]] convention). */
+  val simTripletExport: QueryDef = QueryDef(
+    "sim_triplet_export",
+    Some(s"""${nnBuildCtes(NndRounds)},
+      lab AS (SELECT vec_id, label FROM embeddings),
+      g AS (SELECT s, t, rk FROM l$NndRounds),
+      gl AS MATERIALIZED (
+        SELECT g.s, g.t, g.rk, b.label = a.label AS same
+        FROM g JOIN lab a ON a.vec_id = g.s JOIN lab b ON b.vec_id = g.t),
+      posn AS (
+        SELECT s, t AS pos_id FROM (
+          SELECT s, t, row_number() OVER (PARTITION BY s ORDER BY rk, t) AS prn
+          FROM gl WHERE same) z
+        WHERE prn = 1),
+      negn AS (
+        SELECT s, t AS neg_id FROM (
+          SELECT s, t, row_number() OVER (PARTITION BY s ORDER BY rk, t) AS nrn
+          FROM gl WHERE NOT same) z
+        WHERE nrn = 1),
+      trip AS (
+        SELECT p.s, CAST(floor((ps.score - nsc.score) * 1000000.0) AS BIGINT) AS margin_fp
+        FROM posn p JOIN negn n ON n.s = p.s
+        JOIN sc ps ON ps.s = p.s AND ps.t = p.pos_id
+        JOIN sc nsc ON nsc.s = p.s AND nsc.t = n.neg_id),
+      sh AS (
+        SELECT s % 8 AS shard, CAST(count(*) AS BIGINT) AS n_anchors
+        FROM (SELECT DISTINCT s FROM g) a GROUP BY s % 8),
+      shf AS (
+        SELECT s % 8 AS shard,
+               CAST(sum(CASE WHEN same THEN 1 ELSE 0 END) AS BIGINT) AS n_nn_same_label
+        FROM gl WHERE rk = 1 GROUP BY s % 8),
+      sht AS (
+        SELECT s % 8 AS shard, CAST(count(*) AS BIGINT) AS n_triplets,
+               CAST(sum(margin_fp) AS BIGINT) AS sum_margin_fp
+        FROM trip GROUP BY s % 8)
+      SELECT sh.shard, sh.n_anchors,
+             CAST(coalesce(sht.n_triplets, 0) AS BIGINT) AS n_triplets,
+             shf.n_nn_same_label,
+             CAST(coalesce(sht.sum_margin_fp, 0) AS BIGINT) AS sum_margin_fp
+      FROM sh JOIN shf USING (shard) LEFT JOIN sht ON sht.shard = sh.shard
+      ORDER BY sh.shard
+    """)) { (spark, dir) =>
+    import org.apache.spark.sql.expressions.Window
+    val n = nnCount(spark, dir)
+    val g = nnRoundsMart(spark, dir).filter(col("round") === NndRounds)
+      .select("s", "t", "rk").localCheckpoint(true)
+    val ev = emb(spark, dir).select(col("vec_id"), col("embedding"))
+    val lab = emb(spark, dir).select(col("vec_id"), col("label"))
+    val gl = g.join(lab.select(col("vec_id").as("s"), col("label").as("sl")), Seq("s"))
+      .join(lab.select(col("vec_id").as("t"), col("label").as("tl")), Seq("t"))
+      .select(col("s"), col("t"), col("rk"), (col("sl") === col("tl")).as("same"))
+      .localCheckpoint(true)
+    val w = Window.partitionBy("s").orderBy(col("rk"), col("t"))
+    val posn = gl.filter(col("same")).withColumn("prn", row_number().over(w))
+      .filter(col("prn") === 1).select(col("s"), col("t").as("pos_id"))
+    val negn = gl.filter(!col("same")).withColumn("nrn", row_number().over(w))
+      .filter(col("nrn") === 1).select(col("s"), col("t").as("neg_id"))
+    // one row per anchor; vectors enter ONLY this bounded id fetch
+    val trip = posn.join(negn, Seq("s"))
+      .join(ev.select(col("vec_id").as("s"), col("embedding").as("se")), Seq("s"))
+      .join(ev.select(col("vec_id").as("pos_id"), col("embedding").as("pe")), Seq("pos_id"))
+      .join(ev.select(col("vec_id").as("neg_id"), col("embedding").as("ne")), Seq("neg_id"))
+      .select(col("s"),
+        floor((dot(col("se"), col("pe")) - dot(col("se"), col("ne")))
+          * lit(1000000.0)).cast(LongType).as("margin_fp"))
+    val shard = (col("s") % 8).as("shard")
+    val out = g.select("s").distinct().groupBy(shard)
+      .agg(count(lit(1)).as("n_anchors"))
+      .join(gl.filter(col("rk") === 1).groupBy(shard)
+        .agg(sum(when(col("same"), 1L).otherwise(0L)).as("n_nn_same_label")), Seq("shard"))
+      .join(trip.groupBy(shard)
+        .agg(count(lit(1)).as("n_triplets"), sum(col("margin_fp")).as("sum_margin_fp")),
+        Seq("shard"), "left")
+      .select(col("shard"), col("n_anchors"),
+        coalesce(col("n_triplets"), lit(0L)).as("n_triplets"),
+        col("n_nn_same_label"),
+        coalesce(col("sum_margin_fp"), lit(0L)).as("sum_margin_fp"))
+      .orderBy("shard")
+    val schema = out.schema
+    val rows = out.collect()
+    Seq(g, gl).foreach(_.unpersist(false))
+    // the export ledger laws: shards partition the corpus, and a shard
+    // can never emit more triplets (or rank-1 agreements) than anchors
+    require(rows.map(_.getAs[Long]("n_anchors")).sum == n,
+      s"shard ledger lost anchors: ${rows.map(_.getAs[Long]("n_anchors")).sum} != $n")
+    rows.foreach { r =>
+      require(r.getAs[Long]("n_triplets") <= r.getAs[Long]("n_anchors") &&
+        r.getAs[Long]("n_nn_same_label") <= r.getAs[Long]("n_anchors"),
+        s"shard ${r.getAs[Long]("shard")} over-emitted")
+    }
+    spark.createDataFrame(java.util.Arrays.asList(rows: _*), schema)
+  }
+
   val all: Seq[QueryDef] = Seq(
     simTopKBrute, simLshPairs, simIvfProbe, simIvfMultiprobe, ddEmbeddingCosine,
     simQuantizeInt8, simCentroids, simKmeans, simKmeansConverged, simSemanticDedup,
@@ -7622,5 +7741,6 @@ object Similarity {
     simDimTruncation,
     simNnDescent, simGraphServe, simGraphHier, simGraphDeployed, simGraphAppend,
     streamIndexAppend, simIndexPolicy, streamIndexPolicy, simServeFreshness,
-    simHardNegatives, simAnnNegatives, qIndexQuality, simGraphCentrality)
+    simHardNegatives, simAnnNegatives, simTripletExport,
+    qIndexQuality, simGraphCentrality)
 }

@@ -1126,6 +1126,24 @@ class LlmOpsSpec extends SparkSpec {
     assert(rows.map(_.getAs[Long]("hits")).sum > 0L)
   }
 
+  test("triplet export: shards partition the corpus and the ledger bounds hold") {
+    val rows = Similarity.simTripletExport.run(spark, sfDir).collect()
+    assert(rows.map(_.getAs[Long]("shard")).toSeq === (0L to 7L))
+    val n = core.tbl(spark, sfDir, "embeddings").count()
+    assert(rows.map(_.getAs[Long]("n_anchors")).sum === n, "shard ledger lost anchors")
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_triplets") <= r.getAs[Long]("n_anchors"))
+      assert(r.getAs[Long]("n_nn_same_label") <= r.getAs[Long]("n_anchors"))
+    }
+    // 10 roughly-balanced random labels: most degree-20 neighborhoods
+    // hold both a same- and wrong-label row, so most anchors emit
+    assert(rows.map(_.getAs[Long]("n_triplets")).sum > n / 2,
+      "triplet yield collapsed — the graph's label mix is broken")
+    // and rank-1 label consistency must sit near the 10% base rate,
+    // not at zero (labels ARE random — this is the honest reading)
+    assert(rows.map(_.getAs[Long]("n_nn_same_label")).sum > 0L)
+  }
+
   test("hybrid rrf: fused ranks reconstruct the fixed-point scores and self is excluded") {
     val rows = TextOps.tHybridRrf.run(spark, sfDir).collect()
     assert(rows.length === 10)
