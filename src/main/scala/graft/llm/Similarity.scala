@@ -5315,21 +5315,29 @@ object Similarity {
       .filter(col("rn") <= 10).select(part :+ "t" map col: _*)
   }
 
-  /** The greedy visited-fixpoint walk shared by [[simGraphServe]] and
-    * [[simGraphHier]]: expand the per-`part` top-10 beam's neighbors in
-    * graph `g`(gs, gt), union, stop once a step adds nothing (monotone
-    * visited sets: count equality == set equality, so the oracle's
-    * remaining unrolled steps are no-ops by the empty-frontier
-    * argument). Returns the checkpointed visited set; caller
+  /** The greedy visited-fixpoint walk shared by [[simGraphServe]],
+    * [[simGraphHier]], and [[simServeFreshness]]: expand the per-`part`
+    * top-10 beam's neighbors in graph `g`(gs, gt), union, stop once a
+    * step adds nothing (monotone visited sets: count equality == set
+    * equality, so the oracle's remaining unrolled steps are no-ops by
+    * the empty-frontier argument). `gKeys` names partition columns that
+    * ALSO key the graph (the freshness gate's vintage tag, carried in
+    * `g` as the "g"-prefixed twin) so one walk can ride a variant
+    * dimension — the sets never interact because the graph join is
+    * constrained per key. Returns the checkpointed visited set; caller
     * unpersists. */
   private def greedyWalk(qsc: DataFrame, g: DataFrame, v0: DataFrame,
-      part: Seq[String], steps: Int = NndServeSteps): DataFrame = {
+      part: Seq[String], steps: Int = NndServeSteps,
+      gKeys: Seq[String] = Nil): DataFrame = {
+    val cond = gKeys.foldLeft(col("t") === col("gs")) { (c, k) =>
+      c && col(k) === col("g" + k)
+    }
     var vis = v0.distinct().localCheckpoint(true)
     var prev = vis.count()
     var fixed = false
     for (_ <- 1 to steps if !fixed) {
       val nv = vis.unionByName(
-          topVisited(qsc, vis, part).join(g, col("t") === col("gs"))
+          topVisited(qsc, vis, part).join(g, cond)
             .select(part.map(col) :+ col("gt").as("t"): _*))
         .distinct().localCheckpoint(true)
       val c = nv.count()
@@ -5810,11 +5818,19 @@ object Similarity {
     graft.pipeline.ModelDef("mart_nn_consol", Seq("mart_nn_fold2"),
       mart = true) { (s, d, res) =>
       val (e, _) = nnEmb(s, d)
-      val out = (1 to NndAppendRounds).foldLeft(res("mart_nn_fold2")) { (g, _) =>
-        nnStepNext(e, g.select("s", "t"))
+      // track each round's checkpointed kept list and release every
+      // intermediate once the final frame exists (the nnDag builder's
+      // discipline — the foldLeft otherwise pins round 1's n·K rows for
+      // the life of the session)
+      val steps = scala.collection.mutable.ArrayBuffer[DataFrame]()
+      var cur = res("mart_nn_fold2")
+      for (_ <- 1 to NndAppendRounds) {
+        cur = nnStepNext(e, cur.select("s", "t"))
+        steps += cur
       }
+      steps.dropRight(1).foreach(_.unpersist(false))
       e.unpersist(false)
-      out.select("s", "t", "rk")
+      cur.select("s", "t", "rk")
     }))
 
   /** Materialize-once accessor for the θ=20 consolidated-index mart. */
@@ -6821,9 +6837,6 @@ object Similarity {
     * [[simNnDescent]] convention). */
   val simServeFreshness: QueryDef = {
     QueryDef("sim_serve_freshness", Some(serveFreshnessSql(NndRounds, NndServeSteps))) { (spark, dir) =>
-      import scala.concurrent.{Await, Future}
-      import scala.concurrent.duration.Duration
-      import scala.concurrent.ExecutionContext.Implicits.global
       import org.apache.spark.sql.expressions.Window
       val s2 = spark
       import s2.implicits._
@@ -6853,28 +6866,13 @@ object Similarity {
       val gAll = Seq(
         ("consolidated", nnConsolMart(spark, dir)),
         ("fold_1", y1), ("fold_2", y2), ("rebuilt", reb))
-        .map { case (nm, g) => core(g).select(lit(nm).as("gf"), col("gs"), col("gt")) }
+        .map { case (nm, g) => core(g).select(lit(nm).as("gfold"), col("gs"), col("gt")) }
         .reduce(_ unionByName _).localCheckpoint(true)
       val folds = Seq("consolidated", "fold_1", "fold_2", "rebuilt")
       val v0 = folds.toDF("fold").crossJoin(qs.select(col("qid")))
         .select(col("fold"), col("qid"), lit(0L).as("t"))
-      var vis = v0.distinct().localCheckpoint(true)
-      var prev = vis.count()
-      var fixed = false
-      for (_ <- 1 to NndServeSteps if !fixed) {
-        val nv = vis.unionByName(
-            topVisited(qsc, vis, Seq("fold", "qid"))
-              .join(gAll, col("fold") === col("gf") && col("t") === col("gs"))
-              .select(col("fold"), col("qid"), col("gt").as("t")))
-          .distinct().localCheckpoint(true)
-        val c = nv.count()
-        vis.unpersist(false)
-        vis = nv
-        // monotone visited sets: count equality == set equality, so the
-        // oracle's remaining unrolled steps are no-ops for EVERY vintage
-        fixed = c == prev
-        prev = c
-      }
+      val vis = greedyWalk(qsc, gAll, v0, Seq("fold", "qid"),
+        gKeys = Seq("fold"))
       // the fold-1 walk can only reach fold-1 members (edges reach
       // members by graph construction) — asserted, the escape law
       require(vis.filter(col("fold") === "fold_1" && !m1Pred).count() == 0L,
@@ -7456,8 +7454,13 @@ object Similarity {
     val schema = out.schema
     val rows = out.collect()
     sc.unpersist(false)
-    // the mining laws: every query yields exactly 5 negatives with a
-    // strictly increasing rank, and negatives never share the query label
+    // the mining laws: NO query vanishes (a qid with no same-label
+    // positive would be silently dropped by the inner join — and the
+    // oracle would drop it identically, so only this count catches it),
+    // every query yields exactly 5 negatives with a strictly increasing
+    // rank, and negatives never share the query label
+    require(rows.length == 5 * (QHi - QLo),
+      s"hard-negative mining lost a query: ${rows.length} rows != ${5 * (QHi - QLo)}")
     rows.groupBy(_.getAs[Long]("qid")).foreach { case (q, rs) =>
       require(rs.length == 5 && rs.map(_.getAs[Long]("neg_rank")).sorted.sameElements(1L to 5L),
         s"hard-negative mining broke for qid $q: ${rs.length} rows")
@@ -7598,9 +7601,13 @@ object Similarity {
     val schema = out.schema
     val rows = out.collect()
     Seq(e, cand, scn, sc).foreach(_.unpersist(false))
-    // the mining laws: the pool holds enough negatives to mine, and a
-    // subset's hardest can never beat the corpus' hardest (softening is
-    // one-sided)
+    // the mining laws: NO query vanishes (a qid whose pool held zero
+    // wrong-label rows would be dropped by the inner joins — invisibly,
+    // since the oracle drops it identically), the pool holds enough
+    // negatives to mine, and a subset's hardest can never beat the
+    // corpus' hardest (softening is one-sided)
+    require(rows.length == QHi - QLo,
+      s"negative mining lost a query: ${rows.length} rows != ${QHi - QLo}")
     rows.foreach { r =>
       require(r.getAs[Long]("pool_neg_rows") >= 5L,
         s"pool too small to mine for qid ${r.getAs[Long]("qid")}")

@@ -1346,6 +1346,62 @@ object TextOps {
       .limit(50)
   }
 
+  /** ONE text — the BM25 corpus-stream CTEs every lexical-retrieval
+    * oracle shares (whitespace tokens, per-(term, doc) tf, doc lengths,
+    * the (avgdl, n) stats row): [[tBm25Rank]] and [[tHybridRrf]] both
+    * splice this, so a tokenizer or stats change can never
+    * desynchronize the two lexical arms (the walkStepsSql/bwAggSql
+    * anti-drift discipline). */
+  private def bm25CorpusCtesSql: String = """tok AS (
+        SELECT doc_id, unnest(string_split_regex(text, '\s+')) AS term FROM documents),
+      tf AS (
+        SELECT term, doc_id, CAST(count(*) AS BIGINT) AS tf FROM tok GROUP BY term, doc_id),
+      dl AS (
+        SELECT doc_id, CAST(count(*) AS BIGINT) AS dl FROM tok GROUP BY doc_id),
+      stats AS (
+        SELECT CAST(sum(dl) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS avgdl,
+               CAST(count(*) AS DOUBLE) AS n FROM dl)"""
+
+  /** ONE text — the per-(doc, term) BM25 contribution in 1e-6 fixed
+    * point (rational un-logged RSJ idf × the k1=1.2 / b=0.75 saturation
+    * curve); table aliases pinned to t (tf), q (df), d (dl), s (stats). */
+  private def bm25ContribFpSql: String =
+    """CAST(floor(((s.n - CAST(q.df AS DOUBLE) + 0.5) / (CAST(q.df AS DOUBLE) + 0.5))
+                 * ((CAST(t.tf AS DOUBLE) * 2.2)
+                    / (CAST(t.tf AS DOUBLE)
+                       + 1.2 * (0.25 + 0.75 * (CAST(d.dl AS DOUBLE) / s.avgdl))))
+                 * 1000000.0) AS BIGINT)"""
+
+  /** Spark twin of [[bm25CorpusCtesSql]]: (tok, tf, dl, stats) frames.
+    * tok is persisted (it feeds tf and dl) and released by
+    * core.releaseSessionState like every per-gate persist. */
+  private def bm25Streams(spark: SparkSession, dir: String)
+      : (DataFrame, DataFrame, DataFrame, DataFrame) = {
+    val tok = tbl(spark, dir, "documents")
+      // single-file source → spread the token explode across cores
+      .repartition(spark.sessionState.conf.numShufflePartitions)
+      .select(col("doc_id"), explode(toks(col("text"))).as("term"))
+      .persist()
+    val tf = tok.groupBy("term", "doc_id").agg(count(lit(1)).as("tf"))
+    val dl = tok.groupBy("doc_id").agg(count(lit(1)).as("dl"))
+    val stats = dl.agg(
+      (sum(col("dl")).cast(DoubleType) / count(lit(1)).cast(DoubleType)).as("avgdl"),
+      count(lit(1)).cast(DoubleType).as("n"))
+    (tok, tf, dl, stats)
+  }
+
+  /** Spark twin of [[bm25ContribFpSql]] — association order mirrors the
+    * oracle token-for-token: one fixed IEEE chain per (doc, term) over
+    * columns (n, df, tf, dl, avgdl), then exact integer sums. */
+  private def bm25ContribFp: Column = {
+    val idf = (col("n") - col("df").cast(DoubleType) + lit(0.5)) /
+      (col("df").cast(DoubleType) + lit(0.5))
+    val satur = (col("tf").cast(DoubleType) * lit(2.2)) /
+      (col("tf").cast(DoubleType) +
+        lit(1.2) * (lit(0.25) + lit(0.75) * (col("dl").cast(DoubleType) / col("avgdl"))))
+    floor(idf * satur * lit(1000000.0)).cast(LongType)
+  }
+
   /** t25 — BM25-style RANKED RETRIEVAL over the [[tInvertedPostings]]
     * layout (the lookup a decontamination or topical-filter pass actually
     * issues: "which documents best match these terms?"). The query is
@@ -1368,26 +1424,14 @@ object TextOps {
     * |matching docs| scalar rows, never a global sort of documents. */
   val tBm25Rank: QueryDef = QueryDef(
     "t_bm25_rank",
-    Some("""
-      WITH tok AS (
-        SELECT doc_id, unnest(string_split_regex(text, '\s+')) AS term FROM documents),
-      tf AS (
-        SELECT term, doc_id, CAST(count(*) AS BIGINT) AS tf FROM tok GROUP BY term, doc_id),
-      dl AS (
-        SELECT doc_id, CAST(count(*) AS BIGINT) AS dl FROM tok GROUP BY doc_id),
-      stats AS (
-        SELECT CAST(sum(dl) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS avgdl,
-               CAST(count(*) AS DOUBLE) AS n FROM dl),
+    Some(s"""
+      WITH $bm25CorpusCtesSql,
       q AS (
         SELECT term, CAST(count(*) AS BIGINT) AS df FROM tf
         GROUP BY term ORDER BY df DESC, term LIMIT 5),
       hits AS (
         SELECT t.doc_id,
-               CAST(floor(((s.n - CAST(q.df AS DOUBLE) + 0.5) / (CAST(q.df AS DOUBLE) + 0.5))
-                 * ((CAST(t.tf AS DOUBLE) * 2.2)
-                    / (CAST(t.tf AS DOUBLE)
-                       + 1.2 * (0.25 + 0.75 * (CAST(d.dl AS DOUBLE) / s.avgdl))))
-                 * 1000000.0) AS BIGINT) AS contrib_fp
+               $bm25ContribFpSql AS contrib_fp
         FROM tf t JOIN q USING (term) JOIN dl d USING (doc_id) CROSS JOIN stats s)
       SELECT doc_id, CAST(count(*) AS BIGINT) AS n_hit,
              CAST(sum(contrib_fp) AS BIGINT) AS score_fp,
@@ -1395,30 +1439,13 @@ object TextOps {
       FROM hits GROUP BY doc_id
       ORDER BY score_fp DESC, doc_id LIMIT 20
     """)) { (spark, dir) =>
-    val tok = tbl(spark, dir, "documents")
-      // single-file source → spread the token explode across cores
-      .repartition(spark.sessionState.conf.numShufflePartitions)
-      .select(col("doc_id"), explode(toks(col("text"))).as("term"))
-      .persist() // feeds tf and dl; released by core.releaseSessionState
-    val tf = tok.groupBy("term", "doc_id").agg(count(lit(1)).as("tf"))
-    val dl = tok.groupBy("doc_id").agg(count(lit(1)).as("dl"))
-    val stats = dl.agg(
-      (sum(col("dl")).cast(DoubleType) / count(lit(1)).cast(DoubleType)).as("avgdl"),
-      count(lit(1)).cast(DoubleType).as("n"))
+    val (_, tf, dl, stats) = bm25Streams(spark, dir)
     val q = tf.groupBy("term").agg(count(lit(1)).as("df"))
       .orderBy(col("df").desc, col("term")).limit(5)
-    // association order mirrors the oracle token-for-token: one fixed
-    // IEEE chain per (doc, term), then exact integer sums
-    val idf = (col("n") - col("df").cast(DoubleType) + lit(0.5)) /
-      (col("df").cast(DoubleType) + lit(0.5))
-    val satur = (col("tf").cast(DoubleType) * lit(2.2)) /
-      (col("tf").cast(DoubleType) +
-        lit(1.2) * (lit(0.25) + lit(0.75) * (col("dl").cast(DoubleType) / col("avgdl"))))
     tf.join(broadcast(q), Seq("term"))
       .join(dl, Seq("doc_id"))
       .crossJoin(broadcast(stats))
-      .select(col("doc_id"),
-        floor(idf * satur * lit(1000000.0)).cast(LongType).as("contrib_fp"))
+      .select(col("doc_id"), bm25ContribFp.as("contrib_fp"))
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_hit"), sum(col("contrib_fp")).as("score_fp"))
       .select(col("doc_id"), col("n_hit"), col("score_fp"),
@@ -1560,15 +1587,7 @@ object TextOps {
   val tHybridRrf: QueryDef = QueryDef(
     "t_hybrid_rrf",
     Some(s"""
-      WITH tok AS (
-        SELECT doc_id, unnest(string_split_regex(text, '\\s+')) AS term FROM documents),
-      tf AS (
-        SELECT term, doc_id, CAST(count(*) AS BIGINT) AS tf FROM tok GROUP BY term, doc_id),
-      dl AS (
-        SELECT doc_id, CAST(count(*) AS BIGINT) AS dl FROM tok GROUP BY doc_id),
-      stats AS (
-        SELECT CAST(sum(dl) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS avgdl,
-               CAST(count(*) AS DOUBLE) AS n FROM dl),
+      WITH $bm25CorpusCtesSql,
       q AS (
         SELECT f.term, f.df FROM
           (SELECT term, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY term) f
@@ -1576,11 +1595,7 @@ object TextOps {
         WHERE f.df >= 2 ORDER BY f.df ASC, f.term LIMIT 5),
       hits AS (
         SELECT t.doc_id,
-               CAST(floor(((s.n - CAST(q.df AS DOUBLE) + 0.5) / (CAST(q.df AS DOUBLE) + 0.5))
-                 * ((CAST(t.tf AS DOUBLE) * 2.2)
-                    / (CAST(t.tf AS DOUBLE)
-                       + 1.2 * (0.25 + 0.75 * (CAST(d.dl AS DOUBLE) / s.avgdl))))
-                 * 1000000.0) AS BIGINT) AS contrib_fp
+               $bm25ContribFpSql AS contrib_fp
         FROM tf t JOIN q USING (term) JOIN dl d USING (doc_id) CROSS JOIN stats s
         WHERE t.doc_id <> ${Similarity.Q1}),
       lex AS (
@@ -1605,28 +1620,20 @@ object TextOps {
       ORDER BY rrf_fp DESC, doc_id LIMIT 10
     """)) { (spark, dir) =>
     val qDoc = lit(Similarity.Q1.toLong)
-    val tok = tbl(spark, dir, "documents")
-      // single-file source → spread the token explode across cores
+    val embAll = tbl(spark, dir, "embeddings")
       .repartition(spark.sessionState.conf.numShufflePartitions)
-      .select(col("doc_id"), explode(toks(col("text"))).as("term"))
-      .persist() // feeds tf, dl, and the query-term pick; released by core.releaseSessionState
-    val tf = tok.groupBy("term", "doc_id").agg(count(lit(1)).as("tf"))
-    val dl = tok.groupBy("doc_id").agg(count(lit(1)).as("dl"))
-    val stats = dl.agg(
-      (sum(col("dl")).cast(DoubleType) / count(lit(1)).cast(DoubleType)).as("avgdl"),
-      count(lit(1)).cast(DoubleType).as("n"))
+    // the query doc must exist in BOTH arms' sources — a smaller corpus
+    // would emit a silently degenerate one-arm fusion (the sim-family
+    // n >= QHi guard convention)
+    require(tbl(spark, dir, "documents").filter(col("doc_id") === qDoc).count() == 1 &&
+      embAll.filter(col("vec_id") === qDoc).count() == 1,
+      s"t_hybrid_rrf needs query doc ${Similarity.Q1} in documents AND embeddings")
+    val (tok, tf, dl, stats) = bm25Streams(spark, dir)
     // the query doc's 5 most distinctive matchable terms
     val q = tf.groupBy("term").agg(count(lit(1)).as("df"))
       .join(tok.filter(col("doc_id") === qDoc).select("term").distinct(), Seq("term"))
       .filter(col("df") >= 2)
       .orderBy(col("df").asc, col("term")).limit(5)
-    // association order mirrors the oracle token-for-token (tBm25Rank's
-    // fixed IEEE chain), then exact integer sums
-    val idf = (col("n") - col("df").cast(DoubleType) + lit(0.5)) /
-      (col("df").cast(DoubleType) + lit(0.5))
-    val satur = (col("tf").cast(DoubleType) * lit(2.2)) /
-      (col("tf").cast(DoubleType) +
-        lit(1.2) * (lit(0.25) + lit(0.75) * (col("dl").cast(DoubleType) / col("avgdl"))))
     // each arm is a TakeOrdered of scalar rows (never a global window —
     // at corpus scale that single-partitions the rank); ranks over the
     // bounded 20-row lists and the 20∪20 fusion are driver arithmetic,
@@ -1635,13 +1642,10 @@ object TextOps {
       .join(broadcast(q), Seq("term"))
       .join(dl, Seq("doc_id"))
       .crossJoin(broadcast(stats))
-      .select(col("doc_id"),
-        floor(idf * satur * lit(1000000.0)).cast(LongType).as("contrib_fp"))
+      .select(col("doc_id"), bm25ContribFp.as("contrib_fp"))
       .groupBy("doc_id").agg(sum(col("contrib_fp")).as("score_fp"))
       .orderBy(col("score_fp").desc, col("doc_id")).limit(20)
       .select("doc_id").collect().map(_.getLong(0))
-    val embAll = tbl(spark, dir, "embeddings")
-      .repartition(spark.sessionState.conf.numShufflePartitions)
     val qv = embAll.filter(col("vec_id") === qDoc).select(col("embedding").as("qv"))
     val sem20 = embAll.filter(col("vec_id") =!= qDoc).crossJoin(broadcast(qv))
       .select(col("vec_id").as("doc_id"),
