@@ -7737,6 +7737,116 @@ object Similarity {
     spark.createDataFrame(java.util.Arrays.asList(rows: _*), schema)
   }
 
+  /** sim — MMR DIVERSITY RE-RANK (Carbonell & Goldstein, SIGIR 1998):
+    * the similarity-aware subset selection a curation pipeline runs on a
+    * retrieval head — a training-data sampler de-redundifying examples,
+    * or a RAG context builder dropping near-duplicate passages — where
+    * plain top-k returns k paraphrases of the same thing. Greedy
+    * maximal-marginal-relevance over query [[Q1]]'s top-100 relevance
+    * head (self excluded): pick 1 is the most relevant candidate, pick
+    * i maximizes `rel − λ·maxsim` (λ = 0.5) where maxsim is the
+    * candidate's best cosine against everything already selected; 10
+    * picks, ties on vec_id. Emitted per pick: the relevance it brought,
+    * the maxsim it paid, and the MMR objective at selection time — the
+    * selection's full audit trail, so the diversity-vs-relevance trade
+    * is readable per row, not just in aggregate.
+    *
+    * Determinism: every dot is the shared sequential IEEE fold (the
+    * candidate head's are computed engine-side; the greedy loop's in
+    * driver Scala with the identical index-order fold), `λ·ms` and
+    * `rel − x` are single IEEE ops on bit-identical doubles, maxsim
+    * updates are max() on exact values, and all rounding happens at the
+    * END through Spark's round() columns — never driver-side.
+    *
+    * Shape at 100 TB: MMR is a RE-RANK, not a scan — the candidate head
+    * is a bounded TakeOrdered of scalar (id, rel) rows (here the exact
+    * brute pass; at corpus scale the deployed ANN pool feeds the same
+    * head), the 100-row greedy iteration is driver arithmetic exactly
+    * like the hybrid-RRF fusion, and the ORACLE unrolls the K picks as
+    * CTEs over a MATERIALIZED 100×100 pair table (the Lloyd-round
+    * unroll convention). */
+  val simMmrRerank: QueryDef = {
+    val K = 10
+    // p1..pK / m1..mK: m_i is the remaining-candidate maxsim table
+    // BEFORE pick i (m1 = all-zero); each m_{i+1} joins away pick i's
+    // row (pp has no self pairs), so the NOT-IN exclusion is structural
+    val stepCtes = (1 to K).map { i =>
+      val pick = s"""p$i AS (
+        SELECT c.vec_id, c.rel, m.ms, c.rel - 0.5 * m.ms AS sc
+        FROM cand c JOIN m$i m USING (vec_id)
+        ORDER BY sc DESC, c.vec_id LIMIT 1)"""
+      val nextMs = if (i == K) "" else s""",
+      m${i + 1} AS (
+        SELECT m.vec_id, greatest(m.ms, pp.s) AS ms
+        FROM m$i m JOIN pp ON pp.va = m.vec_id AND pp.vb = (SELECT vec_id FROM p$i))"""
+      pick + nextMs
+    }.mkString(",\n      ")
+    val unionRows = (1 to K).map { i =>
+      s"""SELECT CAST($i AS BIGINT) AS rank, vec_id, round(rel, 6) AS rel_r,
+             round(ms, 6) AS maxsim_r, round(sc, 6) AS mmr_r FROM p$i"""
+    }.mkString("\n      UNION ALL\n      ")
+    QueryDef(
+      "sim_mmr_rerank",
+      Some(s"""
+      WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = $Q1),
+      cand AS MATERIALIZED (
+        SELECT vec_id, embedding, rel FROM (
+          SELECT e.vec_id, e.embedding, ${dotSql("e.embedding", "q.qv")} AS rel,
+                 row_number() OVER (ORDER BY ${dotSql("e.embedding", "q.qv")} DESC, e.vec_id) AS rn
+          FROM embeddings e, q WHERE e.vec_id <> $Q1) z
+        WHERE rn <= 100),
+      pp AS MATERIALIZED (
+        SELECT a.vec_id AS va, b.vec_id AS vb, ${dotSql("a.embedding", "b.embedding")} AS s
+        FROM cand a, cand b WHERE a.vec_id <> b.vec_id),
+      m1 AS (SELECT vec_id, CAST(0.0 AS DOUBLE) AS ms FROM cand),
+      $stepCtes
+      SELECT * FROM (
+      $unionRows) u
+      ORDER BY rank
+    """)) { (spark, dir) =>
+      val e = emb(spark, dir).select(col("vec_id"), col("embedding"))
+      val n = e.count()
+      require(n >= QHi,
+        s"sim_mmr_rerank pins query $Q1 from the held-out window (n=$n < $QHi)")
+      val qv = e.filter(col("vec_id") === Q1).select(col("embedding").as("qv"))
+      // the bounded retrieval head: TakeOrdered of scalar rows; the 100
+      // embeddings ride along for the driver-side greedy loop
+      val head = e.filter(col("vec_id") =!= Q1).crossJoin(broadcast(qv))
+        .select(col("vec_id"), col("embedding"), dot(col("embedding"), col("qv")).as("rel"))
+        .orderBy(col("rel").desc, col("vec_id")).limit(100)
+        .collect()
+        .map(r => (r.getLong(0), r.getSeq[Float](1).toArray, r.getDouble(2)))
+      require(head.length >= K, s"candidate head too small to pick $K: ${head.length}")
+      // the same sequential index-order fold as graft_dot / dotSql
+      def d(a: Array[Float], b: Array[Float]): Double = {
+        var s = 0.0; var i = 0
+        while (i < a.length) { s += a(i).toDouble * b(i).toDouble; i += 1 }
+        s
+      }
+      val remaining = scala.collection.mutable.LinkedHashMap(
+        head.map { case (id, v, rel) => id -> (v, rel, 0.0) }: _*)
+      val picked = Seq.newBuilder[(Long, Long, Double, Double, Double)]
+      for (rank <- 1 to K) {
+        val (pid, (pv, prel, pms)) = remaining.maxBy {
+          case (id, (_, rel, ms)) => (rel - 0.5 * ms, -id)
+        }
+        picked += ((rank.toLong, pid, prel, pms, prel - 0.5 * pms))
+        remaining.remove(pid)
+        remaining.mapValuesInPlace { case (_, (v, rel, ms)) =>
+          (v, rel, math.max(ms, d(v, pv)))
+        }
+      }
+      val s2 = spark
+      import s2.implicits._
+      // rounding stays in Spark's round() so the quantization is the
+      // engine's, not the JVM driver's
+      picked.result().toDF("rank", "vec_id", "rel", "ms", "sc")
+        .select(col("rank"), col("vec_id"), round(col("rel"), 6).as("rel_r"),
+          round(col("ms"), 6).as("maxsim_r"), round(col("sc"), 6).as("mmr_r"))
+        .orderBy("rank")
+    }
+  }
+
   val all: Seq[QueryDef] = Seq(
     simTopKBrute, simLshPairs, simIvfProbe, simIvfMultiprobe, ddEmbeddingCosine,
     simQuantizeInt8, simCentroids, simKmeans, simKmeansConverged, simSemanticDedup,
@@ -7748,6 +7858,6 @@ object Similarity {
     simDimTruncation,
     simNnDescent, simGraphServe, simGraphHier, simGraphDeployed, simGraphAppend,
     streamIndexAppend, simIndexPolicy, streamIndexPolicy, simServeFreshness,
-    simHardNegatives, simAnnNegatives, simTripletExport,
+    simHardNegatives, simAnnNegatives, simTripletExport, simMmrRerank,
     qIndexQuality, simGraphCentrality)
 }

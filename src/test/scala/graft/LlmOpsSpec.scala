@@ -1144,6 +1144,43 @@ class LlmOpsSpec extends SparkSpec {
     assert(rows.map(_.getAs[Long]("n_nn_same_label")).sum > 0L)
   }
 
+  test("mmr rerank: objective is monotone, the audit identity holds, and the set is more diverse than plain top-10") {
+    val rows = Similarity.simMmrRerank.run(spark, sfDir).collect()
+    assert(rows.length === 10)
+    assert(rows.map(_.getAs[Long]("vec_id")).distinct.length === 10, "a pick repeated")
+    assert(rows.head.getAs[Double]("maxsim_r") === 0.0, "pick 1 paid a similarity tax")
+    rows.foreach { r =>
+      // the per-row audit identity (rounded operands can drift a grain)
+      assert(math.abs(r.getAs[Double]("mmr_r") -
+        (r.getAs[Double]("rel_r") - 0.5 * r.getAs[Double]("maxsim_r"))) < 2e-6)
+      assert(r.getAs[Double]("maxsim_r") >= 0.0)
+    }
+    // greedy MMR's objective is weakly decreasing: maxsim only grows and
+    // candidates only deplete, so each step's max is bounded by the last
+    val sc = rows.sortBy(_.getAs[Long]("rank")).map(_.getAs[Double]("mmr_r"))
+    assert(sc.zip(sc.tail).forall { case (a, b) => a >= b - 1e-9 },
+      s"MMR objective rose mid-selection: ${sc.toSeq}")
+    // the point of the operator: the selected set is no less diverse
+    // (mean intra-set cosine) than the plain relevance top-10
+    val e = core.tbl(spark, sfDir, "embeddings")
+      .select("vec_id", "embedding").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray).toMap
+    def dot(a: Array[Float], b: Array[Float]): Double =
+      a.indices.foldLeft(0.0)((s, i) => s + a(i).toDouble * b(i).toDouble)
+    def intra(ids: Seq[Long]): Double = {
+      val ps = for (i <- ids.indices; j <- ids.indices if i < j)
+        yield dot(e(ids(i)), e(ids(j)))
+      ps.sum / ps.length
+    }
+    val q = e(Similarity.Q1.toLong)
+    val top10 = e.toSeq.filter(_._1 != Similarity.Q1.toLong)
+      .map { case (id, v) => (id, dot(v, q)) }
+      .sortBy { case (id, s) => (-s, id) }.take(10).map(_._1)
+    val mmr10 = rows.map(_.getAs[Long]("vec_id")).toSeq
+    assert(intra(mmr10) <= intra(top10) + 1e-9,
+      s"MMR set less diverse than plain top-10: ${intra(mmr10)} vs ${intra(top10)}")
+  }
+
   test("hybrid rrf: fused ranks reconstruct the fixed-point scores and self is excluded") {
     val rows = TextOps.tHybridRrf.run(spark, sfDir).collect()
     assert(rows.length === 10)
