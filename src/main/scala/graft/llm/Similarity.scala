@@ -63,9 +63,16 @@ object Similarity {
   private[llm] def dot(a: Column, b: Column): Column =
     call_function("graft_dot", a, b)
 
+  /** The suite's embedding dimensionality. Every fixed-width kernel —
+    * [[dotSql]]'s unrolled range, the MMR gate's driver-side fold — derives
+    * from THIS constant, so a corpus with a different width fails loudly at
+    * the require sites instead of silently dotting different prefixes on
+    * the two engines (r19 ADVICE #1). */
+  private[llm] val EmbDim = 64
+
   /** DuckDB twin of [[dot]]: same index order, same fold. */
   private[llm] def dotSql(a: String, b: String): String =
-    s"list_reduce(list_transform(range(1, 65), i -> CAST($a[i] AS DOUBLE) * CAST($b[i] AS DOUBLE)), (x, y) -> x + y)"
+    s"list_reduce(list_transform(range(1, ${EmbDim + 1}), i -> CAST($a[i] AS DOUBLE) * CAST($b[i] AS DOUBLE)), (x, y) -> x + y)"
 
   /** sim1 — brute-force cosine top-k: the exact baseline every ANN variant
     * is measured against. One broadcast of the query vector, one
@@ -1095,29 +1102,45 @@ object Similarity {
     val sub = emb(spark, dir)
       .select(col("vec_id"), explode(array(subs: _*)).as("x"))
       .select(col("vec_id"), col("x.m").as("m"), col("x.sv").as("sv"))
+    // m-INDEXED book (books[m+1] = that subspace's [[PqK]] codewords): the
+    // old single-list layout re-scanned all M·K structs per row through a
+    // filter() lambda — dead allocation that made this gate's wall time
+    // track host load ~9x (r19 What's-wrong #1)
     val cbook = emb(spark, dir).filter(col("vec_id") < PqK)
       .select(col("vec_id").as("cid"), explode(array(subs: _*)).as("x"))
       .select(col("cid"), col("x.m").as("cm"), col("x.sv").as("cs"))
-      .agg(collect_list(struct(col("cm"), col("cid"), col("cs"))).as("cents"))
-    // named_struct via expr: .as() aliases inside a filter→transform lambda
-    // chain do not survive resolution (fields came back as col1/cid), and
+      .groupBy("cm").agg(collect_list(struct(col("cid"), col("cs"))).as("cw"))
+      .agg(transform(array_sort(collect_list(struct(col("cm"), col("cw")))),
+        s => s("cw")).as("books"))
+    // named_struct via expr: .as() aliases inside a transform lambda chain
+    // do not survive resolution (fields came back as col1/cid), and
     // struct-field access needs stable names
     val best = expr(s"""
       array_min(transform(
-        filter(cents, c -> c.cm = m),
+        element_at(books, m + 1),
         c -> named_struct(
           'd', aggregate(zip_with(sv, c.cs,
                  (x, y) -> (CAST(x AS DOUBLE) - CAST(y AS DOUBLE))
                          * (CAST(x AS DOUBLE) - CAST(y AS DOUBLE))),
                0D, (acc, v) -> acc + v) + 1e-12 * c.cid,
           'code', c.cid)))""")
+    // per-position fixed-point sums as PqSub codegen'd SUM columns folded
+    // map-side over (m, cell) — no per-(vec, m, pos) explode ever reaches
+    // the aggregate; the pos unpivot runs over the <= M·PqK grouped rows.
+    // Long sums are associative, so the regrouping is value-identical to
+    // the old (m, cell, pos) aggregate (goldens unchanged).
+    val sums = (0 until PqSub).map(p =>
+      sum(floor(element_at(col("sv"), p + 1).cast(DoubleType) * 10000000.0)
+        .cast(LongType)).as(s"s_$p"))
     sub.crossJoin(broadcast(cbook))
-      .select(col("m"), best("code").as("cell"),
-        posexplode(col("sv")).as(Seq("pos", "v")))
-      .groupBy("m", "cell", "pos")
-      .agg(
-        sum(floor(col("v").cast(DoubleType) * 10000000.0).cast(LongType)).as("s"),
-        count(lit(1)).as("n"))
+      .select(col("m"), best("code").as("cell"), col("sv"))
+      .groupBy("m", "cell")
+      .agg(count(lit(1)).as("n"), sums: _*)
+      .select(col("m"), col("cell"),
+        posexplode(array((0 until PqSub).map(p => col(s"s_$p")): _*))
+          .as(Seq("pos", "s")),
+        col("n"))
+      .select(col("m"), col("cell"), col("pos"), col("s"), col("n"))
   }
 
   /** The trained PQ codebook in array shape: (m, code, cv ARRAY<DOUBLE>) —
@@ -3244,39 +3267,93 @@ object Similarity {
         transform(col("pv"), x => floor(x * 1000).cast(LongType)).as("q"))
         .localCheckpoint(true)
       val n = qz.count()
-      // normalized integer second moment: 4096 longs to the driver
+      // normalized integer second moment: 4096 longs to the driver. One
+      // tight per-partition accumulation (<= 32 partial 4096-vectors
+      // collected) — the old N×4096-row explode allocated a 4096-element
+      // array per vector through interpreted nested transforms and ran on
+      // EVERY bench pass (the moment is not memoized), which is what made
+      // this gate's cold pass 16.5 s and load-elastic (r19 What's-wrong
+      // #1). Long sums are exact and commutative, so the partial-fold
+      // order cannot perturb the matrix.
       val c0 = Array.ofDim[Long](4096)
-      qz.select(posexplode(flatten(transform(col("q"),
-          x => transform(col("q"), y => x * y)))).as(Seq("k", "p")))
-        .groupBy("k").agg(sum(col("p")).as("s"))
-        .collect().foreach(r => c0(r.getAs[Int]("k")) = r.getAs[Long]("s") / n)
+      qz.select(col("q")).as[Seq[Long]].mapPartitions { it =>
+        val acc = Array.ofDim[Long](4096)
+        it.foreach { q =>
+          var i = 0
+          while (i < 64) {
+            val qi = q(i)
+            var j = 0
+            while (j < 64) { acc(i * 64 + j) += qi * q(j); j += 1 }
+            i += 1
+          }
+        }
+        Iterator.single(acc.toSeq)
+      }.collect().foreach { p =>
+        var k = 0
+        while (k < 4096) { c0(k) += p(k); k += 1 }
+      }
+      var k0 = 0
+      while (k0 < 4096) { c0(k0) /= n; k0 += 1 }
       val (rotArr, _) = opqJacobi(c0)
-      val rotLit = typedLit(rotArr.toSeq)
-      val rotated = qz.select(col("vec_id"),
-        transform(sequence(lit(0), lit(63)), p =>
-          aggregate(zip_with(slice(rotLit, p * lit(64) + lit(1), lit(64)), col("q"),
-            (r, z) => r * z), lit(0L), (a, v) => a + v)
-            .cast(DoubleType) / lit(1.0e9)).as("pv"))
+      // exact integer matvec y = R·q / 10⁹ as one tight per-row pass: the
+      // same Long products and adds the old slice/zip_with HOF chain
+      // expressed (Long arithmetic is exact, so the value is
+      // bit-identical) without allocating a 64-slice per (row, position)
+      val rotated = qz.select(col("vec_id"), col("q")).as[(Long, Seq[Long])]
+        .map { case (id, q) =>
+          val pv = Array.ofDim[Double](64)
+          var p = 0
+          while (p < 64) {
+            var s = 0L
+            var d = 0
+            while (d < 64) { s += rotArr(p * 64 + d) * q(d); d += 1 }
+            pv(p) = s.toDouble / 1.0e9
+            p += 1
+          }
+          (id, pv.toSeq)
+        }.toDF("vec_id", "pv")
       val varq = dimVarianceQOf(mixed.select(posexplode(col("pv")).as(Seq("dim", "v"))))
       val permSeq = opqGreedyPerm(varq)
       val permuted = mixed.select(col("vec_id"),
         array(permSeq.map(p => col("pv")(p - 1)): _*).as("pv"))
-      def evalRung(label: String, pv: DataFrame): (String, Long, Long) = {
-        val subs = (0 until PqM).map(m => struct(lit(m).as("m"),
+      // the three rungs train JOINTLY in one trainSubspaceBook call over
+      // disjoint subspace ids m' = rung·PqM + m: assignment filters the
+      // book by m, so each rung only ever sees its own codewords and the
+      // per-(m, cell) recomputes are independent — the joint books are
+      // bit-identical to three separate trainings (a rung that converges
+      // early just replays no-op recomputes until the slowest rung
+      // stabilizes, the loop's own early-exit soundness argument). What
+      // the fusion buys: one checkpoint + two jobs per round instead of
+      // three sequential ≤[[PqTrainRounds]]-round loops — ~40 tiny
+      // back-to-back jobs become ~15, each one fewer contention window
+      // (the r19 What's-wrong #1 load-elasticity fix).
+      val rungs = Seq(("identity", mixed, 0), ("permuted", permuted, 1),
+        ("rotated", rotated, 2))
+      def subsOf(rung: Int) = (0 until PqM).map(m =>
+        struct(lit(rung * PqM + m).as("m"),
           slice(col("pv"), m * PqSub + 1, PqSub).as("sv")))
-        val sub = pv.select(col("vec_id"), explode(array(subs: _*)).as("x"))
+      val subAll = rungs.map { case (_, pv, r) =>
+        pv.select(col("vec_id"), explode(array(subsOf(r): _*)).as("x"))
           .select(col("vec_id"), col("x.m").as("m"), col("x.sv").as("sv"))
-        val seed = pv.filter(col("vec_id") < 8)
-          .select(col("vec_id").as("code"), explode(array(subs: _*)).as("x"))
+      }.reduce(_.union(_)).localCheckpoint(true)
+      val seedAll = rungs.map { case (_, pv, r) =>
+        pv.filter(col("vec_id") < 8)
+          .select(col("vec_id").as("code"), explode(array(subsOf(r): _*)).as("x"))
           .select(col("x.m").as("m"), col("code").cast(LongType).as("code"),
             col("x.sv").cast(ArrayType(DoubleType)).as("cv"))
-        val recs = memoBook(spark, dir, s"oprot_$label") {
-          trainSubspaceBook(spark, sub, seed)
-        }
-        (label, n, bookDistortionMicro(spark, sub, bookDf(spark, recs)))
+      }.reduce(_.union(_))
+      val recs = memoBook(spark, dir, "oprot_joint") {
+        trainSubspaceBook(spark, subAll, seedAll)
       }
-      val rows = Seq(evalRung("identity", mixed), evalRung("permuted", permuted),
-        evalRung("rotated", rotated))
+      // one distortion pass for all three rungs (rung = m' / PqM): the
+      // bookDistortionMicro sum, grouped by rung instead of run thrice
+      val perRung = subAll.crossJoin(broadcast(pqBookRow(bookDf(spark, recs))))
+        .select((col("m") / lit(PqM)).cast(IntegerType).as("rung"),
+          floor(pqBookBest("d") * 1000000.0).cast(LongType).as("micro"))
+        .groupBy("rung").agg(sum(col("micro")).as("tm"))
+        .collect().map(r => r.getAs[Int]("rung") -> r.getAs[Long]("tm")).toMap
+      val rows = rungs.map { case (label, _, r) => (label, n, perRung(r)) }
+      subAll.unpersist(false)
       mixed.unpersist(false)
       qz.unpersist(false)
       rows.toDF("variant", "n_vectors", "total_micro")
@@ -7817,10 +7894,17 @@ object Similarity {
         .collect()
         .map(r => (r.getLong(0), r.getSeq[Float](1).toArray, r.getDouble(2)))
       require(head.length >= K, s"candidate head too small to pick $K: ${head.length}")
+      // the oracle's dotSql unrolls exactly EmbDim terms: a corpus with a
+      // different width must fail HERE, not silently dot a.length dims on
+      // this engine and EmbDim on the other (r19 ADVICE #1)
+      head.foreach { case (id, v, _) =>
+        require(v.length == EmbDim,
+          s"sim_mmr_rerank: vec $id has ${v.length} dims, dotSql folds $EmbDim")
+      }
       // the same sequential index-order fold as graft_dot / dotSql
       def d(a: Array[Float], b: Array[Float]): Double = {
         var s = 0.0; var i = 0
-        while (i < a.length) { s += a(i).toDouble * b(i).toDouble; i += 1 }
+        while (i < EmbDim) { s += a(i).toDouble * b(i).toDouble; i += 1 }
         s
       }
       val remaining = scala.collection.mutable.LinkedHashMap(

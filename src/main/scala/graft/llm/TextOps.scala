@@ -1373,8 +1373,13 @@ object TextOps {
                  * 1000000.0) AS BIGINT)"""
 
   /** Spark twin of [[bm25CorpusCtesSql]]: (tok, tf, dl, stats) frames.
-    * tok is persisted (it feeds tf and dl) and released by
-    * core.releaseSessionState like every per-gate persist. */
+    * tok is persisted (it feeds tf and dl). Lifetime is DELIBERATELY
+    * asymmetric across consumers (r19 ADVICE #2): a gate that runs its
+    * own actions inside the body ([[tHybridRrf]] collects both arms)
+    * releases tok eagerly once done; a gate that RETURNS the lazy plan
+    * ([[tBm25Rank]]) cannot — the caller has not executed it yet, so an
+    * in-body unpersist would drop the cache before first use — and leaves
+    * the release to core.releaseSessionState like every per-gate persist. */
   private def bm25Streams(spark: SparkSession, dir: String)
       : (DataFrame, DataFrame, DataFrame, DataFrame) = {
     val tok = tbl(spark, dir, "documents")
@@ -1584,10 +1589,12 @@ object TextOps {
     * map-parallel scan (scalar (id, score) rows only — at corpus scale
     * the candidate generator is the deployed ANN read path instead,
     * same fused contract); fusion itself joins two 20-row frames. */
-  val tHybridRrf: QueryDef = QueryDef(
-    "t_hybrid_rrf",
-    Some(s"""
-      WITH $bm25CorpusCtesSql,
+  /** DuckDB CTE chain for the FULL RRF-fused candidate pool (ends in a
+    * `fused(doc_id, lex_rk, sem_rk, rrf_fp)` CTE) — single-texted between
+    * [[tHybridRrf]] (top-10 emission) and [[tCrossRerank]] (top-20 re-rank
+    * candidates) so the two gates cannot drift on arm or fusion
+    * discipline (the bm25 shared-kernel convention). */
+  private val hybridFusedCtesSql: String = s"""$bm25CorpusCtesSql,
       q AS (
         SELECT f.term, f.df FROM
           (SELECT term, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY term) f
@@ -1611,14 +1618,23 @@ object TextOps {
           FROM embeddings e,
                (SELECT embedding AS qv FROM embeddings WHERE vec_id = ${Similarity.Q1}) qe
           WHERE e.vec_id <> ${Similarity.Q1})
-        WHERE rn <= 20)
-      SELECT coalesce(l.doc_id, s.doc_id) AS doc_id, l.lex_rk, s.sem_rk,
-             coalesce(CAST(floor(1000000000000.0 / (60.0 + l.lex_rk)) AS BIGINT), 0)
-               + coalesce(CAST(floor(1000000000000.0 / (60.0 + s.sem_rk)) AS BIGINT), 0)
-               AS rrf_fp
-      FROM lex l FULL OUTER JOIN sem s ON l.doc_id = s.doc_id
-      ORDER BY rrf_fp DESC, doc_id LIMIT 10
-    """)) { (spark, dir) =>
+        WHERE rn <= 20),
+      fused AS (
+        SELECT coalesce(l.doc_id, s.doc_id) AS doc_id, l.lex_rk, s.sem_rk,
+               coalesce(CAST(floor(1000000000000.0 / (60.0 + l.lex_rk)) AS BIGINT), 0)
+                 + coalesce(CAST(floor(1000000000000.0 / (60.0 + s.sem_rk)) AS BIGINT), 0)
+                 AS rrf_fp
+        FROM lex l FULL OUTER JOIN sem s ON l.doc_id = s.doc_id)"""
+
+  /** The FULL RRF-fused pool — (doc_id, lex_rk?, sem_rk?, rrf_fp) sorted by
+    * (rrf_fp desc, doc_id) — the Spark twin of [[hybridFusedCtesSql]],
+    * shared by [[tHybridRrf]] and [[tCrossRerank]]. Each arm is a
+    * TakeOrdered of scalar rows (never a global window — at corpus scale
+    * that single-partitions the rank); ranks over the bounded 20-row lists
+    * and the 20∪20 fusion are driver arithmetic, the simGraphCentrality
+    * convention. */
+  private def hybridFusedPool(spark: SparkSession, dir: String,
+      gate: String): Seq[(Long, Option[Long], Option[Long], Long)] = {
     val qDoc = lit(Similarity.Q1.toLong)
     val embAll = tbl(spark, dir, "embeddings")
       .repartition(spark.sessionState.conf.numShufflePartitions)
@@ -1627,17 +1643,13 @@ object TextOps {
     // n >= QHi guard convention)
     require(tbl(spark, dir, "documents").filter(col("doc_id") === qDoc).count() == 1 &&
       embAll.filter(col("vec_id") === qDoc).count() == 1,
-      s"t_hybrid_rrf needs query doc ${Similarity.Q1} in documents AND embeddings")
+      s"$gate needs query doc ${Similarity.Q1} in documents AND embeddings")
     val (tok, tf, dl, stats) = bm25Streams(spark, dir)
     // the query doc's 5 most distinctive matchable terms
     val q = tf.groupBy("term").agg(count(lit(1)).as("df"))
       .join(tok.filter(col("doc_id") === qDoc).select("term").distinct(), Seq("term"))
       .filter(col("df") >= 2)
       .orderBy(col("df").asc, col("term")).limit(5)
-    // each arm is a TakeOrdered of scalar rows (never a global window —
-    // at corpus scale that single-partitions the rank); ranks over the
-    // bounded 20-row lists and the 20∪20 fusion are driver arithmetic,
-    // the simGraphCentrality convention
     val lex20 = tf.filter(col("doc_id") =!= qDoc)
       .join(broadcast(q), Seq("term"))
       .join(dl, Seq("doc_id"))
@@ -1657,12 +1669,23 @@ object TextOps {
     val semRk = sem20.zipWithIndex.map { case (d, i) => d -> (i + 1L) }.toMap
     def rrf(rk: Option[Long]): Long =
       rk.fold(0L)(r => math.floor(1000000000000.0 / (60.0 + r)).toLong)
-    val fused = (lexRk.keySet ++ semRk.keySet).toSeq
+    (lexRk.keySet ++ semRk.keySet).toSeq
       .map { d =>
         val (l, s) = (lexRk.get(d), semRk.get(d))
         (d, l, s, rrf(l) + rrf(s))
       }
       .sortBy { case (d, _, _, fp) => (-fp, d) }
+  }
+
+  val tHybridRrf: QueryDef = QueryDef(
+    "t_hybrid_rrf",
+    Some(s"""
+      WITH $hybridFusedCtesSql
+      SELECT doc_id, lex_rk, sem_rk, rrf_fp
+      FROM fused
+      ORDER BY rrf_fp DESC, doc_id LIMIT 10
+    """)) { (spark, dir) =>
+    val fused = hybridFusedPool(spark, dir, "t_hybrid_rrf")
       .take(10)
       .map { case (d, l, s, fp) =>
         org.apache.spark.sql.Row(d, l.map(Long.box).orNull, s.map(Long.box).orNull, fp)
@@ -1675,6 +1698,111 @@ object TextOps {
     spark.createDataFrame(java.util.Arrays.asList(fused: _*), schema)
   }
 
+  /** Cross-encoder max sequence length (code points per side): a real
+    * re-ranker truncates both members of the pair to the model's context
+    * window; the stub truncates identically so the oracle's
+    * `substring(text, 1, $CeMaxCp)` sees the same characters. */
+  private val CeMaxCp = 256
+
+  /** t30 — CROSS-ENCODER RE-RANK of the fused retrieval head (the last
+    * stage of a production retrieval stack, Nogueira & Cho 2019: candidate
+    * generation → fusion → a pairwise model that reads query and candidate
+    * JOINTLY and re-orders the head; the expensive model runs on 20 rows,
+    * never the corpus). Candidates are the top-20 of [[tHybridRrf]]'s
+    * fused pool — the SAME pool, via the shared [[hybridFusedPool]] /
+    * [[hybridFusedCtesSql]] kernels, so re-ranker and fusion cannot drift.
+    *
+    * The MODEL is a clearly-marked DETERMINISTIC STUB (this sandbox has no
+    * inference runtime — the [[tMultimodalDecode]] convention): score =
+    * Σ_i cp_q(i)·cp_d(i) over the aligned code points of the pair, both
+    * sides truncated to [[CeMaxCp]] code points — a fixed integer
+    * "interaction" the oracle replays in `unicode(substring(...))`
+    * arithmetic. The Spark-side plumbing is the real shape: bounded
+    * candidate frame joined to the document store (broadcast — the head
+    * is 20 rows), typed partition-parallel `mapPartitions` with a
+    * once-per-partition model-handle site and a fixed-size batch loop,
+    * scalar (id, score) rows out.
+    *
+    * In-gate LAWS: (1) cardinality — the scored set is exactly
+    * min(20, |fused pool|) rows (an inner join to documents cannot
+    * silently drop a candidate); (2) permutation — re-ranking reorders,
+    * never adds or removes; (3) the ordering delta vs the RRF head is
+    * QUANTIFIED per row (`moved` = rrf_rank − ce_rank), so "did the
+    * re-ranker change anything" is a column, not an eyeball.
+    *
+    * Shape at 100 TB: the head is bounded by construction (top-20 of a
+    * 20∪20 fusion), the document-text fetch is a broadcast semi-join
+    * against the doc store, and inference is partition-parallel batch
+    * scoring of 20 pairs — the corpus is never touched past candidate
+    * generation; ranks over the bounded head are driver arithmetic. */
+  val tCrossRerank: QueryDef = QueryDef(
+    "t_cross_rerank",
+    Some(s"""
+      WITH $hybridFusedCtesSql,
+      cand AS (
+        SELECT doc_id,
+               CAST(row_number() OVER (ORDER BY rrf_fp DESC, doc_id) AS BIGINT) AS rrf_rank
+        FROM fused ORDER BY rrf_fp DESC, doc_id LIMIT 20),
+      qt AS (SELECT substring(text, 1, $CeMaxCp) AS t FROM documents
+             WHERE doc_id = ${Similarity.Q1}),
+      ce AS (
+        SELECT c.doc_id, c.rrf_rank,
+               CAST(COALESCE(list_sum(list_transform(
+                 range(1, least(length(qt.t), length(substring(d.text, 1, $CeMaxCp))) + 1),
+                 i -> CAST(unicode(substring(qt.t, i, 1)) AS BIGINT)
+                    * CAST(unicode(substring(d.text, i, 1)) AS BIGINT))), 0) AS BIGINT) AS ce_fp
+        FROM cand c JOIN documents d USING (doc_id) CROSS JOIN qt)
+      SELECT CAST(row_number() OVER (ORDER BY ce_fp DESC, doc_id) AS BIGINT) AS ce_rank,
+             doc_id, ce_fp, rrf_rank,
+             rrf_rank - CAST(row_number() OVER (ORDER BY ce_fp DESC, doc_id) AS BIGINT) AS moved
+      FROM ce ORDER BY ce_rank
+    """)) { (spark, dir) =>
+    import spark.implicits._
+    val pool = hybridFusedPool(spark, dir, "t_cross_rerank")
+    val cand = pool.take(20).zipWithIndex
+      .map { case ((d, _, _, _), i) => (d, i + 1L) }
+    // broadcast query truncated to the model window, code points (DuckDB
+    // length/substring count characters = code points, never UTF-16 units)
+    val qCp = tbl(spark, dir, "documents")
+      .filter(col("doc_id") === lit(Similarity.Q1.toLong))
+      .select("text").head().getString(0)
+      .codePoints().limit(CeMaxCp).toArray
+    val withText = tbl(spark, dir, "documents")
+      .join(broadcast(cand.toDF("doc_id", "rrf_rank")), Seq("doc_id"))
+      .select(col("doc_id"), col("rrf_rank"), col("text"))
+      .as[(Long, Long, String)]
+    val scored = withText.mapPartitions { items =>
+      // a real cross-encoder would load its model handle HERE, once per
+      // partition, and push the pairs through in fixed-size batches; the
+      // batch loop is kept so the plumbing matches real inference
+      items.grouped(8).flatMap { batch =>
+        batch.map { case (id, rrfRk, text) =>
+          val cp = text.codePoints().limit(CeMaxCp).toArray
+          val n = math.min(qCp.length, cp.length)
+          var s = 0L
+          var i = 0
+          while (i < n) { s += qCp(i).toLong * cp(i).toLong; i += 1 }
+          (id, rrfRk, s)
+        }
+      }
+    }.collect()
+    // law 1: the join to the doc store dropped nothing (inner joins shrink
+    // silently on BOTH engines — the hash oracle cannot catch it)
+    require(scored.length == cand.length,
+      s"t_cross_rerank: scored ${scored.length} of ${cand.length} candidates — " +
+        "a candidate is missing from documents")
+    // law 2: re-ranking is a permutation of the candidate head
+    require(scored.map(_._1).sorted.sameElements(cand.map(_._1).sorted),
+      "t_cross_rerank: scored ids are not a permutation of the candidate head")
+    val rows = scored.sortBy { case (id, _, s) => (-s, id) }.zipWithIndex
+      .map { case ((id, rrfRk, s), i) =>
+        val ceRank = i + 1L
+        (ceRank, id, s, rrfRk, rrfRk - ceRank)
+      }
+    rows.toSeq.toDF("ce_rank", "doc_id", "ce_fp", "rrf_rank", "moved")
+      .orderBy("ce_rank")
+  }
+
   val all: Seq[QueryDef] = Seq(
     tTokenStats, tQualityScore, tLangId, tFingerprint, tMultimodalMeta,
     tMultimodalDecode, tMultimodalFrames, tMultimodalResize, tStratifiedSample,
@@ -1682,5 +1810,5 @@ object TextOps {
     tMixtureEpochs,
     tRepetitionStats, tSalientTerms, tChunkWindows, tPiiRedact, tDecontaminate,
     tShuffleExport, tRarityScore, tTokenSubword, tPackSubword, tInvertedPostings,
-    tBm25Rank, tTokenizerEval, tLengthBuckets, tHybridRrf)
+    tBm25Rank, tTokenizerEval, tLengthBuckets, tHybridRrf, tCrossRerank)
 }

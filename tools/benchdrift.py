@@ -7,7 +7,21 @@ and reports every gate slower than --factor (default 2x) vs the prior
 round, plus gates added/dropped between the rounds.
 
 Usage:
-  python3 tools/benchdrift.py PREV_BENCH PREV_NAMES NEW_BENCH NEW_NAMES [--factor 2.0] [--floor-ds 3]
+  python3 tools/benchdrift.py PREV_BENCH PREV_NAMES NEW_BENCH NEW_NAMES \
+      [--factor 2.0] [--floor-ds 3] [--detail BENCH_DETAIL.json]
+
+--detail takes the NEW run's full-precision sidecar (target/
+bench_detail.json, copied beside the round artifact as
+BENCH_DETAIL_r{N}.json at certification). With it, every flagged
+regression is AUTO-ATTRIBUTED from its own samples instead of by
+narrative (round-19 queue #2 — the sim_pq_train adjudications):
+  CONTENTION      — the best sample is inside the bar; one pass was
+                    contaminated and min-of-N already proved the code fine
+  SUSTAINED-LOAD  — every sample is past the bar AND the run's 1-minute
+                    loadavg shows external load (>= --ld-bar, default 8);
+                    the gate never saw a calm window, so the row is
+                    evidence about the HOST, not the code
+  GENUINE         — every sample is past the bar on a calm host
 
 BENCH args accept either the driver's BENCH_r{N}.json (object with a
 `parsed` payload), a raw Bench stdout JSON object, or a log file whose
@@ -80,6 +94,13 @@ def main(argv):
         sys.exit(__doc__)
     factor = float(opts.get("factor", 2.0))
     floor = int(opts.get("floor-ds", 3))
+    ld_bar = float(opts.get("ld-bar", 8.0))
+    detail = None
+    if "detail" in opts:
+        detail = json.load(open(opts["detail"]))
+        if "samples" not in detail:
+            sys.exit(f"benchdrift: {opts['detail']} carries no per-gate "
+                     "samples — not a bench_detail sidecar")
     prev_b, prev_n = load_bench(args[0]), load_names(args[1])
     new_b, new_n = load_bench(args[2]), load_names(args[3])
     for tag, b, n in (("prev", prev_b, prev_n), ("new", new_b, new_n)):
@@ -139,9 +160,38 @@ def main(argv):
             regressions.append((g, prev[g], new[g]))
     if regressions:
         print(f"\n{len(regressions)} gate(s) >= {factor}x slower:")
-        print(f"{'gate':44} {'prev_ds':>8} {'new_ds':>8} {'ratio':>6}")
+        print(f"{'gate':44} {'prev_ds':>8} {'new_ds':>8} {'ratio':>6}  attribution")
+        # sanity-join the sidecar to THIS artifact before trusting it: the
+        # flagged gate's min sample must reproduce the artifact's qv entry
+        # (same run), else the sidecar is from a different invocation and
+        # its samples would mis-attribute the row
         for g, p, q in sorted(regressions, key=lambda r: -r[2] / max(r[1], 1)):
-            print(f"{g:44} {p:8d} {q:8d} {q / max(p, 1):6.1f}")
+            attr = "(no sidecar — adjudicate by hand)"
+            if detail is not None:
+                ss = detail.get("samples", {}).get(g)
+                if ss is None:
+                    attr = "(gate missing from sidecar)"
+                elif round(min(ss) / 100.0) != q:
+                    attr = (f"(sidecar min {min(ss)}ms != artifact {q}ds "
+                            "— sidecar is from a different run)")
+                else:
+                    base = max(p, floor)
+                    lds = [float(x) for x in detail.get("ld", [-1])]
+                    samp = ",".join(f"{x / 1000.0:.1f}s" for x in ss)
+                    if any(x / 100.0 < factor * base for x in ss):
+                        attr = (f"CONTENTION — best of [{samp}] is inside "
+                                f"{factor}x of {base}ds; min-of-{len(ss)} "
+                                "already cleared the code")
+                    elif max(lds) >= ld_bar:
+                        attr = (f"SUSTAINED-LOAD — all samples [{samp}] past "
+                                f"the bar under ld {lds[0]:.1f}->{lds[-1]:.1f}"
+                                f" (>= {ld_bar}); rerun calm before blaming "
+                                "the code")
+                    else:
+                        attr = (f"GENUINE — all samples [{samp}] past the "
+                                f"bar on a calm host (ld {lds[0]:.1f}->"
+                                f"{lds[-1]:.1f})")
+            print(f"{g:44} {p:8d} {q:8d} {q / max(p, 1):6.1f}  {attr}")
     else:
         print("\nno per-gate regressions past the factor.")
     if added:
