@@ -5902,20 +5902,27 @@ object Similarity {
     graft.pipeline.ModelDef("mart_nn_consol", Seq("mart_nn_fold2"),
       mart = true) { (s, d, res) =>
       val (e, _) = nnEmb(s, d)
-      // track each round's checkpointed kept list and release every
-      // intermediate once the final frame exists (the nnDag builder's
-      // discipline — the foldLeft otherwise pins round 1's n·K rows for
-      // the life of the session)
-      val steps = scala.collection.mutable.ArrayBuffer[DataFrame]()
-      var cur = res("mart_nn_fold2")
-      for (_ <- 1 to NndAppendRounds) {
-        cur = nnStepNext(e, cur.select("s", "t"))
-        steps += cur
-      }
-      steps.dropRight(1).foreach(_.unpersist(false))
+      val out = consolidateRounds(e, res("mart_nn_fold2"))
       e.unpersist(false)
-      cur.select("s", "t", "rk")
+      out
     }))
+
+  /** [[NndAppendRounds]] NN-descent rounds off a fold snapshot, tracking
+    * each round's checkpointed kept list and releasing every intermediate
+    * once the next exists (the nnDag builder's discipline — a foldLeft
+    * that drops references pins round 1's n·K rows for the life of the
+    * session). ONE definition for the consolidation-mart builders in
+    * [[nnFoldDag]] and [[nnPolicyDag]] (r20 review). */
+  private def consolidateRounds(e: DataFrame, start: DataFrame): DataFrame = {
+    val steps = scala.collection.mutable.ArrayBuffer[DataFrame]()
+    var cur = start
+    for (_ <- 1 to NndAppendRounds) {
+      cur = nnStepNext(e, cur.select("s", "t"))
+      steps += cur
+    }
+    steps.dropRight(1).foreach(_.unpersist(false))
+    cur.select("s", "t", "rk")
+  }
 
   /** Materialize-once accessor for the θ=20 consolidated-index mart. */
   private def nnConsolMart(spark: SparkSession, dir: String): DataFrame =
@@ -5966,15 +5973,9 @@ object Similarity {
     // NndAppendRounds consolidation rounds off the fold-2 state
     graft.pipeline.ModelDef("mart_nnp_consol2", Seq("mart_nnp_fold2"), mart = true) { (s, d, res) =>
       val (e, _) = nnEmb(s, d)
-      val steps = scala.collection.mutable.ArrayBuffer[DataFrame]()
-      var cur = res("mart_nnp_fold2")
-      for (_ <- 1 to NndAppendRounds) {
-        cur = nnStepNext(e, cur.select("s", "t"))
-        steps += cur
-      }
-      steps.dropRight(1).foreach(_.unpersist(false))
+      val out = consolidateRounds(e, res("mart_nnp_fold2"))
       e.unpersist(false)
-      cur.select("s", "t", "rk")
+      out
     },
     graft.pipeline.ModelDef("mart_nnp_seed3", Nil, mart = true) { (s, d, _) =>
       val (e, _) = nnEmb(s, d)
@@ -7011,11 +7012,79 @@ object Similarity {
     * corpus — and the fold/rebuild graphs and referees are standing
     * marts; the one n² table is the ORACLE's referee (the
     * [[simNnDescent]] convention). */
+  /** Shared driver of the vintage-dimension SERVE gates
+    * ([[simServeFreshness]], [[simServePolicy]] — the serveStatTailSql
+    * argument applied to the Spark arm: hand-kept copies desynchronize):
+    * fold the (event → graph-with-rk) set into one tagged pruned core,
+    * run ONE greedy walk from the shared node-0 entry with the event
+    * riding as a partition dimension (the graphServeSql
+    * variant-dimension discipline — separate per-vintage walks measured
+    * 16 s of driver-sequential job overhead; the folded walk computes
+    * the same per-vintage visited sets in one job pair per step because
+    * the graph join is constrained by the vintage tag and the sets never
+    * interact), audit each event against its referee — `midFolds` (the
+    * partial vintages) against the exact top-10 among the members
+    * `midPred` says were PRESENT, the rest against the full exq — and
+    * emit (variant, scanned, hits, total, recall_r). The escape law is
+    * asserted for every partial vintage: its walk can only reach members
+    * present at its event (edges reach members by graph construction).
+    * Unpersists what it makes; the caller owns e/qsc/exq. */
+  private def serveVintages(spark: SparkSession, gate: String,
+      qs: DataFrame, qsc: DataFrame, exq: DataFrame,
+      graphs: Seq[(String, DataFrame)], midFolds: Seq[String],
+      midPred: Column): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val s2 = spark
+    import s2.implicits._
+    def core(g: DataFrame): DataFrame =
+      g.filter(col("rk") <= NndServeDeg).select(col("s").as("gs"), col("t").as("gt"))
+    // the honest mid-feed referee: exact top-10 among the partial
+    // vintages' present members
+    val exm = qsc.filter(midPred)
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("qid").orderBy(col("score").desc, col("t"))))
+      .filter(col("rn") <= 10)
+      .select(col("qid").as("xq"), col("t").as("xt")).localCheckpoint(true)
+    val gAll = graphs
+      .map { case (nm, g) => core(g).select(lit(nm).as("gfold"), col("gs"), col("gt")) }
+      .reduce(_ unionByName _).localCheckpoint(true)
+    val folds = graphs.map(_._1)
+    val v0 = folds.toDF("fold").crossJoin(qs.select(col("qid")))
+      .select(col("fold"), col("qid"), lit(0L).as("t"))
+    val vis = greedyWalk(qsc, gAll, v0, Seq("fold", "qid"),
+      gKeys = Seq("fold"))
+    require(vis.filter(col("fold").isin(midFolds: _*) && !midPred).count() == 0L,
+      s"$gate: a partial-vintage walk escaped the members present at its event")
+    val refs = midFolds.toDF("rf").crossJoin(exm)
+      .select(col("rf"), col("xq"), col("xt"))
+      .unionByName(folds.filterNot(midFolds.contains).toDF("rf")
+        .crossJoin(exq).select(col("rf"), col("xq"), col("xt")))
+    val scannedBy = vis.groupBy("fold").agg(count(lit(1)).as("scanned"))
+    val hitsBy = topVisited(qsc, vis, Seq("fold", "qid"))
+      .join(broadcast(refs),
+        col("fold") === col("rf") && col("qid") === col("xq")
+          && col("t") === col("xt"))
+      .groupBy("fold").agg(count(lit(1)).as("hits"))
+    val rows = scannedBy.join(hitsBy, Seq("fold"), "left")
+      .select(col("fold"), col("scanned"), coalesce(col("hits"), lit(0L)).as("hits"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
+    vis.unpersist(false)
+    Seq(gAll, exm).foreach(_.unpersist(false))
+    require(rows.size == folds.size,
+      s"$gate: expected ${folds.size} vintages, got ${rows.map(_._1)}")
+    rows.foreach { case (v, sc, h) =>
+      require(h <= 80, s"$v hits above the denominator: $h > 80")
+      require(sc >= 8, s"$v walk lost its entries: scanned $sc < 8 queries")
+    }
+    rows.toDF("variant", "scanned", "hits")
+      .select(col("variant"), col("scanned"), col("hits"),
+        lit(80L).as("total"),
+        round(col("hits").cast(DoubleType) / lit(80.0), 6).as("recall_r"))
+      .orderBy("variant")
+  }
+
   val simServeFreshness: QueryDef = {
     QueryDef("sim_serve_freshness", Some(serveFreshnessSql(NndRounds, NndServeSteps))) { (spark, dir) =>
-      import org.apache.spark.sql.expressions.Window
-      val s2 = spark
-      import s2.implicits._
       val (e, n) = nnEmb(spark, dir)
       require(n >= QHi,
         s"sim_serve_freshness needs vec_id $QLo..${QHi - 1} as held-out queries (n=$n < $QHi)")
@@ -7023,62 +7092,15 @@ object Similarity {
       val (y1, y2, _) = nnFoldMarts(spark, dir)
       val reb = nnRoundsMart(spark, dir).filter(col("round") === NndRounds)
         .select("s", "t", "rk")
-      def core(g: DataFrame): DataFrame =
-        g.filter(col("rk") <= NndServeDeg).select(col("s").as("gs"), col("t").as("gt"))
-      // the honest mid-feed referee: exact top-10 among fold 1's members
-      // (fold 2's member set is the whole corpus, so its referee is exq)
-      val m1Pred = col("t") % 5 < 4 || col("t") % 10 === 4
-      val exm1 = qsc.filter(m1Pred)
-        .withColumn("rn", row_number().over(
-          Window.partitionBy("qid").orderBy(col("score").desc, col("t"))))
-        .filter(col("rn") <= 10)
-        .select(col("qid").as("xq"), col("t").as("xt")).localCheckpoint(true)
-      // ONE walk with the vintage riding as a partition dimension (the
-      // graphServeSql variant-dimension discipline — four separate
-      // 8-step walks measured 16 s of driver-sequential job overhead;
-      // the folded walk is the same per-vintage visited sets, computed
-      // in one job pair per step, because the graph join is constrained
-      // by the vintage tag and the sets never interact)
-      val gAll = Seq(
-        ("consolidated", nnConsolMart(spark, dir)),
-        ("fold_1", y1), ("fold_2", y2), ("rebuilt", reb))
-        .map { case (nm, g) => core(g).select(lit(nm).as("gfold"), col("gs"), col("gt")) }
-        .reduce(_ unionByName _).localCheckpoint(true)
-      val folds = Seq("consolidated", "fold_1", "fold_2", "rebuilt")
-      val v0 = folds.toDF("fold").crossJoin(qs.select(col("qid")))
-        .select(col("fold"), col("qid"), lit(0L).as("t"))
-      val vis = greedyWalk(qsc, gAll, v0, Seq("fold", "qid"),
-        gKeys = Seq("fold"))
-      // the fold-1 walk can only reach fold-1 members (edges reach
-      // members by graph construction) — asserted, the escape law
-      require(vis.filter(col("fold") === "fold_1" && !m1Pred).count() == 0L,
-        "fold_1 walk escaped its vintage's member set")
-      // per-vintage referee: fold_1 audits among its members, the rest
-      // against the full exact top-10
-      val refs = exm1.select(lit("fold_1").as("rf"), col("xq"), col("xt"))
-        .unionByName(folds.filterNot(_ == "fold_1").toDF("rf")
-          .crossJoin(exq).select(col("rf"), col("xq"), col("xt")))
-      val scannedBy = vis.groupBy("fold").agg(count(lit(1)).as("scanned"))
-      val hitsBy = topVisited(qsc, vis, Seq("fold", "qid"))
-        .join(broadcast(refs),
-          col("fold") === col("rf") && col("qid") === col("xq")
-            && col("t") === col("xt"))
-        .groupBy("fold").agg(count(lit(1)).as("hits"))
-      val rows = scannedBy.join(hitsBy, Seq("fold"), "left")
-        .select(col("fold"), col("scanned"), coalesce(col("hits"), lit(0L)).as("hits"))
-        .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
-      vis.unpersist(false)
-      Seq(gAll, exm1, exq, qsc, e).foreach(_.unpersist(false))
-      require(rows.size == 4, s"expected 4 vintages, got ${rows.map(_._1)}")
-      rows.foreach { case (v, sc, h) =>
-        require(h <= 80, s"$v hits above the denominator: $h > 80")
-        require(sc >= 8, s"$v walk lost its entries: scanned $sc < 8 queries")
-      }
-      rows.toDF("variant", "scanned", "hits")
-        .select(col("variant"), col("scanned"), col("hits"),
-          lit(80L).as("total"),
-          round(col("hits").cast(DoubleType) / lit(80.0), 6).as("recall_r"))
-        .orderBy("variant")
+      // fold 1's members are base ∪ batch 1; fold 2's member set is the
+      // whole corpus, so its referee is the full exq
+      val out = serveVintages(spark, "sim_serve_freshness", qs, qsc, exq,
+        Seq(("consolidated", nnConsolMart(spark, dir)),
+          ("fold_1", y1), ("fold_2", y2), ("rebuilt", reb)),
+        midFolds = Seq("fold_1"),
+        midPred = col("t") % 5 < 4 || col("t") % 10 === 4)
+      Seq(exq, qsc, e).foreach(_.unpersist(false))
+      out
     }
   }
 
@@ -7145,9 +7167,6 @@ object Similarity {
     * is the ORACLE's referee (the [[simNnDescent]] convention). */
   val simServePolicy: QueryDef = {
     QueryDef("sim_serve_policy", Some(servePolicySql(NndRounds, NndServeSteps))) { (spark, dir) =>
-      import org.apache.spark.sql.expressions.Window
-      val s2 = spark
-      import s2.implicits._
       val (e, n) = nnEmb(spark, dir)
       require(n >= QHi,
         s"sim_serve_policy needs vec_id $QLo..${QHi - 1} as held-out queries (n=$n < $QHi)")
@@ -7155,57 +7174,15 @@ object Similarity {
       val (f2, c2, f3) = nnPolicyMarts(spark, dir)
       val reb = nnRoundsMart(spark, dir).filter(col("round") === NndRounds)
         .select("s", "t", "rk")
-      def core(g: DataFrame): DataFrame =
-        g.filter(col("rk") <= NndServeDeg).select(col("s").as("gs"), col("t").as("gt"))
-      // the honest mid-feed referee: exact top-10 among the members
-      // present at fold_2/consolidate_2 (everything but batch 3)
-      val m2Pred = !(col("t") % 40 === 39)
-      val exm2 = qsc.filter(m2Pred)
-        .withColumn("rn", row_number().over(
-          Window.partitionBy("qid").orderBy(col("score").desc, col("t"))))
-        .filter(col("rn") <= 10)
-        .select(col("qid").as("xq"), col("t").as("xt")).localCheckpoint(true)
-      // ONE walk with the policy event riding as a partition dimension
-      // (the simServeFreshness folded-walk discipline)
-      val gAll = Seq(
-        ("consolidate_2", c2), ("fold_2", f2), ("fold_3", f3), ("rebuilt", reb))
-        .map { case (nm, g) => core(g).select(lit(nm).as("gfold"), col("gs"), col("gt")) }
-        .reduce(_ unionByName _).localCheckpoint(true)
-      val folds = Seq("consolidate_2", "fold_2", "fold_3", "rebuilt")
-      val v0 = folds.toDF("fold").crossJoin(qs.select(col("qid")))
-        .select(col("fold"), col("qid"), lit(0L).as("t"))
-      val vis = greedyWalk(qsc, gAll, v0, Seq("fold", "qid"),
-        gKeys = Seq("fold"))
-      // the escape law: a reader of the pre-batch-3 states can only reach
-      // members present at those events
-      require(vis.filter(col("fold").isin("fold_2", "consolidate_2") && !m2Pred)
-        .count() == 0L,
-        "a pre-batch-3 walk escaped the members present at its event")
-      val refs = Seq("fold_2", "consolidate_2").toDF("rf").crossJoin(exm2)
-        .select(col("rf"), col("xq"), col("xt"))
-        .unionByName(Seq("fold_3", "rebuilt").toDF("rf").crossJoin(exq)
-          .select(col("rf"), col("xq"), col("xt")))
-      val scannedBy = vis.groupBy("fold").agg(count(lit(1)).as("scanned"))
-      val hitsBy = topVisited(qsc, vis, Seq("fold", "qid"))
-        .join(broadcast(refs),
-          col("fold") === col("rf") && col("qid") === col("xq")
-            && col("t") === col("xt"))
-        .groupBy("fold").agg(count(lit(1)).as("hits"))
-      val rows = scannedBy.join(hitsBy, Seq("fold"), "left")
-        .select(col("fold"), col("scanned"), coalesce(col("hits"), lit(0L)).as("hits"))
-        .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
-      vis.unpersist(false)
-      Seq(gAll, exm2, exq, qsc, e).foreach(_.unpersist(false))
-      require(rows.size == 4, s"expected 4 policy-event vintages, got ${rows.map(_._1)}")
-      rows.foreach { case (v, sc, h) =>
-        require(h <= 80, s"$v hits above the denominator: $h > 80")
-        require(sc >= 8, s"$v walk lost its entries: scanned $sc < 8 queries")
-      }
-      rows.toDF("variant", "scanned", "hits")
-        .select(col("variant"), col("scanned"), col("hits"),
-          lit(80L).as("total"),
-          round(col("hits").cast(DoubleType) / lit(80.0), 6).as("recall_r"))
-        .orderBy("variant")
+      // fold_2/consolidate_2 see everything but batch 3 (pm2); fold_3's
+      // member set is the whole corpus, so its referee is the full exq
+      val out = serveVintages(spark, "sim_serve_policy", qs, qsc, exq,
+        Seq(("consolidate_2", c2), ("fold_2", f2), ("fold_3", f3),
+          ("rebuilt", reb)),
+        midFolds = Seq("fold_2", "consolidate_2"),
+        midPred = !(col("t") % 40 === 39))
+      Seq(exq, qsc, e).foreach(_.unpersist(false))
+      out
     }
   }
 

@@ -1701,8 +1701,10 @@ object TextOps {
   /** Cross-encoder max sequence length (code points per side): a real
     * re-ranker truncates both members of the pair to the model's context
     * window; the stub truncates identically so the oracle's
-    * `substring(text, 1, $CeMaxCp)` sees the same characters. */
-  private val CeMaxCp = 256
+    * `substring(text, 1, $CeMaxCp)` sees the same characters.
+    * private[graft] so the spec's reproducibility check recomputes with
+    * THIS window instead of a stale literal (r20 review). */
+  private[graft] val CeMaxCp = 256
 
   /** t30 — CROSS-ENCODER RE-RANK of the fused retrieval head (the last
     * stage of a production retrieval stack, Nogueira & Cho 2019: candidate

@@ -1253,9 +1253,9 @@ class LlmOpsSpec extends SparkSpec {
     val docs = core.tbl(spark, sfDir, "documents")
       .select("doc_id", "text").collect()
       .map(r => r.getLong(0) -> r.getString(1)).toMap
-    val qCp = docs(Similarity.Q1.toLong).codePoints().limit(256).toArray
+    val qCp = docs(Similarity.Q1.toLong).codePoints().limit(TextOps.CeMaxCp).toArray
     rows.take(3).foreach { r =>
-      val cp = docs(r.getAs[Long]("doc_id")).codePoints().limit(256).toArray
+      val cp = docs(r.getAs[Long]("doc_id")).codePoints().limit(TextOps.CeMaxCp).toArray
       val exp = (0 until math.min(qCp.length, cp.length))
         .foldLeft(0L)((s, i) => s + qCp(i).toLong * cp(i).toLong)
       assert(r.getAs[Long]("ce_fp") === exp,

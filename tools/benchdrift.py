@@ -14,14 +14,17 @@ Usage:
 bench_detail.json, copied beside the round artifact as
 BENCH_DETAIL_r{N}.json at certification). With it, every flagged
 regression is AUTO-ATTRIBUTED from its own samples instead of by
-narrative (round-19 queue #2 — the sim_pq_train adjudications):
-  CONTENTION      — the best sample is inside the bar; one pass was
-                    contaminated and min-of-N already proved the code fine
-  SUSTAINED-LOAD  — every sample is past the bar AND the run's 1-minute
-                    loadavg shows external load (>= --ld-bar, default 8);
-                    the gate never saw a calm window, so the row is
-                    evidence about the HOST, not the code
-  GENUINE         — every sample is past the bar on a calm host
+narrative (round-19 queue #2 — the sim_pq_train adjudications).
+The artifact's qv is already min-of-samples, so a flagged gate has
+EVERY sample past the bar; the attribution reads the loadavg for whom
+to blame and the samples' spread for how much to trust even the min:
+  SUSTAINED-LOAD  — the run's 1-minute loadavg shows external load
+                    (>= --ld-bar, default 8); the gate never saw a calm
+                    window, so the row is evidence about the HOST
+  GENUINE         — a calm host; the regression is the code's
+  LOAD-UNKNOWN    — the sidecar carries no loadavg; adjudicate by hand
+A >= 2x spread between samples additionally marks at least one pass as
+contaminated (the min is then an upper bound on the true cost).
 
 BENCH args accept either the driver's BENCH_r{N}.json (object with a
 `parsed` payload), a raw Bench stdout JSON object, or a log file whose
@@ -171,26 +174,39 @@ def main(argv):
                 ss = detail.get("samples", {}).get(g)
                 if ss is None:
                     attr = "(gate missing from sidecar)"
-                elif round(min(ss) / 100.0) != q:
+                elif abs(min(ss) - q * 100) > 50:
+                    # the artifact's qv IS round(min-sample / 100); allow
+                    # the half-decisecond rounding band instead of an
+                    # exact re-round (Python rounds half-to-even, the
+                    # artifact rounds half-up — an exact compare spuriously
+                    # rejects genuine sidecars at even-half boundaries)
                     attr = (f"(sidecar min {min(ss)}ms != artifact {q}ds "
                             "— sidecar is from a different run)")
                 else:
-                    base = max(p, floor)
-                    lds = [float(x) for x in detail.get("ld", [-1])]
+                    lds = [float(x) for x in detail.get("ld", [])]
                     samp = ",".join(f"{x / 1000.0:.1f}s" for x in ss)
-                    if any(x / 100.0 < factor * base for x in ss):
-                        attr = (f"CONTENTION — best of [{samp}] is inside "
-                                f"{factor}x of {base}ds; min-of-{len(ss)} "
-                                "already cleared the code")
+                    # qv is already min-of-samples, so every sample of a
+                    # flagged gate is past the bar; spread says whether
+                    # even the min is trustworthy, loadavg says who to
+                    # blame
+                    spread = ("; samples disagree "
+                              f"{max(ss) / max(min(ss), 1):.1f}x — at least "
+                              "one pass contaminated, the min is an upper "
+                              "bound on true cost"
+                              ) if max(ss) >= 2 * min(ss) else ""
+                    if not lds or max(lds) < 0:
+                        attr = (f"LOAD-UNKNOWN — all samples [{samp}] past "
+                                "the bar but the sidecar carries no "
+                                f"loadavg; adjudicate by hand{spread}")
                     elif max(lds) >= ld_bar:
                         attr = (f"SUSTAINED-LOAD — all samples [{samp}] past "
                                 f"the bar under ld {lds[0]:.1f}->{lds[-1]:.1f}"
                                 f" (>= {ld_bar}); rerun calm before blaming "
-                                "the code")
+                                f"the code{spread}")
                     else:
                         attr = (f"GENUINE — all samples [{samp}] past the "
                                 f"bar on a calm host (ld {lds[0]:.1f}->"
-                                f"{lds[-1]:.1f})")
+                                f"{lds[-1]:.1f}){spread}")
             print(f"{g:44} {p:8d} {q:8d} {q / max(p, 1):6.1f}  {attr}")
     else:
         print("\nno per-gate regressions past the factor.")
