@@ -1372,27 +1372,40 @@ object TextOps {
                        + 1.2 * (0.25 + 0.75 * (CAST(d.dl AS DOUBLE) / s.avgdl))))
                  * 1000000.0) AS BIGINT)"""
 
-  /** Spark twin of [[bm25CorpusCtesSql]]: (tok, tf, dl, stats) frames.
-    * tok is persisted (it feeds tf and dl). Lifetime is DELIBERATELY
-    * asymmetric across consumers (r19 ADVICE #2): a gate that runs its
-    * own actions inside the body ([[tHybridRrf]] collects both arms)
-    * releases tok eagerly once done; a gate that RETURNS the lazy plan
-    * ([[tBm25Rank]]) cannot — the caller has not executed it yet, so an
-    * in-body unpersist would drop the cache before first use — and leaves
-    * the release to core.releaseSessionState like every per-gate persist. */
+  /** The BM25 corpus statistics as standing marts (round 20: three
+    * lexical-retrieval gates — [[tBm25Rank]], [[tHybridRrf]],
+    * [[tCrossRerank]] — each re-paid the tokenize/tf corpus pass every
+    * run; the statistics are a property of the corpus SNAPSHOT, so they
+    * get the train-once/serve-many mart posture every index artifact
+    * already has). One tokenize pass feeds the per-(term, doc) tf table;
+    * doc lengths derive exactly from it (dl = Σ tf per doc — the same
+    * Long count the tokenize emits). The ORACLE keeps replaying the
+    * tokenize inline ([[bm25CorpusCtesSql]] — the referee convention), so
+    * any artifact drift breaks the hash gate. */
+  private val bm25Dag = new graft.pipeline.ModelRegistry(Seq(
+    graft.pipeline.ModelDef("mart_bm25_tf", Nil, mart = true) { (s, d, _) =>
+      tbl(s, d, "documents")
+        // single-file source → spread the token explode across cores
+        .repartition(s.sessionState.conf.numShufflePartitions)
+        .select(col("doc_id"), explode(toks(col("text"))).as("term"))
+        .groupBy("term", "doc_id").agg(count(lit(1)).as("tf"))
+    },
+    graft.pipeline.ModelDef("mart_bm25_dl", Seq("mart_bm25_tf"), mart = true) { (s, d, res) =>
+      res("mart_bm25_tf").groupBy("doc_id").agg(sum(col("tf")).as("dl"))
+    }))
+
+  /** Spark twin of [[bm25CorpusCtesSql]]: (tf, dl, stats) frames, read
+    * from the standing [[bm25Dag]] marts (stats is one tiny aggregate
+    * over the scalar dl table, recomputed per call). */
   private def bm25Streams(spark: SparkSession, dir: String)
-      : (DataFrame, DataFrame, DataFrame, DataFrame) = {
-    val tok = tbl(spark, dir, "documents")
-      // single-file source → spread the token explode across cores
-      .repartition(spark.sessionState.conf.numShufflePartitions)
-      .select(col("doc_id"), explode(toks(col("text"))).as("term"))
-      .persist()
-    val tf = tok.groupBy("term", "doc_id").agg(count(lit(1)).as("tf"))
-    val dl = tok.groupBy("doc_id").agg(count(lit(1)).as("dl"))
+      : (DataFrame, DataFrame, DataFrame) = {
+    val Seq(tf, dl) = graft.pipeline.MartCache.read(spark, dir, bm25Dag,
+      "bm25_marts", "graft_bm25_", Seq("documents"),
+      "mart_bm25_tf", "mart_bm25_dl")
     val stats = dl.agg(
       (sum(col("dl")).cast(DoubleType) / count(lit(1)).cast(DoubleType)).as("avgdl"),
       count(lit(1)).cast(DoubleType).as("n"))
-    (tok, tf, dl, stats)
+    (tf, dl, stats)
   }
 
   /** Spark twin of [[bm25ContribFpSql]] — association order mirrors the
@@ -1444,7 +1457,7 @@ object TextOps {
       FROM hits GROUP BY doc_id
       ORDER BY score_fp DESC, doc_id LIMIT 20
     """)) { (spark, dir) =>
-    val (_, tf, dl, stats) = bm25Streams(spark, dir)
+    val (tf, dl, stats) = bm25Streams(spark, dir)
     val q = tf.groupBy("term").agg(count(lit(1)).as("df"))
       .orderBy(col("df").desc, col("term")).limit(5)
     tf.join(broadcast(q), Seq("term"))
@@ -1644,10 +1657,12 @@ object TextOps {
     require(tbl(spark, dir, "documents").filter(col("doc_id") === qDoc).count() == 1 &&
       embAll.filter(col("vec_id") === qDoc).count() == 1,
       s"$gate needs query doc ${Similarity.Q1} in documents AND embeddings")
-    val (tok, tf, dl, stats) = bm25Streams(spark, dir)
-    // the query doc's 5 most distinctive matchable terms
+    val (tf, dl, stats) = bm25Streams(spark, dir)
+    // the query doc's 5 most distinctive matchable terms (tf is already
+    // distinct per (term, doc), so the query doc's tf rows ARE its
+    // distinct term set)
     val q = tf.groupBy("term").agg(count(lit(1)).as("df"))
-      .join(tok.filter(col("doc_id") === qDoc).select("term").distinct(), Seq("term"))
+      .join(tf.filter(col("doc_id") === qDoc).select("term"), Seq("term"))
       .filter(col("df") >= 2)
       .orderBy(col("df").asc, col("term")).limit(5)
     val lex20 = tf.filter(col("doc_id") =!= qDoc)
@@ -1664,7 +1679,6 @@ object TextOps {
         Similarity.dot(col("embedding"), col("qv")).as("s"))
       .orderBy(col("s").desc, col("doc_id")).limit(20)
       .select("doc_id").collect().map(_.getLong(0))
-    tok.unpersist(false)
     val lexRk = lex20.zipWithIndex.map { case (d, i) => d -> (i + 1L) }.toMap
     val semRk = sem20.zipWithIndex.map { case (d, i) => d -> (i + 1L) }.toMap
     def rrf(rk: Option[Long]): Long =
