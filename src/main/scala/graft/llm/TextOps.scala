@@ -1751,10 +1751,12 @@ object TextOps {
     * against the doc store, and inference is partition-parallel batch
     * scoring of 20 pairs — the corpus is never touched past candidate
     * generation; ranks over the bounded head are driver arithmetic. */
-  val tCrossRerank: QueryDef = QueryDef(
-    "t_cross_rerank",
-    Some(s"""
-      WITH $hybridFusedCtesSql,
+  /** DuckDB CTE chain of the CE-SCORED candidate head (ends in
+    * `ce(doc_id, rrf_rank, ce_fp)`) — single-texted between
+    * [[tCrossRerank]] and [[tCeDistill]] so the teacher the re-ranker
+    * serves with and the teacher the distillation exports from are one
+    * definition. */
+  private val ceScoredCtesSql: String = s"""$hybridFusedCtesSql,
       cand AS (
         SELECT doc_id,
                CAST(row_number() OVER (ORDER BY rrf_fp DESC, doc_id) AS BIGINT) AS rrf_rank
@@ -1767,14 +1769,18 @@ object TextOps {
                  range(1, least(length(qt.t), length(substring(d.text, 1, $CeMaxCp))) + 1),
                  i -> CAST(unicode(substring(qt.t, i, 1)) AS BIGINT)
                     * CAST(unicode(substring(d.text, i, 1)) AS BIGINT))), 0) AS BIGINT) AS ce_fp
-        FROM cand c JOIN documents d USING (doc_id) CROSS JOIN qt)
-      SELECT CAST(row_number() OVER (ORDER BY ce_fp DESC, doc_id) AS BIGINT) AS ce_rank,
-             doc_id, ce_fp, rrf_rank,
-             rrf_rank - CAST(row_number() OVER (ORDER BY ce_fp DESC, doc_id) AS BIGINT) AS moved
-      FROM ce ORDER BY ce_rank
-    """)) { (spark, dir) =>
+        FROM cand c JOIN documents d USING (doc_id) CROSS JOIN qt)"""
+
+  /** The CE-scored candidate head — (doc_id, rrf_rank, ce_fp) for the
+    * top-20 of the fused pool — the Spark twin of [[ceScoredCtesSql]],
+    * shared by [[tCrossRerank]] and [[tCeDistill]]. Carries the
+    * cardinality law (the join to the doc store dropped nothing — inner
+    * joins shrink silently on BOTH engines, the hash oracle cannot catch
+    * it) and the permutation law (scoring neither adds nor removes). */
+  private def ceScoredHead(spark: SparkSession, dir: String,
+      gate: String): Seq[(Long, Long, Long)] = {
     import spark.implicits._
-    val pool = hybridFusedPool(spark, dir, "t_cross_rerank")
+    val pool = hybridFusedPool(spark, dir, gate)
     val cand = pool.take(20).zipWithIndex
       .map { case ((d, _, _, _), i) => (d, i + 1L) }
     // broadcast query truncated to the model window, code points (DuckDB
@@ -1802,21 +1808,95 @@ object TextOps {
         }
       }
     }.collect()
-    // law 1: the join to the doc store dropped nothing (inner joins shrink
-    // silently on BOTH engines — the hash oracle cannot catch it)
     require(scored.length == cand.length,
-      s"t_cross_rerank: scored ${scored.length} of ${cand.length} candidates — " +
+      s"$gate: scored ${scored.length} of ${cand.length} candidates — " +
         "a candidate is missing from documents")
-    // law 2: re-ranking is a permutation of the candidate head
     require(scored.map(_._1).sorted.sameElements(cand.map(_._1).sorted),
-      "t_cross_rerank: scored ids are not a permutation of the candidate head")
-    val rows = scored.sortBy { case (id, _, s) => (-s, id) }.zipWithIndex
+      s"$gate: scored ids are not a permutation of the candidate head")
+    scored.toSeq
+  }
+
+  val tCrossRerank: QueryDef = QueryDef(
+    "t_cross_rerank",
+    Some(s"""
+      WITH $ceScoredCtesSql
+      SELECT CAST(row_number() OVER (ORDER BY ce_fp DESC, doc_id) AS BIGINT) AS ce_rank,
+             doc_id, ce_fp, rrf_rank,
+             rrf_rank - CAST(row_number() OVER (ORDER BY ce_fp DESC, doc_id) AS BIGINT) AS moved
+      FROM ce ORDER BY ce_rank
+    """)) { (spark, dir) =>
+    import spark.implicits._
+    val rows = ceScoredHead(spark, dir, "t_cross_rerank")
+      .sortBy { case (id, _, s) => (-s, id) }.zipWithIndex
       .map { case ((id, rrfRk, s), i) =>
         val ceRank = i + 1L
         (ceRank, id, s, rrfRk, rrfRk - ceRank)
       }
-    rows.toSeq.toDF("ce_rank", "doc_id", "ce_fp", "rrf_rank", "moved")
+    rows.toDF("ce_rank", "doc_id", "ce_fp", "rrf_rank", "moved")
       .orderBy("ce_rank")
+  }
+
+  /** How many CE-top candidates the distillation treats as positives and
+    * how deep the negative band starts — the classic "top of the head vs
+    * tail of the head" split a margin-distillation recipe uses. */
+  private val CeDistillPos = 4
+  private val CeDistillNegFrom = 11
+
+  /** t31 — CROSS-ENCODER DISTILLATION EXPORT (the training-data product
+    * of the re-rank stage: a bi-encoder student learns from the
+    * cross-encoder teacher's MARGINS over retrieved candidates — the
+    * margin-distillation recipe of Hofstätter et al. 2020 and
+    * RocketQA/TCT-ColBERT lineage; this closes the suite's retrieval
+    * loop: mine → fuse → re-rank → EXPORT what trains the next student).
+    * Over [[tCrossRerank]]'s CE-scored head (the SAME head — shared
+    * [[ceScoredHead]]/[[ceScoredCtesSql]] kernels, so teacher and export
+    * cannot drift): positives = CE ranks 1..[[CeDistillPos]], negatives =
+    * ranks [[CeDistillNegFrom]]..20 (in-head hard negatives — ranked high
+    * by retrieval, rejected by the teacher — exactly the negatives that
+    * teach a student the most), one row per (pos, neg) pair with the
+    * exact integer teacher margin ce_pos − ce_neg. LAWS in-gate: the
+    * export is exactly |pos|·|neg| rows (cardinality — a vanished pair is
+    * invisible to a hash over survivors); every margin ≥ 0 (positives
+    * outrank negatives BY CONSTRUCTION — rank is (ce_fp DESC, doc_id), so
+    * a negative can never carry a higher teacher score); pos ∩ neg = ∅.
+    * Shape at 100 TB: pure driver arithmetic over the bounded 20-row
+    * head; at corpus scale the same export runs per query as a map over
+    * per-query heads (the [[simTripletExport]] sharding convention), the
+    * teacher being the expensive per-pair model call this stub stands in
+    * for. */
+  val tCeDistill: QueryDef = QueryDef(
+    "t_ce_distill",
+    Some(s"""
+      WITH $ceScoredCtesSql,
+      ranked AS (
+        SELECT doc_id, ce_fp,
+               CAST(row_number() OVER (ORDER BY ce_fp DESC, doc_id) AS BIGINT) AS ce_rank
+        FROM ce)
+      SELECT p.ce_rank AS pos_rank, n.ce_rank AS neg_rank,
+             p.doc_id AS pos_id, n.doc_id AS neg_id,
+             p.ce_fp - n.ce_fp AS margin_fp
+      FROM ranked p, ranked n
+      WHERE p.ce_rank <= $CeDistillPos AND n.ce_rank >= $CeDistillNegFrom
+      ORDER BY pos_rank, neg_rank
+    """)) { (spark, dir) =>
+    import spark.implicits._
+    val ranked = ceScoredHead(spark, dir, "t_ce_distill")
+      .sortBy { case (id, _, s) => (-s, id) }.zipWithIndex
+      .map { case ((id, _, s), i) => (i + 1L, id, s) }
+    val pos = ranked.filter(_._1 <= CeDistillPos)
+    val neg = ranked.filter(_._1 >= CeDistillNegFrom)
+    val rows = for ((pr, pid, ps) <- pos; (nr, nid, ns) <- neg)
+      yield (pr, nr, pid, nid, ps - ns)
+    // cardinality: the export is the full pos × neg grid, and the teacher
+    // margin is non-negative by rank construction
+    require(rows.length == pos.length * neg.length,
+      s"t_ce_distill: exported ${rows.length} of ${pos.length * neg.length} pairs")
+    require(rows.forall(_._5 >= 0L),
+      "t_ce_distill: a negative outranked a positive (margin < 0)")
+    require(pos.map(_._2).toSet.intersect(neg.map(_._2).toSet).isEmpty,
+      "t_ce_distill: positive and negative bands overlap")
+    rows.toDF("pos_rank", "neg_rank", "pos_id", "neg_id", "margin_fp")
+      .orderBy("pos_rank", "neg_rank")
   }
 
   val all: Seq[QueryDef] = Seq(
@@ -1826,5 +1906,6 @@ object TextOps {
     tMixtureEpochs,
     tRepetitionStats, tSalientTerms, tChunkWindows, tPiiRedact, tDecontaminate,
     tShuffleExport, tRarityScore, tTokenSubword, tPackSubword, tInvertedPostings,
-    tBm25Rank, tTokenizerEval, tLengthBuckets, tHybridRrf, tCrossRerank)
+    tBm25Rank, tTokenizerEval, tLengthBuckets, tHybridRrf, tCrossRerank,
+    tCeDistill)
 }

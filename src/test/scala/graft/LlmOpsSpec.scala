@@ -1211,6 +1211,29 @@ class LlmOpsSpec extends SparkSpec {
       s"MMR set less diverse than plain top-10: ${intra(mmr10)} vs ${intra(top10)}")
   }
 
+  test("ce distill: the export is the exact pos x neg grid of the re-ranker's own teacher scores") {
+    val head = TextOps.tCrossRerank.run(spark, sfDir).collect()
+      .map(r => r.getAs[Long]("ce_rank") ->
+        (r.getAs[Long]("doc_id"), r.getAs[Long]("ce_fp"))).toMap
+    val rows = TextOps.tCeDistill.run(spark, sfDir).collect()
+    val posN = head.keys.count(_ <= 4L)
+    val negN = head.keys.count(_ >= 11L)
+    assert(rows.length === posN * negN, "export is not the full pos x neg grid")
+    rows.foreach { r =>
+      val (pr, nr) = (r.getAs[Long]("pos_rank"), r.getAs[Long]("neg_rank"))
+      assert(pr <= 4L && nr >= 11L)
+      // composition law: every exported pair reconstructs from the
+      // re-ranker's own head — same ids, margin = the teacher-score
+      // difference (the shared ceScoredHead kernel, asserted end-to-end)
+      val (pid, ps) = head(pr)
+      val (nid, ns) = head(nr)
+      assert(r.getAs[Long]("pos_id") === pid && r.getAs[Long]("neg_id") === nid,
+        s"pair ($pr,$nr) ids diverge from the re-ranker head")
+      assert(r.getAs[Long]("margin_fp") === ps - ns, s"margin broke for ($pr,$nr)")
+      assert(r.getAs[Long]("margin_fp") >= 0L)
+    }
+  }
+
   test("hybrid rrf: fused ranks reconstruct the fixed-point scores and self is excluded") {
     val rows = TextOps.tHybridRrf.run(spark, sfDir).collect()
     assert(rows.length === 10)
