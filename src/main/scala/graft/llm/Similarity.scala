@@ -63,6 +63,16 @@ object Similarity {
   private[llm] def dot(a: Column, b: Column): Column =
     call_function("graft_dot", a, b)
 
+  /** Env-gated physical-plan dump (`SPARK_GRAFT_EXPLAIN=1`) of the LAZY
+    * frame right before it is checkpointed — the only way to see the real
+    * per-round/per-step plan of the iterative kernels, whose gate-level
+    * Explain output is a checkpoint leaf. Diagnostic only: Bench/Verify
+    * never set the variable. */
+  private[llm] def dumpPlan(tag: String, df: DataFrame): Unit =
+    if (sys.env.contains("SPARK_GRAFT_EXPLAIN"))
+      System.err.println(s"===== plan:$tag =====\n" + df.queryExecution
+        .explainString(org.apache.spark.sql.execution.FormattedMode))
+
   /** The suite's embedding dimensionality. Every fixed-width kernel —
     * [[dotSql]]'s unrolled range, the MMR gate's driver-side fold — derives
     * from THIS constant, so a corpus with a different width fails loudly at
@@ -3275,25 +3285,32 @@ object Similarity {
       // this gate's cold pass 16.5 s and load-elastic (r19 What's-wrong
       // #1). Long sums are exact and commutative, so the partial-fold
       // order cannot perturb the matrix.
-      val c0 = Array.ofDim[Long](4096)
+      // every fixed width below derives from EmbDim (r20 ADVICE: the old
+      // literals silently truncated a wider corpus where dotSql would
+      // fold EmbDim dims), and a mismatched row fails loudly here
+      val D = EmbDim
+      val D2 = D * D
+      val c0 = Array.ofDim[Long](D2)
       qz.select(col("q")).as[Seq[Long]].mapPartitions { it =>
-        val acc = Array.ofDim[Long](4096)
+        val acc = Array.ofDim[Long](D2)
         it.foreach { q =>
+          require(q.length == D,
+            s"opq moment pass expects $D-dim vectors, got ${q.length}")
           var i = 0
-          while (i < 64) {
+          while (i < D) {
             val qi = q(i)
             var j = 0
-            while (j < 64) { acc(i * 64 + j) += qi * q(j); j += 1 }
+            while (j < D) { acc(i * D + j) += qi * q(j); j += 1 }
             i += 1
           }
         }
         Iterator.single(acc.toSeq)
       }.collect().foreach { p =>
         var k = 0
-        while (k < 4096) { c0(k) += p(k); k += 1 }
+        while (k < D2) { c0(k) += p(k); k += 1 }
       }
       var k0 = 0
-      while (k0 < 4096) { c0(k0) /= n; k0 += 1 }
+      while (k0 < D2) { c0(k0) /= n; k0 += 1 }
       val (rotArr, _) = opqJacobi(c0)
       // exact integer matvec y = R·q / 10⁹ as one tight per-row pass: the
       // same Long products and adds the old slice/zip_with HOF chain
@@ -3301,12 +3318,14 @@ object Similarity {
       // bit-identical) without allocating a 64-slice per (row, position)
       val rotated = qz.select(col("vec_id"), col("q")).as[(Long, Seq[Long])]
         .map { case (id, q) =>
-          val pv = Array.ofDim[Double](64)
+          require(q.length == D,
+            s"opq matvec expects $D-dim vectors, got ${q.length}")
+          val pv = Array.ofDim[Double](D)
           var p = 0
-          while (p < 64) {
+          while (p < D) {
             var s = 0L
             var d = 0
-            while (d < 64) { s += rotArr(p * 64 + d) * q(d); d += 1 }
+            while (d < D) { s += rotArr(p * D + d) * q(d); d += 1 }
             pv(p) = s.toDouble / 1.0e9
             p += 1
           }
@@ -4103,20 +4122,27 @@ object Similarity {
         .withColumn("rn", row_number().over(wq.orderBy(col("sc").desc)))
       val (t8a, t8r) = trainedCellRank(e, qs, 8)
       val (t32a, t32r) = servedCellRank32(spark, dir, qs)
-      def point(name: String, k: Int, av: DataFrame, rk: DataFrame, pr: Int): (String, Long, Long, Long, Long) = {
-        val pool = av.join(broadcast(rk.filter(col("rn") <= pr)
+      // scanned + hits in ONE aggregation job per sweep point (the exact
+      // referee is key-unique, so a left join cannot multiply pool rows),
+      // and the six independent points run concurrently over the shared
+      // checkpointed assignments (guide §2.6)
+      import scala.concurrent.{Await, Future}
+      import scala.concurrent.duration.Duration
+      import scala.concurrent.ExecutionContext.Implicits.global
+      def point(name: String, k: Int, av: DataFrame, rk: DataFrame, pr: Int): Future[(String, Long, Long, Long, Long)] = Future {
+        val r = av.join(broadcast(rk.filter(col("rn") <= pr)
           .select(col("qid"), col("cell").as("pcell"))), col("cell") === col("pcell"))
-          .select(col("qid"), col("vec_id")).localCheckpoint(false)
-        val scanned = pool.count()
-        val hits = pool.join(broadcast(ex),
-          col("qid") === col("xq") && col("vec_id") === col("xt")).count()
-        pool.unpersist(false)
-        (name, k.toLong, pr.toLong, scanned, hits)
+          .join(broadcast(ex.select(col("xq"), col("xt"), lit(1L).as("hit"))),
+            col("qid") === col("xq") && col("vec_id") === col("xt"), "left")
+          .agg(count(lit(1)), sum(coalesce(col("hit"), lit(0L)))).head()
+        (name, k.toLong, pr.toLong, r.getLong(0),
+          if (r.isNullAt(1)) 0L else r.getLong(1))
       }
-      val rows = Seq(
+      val rows = Await.result(Future.sequence(Seq(
         point("k8_seeded", 8, s8a, s8r, 1), point("k8_seeded", 8, s8a, s8r, 3),
         point("k8_trained", 8, t8a, t8r, 1), point("k8_trained", 8, t8a, t8r, 3),
-        point("k32_trained", 32, t32a, t32r, 4), point("k32_trained", 32, t32a, t32r, 12))
+        point("k32_trained", 32, t32a, t32r, 4), point("k32_trained", 32, t32a, t32r, 12))),
+        Duration.Inf)
       Seq(s8a, t8a, t32a, ex, e).foreach(_.unpersist(false))
       // probe monotonicity per quantizer: pools NEST in the probe count,
       // so hits cannot decrease — exactly structural
@@ -4468,23 +4494,35 @@ object Similarity {
     val adcOpq = adcSum(encOpq, lutOpq, Seq("qid", "cell", "m", "code"))
       .localCheckpoint(false)
     val bwq = beamWidths(cand)
+    // beam size + hits in ONE aggregation job (the referee join is
+    // key-unique, so a left join cannot multiply beam rows), and the three
+    // independent coding legs run concurrently — each leg materializes its
+    // own lazily-checkpointed ADC ranking on its first action and the two
+    // beam widths then share it (guide §2.6: back-fill the executors)
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration.Duration
+    import scala.concurrent.ExecutionContext.Implicits.global
     def beamStat(adc: DataFrame, mult: Int): (Long, Long) = {
-      val beam = derivedBeam(adc, bwq, mult).localCheckpoint(false)
-      val n = beam.count()
-      val h = beam.join(broadcast(ex),
-        col("qid") === col("xq") && col("vec_id") === col("xt")).count()
-      beam.unpersist(false)
-      (n, h)
+      val r = derivedBeam(adc, bwq, mult)
+        .join(broadcast(ex.select(col("xq"), col("xt"), lit(1L).as("hit"))),
+          col("qid") === col("xq") && col("vec_id") === col("xt"), "left")
+        .agg(count(lit(1)), sum(coalesce(col("hit"), lit(0L)))).head()
+      (r.getLong(0), if (r.isNullAt(1)) 0L else r.getLong(1))
     }
-    val (b1, h1) = beamStat(adcRaw, 1)
-    val (b2, h2) = beamStat(adcRaw, 2)
-    val (br, hr) = beamStat(adcRes, 1)
-    val (br2, hr2) = beamStat(adcRes, 2)
-    val (bo1, ho1) = beamStat(adcOpq, 1)
-    val (bo2, ho2) = beamStat(adcOpq, 2)
-    val cn = cand.count()
-    val ch = cand.join(broadcast(ex),
-      col("qid") === col("xq") && col("vec_id") === col("xt")).count()
+    val rawF = Future((beamStat(adcRaw, 1), beamStat(adcRaw, 2)))
+    val resF = Future((beamStat(adcRes, 1), beamStat(adcRes, 2)))
+    val opqF = Future((beamStat(adcOpq, 1), beamStat(adcOpq, 2)))
+    val ceilF = Future {
+      val r = cand
+        .join(broadcast(ex.select(col("xq"), col("xt"), lit(1L).as("hit"))),
+          col("qid") === col("xq") && col("vec_id") === col("xt"), "left")
+        .agg(count(lit(1)), sum(coalesce(col("hit"), lit(0L)))).head()
+      (r.getLong(0), if (r.isNullAt(1)) 0L else r.getLong(1))
+    }
+    val ((b1, h1), (b2, h2)) = Await.result(rawF, Duration.Inf)
+    val ((br, hr), (br2, hr2)) = Await.result(resF, Duration.Inf)
+    val ((bo1, ho1), (bo2, ho2)) = Await.result(opqF, Duration.Inf)
+    val (cn, ch) = Await.result(ceilF, Duration.Inf)
     Seq(adcRaw, adcRes, adcOpq, resm, cand, ex, e).foreach(_.unpersist(false))
     // laws: nested beams are hit-monotone PER CODING; no rung beats its
     // pool ceiling; the matched x1 beam widths are identical across codings
@@ -5066,21 +5104,36 @@ object Similarity {
   }
 
   /** One NN-descent round: symmetrize, propose every
-    * neighbor-of-a-common-neighbor, keep the best [[NndK]]. Returns the
-    * (candidates, next-list) pair, both eagerly checkpointed — the one
-    * caller (the [[nnDag]] mart builder) counts both and unpersists
-    * both, so neither checkpoint is ever a wasted materialization. */
-  private def nnStep(e: DataFrame, cur: DataFrame): (DataFrame, DataFrame) = {
+    * neighbor-of-a-common-neighbor, keep the best [[NndK]]. Returns
+    * (distinct-candidates view, its checkpointed backing frame, next
+    * list) — the one caller (the [[nnDag]] mart builder) counts the
+    * candidates, then unpersists the backing frame and keeps `next`. */
+  private def nnStep(e: DataFrame, cur: DataFrame): (DataFrame, DataFrame, DataFrame) = {
     val pairs = cur.select("s", "t")
     val und = pairs.unionByName(pairs.select(col("t").as("s"), col("s").as("t")))
       .distinct().localCheckpoint(true)
     val und2 = und.toDF("u2", "q")
+    // candidates flow RAW (with co-neighbor multiplicity) into ONE
+    // hash(s) exchange that serves three consumers at once: the (s, t)
+    // dedup (clustering on s covers grouping on (s, t)), the distinct
+    // candidate-volume count (`is_cand` survives the dedup as a max), and
+    // nnTopK's per-s window (same clustering — no second exchange). The
+    // old shape paid three exchanges per round: cand.distinct by (s, t),
+    // union.distinct by (s, t), then the window's hash(s).
     val cand = und.join(und2, col("s") === col("u2") && col("t") =!= col("q"))
       .select(col("t").as("s"), col("q").as("t"))
-      .distinct().localCheckpoint(true)
-    val next = nnTopK(e, NndK)(pairs.unionByName(cand).distinct()).localCheckpoint(true)
+    val tagged = pairs.select(col("s"), col("t"), lit(0).as("is_cand"))
+      .unionByName(cand.select(col("s"), col("t"), lit(1).as("is_cand")))
+      .repartition(col("s"))
+      .groupBy("s", "t").agg(max("is_cand").as("is_cand"))
+      .localCheckpoint(true)
+    // distinct candidate pairs — same value the old eager cand.count()
+    // priced (a proposal already in the kept list still counts: is_cand
+    // is a max over the union, not an anti-join)
+    val candDistinct = tagged.filter(col("is_cand") === 1).select("s", "t")
+    val next = nnTopK(e, NndK)(tagged.select("s", "t")).localCheckpoint(true)
     und.unpersist(false)
-    (cand, next)
+    (candDistinct, tagged, next)
   }
 
   /** [[nnStep]] for consumers that never COUNT the candidate set (the
@@ -5096,10 +5149,15 @@ object Similarity {
     val und = pairs.unionByName(pairs.select(col("t").as("s"), col("s").as("t")))
       .distinct().localCheckpoint(true)
     val und2 = und.toDF("u2", "q")
+    // raw candidates into ONE hash(s) exchange shared by the (s, t) dedup
+    // and nnTopK's per-s window (see [[nnStep]] — the counting variant);
+    // the old shape paid three exchanges per round
     val cand = und.join(und2, col("s") === col("u2") && col("t") =!= col("q"))
       .select(col("t").as("s"), col("q").as("t"))
-      .distinct()
-    val next = nnTopK(e, NndK)(pairs.unionByName(cand).distinct()).localCheckpoint(true)
+    val lazyNext = nnTopK(e, NndK)(
+      pairs.unionByName(cand).repartition(col("s")).dropDuplicates("s", "t"))
+    dumpPlan("nnStepNext", lazyNext)
+    val next = lazyNext.localCheckpoint(true)
     und.unpersist(false)
     next
   }
@@ -5138,9 +5196,9 @@ object Similarity {
       var prevSig: (Long, Long, Long) = null
       var done = false
       for (r <- 1 to NndRounds if !done) {
-        val (cand, next) = nnStep(e, cur)
+        val (cand, candBacking, next) = nnStep(e, cur)
         val nc = cand.count()
-        cand.unpersist(false)
+        candBacking.unpersist(false)
         val row = next.agg(count(lit(1)),
           sum(hash(col("s"), col("t")).cast(LongType)),
           call_function("bit_xor", xxhash64(col("s"), col("t")))).head()
@@ -5406,22 +5464,46 @@ object Similarity {
   private def greedyWalk(qsc: DataFrame, g: DataFrame, v0: DataFrame,
       part: Seq[String], steps: Int = NndServeSteps,
       gKeys: Seq[String] = Nil): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     val cond = gKeys.foldLeft(col("t") === col("gs")) { (c, k) =>
       c && col(k) === col("g" + k)
     }
-    var vis = v0.distinct().localCheckpoint(true)
+    val pcols = part.map(col)
+    // Visited rows CARRY their audit score (a function of (qid, t), so
+    // duplicates agree): the per-step beam is then a window straight over
+    // the checkpointed set instead of a re-join of the WHOLE visited set
+    // against the score table every step, and only the step's NEW
+    // frontier — beam × serve-degree rows — fetches scores. The one
+    // exchange per step is the hash(part) dedup repartition, whose
+    // partitioning the checkpoint preserves and the next step's window
+    // reuses (clustering by part covers both the window's partitionBy
+    // and the (part, t) dedup keys). Beam selection, expansion order and
+    // the visited fixpoint are value-identical to the old
+    // topVisited-based step — same (score DESC, t) tie-break, same
+    // top-10 beam, same union semantics.
+    var vis = v0.join(qsc, Seq("qid", "t"))
+      .select(pcols :+ col("t") :+ col("score"): _*)
+      .repartition(pcols: _*).dropDuplicates(part :+ "t")
+      .localCheckpoint(true)
     var prev = vis.count()
     var fixed = false
     for (_ <- 1 to steps if !fixed) {
-      val nv = vis.unionByName(
-          topVisited(qsc, vis, part).join(g, cond)
-            .select(part.map(col) :+ col("gt").as("t"): _*))
-        .distinct().localCheckpoint(true)
+      val beam = vis.withColumn("rn", row_number().over(
+          Window.partitionBy(pcols: _*).orderBy(col("score").desc, col("t"))))
+        .filter(col("rn") <= 10)
+      val fresh = beam.join(g, cond)
+        .select(pcols :+ col("gt").as("t"): _*)
+        .join(qsc, Seq("qid", "t"))
+        .select(pcols :+ col("t") :+ col("score"): _*)
+      val lazyNv = vis.unionByName(fresh)
+        .repartition(pcols: _*).dropDuplicates(part :+ "t")
+      dumpPlan("greedyWalkStep", lazyNv)
+      val nv = lazyNv.localCheckpoint(true)
       val c = nv.count()
       if (c == prev) { fixed = true; nv.unpersist(false) }
       else { vis.unpersist(false); vis = nv; prev = c }
     }
-    vis
+    vis.select(pcols :+ col("t"): _*)
   }
 
   val simGraphServe: QueryDef = {
@@ -5717,8 +5799,15 @@ object Similarity {
       val (e, qs, ex, n) = heldOutHarness(spark, dir)
       require(n >= PqK / 4 * 5,
         s"the frozen book's closed-form seed window needs n >= ${PqK / 4 * 5} (n=$n)")
+      // beam size + hits in ONE aggregation job per arm (key-unique
+      // referee join), and the three independent read arms run
+      // concurrently (guide §2.6) — each arm's pool stays its own
+      // eagerly-checkpointed frame
+      import scala.concurrent.{Await, Future}
+      import scala.concurrent.duration.Duration
+      import scala.concurrent.ExecutionContext.Implicits.global
       def armRead(name: String, cents: DataFrame, assign: DataFrame,
-          codes: DataFrame, book: DataFrame): (String, Long, Long, Long) = {
+          codes: DataFrame, book: DataFrame): Future[(String, Long, Long, Long)] = Future {
         val rk = cellRankOf(cents, qs)
         val cand = assign.join(broadcast(rk.filter(col("rn") <= 4)
             .select(col("qid"), col("cell").as("pcell"))), col("cell") === col("pcell"))
@@ -5726,13 +5815,13 @@ object Similarity {
         val enc = cand.join(codes, Seq("vec_id"))
           .select(col("qid"), col("vec_id"), col("cell"), col("m"), col("code"))
         val adc = adcSum(enc, resLut(qs, cents, book), Seq("qid", "cell", "m", "code"))
-        val beam = derivedBeam(adc, beamWidths(cand)).localCheckpoint(false)
-        val (pr, br) = (cand.count(), beam.count())
-        val h = beam.join(broadcast(ex),
-          col("qid") === col("xq") && col("vec_id") === col("xt")).count()
-        beam.unpersist(false)
+        val r = derivedBeam(adc, beamWidths(cand))
+          .join(broadcast(ex.select(col("xq"), col("xt"), lit(1L).as("hit"))),
+            col("qid") === col("xq") && col("vec_id") === col("xt"), "left")
+          .agg(count(lit(1)), sum(coalesce(col("hit"), lit(0L)))).head()
+        val pr = cand.count()
         cand.unpersist(false)
-        (name, pr, br, h)
+        (name, pr, r.getLong(0), if (r.isNullAt(1)) 0L else r.getLong(1))
       }
       val cents32 = annIndexMart(spark, dir, "mart_ann_cents32")
       val assign32 = annIndexMart(spark, dir, "mart_ann_assign32")
@@ -5752,8 +5841,8 @@ object Similarity {
       val a2 = armRead("retrain_coarse", cents32, assign32, codesMid, bookB)
       val a3 = armRead("retrained_both", cents32, assign32,
         annIndexMart(spark, dir, "mart_ann_codes64r"), book32)
+      val rows = Await.result(Future.sequence(Seq(a1, a2, a3)), Duration.Inf)
       Seq(ex, e).foreach(_.unpersist(false))
-      val rows = Seq(a1, a2, a3)
       rows.foreach { case (v, pr, br, h) =>
         require(br <= pr && h <= 80L, s"$v broke the beam/denominator contract: $pr/$br/$h")
       }
@@ -6451,20 +6540,28 @@ object Similarity {
           .filter(col("vec_id") % 5 < 4 || col("vec_id") % 10 === 4).count()
         val ex1 = nnExactM1Mart(spark, dir)
         val exAll = nnExactKMart(spark, dir)
-        def stat(name: String, g: DataFrame, ex: DataFrame, members: Long): (String, Long, Long, Long, Long) = {
-          val nn = g.select("s").distinct().count()
-          val ed = g.count()
-          val h = g.filter(col("rk") <= 10).join(ex, Seq("s", "t")).count()
-          (name, nn, ed, h, members * 10)
+        // one aggregation job per fold (three counts share one scan) and
+        // the three independent audits run concurrently (guide §2.6)
+        import scala.concurrent.{Await, Future}
+        import scala.concurrent.duration.Duration
+        import scala.concurrent.ExecutionContext.Implicits.global
+        def stat(name: String, g: DataFrame, ex: DataFrame, members: Long): Future[(String, Long, Long, Long, Long)] = Future {
+          val r = g.join(ex.select(col("s"), col("t"), lit(1L).as("hit")),
+              Seq("s", "t"), "left")
+            .agg(count_distinct(col("s")), count(lit(1)),
+              sum(when(col("rk") <= 10, coalesce(col("hit"), lit(0L))).otherwise(0L)))
+            .head()
+          (name, r.getLong(0), r.getLong(1),
+            if (r.isNullAt(2)) 0L else r.getLong(2), members * 10)
         }
         val fold0 = spark.read.parquet(s"$stateDir/fold_0")
         val fold1 = spark.read.parquet(s"$stateDir/fold_1")
-        val rows = Seq(
+        val rows = Await.result(Future.sequence(Seq(
           stat("batch_1", fold0, ex1, n1),
           stat("batch_2", fold1, exAll, n),
           stat("rebuilt",
             nnRoundsMart(spark, dir).filter(col("round") === NndRounds)
-              .select("s", "t", "rk"), exAll, n))
+              .select("s", "t", "rk"), exAll, n))), Duration.Inf)
         (kept :+ cellOf :+ e).foreach(_.unpersist(false))
         // conservation per fold (the graph covers every member present),
         // the degree cap, and the denominator contract
@@ -6629,10 +6726,15 @@ object Similarity {
       val i2 = Await.result(i2F, Duration.Inf)
       val exactK = nnExactKMart(spark, dir)
       def stat(name: String, tpct: Long, consol: Long, g: DataFrame) = Future {
-        val nn = g.select("s").distinct().count()
-        val ed = g.count()
-        val h = g.filter(col("rk") <= 10).join(exactK, Seq("s", "t")).count()
-        (name, tpct, consol, 2L + consol * NndAppendRounds, nn, ed, h)
+        // one aggregation job (node/edge/hit counts share a single scan;
+        // the referee join is key-unique so it cannot multiply rows)
+        val r = g.join(exactK.select(col("s"), col("t"), lit(1L).as("hit")),
+            Seq("s", "t"), "left")
+          .agg(count_distinct(col("s")), count(lit(1)),
+            sum(when(col("rk") <= 10, coalesce(col("hit"), lit(0L))).otherwise(0L)))
+          .head()
+        (name, tpct, consol, 2L + consol * NndAppendRounds, r.getLong(0),
+          r.getLong(1), if (r.isNullAt(2)) 0L else r.getLong(2))
       }
       // audit counts for the four variants run concurrently too — twelve
       // independent counter jobs, no cross-dependency
@@ -6894,18 +6996,30 @@ object Similarity {
       val referees = Map(
         "fold_1" -> ((ex1, k1)), "fold_2" -> ((ex2, k2)),
         "consolidate_2" -> ((ex2, k2)), "fold_3" -> ((exAll, n)))
-      def stat(name: String, g: DataFrame, ex: DataFrame, mem: Long): (String, Long, Long, Long, Long) = {
-        val nn = g.select("s").distinct().count()
-        val ed = g.count()
-        val h = g.filter(col("rk") <= 10).join(ex, Seq("s", "t")).count()
-        (name, nn, ed, h, mem * 10)
+      // ONE aggregation job per event instead of three sequential counts
+      // (node count, edge count, hit count share a single scan of the
+      // checkpointed graph; the referee join is key-unique so it cannot
+      // multiply rows), and the five independent audits run concurrently
+      // (guide §2.6 — driver threads back-fill the executors)
+      import scala.concurrent.{Await, Future}
+      import scala.concurrent.duration.Duration
+      import scala.concurrent.ExecutionContext.Implicits.global
+      def stat(name: String, g: DataFrame, ex: DataFrame, mem: Long): Future[(String, Long, Long, Long, Long)] = Future {
+        val r = g.join(ex.select(col("s"), col("t"), lit(1L).as("hit")),
+            Seq("s", "t"), "left")
+          .agg(count_distinct(col("s")), count(lit(1)),
+            sum(when(col("rk") <= 10, coalesce(col("hit"), lit(0L))).otherwise(0L)))
+          .head()
+        (name, r.getLong(0), r.getLong(1),
+          if (r.isNullAt(2)) 0L else r.getLong(2), mem * 10)
       }
-      val rows = events.map { case (nm, g) =>
-        val (ex, mem) = referees(nm)
-        stat(nm, g, ex, mem)
-      }.toSeq :+ stat("rebuilt",
-        nnRoundsMart(spark, dir).filter(col("round") === NndRounds)
-          .select("s", "t", "rk"), exAll, n)
+      val rows = Await.result(Future.sequence(
+        events.map { case (nm, g) =>
+          val (ex, mem) = referees(nm)
+          stat(nm, g, ex, mem)
+        }.toSeq :+ stat("rebuilt",
+          nnRoundsMart(spark, dir).filter(col("round") === NndRounds)
+            .select("s", "t", "rk"), exAll, n)), Duration.Inf)
       (kept :+ cellOf :+ e).foreach(_.unpersist(false))
       // conservation per event (the graph covers every member present),
       // the degree cap, the denominator contract, and the
@@ -7233,65 +7347,93 @@ object Similarity {
     val s2 = spark
     import s2.implicits._
     val e = emb(spark, dir).select("vec_id").localCheckpoint(true)
-    val n = e.count()
-    val nb = e.filter(col("vec_id") % 5 < 4).count()
+    val nr = e.agg(count(lit(1)), sum(when(col("vec_id") % 5 < 4, 1L).otherwise(0L))).head()
+    val n = nr.getLong(0)
+    val nb = nr.getLong(1)
     val cents = annIndexMart(spark, dir, "mart_ann_cents32")
     val assign = annIndexMart(spark, dir, "mart_ann_assign32")
-    def bookChecks(name: String): Seq[(String, String, Long, Long)] = {
-      val b = annIndexMart(spark, dir, name)
-      val rows = b.count()
-      val badCode = b.filter(col("code") < 0 || col("code") >= PqK).count()
-      val memberSum = b.agg(sum("n_members")).head().getLong(0)
+    // each artifact family audits in ONE aggregation job (the old shape
+    // paid ~20 sequential tiny counts — one per check), and the
+    // independent families run concurrently (guide §2.6)
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration.Duration
+    import scala.concurrent.ExecutionContext.Implicits.global
+    def lat(r: org.apache.spark.sql.Row, i: Int): Long =
+      if (r.isNullAt(i)) 0L else r.getLong(i)
+    def bookChecks(name: String): Future[Seq[(String, String, Long, Long)]] = Future {
+      val r = annIndexMart(spark, dir, name).agg(count(lit(1)),
+        sum(when(col("code") < 0 || col("code") >= PqK, 1L).otherwise(0L)),
+        sum("n_members")).head()
+      val (rows, badCode, memberSum) = (r.getLong(0), lat(r, 1), lat(r, 2))
       Seq(
         (name, "code_domain", rows, badCode + (if (rows == PqM.toLong * PqK) 0L else 1L)),
         (name, "members_conserve", rows, math.abs(memberSum - PqM.toLong * n)))
     }
-    def codeChecks(name: String): Seq[(String, String, Long, Long)] = {
-      val c = annIndexMart(spark, dir, name)
-      val rows = c.count()
-      val badCode = c.filter(col("code") < 0 || col("code") >= PqK).count()
-      val multi = rows - c.select("vec_id", "m").distinct().count()
+    def codeChecks(name: String): Future[Seq[(String, String, Long, Long)]] = Future {
+      val r = annIndexMart(spark, dir, name).agg(count(lit(1)),
+        sum(when(col("code") < 0 || col("code") >= PqK, 1L).otherwise(0L)),
+        count_distinct(struct(col("vec_id"), col("m")))).head()
+      val (rows, badCode, multi) = (r.getLong(0), lat(r, 1), r.getLong(0) - r.getLong(2))
       Seq(
         (name, "code_domain", rows, badCode),
         (name, "one_code_per_subspace", rows,
           multi + math.abs(rows - PqM.toLong * n)))
     }
     def graphChecks(name: String, g: DataFrame, nodes: Long,
-        nodeKey: Seq[String], completeCheck: String): Seq[(String, String, Long, Long)] = {
-      val distinctNodes = g.select(nodeKey.map(col): _*).distinct().count()
-      val overCap = g.groupBy(nodeKey.map(col): _*).agg(count(lit(1)).as("d"))
-        .filter(col("d") > NndK).count()
-      val badRk = g.filter(col("rk") < 1 || col("rk") > NndK).count()
+        nodeKey: Seq[String], completeCheck: String): Future[Seq[(String, String, Long, Long)]] = Future {
+      // one two-level aggregation: per-node degree + bad-rank partials,
+      // then the counters — a single shuffle instead of three scans
+      val r = g.groupBy(nodeKey.map(col): _*)
+        .agg(count(lit(1)).as("d"),
+          sum(when(col("rk") < 1 || col("rk") > NndK, 1L).otherwise(0L)).as("badrk"))
+        .agg(count(lit(1)),
+          sum(when(col("d") > NndK, 1L).otherwise(0L)),
+          sum("badrk")).head()
+      val (distinctNodes, overCap, badRk) = (r.getLong(0), lat(r, 1), lat(r, 2))
       Seq(
         (name, completeCheck, distinctNodes, math.abs(distinctNodes - nodes)),
         (name, "degree_cap_rk_domain", distinctNodes, overCap + badRk))
     }
-    val centRows = cents.count()
-    val badDim = cents.filter(size(col("cv")) =!= 64).count()
-    val assignRows = assign.count()
-    val assignedOnce = e.join(assign.select("vec_id", "cell"), Seq("vec_id"))
-      .select("vec_id").distinct().count()
-    val badCell = assign.filter(col("cell") < 0 || col("cell") >= 32).count()
-    val cellMismatch = annIndexMart(spark, dir, "mart_ann_codes64r")
-      .select(col("vec_id"), col("cell").as("ccell"))
-      .join(assign.select("vec_id", "cell"), Seq("vec_id"))
-      .filter(col("ccell") =!= col("cell")).count()
-    val rows: Seq[(String, String, Long, Long)] = Seq(
-      ("mart_ann_cents32", "cell_count", centRows, math.abs(centRows - 32L)),
-      ("mart_ann_cents32", "dim_64", centRows, badDim),
-      ("mart_ann_assign32", "key_unique_complete", assignRows,
-        math.abs(assignRows - n) + (n - assignedOnce)),
-      ("mart_ann_assign32", "cell_domain", assignRows, badCell)) ++
-      bookChecks("mart_ann_book64") ++ bookChecks("mart_ann_book64r") ++
-      codeChecks("mart_ann_codes64") ++
-      (codeChecks("mart_ann_codes64r").filter(_._2 == "code_domain") :+
-        ("mart_ann_codes64r", "cell_consistent",
-          PqM.toLong * n, cellMismatch)) ++
+    val centsF = Future {
+      val r = cents.agg(count(lit(1)),
+        sum(when(size(col("cv")) =!= 64, 1L).otherwise(0L))).head()
+      val (centRows, badDim) = (r.getLong(0), lat(r, 1))
+      Seq(
+        ("mart_ann_cents32", "cell_count", centRows, math.abs(centRows - 32L)),
+        ("mart_ann_cents32", "dim_64", centRows, badDim))
+    }
+    val assignF = Future {
+      val r = assign
+        .join(e.withColumn("in_e", lit(1)), Seq("vec_id"), "left")
+        .agg(count(lit(1)),
+          sum(when(col("cell") < 0 || col("cell") >= 32, 1L).otherwise(0L)),
+          count_distinct(when(col("in_e") === 1, col("vec_id")))).head()
+      val (assignRows, badCell, assignedOnce) = (r.getLong(0), lat(r, 1), lat(r, 2))
+      Seq(
+        ("mart_ann_assign32", "key_unique_complete", assignRows,
+          math.abs(assignRows - n) + (n - assignedOnce)),
+        ("mart_ann_assign32", "cell_domain", assignRows, badCell))
+    }
+    val mismatchF = Future {
+      val cellMismatch = annIndexMart(spark, dir, "mart_ann_codes64r")
+        .select(col("vec_id"), col("cell").as("ccell"))
+        .join(assign.select("vec_id", "cell"), Seq("vec_id"))
+        .filter(col("ccell") =!= col("cell")).count()
+      Seq(("mart_ann_codes64r", "cell_consistent", PqM.toLong * n, cellMismatch))
+    }
+    val parts = Seq(
+      centsF, assignF,
+      bookChecks("mart_ann_book64"), bookChecks("mart_ann_book64r"),
+      codeChecks("mart_ann_codes64"),
+      codeChecks("mart_ann_codes64r").map(_.filter(_._2 == "code_domain")),
+      mismatchF,
       graphChecks("mart_nn_base", nnBaseMart(spark, dir), nb, Seq("s"),
-        "node_complete") ++
+        "node_complete"),
       graphChecks("mart_nn_rounds",
         nnRoundsMart(spark, dir).select("round", "s", "t", "rk"),
-        (NndRounds + 1).toLong * n, Seq("round", "s"), "trajectory_complete")
+        (NndRounds + 1).toLong * n, Seq("round", "s"), "trajectory_complete"))
+    val rows: Seq[(String, String, Long, Long)] =
+      Await.result(Future.sequence(parts), Duration.Inf).flatten
     e.unpersist(false)
     rows.toDF("table_name", "check_name", "n_rows", "violations")
       .select(col("table_name"), col("check_name"), col("n_rows"),

@@ -1216,12 +1216,12 @@ class LlmOpsSpec extends SparkSpec {
       .map(r => r.getAs[Long]("ce_rank") ->
         (r.getAs[Long]("doc_id"), r.getAs[Long]("ce_fp"))).toMap
     val rows = TextOps.tCeDistill.run(spark, sfDir).collect()
-    val posN = head.keys.count(_ <= 4L)
-    val negN = head.keys.count(_ >= 11L)
+    val posN = head.keys.count(_ <= TextOps.CeDistillPos.toLong)
+    val negN = head.keys.count(_ >= TextOps.CeDistillNegFrom.toLong)
     assert(rows.length === posN * negN, "export is not the full pos x neg grid")
     rows.foreach { r =>
       val (pr, nr) = (r.getAs[Long]("pos_rank"), r.getAs[Long]("neg_rank"))
-      assert(pr <= 4L && nr >= 11L)
+      assert(pr <= TextOps.CeDistillPos.toLong && nr >= TextOps.CeDistillNegFrom.toLong)
       // composition law: every exported pair reconstructs from the
       // re-ranker's own head — same ids, margin = the teacher-score
       // difference (the shared ceScoredHead kernel, asserted end-to-end)
