@@ -68,6 +68,16 @@ object Similarity {
     * per-round/per-step plan of the iterative kernels, whose gate-level
     * Explain output is a checkpoint leaf. Diagnostic only: Bench/Verify
     * never set the variable. */
+  /** The walk's fixed entry node (id 0) as a NON-FOLDABLE expression:
+    * a literal 0 constant survives localCheckpoint via the plan's origin
+    * constraints and gets pushed into the broadcast graph scan as an
+    * `EqualNullSafe(gs, 0)` predicate whose codegen trips a Janino bug
+    * ("java.lang.Long is not an rvalue"; 8 interpreter-fallback stack
+    * traces per walk). `when(qid IS NOT NULL, 0L)` is the same value on
+    * every row (qid is never null) but opaque to constraint inference,
+    * so the scan predicate — and the warn spam — never materializes. */
+  private def entryNode0: Column = when(col("qid").isNotNull, lit(0L))
+
   private[llm] def dumpPlan(tag: String, df: DataFrame): Unit =
     if (sys.env.contains("SPARK_GRAFT_EXPLAIN"))
       System.err.println(s"===== plan:$tag =====\n" + df.queryExecution
@@ -628,7 +638,11 @@ object Similarity {
     var iters = 0
     var fixed = false
     while (iters < rounds && !fixed) {
-      val a = kmAssign(e, cents)
+      // lazy-checkpoint the round's assignment: the signature action
+      // materializes it, and the recompute then READS the cached blocks —
+      // the old shape evaluated the broadcast-argmin assignment pass
+      // twice per round (once under each action)
+      val a = kmAssign(e, cents).localCheckpoint(false)
       val row = a.agg(count(lit(1)),
         sum(hash(col("vec_id"), col("cell")).cast(LongType)),
         call_function("bit_xor", xxhash64(col("vec_id"), col("cell")))).head()
@@ -643,6 +657,7 @@ object Similarity {
         prevSig = sig
         iters += 1
       }
+      a.unpersist(false)
     }
     cents
   }
@@ -2153,13 +2168,10 @@ object Similarity {
       val wq = Window.partitionBy("qid")
       val qs = emb(spark, dir).filter(col("vec_id") >= QLo && col("vec_id") < QHi)
         .select(col("vec_id").as("qid"), col("embedding").as("qv"))
-      // 80 (qid, vec_id) rows consumed by all four rungs — checkpoint so
-      // the exact corpus pass runs once, not four times
-      val ex = emb(spark, dir).crossJoin(broadcast(qs))
-        .select(col("qid"), col("vec_id"), dot(col("embedding"), col("qv")).as("s"))
-        .withColumn("rn", row_number().over(wq.orderBy(col("s").desc, col("vec_id"))))
-        .filter(col("rn") <= 10).select("qid", "vec_id")
-        .localCheckpoint(true)
+      // 80 (qid, vec_id) rows consumed by all four rungs — the standing
+      // exact referee (serveHarnessDag; one corpus pass per snapshot)
+      val ex = serveExqMart(spark, dir)
+        .select(col("xq").as("qid"), col("xt").as("vec_id"))
       // the corpus assignment feeds FOUR consumers (both probe rungs and
       // both ADC candidate sets) — lazily checkpoint so the crossJoin
       // argmax pass runs once, not four times (round-13 review; at 100 TB
@@ -2399,11 +2411,8 @@ object Similarity {
       val wq = Window.partitionBy("qid")
       val qs = emb(spark, dir).filter(col("vec_id") >= QLo && col("vec_id") < QHi)
         .select(col("vec_id").as("qid"), col("embedding").as("qv"))
-      val ex = emb(spark, dir).crossJoin(broadcast(qs))
-        .select(col("qid"), col("vec_id"), dot(col("embedding"), col("qv")).as("s"))
-        .withColumn("rn", row_number().over(wq.orderBy(col("s").desc, col("vec_id"))))
-        .filter(col("rn") <= 10)
-        .select(col("qid").as("xq"), col("vec_id").as("xv"))
+      val ex = serveExqMart(spark, dir)
+        .select(col("xq"), col("xt").as("xv"))
       val qprobe = qs.crossJoin(broadcast(ivfCentroids(spark, dir)))
         .select(col("qid"), col("qv"), explode(col("cents")).as("c"))
         .select(col("qid"), col("c.cent_id").as("pcell"),
@@ -3501,16 +3510,19 @@ object Similarity {
       val n = emb(spark, dir).count()
       val qs = emb(spark, dir).filter(col("vec_id") >= QLo && col("vec_id") < QHi)
         .select(col("vec_id").as("qid"), col("embedding").as("qv"))
-      val ex = emb(spark, dir).crossJoin(broadcast(qs))
-        .select(col("qid"), col("vec_id"), dot(col("embedding"), col("qv")).as("s"))
-        .withColumn("rn", row_number().over(wq.orderBy(col("s").desc, col("vec_id"))))
-        .filter(col("rn") <= 10)
-        .select(col("qid").as("xq"), col("vec_id").as("xv"))
-        .localCheckpoint(true)
+      val ex = serveExqMart(spark, dir)
+        .select(col("xq"), col("xt").as("xv"))
       val qsub = qs.select(col("qid"), explode(array((0 until PqM).map(m =>
           struct(lit(m).as("m"), slice(col("qv"), m * PqSub + 1, PqSub).as("qsv"))): _*)).as("x"))
         .select(col("qid"), col("x.m").as("m"), col("x.qsv").as("qsv"))
-      def rung(k: Int): (Long, Long, Long, Long) = {
+      // the three codebook sizes are independent given the shared sub
+      // stream and the memoized books (training runs outside the memo
+      // lock) — run them concurrently so the per-rung action chains
+      // back-fill the executors (guide §2.6)
+      import scala.concurrent.{Await, Future}
+      import scala.concurrent.duration.Duration
+      import scala.concurrent.ExecutionContext.Implicits.global
+      def rung(k: Int): Future[(Long, Long, Long, Long)] = Future {
         val subs = (0 until PqM).map(m => struct(lit(m).as("m"),
           slice(col("embedding"), m * PqSub + 1, PqSub).as("sv")))
         val seed = emb(spark, dir).filter(col("vec_id") < k)
@@ -3554,7 +3566,8 @@ object Similarity {
           .count()
         (k.toLong, seedMicro, trainedMicro, hits)
       }
-      val rows = Seq(rung(8), rung(32), rung(64))
+      val rows = Await.result(
+        Future.sequence(Seq(rung(8), rung(32), rung(64))), Duration.Inf)
       sub.unpersist(false)
       ex.unpersist(false)
       // the two structural laws (see Scaladoc)
@@ -3651,27 +3664,65 @@ object Similarity {
         FROM qs q, ${p}c$CellRounds c)"""
   }
 
+  /** ONE audit-score + exact-referee build per corpus snapshot (r21,
+    * guide §2.4 — remove repeated passes outright): before this dag, 13
+    * gates each re-paid the same 8×n score cross-join and its top-10
+    * window (the [[heldOutHarness]] referee, [[nnServeHarness]]'s `qsc`
+    * and `exq`, plus three inline twins). The score table and the
+    * referee are pure functions of the corpus snapshot, so they are
+    * standing marts like every other referee (`mart_nn_exactk` et al.):
+    *  - `mart_serve_qsc` — (qid, t, score): the held-out queries' audit
+    *    scores against every vector (doubles round-trip parquet exactly);
+    *  - `mart_serve_exq` — (xq, xt): the exact top-10 per query, the
+    *    recall referee (same (score DESC, t) tie-break as before).
+    * At 100 TB these are the evaluation tier's standing tables — the
+    * 8×n table prices the EVALUATION, not the serve (the
+    * [[simGraphServe]] convention, unchanged). */
+  private val serveHarnessDag = new graft.pipeline.ModelRegistry(Seq(
+    graft.pipeline.ModelDef("mart_serve_qsc", Nil, mart = true) { (s, d, _) =>
+      val e0 = emb(s, d).select(col("vec_id"), col("embedding"))
+      val qs0 = e0.filter(col("vec_id") >= QLo && col("vec_id") < QHi)
+        .select(col("vec_id").as("qid"), col("embedding").as("qv"))
+      e0.crossJoin(broadcast(qs0))
+        .select(col("qid"), col("vec_id").as("t"),
+          dot(col("embedding"), col("qv")).as("score"))
+    },
+    graft.pipeline.ModelDef("mart_serve_exq", Seq("mart_serve_qsc"),
+        mart = true) { (_, _, ref) =>
+      import org.apache.spark.sql.expressions.Window
+      ref("mart_serve_qsc")
+        .withColumn("rn", row_number().over(
+          Window.partitionBy("qid").orderBy(col("score").desc, col("t"))))
+        .filter(col("rn") <= 10)
+        .select(col("qid").as("xq"), col("t").as("xt"))
+    }))
+
+  /** The standing (qid, t, score) audit-score table. */
+  private def serveQscMart(spark: SparkSession, dir: String): DataFrame =
+    graft.pipeline.MartCache.read(spark, dir, serveHarnessDag, "svh_marts",
+      "graft_svh_", Seq("embeddings"), "mart_serve_qsc").head
+
+  /** The standing (xq, xt) exact top-10 referee. */
+  private def serveExqMart(spark: SparkSession, dir: String): DataFrame =
+    graft.pipeline.MartCache.read(spark, dir, serveHarnessDag, "svh_marts",
+      "graft_svh_", Seq("embeddings"), "mart_serve_exq").head
+
   /** Shared Spark frames for the recall harness: checkpointed corpus,
-    * held-out queries, and the EXACT top-10 as (xq, xt) — checkpointed;
-    * caller unpersists `e` and `ex`. Guards n ≥ 24: the harness
+    * held-out queries, and the EXACT top-10 as (xq, xt) — the referee
+    * now read from the standing [[serveHarnessDag]] mart instead of
+    * being rebuilt per gate; callers' `ex.unpersist` calls are no-ops on
+    * the parquet-backed frame. Guards n ≥ 24: the harness
     * hardcodes the [[QLo]]..[[QHi]]-1 window and fixed recall denominators, and a
     * smaller corpus would emit a silently meaningless (or empty-query)
     * metric (the [[simGraphServe]] guard convention). */
   private def heldOutHarness(spark: SparkSession, dir: String): (DataFrame, DataFrame, DataFrame, Long) = {
-    import org.apache.spark.sql.expressions.Window
     val e = emb(spark, dir).select(col("vec_id"), col("embedding")).localCheckpoint(true)
     val n = e.count()
     require(n >= QHi,
       s"the recall harness needs vec_id $QLo..${QHi - 1} as held-out queries (n=$n < $QHi)")
     val qs = e.filter(col("vec_id") >= QLo && col("vec_id") < QHi)
       .select(col("vec_id").as("qid"), col("embedding").as("qv"))
-    val ex = e.crossJoin(broadcast(qs))
-      .select(col("qid"), col("vec_id"), dot(col("embedding"), col("qv")).as("s"))
-      .withColumn("rn", row_number().over(
-        Window.partitionBy("qid").orderBy(col("s").desc, col("vec_id"))))
-      .filter(col("rn") <= 10)
-      .select(col("qid").as("xq"), col("vec_id").as("xt"))
-      .localCheckpoint(true)
+    val ex = serveExqMart(spark, dir)
     (e, qs, ex, n)
   }
 
@@ -4120,15 +4171,16 @@ object Similarity {
         .select(col("qid"), col("c.cent_id").as("cell"),
           (dot(col("qv"), col("c.cv")) - lit(1e-12) * col("c.cent_id")).as("sc"))
         .withColumn("rn", row_number().over(wq.orderBy(col("sc").desc)))
-      val (t8a, t8r) = trainedCellRank(e, qs, 8)
-      val (t32a, t32r) = servedCellRank32(spark, dir, qs)
       // scanned + hits in ONE aggregation job per sweep point (the exact
       // referee is key-unique, so a left join cannot multiply pool rows),
       // and the six independent points run concurrently over the shared
-      // checkpointed assignments (guide §2.6)
+      // checkpointed assignments (guide §2.6). The k=8 Lloyd training is
+      // itself a future so the seeded-8 and served-32 points overlap it.
       import scala.concurrent.{Await, Future}
       import scala.concurrent.duration.Duration
       import scala.concurrent.ExecutionContext.Implicits.global
+      val t8F = Future(trainedCellRank(e, qs, 8))
+      val (t32a, t32r) = servedCellRank32(spark, dir, qs)
       def point(name: String, k: Int, av: DataFrame, rk: DataFrame, pr: Int): Future[(String, Long, Long, Long, Long)] = Future {
         val r = av.join(broadcast(rk.filter(col("rn") <= pr)
           .select(col("qid"), col("cell").as("pcell"))), col("cell") === col("pcell"))
@@ -4140,9 +4192,11 @@ object Similarity {
       }
       val rows = Await.result(Future.sequence(Seq(
         point("k8_seeded", 8, s8a, s8r, 1), point("k8_seeded", 8, s8a, s8r, 3),
-        point("k8_trained", 8, t8a, t8r, 1), point("k8_trained", 8, t8a, t8r, 3),
+        t8F.flatMap { case (t8a, t8r) => point("k8_trained", 8, t8a, t8r, 1) },
+        t8F.flatMap { case (t8a, t8r) => point("k8_trained", 8, t8a, t8r, 3) },
         point("k32_trained", 32, t32a, t32r, 4), point("k32_trained", 32, t32a, t32r, 12))),
         Duration.Inf)
+      val (t8a, _) = Await.result(t8F, Duration.Inf)
       Seq(s8a, t8a, t32a, ex, e).foreach(_.unpersist(false))
       // probe monotonicity per quantizer: pools NEST in the probe count,
       // so hits cannot decrease — exactly structural
@@ -4639,25 +4693,35 @@ object Similarity {
       // probe re-rank the nested slices (crn rides back in via the join)
       val adc = adcSum(enc, lut, Seq("qid", "cell", "m", "code"))
         .join(cand, Seq("qid", "vec_id")).localCheckpoint(true)
-      def stat(p: Int): Seq[(Long, Long, Long, Long, Long, Long)] = {
+      // size + referee hits in ONE aggregation job per set (the exact
+      // referee is key-unique, so a left join cannot multiply rows), and
+      // the four independent probe legs run concurrently (guide §2.6) —
+      // was 2 + 2·|mults| sequential actions per probe (32 driver
+      // actions for the 4×3 sweep), now 1 + |mults| per leg with the
+      // legs overlapped
+      import scala.concurrent.{Await, Future}
+      import scala.concurrent.duration.Duration
+      import scala.concurrent.ExecutionContext.Implicits.global
+      val exHit = ex.select(col("xq"), col("xt"), lit(1L).as("hit"))
+      def sizeAndHits(df: DataFrame): (Long, Long) = {
+        val r = df.join(broadcast(exHit),
+            col("qid") === col("xq") && col("vec_id") === col("xt"), "left")
+          .agg(count(lit(1)), sum(coalesce(col("hit"), lit(0L)))).head()
+        (r.getLong(0), if (r.isNullAt(1)) 0L else r.getLong(1))
+      }
+      def stat(p: Int): Future[Seq[(Long, Long, Long, Long, Long, Long)]] = Future {
         // one ranking per probe count; the beam multiples slice it
         val pool = adc.filter(col("crn") <= p).localCheckpoint(false)
-        val scanned = pool.count()
-        val ceil = pool.join(broadcast(ex),
-          col("qid") === col("xq") && col("vec_id") === col("xt")).count()
+        val (scanned, ceil) = sizeAndHits(pool)
         val bwq = beamWidths(pool)
         val out = mults.map { m =>
-          val beam = derivedBeam(pool, bwq, m).localCheckpoint(false)
-          val beamRows = beam.count()
-          val hits = beam.join(broadcast(ex),
-            col("qid") === col("xq") && col("vec_id") === col("xt")).count()
-          beam.unpersist(false)
+          val (beamRows, hits) = sizeAndHits(derivedBeam(pool, bwq, m))
           (p.toLong, m.toLong, scanned, beamRows, hits, ceil)
         }
         pool.unpersist(false)
         out
       }
-      val rows = probes.flatMap(stat)
+      val rows = Await.result(Future.sequence(probes.map(stat)), Duration.Inf).flatten
       Seq(adc, cand, ex, e).foreach(_.unpersist(false))
       // nesting laws: pools nest in the probe count, so scanned and the
       // pool ceiling are monotone; beams nest in the multiple, so hits
@@ -5320,21 +5384,29 @@ object Similarity {
           FROM sc JOIN sub ss ON ss.vec_id = sc.s JOIN sub st ON st.vec_id = sc.t) z
         WHERE rn <= $NndServeDeg)"""
 
-  /** The exact layer-2 kNN graph over the 1/16 subsample, checkpointed
-    * as (gs, gt) — the Spark twin of [[layer2Sql]], ONE definition for
-    * [[simGraphHier]] and [[simGraphDeployed]]. Caller unpersists. */
-  private def layer2Graph(sub: DataFrame): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    sub.select(col("vec_id").as("s"), col("embedding").as("es"))
-      .join(broadcast(sub.select(col("vec_id").as("t"), col("embedding").as("et"))),
-        col("s") =!= col("t"))
-      .select(col("s"), col("t"), dot(col("es"), col("et")).as("sc2"))
-      .withColumn("rn", row_number().over(
-        Window.partitionBy("s").orderBy(col("sc2").desc, col("t"))))
-      .filter(col("rn") <= NndServeDeg)
-      .select(col("s").as("gs"), col("t").as("gt"))
-      .localCheckpoint(true)
-  }
+  /** The exact layer-2 kNN graph over the 1/16 subsample as a standing
+    * mart (r21 — [[simGraphHier]] and [[simGraphDeployed]] each rebuilt
+    * the same (n/16)² pass; one build per corpus snapshot now serves
+    * both). (gs, gt) id pairs — integers, exact parquet round-trip. The
+    * Spark twin of [[layer2Sql]]. Callers' unpersist is a no-op. */
+  private val layer2Dag = new graft.pipeline.ModelRegistry(Seq(
+    graft.pipeline.ModelDef("mart_nn_layer2", Nil, mart = true) { (s, d, _) =>
+      import org.apache.spark.sql.expressions.Window
+      val sub = emb(s, d).select(col("vec_id"), col("embedding"))
+        .filter(col("vec_id") % 16 === 0)
+      sub.select(col("vec_id").as("s"), col("embedding").as("es"))
+        .join(broadcast(sub.select(col("vec_id").as("t"), col("embedding").as("et"))),
+          col("s") =!= col("t"))
+        .select(col("s"), col("t"), dot(col("es"), col("et")).as("sc2"))
+        .withColumn("rn", row_number().over(
+          Window.partitionBy("s").orderBy(col("sc2").desc, col("t"))))
+        .filter(col("rn") <= NndServeDeg)
+        .select(col("s").as("gs"), col("t").as("gt"))
+    }))
+
+  private def layer2Graph(spark: SparkSession, dir: String): DataFrame =
+    graft.pipeline.MartCache.read(spark, dir, layer2Dag, "nnl2_marts",
+      "graft_nnl2_", Seq("embeddings"), "mart_nn_layer2").head
 
   private def graphServeSql(rounds: Int, steps: Int): String = {
     val serveHead = s""",
@@ -5424,21 +5496,16 @@ object Similarity {
 
   /** Shared Spark serve-harness over the NN-descent corpus (the
     * [[nnServeCommonSql]] twin — ONE definition for [[simGraphServe]]
-    * and [[simGraphHier]]): held-out queries, the checkpointed 8×n
-    * audit score table, and the exact top-10 as (xq, xt) — one window
-    * straight over qsc, no self-join. Caller unpersists qsc and exq. */
-  private def nnServeHarness(e: DataFrame): (DataFrame, DataFrame, DataFrame) = {
-    import org.apache.spark.sql.expressions.Window
+    * and [[simGraphHier]]): held-out queries, plus the 8×n audit score
+    * table and the exact top-10 referee read from the standing
+    * [[serveHarnessDag]] marts (r21 — five gates were each re-paying the
+    * same cross-join + window + two checkpoints). Callers' unpersist
+    * calls are no-ops on the parquet-backed frames. */
+  private def nnServeHarness(spark: SparkSession, dir: String,
+      e: DataFrame): (DataFrame, DataFrame, DataFrame) = {
     val qs = e.filter(col("vec_id") >= QLo && col("vec_id") < QHi)
       .select(col("vec_id").as("qid"), col("embedding").as("qv"))
-    val qsc = e.crossJoin(broadcast(qs))
-      .select(col("qid"), col("vec_id").as("t"), dot(col("embedding"), col("qv")).as("score"))
-      .localCheckpoint(true)
-    val exq = qsc.withColumn("rn", row_number().over(
-        Window.partitionBy("qid").orderBy(col("score").desc, col("t"))))
-      .filter(col("rn") <= 10)
-      .select(col("qid").as("xq"), col("t").as("xt")).localCheckpoint(true)
-    (qs, qsc, exq)
+    (qs, serveQscMart(spark, dir), serveExqMart(spark, dir))
   }
 
   /** Top-10 of a visited/candidate set per `part` by audit score. */
@@ -5469,34 +5536,40 @@ object Similarity {
       c && col(k) === col("g" + k)
     }
     val pcols = part.map(col)
-    // Visited rows CARRY their audit score (a function of (qid, t), so
-    // duplicates agree): the per-step beam is then a window straight over
-    // the checkpointed set instead of a re-join of the WHOLE visited set
-    // against the score table every step, and only the step's NEW
-    // frontier — beam × serve-degree rows — fetches scores. The one
-    // exchange per step is the hash(part) dedup repartition, whose
-    // partitioning the checkpoint preserves and the next step's window
-    // reuses (clustering by part covers both the window's partitionBy
-    // and the (part, t) dedup keys). Beam selection, expansion order and
-    // the visited fixpoint are value-identical to the old
+    // Visited rows CARRY their audit score AND their beam rank (both
+    // functions of the deduped set, so duplicates agree): only the
+    // step's NEW frontier — beam × serve-degree rows — fetches scores,
+    // and each step pays exactly ONE exchange. A localCheckpoint scan
+    // reports UnknownPartitioning (measured, plans/r21), so anything
+    // ranked AFTER the checkpoint would re-exchange; annotating the rank
+    // BEFORE the checkpoint lets the window reuse the dedup
+    // repartition's hash(part) clustering (partitionBy(part) ⊆ the
+    // exchange keys) and the next step's beam is a plain filter. The
+    // graph and the score table ride BROADCAST joins: g is the bounded
+    // serve core (n×serve-degree id pairs; sharded serving RAM at
+    // 100 TB), the score table is the 8-query evaluation artifact (the
+    // [[simGraphServe]] pricing convention). Beam selection, expansion
+    // order and the visited fixpoint are value-identical to the old
     // topVisited-based step — same (score DESC, t) tie-break, same
     // top-10 beam, same union semantics.
-    var vis = v0.join(qsc, Seq("qid", "t"))
-      .select(pcols :+ col("t") :+ col("score"): _*)
+    val scores = qsc.select(col("qid"), col("t"), col("score"))
+    def ranked(df: DataFrame): DataFrame = df
       .repartition(pcols: _*).dropDuplicates(part :+ "t")
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(pcols: _*).orderBy(col("score").desc, col("t"))))
+    var vis = ranked(v0.join(broadcast(scores), Seq("qid", "t"))
+        .select(pcols :+ col("t") :+ col("score"): _*))
       .localCheckpoint(true)
     var prev = vis.count()
     var fixed = false
     for (_ <- 1 to steps if !fixed) {
-      val beam = vis.withColumn("rn", row_number().over(
-          Window.partitionBy(pcols: _*).orderBy(col("score").desc, col("t"))))
-        .filter(col("rn") <= 10)
-      val fresh = beam.join(g, cond)
+      val beam = vis.filter(col("rn") <= 10)
+      val fresh = beam.join(broadcast(g), cond)
         .select(pcols :+ col("gt").as("t"): _*)
-        .join(qsc, Seq("qid", "t"))
+        .join(broadcast(scores), Seq("qid", "t"))
         .select(pcols :+ col("t") :+ col("score"): _*)
-      val lazyNv = vis.unionByName(fresh)
-        .repartition(pcols: _*).dropDuplicates(part :+ "t")
+      val lazyNv = ranked(
+        vis.select(pcols :+ col("t") :+ col("score"): _*).unionByName(fresh))
       dumpPlan("greedyWalkStep", lazyNv)
       val nv = lazyNv.localCheckpoint(true)
       val c = nv.count()
@@ -5521,7 +5594,7 @@ object Similarity {
       // round's kept-NndK edges (build-wide/serve-narrow, see NndServeDeg)
       val gcore = serveCore(spark, dir)
       val graph = gcore.select(col("s").as("gs"), col("t").as("gt"))
-      val (qs, qsc, exq) = nnServeHarness(e)
+      val (qs, qsc, exq) = nnServeHarness(spark, dir, e)
       val cellOf = ivfAssigned(spark, dir).select(col("vec_id"), col("cell"))
       // per-cell MEDOID: the member nearest its own centroid (tie → lower
       // id via the suite's 1e-12 bias) — the entry table is 8 rows
@@ -5666,13 +5739,13 @@ object Similarity {
         s"sim_graph_hier needs vec_id $QLo..${QHi - 1} as held-out queries (n=$n < $QHi)")
       val gcore = serveCore(spark, dir)
       val graph = gcore.select(col("s").as("gs"), col("t").as("gt"))
-      val (qs, qsc, exq) = nnServeHarness(e)
+      val (qs, qsc, exq) = nnServeHarness(spark, dir, e)
       // layer 2: exact kNN over the 1/16 subsample — (n/16)² pairs, the
       // geometrically-shrunk upper layer, broadcast-joined (shared
       // builder with simGraphDeployed)
       val sub = e.filter(col("vec_id") % 16 === 0)
-      val g2c = layer2Graph(sub)
-      val w = greedyWalk(qsc, g2c, qs.select(col("qid"), lit(0L).as("t")), Seq("qid"))
+      val g2c = layer2Graph(spark, dir)
+      val w = greedyWalk(qsc, g2c, qs.select(col("qid"), entryNode0.as("t")), Seq("qid"))
       // law: the layer-2 walk never leaves the subsample
       val wn = w.count()
       val win = w.join(sub.select(col("vec_id").as("t")), Seq("t")).count()
@@ -5687,7 +5760,7 @@ object Similarity {
       val v0h = Seq(1, 2, 4).toDF("ev")
         .join(ent, col("rn") <= col("ev"))
         .select(col("ev"), col("qid"), col("t"))
-        .unionByName(qs.select(lit(0).as("ev"), col("qid"), lit(0L).as("t")))
+        .unionByName(qs.select(lit(0).as("ev"), col("qid"), entryNode0.as("t")))
       val vh = greedyWalk(qsc, graph, v0h, Seq("ev", "qid"))
       val rows = vh.groupBy("ev").agg(count(lit(1)).as("l1"))
         .join(topVisited(qsc, vh, Seq("ev", "qid"))
@@ -6299,24 +6372,36 @@ object Similarity {
       // the n² audit (evaluation pricing, the simNnDescent convention),
       // read from the standing eval mart
       val exactK = nnExactKMart(spark, dir)
-      def stat(name: String, lst: DataFrame): (String, Long, Long, Long) = {
-        val nn = lst.select("s").distinct().count()
-        val ed = lst.count()
-        val h = lst.filter(col("rk") <= 10).join(exactK, Seq("s", "t")).count()
-        (name, nn, ed, h)
+      // node/edge/hit counts in ONE aggregation job per audited graph
+      // (the key-unique referee join cannot multiply rows), and each
+      // round's audit overlaps the NEXT round's fold — plus the
+      // independent rebuilt row — via driver threads (guide §2.6)
+      import scala.concurrent.{Await, Future}
+      import scala.concurrent.duration.Duration
+      import scala.concurrent.ExecutionContext.Implicits.global
+      def stat(name: String, lst: DataFrame): Future[(String, Long, Long, Long)] = Future {
+        val r = lst.join(exactK.select(col("s"), col("t"), lit(1L).as("hit")),
+            Seq("s", "t"), "left")
+          .agg(count_distinct(col("s")), count(lit(1)),
+            sum(when(col("rk") <= 10, coalesce(col("hit"), lit(0L))).otherwise(0L)))
+          .head()
+        (name, r.getLong(0), r.getLong(1),
+          if (r.isNullAt(2)) 0L else r.getLong(2))
       }
       // warm-start append rounds over the union, one stat row per round
       var ucur: DataFrame = baseG.unionByName(fseed)
-      val rows = scala.collection.mutable.ArrayBuffer[(String, Long, Long, Long)]()
+      val statFs = scala.collection.mutable.ArrayBuffer[Future[(String, Long, Long, Long)]]()
       for (r <- 1 to NndAppendRounds) {
         val next = nnStepNext(e, ucur)
-        rows += stat(s"appended_r$r", next)
+        statFs += stat(s"appended_r$r", next)
         kept += next
         ucur = next
       }
-      rows += stat("rebuilt",
+      statFs += stat("rebuilt",
         nnRoundsMart(spark, dir).filter(col("round") === NndRounds)
           .select("s", "t", "rk"))
+      val rows = scala.collection.mutable.ArrayBuffer[(String, Long, Long, Long)](
+        Await.result(Future.sequence(statFs.toSeq), Duration.Inf): _*)
       (kept :+ e).foreach(_.unpersist(false))
       // conservation + degree cap + append-round monotonicity
       rows.foreach { case (v, nn, ed, _) =>
@@ -7164,7 +7249,7 @@ object Similarity {
       .reduce(_ unionByName _).localCheckpoint(true)
     val folds = graphs.map(_._1)
     val v0 = folds.toDF("fold").crossJoin(qs.select(col("qid")))
-      .select(col("fold"), col("qid"), lit(0L).as("t"))
+      .select(col("fold"), col("qid"), entryNode0.as("t"))
     val vis = greedyWalk(qsc, gAll, v0, Seq("fold", "qid"),
       gKeys = Seq("fold"))
     require(vis.filter(col("fold").isin(midFolds: _*) && !midPred).count() == 0L,
@@ -7202,7 +7287,7 @@ object Similarity {
       val (e, n) = nnEmb(spark, dir)
       require(n >= QHi,
         s"sim_serve_freshness needs vec_id $QLo..${QHi - 1} as held-out queries (n=$n < $QHi)")
-      val (qs, qsc, exq) = nnServeHarness(e)
+      val (qs, qsc, exq) = nnServeHarness(spark, dir, e)
       val (y1, y2, _) = nnFoldMarts(spark, dir)
       val reb = nnRoundsMart(spark, dir).filter(col("round") === NndRounds)
         .select("s", "t", "rk")
@@ -7284,7 +7369,7 @@ object Similarity {
       val (e, n) = nnEmb(spark, dir)
       require(n >= QHi,
         s"sim_serve_policy needs vec_id $QLo..${QHi - 1} as held-out queries (n=$n < $QHi)")
-      val (qs, qsc, exq) = nnServeHarness(e)
+      val (qs, qsc, exq) = nnServeHarness(spark, dir, e)
       val (f2, c2, f3) = nnPolicyMarts(spark, dir)
       val reb = nnRoundsMart(spark, dir).filter(col("round") === NndRounds)
         .select("s", "t", "rk")
@@ -7547,7 +7632,7 @@ object Similarity {
         s"sim_graph_deployed needs vec_id $QLo..${QHi - 1} as held-out queries (n=$n < $QHi)")
       val gcore = serveCore(spark, dir)
       val graph = gcore.select(col("s").as("gs"), col("t").as("gt"))
-      val (qs, qsc, exq) = nnServeHarness(e)
+      val (qs, qsc, exq) = nnServeHarness(spark, dir, e)
       // the served residual-ADC score table off the persisted index
       // marts, NEGATED so the shared DESC-ordered walk machinery ranks
       // best-first (8 x n rows — the evaluation's price at 8 queries; a
@@ -7560,8 +7645,8 @@ object Similarity {
         .localCheckpoint(true)
       // layer 2: the exact subsample graph (the shared simGraphHier layer)
       val sub = e.filter(col("vec_id") % 16 === 0)
-      val g2c = layer2Graph(sub)
-      val w = greedyWalk(aq, g2c, qs.select(col("qid"), lit(0L).as("t")), Seq("qid"))
+      val g2c = layer2Graph(spark, dir)
+      val w = greedyWalk(aq, g2c, qs.select(col("qid"), entryNode0.as("t")), Seq("qid"))
       val wn = w.count()
       // law: the layer-2 walk never leaves the subsample
       val win = w.join(sub.select(col("vec_id").as("t")), Seq("t")).count()
