@@ -71,6 +71,10 @@ object Bench {
     // a judge can tell "one contaminated sample" (min ≪ max) from "genuine
     // regression" (min ≈ max, both high) without re-running the suite
     val samples = scala.collection.mutable.LinkedHashMap[String, List[Double]]()
+    // per-sample 1-minute loadavg (r21 verdict #2 / ADVICE): a contaminated
+    // REGION of the run — not just a contaminated run — is flaggable from
+    // the sidecar by joining each sample against the host load at its end
+    val samplesLd = scala.collection.mutable.LinkedHashMap[String, List[String]]()
     val errors = scala.collection.mutable.LinkedHashMap[String, String]()
     // local-iteration aid: SPARK_GRAFT_ONLY=regex limits the run to matching
     // query names (the driver never sets it, so the gate always runs all)
@@ -105,6 +109,7 @@ object Bench {
             val dt = (System.nanoTime() - t0) / 1e9
             timings(name) = math.min(timings.getOrElse(name, Double.MaxValue), dt)
             samples(name) = samples.getOrElse(name, Nil) :+ dt
+            samplesLd(name) = samplesLd.getOrElse(name, Nil) :+ load1m
           } catch {
             case e: Throwable =>
               errors(name) = Option(e.getMessage).getOrElse(e.getClass.getName).take(200)
@@ -243,7 +248,16 @@ object Bench {
       val ss = samples.map { case (k, vs) =>
         s""""${esc(k)}":[${vs.map(v => math.round(v * 1000)).mkString(",")}]"""
       }.mkString("{", ",", "}")
-      s"""{"unit_q":"ms","queries":$qs,"samples":$ss,"total_sec":${rnd(total, 2)},"wall":$wallSec,"ld":[$loadStart,$loadEnd],"errors":$es,"sf":"$sfName"}"""
+      val sl = samplesLd.map { case (k, vs) =>
+        s""""${esc(k)}":[${vs.mkString(",")}]"""
+      }.mkString("{", ",", "}")
+      // one-time mart/memo/landing build costs (core.buildLedger): paid in
+      // pass 1 only and therefore absent from every min-of-2 sample — the
+      // r21 verdict's accounting hole, now explicit in the artifact
+      val bl = graft.core.buildLedger.map { case (k, v) =>
+        s""""${esc(k)}":${math.round(v * 1000)}""" }.mkString("{", ",", "}")
+      val blTotal = math.round(graft.core.buildLedger.map(_._2).sum * 1000)
+      s"""{"unit_q":"ms","queries":$qs,"samples":$ss,"samples_ld":$sl,"build":$bl,"build_total_ms":$blTotal,"total_sec":${rnd(total, 2)},"wall":$wallSec,"ld":[$loadStart,$loadEnd],"errors":$es,"sf":"$sfName"}"""
     }
     try java.nio.file.Files.write(
       java.nio.file.Paths.get(s"${sys.props("user.dir")}/target/bench_detail.json"),

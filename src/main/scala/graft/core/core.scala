@@ -79,7 +79,45 @@ object core {
     lock.synchronized(body)
   }
   def buildOnce(key: String)(alreadyBuilt: => Boolean)(build: => Unit): Unit =
-    withLock(key) { if (!alreadyBuilt) build }
+    withLock(key) {
+      if (!alreadyBuilt) {
+        val t0 = System.nanoTime()
+        build
+        recordBuild(s"stage:$key", (System.nanoTime() - t0) / 1e9)
+      }
+    }
+
+  /** JVM-wide ledger of one-time build costs (r20 verdict #1 / r21 verdict
+    * #2: materialize-once marts, memos and staged landings are paid in
+    * pass 1 only, so the bench's interleaved min-of-2 erases them from
+    * every reported number). Every builder that runs at most once per
+    * (corpus snapshot, JVM) records its wall seconds here under a stable
+    * key; Bench dumps the ledger into `target/bench_detail.json` as
+    * `build` rows, so the artifact separates steady-state consumer cost
+    * (the timed samples) from cold-build cost — WITHOUT changing what the
+    * timed samples measure (comparability with prior rounds holds). */
+  private val buildLedgerM = scala.collection.mutable.LinkedHashMap[String, Double]()
+  def recordBuild(key: String, sec: Double): Unit =
+    buildLedgerM.synchronized { buildLedgerM(key) = buildLedgerM.getOrElse(key, 0.0) + sec }
+  def buildLedger: Seq[(String, Double)] =
+    buildLedgerM.synchronized { buildLedgerM.toSeq }
+
+  /** Driver-side overlap pool for independent Spark actions (guide §2.6).
+    * The gates previously parked blocking actions on
+    * `ExecutionContext.Implicits.global`, whose fork-join pool is sized to
+    * the core count — enough concurrent gates (or futures also waiting on
+    * MartCache's build lock) could occupy every worker with PARKED threads
+    * and serialize the overlap (r21 ADVICE). A cached DAEMON pool never
+    * starves on blocked threads: a driver action is an I/O-shaped wait,
+    * 2–6 in flight is the normal case, and idle threads are reclaimed
+    * after 60 s. */
+  implicit lazy val actionEc: scala.concurrent.ExecutionContext =
+    scala.concurrent.ExecutionContext.fromExecutorService(
+      java.util.concurrent.Executors.newCachedThreadPool(r => {
+        val t = new Thread(r, "graft-action")
+        t.setDaemon(true)
+        t
+      }))
 
   /** Scratch dir for landing zones / stage handoffs, keyed by the input dir
     * so different scale factors never collide. Rooted at the process working

@@ -130,7 +130,10 @@ object Bpe {
     mergeMemo.synchronized(map.get(key)) match {
       case Some(v) => v
       case None =>
+        val t0 = System.nanoTime()
         val v = trainMergesBatched(spark, dir, BpeRounds, BpeBatch)
+        // one-time memo-miss cost into the build ledger (r21 verdict #2)
+        core.recordBuild("memo:bpe_merges", (System.nanoTime() - t0) / 1e9)
         mergeMemo.synchronized(map.getOrElseUpdate(key, v))
     }
   }

@@ -115,21 +115,26 @@ object Cluster {
   /** Connected components of an undirected edge list (columns `a_id`,
     * `b_id`): returns (id, label) with label = min doc_id reachable from
     * id. Nodes are the edge endpoints (isolated docs need no clustering).
-    * Each round is one shuffle join + partial-aggregated min, and exactly
-    * ONE driver action: the count of labels that changed this round — the
-    * same job that materializes the round's labels. Zero changes IS the
-    * fixpoint (labels only ever decrease). `prop` feeds both sides of the
-    * pointer-jump self-join, so it is persisted for the round (computing
-    * it twice would double the per-round work). The round's labels are
-    * lazily localCheckpoint'ed, not persisted: the self-join makes the
-    * LOGICAL plan double every round, and persist only short-circuits
-    * compute — analysis/optimization still walks the whole tree, which at
-    * round r is O(4^r) nodes and was the dominant cost (measured: the
-    * post-loop consumer alone paid 8s of plan analysis at sf0.1).
-    * localCheckpoint truncates the plan to a LogicalRDD leaf inside the
-    * SAME action that computes the convergence count. (On a real cluster
-    * swap for reliable checkpoint() if executor loss matters — local
-    * checkpoint trades fault-tolerance for speed.) */
+    *
+    * Round shape (r22, guide §2.4 — the rounds dominated every `d_entity_*`
+    * gate at ~1 s each, almost all of it per-stage overhead): the edge set
+    * is augmented ONCE with a self-edge per node, so a single join + one
+    * partial-aggregated min computes least(own label, min neighbor label)
+    * for every node — the self row both injects the node's own label into
+    * the min and doubles as the old-label carrier for the convergence
+    * count (was: a second left join against the previous labels, persisted
+    * per round). The pointer-jump self-join's two sides share the
+    * aggregation's exchange via ReuseExchange, so the join+partial-agg run
+    * once per round. Round 1 skips the identity-label join outright:
+    * min(src) per dst over the self-edged frame IS the first propagation.
+    * Per round the driver still runs exactly ONE action — the changed
+    * count that also materializes the round's labels. Zero changes IS the
+    * fixpoint (labels only ever decrease). The round's labels are lazily
+    * localCheckpoint'ed: the self-join doubles the LOGICAL plan every
+    * round, and the checkpoint truncates it to a LogicalRDD leaf inside
+    * the same action. (On a real cluster swap for reliable checkpoint()
+    * if executor loss matters — local checkpoint trades fault-tolerance
+    * for speed.) */
   def components(edges: DataFrame, maxIters: Int = 30, maxDepth: Int = 3): DataFrame = {
     val debug = sys.env.contains("SPARK_GRAFT_DEBUG")
     var t0 = System.nanoTime()
@@ -142,24 +147,40 @@ object Cluster {
     val und = edges.select(col("a_id").as("src"), col("b_id").as("dst"))
       .unionAll(edges.select(col("b_id").as("src"), col("a_id").as("dst")))
       .localCheckpoint(false)
-    if (debug) { und.count(); mark("edges+und materialize") }
+    // self-edged round input, hash-clustered by the join key once (persist
+    // keeps the partitioning visible to the planner; a checkpoint would
+    // report UnknownPartitioning and re-exchange every round)
+    val undS = und.unionAll(und.select(col("src")).distinct()
+        .select(col("src"), col("src").as("dst")))
+      .repartition(col("src")).persist()
+    if (debug) { undS.count(); mark("edges+und materialize") }
+    // identity labels, lazy: round 1 never reads them (shortcut below);
+    // they only seed the contraction fallback if maxIters bottoms out at 0
     var labels = und.select(col("src").as("id")).distinct()
-      .select(col("id"), col("id").as("label")).persist()
+      .select(col("id"), col("id").as("label"))
     var iter = 0
     var done = false
     while (!done && iter < maxIters) {
-      val nbrMin = und.join(labels, col("src") === col("id"))
-        .groupBy("dst").agg(min("label").as("nbr_min"))
-      val prop = labels.select(col("id"), col("label").as("old_label"))
-        .join(nbrMin, col("id") === col("dst"), "left")
-        .select(col("id"), col("old_label"),
-          least(col("old_label"), coalesce(col("nbr_min"), col("old_label"))).as("label"))
-        .persist()
+      // least(own, min-neighbor) per node in ONE join + agg: the self-edge
+      // row contributes the node's own label to the min AND carries it out
+      // as old_label (every dst has exactly one self row)
+      val g = (if (iter == 0)
+        undS.groupBy(col("dst"))
+          .agg(min(col("src")).as("label"))
+          .select(col("dst").as("id"), col("label"), col("dst").as("old_label"))
+      else
+        undS.join(labels, col("src") === col("id"))
+          .groupBy(col("dst"))
+          .agg(min(col("label")).as("label"),
+            min(when(col("src") === col("dst"), col("label"))).as("old_label"))
+          .select(col("dst").as("id"), col("label"), col("old_label")))
       // pointer jumping: also adopt the label OF the label (labels only
       // decrease, so label(label) ≤ label) — collapses long chains in
-      // O(log diameter) rounds instead of O(diameter)
-      val jumped = prop.as("x")
-        .join(prop.select(col("id").as("pid"), col("label").as("plabel")),
+      // O(log diameter) rounds instead of O(diameter). Both sides of the
+      // self-join contain the identical aggregation exchange, which
+      // ReuseExchange dedups — the propagation join runs once per round.
+      val jumped = g.as("x")
+        .join(g.select(col("id").as("pid"), col("label").as("plabel")),
           col("x.label") === col("pid"), "left")
         .select(col("x.id").as("id"), col("x.old_label").as("old_label"),
           coalesce(col("plabel"), col("x.label")).as("label"))
@@ -169,7 +190,6 @@ object Cluster {
       val changed = next
         .agg(count(when(col("label") =!= col("old_label"), lit(1))).as("c"))
         .head().getLong(0)
-      prop.unpersist()
       labels.unpersist()
       labels = next
       if (changed == 0L) done = true
@@ -206,10 +226,12 @@ object Cluster {
       // dropped blocks
       composed.count()
       und.unpersist()
+      undS.unpersist()
       mark("star-contraction fallback")
       return composed
     }
     und.unpersist()
+    undS.unpersist()
     labels.select(col("id"), col("label"))
   }
 

@@ -63,11 +63,6 @@ object Similarity {
   private[llm] def dot(a: Column, b: Column): Column =
     call_function("graft_dot", a, b)
 
-  /** Env-gated physical-plan dump (`SPARK_GRAFT_EXPLAIN=1`) of the LAZY
-    * frame right before it is checkpointed — the only way to see the real
-    * per-round/per-step plan of the iterative kernels, whose gate-level
-    * Explain output is a checkpoint leaf. Diagnostic only: Bench/Verify
-    * never set the variable. */
   /** The walk's fixed entry node (id 0) as a NON-FOLDABLE expression:
     * a literal 0 constant survives localCheckpoint via the plan's origin
     * constraints and gets pushed into the broadcast graph scan as an
@@ -78,6 +73,11 @@ object Similarity {
     * so the scan predicate — and the warn spam — never materializes. */
   private def entryNode0: Column = when(col("qid").isNotNull, lit(0L))
 
+  /** Env-gated physical-plan dump (`SPARK_GRAFT_EXPLAIN=1`) of the LAZY
+    * frame right before it is checkpointed — the only way to see the real
+    * per-round/per-step plan of the iterative kernels, whose gate-level
+    * Explain output is a checkpoint leaf. Diagnostic only: Bench/Verify
+    * never set the variable. */
   private[llm] def dumpPlan(tag: String, df: DataFrame): Unit =
     if (sys.env.contains("SPARK_GRAFT_EXPLAIN"))
       System.err.println(s"===== plan:$tag =====\n" + df.queryExecution
@@ -1369,7 +1369,10 @@ object Similarity {
     bookMemo.synchronized(map.get(key)) match {
       case Some(v) => v
       case None =>
+        val t0 = System.nanoTime()
         val v = train
+        // one-time memo-miss cost into the build ledger (r21 verdict #2)
+        core.recordBuild(s"memo:book_$variant", (System.nanoTime() - t0) / 1e9)
         bookMemo.synchronized(map.getOrElseUpdate(key, v))
     }
   }
@@ -3066,6 +3069,11 @@ object Similarity {
     * — deliberately: the algorithm's OUTPUT is what both engines measure
     * distortion on, so honesty needs determinism, not orthogonality. */
   private[graft] def opqJacobi(c0: Array[Long]): (Array[Long], Int) = {
+    // the moment pass derives all widths from EmbDim with loud requires;
+    // this kernel still hardcodes the 64×64 layout, so a D²-sized input of
+    // any other width must fail loudly too, not alias indices (r21 ADVICE)
+    require(c0.length == EmbDim * EmbDim && EmbDim == 64,
+      s"opqJacobi is written for the 64×64 moment layout (got ${c0.length} cells, EmbDim=$EmbDim)")
     val S = 1000000L
     val C = c0.clone()
     val R = Array.tabulate(4096)(k => if (k / 64 == k % 64) S else 0L)
@@ -3521,7 +3529,7 @@ object Similarity {
       // back-fill the executors (guide §2.6)
       import scala.concurrent.{Await, Future}
       import scala.concurrent.duration.Duration
-      import scala.concurrent.ExecutionContext.Implicits.global
+      import graft.core.actionEc
       def rung(k: Int): Future[(Long, Long, Long, Long)] = Future {
         val subs = (0 until PqM).map(m => struct(lit(m).as("m"),
           slice(col("embedding"), m * PqSub + 1, PqSub).as("sv")))
@@ -4178,7 +4186,7 @@ object Similarity {
       // itself a future so the seeded-8 and served-32 points overlap it.
       import scala.concurrent.{Await, Future}
       import scala.concurrent.duration.Duration
-      import scala.concurrent.ExecutionContext.Implicits.global
+      import graft.core.actionEc
       val t8F = Future(trainedCellRank(e, qs, 8))
       val (t32a, t32r) = servedCellRank32(spark, dir, qs)
       def point(name: String, k: Int, av: DataFrame, rk: DataFrame, pr: Int): Future[(String, Long, Long, Long, Long)] = Future {
@@ -4555,7 +4563,7 @@ object Similarity {
     // beam widths then share it (guide §2.6: back-fill the executors)
     import scala.concurrent.{Await, Future}
     import scala.concurrent.duration.Duration
-    import scala.concurrent.ExecutionContext.Implicits.global
+    import graft.core.actionEc
     def beamStat(adc: DataFrame, mult: Int): (Long, Long) = {
       val r = derivedBeam(adc, bwq, mult)
         .join(broadcast(ex.select(col("xq"), col("xt"), lit(1L).as("hit"))),
@@ -4701,7 +4709,7 @@ object Similarity {
       // legs overlapped
       import scala.concurrent.{Await, Future}
       import scala.concurrent.duration.Duration
-      import scala.concurrent.ExecutionContext.Implicits.global
+      import graft.core.actionEc
       val exHit = ex.select(col("xq"), col("xt"), lit(1L).as("hit"))
       def sizeAndHits(df: DataFrame): (Long, Long) = {
         val r = df.join(broadcast(exHit),
@@ -5174,8 +5182,10 @@ object Similarity {
     * candidates, then unpersists the backing frame and keeps `next`. */
   private def nnStep(e: DataFrame, cur: DataFrame): (DataFrame, DataFrame, DataFrame) = {
     val pairs = cur.select("s", "t")
+    // lazy und — see [[nnStepNext]]: cur is a checkpoint leaf and the
+    // distinct's exchange is shared across the self-join via ReuseExchange
     val und = pairs.unionByName(pairs.select(col("t").as("s"), col("s").as("t")))
-      .distinct().localCheckpoint(true)
+      .distinct()
     val und2 = und.toDF("u2", "q")
     // candidates flow RAW (with co-neighbor multiplicity) into ONE
     // hash(s) exchange that serves three consumers at once: the (s, t)
@@ -5196,7 +5206,6 @@ object Similarity {
     // is a max over the union, not an anti-join)
     val candDistinct = tagged.filter(col("is_cand") === 1).select("s", "t")
     val next = nnTopK(e, NndK)(tagged.select("s", "t")).localCheckpoint(true)
-    und.unpersist(false)
     (candDistinct, tagged, next)
   }
 
@@ -5210,8 +5219,14 @@ object Similarity {
     * are already marted. Returns the checkpointed next kept list. */
   private def nnStepNext(e: DataFrame, cur: DataFrame): DataFrame = {
     val pairs = cur.select("s", "t")
+    // und stays LAZY (r22): `cur` is already a checkpointed leaf, so the
+    // symmetrize+distinct plan is shallow, and its (s, t)-hash exchange is
+    // an identical subtree on both sides of the co-neighbor self-join —
+    // ReuseExchange computes it once. The old eager checkpoint here was a
+    // whole extra job per round just to materialize what the round's one
+    // real action computes anyway.
     val und = pairs.unionByName(pairs.select(col("t").as("s"), col("s").as("t")))
-      .distinct().localCheckpoint(true)
+      .distinct()
     val und2 = und.toDF("u2", "q")
     // raw candidates into ONE hash(s) exchange shared by the (s, t) dedup
     // and nnTopK's per-s window (see [[nnStep]] — the counting variant);
@@ -5221,9 +5236,7 @@ object Similarity {
     val lazyNext = nnTopK(e, NndK)(
       pairs.unionByName(cand).repartition(col("s")).dropDuplicates("s", "t"))
     dumpPlan("nnStepNext", lazyNext)
-    val next = lazyNext.localCheckpoint(true)
-    und.unpersist(false)
-    next
+    lazyNext.localCheckpoint(true)
   }
 
   /** One NN-descent BUILD per corpus snapshot, the
@@ -5527,7 +5540,16 @@ object Similarity {
     * `g` as the "g"-prefixed twin) so one walk can ride a variant
     * dimension — the sets never interact because the graph join is
     * constrained per key. Returns the checkpointed visited set; caller
-    * unpersists. */
+    * unpersists.
+    *
+    * PRECONDITION (r21 ADVICE): the score table `qsc` must cover EVERY
+    * (qid, t) pair the walk can visit — entry nodes and all graph
+    * neighbors — because visited rows are built by INNER-joining the
+    * frontier to it; a partial score table (e.g. candidate-only ADC
+    * scores) would silently shrink the visited set and the scanned
+    * counts. Every current caller passes a full 8×n table (the exact
+    * audit scores or the full-corpus ADC table), which satisfies this by
+    * construction. */
   private def greedyWalk(qsc: DataFrame, g: DataFrame, v0: DataFrame,
       part: Seq[String], steps: Int = NndServeSteps,
       gKeys: Seq[String] = Nil): DataFrame = {
@@ -5552,7 +5574,12 @@ object Similarity {
     // order and the visited fixpoint are value-identical to the old
     // topVisited-based step — same (score DESC, t) tie-break, same
     // top-10 beam, same union semantics.
-    val scores = qsc.select(col("qid"), col("t"), col("score"))
+    // both broadcast sides ride the session cache for the walk's duration
+    // (r22, guide §5/§6): every step's action rebuilds its broadcast
+    // relations, and without the persist each rebuild re-scanned the
+    // parquet mart / checkpoint lineage — now it reads executor memory
+    val scores = qsc.select(col("qid"), col("t"), col("score")).persist()
+    val gp = g.persist()
     def ranked(df: DataFrame): DataFrame = df
       .repartition(pcols: _*).dropDuplicates(part :+ "t")
       .withColumn("rn", row_number().over(
@@ -5562,20 +5589,38 @@ object Similarity {
       .localCheckpoint(true)
     var prev = vis.count()
     var fixed = false
-    for (_ <- 1 to steps if !fixed) {
-      val beam = vis.filter(col("rn") <= 10)
-      val fresh = beam.join(broadcast(g), cond)
-        .select(pcols :+ col("gt").as("t"): _*)
-        .join(broadcast(scores), Seq("qid", "t"))
-        .select(pcols :+ col("t") :+ col("score"): _*)
-      val lazyNv = ranked(
-        vis.select(pcols :+ col("t") :+ col("score"): _*).unionByName(fresh))
+    // TWO steps per checkpoint action (r22, guide §2.4): halves the
+    // driver actions and the per-action broadcast builds (within one
+    // action the two steps' identical broadcast subtrees are built once
+    // via ReuseExchange). The visited set appears twice per unrolled step
+    // (beam + union), so the lazy plan grows 4× per action — bounded, vs
+    // the O(2^steps) blowup a full unroll would hit. The fixpoint check
+    // moves to pair granularity: visited sets grow monotonically, so
+    // count equality across a PAIR still proves both steps added nothing
+    // (a converged odd step just makes its pair partner a no-op — the
+    // oracle's own remaining unrolled steps are no-ops the same way).
+    var k = 0
+    while (k < steps && !fixed) {
+      val kk = math.min(2, steps - k)
+      var lazyNv = vis
+      for (_ <- 1 to kk) {
+        val beam = lazyNv.filter(col("rn") <= 10)
+        val fresh = beam.join(broadcast(gp), cond)
+          .select(pcols :+ col("gt").as("t"): _*)
+          .join(broadcast(scores), Seq("qid", "t"))
+          .select(pcols :+ col("t") :+ col("score"): _*)
+        lazyNv = ranked(
+          lazyNv.select(pcols :+ col("t") :+ col("score"): _*).unionByName(fresh))
+      }
       dumpPlan("greedyWalkStep", lazyNv)
       val nv = lazyNv.localCheckpoint(true)
       val c = nv.count()
       if (c == prev) { fixed = true; nv.unpersist(false) }
       else { vis.unpersist(false); vis = nv; prev = c }
+      k += kk
     }
+    scores.unpersist(false)
+    gp.unpersist(false)
     vis.select(pcols :+ col("t"): _*)
   }
 
@@ -5878,7 +5923,7 @@ object Similarity {
       // eagerly-checkpointed frame
       import scala.concurrent.{Await, Future}
       import scala.concurrent.duration.Duration
-      import scala.concurrent.ExecutionContext.Implicits.global
+      import graft.core.actionEc
       def armRead(name: String, cents: DataFrame, assign: DataFrame,
           codes: DataFrame, book: DataFrame): Future[(String, Long, Long, Long)] = Future {
         val rk = cellRankOf(cents, qs)
@@ -6378,7 +6423,7 @@ object Similarity {
       // independent rebuilt row — via driver threads (guide §2.6)
       import scala.concurrent.{Await, Future}
       import scala.concurrent.duration.Duration
-      import scala.concurrent.ExecutionContext.Implicits.global
+      import graft.core.actionEc
       def stat(name: String, lst: DataFrame): Future[(String, Long, Long, Long)] = Future {
         val r = lst.join(exactK.select(col("s"), col("t"), lit(1L).as("hit")),
             Seq("s", "t"), "left")
@@ -6629,7 +6674,7 @@ object Similarity {
         // the three independent audits run concurrently (guide §2.6)
         import scala.concurrent.{Await, Future}
         import scala.concurrent.duration.Duration
-        import scala.concurrent.ExecutionContext.Implicits.global
+        import graft.core.actionEc
         def stat(name: String, g: DataFrame, ex: DataFrame, members: Long): Future[(String, Long, Long, Long, Long)] = Future {
           val r = g.join(ex.select(col("s"), col("t"), lit(1L).as("hit")),
               Seq("s", "t"), "left")
@@ -6751,7 +6796,7 @@ object Similarity {
       import s2.implicits._
       import scala.concurrent.{Await, Future}
       import scala.concurrent.duration.Duration
-      import scala.concurrent.ExecutionContext.Implicits.global
+      import graft.core.actionEc
       val (e, n) = nnEmb(spark, dir)
       val kept = scala.collection.mutable.ArrayBuffer[DataFrame]()
       def keep(df: DataFrame): Unit = kept.synchronized { kept += df; () }
@@ -7088,7 +7133,7 @@ object Similarity {
       // (guide §2.6 — driver threads back-fill the executors)
       import scala.concurrent.{Await, Future}
       import scala.concurrent.duration.Duration
-      import scala.concurrent.ExecutionContext.Implicits.global
+      import graft.core.actionEc
       def stat(name: String, g: DataFrame, ex: DataFrame, mem: Long): Future[(String, Long, Long, Long, Long)] = Future {
         val r = g.join(ex.select(col("s"), col("t"), lit(1L).as("hit")),
             Seq("s", "t"), "left")
@@ -7434,7 +7479,9 @@ object Similarity {
     val e = emb(spark, dir).select("vec_id").localCheckpoint(true)
     val nr = e.agg(count(lit(1)), sum(when(col("vec_id") % 5 < 4, 1L).otherwise(0L))).head()
     val n = nr.getLong(0)
-    val nb = nr.getLong(1)
+    // null-safe: sum() is NULL over an empty embeddings table (r21 ADVICE —
+    // every other sum in this audit reads through the lat() helper)
+    val nb = if (nr.isNullAt(1)) 0L else nr.getLong(1)
     val cents = annIndexMart(spark, dir, "mart_ann_cents32")
     val assign = annIndexMart(spark, dir, "mart_ann_assign32")
     // each artifact family audits in ONE aggregation job (the old shape
@@ -7442,7 +7489,7 @@ object Similarity {
     // independent families run concurrently (guide §2.6)
     import scala.concurrent.{Await, Future}
     import scala.concurrent.duration.Duration
-    import scala.concurrent.ExecutionContext.Implicits.global
+    import graft.core.actionEc
     def lat(r: org.apache.spark.sql.Row, i: Int): Long =
       if (r.isNullAt(i)) 0L else r.getLong(i)
     def bookChecks(name: String): Future[Seq[(String, String, Long, Long)]] = Future {
@@ -7840,8 +7887,17 @@ object Similarity {
       val deg = graph.groupBy("s").agg(count(lit(1)).as("d"))
       val gd = graph.join(deg, Seq("s")).localCheckpoint(true)
       val n = nodes.count()
-      var pr = nodes.select(col("v"), lit(1000000L).as("m")).localCheckpoint(true)
-      val stages = scala.collection.mutable.ArrayBuffer(pr)
+      // The 8 power-iteration rounds ride ONE LAZY PLAN materialized by a
+      // single checkpoint (r22, guide §2.4 — was one eager checkpoint job
+      // per round): the chain is linear (each round reads the previous
+      // exactly once), so the plan grows linearly, and the degree-annotated
+      // edge exchange + the nodes exchange are IDENTICAL subtrees in every
+      // round — ReuseExchange computes each once and all 8 rounds share
+      // them. Each round's output is hash(v)-partitioned, which is the
+      // next round's join key, so the only per-round exchange left is the
+      // groupBy(t) mass rollup. Arithmetic unchanged (integer micro-units,
+      // truncating div) — the ledger is bit-identical.
+      var pr = nodes.select(col("v"), lit(1000000L).as("m"))
       for (_ <- 1 to PrRounds) {
         val inc = gd.join(pr, col("v") === col("s"))
           .select(col("t"), expr("m div d").as("sh"))
@@ -7849,9 +7905,10 @@ object Similarity {
         pr = nodes.join(inc, col("v") === col("t"), "left")
           .select(col("v"),
             (lit(PrBase) + expr(s"($PrNum * coalesce(sm, 0L)) div $PrDen")).as("m"))
-          .localCheckpoint(true)
-        stages += pr
       }
+      dumpPlan("prChain", pr)
+      pr = pr.localCheckpoint(true)
+      val stages = scala.collection.mutable.ArrayBuffer(pr)
       // conservation + floor, enforced on the final ledger
       val ledger = pr.agg(sum(col("m")), min(col("m"))).head()
       val (total, lo) = (ledger.getLong(0), ledger.getLong(1))

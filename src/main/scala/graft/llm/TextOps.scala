@@ -1804,7 +1804,11 @@ object TextOps {
     ceHeadMemo.synchronized(map.get(key)) match {
       case Some(v) => v
       case None =>
+        val t0 = System.nanoTime()
         val v = ceScoredHeadCompute(spark, dir, gate)
+        // one-time memo-miss cost into the build ledger (r21 verdict #2:
+        // the CE compute exists in every run but appeared in no number)
+        core.recordBuild("memo:ce_head", (System.nanoTime() - t0) / 1e9)
         ceHeadMemo.synchronized(map.getOrElseUpdate(key, v))
     }
   }

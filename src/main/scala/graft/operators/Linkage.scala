@@ -313,24 +313,33 @@ object Linkage {
     * upstream), and the rollup carries only scalars. */
   private[graft] def goldenMerge(member: DataFrame): DataFrame = {
     val w = org.apache.spark.sql.expressions.Window
+    // the master-record argmax and the per-cluster scalars ride ONE window
+    // pass (r22, guide §2.4: two window specs over the same partition key
+    // share one exchange — the old shape paid a second member shuffle for
+    // the groupBy plus a join to glue them back). count/max/sorted
+    // collect_list are order-insensitive, so the windowed forms are
+    // value-identical to the old groupBy aggregates.
+    val wp = w.partitionBy("cluster_id")
     val best = member
-      .withColumn("rk", row_number().over(w.partitionBy("cluster_id")
+      .withColumn("rk", row_number().over(wp
         .orderBy(col("c_acctbal").desc, col("c_custkey"))))
+      .withColumn("n_members", count(lit(1)).over(wp))
+      .withColumn("golden_acctbal", max(col("c_acctbal")).over(wp))
+      .withColumn("member_ids",
+        array_join(transform(array_sort(collect_list(col("c_custkey")).over(wp)),
+          x => x.cast("string")), ","))
       .filter(col("rk") === 1)
-      .select(col("cluster_id"), col("c_name").as("golden_name"),
-        col("c_nationkey").cast("long").as("golden_nation"))
+      .select(col("cluster_id"), col("n_members"),
+        col("c_name").as("golden_name"),
+        col("c_nationkey").cast("long").as("golden_nation"),
+        col("golden_acctbal"), col("member_ids"))
     val segs = member.groupBy("cluster_id", "c_mktsegment")
       .agg(count(lit(1)).as("n"))
       .withColumn("rk", row_number().over(w.partitionBy("cluster_id")
         .orderBy(col("n").desc, col("c_mktsegment"))))
       .filter(col("rk") === 1)
       .select(col("cluster_id"), col("c_mktsegment").as("golden_segment"))
-    val aggs = member.groupBy("cluster_id")
-      .agg(count(lit(1)).as("n_members"),
-        max(col("c_acctbal")).as("golden_acctbal"),
-        array_join(transform(array_sort(collect_list(col("c_custkey"))),
-          x => x.cast("string")), ",").as("member_ids"))
-    aggs.join(best, Seq("cluster_id")).join(segs, Seq("cluster_id"))
+    best.join(segs, Seq("cluster_id"))
       .select(col("cluster_id"), col("n_members"), col("golden_name"),
         col("golden_nation"), col("golden_segment"), col("golden_acctbal"),
         col("member_ids"))
@@ -549,7 +558,10 @@ object Linkage {
       .select(least(col("ra"), col("rb")).as("a_id"),
         greatest(col("ra"), col("rb")).as("b_id"))
       .distinct()
-    val redCC = graft.llm.Cluster.components(redEdges).localCheckpoint(true)
+    // components() already returns a checkpointed leaf (its convergence
+    // action materialized the final round) — re-checkpointing it eagerly
+    // was one extra no-op job per fold step (r22)
+    val redCC = graft.llm.Cluster.components(redEdges)
     // final labels for AFFECTED members only: standing members via their
     // cluster label's resolved component, new ids via their own node (or
     // themselves when untouched — new singletons)
@@ -573,9 +585,19 @@ object Linkage {
       col("cluster_id") === col("rid"), "left_anti")
     val keptLabels = oldLabels.join(redCC.select(col("id").as("rid")),
       col("label") === col("rid"), "left_anti")
-    val ngc = untouched.unionByName(recomputed).localCheckpoint(true)
-    val nlc = if (needLabels)
-      keptLabels.unionByName(affectedLabels).localCheckpoint(true) else null
+    // the two state materializations are independent — overlap them from
+    // driver threads (guide §2.6) so the labels job back-fills the golden
+    // job's tail; blocking{} tells the global pool these threads park on
+    // Spark actions (r21 ADVICE)
+    import scala.concurrent.{Await, Future, blocking}
+    import scala.concurrent.duration.Duration
+    import graft.core.actionEc
+    val ngcF = Future(blocking {
+      untouched.unionByName(recomputed).localCheckpoint(true) })
+    val nlcF = if (needLabels) Future(blocking {
+      keptLabels.unionByName(affectedLabels).localCheckpoint(true) }) else null
+    val ngc = Await.result(ngcF, Duration.Inf)
+    val nlc = if (needLabels) Await.result(nlcF, Duration.Inf) else null
     redCC.unpersist(false)
     (nlc, ngc)
   }

@@ -58,7 +58,12 @@ object MartCache {
         _ => scala.collection.mutable.Set[String]())
       val key = s"$dir@$martPrefix" // scratch() scopes by dir; the marker must too
       if (!dirs.contains(key)) {
+        val t0 = System.nanoTime()
         dag.run(spark, dir, viewPrefix = viewPrefix, martPrefix = martPrefix)
+        // one-time cost into the build ledger (r22): Bench's sidecar then
+        // reports the mart family's cold-build seconds separately from the
+        // steady-state samples the min-of-2 methodology keeps
+        graft.core.recordBuild(s"mart:$martPrefix", (System.nanoTime() - t0) / 1e9)
         dirs += key
       }
     }
@@ -70,12 +75,32 @@ object MartCache {
     * snapshot, so a dataset regenerated IN PLACE rebuilds instead of
     * serving a stale mart — and `names` are read back from scratch
     * parquet after one `ensure`. */
+  // Memoized parquet HANDLES per (session, mart path) — r22: every
+  // accessor call re-ran spark.read.parquet (driver-side file listing +
+  // footer schema read) on a path whose contents are immutable for the
+  // life of its prefix (the prefix carries the corpus snapshot signature,
+  // so a regenerated corpus lands on a NEW path and a fresh handle). The
+  // map stores only the DataFrame plan — a scan node, no data — so the
+  // bench's releaseSessionState has nothing to evict, and the weak session
+  // key lets dead sessions fall out with GC. Only ensure-then-read marts
+  // go through here (never append-materialized tables, whose file sets
+  // grow after the first read).
+  private val handles = new java.util.WeakHashMap[
+    SparkSession, scala.collection.mutable.Map[String, DataFrame]]()
+
   def read(spark: SparkSession, dir: String, dag: ModelRegistry,
       prefixTag: String, viewPrefix: String, sigSources: Seq[String],
       names: String*): Seq[org.apache.spark.sql.DataFrame] = {
     val prefix = s"${prefixTag}_${graft.core.sourceSig(spark, dir, sigSources: _*)}"
     ensure(spark, dir, dag, prefix, viewPrefix)
-    names.map(n => spark.read.parquet(graft.core.scratch(dir, s"$prefix/$n")))
+    names.map { n =>
+      val path = graft.core.scratch(dir, s"$prefix/$n")
+      handles.synchronized {
+        handles.computeIfAbsent(spark,
+            _ => scala.collection.mutable.Map[String, DataFrame]())
+          .getOrElseUpdate(path, spark.read.parquet(path))
+      }
+    }
   }
 }
 

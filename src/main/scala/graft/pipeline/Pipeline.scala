@@ -141,15 +141,21 @@ object Pipeline {
       ctx: RunContext, seed: LocalDate): IncRun = {
     val built = incrementalDag(ctx, seed)
       .run(spark, dir, viewPrefix = "graft_inc_", martPrefix = "marts_inc")
+    // ONE aggregation for the batch accounting (r22, guide §2.4 — was two
+    // sequential driver actions): count + max-date over the batch, plus
+    // the valid count via a left join against the UNIQUE customer keys —
+    // count(k) equals the semi-join count `inc_valid` would report
+    // because the distinct key side cannot multiply rows
+    val keys = built("stg_customer").select(col("c_custkey").as("k")).distinct()
     val incRow = built("inc_orders")
-      .agg(count(lit(1)).as("n"), max(col("o_orderdate")).as("mx")).head()
+      .join(keys, col("o_custkey") === col("k"), "left")
+      .agg(count(lit(1)).as("n"), max(col("o_orderdate")).as("mx"),
+        count(col("k")).as("nv")).head()
     val extracted = incRow.getAs[Long]("n")
     if (extracted > 0)
       Watermark.advance(spark, dir, "orders",
         Watermark.asLocalDate(incRow.getAs[Any]("mx")), tag = "dag")
-    val loaded = built("inc_valid")
-      .agg(count(lit(1)).as("n")).head().getAs[Long]("n")
-    IncRun(extracted, loaded, built)
+    IncRun(extracted, incRow.getAs[Long]("nv"), built)
   }
 
   /** Gate — three incremental daily runs against one persisted checkpoint:
