@@ -186,6 +186,7 @@ object Cluster {
           coalesce(col("plabel"), col("x.label")).as("label"))
       // lazy checkpoint: materializes inside the SAME action as the
       // convergence count, truncating plan AND lineage without an extra job
+      Similarity.dumpPlan(s"componentsRound$iter", jumped)
       val next = jumped.localCheckpoint(false)
       val changed = next
         .agg(count(when(col("label") =!= col("old_label"), lit(1))).as("c"))

@@ -600,20 +600,20 @@ object Similarity {
           * lit(10000000.0)).cast(LongType).as("dist_q"))
   }
 
-  /** The budgeted Lloyd training loop to the assignment-signature
-    * fixpoint (factored out of [[simKmeansConverged]] when
-    * [[simIvfCells]] needed a second quantizer size, r15): seeds = the
-    * first `k` vectors, up to `rounds` fixed-point recomputes, early
-    * exit when the assignment signature (count + commutative murmur3 sum
-    * + xxhash64 XOR — both folds order-free at any parallelism; equality
-    * of the triple under two distinct assignments needs a simultaneous
-    * collision of two independent hash families, the round-9 ADVICE's
-    * "practically impossible" bar — one driver scalar row per round)
-    * repeats, because an unchanged assignment makes every remaining
-    * recompute a bit-identical no-op. Returns the final (cent_id, cv)
-    * centroid frame; each superseded round's EAGER checkpoint is
-    * released as the next lands (lazy-checkpoint-then-unpersist would
-    * cut the lineage the new frame still needs — round-9 finding).
+  /** The budgeted Lloyd training loop (factored out of
+    * [[simKmeansConverged]] when [[simIvfCells]] needed a second
+    * quantizer size, r15): seeds = the first `k` vectors, then exactly
+    * `rounds` fixed-point recomputes — the oracle's own unroll — chained
+    * as ONE LAZY PLAN materialized by a single checkpoint (r22, guide
+    * §2.4). The old loop paid TWO driver actions per round (an
+    * assignment-signature job for fixpoint early exit, then the eager
+    * recompute checkpoint) — up to 16 actions at [[CellRounds]] = 8 —
+    * but the early exit only ever skipped provable NO-OP rounds (an
+    * unchanged assignment reproduces the same centroids bit-for-bit), so
+    * running the full pinned budget lazily yields the identical centroid
+    * frame by the same argument, in one job. The chain is linear (each
+    * round's tiny centroid aggregate feeds the next round's broadcast-
+    * argmin pass once), so the plan grows linearly in `rounds`.
     * `seedFilter` overrides the default first-k-ids seed pick for
     * sources whose ids are not dense from 0 ([[simIndexAppend]]'s
     * base-only training). */
@@ -633,33 +633,10 @@ object Similarity {
     var cents = e.filter(Option(seedFilter).getOrElse(col("vec_id") < k))
       .select(col("vec_id").cast(IntegerType).as("cent_id"),
         col("embedding").cast(ArrayType(DoubleType)).as("cv"))
-    var prevSig: (Long, Long, Long) = null
-    var prevCkpt: DataFrame = null
-    var iters = 0
-    var fixed = false
-    while (iters < rounds && !fixed) {
-      // lazy-checkpoint the round's assignment: the signature action
-      // materializes it, and the recompute then READS the cached blocks —
-      // the old shape evaluated the broadcast-argmin assignment pass
-      // twice per round (once under each action)
-      val a = kmAssign(e, cents).localCheckpoint(false)
-      val row = a.agg(count(lit(1)),
-        sum(hash(col("vec_id"), col("cell")).cast(LongType)),
-        call_function("bit_xor", xxhash64(col("vec_id"), col("cell")))).head()
-      def at(i: Int) = if (row.isNullAt(i)) 0L else row.getLong(i)
-      val sig = (row.getLong(0), at(1), at(2))
-      if (sig == prevSig) fixed = true // remaining rounds are no-ops
-      else {
-        val next = recompute(a).localCheckpoint(true)
-        if (prevCkpt != null) prevCkpt.unpersist(false)
-        prevCkpt = next
-        cents = next
-        prevSig = sig
-        iters += 1
-      }
-      a.unpersist(false)
-    }
-    cents
+    for (_ <- 1 to rounds)
+      cents = recompute(kmAssign(e, cents))
+    dumpPlan("lloydChain", cents)
+    cents.localCheckpoint(true)
   }
 
   /** Pinned round budget for [[simKmeansConverged]] — the oracle unrolls
@@ -5589,35 +5566,25 @@ object Similarity {
       .localCheckpoint(true)
     var prev = vis.count()
     var fixed = false
-    // TWO steps per checkpoint action (r22, guide §2.4): halves the
-    // driver actions and the per-action broadcast builds (within one
-    // action the two steps' identical broadcast subtrees are built once
-    // via ReuseExchange). The visited set appears twice per unrolled step
-    // (beam + union), so the lazy plan grows 4× per action — bounded, vs
-    // the O(2^steps) blowup a full unroll would hit. The fixpoint check
-    // moves to pair granularity: visited sets grow monotonically, so
-    // count equality across a PAIR still proves both steps added nothing
-    // (a converged odd step just makes its pair partner a no-op — the
-    // oracle's own remaining unrolled steps are no-ops the same way).
-    var k = 0
-    while (k < steps && !fixed) {
-      val kk = math.min(2, steps - k)
-      var lazyNv = vis
-      for (_ <- 1 to kk) {
-        val beam = lazyNv.filter(col("rn") <= 10)
-        val fresh = beam.join(broadcast(gp), cond)
-          .select(pcols :+ col("gt").as("t"): _*)
-          .join(broadcast(scores), Seq("qid", "t"))
-          .select(pcols :+ col("t") :+ col("score"): _*)
-        lazyNv = ranked(
-          lazyNv.select(pcols :+ col("t") :+ col("score"): _*).unionByName(fresh))
-      }
+    // NOTE (r22, measured): unrolling TWO steps per checkpoint action was
+    // tried and REVERTED — the visited set appears twice per unrolled
+    // step (beam + union), so the pair plan re-runs the inner window and
+    // adds a no-op step at odd-step fixpoints; the walk-gate subset
+    // measured 35.4 s paired vs 25.4 s single-step (baseline 27.8 s —
+    // the win kept below is the persisted broadcast sides).
+    for (_ <- 1 to steps if !fixed) {
+      val beam = vis.filter(col("rn") <= 10)
+      val fresh = beam.join(broadcast(gp), cond)
+        .select(pcols :+ col("gt").as("t"): _*)
+        .join(broadcast(scores), Seq("qid", "t"))
+        .select(pcols :+ col("t") :+ col("score"): _*)
+      val lazyNv = ranked(
+        vis.select(pcols :+ col("t") :+ col("score"): _*).unionByName(fresh))
       dumpPlan("greedyWalkStep", lazyNv)
       val nv = lazyNv.localCheckpoint(true)
       val c = nv.count()
       if (c == prev) { fixed = true; nv.unpersist(false) }
       else { vis.unpersist(false); vis = nv; prev = c }
-      k += kk
     }
     scores.unpersist(false)
     gp.unpersist(false)
@@ -7078,8 +7045,15 @@ object Similarity {
         .option("maxFilesPerTrigger", 1).parquet(landing)
         .writeStream
         .foreachBatch { (batch: DataFrame, bid: Long) =>
-          val fresh = batch.select("vec_id").distinct().localCheckpoint(true)
-          val bsize = fresh.count()
+          val fresh = batch.select("vec_id").distinct()
+          // the batch size is already known EXACTLY (r22, §2.4): the
+          // landing pins batch i = preds(i) (mtime-ordered single files,
+          // asserted at staging) and `cnt` counted every residue class up
+          // front — the old per-batch checkpoint + count pair was two
+          // driver actions of pure overhead per micro-batch; the
+          // conservation audits (k1/k2/n member counts) still verify the
+          // fold saw exactly these rows
+          val bsize = batchSizes(bid.toInt)
           val cur = curG.select(col("s").as("vec_id")).distinct()
           val fseed = nnTopK(e, 10)(
             fresh.join(cellOf, Seq("vec_id"))
@@ -7092,7 +7066,6 @@ object Similarity {
           kept += next
           events += (s"fold_${bid + 1}" -> next)
           curG = next.select("s", "t")
-          fresh.unpersist(false)
           // the DEPLOYED policy: consolidate at ≥20% growth, in-stream
           growth += bsize
           members += bsize
