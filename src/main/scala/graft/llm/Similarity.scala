@@ -633,10 +633,41 @@ object Similarity {
     var cents = e.filter(Option(seedFilter).getOrElse(col("vec_id") < k))
       .select(col("vec_id").cast(IntegerType).as("cent_id"),
         col("embedding").cast(ArrayType(DoubleType)).as("cv"))
-    for (_ <- 1 to rounds)
-      cents = recompute(kmAssign(e, cents))
-    dumpPlan("lloydChain", cents)
-    cents.localCheckpoint(true)
+    // ONE action per round (r22): the signature job that materializes this
+    // round's assignment ALSO computes the previous round's lazy recompute
+    // (the centroid aggregate stays lazy and folds into the next
+    // assignment's plan) — the old shape paid a second eager checkpoint
+    // job per round. Early exit at the assignment fixpoint is kept: an
+    // unchanged assignment makes every remaining recompute a bit-identical
+    // no-op, so stopping early equals the oracle's full pinned unroll.
+    // (A fully lazy `rounds`-deep chain was tried and reverted: it always
+    // pays the whole budget, and the trainers here converge early.)
+    var prevSig: (Long, Long, Long) = null
+    var prevA: DataFrame = null
+    var iters = 0
+    var fixed = false
+    while (iters < rounds && !fixed) {
+      val a = kmAssign(e, cents).localCheckpoint(false)
+      val row = a.agg(count(lit(1)),
+        sum(hash(col("vec_id"), col("cell")).cast(LongType)),
+        call_function("bit_xor", xxhash64(col("vec_id"), col("cell")))).head()
+      def at(i: Int) = if (row.isNullAt(i)) 0L else row.getLong(i)
+      val sig = (row.getLong(0), at(1), at(2))
+      if (sig == prevSig) { fixed = true; a.unpersist(false) }
+      else {
+        cents = recompute(a) // lazy — reads a's cached blocks next round
+        if (prevA != null) prevA.unpersist(false)
+        prevA = a
+        prevSig = sig
+        iters += 1
+      }
+    }
+    dumpPlan("lloydRound", cents)
+    // one checkpoint for the (possibly many) downstream consumers; only
+    // then release the last assignment's blocks its lineage reads
+    val out = cents.localCheckpoint(true)
+    if (prevA != null) prevA.unpersist(false)
+    out
   }
 
   /** Pinned round budget for [[simKmeansConverged]] — the oracle unrolls
